@@ -1,0 +1,58 @@
+"""Text-analysis primitives as pure JVM column expressions.
+
+Extension surface (SURVEY.md §2.12): tokenization, shingling,
+stopword stats, and a deterministic polynomial rolling-hash document
+fingerprint.  Everything is Catalyst built-ins / higher-order
+functions — hash arithmetic is plain 64-bit integer math so the
+DuckDB oracle can reproduce it bit-exactly (no engine-specific hash
+functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic polynomial rolling hash params (shared with the
+# DuckDB oracle SQL — keep in sync with __spark_entry__.oracle_sql).
+FP_BASE = 131
+FP_MOD = 1_000_000_007
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (documents fixture is single-space)."""
+    return F.split(text, " ")
+
+
+def word_shingles(text: Column, k: int) -> Column:
+    """Array of k-word shingles (space-joined), order-preserving.
+
+    ``slice`` is 1-based; a doc with fewer than k words yields an
+    empty array.
+    """
+    w = words(text)
+    n = F.size(w)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(w, i, k), " "))
+
+
+def stopword_count(word_arr: Column, stopwords: list[str]) -> Column:
+    return F.size(F.filter(word_arr, lambda w: w.isin(*stopwords)))
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over the characters of ``text``:
+    ``h = (h*131 + codepoint) mod 1e9+7``, sequential left fold.
+
+    Stays < 2^63 at every step, so 64-bit integer semantics are
+    identical across Spark and DuckDB.  This is the document
+    fingerprint primitive for the dedup/text-analysis surface.
+    """
+    chars = F.split(text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+    )

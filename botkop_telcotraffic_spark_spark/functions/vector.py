@@ -1,0 +1,43 @@
+"""Vector math as pure JVM column expressions (no UDFs).
+
+Replaces the reference's executor-local Scala helpers — euclidean
+distance at ``/root/reference/src/main/scala/traffic/process/ClusterAnalyser.scala:186-188``
+— with Catalyst higher-order functions, so distance math stays inside
+whole-stage codegen and works on ``array<float|double>`` columns of
+any length.
+
+Determinism note: ``F.aggregate`` is a *sequential left fold* over the
+array, so the floating-point summation order is fixed (index order).
+The DuckDB oracle uses ``list_reduce`` (also a left fold) so both
+engines produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two equal-length array columns."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    """sqrt(sum((a_i - b_i)^2)) — parity with ClusterAnalyser.scala:186-188."""
+    d = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.sqrt(_fold_sum(d))

@@ -1,0 +1,168 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.12).
+
+Exact dedup is a hash groupBy; near-dup is shingle-set Jaccard via an
+inverted-index self-join (the standard scalable pattern: explode to
+(shingle, doc) postings, self-join on shingle, count intersections,
+Jaccard from set sizes).  MinHash/LSH signatures use explicit integer
+hash arithmetic over a global token dictionary so the DuckDB oracle
+can reproduce them bit-exactly (engine hash builtins differ across
+engines and would be unverifiable).
+
+Scale notes
+  * exact_dedup shuffles md5(text) group keys only — O(rows), skew-free.
+  * jaccard_pairs prunes to pairs sharing >= 1 shingle; hot shingles
+    (stopword-ish) can explode the posting join at 100 TB — the
+    ``max_doc_freq`` knob drops shingles appearing in more than that
+    many docs (standard df-pruning; drops only pairs whose *every*
+    shared shingle is hot, which at sane thresholds is noise anyway).
+  * minhash_signatures is a single groupBy over postings — the LSH
+    band join then touches only candidate pairs, the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfn import word_shingles, words
+
+# MinHash parameters — plain affine hashes over token ranks, shared
+# with the oracle SQL.  (a_j, b_j) generated from small primes.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+MINHASH_NUM = 16
+MINHASH_A = [2 * j + 3 for j in range(MINHASH_NUM)]  # 3,5,7,...,33
+MINHASH_B = [7 * j + 1 for j in range(MINHASH_NUM)]
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts: (doc_hash, keep_id, copies).
+
+    keep_id = min id (deterministic representative); downstream
+    dedup = semi-join ids against keep_id.
+    """
+    return df.groupBy(F.md5(F.col(text_col)).alias("doc_hash")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("copies")
+    )
+
+
+def shingle_postings(
+    df: DataFrame, id_col: str, text_col: str, k: int, distinct_shingles: bool = True
+) -> DataFrame:
+    """(id, shingle) inverted-index postings, plus per-doc set size."""
+    sh = word_shingles(F.col(text_col), k) if k > 1 else words(F.col(text_col))
+    if distinct_shingles:
+        sh = F.array_distinct(sh)
+    return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All candidate pairs (a < b) sharing >= 1 k-shingle with their
+    Jaccard similarity: |A∩B| / (|A| + |B| - |A∩B|).
+
+    Columns: a, b, inter, size_a, size_b, jaccard.
+    """
+    post = shingle_postings(df, id_col, text_col, k)
+    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_doc_freq is not None:
+        freq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        post = post.join(
+            F.broadcast(freq.where(F.col("df") > max_doc_freq).select("shingle")),
+            "shingle",
+            "left_anti",
+        )
+    left = post.select(F.col("id").alias("a"), "shingle")
+    right = post.select(F.col("id").alias("b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.select(F.col("id").alias("a"), F.col("sz").alias("size_a"))), "a")
+        .join(F.broadcast(sizes.select(F.col("id").alias("b"), F.col("sz").alias("size_b"))), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+    )
+    return out.select("a", "b", "inter", "size_a", "size_b", "jaccard")
+
+
+def token_dictionary(post: DataFrame) -> DataFrame:
+    """Global shingle -> dense rank (1-based, lexicographic).  The
+    deterministic token-id base for MinHash/SimHash signatures."""
+    toks = post.select("shingle").distinct()
+    w = Window.orderBy("shingle")
+    return toks.withColumn("tok_id", F.dense_rank().over(w))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, sig: array<bigint>) — MinHash signature of the doc's
+    k-shingle set: sig[j] = min over shingles of (a_j*tok + b_j) % P.
+
+    Deterministic and oracle-reproducible (no engine hash builtins).
+    The dictionary rank uses a global sort; at extreme scale swap in a
+    fixed string->int polynomial hash (rolling_fingerprint) to avoid
+    it — kept rank-based here for bit-exact oracle parity.
+    """
+    post = shingle_postings(df, id_col, text_col, k)
+    dic = token_dictionary(post)
+    with_tok = post.join(dic, "shingle")
+    aggs = [
+        F.min((F.lit(a) * F.col("tok_id") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    sig = with_tok.groupBy(F.col("id")).agg(*aggs)
+    return sig.select(
+        "id", F.array(*[f"h{j}" for j in range(MINHASH_NUM)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on all rows of >= 1 band.
+
+    Columns: a, b, n_bands (number of agreeing bands).  Estimated
+    Jaccard can then be refined with jaccard_pairs on candidates only
+    — at scale this replaces the full posting self-join.
+    """
+    assert bands * rows_per_band <= MINHASH_NUM
+    sig = minhash_signatures(df, id_col, text_col, k)
+    band_rows = []
+    for b in range(bands):
+        key = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        band_rows.append(
+            sig.select("id", F.lit(b).alias("band"), key.alias("bkey"))
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionAll(br)
+    left = buckets.select(F.col("id").alias("a"), "band", "bkey")
+    right = buckets.select(F.col("id").alias("b"), "band", "bkey")
+    return (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )

@@ -1,0 +1,58 @@
+"""Geofence containment (operators J3/S5 in SURVEY.md §2.4).
+
+The reference flatMaps every event against an executor-local list of
+polygons with an external point-in-polygon helper
+(``Geofencer.scala:27-31``) — a de-facto broadcast nested-loop
+spatial theta-join.  Here that is exactly what Catalyst plans:
+``points.crossJoin(broadcast(fences)).where(point_in_polygon(...))``
+→ BroadcastNestedLoopJoin with the predicate inside codegen.
+
+Scale notes: geofence sets are small (dozens-thousands of polygons)
+→ broadcast is the right strategy at any event volume; the join is
+embarrassingly partition-parallel on the points side.  For huge fence
+sets, pre-filter with a bounding-box range join (min/max lat/lng
+columns are cheap to derive) before the exact test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geo import point_in_polygon
+
+
+def rect_geofence_join(
+    points: DataFrame,
+    fences: DataFrame,
+    x_col: str = "lng",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Axis-aligned rectangle containment join.
+
+    ``fences`` columns: name, lat_min, lat_max, lng_min, lng_max.
+    Inner semantics (non-matching points dropped), like the reference.
+    """
+    cond = (
+        F.col(y_col).between(F.col("lat_min"), F.col("lat_max"))
+        & F.col(x_col).between(F.col("lng_min"), F.col("lng_max"))
+    )
+    return points.crossJoin(F.broadcast(fences)).where(cond)
+
+
+def polygon_geofence_join(
+    points: DataFrame,
+    fences: DataFrame,
+    x_col: str = "lng",
+    y_col: str = "lat",
+    polygon_col: str = "polygon",
+) -> DataFrame:
+    """Point-in-polygon containment join (ray casting, pure exprs).
+
+    ``fences``: name + ``polygon: array<struct<lat,lng>>`` (the shape
+    of the reference's ``work/traffic-geofences.json`` side input).
+    One output row per (point, containing fence) — the reference's
+    flatMap/UDTF shape (SURVEY.md §2.11).
+    """
+    inside = point_in_polygon(F.col(x_col), F.col(y_col), F.col(polygon_col))
+    return points.crossJoin(F.broadcast(fences)).where(inside)

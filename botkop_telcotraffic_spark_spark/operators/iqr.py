@@ -1,0 +1,82 @@
+"""IQR-based outlier detection (operators A4/A5/J2 in SURVEY.md §2.5).
+
+The reference collects each cluster's distances into a list, sorts it
+executor-locally, and takes naive order statistics ``q1 = v(n/4)``,
+``q3 = v(3n/4)`` (0-based index on the sorted list), thresholds
+``(q1 - 1.5*iqr, q3 + 1.5*iqr)``, degenerate ``(MinValue, MaxValue)``
+when n <= 4 (``ClusterAnalyser.scala:47-58,157-183``).
+
+Two modes:
+  * ``exact``  — bit-faithful replication via sort_array(collect_list)
+    + element_at.  Used for oracle hash-matching.  Per-group lists
+    must fit an executor — fine up to ~1e8 values/group; beyond that
+    use approx.
+  * ``approx`` — percentile_approx with map-side sketch merging; the
+    100 TB path (bounded memory, no list materialization).
+
+The threshold join-back (reference J2, a per-window hash join on the
+group key) is a broadcast-friendly equi-join here: the threshold side
+has one row per group, so AQE/broadcast makes it shuffle-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DOUBLE_MIN = -1.7976931348623157e308
+DOUBLE_MAX = 1.7976931348623157e308
+
+
+def iqr_bounds(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    mode: str = "exact",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-key (n, q1, q3, lo, hi) outlier thresholds."""
+    v = F.col(value_col)
+    if mode == "exact":
+        g = df.groupBy(*key_cols).agg(
+            F.sort_array(F.collect_list(v)).alias("_sorted"),
+            F.count(v).alias("n"),
+        )
+        q1 = F.element_at("_sorted", (F.floor(F.col("n") / 4) + 1).cast("int"))
+        q3 = F.element_at("_sorted", (F.floor(F.col("n") * 3 / 4) + 1).cast("int"))
+    elif mode == "approx":
+        g = df.groupBy(*key_cols).agg(
+            F.percentile_approx(v, F.array(F.lit(0.25), F.lit(0.75)), accuracy).alias("_q"),
+            F.count(v).alias("n"),
+        )
+        q1, q3 = F.element_at("_q", 1), F.element_at("_q", 2)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    g = g.withColumn("q1", q1).withColumn("q3", q3)
+    iqr = F.col("q3") - F.col("q1")
+    degenerate = F.col("n") <= 4
+    g = g.withColumn(
+        "lo", F.when(degenerate, F.lit(DOUBLE_MIN)).otherwise(F.col("q1") - 1.5 * iqr)
+    ).withColumn(
+        "hi", F.when(degenerate, F.lit(DOUBLE_MAX)).otherwise(F.col("q3") + 1.5 * iqr)
+    )
+    return g.select(*key_cols, "n", "q1", "q3", "lo", "hi")
+
+
+def iqr_outliers(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    mode: str = "exact",
+) -> DataFrame:
+    """Rows of ``df`` outside their key's IQR fence, with (lo, hi)
+    attached — the reference's J2 join-back + ``d < lo || d > hi``
+    flag (``ClusterAnalyser.scala:55-58``)."""
+    bounds = iqr_bounds(df, key_cols, value_col, mode)
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(bounds.select(*key_cols, "lo", "hi")), list(key_cols))
+        .where((v < F.col("lo")) | (v > F.col("hi")))
+    )

@@ -1,0 +1,163 @@
+"""K-Means operators (reference W6/A4/A5 pipeline, SURVEY.md §2.9).
+
+Batch surface: ``label_centroids`` + ``assign`` reproduce the
+predict/distance stage (``ClusterAnalyser.scala:41-45``) as pure
+DataFrame ops — centroids are a tiny DataFrame broadcast into a
+nested-loop argmin, all codegen'd.
+
+Streaming surface: ``StreamingKMeans`` implements the published
+mini-batch update rule the reference gets from Spark 1.6 MLlib
+(``ClusterAnalyser.scala:15-19,33``):
+
+    c' = (c * n * a + x_sum * m) / (n * a + m)
+    n' = n * a + m
+
+with decay factor ``a``, per-batch cluster sums ``x_sum`` (m points).
+Model state is tiny (k x dim) and driver-held, exactly like the
+reference's ``latestModel``; each batch does one distributed
+assignment + one groupBy — no collect of raw points.  The reference
+trains on a batch *then* predicts the same batch with the updated
+model; ``update_and_assign`` replicates that order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import euclidean
+
+
+def assign(
+    points: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "point",
+    centroid_vec_col: str = "centroid",
+    centroid_id_col: str = "prediction",
+) -> DataFrame:
+    """Nearest-centroid assignment: adds prediction, centroid,
+    distance columns.  Broadcast nested-loop over k centroids +
+    per-row argmin via max_by on negated distance (single pass, no
+    window sort)."""
+    pts = points.withColumn("_rid", F.monotonically_increasing_id())
+    cand = pts.crossJoin(F.broadcast(centroids)).withColumn(
+        "_dist", euclidean(F.col(vec_col), F.col(centroid_vec_col))
+    )
+    # argmin distance, tiebreak lowest centroid id: min_by on struct
+    best = cand.groupBy("_rid").agg(
+        F.min_by(
+            F.struct(
+                F.col(centroid_id_col).alias("prediction"),
+                F.col(centroid_vec_col).alias("centroid"),
+                F.col("_dist").alias("distance"),
+            ),
+            F.struct(F.col("_dist"), F.col(centroid_id_col)),
+        ).alias("_b")
+    )
+    return (
+        pts.join(best, "_rid")
+        .select(*points.columns, "_b.prediction", "_b.centroid", "_b.distance")
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-label dimension-wise mean vectors -> (prediction, centroid).
+
+    The deterministic centroid source for oracle-checked assignment
+    (posexplode + avg + re-assemble; one shuffle on (label, dim))."""
+    exploded = df.select(
+        F.col(label_col).alias("prediction"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    )
+    means = exploded.groupBy("prediction", "d").agg(
+        F.avg(F.col("x").cast("double")).alias("m")
+    )
+    return (
+        means.groupBy("prediction")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("_dm"))
+        .select(
+            "prediction",
+            F.transform(F.col("_dm"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
+class StreamingKMeans:
+    """Driver-held streaming K-Means with decay (reference W6 parity).
+
+    Usage (inside foreachBatch or over any sequence of batch DFs):
+
+        model = StreamingKMeans(k=3, dim=2, decay=1.0, seed=42)
+        scored = model.update_and_assign(batch_df, vec_col="point")
+
+    The model state is a plain list of (count, centroid) — O(k*dim)
+    on the driver, like the reference's ``latestModel``.  All heavy
+    work (assignment + per-cluster sums) is distributed.
+    """
+
+    def __init__(self, k: int, dim: int, decay: float = 1.0, seed: int = 42):
+        self.k, self.dim, self.decay = k, dim, decay
+        # Deterministic "random" init: small LCG, no numpy dependency
+        state = seed & 0x7FFFFFFF or 1
+        def rnd():
+            nonlocal state
+            state = (1103515245 * state + 12345) % (1 << 31)
+            return state / float(1 << 31) - 0.5
+        self.centroids: list[list[float]] = [
+            [rnd() for _ in range(dim)] for _ in range(k)
+        ]
+        self.weights: list[float] = [0.0] * k
+
+    def _centroid_df(self, spark) -> DataFrame:
+        rows = [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)]
+        return spark.createDataFrame(rows, "prediction int, centroid array<double>")
+
+    def update(self, batch: DataFrame, vec_col: str = "point") -> None:
+        """One mini-batch update: distributed assign + per-cluster
+        sum/count, then the O(k*dim) driver-side rule."""
+        spark = batch.sparkSession
+        assigned = assign(batch.select(F.col(vec_col).alias("point")),
+                          self._centroid_df(spark), vec_col="point")
+        sums = (
+            assigned.select("prediction", "point")
+            .withColumn("_one", F.lit(1.0))
+            .groupBy("prediction")
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("m"),
+                *[
+                    F.sum(F.element_at("point", d + 1)).alias(f"s{d}")
+                    for d in range(self.dim)
+                ],
+            )
+        ).collect()  # k rows — driver state update only
+        for row in sums:
+            i = row["prediction"]
+            m = row["m"]
+            n = self.weights[i] * self.decay
+            denom = n + m
+            if denom <= 0:
+                continue
+            self.centroids[i] = [
+                (self.centroids[i][d] * n + row[f"s{d}"]) / denom
+                for d in range(self.dim)
+            ]
+            self.weights[i] = denom
+        # decay clusters that saw no data this batch
+        seen = {row["prediction"] for row in sums}
+        for i in range(self.k):
+            if i not in seen:
+                self.weights[i] *= self.decay
+
+    def update_and_assign(self, batch: DataFrame, vec_col: str = "point") -> DataFrame:
+        """Train on the batch, then predict the same batch with the
+        *updated* model — the reference's trainOn-then-predict order
+        (ClusterAnalyser.scala:33,41)."""
+        self.update(batch, vec_col)
+        return assign(batch, self._centroid_df(batch.sparkSession), vec_col=vec_col)

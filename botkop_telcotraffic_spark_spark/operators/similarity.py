@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12).
+
+Brute-force cosine top-k as the exact baseline, and a random-
+hyperplane (SimHash) LSH-bucketed variant as the scale path.  Dot
+products are sequential-fold column expressions (functions/vector.py)
+— bit-deterministic, codegen'd, no UDFs.
+
+Scale notes
+  * brute_force_topk is O(|Q| * |corpus|): fine when the query set is
+    small/broadcastable (the common "probe" shape).  The corpus side
+    stays partition-parallel; no shuffle except the final top-k
+    (TakeOrderedAndProject per query via window row_number).
+  * lsh_topk buckets both sides by hyperplane sign bits; the join
+    touches only same-bucket pairs — the 100 TB path (recall < 1,
+    tunable by n_planes / probing multiple buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot
+
+# Deterministic integer hyperplanes (shared with oracle SQL):
+# hp[p][d] = ((p*31 + d*17) % 7) - 3, for plane p, dim d.
+LSH_PLANES = 8
+
+
+def _plane_expr(vec, p: int, dim: int):
+    """Dot of vec with deterministic integer hyperplane p."""
+    comps = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda d: F.element_at(vec, d).cast("double")
+        * (((F.lit(p * 31) + (d - 1) * 17) % 7) - 3).cast("double"),
+    )
+    return F.aggregate(comps, F.lit(0.0), lambda a, x: a + x)
+
+
+def lsh_bucket(vec, dim: int, n_planes: int = LSH_PLANES):
+    """Sign-bit bucket id (0 .. 2^n_planes - 1) of an embedding."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bit = F.when(_plane_expr(vec, p, dim) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine_sim, rank).
+
+    Excludes self-matches.  Deterministic rank tiebreak on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold)."""
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_av"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_bv"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cosine_sim", cosine(F.col("_av"), F.col("_bv")))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("a", "b", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate top-k: join restricted to matching LSH buckets.
+
+    Same output shape as brute_force_topk (rank within bucket hits).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    sims = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+    )

@@ -1,0 +1,112 @@
+"""Text analysis operators (SURVEY.md §2.12): quality scoring,
+language ID, token stats, fingerprinting.
+
+All pure column expressions (codegen'd, partition-parallel, zero
+Python in the hot path).  Formulas are deliberately closed-form so
+the DuckDB oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import rolling_fingerprint, stopword_count, words
+
+# Marker stopwords per language for the n-gram/stopword heuristic
+# language-ID.  (Synthetic corpus is English-ish tech words; the
+# point is a deterministic, oracle-checkable classifier.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es", "y"],
+}
+STOPWORDS = ["a", "the", "of", "and", "to", "in", "is", "it"]
+
+
+def text_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc features: n_chars, n_tokens, n_distinct_tokens,
+    avg_token_len, type_token_ratio, stopword_ratio, quality_score.
+
+    avg_token_len avoids array math: (chars - spaces) / tokens for a
+    single-space-separated doc.
+    """
+    t = F.col(text_col)
+    w = words(t)
+    n_tokens = F.size(w)
+    n_chars = F.length(t)
+    n_distinct = F.size(F.array_distinct(w))
+    avg_len = (n_chars - (n_tokens - 1)) / n_tokens
+    ttr = n_distinct / n_tokens
+    stop_ratio = stopword_count(w, STOPWORDS) / n_tokens
+    # Quality: reward mid-length docs and lexical diversity, penalize
+    # stopword stuffing.  Clamped to [0, 1].
+    quality = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            0.4 * F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+            + 0.4 * ttr
+            + 0.2 * (1.0 - stop_ratio),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def _lang_score(w: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-marker language ID: argmax over per-language marker
+    hit counts; 'und' (undetermined) when all scores are zero.  Ties
+    break by the fixed language order en > de > fr > es."""
+    w = words(F.col(text_col))
+    scores = {lang: _lang_score(w, mk) for lang, mk in LANG_MARKERS.items()}
+    best = None
+    best_lang = F.lit("und")
+    for lang in LANG_MARKERS:  # insertion order = priority order
+        s = scores[lang]
+        if best is None:
+            best, best_lang = s, F.when(s > 0, F.lit(lang)).otherwise(F.lit("und"))
+        else:
+            best_lang = F.when(s > best, F.lit(lang)).otherwise(best_lang)
+            best = F.greatest(best, s)
+    sel = [F.col(id_col), best_lang.alias("pred_lang"), best.alias("marker_hits")]
+    return df.select(*sel)
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword estimate
+    (alnum runs + non-alnum non-space chars counted separately)."""
+    t = F.col(text_col)
+    ws_tokens = F.size(words(t))
+    alnum_runs = F.size(F.regexp_extract_all(t, F.lit("[a-zA-Z0-9]+"), 0))
+    other_chars = F.length(F.regexp_replace(t, "[a-zA-Z0-9 ]", ""))
+    # ~4 chars/token heuristic on top of run segmentation
+    bpe_est = alnum_runs + other_chars + F.floor(F.length(t) / F.lit(20))
+    return df.select(
+        F.col(id_col),
+        ws_tokens.alias("ws_tokens"),
+        alnum_runs.alias("alnum_runs"),
+        other_chars.alias("other_chars"),
+        bpe_est.alias("bpe_token_est"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic rolling-hash fingerprint per doc (dedup key /
+    shard-stable content id)."""
+    return df.select(
+        F.col(id_col), rolling_fingerprint(F.col(text_col)).alias("fingerprint")
+    )

@@ -1,0 +1,82 @@
+"""Windowed descriptive statistics (operators A1/A2/A3 in SURVEY.md §2.5).
+
+The reference computes per-key, per-sliding-window count/mean/stdev/
+max/min with a hand-rolled StatCounter UDAF over
+``reduceByKeyAndWindow`` (``MetricStatsProducer.scala:16-58``,
+``MetricStats.scala:5-24``).  Here it is one declarative groupBy —
+Catalyst plans a partial (map-side) + final HashAggregate, which is
+exactly the map-side-combine the reference hand-built, but codegen'd,
+spill-capable, and AQE-coalesced.
+
+Fidelity notes
+  * ``StatCounter.stdev`` is *population* stdev → ``stddev_pop``
+    (MetricStats.scala parity; never ``stddev``/sample).
+  * Windows are event-time (the reference used processing time and
+    merely carried ``ts`` — SURVEY.md §2.9 W7 documents this as a
+    deliberate upgrade).  Alignment is epoch-based, identical to
+    DuckDB ``time_bucket``.
+
+Scale notes: the sliding window multiplies rows by window/slide (15x
+at 30s/2s).  Spark expands via a generator *before* partial
+aggregation, so the shuffle carries only per-(window,key) partial
+states, not raw rows — this holds at 100 TB.  The same function works
+under Structured Streaming with a watermark (see streaming/).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STAT_FIELDS = ("n", "mean", "stdev", "vmax", "vmin")
+
+
+def stat_aggs(value: Column | str, round_digits: int | None = None) -> list[Column]:
+    """count/mean/stddev_pop/max/min of ``value`` — StatCounter parity."""
+    v = F.col(value) if isinstance(value, str) else value
+    mean, stdev = F.avg(v), F.stddev_pop(v)
+    if round_digits is not None:
+        mean, stdev = F.round(mean, round_digits), F.round(stdev, round_digits)
+    return [
+        F.count(v).alias("n"),
+        mean.alias("mean"),
+        stdev.alias("stdev"),
+        F.max(v).alias("vmax"),
+        F.min(v).alias("vmin"),
+    ]
+
+
+def keyed_stats(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Non-windowed per-key stats (the A1/A2 aggregation minus time)."""
+    return df.groupBy(*key_cols).agg(*stat_aggs(value_col, round_digits))
+
+
+def windowed_stats(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    window: str = "30 seconds",
+    slide: str | None = None,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Sliding/tumbling event-time windowed stats per key.
+
+    Returns columns: window_start, window_end, *key_cols, n, mean,
+    stdev, vmax, vmin.
+    """
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    out = df.groupBy(win.alias("w"), *key_cols).agg(*stat_aggs(value_col, round_digits))
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *key_cols,
+        *STAT_FIELDS,
+    )

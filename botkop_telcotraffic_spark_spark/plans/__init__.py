@@ -1,0 +1,15 @@
+from .inspect import (
+    assert_no_cartesian_without_broadcast,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+    wholestage_codegen_ids,
+)
+
+__all__ = [
+    "assert_no_cartesian_without_broadcast",
+    "has_broadcast_join",
+    "physical_plan",
+    "pushed_filters",
+    "wholestage_codegen_ids",
+]

@@ -1,0 +1,74 @@
+"""SparkSession factory and runtime tuning.
+
+Mirrors the role of the reference's ``AppConfig``/driver setup
+(``/root/reference/src/main/scala/traffic/TrafficStreamProcessor.scala:16-23``,
+``util/AppConfig.scala``) but targets modern Spark: AQE on, UTC
+session timezone (event-time determinism), Arrow for any Python
+boundary, Kryo.
+
+Scale notes: nothing here is local-mode specific.  Shuffle-partition
+count and file-split size are env-tunable so the same code runs on a
+1000-executor cluster (set ``spark.sql.shuffle.partitions`` ~ 2-3x
+total cores there; AQE coalesces small post-shuffle partitions at
+runtime either way).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs a driver-provided session must also get so
+# results are deterministic and timezone-stable (the correctness
+# oracle compares against DuckDB running on naive UTC timestamps).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # The events fixture stores ts as parquet TIMESTAMP(NANOS); Spark
+    # has no nanos timestamp type — read as long, convert in loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (e.g. the
+    correctness driver's).  Safe to call repeatedly."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked by the host; results may still match
+    return spark
+
+
+def get_spark(
+    app_name: str = "botkop-telcotraffic-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return tune(spark)

@@ -1,0 +1,96 @@
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_001 = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from botkop_telcotraffic_spark_spark.session import get_spark
+
+    s = get_spark(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "4g"},
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v!r}"
+
+
+def canonical_rows(cols, rows):
+    """Sort columns by name, stringify cells, sort rows — the same
+    canonicalization shape the driver's order-insensitive value-hash
+    implies."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for _, c in sorted(zip(range(len(cols)), sorted(cols)))], out
+
+
+def compare_with_oracle(spark_df, sql: str, sf_dir: str):
+    """Assert the Spark result and the DuckDB oracle agree on column
+    names (set), row count, and canonicalized values."""
+    srows = spark_df.collect()
+    scols = spark_df.columns
+    con = duck_con(sf_dir)
+    try:
+        res = con.execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(scols) == sorted(dcols), f"columns differ: {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"row counts differ: {len(srows)} vs {len(drows)}"
+    _, s_canon = canonical_rows(scols, [tuple(r) for r in srows])
+    _, d_canon = canonical_rows(dcols, drows)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_canon, d_canon)) if a != b
+    ]
+    assert not mismatches, (
+        f"{len(mismatches)} mismatching rows; first: {mismatches[0]}"
+    )

@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from botkop_telcotraffic_spark_spark.functions import textfn
 from botkop_telcotraffic_spark_spark.operators import (
     dedup,
     enrich,
@@ -53,8 +54,8 @@ def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVENT_POINTS_SQL = (
-    "SELECT event_id, user_id, (event_id % 180) - 90 + 0.5 AS lat, "
-    "((event_id * 7) % 360) - 180 + 0.5 AS lng FROM events"
+    "SELECT event_id, user_id, CAST((event_id % 180) - 90 + 0.5 AS DOUBLE) AS lat, "
+    "CAST(((event_id * 7) % 360) - 180 + 0.5 AS DOUBLE) AS lng FROM events"
 )
 
 # Rectangle geofences (name, lat_min, lat_max, lng_min, lng_max)
@@ -446,6 +447,344 @@ FROM events e JOIN d ON e.user_id = d.o_custkey AND d.rn = 1
 """
 
 
+# --- extension operators: geo, dedup, text, similarity, kmeans -------------
+
+
+def _rect_fences_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _RECT_FENCES,
+        "name string, lat_min double, lat_max double, lng_min double, lng_max double",
+    )
+
+
+_RECT_FENCES_SQL = "(VALUES " + ", ".join(
+    f"('{n}', {a}, {b}, {c}, {d})" for n, a, b, c, d in _RECT_FENCES
+) + ") AS f(name, lat_min, lat_max, lng_min, lng_max)"
+
+
+def geofence_rect_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (simplified): broadcast range-containment spatial join."""
+    pts = _event_points(spark, sf_dir)
+    out = geofence.rect_geofence_join(pts, _rect_fences_df(spark))
+    return out.select("event_id", "user_id", "lat", "lng", "name")
+
+
+_GEO_RECT_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL})
+SELECT p.event_id, p.user_id, p.lat, p.lng, f.name
+FROM pts p CROSS JOIN {_RECT_FENCES_SQL}
+WHERE p.lat BETWEEN f.lat_min AND f.lat_max
+  AND p.lng BETWEEN f.lng_min AND f.lng_max
+"""
+
+
+def _poly_fences_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (name, [(float(lat), float(lng)) for lat, lng in poly])
+        for name, poly in _POLY_FENCES
+    ]
+    return spark.createDataFrame(
+        rows, "name string, polygon array<struct<lat:double,lng:double>>"
+    )
+
+
+_POLY_FENCES_SQL = " UNION ALL ".join(
+    "SELECT '{}' AS name, [{}] AS polygon".format(
+        name,
+        ", ".join("{{'lat': {}.0, 'lng': {}.0}}".format(lat, lng) for lat, lng in poly),
+    )
+    for name, poly in _POLY_FENCES
+)
+
+
+def geofence_polygon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 faithful: point-in-polygon ray-casting containment join,
+    pure column expressions (Geofencer.scala:27-31 semantics)."""
+    pts = _event_points(spark, sf_dir)
+    out = geofence.polygon_geofence_join(pts, _poly_fences_df(spark))
+    return out.select("event_id", "user_id", "lat", "lng", "name")
+
+
+_GEO_POLY_SQL = f"""
+WITH pts AS ({_EVENT_POINTS_SQL}), fences AS ({_POLY_FENCES_SQL})
+SELECT p.event_id, p.user_id, p.lat, p.lng, f.name
+FROM pts p CROSS JOIN fences f
+WHERE len(list_filter(generate_series(1, len(f.polygon)),
+      i -> ((f.polygon[i].lat > p.lat) != (f.polygon[1 + (i % len(f.polygon))].lat > p.lat))
+           AND (p.lng < (f.polygon[1 + (i % len(f.polygon))].lng - f.polygon[i].lng)
+                        * (p.lat - f.polygon[i].lat)
+                        / (f.polygon[1 + (i % len(f.polygon))].lat - f.polygon[i].lat)
+                        + f.polygon[i].lng))) % 2 = 1
+"""
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups via content hash."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d, "doc_id", "text")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS doc_hash, min(doc_id) AS keep_id, count(*) AS copies
+FROM documents GROUP BY md5(text)
+"""
+
+# Shared oracle CTE: distinct 3-word-shingle postings per doc.
+_POSTINGS_CTE = """
+post AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(w) - 2),
+             i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+"""
+
+
+def jaccard_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram (3-word shingle) Jaccard near-duplicate pairs >= 0.5."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", "text", k=3)
+    return pairs.where(F.col("jaccard") >= 0.5).select(
+        "a", "b", "inter", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+_JACCARD_SQL = f"""
+WITH {_POSTINGS_CTE},
+sizes AS (SELECT id, count(*) AS sz FROM post GROUP BY id),
+inter AS (
+  SELECT l.id AS a, r.id AS b, count(*) AS cnt
+  FROM post l JOIN post r USING (shingle)
+  WHERE l.id < r.id GROUP BY 1, 2
+)
+SELECT a, b, cnt AS inter, sa.sz AS size_a, sb.sz AS size_b,
+       round(cnt / (sa.sz + sb.sz - cnt), 6) AS jaccard
+FROM inter JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id
+WHERE cnt / (sa.sz + sb.sz - cnt) >= 0.5
+"""
+
+_MINHASH_EXPRS = ", ".join(
+    f"min(({a} * tok_id + {b}) % {dedup.MINHASH_P})"
+    for a, b in zip(dedup.MINHASH_A, dedup.MINHASH_B)
+)
+
+_DICT_CTE = """
+dict AS (
+  SELECT shingle, dense_rank() OVER (ORDER BY shingle) AS tok_id
+  FROM (SELECT DISTINCT shingle FROM post)
+),
+wt AS (SELECT p.id, d.tok_id FROM post p JOIN dict d USING (shingle))
+"""
+
+
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 affine hashes over the global shingle
+    dictionary rank) — deterministic, engine-independent."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(d, "doc_id", "text", k=3)
+
+
+_MINHASH_SQL = f"""
+WITH {_POSTINGS_CTE}, {_DICT_CTE}
+SELECT id, [{_MINHASH_EXPRS}] AS sig FROM wt GROUP BY id
+"""
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding (8 bands x 2 rows): candidate pairs with
+    band-agreement counts — the scale path for near-dup."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", k=3, bands=8, rows_per_band=2)
+
+
+_LSH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT id, {b} AS band, CAST(sig[{2*b+1}] AS VARCHAR) || ',' || CAST(sig[{2*b+2}] AS VARCHAR) AS bkey FROM sig"
+    for b in range(8)
+)
+
+_LSH_SQL = f"""
+WITH {_POSTINGS_CTE}, {_DICT_CTE},
+sig AS (SELECT id, [{_MINHASH_EXPRS}] AS sig FROM wt GROUP BY id),
+buckets AS ({_LSH_BANDS_SQL})
+SELECT l.id AS a, r.id AS b, count(*) AS n_bands
+FROM buckets l JOIN buckets r USING (band, bkey)
+WHERE l.id < r.id GROUP BY 1, 2
+"""
+
+
+def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/diversity/stopword features."""
+    d = _t(spark, sf_dir, "documents")
+    return text.text_features(d, "doc_id", "text")
+
+
+_STOPWORD_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+  length(text) AS n_chars_calc,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+  round((length(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')), 6) AS avg_token_len,
+  round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6) AS type_token_ratio,
+  round(len(list_filter(string_split(text, ' '), w -> w IN ({_STOPWORD_LIST}))) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+  round(least(1.0, greatest(0.0,
+      0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+      + 0.4 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+      + 0.2 * (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ({_STOPWORD_LIST}))) / len(string_split(text, ' '))))), 6) AS quality_score
+FROM documents
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID heuristic."""
+    d = _t(spark, sf_dir, "documents")
+    return text.lang_id(d, "doc_id", "text")
+
+
+def _marker_count(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({markers})))"
+
+
+_LANGID_SQL = f"""
+WITH scores AS (
+  SELECT doc_id,
+         {_marker_count('en')} AS en, {_marker_count('de')} AS de,
+         {_marker_count('fr')} AS fr, {_marker_count('es')} AS es
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN es > greatest(fr, de, en) THEN 'es'
+       WHEN fr > greatest(de, en) THEN 'fr'
+       WHEN de > en THEN 'de'
+       WHEN en > 0 THEN 'en'
+       ELSE 'und' END AS pred_lang,
+  greatest(en, de, fr, es) AS marker_hits
+FROM scores
+"""
+
+
+def token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + regex-run + BPE-ish estimate."""
+    d = _t(spark, sf_dir, "documents")
+    return text.token_stats(d, "doc_id", "text")
+
+
+_TOKEN_SQL = """
+SELECT doc_id,
+  len(string_split(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS alnum_runs,
+  length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS other_chars,
+  len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+    + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+    + CAST(floor(length(text) / 20) AS BIGINT) AS bpe_token_est
+FROM documents
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling-hash content fingerprints."""
+    d = _t(spark, sf_dir, "documents")
+    return text.fingerprints(d, "doc_id", "text")
+
+
+_FP_SQL = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(1, length(text)),
+                     i -> CAST(ascii(text[i]) AS BIGINT))),
+    (acc, c) -> (acc * {textfn.FP_BASE} + c) % {textfn.FP_MOD}) AS fingerprint
+FROM documents
+"""
+
+# Shared oracle fold: sequential-order dot product of two lists.
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (s, x) -> s + x)"
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for probe vectors (vec_id < 5)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(q, emb, k=10)
+
+
+_ANN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+sims AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qv', 'cv')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cs
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+  FROM sims) WHERE rank <= 10
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs(emb, threshold=0.4)
+
+
+_EMB_DUP_SQL = f"""
+WITH p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         {_dot_sql('a.embedding', 'b.embedding')}
+         / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+            * sqrt({_dot_sql('b.embedding', 'b.embedding')})) AS cs
+  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id
+)
+SELECT a, b, round(cs, 6) AS cosine_sim FROM p WHERE cs >= 0.4
+"""
+
+
+def kmeans_label_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Means predict/distance stage (ClusterAnalyser.scala:41-45
+    parity) with deterministic per-label mean centroids."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans.label_centroids(emb, round_digits=9)
+    out = kmeans.assign(
+        emb.select("vec_id", "label", "embedding"), cents, vec_col="embedding"
+    )
+    return out.select(
+        "vec_id", "label", "prediction", F.round("distance", 6).alias("distance")
+    )
+
+
+_KMEANS_SQL = """
+WITH cent AS (
+  SELECT label AS prediction, i.i AS d,
+         round(avg(CAST(embedding[i.i] AS DOUBLE)), 9) AS m
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+  GROUP BY 1, 2
+),
+cvec AS (
+  SELECT prediction, list_transform(list_sort(list({'d': d, 'm': m})), s -> s.m) AS centroid
+  FROM cent GROUP BY prediction
+),
+dists AS (
+  SELECT e.vec_id, e.label, c.prediction,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+              i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                   * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
+              (s, x) -> s + x)) AS dist
+  FROM embeddings e CROSS JOIN cvec c
+)
+SELECT vec_id, label, prediction, round(dist, 6) AS distance FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, prediction) AS rn
+  FROM dists) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -466,6 +805,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
     "iqr_outliers_events": (iqr_outliers_events, _IQR_SQL),
     "latest_order_enrich": (latest_order_enrich, _ENRICH_SQL),
+    "geofence_rect_events": (geofence_rect_events, _GEO_RECT_SQL),
+    "geofence_polygon_events": (geofence_polygon_events, _GEO_POLY_SQL),
+    "dedup_exact_docs": (dedup_exact_docs, _DEDUP_EXACT_SQL),
+    "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
+    "minhash_signatures_docs": (minhash_signatures_docs, _MINHASH_SQL),
+    "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
+    "text_quality_docs": (text_quality_docs, _QUALITY_SQL),
+    "lang_id_docs": (lang_id_docs, _LANGID_SQL),
+    "token_stats_docs": (token_stats_docs, _TOKEN_SQL),
+    "doc_fingerprints": (doc_fingerprints, _FP_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
+    "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
+    "kmeans_label_assign": (kmeans_label_assign, _KMEANS_SQL),
 }
 
 

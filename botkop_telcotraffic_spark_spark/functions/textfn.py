@@ -49,10 +49,18 @@ def rolling_fingerprint(text: Column) -> Column:
     Stays < 2^63 at every step, so 64-bit integer semantics are
     identical across Spark and DuckDB.  This is the document
     fingerprint primitive for the dedup/text-analysis surface.
+
+    Char access is substring-by-index (not ``split(text, '')``, whose
+    Java regex semantics append a trailing empty string) so the
+    construction is position-identical with the oracle's
+    ``text[i]`` indexing.
     """
-    chars = F.split(text, "")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(F.substring(text, i, F.lit(1))).cast("long"),
+    )
     return F.aggregate(
-        chars,
+        codes,
         F.lit(0).cast("long"),
-        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+        lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
     )

@@ -117,8 +117,9 @@ def minhash_signatures(
     post = shingle_postings(df, id_col, text_col, k)
     dic = token_dictionary(post)
     with_tok = post.join(dic, "shingle")
+    tok = F.col("tok_id").cast("long")  # rank can exceed int32 at scale
     aggs = [
-        F.min((F.lit(a) * F.col("tok_id") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
+        F.min((F.lit(a) * tok + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
     sig = with_tok.groupBy(F.col("id")).agg(*aggs)

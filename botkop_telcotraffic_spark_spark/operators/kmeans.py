@@ -66,19 +66,23 @@ def label_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
     label_col: str = "label",
-    dim: int | None = None,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Per-label dimension-wise mean vectors -> (prediction, centroid).
 
     The deterministic centroid source for oracle-checked assignment
-    (posexplode + avg + re-assemble; one shuffle on (label, dim))."""
+    (posexplode + avg + re-assemble; one shuffle on (label, dim)).
+    ``round_digits`` pins the means so downstream distance math is
+    bit-reproducible across engines despite AVG's order-dependence.
+    """
     exploded = df.select(
         F.col(label_col).alias("prediction"),
         F.posexplode(F.col(vec_col)).alias("d", "x"),
     )
-    means = exploded.groupBy("prediction", "d").agg(
-        F.avg(F.col("x").cast("double")).alias("m")
-    )
+    m = F.avg(F.col("x").cast("double"))
+    if round_digits is not None:
+        m = F.round(m, round_digits)
+    means = exploded.groupBy("prediction", "d").agg(m.alias("m"))
     return (
         means.groupBy("prediction")
         .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("_dm"))

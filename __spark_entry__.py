@@ -529,14 +529,24 @@ SELECT md5(text) AS doc_hash, min(doc_id) AS keep_id, count(*) AS copies
 FROM documents GROUP BY md5(text)
 """
 
-# Shared oracle CTE: distinct 3-word-shingle postings per doc.
-_POSTINGS_CTE = """
+# Shared oracle CTE: distinct 3-word-shingle postings per doc, as
+# integer tokens composed from per-word rolling fingerprints
+# (mirrors dedup.token_postings / textfn.shingle_token_array).
+_B, _M = textfn.FP_BASE, textfn.FP_MOD
+_POSTINGS_CTE = f"""
 post AS (
   SELECT doc_id AS id,
-         unnest(list_distinct(list_transform(
-             generate_series(1, len(w) - 2),
-             i -> array_to_string(w[i:i+2], ' ')))) AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         unnest(list_distinct(list_transform(generate_series(1, len(wf) - 2),
+             i -> (((wf[i] * {_B} + wf[i+1]) % {_M}) * {_B} + wf[i+2]) % {_M}))) AS tok
+  FROM (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '),
+             s -> list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(generate_series(1, length(s)),
+                                     j -> CAST(ascii(s[j]) AS BIGINT))),
+                    (acc, c) -> (acc * {_B} + c) % {_M})) AS wf
+    FROM documents)
 )
 """
 
@@ -555,7 +565,7 @@ WITH {_POSTINGS_CTE},
 sizes AS (SELECT id, count(*) AS sz FROM post GROUP BY id),
 inter AS (
   SELECT l.id AS a, r.id AS b, count(*) AS cnt
-  FROM post l JOIN post r USING (shingle)
+  FROM post l JOIN post r USING (tok)
   WHERE l.id < r.id GROUP BY 1, 2
 )
 SELECT a, b, cnt AS inter, sa.sz AS size_a, sb.sz AS size_b,
@@ -565,17 +575,9 @@ WHERE cnt / (sa.sz + sb.sz - cnt) >= 0.5
 """
 
 _MINHASH_EXPRS = ", ".join(
-    f"min(({a} * tok_id + {b}) % {dedup.MINHASH_P})"
+    f"min(({a} * tok + {b}) % {dedup.MINHASH_P})"
     for a, b in zip(dedup.MINHASH_A, dedup.MINHASH_B)
 )
-
-_DICT_CTE = """
-dict AS (
-  SELECT shingle, dense_rank() OVER (ORDER BY shingle) AS tok_id
-  FROM (SELECT DISTINCT shingle FROM post)
-),
-wt AS (SELECT p.id, d.tok_id FROM post p JOIN dict d USING (shingle))
-"""
 
 
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,8 +588,8 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MINHASH_SQL = f"""
-WITH {_POSTINGS_CTE}, {_DICT_CTE}
-SELECT id, [{_MINHASH_EXPRS}] AS sig FROM wt GROUP BY id
+WITH {_POSTINGS_CTE}
+SELECT id, [{_MINHASH_EXPRS}] AS sig FROM post GROUP BY id
 """
 
 
@@ -604,8 +606,8 @@ _LSH_BANDS_SQL = " UNION ALL ".join(
 )
 
 _LSH_SQL = f"""
-WITH {_POSTINGS_CTE}, {_DICT_CTE},
-sig AS (SELECT id, [{_MINHASH_EXPRS}] AS sig FROM wt GROUP BY id),
+WITH {_POSTINGS_CTE},
+sig AS (SELECT id, [{_MINHASH_EXPRS}] AS sig FROM post GROUP BY id),
 buckets AS ({_LSH_BANDS_SQL})
 SELECT l.id AS a, r.id AS b, count(*) AS n_bands
 FROM buckets l JOIN buckets r USING (band, bkey)
@@ -785,6 +787,27 @@ SELECT vec_id, label, prediction, round(dist, 6) AS distance FROM (
 """
 
 
+# --- streaming (W1-W7): same operator, streaming execution ----------------
+
+
+def streaming_stats_user_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 stats aggregation executed as a Structured Streaming
+    query (availableNow replay over the events table, memory sink) —
+    byte-identical to the batch plan, hence shares the batch oracle.
+    Demonstrates W1-W5 (micro-batch, windows, checkpoint, sink)."""
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+
+    tune(spark)
+    stream = stream_parquet_table(spark, sf_dir, "events")
+    out = window_stats.windowed_stats(
+        stream, "ts", ["user_id"], "value", window="30 seconds", round_digits=6
+    )
+    return run_to_memory(out, output_mode="complete")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -818,6 +841,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
     "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
     "kmeans_label_assign": (kmeans_label_assign, _KMEANS_SQL),
+    "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
 }
 
 

@@ -38,6 +38,37 @@ def word_shingles(text: Column, k: int) -> Column:
     return F.transform(idx, lambda i: F.array_join(F.slice(w, i, k), " "))
 
 
+def word_fingerprints(text: Column) -> Column:
+    """Array of per-word rolling-hash fingerprints (one char-fold per
+    word; cheaper than hashing every k-shingle string separately)."""
+    return F.transform(words(text), rolling_fingerprint)
+
+
+def shingle_tokens_from_fps(wf: Column, k: int) -> Column:
+    """Integer tokens of the k-word shingles from a *materialized*
+    word-fingerprint array column: each shingle costs k multiply-adds.
+    Stays < 2^63 (acc < FP_MOD ~1e9, *131 + 1e9 ~ 1.3e11).
+
+    IMPORTANT: ``wf`` must be a plain column reference to an already-
+    projected array (`df.select(word_fingerprints(text).alias("wf"))`
+    first).  Passing the ``word_fingerprints(...)`` expression inline
+    re-evaluates the whole array for every ``element_at`` — O(n^2)
+    per row (no common-subexpression elimination inside an expression
+    tree)."""
+    n = F.size(wf)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def tok(i: Column) -> Column:
+        acc = F.element_at(wf, i)
+        for j in range(1, k):
+            acc = (acc * FP_BASE + F.element_at(wf, i + j)) % FP_MOD
+        return acc
+
+    return F.transform(idx, tok)
+
+
 def stopword_count(word_arr: Column, stopwords: list[str]) -> Column:
     return F.size(F.filter(word_arr, lambda w: w.isin(*stopwords)))
 

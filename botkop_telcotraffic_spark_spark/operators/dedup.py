@@ -21,10 +21,15 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfn import word_shingles, words
+from ..functions.textfn import (
+    shingle_tokens_from_fps,
+    word_fingerprints,
+    word_shingles,
+    words,
+)
 
 # MinHash parameters — plain affine hashes over token ranks, shared
 # with the oracle SQL.  (a_j, b_j) generated from small primes.
@@ -55,6 +60,25 @@ def shingle_postings(
     return df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
 
 
+def token_postings(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, tok) postings where tok is the deterministic rolling-hash
+    fingerprint of each distinct k-shingle.
+
+    The integer id replaces a global rank dictionary: no global sort
+    (a 100 TB bottleneck), identical values in the DuckDB oracle, and
+    integer join/shuffle keys downstream.  Collisions (~|shingles|/1e9)
+    merge two shingles for *both* engines identically.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_fingerprints(F.col(text_col)).alias("wf"),
+    )
+    toks = F.array_distinct(shingle_tokens_from_fps(F.col("wf"), k))
+    return base.select("id", F.explode(toks).alias("tok"))
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -67,19 +91,19 @@ def jaccard_pairs(
 
     Columns: a, b, inter, size_a, size_b, jaccard.
     """
-    post = shingle_postings(df, id_col, text_col, k)
+    post = token_postings(df, id_col, text_col, k)
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_doc_freq is not None:
-        freq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        freq = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
         post = post.join(
-            F.broadcast(freq.where(F.col("df") > max_doc_freq).select("shingle")),
-            "shingle",
+            F.broadcast(freq.where(F.col("df") > max_doc_freq).select("tok")),
+            "tok",
             "left_anti",
         )
-    left = post.select(F.col("id").alias("a"), "shingle")
-    right = post.select(F.col("id").alias("b"), "shingle")
+    left = post.select(F.col("id").alias("a"), "tok")
+    right = post.select(F.col("id").alias("b"), "tok")
     inter = (
-        left.join(right, "shingle")
+        left.join(right, "tok")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -95,34 +119,22 @@ def jaccard_pairs(
     return out.select("a", "b", "inter", "size_a", "size_b", "jaccard")
 
 
-def token_dictionary(post: DataFrame) -> DataFrame:
-    """Global shingle -> dense rank (1-based, lexicographic).  The
-    deterministic token-id base for MinHash/SimHash signatures."""
-    toks = post.select("shingle").distinct()
-    w = Window.orderBy("shingle")
-    return toks.withColumn("tok_id", F.dense_rank().over(w))
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
     """(id, sig: array<bigint>) — MinHash signature of the doc's
-    k-shingle set: sig[j] = min over shingles of (a_j*tok + b_j) % P.
+    k-shingle set: sig[j] = min over shingle tokens of
+    (a_j*tok + b_j) % P, with tok the rolling-hash fingerprint.
 
-    Deterministic and oracle-reproducible (no engine hash builtins).
-    The dictionary rank uses a global sort; at extreme scale swap in a
-    fixed string->int polynomial hash (rolling_fingerprint) to avoid
-    it — kept rank-based here for bit-exact oracle parity.
+    Deterministic and oracle-reproducible (no engine hash builtins,
+    no global sort); tok < 1e9+7 so a_j*tok stays far below 2^63.
     """
-    post = shingle_postings(df, id_col, text_col, k)
-    dic = token_dictionary(post)
-    with_tok = post.join(dic, "shingle")
-    tok = F.col("tok_id").cast("long")  # rank can exceed int32 at scale
+    post = token_postings(df, id_col, text_col, k)
     aggs = [
-        F.min((F.lit(a) * tok + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
+        F.min((F.lit(a) * F.col("tok") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    sig = with_tok.groupBy(F.col("id")).agg(*aggs)
+    sig = post.groupBy(F.col("id")).agg(*aggs)
     return sig.select(
         "id", F.array(*[f"h{j}" for j in range(MINHASH_NUM)]).alias("sig")
     )

@@ -123,10 +123,42 @@ class StreamingKMeans:
         rows = [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)]
         return spark.createDataFrame(rows, "prediction int, centroid array<double>")
 
+    def _maybe_seed_from_batch(self, batch: DataFrame, vec_col: str) -> None:
+        """First-batch centroid seeding: k distinct points in a
+        deterministic order.  Random init concentrated near the origin
+        (what the reference inherits from MLlib's dim=2 random init,
+        ClusterAnalyser.scala:19) strands empty clusters on separated
+        data; seeding from data is the standard fix and keeps runs
+        reproducible."""
+        if any(w > 0 for w in self.weights):
+            return
+        from pyspark.sql import Window
+
+        distinct = batch.select(F.col(vec_col).alias("p")).distinct()
+        n = distinct.count()
+        if n == 0:
+            return
+        # evenly-spaced ranks over the lexicographic order spread the
+        # seeds across the data's extent (all-smallest would collapse
+        # every seed into one region)
+        if self.k == 1 or n == 1:
+            idxs = [1]
+        else:
+            idxs = sorted(
+                {round(i * (n - 1) / (self.k - 1)) + 1 for i in range(self.k)}
+            )
+        ranked = distinct.withColumn(
+            "rn", F.row_number().over(Window.orderBy("p"))
+        )
+        pts = ranked.where(F.col("rn").isin(idxs)).orderBy("rn").collect()
+        for i, row in enumerate(pts):
+            self.centroids[i] = [float(x) for x in row["p"]]
+
     def update(self, batch: DataFrame, vec_col: str = "point") -> None:
         """One mini-batch update: distributed assign + per-cluster
         sum/count, then the O(k*dim) driver-side rule."""
         spark = batch.sparkSession
+        self._maybe_seed_from_batch(batch, vec_col)
         assigned = assign(batch.select(F.col(vec_col).alias("point")),
                           self._centroid_df(spark), vec_col="point")
         sums = (

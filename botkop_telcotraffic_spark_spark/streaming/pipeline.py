@@ -1,0 +1,156 @@
+"""The reference's full streaming DAG on Structured Streaming
+(SURVEY.md §3.2): attach upsert (K1) + enrichment join (J1) fanned
+out to windowed stats (A1/A2), geofencing (J3/S5), and streaming
+K-Means anomaly detection (W6/A4/A5/J2).
+
+Wiring follows the reference's single-read fan-out (`cache` + three
+pipelines, ``TrafficStreamProcessor.scala:52-64``): one foreachBatch
+persists the enriched micro-batch and feeds all three analyses,
+instead of three queries re-reading the source.
+
+Every per-batch analysis is a plain batch DataFrame transformation
+from operators/ — the same code the batch surface uses.  Outputs go
+to pluggable sinks (callables; Kafka writers in production, lists in
+tests)."""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.geofence import polygon_geofence_join
+from ..operators.iqr import iqr_outliers
+from ..operators.kmeans import StreamingKMeans
+from ..operators.window_stats import windowed_stats
+
+Sink = Callable[[DataFrame, int], None]
+
+
+def read_geofences(spark, path: str) -> DataFrame:
+    """S5/W9: (re-)read the geofence side input.  Called per batch —
+    the well-defined version of the reference's 5s hot reload
+    (Geofencer.scala:16-23); driver-side read, broadcast to the join.
+    File shape: JSON array of {name, path, polygon: [{lat, lng}]}."""
+    from ..schemas import GEOFENCE
+
+    with open(path) as fh:
+        fences = json.load(fh)
+    rows = [
+        (g["name"], g.get("path", ""), [(p["lat"], p["lng"]) for p in g["polygon"]])
+        for g in fences
+    ]
+    return spark.createDataFrame(rows, GEOFENCE)
+
+
+class TrafficPipeline:
+    """The three analytics pipelines over an enriched celltower
+    stream, driven per micro-batch."""
+
+    def __init__(
+        self,
+        metric_names: list[str],
+        kmeans_dims: list[str],
+        geofence_path: str | None = None,
+        k: int = 3,
+        decay: float = 1.0,
+        window: str = "30 seconds",
+        slide: str = "2 seconds",
+        stats_sink: Sink | None = None,
+        geofence_sink: Sink | None = None,
+        outlier_sink: Sink | None = None,
+    ):
+        self.metric_names = metric_names
+        # P2 dimension-order pin (SURVEY.md §2.3 †): explicit config
+        # order, not map iteration order.
+        self.kmeans_dims = kmeans_dims
+        self.geofence_path = geofence_path
+        self.window, self.slide = window, slide
+        self.model = StreamingKMeans(k=k, dim=len(kmeans_dims), decay=decay)
+        self.stats_sink = stats_sink
+        self.geofence_sink = geofence_sink
+        self.outlier_sink = outlier_sink
+
+    # --- per-batch analyses (plain batch DataFrame ops) ---------------
+
+    def metric_stats(self, enriched: DataFrame, key: str) -> DataFrame:
+        """A1/A2: per-key sliding-window stats for every metric (explode
+        the metrics map so metric names stay data, not schema)."""
+        exploded = enriched.select(
+            key, "event_time", F.explode("metrics").alias("metric", "value")
+        )
+        return windowed_stats(
+            exploded, "event_time", [key, "metric"], "value",
+            window=self.window, slide=self.slide,
+        )
+
+    def geofence_matches(self, enriched: DataFrame) -> DataFrame:
+        """J3: celltower location containment against the (re-read)
+        geofence side input."""
+        fences = read_geofences(enriched.sparkSession, self.geofence_path)
+        pts = enriched.select(
+            "subscriber", "celltower",
+            F.col("celltower.location.lat").alias("lat"),
+            F.col("celltower.location.lng").alias("lng"),
+        )
+        out = polygon_geofence_join(pts, fences.select("name", "polygon"))
+        return out.select("subscriber", "celltower", F.col("name").alias("geofence"))
+
+    def anomalies(self, enriched: DataFrame) -> DataFrame:
+        """W6 + A4/A5/J2: vectorize configured dims, train-then-predict
+        with the streaming model, IQR-flag by cluster distance."""
+        pts = enriched.select(
+            "subscriber",
+            "celltower",
+            F.array(
+                *[F.col("metrics").getItem(d) for d in self.kmeans_dims]
+            ).alias("point"),
+        ).where(~F.exists("point", lambda x: x.isNull()))
+        scored = self.model.update_and_assign(pts, vec_col="point")
+        return iqr_outliers(scored, ["prediction"], "distance", mode="exact").select(
+            "subscriber", "celltower", "point", "prediction", "centroid",
+            "distance", "lo", "hi",
+        )
+
+    # --- wiring --------------------------------------------------------
+
+    def process_batch(self, enriched: DataFrame, batch_id: int) -> None:
+        """W5 single-read fan-out: persist once, run all analyses."""
+        enriched.persist()
+        try:
+            if self.stats_sink is not None:
+                by_cell = self.metric_stats(enriched, "celltower")
+                self.stats_sink(by_cell, batch_id)
+            if self.geofence_sink is not None and self.geofence_path:
+                self.geofence_sink(self.geofence_matches(enriched), batch_id)
+            if self.outlier_sink is not None:
+                self.outlier_sink(self.anomalies(enriched), batch_id)
+        finally:
+            enriched.unpersist()
+
+    def run(
+        self,
+        celltower_stream: DataFrame,
+        attach_store,
+        checkpoint: str,
+        available_now: bool = True,
+    ):
+        """Drive the enrichment join (J1) + fan-out per micro-batch."""
+
+        def sink(batch: DataFrame, batch_id: int) -> None:
+            enriched = attach_store.join(batch, fact_key="bearerId").select(
+                "subscriber", "celltower", "metrics", "event_time"
+            )
+            self.process_batch(enriched, batch_id)
+
+        writer = (
+            celltower_stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+        )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+            return q
+        return writer.start()

@@ -1,0 +1,58 @@
+"""Deterministic streaming runners for tests and the driver contract.
+
+``availableNow`` processes all available input then stops — replaying
+fixtures through the *same* operator code that runs continuously in
+production.  Event-time windows make results independent of wall
+clock and batch boundaries (SURVEY.md §5 test strategy)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    checkpoint: str | None = None,
+    name: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the result as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    writer = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Re-read a warehouse table as a bounded stream (replay source).
+
+    Uses the batch loader's schema handling (nanos ts etc.)."""
+    from ..sources.tables import load_table
+
+    path = f"{sf_dir}/{name}.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # single-file table: stream from the parent dir with a glob filter
+    # (the streaming file source only accepts directories)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    # apply the same ts normalization as the batch loader
+    if name == "events" and dict(stream.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream

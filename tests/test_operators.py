@@ -1,0 +1,167 @@
+"""Operator unit tests on tiny in-memory DataFrames (SURVEY.md §5.1)
+plus property-style checks against independent pure-python models."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from botkop_telcotraffic_spark_spark.functions.geo import point_in_polygon
+from botkop_telcotraffic_spark_spark.functions.vector import cosine, dot, euclidean
+from botkop_telcotraffic_spark_spark.operators.enrich import latest_per_key
+from botkop_telcotraffic_spark_spark.operators.iqr import iqr_bounds, iqr_outliers
+from botkop_telcotraffic_spark_spark.operators.kmeans import StreamingKMeans, assign
+from botkop_telcotraffic_spark_spark.operators.window_stats import keyed_stats
+
+
+def test_keyed_stats_matches_python(spark):
+    rng = random.Random(1)
+    data = [(k, rng.uniform(0, 100)) for k in ("a", "b") for _ in range(50)]
+    df = spark.createDataFrame(data, "k string, v double")
+    out = {r["k"]: r for r in keyed_stats(df, ["k"], "v").collect()}
+    for k in ("a", "b"):
+        vals = [v for kk, v in data if kk == k]
+        mean = sum(vals) / len(vals)
+        pvar = sum((x - mean) ** 2 for x in vals) / len(vals)
+        assert out[k]["n"] == len(vals)
+        assert out[k]["mean"] == pytest.approx(mean)
+        # StatCounter parity: POPULATION stdev (MetricStats.scala)
+        assert out[k]["stdev"] == pytest.approx(math.sqrt(pvar))
+        assert out[k]["vmax"] == max(vals) and out[k]["vmin"] == min(vals)
+
+
+def _py_iqr(vals):
+    """Reference ClusterAnalyser.scala:157-170 exactly."""
+    v = sorted(vals)
+    n = len(v)
+    if n <= 4:
+        return (-1.7976931348623157e308, 1.7976931348623157e308)
+    q1, q3 = v[n // 4], v[3 * n // 4]
+    iqr = q3 - q1
+    return (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+
+
+@pytest.mark.parametrize("n", [3, 5, 40, 101])
+def test_iqr_exact_matches_reference_semantics(spark, n):
+    rng = random.Random(n)
+    vals = [rng.gauss(50, 10) for _ in range(n)] + [500.0, -500.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    lo, hi = _py_iqr(vals)
+    row = iqr_bounds(df, ["g"], "v", mode="exact").collect()[0]
+    assert (row["lo"], row["hi"]) == (lo, hi)
+    outliers = sorted(r["v"] for r in iqr_outliers(df, ["g"], "v").collect())
+    assert outliers == sorted(v for v in vals if v < lo or v > hi)
+
+
+def test_iqr_approx_close_to_exact(spark):
+    rng = random.Random(9)
+    vals = [rng.gauss(0, 1) for _ in range(5000)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    ex = iqr_bounds(df, ["g"], "v", mode="exact").collect()[0]
+    ap = iqr_bounds(df, ["g"], "v", mode="approx").collect()[0]
+    assert ap["q1"] == pytest.approx(ex["q1"], abs=0.05)
+    assert ap["q3"] == pytest.approx(ex["q3"], abs=0.05)
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("k", 1, "old"), ("k", 2, "mid"), ("k", 2, "new")],
+        "id string, ts int, payload string",
+    )
+    # tie on ts=2 broken by payload (second order col)
+    row = latest_per_key(df, ["id"], ["ts", "payload"]).collect()[0]
+    assert row["payload"] == "new"
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 2.0, 3.0], b=[4.0, 5.0, 6.0])]
+    )
+    r = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        euclidean(F.col("a"), F.col("b")).alias("e"),
+        cosine(F.col("a"), F.col("a")).alias("c"),
+    ).collect()[0]
+    assert r["d"] == 32.0
+    assert r["e"] == pytest.approx(math.sqrt(27))
+    assert r["c"] == pytest.approx(1.0)
+
+
+def test_point_in_polygon_edges(spark):
+    # concave polygon with horizontal edges (div-by-zero branch)
+    poly = [(0.0, 0.0), (0.0, 10.0), (5.0, 10.0), (5.0, 5.0), (10.0, 5.0), (10.0, 0.0)]
+    cases = [
+        (2.0, 2.0, True),     # plainly inside
+        (7.0, 7.0, False),    # inside bbox, outside concavity
+        (2.0, 7.0, True),     # upper-left lobe
+        (-1.0, 5.0, False),   # outside
+        (20.0, 20.0, False),  # far outside
+    ]
+    df = spark.createDataFrame(
+        [(x, y, [{"lat": ly, "lng": lx} for ly, lx in [(py_, px_) for px_, py_ in poly]])
+         for x, y, _ in cases],
+        "px double, py double, polygon array<struct<lat:double,lng:double>>",
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            point_in_polygon(F.col("px"), F.col("py"), F.col("polygon"))
+        ).collect()
+    ]
+    assert got == [c[2] for c in cases]
+
+
+def test_streaming_kmeans_update_rule(spark):
+    """One batch against the published mini-batch rule
+    c' = (c*n*a + sum(x)) / (n*a + m) with n=0 initially."""
+    model = StreamingKMeans(k=1, dim=2, decay=0.5, seed=1)
+    c0 = list(model.centroids[0])
+    batch = spark.createDataFrame(
+        [Row(point=[1.0, 1.0]), Row(point=[3.0, 5.0])]
+    )
+    model.update(batch, "point")
+    # n=0 -> c' = mean of batch
+    assert model.centroids[0] == pytest.approx([2.0, 3.0])
+    assert model.weights[0] == 2.0
+    # second batch with decay 0.5: n=2*0.5=1, m=1, x=[0,0]
+    model.update(spark.createDataFrame([Row(point=[0.0, 0.0])]), "point")
+    assert model.centroids[0] == pytest.approx([1.0, 1.5])
+    assert model.weights[0] == 2.0
+    assert c0 != model.centroids[0]
+
+
+def test_streaming_kmeans_separates_blobs(spark):
+    rng = random.Random(3)
+    blobs = [(0.0, 0.0), (50.0, 50.0), (-40.0, 30.0)]
+    rows = []
+    for bx, by in blobs:
+        rows += [
+            Row(point=[bx + rng.gauss(0, 1), by + rng.gauss(0, 1)])
+            for _ in range(60)
+        ]
+    rng.shuffle(rows)
+    model = StreamingKMeans(k=3, dim=2, decay=1.0, seed=5)
+    df = spark.createDataFrame(rows)
+    for _ in range(5):
+        model.update(df, "point")
+    centers = sorted(tuple(c) for c in model.centroids)
+    found = sorted(blobs)
+    for (cx, cy), (bx, by) in zip(centers, found):
+        assert math.hypot(cx - bx, cy - by) < 3.0
+
+
+def test_assign_nearest(spark):
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])],
+        "prediction int, centroid array<double>",
+    )
+    pts = spark.createDataFrame(
+        [Row(id=1, point=[1.0, 1.0]), Row(id=2, point=[9.0, 9.0])]
+    )
+    out = {r["id"]: r for r in assign(pts, cents, vec_col="point").collect()}
+    assert out[1]["prediction"] == 0 and out[2]["prediction"] == 1
+    assert out[1]["distance"] == pytest.approx(math.sqrt(2))

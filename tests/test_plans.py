@@ -1,0 +1,74 @@
+"""Physical-plan guard-rails: the plans that matter at 100 TB must
+actually be chosen — pushed filters, broadcast joins, no raw
+cartesian products, codegen coverage."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+from botkop_telcotraffic_spark_spark.plans import (
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+    wholestage_codegen_ids,
+)
+from tests.conftest import SF_DIR_001
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = entry_mod.q1_pricing_summary(spark, SF_DIR_001)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), f"shipdate not pushed: {pf}"
+
+
+def test_q1_column_pruning(spark):
+    df = entry_mod.q1_pricing_summary(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    # untouched wide columns must not be read
+    assert "l_partkey" not in plan and "l_suppkey" not in plan
+
+
+def test_q5_broadcasts_dims(spark):
+    df = entry_mod.q5_region_revenue(spark, SF_DIR_001)
+    assert has_broadcast_join(df)
+
+
+def test_geofence_small_fences_is_single_scan(spark):
+    """Small fence sets unroll to literal predicates: no join at all —
+    one scan + generate (explode), the best possible plan."""
+    df = entry_mod.geofence_polygon_events(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+
+
+def test_geofence_large_fences_is_broadcast_not_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from botkop_telcotraffic_spark_spark.operators.geofence import (
+        polygon_geofence_join,
+    )
+
+    pts = entry_mod._event_points(spark, SF_DIR_001)
+    fences = entry_mod._poly_fences_df(spark)
+    df = polygon_geofence_join(pts, fences, max_unrolled_fences=1)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_iqr_joinback_broadcast(spark):
+    df = entry_mod.iqr_outliers_events(spark, SF_DIR_001)
+    assert has_broadcast_join(df)
+
+
+def test_windowed_stats_is_codegen(spark):
+    df = entry_mod.stats_user_sliding(spark, SF_DIR_001)
+    # partial aggregation before the shuffle (map-side combine) and
+    # the Expand-based window replication, visible pre-execution
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "Expand" in plan
+    # codegen spans appear once AQE finalizes the plan — execute THIS
+    # DataFrame (count() would build a different query execution)
+    df.collect()
+    assert wholestage_codegen_ids(df) >= 1

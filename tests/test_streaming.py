@@ -1,0 +1,136 @@
+"""End-to-end Structured Streaming tests: the reference's full DAG
+replayed deterministically (availableNow) over JSONL fixtures, plus
+streaming/batch unification of the windowed stats operator."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from botkop_telcotraffic_spark_spark.operators.window_stats import windowed_stats
+from botkop_telcotraffic_spark_spark.streaming.json_stream import (
+    attach_source,
+    celltower_source,
+)
+from botkop_telcotraffic_spark_spark.streaming.pipeline import TrafficPipeline
+from botkop_telcotraffic_spark_spark.streaming.runner import (
+    run_to_memory,
+    stream_parquet_table,
+)
+from botkop_telcotraffic_spark_spark.streaming.upsert_join import (
+    KeyedUpsertStore,
+    run_upsert_stream,
+)
+from tests.conftest import REPO, SF_DIR_001
+from tests.telco_fixtures import (
+    latest_attach_by_bearer,
+    point_in_polygon_py,
+    write_fixtures,
+)
+
+TMP = os.path.join(REPO, ".tmp", "streaming")
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    shutil.rmtree(TMP, ignore_errors=True)
+    os.makedirs(TMP, exist_ok=True)
+    return write_fixtures(os.path.join(TMP, "fixtures"))
+
+
+def test_attach_upsert_store_latest_wins(spark, fixtures):
+    """S3 decode-and-drop + K1 upsert: malformed lines dropped, latest
+    attach per bearer wins (reference Cassandra-upsert semantics)."""
+    store = KeyedUpsertStore(
+        spark, os.path.join(TMP, "attach_store"), key_col="bearerId", order_col="ts"
+    )
+    stream = attach_source(spark, fixtures["attach_path"])
+    run_upsert_stream(stream, store, checkpoint=os.path.join(TMP, "ckpt_attach"))
+
+    snap = {r["bearerId"]: r for r in store.snapshot().collect()}
+    expected = latest_attach_by_bearer(fixtures["attaches"])
+    assert set(snap) == set(expected)
+    for bearer, ev in expected.items():
+        assert snap[bearer]["ts"] == ev["ts"]
+        assert snap[bearer]["subscriber"]["id"] == ev["subscriber"]["id"]
+
+
+def test_full_pipeline_fanout(spark, fixtures):
+    """J1 + W5 fan-out + A1/J3/W6 pipelines over the celltower stream."""
+    store = KeyedUpsertStore(
+        spark, os.path.join(TMP, "attach_store2"), key_col="bearerId", order_col="ts"
+    )
+    run_upsert_stream(
+        attach_source(spark, fixtures["attach_path"]),
+        store,
+        checkpoint=os.path.join(TMP, "ckpt_attach2"),
+    )
+
+    outputs = {"stats": [], "geo": [], "outliers": []}
+    pipe = TrafficPipeline(
+        metric_names=["rtt", "byteLoss", "jitter"],
+        kmeans_dims=["rtt", "byteLoss"],
+        geofence_path=fixtures["geo_path"],
+        stats_sink=lambda df, bid: outputs["stats"].extend(df.collect()),
+        geofence_sink=lambda df, bid: outputs["geo"].extend(df.collect()),
+        outlier_sink=lambda df, bid: outputs["outliers"].extend(df.collect()),
+    )
+    cell_stream = celltower_source(spark, fixtures["cell_path"])
+    pipe.run(cell_stream, store, checkpoint=os.path.join(TMP, "ckpt_cell"))
+
+    # enrichment: unknown bearers dropped (inner join)
+    known = {c["bearerId"] for c in fixtures["cells"]} & set(
+        latest_attach_by_bearer(fixtures["attaches"])
+    )
+    n_known_events = sum(1 for c in fixtures["cells"] if c["bearerId"] in known)
+
+    # stats: per (celltower, metric, window); every metric name present
+    assert outputs["stats"], "stats pipeline produced nothing"
+    metrics_seen = {r["metric"] for r in outputs["stats"]}
+    assert metrics_seen == {"rtt", "byteLoss", "jitter"}
+    # sliding 30s/2s => each event lands in 15 windows; total count mass
+    # across windows per metric = 15 * enriched events
+    total_n = sum(r["n"] for r in outputs["stats"] if r["metric"] == "rtt")
+    assert total_n == 15 * n_known_events
+
+    # geofence matches agree with an independent python ray-caster
+    latest = latest_attach_by_bearer(fixtures["attaches"])
+    expected_matches = 0
+    from tests.telco_fixtures import GEOFENCES
+
+    for c in fixtures["cells"]:
+        if c["bearerId"] not in latest:
+            continue
+        loc = c["celltower"]["location"]
+        for g in GEOFENCES:
+            if point_in_polygon_py(loc["lng"], loc["lat"], g["polygon"]):
+                expected_matches += 1
+    assert len(outputs["geo"]) == expected_matches
+
+    # anomaly pipeline ran: model trained (weights sum = events seen)
+    assert sum(pipe.model.weights) == pytest.approx(n_known_events)
+    for r in outputs["outliers"]:
+        assert r["distance"] < r["lo"] or r["distance"] > r["hi"]
+
+
+def test_streaming_batch_unification(spark):
+    """The same windowed_stats operator yields identical results as a
+    streaming query (availableNow, complete mode) and a batch query —
+    the point of building on Structured Streaming (SURVEY.md §1.4)."""
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+
+    stream = stream_parquet_table(spark, SF_DIR_001, "events")
+    s_out = run_to_memory(
+        windowed_stats(stream, "ts", ["user_id"], "value",
+                       window="30 seconds", slide="10 seconds", round_digits=6),
+        output_mode="complete",
+        checkpoint=os.path.join(TMP, "ckpt_unify"),
+    )
+    batch = load_table(spark, SF_DIR_001, "events")
+    b_out = windowed_stats(batch, "ts", ["user_id"], "value",
+                           window="30 seconds", slide="10 seconds", round_digits=6)
+    s_rows = sorted(map(tuple, s_out.collect()))
+    b_rows = sorted(map(tuple, b_out.collect()))
+    assert s_rows == b_rows

@@ -787,6 +787,429 @@ SELECT vec_id, label, prediction, round(dist, 6) AS distance FROM (
 """
 
 
+# --- wider relational surface (native Spark coverage) ----------------------
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def conditional_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER-style) per user."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 6
+        ).alias("purchase_value"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+_CONDAGG_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       round(sum(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase_value,
+       count(*) AS n_total
+FROM events GROUP BY user_id
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction from the JSON props column."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select(k.alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_JSON_SQL = """
+SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k_val, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type (explicit value list keeps the
+    output schema static — required at scale anyway)."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'view')     AS view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events GROUP BY user_id
+"""
+
+
+def full_outer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on both sides."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big_orders"))
+    )
+    j = c.join(big, c.c_custkey == big.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_name"),
+        F.coalesce("n_big_orders", F.lit(0)).alias("n_big_orders"),
+    )
+
+
+_FULL_OUTER_SQL = """
+WITH c AS (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'),
+big AS (SELECT o_custkey, count(*) AS n_big_orders FROM orders
+        WHERE o_totalprice > 400000 GROUP BY o_custkey)
+SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+       coalesce(n_big_orders, 0) AS n_big_orders
+FROM c FULL OUTER JOIN big ON c_custkey = o_custkey
+"""
+
+
+def correlated_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface."""
+    tune(spark)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+_CORRELATED_SQL = """
+SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+def string_funcs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string function coverage."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("short_name"),
+    )
+
+
+_STRING_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       length(c_name) AS name_len,
+       substr(c_name, 1, 8) AS name_prefix,
+       concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+       replace(c_name, 'Customer', 'C') AS short_name
+FROM customer
+"""
+
+
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function coverage."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_2002"),
+    )
+
+
+_DATE_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       quarter(o_orderdate) AS qtr,
+       dayofweek(o_orderdate) + 1 AS dow,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+FROM orders
+"""
+
+
+def window_analytics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/running-sum/rank/ntile analytic windows per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.sum("value").over(running), 6).alias("running_value"),
+        F.rank().over(wv).alias("value_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_WINDOW_ANALYTICS_SQL = """
+SELECT event_id, user_id,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+       rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+       ntile(4) OVER w AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def session_windows_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: session windows (5-minute inactivity gap) per user."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    return g.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+_SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+), m AS (
+  SELECT *, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL '5 minutes'
+                 THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '5 minutes' AS session_end,
+       user_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the user's latest click at or
+    before it (operators/asof.py; DuckDB expresses this natively)."""
+    from botkop_telcotraffic_spark_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    # dedupe right per (key, ts) for determinism (ties -> max event_id)
+    clicks = enrich.latest_per_key(clicks, ["user_id", "click_ts"], ["click_event_id"])
+    out = asof_join(
+        errors, clicks, key="user_id", left_ts="ts", right_ts="click_ts",
+        right_cols=["click_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_click_ts").alias("click_ts"),
+        F.col("asof_click_value").alias("click_value"),
+    )
+
+
+_ASOF_SQL = """
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), clicks AS (
+  SELECT user_id, ts AS click_ts, value AS click_value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, e.ts, c.click_ts, c.click_value
+FROM errors e ASOF JOIN (SELECT * FROM clicks WHERE rn = 1) c
+  ON e.user_id = c.user_id AND e.ts >= c.click_ts
+"""
+
+
+# --- multimodal, simhash, lsh-ann ------------------------------------------
+
+
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column convention: binary content + typed meta;
+    JVM-side byte stats (decode plumbing is mapInPandas, tested with
+    an injected codec — operators/multimodal.py)."""
+    from botkop_telcotraffic_spark_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_ms"),
+            F.col("source").alias("uri"),
+        ).alias("meta"),
+    )
+    out = multimodal.byte_stats(media)
+    return out.select("media_id", F.col("n_bytes").cast("long").alias("n_bytes"), "mime")
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'text/plain' AS mime
+FROM documents
+"""
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures over shingle tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(d, "doc_id", "text", k=3)
+
+
+def _simhash_sql_core() -> str:
+    p = dedup.MINHASH_P
+    votes = ", ".join(
+        f"sum(CASE WHEN (tok * {2*b+3} + {7*b+1}) % {p} >= {p // 2} "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+votes AS (SELECT id, {votes} FROM post GROUP BY id),
+sig AS (SELECT id, {sig} AS simhash FROM votes)
+"""
+
+
+_SIMHASH_SQL = f"""
+WITH {_POSTINGS_CTE}, {_simhash_sql_core()}
+SELECT id, simhash FROM sig
+"""
+
+_SIMHASH_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT id, simhash, {b} AS band, (simhash // {1 << (8*b)}) % 256 AS byte FROM sig"
+    for b in range(dedup.SIMHASH_BANDS)
+)
+
+
+def simhash_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash byte-band candidate pairs with exact hamming distance
+    (recall 1.0 for hamming <= 3 by pigeonhole)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_band_candidates(d, "doc_id", "text", k=3)
+
+
+_SIMHASH_CAND_SQL = f"""
+WITH {_POSTINGS_CTE}, {_simhash_sql_core()},
+buckets AS ({_SIMHASH_BANDS_SQL})
+SELECT l.id AS a, r.id AS b, count(*) AS n_bands,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM buckets l JOIN buckets r USING (band, byte)
+WHERE l.id < r.id GROUP BY 1, 2, l.simhash, r.simhash
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucketing (the scale
+    path — join restricted to same-bucket pairs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 50)
+    return similarity.lsh_topk(q, emb, dim=64, k=5)
+
+
+def _plane_sql(vec: str, p: int, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+        f"d -> CAST({vec}[d] AS DOUBLE) * (((({p * 31}) + (d - 1) * 17) % 7) - 3))), "
+        f"(s, x) -> s + x)"
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = [
+        f"(CASE WHEN {_plane_sql(vec, p)} >= 0 THEN {1 << (7 - p)} ELSE 0 END)"
+        for p in range(similarity.LSH_PLANES)
+    ]
+    return " + ".join(bits)
+
+
+_ANN_LSH_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                  {_bucket_sql('embedding')} AS bucket
+           FROM embeddings WHERE vec_id < 50),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings),
+sims AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qv', 'cv')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cs
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+  FROM sims) WHERE rank <= 5
+"""
+
+
 # --- streaming (W1-W7): same operator, streaming execution ----------------
 
 
@@ -842,6 +1265,21 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
     "kmeans_label_assign": (kmeans_label_assign, _KMEANS_SQL),
     "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
+    "cube_order_stats": (cube_order_stats, _CUBE_SQL),
+    "conditional_agg_users": (conditional_agg_users, _CONDAGG_SQL),
+    "json_props_extract": (json_props_extract, _JSON_SQL),
+    "pivot_event_counts": (pivot_event_counts, _PIVOT_SQL),
+    "full_outer_segments": (full_outer_segments, _FULL_OUTER_SQL),
+    "correlated_above_avg_customers": (correlated_above_avg_customers, _CORRELATED_SQL),
+    "string_funcs_customers": (string_funcs_customers, _STRING_SQL),
+    "date_funcs_orders": (date_funcs_orders, _DATE_SQL),
+    "window_analytics_events": (window_analytics_events, _WINDOW_ANALYTICS_SQL),
+    "session_windows_users": (session_windows_users, _SESSION_SQL),
+    "asof_click_before_error": (asof_click_before_error, _ASOF_SQL),
+    "multimodal_byte_stats": (multimodal_byte_stats, _MULTIMODAL_SQL),
+    "simhash_docs": (simhash_docs, _SIMHASH_SQL),
+    "simhash_near_dup_candidates": (simhash_near_dup_candidates, _SIMHASH_CAND_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, _ANN_LSH_SQL),
 }
 
 

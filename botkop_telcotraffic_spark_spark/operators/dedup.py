@@ -140,6 +140,64 @@ def minhash_signatures(
     )
 
 
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # byte-bands: hamming <= 3 guaranteed caught (pigeonhole)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, simhash: bigint) — 32-bit SimHash over the k-shingle token
+    set.  Bit b votes +1/-1 per token via the deterministic affine
+    hash (tok*(2b+3) + 7b+1) % P >= P/2; bit set iff the vote sum is
+    positive.  One groupBy with 32 conditional sums — no explode, no
+    engine hash builtins (oracle-reproducible)."""
+    post = token_postings(df, id_col, text_col, k)
+    votes = [
+        F.sum(
+            F.when(
+                ((F.col("tok") * (2 * b + 3) + (7 * b + 1)) % MINHASH_P)
+                >= MINHASH_P // 2,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    g = post.groupBy("id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0)
+    return g.select("id", sig.alias("simhash"))
+
+
+def simhash_band_candidates(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Near-dup candidate pairs via byte-band matching on SimHash:
+    pairs agreeing on >= 1 of 4 bytes, with their exact hamming
+    distance.  Any pair within hamming 3 shares a byte (pigeonhole),
+    so recall is 1.0 for distance <= 3; the band join keeps the
+    candidate space near-linear at scale."""
+    sig = simhash_signatures(df, id_col, text_col, k)
+    bands = []
+    for b in range(SIMHASH_BANDS):
+        byte = (F.col("simhash") / F.lit(1 << (8 * b))).cast("long") % 256
+        bands.append(sig.select("id", "simhash", F.lit(b).alias("band"), byte.alias("byte")))
+    buckets = bands[0]
+    for br in bands[1:]:
+        buckets = buckets.unionAll(br)
+    left = buckets.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "band", "byte")
+    right = buckets.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "band", "byte")
+    pairs = (
+        left.join(right, ["band", "byte"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "sig_a", "sig_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("a", "b", "n_bands", hamming.alias("hamming"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

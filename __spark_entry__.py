@@ -501,7 +501,7 @@ def geofence_polygon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 faithful: point-in-polygon ray-casting containment join,
     pure column expressions (Geofencer.scala:27-31 semantics)."""
     pts = _event_points(spark, sf_dir)
-    out = geofence.polygon_geofence_join(pts, _poly_fences_df(spark))
+    out = geofence.polygon_geofence_join(pts, _POLY_FENCES)
     return out.select("event_id", "user_id", "lat", "lng", "name")
 
 

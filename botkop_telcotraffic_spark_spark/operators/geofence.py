@@ -16,10 +16,16 @@ columns are cheap to derive) before the exact test.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.geo import point_in_polygon, point_in_polygon_literal
+
+# (name, [(lat, lng), ...]) — a driver-local fence list, the
+# reference's own representation (Geofencer.scala:18)
+FenceList = Sequence[tuple[str, Sequence[tuple[float, float]]]]
 
 
 def rect_geofence_join(
@@ -42,7 +48,7 @@ def rect_geofence_join(
 
 def polygon_geofence_join(
     points: DataFrame,
-    fences: DataFrame,
+    fences: DataFrame | FenceList,
     x_col: str = "lng",
     y_col: str = "lat",
     polygon_col: str = "polygon",
@@ -51,35 +57,43 @@ def polygon_geofence_join(
 ) -> DataFrame:
     """Point-in-polygon containment join (ray casting, pure exprs).
 
-    ``fences``: name + ``polygon: array<struct<lat,lng>>`` (the shape
-    of the reference's ``work/traffic-geofences.json`` side input).
-    One output row per (point, containing fence) — the reference's
-    flatMap/UDTF shape (SURVEY.md §2.11).
+    ``fences``: either a plain driver-local fence list (the
+    reference's own regime — its geofences are a local variable,
+    Geofencer.scala:18) or a DataFrame of name +
+    ``polygon: array<struct<lat,lng>>`` (the shape of the reference's
+    ``work/traffic-geofences.json`` side input).  One output row per
+    (point, containing fence) — the reference's flatMap/UDTF shape
+    (SURVEY.md §2.11).
 
     Two physical strategies:
-      * fence set small (the reference's regime — its geofences are a
-        driver-local list, Geofencer.scala:18): collect fences to the
-        driver at plan time and unroll each polygon's edges into
-        literal codegen'd expressions; containment becomes ONE scan
-        with array/explode — no join, ~20x faster than the generic
-        path and trivially partition-parallel at any point volume.
+      * fence set small (a list, or a DataFrame with few rows): unroll
+        each polygon's edges into literal codegen'd expressions at
+        plan time; containment becomes ONE scan with array/explode —
+        no join, no driver jobs, ~20x faster than the generic path and
+        trivially partition-parallel at any point volume.
       * fence set large: broadcast nested-loop join with the generic
         higher-order-function predicate.
     """
-    n_fences = fences.limit(max_unrolled_fences + 1).count()
-    if n_fences <= max_unrolled_fences:
-        rows = fences.select(name_col, polygon_col).collect()
-        px, py = F.col(x_col), F.col(y_col)
-        hits = [
-            F.when(
-                point_in_polygon_literal(
-                    px, py, [(v["lng"], v["lat"]) for v in row[polygon_col]]
-                ),
-                F.lit(row[name_col]),
-            )
+    if not isinstance(fences, DataFrame):
+        named_polys = [
+            (name, [(float(lng), float(lat)) for lat, lng in poly])
+            for name, poly in fences
+        ]
+    else:
+        # single incremental-scan job (CollectLimit); a count() here
+        # would scan every fence partition just to pick a strategy
+        rows = fences.select(name_col, polygon_col).take(max_unrolled_fences + 1)
+        if len(rows) > max_unrolled_fences:
+            inside = point_in_polygon(F.col(x_col), F.col(y_col), F.col(polygon_col))
+            return points.crossJoin(F.broadcast(fences)).where(inside)
+        named_polys = [
+            (row[name_col], [(v["lng"], v["lat"]) for v in row[polygon_col]])
             for row in rows
         ]
-        matched = F.filter(F.array(*hits), lambda x: x.isNotNull())
-        return points.withColumn(name_col, F.explode(matched))
-    inside = point_in_polygon(F.col(x_col), F.col(y_col), F.col(polygon_col))
-    return points.crossJoin(F.broadcast(fences)).where(inside)
+    px, py = F.col(x_col), F.col(y_col)
+    hits = [
+        F.when(point_in_polygon_literal(px, py, poly), F.lit(name))
+        for name, poly in named_polys
+    ]
+    matched = F.filter(F.array(*hits), lambda x: x.isNotNull())
+    return points.withColumn(name_col, F.explode(matched))

@@ -79,6 +79,29 @@ def token_postings(
     return base.select("id", F.explode(toks).alias("tok"))
 
 
+def bucket_pairs(grouped_members: "F.Column") -> "F.Column":
+    """All ordered pairs (i < j) from a sorted array column — the
+    pair-explosion half of the bucket-join pattern.  Members may be
+    scalars or structs (struct comparison is lexicographic, so
+    sorting on a leading id field makes every pair (a < b)).
+
+    Replaces the two-sided shuffle self-join on the bucket key with
+    ONE shuffle (the groupBy building the array) + a scan-side
+    explode.  Per-bucket cost is O(df²) either way — at 100 TB cap
+    bucket width first (df-pruning / band tuning), which the join
+    strategy needs too.
+    """
+    return F.flatten(
+        F.transform(
+            grouped_members,
+            lambda x, i: F.transform(
+                F.slice(grouped_members, i + 2, F.size(grouped_members)),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -90,6 +113,15 @@ def jaccard_pairs(
     Jaccard similarity: |A∩B| / (|A| + |B| - |A∩B|).
 
     Columns: a, b, inter, size_a, size_b, jaccard.
+
+    Physical shape: one shuffle groups postings per token; pairs
+    explode scan-side (bucket_pairs); set sizes aggregate off the
+    postings and broadcast onto the pair counts.  (Sizes deliberately
+    go through the postings shuffle rather than a scan-side
+    size(array_distinct(...)) projection: a join null-constraint gets
+    pushed into that projection and CollapseProject then inlines the
+    whole fingerprint pipeline into every shingle-position lambda —
+    an O(words·shingles) per-row blowup, ~20x slower end-to-end.)
     """
     post = token_postings(df, id_col, text_col, k)
     sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -100,12 +132,10 @@ def jaccard_pairs(
             "tok",
             "left_anti",
         )
-    left = post.select(F.col("id").alias("a"), "tok")
-    right = post.select(F.col("id").alias("b"), "tok")
+    grouped = post.groupBy("tok").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     inter = (
-        left.join(right, "tok")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        grouped.select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
@@ -179,19 +209,31 @@ def simhash_band_candidates(
     so recall is 1.0 for distance <= 3; the band join keeps the
     candidate space near-linear at scale."""
     sig = simhash_signatures(df, id_col, text_col, k)
-    bands = []
-    for b in range(SIMHASH_BANDS):
-        byte = (F.col("simhash") / F.lit(1 << (8 * b))).cast("long") % 256
-        bands.append(sig.select("id", "simhash", F.lit(b).alias("band"), byte.alias("byte")))
-    buckets = bands[0]
-    for br in bands[1:]:
-        buckets = buckets.unionAll(br)
-    left = buckets.select(F.col("id").alias("a"), F.col("simhash").alias("sig_a"), "band", "byte")
-    right = buckets.select(F.col("id").alias("b"), F.col("simhash").alias("sig_b"), "band", "byte")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                ((F.col("simhash") / F.lit(1 << (8 * b))).cast("long") % 256).alias(
+                    "byte"
+                ),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    buckets = sig.select(
+        "id", "simhash", F.explode(band_structs).alias("bb")
+    ).select("id", "simhash", "bb.band", "bb.byte")
+    grouped = buckets.groupBy("band", "byte").agg(
+        F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("xs")
+    )
     pairs = (
-        left.join(right, ["band", "byte"])
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "sig_a", "sig_b")
+        grouped.select(F.explode(bucket_pairs(F.col("xs"))).alias("p"))
+        .groupBy(
+            F.col("p.x.id").alias("a"),
+            F.col("p.y.id").alias("b"),
+            F.col("p.x.simhash").alias("sig_a"),
+            F.col("p.y.simhash").alias("sig_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -214,26 +256,29 @@ def minhash_lsh_pairs(
     """
     assert bands * rows_per_band <= MINHASH_NUM
     sig = minhash_signatures(df, id_col, text_col, k)
-    band_rows = []
-    for b in range(bands):
-        key = F.concat_ws(
-            ",",
-            *[
-                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                for r in range(rows_per_band)
-            ],
-        )
-        band_rows.append(
-            sig.select("id", F.lit(b).alias("band"), key.alias("bkey"))
-        )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionAll(br)
-    left = buckets.select(F.col("id").alias("a"), "band", "bkey")
-    right = buckets.select(F.col("id").alias("b"), "band", "bkey")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", "bb.band", "bb.bkey"
+    )
+    grouped = buckets.groupBy("band", "bkey").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
     return (
-        left.join(right, ["band", "bkey"])
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        grouped.select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )

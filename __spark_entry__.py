@@ -1210,6 +1210,93 @@ SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank FROM (
 """
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into coarse-quantizer
+    cells (deterministic per-label mean centroids), queries probe the
+    2 nearest cells (operators/similarity.py::ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans.label_centroids(emb, round_digits=9)
+    q = emb.where(F.col("vec_id") < 50)
+    return similarity.ivf_topk(q, emb, cents, k=5, nprobe=2)
+
+
+_EUCLID2_SQL = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), "
+    "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i]))), "
+    "(s, x) -> s + x))"
+)
+
+_ANN_IVF_SQL = f"""
+WITH cent AS (
+  SELECT label AS prediction, i.i AS d,
+         round(avg(CAST(embedding[i.i] AS DOUBLE)), 9) AS m
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+  GROUP BY 1, 2
+),
+cvec AS (
+  SELECT prediction, list_transform(list_sort(list({{'d': d, 'm': m}})), s -> s.m) AS centroid
+  FROM cent GROUP BY prediction
+),
+lists AS (
+  SELECT neighbor_id, cv, prediction AS cell FROM (
+    SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.prediction,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_EUCLID2_SQL.format(a='e.embedding', b='c.centroid')}, c.prediction) AS rn
+    FROM embeddings e CROSS JOIN cvec c) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, prediction AS cell FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qv, c.prediction,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_EUCLID2_SQL.format(a='e.embedding', b='c.centroid')}, c.prediction) AS rn
+    FROM embeddings e CROSS JOIN cvec c WHERE e.vec_id < 50) WHERE rn <= 2
+),
+sims AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qv', 'cv')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cs
+  FROM probes JOIN lists USING (cell) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+  FROM sims) WHERE rank <= 5
+"""
+
+
+def percentile_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (native SQL `percentile`; the IQR
+    query covers the reference's naive order-statistic variant)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.percentile("value", F.lit(p)), 6).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75, 0.95)
+        ],
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts — the 100 TB path for
+    cardinality (exact countDistinct is daily_distinct_users).  No
+    oracle entry: HLL sketches are engine-specific by construction, so
+    the driver records the weaker rows-only check."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --- streaming (W1-W7): same operator, streaming execution ----------------
 
 
@@ -1229,6 +1316,50 @@ def streaming_stats_user_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame
         stream, "ts", ["user_id"], "value", window="30 seconds", round_digits=6
     )
     return run_to_memory(out, output_mode="complete")
+
+
+def streaming_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed stateful operator via applyInPandasWithState:
+    per-user running z-score anomaly flags with exact integer state
+    (streaming/stateful.py).  Prefix-window SQL reproduces the flags
+    bit-exactly, so this streaming op gets the full value-hash check."""
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.stateful import (
+        running_zscore_anomalies,
+    )
+
+    tune(spark)
+    stream = stream_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = running_zscore_anomalies(stream)
+    return run_to_memory(out, output_mode="append")
+
+
+_ZSCORE_SQL = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS iv
+  FROM events
+), w AS (
+  SELECT event_id, user_id, iv,
+         count(iv) OVER pw AS n_prior,
+         CAST(coalesce(sum(iv) OVER pw, 0) AS DOUBLE) AS s,
+         CAST(coalesce(sum(iv * iv) OVER pw, 0) AS DOUBLE) AS ss
+  FROM o
+  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, n_prior,
+       CASE WHEN n_prior >= 5 THEN
+         ((iv - s / n_prior) * (iv - s / n_prior))
+           > 9.0 * (ss / n_prior - (s / n_prior) * (s / n_prior))
+       ELSE FALSE END AS anomaly
+FROM w
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1280,6 +1411,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash_docs": (simhash_docs, _SIMHASH_SQL),
     "simhash_near_dup_candidates": (simhash_near_dup_candidates, _SIMHASH_CAND_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _ANN_LSH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, _ANN_IVF_SQL),
+    "streaming_running_zscore": (streaming_running_zscore, _ZSCORE_SQL),
+    "percentile_value_stats": (percentile_value_stats, _PERCENTILE_SQL),
+    "approx_distinct_users": (approx_distinct_users, None),
 }
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot
+from ..functions.vector import cosine, dot, euclidean
 
 # Deterministic integer hyperplanes (shared with oracle SQL):
 # hp[p][d] = ((p*31 + d*17) % 7) - 3, for plane p, dim d.
@@ -122,6 +122,61 @@ def lsh_topk(
     )
     sims = (
         q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are
+    partitioned into coarse-quantizer cells (nearest centroid); each
+    query probes only its ``nprobe`` nearest cells.
+
+    ``centroids``: (prediction, centroid) — e.g. kmeans.label_centroids
+    output.  Same output shape as brute_force_topk.
+
+    Physical shape: cell assignment is a broadcast nested-loop argmin
+    over k centroids (scan-side, no shuffle); the candidate join
+    shuffles on the cell id only — candidate volume is ~ nprobe/k of
+    the corpus per query, the 100 TB path.  Cells inherit data skew;
+    mitigate with more centroids or AQE skew-join.
+    """
+    from .kmeans import assign
+
+    lists = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        centroids,
+        vec_col="_cv",
+    ).select("neighbor_id", "_cv", F.col("prediction").alias("cell"))
+    qcells = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_cdist", euclidean(F.col("_qv"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cdist"), F.col("prediction"))
+    probes = (
+        qcells.withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", F.col("prediction").alias("cell"))
+    )
+    sims = (
+        probes.join(lists, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
     )

@@ -165,3 +165,32 @@ def test_assign_nearest(spark):
     out = {r["id"]: r for r in assign(pts, cents, vec_col="point").collect()}
     assert out[1]["prediction"] == 0 and out[2]["prediction"] == 1
     assert out[1]["distance"] == pytest.approx(math.sqrt(2))
+
+
+def test_ivf_topk_probes_right_cells(spark):
+    """IVF ANN: with well-separated cells, probing the nearest cell
+    finds the true neighbors; a query near cell A never scans cell B's
+    list (operators/similarity.py::ivf_topk)."""
+    from botkop_telcotraffic_spark_spark.operators.similarity import ivf_topk
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [100.0, 100.0])],
+        "prediction int, centroid array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[1.0, 0.0]),
+            Row(vec_id=11, embedding=[0.0, 2.0]),
+            Row(vec_id=20, embedding=[99.0, 100.0]),
+            Row(vec_id=21, embedding=[101.0, 100.0]),
+        ]
+    )
+    q = spark.createDataFrame([Row(vec_id=10, embedding=[1.0, 0.0])])
+    out = ivf_topk(q, corpus, cents, k=10, nprobe=1)
+    got = {r["neighbor_id"] for r in out.collect()}
+    # self excluded; only the near cell's list is searched
+    assert got == {11}
+
+    out2 = ivf_topk(q, corpus, cents, k=10, nprobe=2)
+    got2 = {r["neighbor_id"] for r in out2.collect()}
+    assert got2 == {11, 20, 21}

@@ -4,6 +4,7 @@ streaming/batch unification of the windowed stats operator."""
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 
@@ -134,3 +135,78 @@ def test_streaming_batch_unification(spark):
     s_rows = sorted(map(tuple, s_out.collect()))
     b_rows = sorted(map(tuple, b_out.collect()))
     assert s_rows == b_rows
+
+
+def test_stateful_zscore_cross_batch_state(spark):
+    """applyInPandasWithState carries per-key state across micro-
+    batches: two files streamed one-per-trigger must yield the same
+    flags as one batch containing all rows (streaming/stateful.py)."""
+    import pandas as pd
+
+    from botkop_telcotraffic_spark_spark.streaming.stateful import (
+        running_zscore_anomalies,
+    )
+
+    src = os.path.join(TMP, "zscore_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        # stable series with one late spike per user
+        v = 100.0 if i != 35 else 500.0
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": i % 2,
+                "ts": base + datetime.timedelta(seconds=i),
+                "value": v + (i % 7) * 0.25,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    # two files, split at mid-time: file order == event-time order
+    pdf.iloc[:20].to_parquet(os.path.join(src, "a.parquet"))
+    pdf.iloc[20:].to_parquet(os.path.join(src, "b.parquet"))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_to_memory(
+        running_zscore_anomalies(stream),
+        output_mode="append",
+        checkpoint=os.path.join(TMP, "ckpt_zscore"),
+    )
+    got = {r["event_id"]: (r["n_prior"], r["anomaly"]) for r in out.collect()}
+    assert len(got) == 40
+
+    batch_out = run_to_memory(
+        running_zscore_anomalies(
+            spark.readStream.schema(schema).parquet(src)
+        ),
+        output_mode="append",
+        checkpoint=os.path.join(TMP, "ckpt_zscore_one"),
+    )
+    expect = {r["event_id"]: (r["n_prior"], r["anomaly"]) for r in batch_out.collect()}
+    assert got == expect
+    # the spike is flagged, with state accumulated across both files
+    assert got[35] == (17, True)
+    assert sum(1 for _, (_, a) in got.items() if a) == 1
+
+
+def test_kafka_payload_shape(spark):
+    """to_kafka_payload: (key, value-json) projection (K2 parity —
+    the sink itself needs a broker; the projection is the logic)."""
+    import json
+
+    from botkop_telcotraffic_spark_spark.streaming.kafka_sink import to_kafka_payload
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 0.5)], "id long, tag string, v double"
+    )
+    out = to_kafka_payload(df, key_cols=["id"]).collect()
+    assert [r["key"] for r in sorted(out, key=lambda r: r["key"])] == ["1", "2"]
+    payload = json.loads(sorted(out, key=lambda r: r["key"])[0]["value"])
+    assert payload == {"tag": "a", "v": 2.5}

@@ -58,6 +58,12 @@ def keyed_stats(
     return df.groupBy(*key_cols).agg(*stat_aggs(value_col, round_digits))
 
 
+def _duration_ms(s: str) -> int:
+    qty, unit = s.split()
+    per = {"millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000}
+    return int(qty) * per[unit.rstrip("s")]
+
+
 def windowed_stats(
     df: DataFrame,
     ts_col: str,
@@ -66,12 +72,60 @@ def windowed_stats(
     window: str = "30 seconds",
     slide: str | None = None,
     round_digits: int | None = None,
+    two_phase: bool = False,
 ) -> DataFrame:
     """Sliding/tumbling event-time windowed stats per key.
 
     Returns columns: window_start, window_end, *key_cols, n, mean,
     stdev, vmax, vmin.
+
+    ``two_phase=True`` (sliding, batch only): aggregate into
+    slide-sized tumbling buckets first, then combine window/slide
+    partials per sliding window.  The raw-row explosion (15x at
+    30s/2s) is replaced by an explosion of already-aggregated bucket
+    rows — the winning plan when events are DENSE per (bucket, key),
+    e.g. telco metric streams with many events per key per slide.  On
+    sparse data (~1 event per bucket-key) it only adds a shuffle —
+    measure.  stdev comes from (sum, sumsq) partials: fine for metric
+    magnitudes, cancellation-prone when |mean| >> stdev.
     """
+    if slide and two_phase:
+        window_ms, slide_ms = _duration_ms(window), _duration_ms(slide)
+        assert window_ms % slide_ms == 0, "window must be a multiple of slide"
+        ratio = window_ms // slide_ms
+        v = F.col(value_col)
+        buckets = df.groupBy(F.window(F.col(ts_col), slide).alias("w"), *key_cols).agg(
+            F.count(v).alias("_n"),
+            F.sum(v).alias("_s"),
+            F.sum(v * v).alias("_ss"),
+            F.max(v).alias("_mx"),
+            F.min(v).alias("_mn"),
+        )
+        exp = buckets.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(ratio - 1))).alias("_k")
+        )
+        ws = F.timestamp_millis(
+            F.unix_millis(F.col("w.start")) - F.col("_k") * F.lit(slide_ms)
+        )
+        n = F.sum("_n")
+        mean = F.sum("_s") / n
+        var = F.greatest(F.lit(0.0), F.sum("_ss") / n - mean * mean)
+        stdev = F.sqrt(var)
+        if round_digits is not None:
+            mean, stdev = F.round(mean, round_digits), F.round(stdev, round_digits)
+        out = exp.groupBy(ws.alias("window_start"), *key_cols).agg(
+            n.alias("n"),
+            mean.alias("mean"),
+            stdev.alias("stdev"),
+            F.max("_mx").alias("vmax"),
+            F.min("_mn").alias("vmin"),
+        )
+        return out.select(
+            "window_start",
+            (F.col("window_start") + F.expr(f"INTERVAL {window}")).alias("window_end"),
+            *key_cols,
+            *STAT_FIELDS,
+        )
     win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     out = df.groupBy(win.alias("w"), *key_cols).agg(*stat_aggs(value_col, round_digits))
     return out.select(

@@ -194,3 +194,76 @@ def test_ivf_topk_probes_right_cells(spark):
     out2 = ivf_topk(q, corpus, cents, k=10, nprobe=2)
     got2 = {r["neighbor_id"] for r in out2.collect()}
     assert got2 == {11, 20, 21}
+
+
+def test_multimodal_decode_with_injected_codec(spark):
+    """mapInPandas decode plumbing with a deterministic fake codec
+    (operators/multimodal.py — real codec libs live outside this
+    container; the Spark-side schema/batch shape is what's tested)."""
+    from botkop_telcotraffic_spark_spark.operators.multimodal import (
+        decode_features,
+        frame_sample_plan,
+        media_schema,
+    )
+
+    rows = [
+        (1, b"aaaa", ("image/png", None, None, None, "s3://x/1")),
+        (2, b"bbbbbb", ("image/png", None, None, None, "s3://x/2")),
+    ]
+    df = spark.createDataFrame(rows, media_schema())
+
+    def fake_codec(content: bytes) -> dict:
+        return {
+            "width": len(content),
+            "height": 2 * len(content),
+            "features": [float(content[0]), float(len(content))],
+        }
+
+    out = {r["media_id"]: r for r in decode_features(df, codec=fake_codec).collect()}
+    assert out[1]["width"] == 4 and out[1]["height"] == 8
+    assert out[2]["features"] == [98.0, 6.0]
+
+    def fake_frames(content: bytes, every_ms: int) -> list[bytes]:
+        return [content[i : i + 2] for i in range(0, len(content), 2)]
+
+    frames = frame_sample_plan(df, every_ms=40, codec=fake_frames).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append((r["frame_idx"], r["frame"]))
+    assert sorted(by_media[2]) == [(0, bytearray(b"bb")), (1, bytearray(b"bb")), (2, bytearray(b"bb"))]
+
+
+def test_asof_join_tolerance_and_equality(spark):
+    """As-of join: equal timestamps match; tolerance drops stale
+    matches; left rows with no prior right row drop (inner)."""
+    from botkop_telcotraffic_spark_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 25, 101), (2, 5, 102)], "k int, t int, lid int"
+    ).select("k", "t", "lid")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (3, 1, "z")], "k int, t int, payload string"
+    )
+    out = asof_join(
+        left.withColumnRenamed("k", "key"),
+        right.withColumnRenamed("k", "key"),
+        key="key", left_ts="t", right_ts="t", right_cols=["payload"],
+    )
+    got = {r["lid"]: (r["asof_t"], r["asof_payload"]) for r in out.collect()}
+    # equality matches (10 -> 10); 25 -> latest at 20; key 2 drops
+    assert got == {100: (10, "a"), 101: (20, "b")}
+
+
+def test_windowed_stats_two_phase_parity(spark):
+    """Two-phase sliding stats (bucket partials + combine) agrees with
+    the single-phase plan on real data at round_digits=6."""
+    from botkop_telcotraffic_spark_spark.operators.window_stats import windowed_stats
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+
+    from tests.conftest import SF_DIR_001
+
+    e = load_table(spark, SF_DIR_001, "events")
+    kwargs = dict(window="30 seconds", slide="10 seconds", round_digits=6)
+    one = windowed_stats(e, "ts", ["user_id"], "value", **kwargs)
+    two = windowed_stats(e, "ts", ["user_id"], "value", two_phase=True, **kwargs)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))

@@ -4,6 +4,8 @@ cartesian products, codegen coverage."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entry_mod
 from botkop_telcotraffic_spark_spark.plans import (
     has_broadcast_join,
@@ -72,3 +74,49 @@ def test_windowed_stats_is_codegen(spark):
     # DataFrame (count() would build a different query execution)
     df.collect()
     assert wholestage_codegen_ids(df) >= 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucket-aligned sort-merge join: no Exchange above either scan
+    (sources/bucketing.py — the amortize-the-shuffle-at-write path)."""
+    from botkop_telcotraffic_spark_spark.sources.bucketing import write_bucketed
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR_001, "orders")
+    c = load_table(spark, SF_DIR_001, "customer")
+    write_bucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+                   "orders_b", ["o_custkey"], num_buckets=8)
+    write_bucketed(c.select("c_custkey", "c_name"),
+                   "cust_b", ["c_custkey"], num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("orders_b").join(
+            spark.table("cust_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = physical_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == o.count()  # every order has a customer
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting spreads hot keys without changing results
+    (operators/skew.py)."""
+    from botkop_telcotraffic_spark_spark.operators.skew import salted_join
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR_001, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = load_table(spark, SF_DIR_001, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = e.join(dim, "user_id").drop("user_id")
+    salted = salted_join(e, dim, on=["user_id"], n_salts=8).drop("user_id")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

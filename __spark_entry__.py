@@ -1297,6 +1297,48 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (cube/rollup are
+    the DataFrame-side variants)."""
+    tune(spark)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def word_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF/lateral-view shape: explode document words, count global
+    frequencies, keep words seen >= 100 times."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(textfn.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= 100)
+    )
+
+
+_WORD_COUNTS_SQL = """
+SELECT word, count(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word HAVING count(*) >= 100
+"""
+
+
 # --- streaming (W1-W7): same operator, streaming execution ----------------
 
 
@@ -1337,6 +1379,55 @@ def streaming_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = running_zscore_anomalies(stream)
     return run_to_memory(out, output_mode="append")
+
+
+def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline anomaly pipeline (W6 + A4/A5/J2) as a
+    foreachBatch streaming query: train-then-predict streaming K-Means
+    on 2-D points, IQR-flag by within-cluster distance per batch.
+
+    No oracle entry: the iterative model update is not SQL-expressible
+    (the driver records the rows-only check).  The per-batch collect
+    here is the memory-sink equivalent for the bounded replay; a real
+    deployment writes each batch to a sink instead."""
+    from botkop_telcotraffic_spark_spark.operators.iqr import iqr_outliers
+    from botkop_telcotraffic_spark_spark.operators.kmeans import StreamingKMeans
+    from botkop_telcotraffic_spark_spark.streaming.runner import stream_parquet_table
+
+    tune(spark)
+    stream = stream_parquet_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.array(
+            F.col("value"),
+            F.get_json_object("props", "$.k").cast("double"),
+        ).alias("point"),
+    ).where(~F.exists("point", lambda x: x.isNull()))
+    model = StreamingKMeans(k=3, dim=2, decay=1.0, seed=42)
+    acc: list = []
+
+    def batch_fn(df: DataFrame, _eid: int) -> None:
+        scored = model.update_and_assign(df, vec_col="point")
+        out = iqr_outliers(scored, ["prediction"], "distance", mode="exact")
+        acc.extend(
+            out.select(
+                "event_id",
+                "prediction",
+                F.round("distance", 6).alias("distance"),
+                F.round("lo", 6).alias("lo"),
+                F.round("hi", 6).alias("hi"),
+            ).collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        acc,
+        "event_id long, prediction int, distance double, lo double, hi double",
+    )
 
 
 _ZSCORE_SQL = """
@@ -1415,6 +1506,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_running_zscore": (streaming_running_zscore, _ZSCORE_SQL),
     "percentile_value_stats": (percentile_value_stats, _PERCENTILE_SQL),
     "approx_distinct_users": (approx_distinct_users, None),
+    "grouping_sets_orders": (grouping_sets_orders, _GROUPING_SETS_SQL),
+    "word_counts_docs": (word_counts_docs, _WORD_COUNTS_SQL),
+    "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),
 }
 
 

@@ -30,8 +30,13 @@ HEADLINE = [
     "geofence_polygon_events",
     "jaccard_near_dup_docs",
     "minhash_lsh_candidates",
+    "simhash_near_dup_candidates",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "kmeans_label_assign",
+    "asof_click_before_error",
+    "window_analytics_events",
+    "session_windows_users",
 ]
 
 

@@ -73,11 +73,17 @@ def windowed_stats(
     slide: str | None = None,
     round_digits: int | None = None,
     two_phase: bool = False,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Sliding/tumbling event-time windowed stats per key.
 
     Returns columns: window_start, window_end, *key_cols, n, mean,
     stdev, vmax, vmin.
+
+    ``watermark`` (streaming): late-data bound (e.g. "10 seconds") —
+    enables append output mode, where a window emits once, when the
+    watermark passes its end (W7; the reference had no late-data story
+    at all).  Without it, streaming requires complete/update mode.
 
     ``two_phase=True`` (sliding, batch only): aggregate into
     slide-sized tumbling buckets first, then combine window/slide
@@ -89,6 +95,8 @@ def windowed_stats(
     measure.  stdev comes from (sum, sumsq) partials: fine for metric
     magnitudes, cancellation-prone when |mean| >> stdev.
     """
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
     if slide and two_phase:
         window_ms, slide_ms = _duration_ms(window), _duration_ms(slide)
         assert window_ms % slide_ms == 0, "window must be a multiple of slide"

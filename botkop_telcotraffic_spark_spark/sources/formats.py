@@ -1,0 +1,59 @@
+"""File-format ingress/egress beyond parquet (CSV / JSON lines).
+
+Parquet is the warehouse format (sources/tables.py); these wrappers
+cover interchange with external producers — with the defaults that
+make round-trips LOSSLESS, which neither format gives you out of the
+box:
+
+  * timestamps: Spark's CSV default writes millisecond precision —
+    micros silently truncate.  Both directions here pin a
+    microsecond format.
+  * CSV needs an explicit schema on read (inference is both a
+    correctness and a performance hazard — it scans the data twice).
+  * JSON lines likewise read with an explicit schema; malformed rows
+    follow the engine's decode-and-drop convention (PERMISSIVE +
+    drop, matching streaming/json_stream.py).
+
+Scale notes: both formats scan-parallelize by file split like
+parquet, but carry no column pruning or predicate pushdown — convert
+to parquet at the ingest boundary; don't run analytics on them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", TS_FORMAT)
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", TS_FORMAT)
+        .csv(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("timestampFormat", TS_FORMAT).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    out = (
+        spark.read.schema(schema)
+        .option("timestampFormat", TS_FORMAT)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+    return out

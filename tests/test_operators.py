@@ -267,3 +267,67 @@ def test_windowed_stats_two_phase_parity(spark):
     one = windowed_stats(e, "ts", ["user_id"], "value", **kwargs)
     two = windowed_stats(e, "ts", ["user_id"], "value", two_phase=True, **kwargs)
     assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+
+
+def test_csv_json_roundtrip_lossless(spark, tmp_path):
+    """CSV and JSONL round-trips preserve every row including
+    microsecond timestamps (sources/formats.py)."""
+    from botkop_telcotraffic_spark_spark.sources.formats import (
+        read_csv,
+        read_jsonl,
+        write_csv,
+        write_jsonl,
+    )
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    e = load_table(spark, SF_DIR_001, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    expect = sorted(map(tuple, e.collect()))
+
+    csv_p, json_p = str(tmp_path / "e_csv"), str(tmp_path / "e_json")
+    write_csv(e, csv_p)
+    got_csv = sorted(map(tuple, read_csv(spark, csv_p, e.schema).collect()))
+    assert got_csv == expect
+
+    write_jsonl(e, json_p)
+    got_json = sorted(map(tuple, read_jsonl(spark, json_p, e.schema).collect()))
+    assert got_json == expect
+
+
+def test_asof_join_property_vs_pandas(spark):
+    """Property: asof_join agrees with pandas merge_asof on randomized
+    inputs (keys, ties, empty matches)."""
+    import pandas as pd
+
+    from botkop_telcotraffic_spark_spark.operators.asof import asof_join
+
+    rng = random.Random(7)
+    for trial in range(5):
+        left_rows = [
+            (rng.randint(0, 4), rng.randint(0, 100), 1000 + i)
+            for i in range(rng.randint(1, 40))
+        ]
+        right_rows = []
+        used = set()
+        for j in range(rng.randint(1, 40)):
+            k, t = rng.randint(0, 4), rng.randint(0, 100)
+            if (k, t) in used:  # unique (key, ts) like the operator contract
+                continue
+            used.add((k, t))
+            right_rows.append((k, t, float(j)))
+        left = spark.createDataFrame(left_rows, "k int, t int, lid int")
+        right = spark.createDataFrame(right_rows, "k int, t int, payload double")
+        out = asof_join(left, right, key="k", left_ts="t", right_ts="t",
+                        right_cols=["payload"])
+        got = {r["lid"]: (r["asof_t"], r["asof_payload"]) for r in out.collect()}
+
+        lp = pd.DataFrame(left_rows, columns=["k", "t", "lid"]).sort_values("t")
+        rp = pd.DataFrame(right_rows, columns=["k", "t", "payload"]).sort_values("t")
+        m = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+        # merge_asof keeps all left rows; ours is inner — compare matched only
+        matched = {
+            int(r.lid): r.payload for r in m.itertuples() if pd.notna(r.payload)
+        }
+        assert {k: v[1] for k, v in got.items()} == matched, f"trial {trial}"

@@ -210,3 +210,56 @@ def test_kafka_payload_shape(spark):
     assert [r["key"] for r in sorted(out, key=lambda r: r["key"])] == ["1", "2"]
     payload = json.loads(sorted(out, key=lambda r: r["key"])[0]["value"])
     assert payload == {"tag": "a", "v": 2.5}
+
+
+def test_watermark_append_mode_finalizes_windows(spark):
+    """W7: with a watermark, append mode emits each window exactly
+    once, finalized, and the emitted rows agree with the batch
+    computation (windows still open at end-of-stream stay in state)."""
+    import pandas as pd
+
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+
+    src = os.path.join(TMP, "wm_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        {"user_id": i % 3, "ts": base + datetime.timedelta(seconds=i), "value": float(i)}
+        for i in range(120)
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf.iloc[:60].to_parquet(os.path.join(src, "a.parquet"), coerce_timestamps="us")
+    pdf.iloc[60:].to_parquet(os.path.join(src, "b.parquet"), coerce_timestamps="us")
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = run_to_memory(
+        windowed_stats(stream, "ts", ["user_id"], "value",
+                       window="30 seconds", round_digits=6,
+                       watermark="10 seconds"),
+        output_mode="append",
+        checkpoint=os.path.join(TMP, "ckpt_wm"),
+    )
+    got = {
+        (r["window_start"], r["user_id"]): tuple(r)[2:] for r in out.collect()
+    }
+    assert got, "append mode should emit watermark-passed windows"
+    batch = windowed_stats(
+        spark.read.parquet(src).withColumn("ts", F.col("ts").cast("timestamp")),
+        "ts", ["user_id"], "value", window="30 seconds", round_digits=6,
+    )
+    expect = {
+        (r["window_start"], r["user_id"]): tuple(r)[2:] for r in batch.collect()
+    }
+    # every emitted window is finalized == identical to batch result
+    for k, v in got.items():
+        assert expect[k] == v
+    # windows not yet passed by the final watermark are withheld
+    assert len(got) < len(expect)

@@ -57,3 +57,18 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFram
         .json(path)
     )
     return out
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-style partitioned parquet layout (one directory level per
+    partition column).  Queries filtering on a partition column read
+    ONLY matching directories — partition pruning happens at plan
+    time, before any IO (see tests/test_plans.py for the proof).
+
+    Choose low-cardinality columns (date, type, region): at 100 TB a
+    high-cardinality partition column produces millions of tiny files
+    and kills the listing phase.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

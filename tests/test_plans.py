@@ -120,3 +120,26 @@ def test_salted_join_matches_plain_join(spark):
     plain = e.join(dim, "user_id").drop("user_id")
     salted = salted_join(e, dim, on=["user_id"], n_salts=8).drop("user_id")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column reaches the scan as a
+    PartitionFilter: non-matching directories are never read
+    (sources/formats.py::write_partitioned_parquet)."""
+    from botkop_telcotraffic_spark_spark.sources.formats import (
+        write_partitioned_parquet,
+    )
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR_001, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    path = str(tmp_path / "events_part")
+    write_partitioned_parquet(e, path, ["event_type"])
+
+    q = spark.read.parquet(path).where(F.col("event_type") == "click")
+    plan = physical_plan(q)
+    m = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert m and "event_type" in m[0]
+    # pruning is real: only the matching partition's rows are read
+    assert q.count() == e.where(F.col("event_type") == "click").count()

@@ -1,0 +1,87 @@
+"""Property-based tests (SURVEY.md §5.4): engine expressions checked
+against independent pure-python references on randomized inputs.
+
+Each property batches all of an example's cases into ONE Spark job
+(hypothesis drives the data, not the job count) so the suite stays
+fast."""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from botkop_telcotraffic_spark_spark.functions.textfn import (
+    FP_BASE,
+    FP_MOD,
+    rolling_fingerprint,
+)
+from botkop_telcotraffic_spark_spark.operators.dedup import bucket_pairs
+from botkop_telcotraffic_spark_spark.operators.iqr import (
+    DOUBLE_MAX,
+    DOUBLE_MIN,
+    iqr_bounds,
+)
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ascii_word = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=24
+)
+
+
+def _fp_py(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * FP_BASE + ord(ch)) % FP_MOD
+    return h
+
+
+@given(st.lists(ascii_word, min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_rolling_fingerprint_matches_python(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r["h"] for r in df.select(rolling_fingerprint(F.col("t")).alias("h")).collect()]
+    assert got == [_fp_py(t) for t in texts]
+
+
+@given(st.lists(st.integers(0, 1_000_000), min_size=0, max_size=12, unique=True))
+@settings(**_SETTINGS)
+def test_bucket_pairs_is_all_combinations(spark, ids):
+    df = spark.createDataFrame([(sorted(ids),)], "ids array<bigint>")
+    got = sorted(
+        (r["p"]["x"], r["p"]["y"])
+        for r in df.select(F.explode(bucket_pairs(F.col("ids"))).alias("p")).collect()
+    )
+    assert got == sorted(itertools.combinations(sorted(ids), 2))
+
+
+def _iqr_py(values: list[float]) -> tuple[float, float]:
+    """Reference semantics: ClusterAnalyser.scala:157-170 (0-based
+    naive order statistics, degenerate below n=5)."""
+    n = len(values)
+    if n <= 4:
+        return (DOUBLE_MIN, DOUBLE_MAX)
+    v = sorted(values)
+    q1, q3 = v[n // 4], v[3 * n // 4]
+    iqr = q3 - q1
+    return (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+
+
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, width=64), min_size=1, max_size=60
+    )
+)
+@settings(**_SETTINGS)
+def test_iqr_exact_matches_python_reference(spark, values):
+    df = spark.createDataFrame([(0, float(v)) for v in values], "k int, v double")
+    row = iqr_bounds(df, ["k"], "v", mode="exact").collect()[0]
+    lo, hi = _iqr_py(values)
+    assert (row["lo"], row["hi"]) == (lo, hi)

@@ -263,3 +263,36 @@ def test_watermark_append_mode_finalizes_windows(spark):
         assert expect[k] == v
     # windows not yet passed by the final watermark are withheld
     assert len(got) < len(expect)
+
+
+def test_streaming_session_windows(spark):
+    """W8: native session_window aggregation under Structured
+    Streaming (watermark + append) agrees with the batch computation
+    for watermark-passed sessions."""
+    from pyspark.sql import functions as F
+
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+
+    def sessions(df):
+        g = df.groupBy(
+            F.session_window("ts", "5 minutes").alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        return g.select(
+            F.col("w.start").alias("s"), F.col("w.end").alias("e"),
+            "user_id", "n_events",
+        )
+
+    stream = stream_parquet_table(spark, SF_DIR_001, "events").withWatermark(
+        "ts", "10 seconds"
+    )
+    s_out = run_to_memory(
+        sessions(stream),
+        output_mode="append",
+        checkpoint=os.path.join(TMP, "ckpt_sess"),
+    )
+    got = {tuple(r) for r in s_out.collect()}
+    assert got, "no sessions emitted"
+    batch = sessions(load_table(spark, SF_DIR_001, "events"))
+    expect = {tuple(r) for r in batch.collect()}
+    assert got <= expect  # emitted sessions are finalized == batch-identical
+    assert len(got) >= len(expect) - 50  # only tail sessions may be withheld

@@ -22,6 +22,7 @@ from botkop_telcotraffic_spark_spark.operators import (
     dedup,
     enrich,
     geofence,
+    graph,
     iqr,
     kmeans,
     similarity,
@@ -612,6 +613,36 @@ buckets AS ({_LSH_BANDS_SQL})
 SELECT l.id AS a, r.id AS b, count(*) AS n_bands
 FROM buckets l JOIN buckets r USING (band, bkey)
 WHERE l.id < r.id GROUP BY 1, 2
+"""
+
+
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup DEDUP end-to-end: MinHash-LSH candidate pairs →
+    connected components (iterative min-label propagation,
+    operators/graph.py) → every doc mapped to its duplicate-cluster
+    representative (singletons map to themselves).  The oracle walks
+    the same graph with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", "text", k=3, bands=8, rows_per_band=2)
+    return graph.dedup_groups_from_pairs(d, pairs, "doc_id")
+
+
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_POSTINGS_CTE},
+sig AS (SELECT id, [{_MINHASH_EXPRS}] AS sig FROM post GROUP BY id),
+buckets AS ({_LSH_BANDS_SQL}),
+pairs AS (SELECT l.id AS a, r.id AS b
+          FROM buckets l JOIN buckets r USING (band, bkey)
+          WHERE l.id < r.id GROUP BY 1, 2),
+ed AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+  UNION
+  SELECT ed.u, reach.label FROM ed JOIN reach ON ed.v = reach.u
+),
+comp AS (SELECT u AS id, min(label) AS cluster FROM reach GROUP BY u)
+SELECT d.doc_id AS id, coalesce(comp.cluster, d.doc_id) AS cluster
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
 """
 
 
@@ -1509,6 +1540,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grouping_sets_orders": (grouping_sets_orders, _GROUPING_SETS_SQL),
     "word_counts_docs": (word_counts_docs, _WORD_COUNTS_SQL),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),
+    "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
 }
 
 

@@ -331,3 +331,29 @@ def test_asof_join_property_vs_pandas(spark):
             int(r.lid): r.payload for r in m.itertuples() if pd.notna(r.payload)
         }
         assert {k: v[1] for k, v in got.items()} == matched, f"trial {trial}"
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation handles chains (multi-round), cliques,
+    and leaves singletons untouched (operators/graph.py)."""
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        connected_components,
+        dedup_groups_from_pairs,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21), (21, 22), (20, 22)],
+        "a long, b long",
+    )
+    comps = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    all_ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]], "doc_id long")
+    groups = {
+        r["id"]: r["cluster"]
+        for r in dedup_groups_from_pairs(all_ids, edges, "doc_id").collect()
+    }
+    assert groups[99] == 99  # singleton maps to itself
+    assert groups[4] == 1 and groups[22] == 20

@@ -646,6 +646,74 @@ FROM documents d LEFT JOIN comp ON d.doc_id = comp.id
 """
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 highest-scoring terms per document.
+    tf = in-doc count, idf = ln(N / df); deterministic tiebreak on the
+    term string.  One postings shuffle + a broadcast of the df table."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_N"))
+    post = d.select(
+        F.col("doc_id"), F.explode(textfn.words(F.col("text"))).alias("term")
+    )
+    tf = post.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("_N") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rnk")
+    )
+
+
+_TFIDF_SQL = """
+WITH post AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM post GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df) AS tfidf
+  FROM tf JOIN dfq USING (term)
+)
+SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored) WHERE rnk <= 3
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + scalar aggregate — the maximal
+    pushdown/codegen case (no shuffle beyond the final reduce)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.05))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/stopword features."""
     d = _t(spark, sf_dir, "documents")
@@ -1541,6 +1609,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "word_counts_docs": (word_counts_docs, _WORD_COUNTS_SQL),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),
     "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
 }
 
 

@@ -714,6 +714,90 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 """
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join then two-level aggregation (orders
+    per customer, then customers per order-count).  The second groupBy
+    is tiny (distinct counts ≈ max orders/customer), so the expensive
+    shuffle is only the first one, on the join key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped sum, then join the small
+    qualifying set back to orders/customer and take a deterministic
+    top-100.  The post-HAVING side is tiny -> broadcast back."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count of suppliers per part attribute
+    group, with an anti-join exclusion list (negative-balance
+    suppliers).  lineitem stands in for partsupp as the association
+    table; the exclusion list is tiny -> broadcast anti-join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").dropDuplicates()
+    p = _t(spark, sf_dir, "part").where(F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/stopword features."""
     d = _t(spark, sf_dir, "documents")
@@ -1611,6 +1695,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
+    "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
+    "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
 }
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import textfn  # noqa: F401  (A/B: shingle_token_udf)
 from ..functions.textfn import (
     shingle_tokens_from_fps,
     word_fingerprints,
@@ -61,22 +62,37 @@ def shingle_postings(
 
 
 def token_postings(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame, id_col: str, text_col: str, k: int, with_size: bool = False
 ) -> DataFrame:
-    """(id, tok) postings where tok is the deterministic rolling-hash
-    fingerprint of each distinct k-shingle.
+    """(id, tok[, sz]) postings where tok is the deterministic
+    rolling-hash fingerprint of each distinct k-shingle and sz the
+    doc's distinct-shingle count.
 
     The integer id replaces a global rank dictionary: no global sort
     (a 100 TB bottleneck), identical values in the DuckDB oracle, and
     integer join/shuffle keys downstream.  Collisions (~|shingles|/1e9)
     merge two shingles for *both* engines identically.
+
+    Pure-Catalyst higher-order functions: interpreted, but scan-wide
+    parallel (load_table's parallelism floor) and with no Python
+    worker boundary — measured faster warm AND cold than the
+    Arrow-batched UDF alternative (textfn.shingle_token_udf, kept for
+    A/B) at sf0.1.  The wf array is materialized in its own
+    projection before the shingle fold so CollapseProject can't
+    inline the char-fold into every shingle position (an
+    O(words·shingles) per-row blowup).
     """
     base = df.select(
         F.col(id_col).alias("id"),
         word_fingerprints(F.col(text_col)).alias("wf"),
     )
-    toks = F.array_distinct(shingle_tokens_from_fps(F.col("wf"), k))
-    return base.select("id", F.explode(toks).alias("tok"))
+    toks_df = base.select(
+        "id", F.array_distinct(shingle_tokens_from_fps(F.col("wf"), k)).alias("toks")
+    )
+    cols = [F.col("id")]
+    if with_size:
+        cols.append(F.size("toks").alias("sz"))
+    return toks_df.select(*cols, F.explode("toks").alias("tok"))
 
 
 def bucket_pairs(grouped_members: "F.Column") -> "F.Column":
@@ -114,17 +130,13 @@ def jaccard_pairs(
 
     Columns: a, b, inter, size_a, size_b, jaccard.
 
-    Physical shape: one shuffle groups postings per token; pairs
-    explode scan-side (bucket_pairs); set sizes aggregate off the
-    postings and broadcast onto the pair counts.  (Sizes deliberately
-    go through the postings shuffle rather than a scan-side
-    size(array_distinct(...)) projection: a join null-constraint gets
-    pushed into that projection and CollapseProject then inlines the
-    whole fingerprint pipeline into every shingle-position lambda —
-    an O(words·shingles) per-row blowup, ~20x slower end-to-end.)
+    Physical shape: ONE corpus scan and one postings shuffle.  Set
+    sizes are computed scan-side off the materialized token array and
+    ride through the bucket groupBy inside the (id, sz) struct, so no
+    second scan and no join-back is needed; pairs explode scan-side
+    (bucket_pairs) and the final groupBy keys carry both sizes.
     """
-    post = token_postings(df, id_col, text_col, k)
-    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    post = token_postings(df, id_col, text_col, k, with_size=True)
     if max_doc_freq is not None:
         freq = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
         post = post.join(
@@ -132,19 +144,22 @@ def jaccard_pairs(
             "tok",
             "left_anti",
         )
-    grouped = post.groupBy("tok").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    grouped = post.groupBy("tok").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("xs")
+    )
     inter = (
-        grouped.select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
+        grouped.select(F.explode(bucket_pairs(F.col("xs"))).alias("p"))
+        .groupBy(
+            F.col("p.x.id").alias("a"),
+            F.col("p.y.id").alias("b"),
+            F.col("p.x.sz").alias("size_a"),
+            F.col("p.y.sz").alias("size_b"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
-        inter.join(F.broadcast(sizes.select(F.col("id").alias("a"), F.col("sz").alias("size_a"))), "a")
-        .join(F.broadcast(sizes.select(F.col("id").alias("b"), F.col("sz").alias("size_b"))), "b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
-        )
+    out = inter.withColumn(
+        "jaccard",
+        F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
     )
     return out.select("a", "b", "inter", "size_a", "size_b", "jaccard")
 

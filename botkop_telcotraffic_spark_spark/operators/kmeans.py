@@ -38,27 +38,51 @@ def assign(
     centroid_id_col: str = "prediction",
 ) -> DataFrame:
     """Nearest-centroid assignment: adds prediction, centroid,
-    distance columns.  Broadcast nested-loop over k centroids +
-    per-row argmin via max_by on negated distance (single pass, no
-    window sort)."""
-    pts = points.withColumn("_rid", F.monotonically_increasing_id())
-    cand = pts.crossJoin(F.broadcast(centroids)).withColumn(
-        "_dist", euclidean(F.col(vec_col), F.col(centroid_vec_col))
+    distance columns.
+
+    Physical shape: the k centroids collapse into ONE array row
+    (collect_list) broadcast onto every point; the argmin is a
+    scan-side fold over that array — no shuffle, no per-row synthetic
+    id, no join-back.  (An earlier formulation keyed an argmin
+    groupBy on monotonically_increasing_id(); nondeterministic ids
+    evaluated in two plan branches silently mis-join once the scan
+    is multi-partition — never key on nondeterministic ids.)
+
+    Cost: exactly k distance evaluations per point (one transform
+    over the centroid array, materialized once), then an O(k) scalar
+    argmin — array_position(d, array_min(d)) — whose first-occurrence
+    semantics give the tiebreak: lowest index of the id-sorted array
+    = lowest centroid id, matching the oracle's ``row_number() ORDER
+    BY dist, prediction``.
+    """
+    cents = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(centroid_id_col).alias("id"),
+                    F.col(centroid_vec_col).alias("vec"),
+                )
+            )
+        ).alias("_cents")
     )
-    # argmin distance, tiebreak lowest centroid id: min_by on struct
-    best = cand.groupBy("_rid").agg(
-        F.min_by(
-            F.struct(
-                F.col(centroid_id_col).alias("prediction"),
-                F.col(centroid_vec_col).alias("centroid"),
-                F.col("_dist").alias("distance"),
-            ),
-            F.struct(F.col("_dist"), F.col(centroid_id_col)),
-        ).alias("_b")
+    with_d = points.crossJoin(F.broadcast(cents)).select(
+        *points.columns,
+        F.col("_cents"),
+        F.transform(
+            F.col("_cents"), lambda c: euclidean(F.col(vec_col), c["vec"])
+        ).alias("_d"),
     )
-    return (
-        pts.join(best, "_rid")
-        .select(*points.columns, "_b.prediction", "_b.centroid", "_b.distance")
+    pos = F.array_position(F.col("_d"), F.array_min(F.col("_d"))).cast("int")
+    with_best = with_d.select(
+        *points.columns,
+        F.element_at("_cents", pos).alias("_b"),
+        F.array_min(F.col("_d")).alias("distance"),
+    )
+    return with_best.select(
+        *points.columns,
+        F.col("_b")["id"].alias("prediction"),
+        F.col("_b")["vec"].alias("centroid"),
+        "distance",
     )
 
 

@@ -30,6 +30,15 @@ RUNTIME_CONFS: dict[str, str] = {
     # The events fixture stores ts as parquet TIMESTAMP(NANOS); Spark
     # has no nanos timestamp type — read as long, convert in loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate synthesizes `size(arr)>0` ahead of every
+    # explode; PushDownPredicates then substitutes the generator input
+    # through intermediate Projects, duplicating expensive array
+    # expressions (the shingle/fingerprint folds become O(words^2) per
+    # row — measured 50x+ slowdowns).  Our explodes never benefit from
+    # the inferred filter (inputs are dense arrays), so drop the rule.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 

@@ -29,15 +29,53 @@ TABLE_NAMES = [
 ]
 
 
+# Tables whose downstream per-row work (interpreted HOF folds, UDFs,
+# shingle/fingerprint math) is heavy enough that a scan narrower than
+# the cluster is the bottleneck and worth one extra shuffle.  The
+# relational tables stay as-is: their operators are whole-stage
+# codegen where the scan-width shuffle costs more than it buys
+# (measured at sf0.1), and dimension tables get broadcast anyway.
+_WIDE_TABLES = {"documents", "embeddings"}
+
+
+def _estimated_scan_partitions(spark: SparkSession, path: str) -> int:
+    """File-size estimate of the scan's partition count (driver-side
+    stat, no job).  Optimistic for huge single-row-group files, which
+    don't exist in sanely-written warehouses."""
+    max_bytes = int(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip(
+            "b"
+        )
+    )
+    if os.path.isdir(path):
+        sizes = [e.stat().st_size for e in os.scandir(path) if e.is_file()]
+    else:
+        sizes = [os.stat(path).st_size]
+    return sum(max(1, s // max_bytes) for s in sizes) or 1
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     # TIMESTAMP(NANOS) parquet columns arrive as epoch-nanos longs
     # (see session.RUNTIME_CONFS); convert with integer division —
     # double division would lose precision at 1e18 nanos.  DuckDB
     # truncates nanos->micros the same way.
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Parallelism floor: a fact table served by fewer input splits
+    # than the cluster has cores single-threads every scan-side
+    # operator (UDFs, fingerprints, distance math).  Round-robin
+    # repartition costs one small shuffle of the (pruned, filtered —
+    # predicates push through Repartition) scan output and restores
+    # full-width execution.  At production scale fact tables span
+    # many splits, the estimate exceeds the core count, and this is
+    # a no-op.
+    if name in _WIDE_TABLES:
+        parallelism = spark.sparkContext.defaultParallelism
+        if _estimated_scan_partitions(spark, path) < parallelism:
+            df = df.repartition(parallelism)
     return df
 
 

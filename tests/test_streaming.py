@@ -296,3 +296,44 @@ def test_streaming_session_windows(spark):
     expect = {tuple(r) for r in batch.collect()}
     assert got <= expect  # emitted sessions are finalized == batch-identical
     assert len(got) >= len(expect) - 50  # only tail sessions may be withheld
+
+
+def test_watermarked_stream_stream_join(spark, fixtures):
+    """J1 Option B: watermarked stream-stream inner join on bearerId.
+
+    Against the fixture replay, every (celltower, attach) pair of the
+    same bearer with attach_ts <= cell_ts (within the lag bound) must
+    emit exactly once — verified against a Python nested loop.
+    """
+    from botkop_telcotraffic_spark_spark.streaming.stream_join import (
+        watermarked_enrich_join,
+    )
+
+    joined = watermarked_enrich_join(
+        attach_source(spark, fixtures["attach_path"]),
+        celltower_source(spark, fixtures["cell_path"]),
+        attach_ts_col="event_time",
+        cell_ts_col="event_time",
+        delay="10 seconds",
+        max_lag="1 hour",
+    )
+    out = run_to_memory(
+        joined,
+        output_mode="append",
+        checkpoint=os.path.join(TMP, "ckpt_ssjoin"),
+    ).collect()
+
+    expected = set()
+    for c in fixtures["cells"]:
+        for a in fixtures["attaches"]:
+            if (
+                a["bearerId"] == c["bearerId"]
+                and a["ts"] <= c["ts"]
+                and a["ts"] >= c["ts"] - 3_600_000
+            ):
+                expected.add((c["bearerId"], c["ts"], a["ts"]))
+    got = [(r["bearerId"], r["ts"], int(r["attach_ts"].timestamp() * 1000)) for r in out]
+    assert len(got) == len(expected), f"{len(got)} emitted vs {len(expected)} expected"
+    assert set(got) == expected
+    # enrichment payload rides along
+    assert all(r["subscriber"]["imsi"] is not None for r in out)

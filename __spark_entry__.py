@@ -798,6 +798,43 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: an aggregated view referenced twice (revenue
+    per supplier, then the suppliers achieving the max).  The max is
+    a 1-row broadcast back onto the view — Spark materializes the
+    view's shuffle once and reuses it (ReusedExchange)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/stopword features."""
     d = _t(spark, sf_dir, "documents")
@@ -1696,6 +1733,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
     "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
+    "q15_top_suppliers": (q15_top_suppliers, _Q15_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
 }

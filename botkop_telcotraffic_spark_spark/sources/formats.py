@@ -45,6 +45,16 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     )
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC egress — columnar like parquet (typed, lossless, split-
+    table), for interchange with Hive/Trino warehouses."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("timestampFormat", TS_FORMAT).json(path)
 

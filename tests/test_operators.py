@@ -357,3 +357,19 @@ def test_connected_components_chain_and_clique(spark):
     }
     assert groups[99] == 99  # singleton maps to itself
     assert groups[4] == 1 and groups[22] == 20
+
+
+def test_orc_roundtrip_lossless(spark, tmp_path):
+    """ORC round-trip preserves rows and types (sources/formats.py)."""
+    from botkop_telcotraffic_spark_spark.sources.formats import read_orc, write_orc
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    e = load_table(spark, SF_DIR_001, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    p = str(tmp_path / "e_orc")
+    write_orc(e, p)
+    back = read_orc(spark, p)
+    assert back.schema == e.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, e.collect()))

@@ -143,3 +143,27 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert m and "event_type" in m[0]
     # pruning is real: only the matching partition's rows are read
     assert q.count() == e.where(F.col("event_type") == "click").count()
+
+
+def test_assign_is_shuffle_free(spark):
+    """Nearest-centroid assignment must not shuffle the points side:
+    the centroid array broadcasts, the argmin is scan-side (plan has
+    no Exchange above the points scan beyond the tiny agg branch)."""
+    from pyspark.sql import functions as F
+
+    from botkop_telcotraffic_spark_spark.operators.kmeans import assign, label_centroids
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    emb = load_table(spark, SF_DIR_001, "embeddings")
+    pts = emb.select("vec_id", F.col("embedding").alias("point"))
+    out = assign(pts, label_centroids(emb, round_digits=9))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only exchanges allowed are for the k-row centroid aggregate
+    # (groupBy label/dim) and its single-row collect_list; the points
+    # side itself must flow shuffle-free from scan to output.
+    import re
+
+    n_exchanges = len(re.findall(r"\bExchange (hash|range|SinglePartition)", plan))
+    assert n_exchanges <= 3, plan

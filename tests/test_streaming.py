@@ -337,3 +337,54 @@ def test_watermarked_stream_stream_join(spark, fixtures):
     assert set(got) == expected
     # enrichment payload rides along
     assert all(r["subscriber"]["imsi"] is not None for r in out)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicate keys within the watermark
+    horizon collapse to their first arrival; distinct keys survive."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from botkop_telcotraffic_spark_spark.streaming.dedup_stream import (
+        dedup_content_stream,
+        dedup_exact_stream,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append({"event_id": i % 10, "payload": f"p{i % 5}", "ts_ms": 1_700_000_000_000 + i * 1000})
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("payload", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .select(F.from_json("value", schema).alias("e"))
+        .select("e.*", F.timestamp_millis(F.col("e.ts_ms")).alias("ts"))
+    )
+
+    by_key = run_to_memory(
+        dedup_exact_stream(stream, ["event_id"], delay="10 minutes"),
+        output_mode="append",
+        checkpoint=str(tmp_path / "ck1"),
+    ).collect()
+    assert sorted(r["event_id"] for r in by_key) == list(range(10))
+    # first arrival wins: event_id k keeps ts_ms offset k*1000
+    assert all(r["ts_ms"] == 1_700_000_000_000 + r["event_id"] * 1000 for r in by_key)
+
+    by_content = run_to_memory(
+        dedup_content_stream(stream, ["payload"], delay="10 minutes"),
+        output_mode="append",
+        checkpoint=str(tmp_path / "ck2"),
+    ).collect()
+    assert sorted(r["payload"] for r in by_content) == [f"p{i}" for i in range(5)]

@@ -835,6 +835,46 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
 
 
+def window_points_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 batch-global array-ification (ClusterAnalyser.scala:62-65):
+    collapse each 5-minute window into ONE JSON message listing its
+    points.  The reference does repartition(1)+glom+mkString; here
+    the same shape is a window groupBy + sorted collect_list — one
+    shuffle, no single-partition bottleneck, JSON built with explicit
+    string assembly so both engines produce byte-identical output."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    return (
+        e.select(
+            F.window("ts", "5 minutes").start.alias("win_start"),
+            F.struct(F.col("event_id"), F.round("value", 2).alias("v")).alias("s"),
+        )
+        .groupBy("win_start")
+        .agg(F.array_sort(F.collect_list("s")).alias("pts"))
+        .select(
+            "win_start",
+            F.size("pts").alias("n_points"),
+            F.concat(
+                F.lit('{"points":['),
+                F.array_join(F.transform("pts", lambda s: F.format_string(
+                    '{"event_id":%d,"value":%s}', s["event_id"], s["v"].cast("string")
+                )), ","),
+                F.lit("]}"),
+            ).alias("payload"),
+        )
+    )
+
+
+_WINDOW_JSON_SQL = """
+SELECT win_start, count(*) AS n_points,
+       '{"points":[' || string_agg(
+           '{"event_id":' || event_id || ',"value":' || CAST(round(value, 2) AS VARCHAR) || '}',
+           ',' ORDER BY event_id) || ']}' AS payload
+FROM (SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS win_start, event_id, value
+      FROM events WHERE event_type = 'error')
+GROUP BY win_start
+"""
+
+
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/stopword features."""
     d = _t(spark, sf_dir, "documents")
@@ -1734,6 +1774,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
     "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
     "q15_top_suppliers": (q15_top_suppliers, _Q15_SQL),
+    "window_points_json": (window_points_json, _WINDOW_JSON_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
 }

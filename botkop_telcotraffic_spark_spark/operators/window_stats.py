@@ -97,6 +97,16 @@ def windowed_stats(
     """
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
+    # A sliding window explodes every row into window/slide copies
+    # (15x at 30s/2s) INSIDE the scan stage, before the aggregation
+    # shuffle.  If the scan is narrower than the cluster, widen it
+    # first — one small pre-explosion shuffle beats a single-threaded
+    # 15x Generate.  No-op on streams and on scans already wide
+    # (i.e. any production-scale input).
+    if slide and not df.isStreaming:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
     if slide and two_phase:
         window_ms, slide_ms = _duration_ms(window), _duration_ms(slide)
         assert window_ms % slide_ms == 0, "window must be a multiple of slide"

@@ -74,6 +74,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Whole-stage codegen across many distinct queries in one JVM
+        # fills the default 240 MB code cache; once full, HotSpot
+        # stops JIT-compiling new generated classes and hot operators
+        # run interpreted (observed: 3-5x slowdowns late in a query
+        # suite).  Give codegen room + let cold methods be flushed.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

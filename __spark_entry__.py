@@ -875,6 +875,65 @@ GROUP BY win_start
 """
 
 
+def rollup_multires_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: 10-minute stats per
+    event_type composed from 1-minute MERGEABLE partials
+    (operators/window_stats.py::windowed_stat_partials/rollup_partials).
+    The raw table is scanned once regardless of how many resolutions
+    are served; the oracle recomputes directly from raw events with
+    the identical (sum, sumsq) finalization."""
+    e = _t(spark, sf_dir, "events")
+    p = window_stats.windowed_stat_partials(e, "ts", ["event_type"], "value", "1 minute")
+    return window_stats.rollup_partials(p, ["event_type"], "10 minutes", round_digits=6)
+
+
+_MULTIRES_SQL = """
+SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start, event_type,
+       count(value) AS n,
+       round(sum(value) / count(value), 6) AS mean,
+       round(sqrt(greatest(0.0,
+             sum(value * value) / count(value)
+             - (sum(value) / count(value)) * (sum(value) / count(value)))), 6) AS stdev,
+       max(value) AS vmax, min(value) AS vmin
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def metrics_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-column surface (reference metrics: Map[String,Double],
+    package.scala:34; map ops at MetricStats.scala:30,
+    ClusterAnalyser.scala:24): assemble a per-user metric map with
+    map_from_entries, prune it with map_filter (P2 dimension
+    whitelist analog), then explode to (user, metric, value) stats.
+    The map is built and consumed JVM-side; the oracle computes the
+    equivalent relational form."""
+    e = _t(spark, sf_dir, "events")
+    per_metric = e.groupBy("user_id", "event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_v")
+    )
+    per_user = per_metric.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "avg_v")))
+        ).alias("m")
+    )
+    pruned = per_user.select(
+        "user_id",
+        F.map_filter(F.col("m"), lambda k, _: k.isin("click", "error")).alias("m"),
+    )
+    return pruned.select(
+        "user_id", F.explode("m").alias("metric", "avg_value")
+    )
+
+
+_METRICS_MAP_SQL = """
+SELECT user_id, event_type AS metric, round(avg(value), 6) AS avg_value
+FROM events
+WHERE event_type IN ('click', 'error')
+GROUP BY user_id, event_type
+"""
+
+
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/stopword features."""
     d = _t(spark, sf_dir, "documents")
@@ -1775,6 +1834,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
     "q15_top_suppliers": (q15_top_suppliers, _Q15_SQL),
     "window_points_json": (window_points_json, _WINDOW_JSON_SQL),
+    "rollup_multires_stats": (rollup_multires_stats, _MULTIRES_SQL),
+    "metrics_map_stats": (metrics_map_stats, _METRICS_MAP_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
 }

@@ -152,3 +152,70 @@ def windowed_stats(
         *key_cols,
         *STAT_FIELDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution rollup (hypertable-style continuous aggregate)
+
+PARTIAL_FIELDS = ("n", "s", "ss", "vmax", "vmin")
+
+
+def windowed_stat_partials(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    window: str,
+) -> DataFrame:
+    """Tumbling-window MERGEABLE partial states per key:
+    (window_start, *keys, n, s, ss, vmax, vmin).
+
+    This is the materialize-once layer of a multi-resolution rollup:
+    partials at the finest resolution are stored (e.g. per minute)
+    and every coarser resolution aggregates the *partials*, never the
+    raw events — at 100 TB the raw table is scanned exactly once no
+    matter how many resolutions are served.  (sum, sumsq) is the
+    classic mergeable form of (mean, stdev); cancellation is only a
+    concern when |mean| >> stdev."""
+    v = F.col(value_col).cast("double")
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("w"), *key_cols)
+        .agg(
+            F.count(v).alias("n"),
+            F.sum(v).alias("s"),
+            F.sum(v * v).alias("ss"),
+            F.max(v).alias("vmax"),
+            F.min(v).alias("vmin"),
+        )
+        .select(F.col("w.start").alias("window_start"), *key_cols, *PARTIAL_FIELDS)
+    )
+
+
+def rollup_partials(
+    partials: DataFrame,
+    key_cols: Sequence[str],
+    coarse_window: str,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Combine fine-grained partials into coarser windows and finalize
+    to (n, mean, stdev, vmax, vmin).  ``coarse_window`` must be a
+    multiple of the partials' window.  One shuffle over the (already
+    tiny) partial table; stdev is population (StatCounter parity)."""
+    coarse = F.window(F.col("window_start"), coarse_window).alias("w")
+    n = F.sum("n")
+    mean = F.sum("s") / n
+    var = F.greatest(F.lit(0.0), F.sum("ss") / n - mean * mean)
+    stdev = F.sqrt(var)
+    if round_digits is not None:
+        mean, stdev = F.round(mean, round_digits), F.round(stdev, round_digits)
+    return (
+        partials.groupBy(coarse, *key_cols)
+        .agg(
+            n.alias("n"),
+            mean.alias("mean"),
+            stdev.alias("stdev"),
+            F.max("vmax").alias("vmax"),
+            F.min("vmin").alias("vmin"),
+        )
+        .select(F.col("w.start").alias("window_start"), *key_cols, *STAT_FIELDS)
+    )

@@ -373,3 +373,26 @@ def test_orc_roundtrip_lossless(spark, tmp_path):
     back = read_orc(spark, p)
     assert back.schema == e.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, e.collect()))
+
+
+def test_rollup_partials_match_direct(spark):
+    """Composing 1-minute partials into 10-minute windows equals
+    computing the 10-minute stats directly from raw events (to 6
+    rounded digits — the mergeable (sum,sumsq) finalization)."""
+    from botkop_telcotraffic_spark_spark.operators.window_stats import (
+        rollup_partials,
+        windowed_stat_partials,
+        windowed_stats,
+    )
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    e = load_table(spark, SF_DIR_001, "events")
+    p = windowed_stat_partials(e, "ts", ["user_id"], "value", "1 minute")
+    composed = rollup_partials(p, ["user_id"], "10 minutes", round_digits=4)
+    direct = windowed_stats(
+        e, "ts", ["user_id"], "value", window="10 minutes", round_digits=4
+    ).select(*composed.columns)
+    assert sorted(map(tuple, composed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -934,6 +934,23 @@ GROUP BY user_id, event_type
 """
 
 
+def lloyd_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch Lloyd K-Means (iterative; operators/kmeans.py::lloyd_kmeans):
+    8 clusters, 3 rounds over the embeddings table, then final
+    assignments.  No SQL oracle — iterative algorithms are outside
+    single-statement SQL; correctness is covered by the deterministic
+    unit test (tests/test_operators.py::test_lloyd_kmeans_*) and the
+    driver's rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans.lloyd_kmeans(emb, "embedding", k=8, iterations=3)
+    assigned = kmeans.assign(
+        emb.select("vec_id", F.col("embedding").alias("point")), cents
+    )
+    return assigned.select(
+        "vec_id", "prediction", F.round("distance", 6).alias("distance")
+    )
+
+
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/stopword features."""
     d = _t(spark, sf_dir, "documents")
@@ -1836,6 +1853,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "window_points_json": (window_points_json, _WINDOW_JSON_SQL),
     "rollup_multires_stats": (rollup_multires_stats, _MULTIRES_SQL),
     "metrics_map_stats": (metrics_map_stats, _METRICS_MAP_SQL),
+    "lloyd_kmeans_embeddings": (lloyd_kmeans_embeddings, None),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
 }

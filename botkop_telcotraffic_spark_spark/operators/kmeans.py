@@ -221,3 +221,68 @@ class StreamingKMeans:
         (ClusterAnalyser.scala:33,41)."""
         self.update(batch, vec_col)
         return assign(batch, self._centroid_df(batch.sparkSession), vec_col=vec_col)
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    iterations: int = 5,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Batch Lloyd's K-Means: deterministic data-spread seeding, then
+    ``iterations`` rounds of (distributed assign -> dimension-wise
+    mean recompute).  Returns the final (prediction, centroid) table.
+
+    Scale shape: per iteration one broadcast argmin (shuffle-free,
+    see ``assign``) + one (prediction, dim) aggregation shuffle of
+    posexploded points; ONLY the k x dim centroid table ever reaches
+    the driver.  Centroid means are rounded each round so results are
+    reproducible regardless of partitioning (AVG order-dependence).
+
+    Determinism: seeding takes k evenly-spaced rows of the distinct
+    lexicographically-sorted vectors (same spread trick as
+    StreamingKMeans seeding); everything downstream is a pure
+    function of those seeds.
+    """
+    spark = df.sparkSession
+    pts = df.select(F.col(vec_col).alias("point"))
+    distinct = pts.distinct()
+    n = distinct.count()
+    if n == 0:
+        return spark.createDataFrame([], "prediction int, centroid array<double>")
+    kk = min(k, n)
+    if kk == 1 or n == 1:
+        idxs = [1]
+    else:
+        idxs = sorted({round(i * (n - 1) / (kk - 1)) + 1 for i in range(kk)})
+    from pyspark.sql import Window
+
+    ranked = distinct.withColumn("rn", F.row_number().over(Window.orderBy("point")))
+    seeds = ranked.where(F.col("rn").isin(idxs)).orderBy("rn").collect()
+    cents = [[float(x) for x in r["point"]] for r in seeds]
+
+    for _ in range(iterations):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "prediction int, centroid array<double>",
+        )
+        assigned = assign(pts, cdf, vec_col="point")
+        means = (
+            assigned.select("prediction", F.posexplode("point").alias("d", "x"))
+            .groupBy("prediction", "d")
+            .agg(F.round(F.avg(F.col("x").cast("double")), round_digits).alias("m"))
+            .groupBy("prediction")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("_dm"))
+            .select(
+                "prediction",
+                F.transform(F.col("_dm"), lambda s: s["m"]).alias("centroid"),
+            )
+        ).collect()  # k rows
+        new = {r["prediction"]: list(r["centroid"]) for r in means}
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "prediction int, centroid array<double>",
+    )

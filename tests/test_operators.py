@@ -396,3 +396,35 @@ def test_rollup_partials_match_direct(spark):
     assert sorted(map(tuple, composed.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_lloyd_kmeans_deterministic_and_improving(spark):
+    """Lloyd iterations are deterministic (partitioning-independent)
+    and never increase the total within-cluster distance."""
+    from botkop_telcotraffic_spark_spark.operators.kmeans import assign, lloyd_kmeans
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    emb = load_table(spark, SF_DIR_001, "embeddings")
+    pts = emb.select("vec_id", F.col("embedding").alias("point"))
+
+    def cost(iters):
+        cents = lloyd_kmeans(emb, "embedding", k=4, iterations=iters)
+        a = assign(pts, cents)
+        return a.agg(F.sum("distance")).collect()[0][0], {
+            r["prediction"]: [round(x, 9) for x in r["centroid"]]
+            for r in cents.collect()
+        }
+
+    c1, cents_a = cost(1)
+    c3, _ = cost(3)
+    assert c3 <= c1 + 1e-9, f"cost went up: {c1} -> {c3}"
+    # determinism across a different input partitioning
+    _, cents_b = cost(1)
+    assert cents_a == cents_b
+    emb32 = emb.repartition(7)
+    cents_c = {
+        r["prediction"]: [round(x, 9) for x in r["centroid"]]
+        for r in lloyd_kmeans(emb32, "embedding", k=4, iterations=1).collect()
+    }
+    assert cents_a == cents_c

@@ -799,10 +799,14 @@ GROUP BY p_brand, p_type, p_size
 
 
 def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: an aggregated view referenced twice (revenue
-    per supplier, then the suppliers achieving the max).  The max is
-    a 1-row broadcast back onto the view — Spark materializes the
-    view's shuffle once and reuses it (ReusedExchange)."""
+    """TPC-H Q15 shape: aggregated revenue view, then the suppliers
+    achieving its max (ties included).  Expressed as rank() over the
+    per-supplier aggregate so the lineitem fact is scanned and
+    aggregated exactly ONCE — the naive max-subquery formulation
+    re-derives the whole aggregate for the scalar (two fact scans
+    unless exchange reuse happens to fire).  The global rank window
+    runs over only #suppliers rows (post-aggregate), so the single
+    partition it implies is bounded, not a fact-table sort."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -812,12 +816,16 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    top = (
+        revenue.withColumn(
+            "_rnk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
+        )
+        .where(F.col("_rnk") == 1)
+        .drop("_rnk")
+    )
     s = _t(spark, sf_dir, "supplier")
-    return (
-        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
-        .join(s, F.col("supplier_no") == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+    return top.join(s, F.col("supplier_no") == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
     )
 
 

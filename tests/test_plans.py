@@ -167,3 +167,33 @@ def test_assign_is_shuffle_free(spark):
 
     n_exchanges = len(re.findall(r"\bExchange (hash|range|SinglePartition)", plan))
     assert n_exchanges <= 3, plan
+
+
+def test_q18_broadcasts_having_set(spark):
+    """The post-HAVING qualifying-order set must broadcast back onto
+    orders (it is orders of magnitude smaller than the fact)."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR_001
+
+    plan = (
+        m.queries()["q18_large_volume_customers"](spark, SF_DIR_001)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-100 never global-sorts
+
+
+def test_q15_single_fact_scan(spark):
+    """Q15's max-revenue suppliers must derive from ONE lineitem scan
+    + one aggregation (rank over the aggregate), never a second
+    scan/aggregate for the scalar max."""
+    import re
+
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR_001
+
+    df = m.queries()["q15_top_suppliers"](spark, SF_DIR_001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan parquet.*lineitem", plan)) == 1, plan

@@ -388,3 +388,55 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         checkpoint=str(tmp_path / "ck2"),
     ).collect()
     assert sorted(r["payload"] for r in by_content) == [f"p{i}" for i in range(5)]
+
+
+def test_checkpoint_restart_no_double_count(spark, tmp_path):
+    """W4 checkpoint recovery: a windowed count query stopped and
+    restarted from its checkpoint processes appended data exactly
+    once (no re-aggregation of batch-1 rows)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("ts_ms", T.LongType())]
+    )
+
+    def write_batch(fname, rows):
+        (src / fname).write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+
+    def make_query():
+        stream = (
+            spark.readStream.format("text")
+            .load(str(src))
+            .select(F.from_json("value", schema).alias("e"))
+            .select("e.k", F.timestamp_millis(F.col("e.ts_ms")).alias("ts"))
+        )
+        counts = stream.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        return (
+            counts.writeStream.format("memory")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+        )
+
+    base = 1_700_000_000_000
+    write_batch("b1.jsonl", [{"k": "a", "ts_ms": base + i} for i in range(10)])
+    q = make_query().queryName("ckpt_run1").start()
+    q.awaitTermination()
+    got1 = {r["k"]: r["n"] for r in spark.table("ckpt_run1").collect()}
+    assert got1 == {"a": 10}
+
+    write_batch("b2.jsonl", [{"k": "a", "ts_ms": base + 100 + i} for i in range(5)] +
+                            [{"k": "b", "ts_ms": base + 200 + i} for i in range(3)])
+    q2 = make_query().queryName("ckpt_run2").start()
+    q2.awaitTermination()
+    got2 = {r["k"]: r["n"] for r in spark.table("ckpt_run2").collect()}
+    # complete-mode state restored from checkpoint: 10+5 a's, 3 b's —
+    # NOT 20 a's (double count) and NOT 5 (state loss)
+    assert got2 == {"a": 15, "b": 3}

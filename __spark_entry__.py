@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from botkop_telcotraffic_spark_spark.functions import textfn
 from botkop_telcotraffic_spark_spark.operators import (
     dedup,
+    sampling,
     enrich,
     geofence,
     graph,
@@ -959,6 +960,81 @@ def lloyd_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HASH_BUCKET_SQL = f"""list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(1, length('mix:' || CAST({{key}} AS VARCHAR))),
+                     i -> CAST(ascii(('mix:' || CAST({{key}} AS VARCHAR))[i]) AS BIGINT))),
+    (acc, c) -> (acc * {textfn.FP_BASE} + c) % {textfn.FP_MOD}) % 10000"""
+
+
+def sample_docs_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (corpus mixing):
+    per-language keep rates via hash-bucketing of doc_id — exactly
+    reproducible across engines/partitionings/re-runs, unlike
+    RNG-based df.sample (operators/sampling.py)."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_hash_sample(
+        d,
+        "doc_id",
+        "lang",
+        rates={"en": 0.5, "de": 1.0, "fr": 0.25},
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_HASH_BUCKET_SQL.format(key="doc_id")} <
+      CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+                WHEN 'fr' THEN 2500 ELSE 1000 END
+"""
+
+
+def train_val_test_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test assignment by hash-range of doc_id: a
+    key keeps its split across re-runs and corpus growth (leakage
+    prevention; operators/sampling.py::train_val_test_split)."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.train_val_test_split(d, "doc_id", 0.1, 0.1)
+    return out.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_SPLIT_SQL = f"""
+SELECT CASE WHEN b < 1000 THEN 'test' WHEN b < 2000 THEN 'val'
+            ELSE 'train' END AS split,
+       lang, count(*) AS n_docs
+FROM (SELECT lang, {_HASH_BUCKET_SQL.format(key="doc_id")} AS b FROM documents)
+GROUP BY 1, 2
+"""
+
+
+def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a 100k-token training mix in quality-priority order
+    (longest docs first, stable tiebreak): running-sum window + cut
+    (operators/sampling.py::token_budget_selection)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(textfn.words(F.col("text"))).alias("n_tokens"),
+    )
+    out = sampling.token_budget_selection(
+        d, "n_tokens", [F.col("n_tokens").desc(), F.col("doc_id")], 100_000
+    )
+    return out.select("doc_id", "lang", "n_tokens", "running_tokens")
+
+
+_BUDGET_SQL = """
+SELECT doc_id, lang, n_tokens, running_tokens FROM (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS running_tokens
+  FROM (SELECT doc_id, lang, length(string_split(text, ' ')) AS n_tokens
+        FROM documents))
+WHERE running_tokens - n_tokens < 100000
+"""
+
+
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/stopword features."""
     d = _t(spark, sf_dir, "documents")
@@ -1862,6 +1938,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rollup_multires_stats": (rollup_multires_stats, _MULTIRES_SQL),
     "metrics_map_stats": (metrics_map_stats, _METRICS_MAP_SQL),
     "lloyd_kmeans_embeddings": (lloyd_kmeans_embeddings, None),
+    "sample_docs_stratified": (sample_docs_stratified, _SAMPLE_SQL),
+    "train_val_test_split_docs": (train_val_test_split_docs, _SPLIT_SQL),
+    "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
 }

@@ -1,0 +1,123 @@
+"""Deterministic sampling / splitting / budgeting for training-data
+pipelines (SURVEY.md §2.12 extension surface).
+
+Everything here is HASH-based, not RNG-based: ``df.sample()`` draws
+from a per-partition RNG, so results change with partitioning,
+retries, and engine — unacceptable for reproducible corpus builds
+and unverifiable against an oracle.  A rolling-hash of a stable key
+gives sampling that is (a) deterministic across engines and
+partitionings, (b) stable under re-runs and late-arriving shards,
+(c) pure scan-side column math — no shuffle, no state.
+
+The hash is the engine-wide rolling fingerprint
+(functions/textfn.rolling_fingerprint, h*131+c mod 1e9+7) over the
+stable id rendered as a string, so DuckDB reproduces every decision
+bit-exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import rolling_fingerprint
+
+
+HASH_SALT = "mix:"
+
+
+def hash_bucket(key: Column, buckets: int = 10_000, salt: str = HASH_SALT) -> Column:
+    """Stable bucket in [0, buckets) from any key column (rendered as
+    string, salt-prefixed, rolling-hash fingerprinted).
+
+    The salt prefix is load-bearing, not optional: a bare 1-3 char
+    key folds to a hash below ~2M, so short ids would concentrate in
+    the low buckets (every 1-digit id would land in 'test').  The
+    prefix guarantees >= 5 fold steps, which saturates the modulus
+    and uniformizes the buckets; it also namespaces decisions so
+    independent samples of the same corpus can use different salts.
+    """
+    return rolling_fingerprint(F.concat(F.lit(salt), key.cast("string"))) % buckets
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Keep each row iff its key's hash bucket falls under its
+    stratum's rate — per-stratum downsampling (corpus mixing) that
+    every engine and every re-run reproduces exactly.
+
+    ``rates``: stratum value -> keep fraction in [0, 1].
+    """
+    b = hash_bucket(F.col(key_col), buckets)
+    thresh = None
+    for value, rate in rates.items():
+        cond = F.col(stratum_col) == value
+        t = F.lit(int(rate * buckets))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = thresh.otherwise(int(default_rate * buckets))
+    return df.where(b < thresh)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    buckets: int = 10_000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign a stable split label per key: hash-range partitioning of
+    the bucket space (test lowest, then val, rest train).  A key
+    lands in the same split forever — across engines, re-runs, and
+    dataset growth — which is the property that prevents train/test
+    leakage in periodically-rebuilt corpora."""
+    b = hash_bucket(F.col(key_col), buckets)
+    t_hi = int(test_fraction * buckets)
+    v_hi = t_hi + int(val_fraction * buckets)
+    label = (
+        F.when(b < t_hi, F.lit("test"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(split_col, label)
+
+
+def token_budget_selection(
+    df: DataFrame,
+    token_count_col: str,
+    priority_cols: Sequence[str],
+    budget: int,
+) -> DataFrame:
+    """Select documents in priority order until the running token sum
+    exceeds ``budget`` (the last admitted doc may cross it) — the
+    standard "fill the training mix to N tokens" step.
+
+    Physical shape: one global window ordered by ``priority_cols``
+    computing the running sum.  A single-direction running sum over
+    the full corpus implies a range-partitioned sort (Spark handles
+    the global ordering via range exchange); at 100 TB pre-filter to
+    the plausible budget neighborhood first (e.g. top-k by priority
+    with k ~ budget / median_tokens) before the exact pass.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(c) if isinstance(c, str) else c for c in priority_cols]
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = F.sum(F.col(token_count_col)).over(w)
+    return (
+        df.withColumn("_running_tokens", run)
+        .where(
+            (F.col("_running_tokens") - F.col(token_count_col)) < F.lit(budget)
+        )
+        .withColumnRenamed("_running_tokens", "running_tokens")
+    )

@@ -428,3 +428,41 @@ def test_lloyd_kmeans_deterministic_and_improving(spark):
         for r in lloyd_kmeans(emb32, "embedding", k=4, iterations=1).collect()
     }
     assert cents_a == cents_c
+
+
+def test_hash_split_stable_under_partitioning_and_growth(spark):
+    """Hash-based split/sample decisions are per-key pure functions:
+    identical under repartitioning and unchanged when the corpus
+    grows (no train/test leakage on rebuilds)."""
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        stratified_hash_sample,
+        train_val_test_split,
+    )
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    d = load_table(spark, SF_DIR_001, "documents")
+    full = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(d, "doc_id").select("doc_id", "split").collect()
+    }
+    rep = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(d.repartition(7), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert full == rep
+    half = d.where(F.col("doc_id") % 2 == 0)
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(half, "doc_id").select("doc_id", "split").collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+    assert 0.05 < sum(v == "test" for v in full.values()) / len(full) < 0.2
+
+    kept = {r["doc_id"] for r in stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.5}, default_rate=1.0).collect()}
+    kept_rep = {r["doc_id"] for r in stratified_hash_sample(
+        d.repartition(5), "doc_id", "lang", {"en": 0.5}, default_rate=1.0).collect()}
+    assert kept == kept_rep

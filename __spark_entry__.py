@@ -1035,6 +1035,35 @@ WHERE running_tokens - n_tokens < 100000
 """
 
 
+def sql_text_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL text surface: register the warehouse as views
+    and run a query through spark.sql — same Catalyst plan as the
+    DataFrame API (sources/tables.py::register_views)."""
+    tune(spark)
+    from botkop_telcotraffic_spark_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 4) AS avg_price
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_SQL_SURFACE_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+"""
+
+
 def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/diversity/stopword features."""
     d = _t(spark, sf_dir, "documents")
@@ -1941,6 +1970,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sample_docs_stratified": (sample_docs_stratified, _SAMPLE_SQL),
     "train_val_test_split_docs": (train_val_test_split_docs, _SPLIT_SQL),
     "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
+    "sql_text_surface": (sql_text_surface, _SQL_SURFACE_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
 }

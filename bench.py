@@ -29,19 +29,29 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "q15_top_suppliers",
+    "q16_parts_supplier_counts",
+    "q18_large_volume_customers",
     "stats_user_sliding",
+    "rollup_multires_stats",
     "iqr_outliers_events",
     "latest_order_enrich",
     "geofence_polygon_events",
+    "dedup_exact_docs",
     "jaccard_near_dup_docs",
     "minhash_lsh_candidates",
     "simhash_near_dup_candidates",
+    "embedding_near_dup",
+    "tfidf_top_terms",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "kmeans_label_assign",
     "asof_click_before_error",
     "window_analytics_events",
     "session_windows_users",
+    "token_budget_docs",
 ]
 
 

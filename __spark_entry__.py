@@ -1903,6 +1903,618 @@ FROM w
 
 
 # ---------------------------------------------------------------------------
+# TPC-H remainder (Q2/Q4/Q7-Q12/Q14/Q17/Q19-Q22 shapes, adapted to the
+# simplified synthetic schema: lineitem stands in for partsupp, late
+# shipment for commit/receipt dates).  These widen the relational
+# surface (multi-way joins, semi/anti joins, correlated thresholds,
+# scalar subqueries, disjunctive pushdown) — SURVEY.md §2.4/§2.5
+# "absent in reference, native in Spark" checklist items.
+
+
+def _supp_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier in a region,
+    i.e. a correlated min over a grouped join.  Expressed as a window
+    min partitioned by part — one shuffle on partkey, no re-scan for
+    the correlated scalar.  Cost uses min(price/qty), which is
+    order-insensitive and bit-exact across engines (no rounding)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 25)
+    )
+    sn = (
+        _supp_nation(spark, sf_dir)
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    joined = ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey).join(
+        F.broadcast(sn), ps.l_suppkey == sn.s_suppkey
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("_min_cost", F.min("supply_cost").over(w))
+        .where(F.col("supply_cost") == F.col("_min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+    )
+
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supply_cost
+FROM ps
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_type = 'SMALL' AND p_size <= 25 AND r_name = 'EUROPE'
+  AND supply_cost = (
+    SELECT min(ps2.supply_cost) FROM ps ps2
+    JOIN supplier s2 ON ps2.l_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join with a non-equi residual
+    (late shipment stands in for commit<receipt).  Spark plans a
+    left-semi hash join on orderkey with the date predicate as a
+    post-join filter — no duplicate inflation, one shuffle."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-way join with a symmetric nation-pair
+    predicate, grouped by both nations and year.  Both nation sides
+    are broadcast (25 rows); the only big shuffle is lineitem⋈orders."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = (
+        _supp_nation(spark, sf_dir)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional-sum ratio per year (market share
+    of one supplier nation inside one customer region, for one part
+    type).  All dimensions broadcast; single fact aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    c = _t(spark, sf_dir, "customer")
+    cr = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    sn = _supp_nation(spark, sf_dir).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cr, o.o_custkey == cr.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q8_SQL = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01')
+GROUP BY o_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year over a
+    part-name substring filter.  Supply cost is synthesized from
+    p_retailprice (no partsupp table); the part filter is broadcast
+    so the name LIKE prunes the fact join early."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    sn = _supp_nation(spark, sf_dir).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.05 * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+_Q9_SQL = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - p_retailprice * 0.05 * l_quantity AS amount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%widget%')
+GROUP BY nation, o_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer for one
+    quarter, deterministic top-20 (rounded revenue desc, custkey as
+    the total-order tiebreak so LIMIT is engine-stable)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value with a HAVING threshold that
+    is a scalar fraction of the GLOBAL total — the scalar aggregate
+    is computed once and cross-joined (broadcast of a single row),
+    not recomputed per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    sn = _supp_nation(spark, sf_dir).where(
+        F.col("n_name").isin("NATION_3", "NATION_8")
+    ).select("s_suppkey")
+    base = li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey).select(
+        "l_partkey", "l_extendedprice"
+    )
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("_value")
+    )
+    total = base.agg((F.sum("l_extendedprice") * 0.001).alias("_threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("_value") > F.col("_threshold"))
+        .select("l_partkey", F.round("_value", 2).alias("part_value"))
+    )
+
+
+_Q11_SQL = """
+WITH base AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_8'))
+SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+FROM base
+GROUP BY l_partkey
+HAVING sum(l_extendedprice) > (SELECT sum(l_extendedprice) * 0.001 FROM base)
+"""
+
+
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + dual conditional count (high/low
+    priority orders per return flag; return flag stands in for
+    shipmode).  Counts are integers — exact across engines."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — a
+    conditional-sum ratio over a broadcast part join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                * 100.0
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4)
+         AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average-quantity
+    threshold (rows below half of their part's mean quantity).  The
+    per-part aggregate is computed once and joined back — the
+    correlated scalar subquery decorrelated by hand.  l_quantity is
+    integer-valued, so avg is bit-exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    narrowed = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    thresh = narrowed.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("_qty_lim")
+    )
+    return (
+        narrowed.join(F.broadcast(thresh), F.col("l_partkey") == F.col("_pk"))
+        .where(F.col("l_quantity") < F.col("_qty_lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT avg(l_quantity) * 0.5 FROM lineitem li2
+                    WHERE li2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/qty
+    predicates across the join — Catalyst pushes the common part
+    (the join key) and CNF-extracts what it can to the scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than 30% of some
+    bolt part's total quantity — a semi-join against a grouped
+    threshold (shipped-quantity share stands in for availqty).
+    Quantity sums are integer-valued, so the threshold compare is
+    exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("bolt")).select(
+        "p_partkey"
+    )
+    narrowed = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    per_supp = narrowed.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("_supp_qty")
+    )
+    per_part = narrowed.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.sum("l_quantity") * 0.3).alias("_part_lim")
+    )
+    excess = (
+        per_supp.join(F.broadcast(per_part), F.col("l_partkey") == F.col("_pk"))
+        .where(F.col("_supp_qty") > F.col("_part_lim"))
+        .select("l_suppkey")
+    )
+    sn = _supp_nation(spark, sf_dir)
+    return (
+        sn.join(excess, sn.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+    )
+
+
+_Q20_SQL = """
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+    GROUP BY l_partkey, l_suppkey) s
+  JOIN (
+    SELECT l_partkey AS pk, sum(l_quantity) * 0.3 AS part_lim
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+    GROUP BY l_partkey) t
+  ON s.l_partkey = t.pk
+  WHERE s.supp_qty > t.part_lim)
+"""
+
+
+def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: on multi-supplier 'F' orders, find the
+    supplier that is the ONLY one with returned ('R') lines — the
+    exists/not-exists pair collapsed into one grouped pass over the
+    order's lineitems (distinct suppliers vs distinct failing
+    suppliers), attributing the order to its single failer."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        o, F.col("l_orderkey") == o.o_orderkey, "left_semi"
+    )
+    failing = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(failing).alias("_n_fail"),
+        F.min(failing).alias("_fail_supp"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        per_order.where((F.col("_n_supp") >= 2) & (F.col("_n_fail") == 1))
+        .groupBy("_fail_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("_fail_supp") == s.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, numwait FROM (
+  SELECT fail_supp, count(*) AS numwait FROM (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN l_returnflag = 'R'
+                               THEN l_suppkey END) AS n_fail,
+           min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS fail_supp
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderstatus = 'F')
+    GROUP BY l_orderkey)
+  WHERE n_supp >= 2 AND n_fail = 1
+  GROUP BY fail_supp)
+JOIN supplier ON fail_supp = s_suppkey
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the global positive-balance
+    average (scalar subquery, broadcast single row) with NO orders
+    (anti-join), counted per market segment."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT c_mktsegment, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0
+                     AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE',
+                                          'MACHINERY'))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -1973,6 +2585,20 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sql_text_surface": (sql_text_surface, _SQL_SURFACE_SQL),
     "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
+    "q4_order_priority": (q4_order_priority, _Q4_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
+    "q8_market_share": (q8_market_share, _Q8_SQL),
+    "q9_product_profit": (q9_product_profit, _Q9_SQL),
+    "q10_returned_items": (q10_returned_items, _Q10_SQL),
+    "q11_important_parts": (q11_important_parts, _Q11_SQL),
+    "q12_priority_classes": (q12_priority_classes, _Q12_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
+    "q20_excess_share_suppliers": (q20_excess_share_suppliers, _Q20_SQL),
+    "q21_sole_failing_supplier": (q21_sole_failing_supplier, _Q21_SQL),
+    "q22_idle_rich_customers": (q22_idle_rich_customers, _Q22_SQL),
 }
 
 

@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot, euclidean
+from ..functions.vector import dot, euclidean, norm
+
+def _paired_cosine():
+    """Pair cosine from per-row precomputed norms: norms cost O(n·d)
+    once per side instead of O(pairs·d) inside the join, and the
+    doubles are identical to computing cosine() per pair (same sqrt
+    of the same fold), so oracle hashes don't move."""
+    return dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
 
 # Deterministic integer hyperplanes (shared with oracle SQL):
 # hp[p][d] = ((p*31 + d*17) % 7) - 3, for plane p, dim d.
@@ -58,16 +65,20 @@ def brute_force_topk(
     Excludes self-matches.  Deterministic rank tiebreak on neighbor id.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     sims = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine_sim", _paired_cosine())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -86,12 +97,26 @@ def near_dup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold)."""
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_av"))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_bv"))
+    a = df.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("_av"),
+        norm(F.col(vec_col)).alias("_an"),
+    )
+    b = df.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("_bv"),
+        norm(F.col(vec_col)).alias("_bn"),
+    )
+    # Per-row norms are computed once per side (O(n·d)); each of the
+    # O(n^2) pairs then costs a single dot — same doubles as the
+    # per-pair cosine(), so oracle hashes are unchanged.
     return (
         a.crossJoin(b)
         .where(F.col("a") < F.col("b"))
-        .withColumn("cosine_sim", cosine(F.col("_av"), F.col("_bv")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")),
+        )
         .where(F.col("cosine_sim") >= threshold)
         .select("a", "b", F.round("cosine_sim", 6).alias("cosine_sim"))
     )
@@ -113,17 +138,19 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     sims = (
         q.join(c, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine_sim", _paired_cosine())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -160,12 +187,20 @@ def ivf_topk(
     from .kmeans import assign
 
     lists = assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            norm(F.col(vec_col)).alias("_cn"),
+        ),
         centroids,
         vec_col="_cv",
-    ).select("neighbor_id", "_cv", F.col("prediction").alias("cell"))
+    ).select("neighbor_id", "_cv", "_cn", F.col("prediction").alias("cell"))
     qcells = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            norm(F.col(vec_col)).alias("_qn"),
+        )
         .crossJoin(F.broadcast(centroids))
         .withColumn("_cdist", euclidean(F.col("_qv"), F.col("centroid")))
     )
@@ -173,12 +208,12 @@ def ivf_topk(
     probes = (
         qcells.withColumn("_pr", F.row_number().over(wq))
         .where(F.col("_pr") <= nprobe)
-        .select("query_id", "_qv", F.col("prediction").alias("cell"))
+        .select("query_id", "_qv", "_qn", F.col("prediction").alias("cell"))
     )
     sims = (
         probes.join(lists, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("cosine_sim", _paired_cosine())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

@@ -34,6 +34,11 @@ HEADLINE = [
     "q15_top_suppliers",
     "q16_parts_supplier_counts",
     "q18_large_volume_customers",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q21_sole_failing_supplier",
     "stats_user_sliding",
     "rollup_multires_stats",
     "iqr_outliers_events",

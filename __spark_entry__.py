@@ -1902,6 +1902,75 @@ FROM w
 """
 
 
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-token fraction +
+    duplicate-2gram fraction per document (operators/text.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return text.repetition_features(d, "doc_id", "text")
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), per_tok AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), tok_roll AS (
+  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_cnt,
+         count(*) AS n_distinct_tokens
+  FROM per_tok GROUP BY doc_id
+), grams AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
+  WHERE len(w) >= 2
+), gram_roll AS (
+  SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct_grams
+  FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       round(CAST(t.top_cnt AS DOUBLE) / t.n_tokens, 6) AS top_token_frac,
+       round(1 - CAST(g.n_distinct_grams AS DOUBLE) / g.n_grams, 6)
+         AS dup_2gram_frac
+FROM tok_roll t LEFT JOIN gram_roll g USING (doc_id)
+"""
+
+
+def range_join_clicks_before_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (operators/asof.py::range_join): each
+    error event counts the same user's clicks in the trailing
+    10 minutes.  Equi-shuffle on user, range as residual."""
+    e = _t(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    from botkop_telcotraffic_spark_spark.operators import asof
+
+    joined = asof.range_join(
+        errors, clicks, key="user_id", left_ts="ts", right_ts="c_ts",
+        lower="10 MINUTES", right_key="c_user",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("c_id").alias("n_recent_clicks")
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT e.event_id, e.user_id, count(c.event_id) AS n_recent_clicks
+FROM events e
+LEFT JOIN events c
+  ON c.event_type = 'click' AND c.user_id = e.user_id
+  AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H remainder (Q2/Q4/Q7-Q12/Q14/Q17/Q19-Q22 shapes, adapted to the
 # simplified synthetic schema: lineitem stands in for partsupp, late
@@ -2599,6 +2668,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q20_excess_share_suppliers": (q20_excess_share_suppliers, _Q20_SQL),
     "q21_sole_failing_supplier": (q21_sole_failing_supplier, _Q21_SQL),
     "q22_idle_rich_customers": (q22_idle_rich_customers, _Q22_SQL),
+    "repetition_docs": (repetition_docs, _REPETITION_SQL),
+    "range_join_clicks_before_errors": (
+        range_join_clicks_before_errors,
+        _RANGE_JOIN_SQL,
+    ),
 }
 
 

@@ -77,3 +77,43 @@ def asof_join(
         F.col("_rt").alias(f"asof_{right_ts}"),
         *[F.col(f"asof_{c}") for c in right_cols],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str | None = None,
+    right_key: str | None = None,
+) -> DataFrame:
+    """Interval/range join: pair each left row with every right row of
+    the same key whose timestamp falls in
+    ``[left_ts - lower, left_ts)`` (or ``(left_ts, left_ts + upper]``
+    bounds when ``upper`` is given instead of a trailing window).
+
+    Spark plans this as an equi-join on ``key`` with the range
+    predicate as a residual filter — the shuffle is keyed, so each
+    partition only compares within-key candidates (never a global
+    band sweep).  At 100 TB the key join bounds the blow-up; a key
+    whose interval density explodes is a data problem (salt or bucket
+    the time axis).
+
+    Left rows keep their identity; aggregate after joining (e.g.
+    count matches per left row) rather than asking this operator to —
+    composability over fused semantics.
+
+    Name the right side's columns distinctly (``right_key`` etc.) so
+    the joined output is unambiguous.
+    """
+    lo = F.expr(f"INTERVAL {lower}")
+    lcol = left[left_ts]
+    rcol = right[right_ts]
+    keq = left[key] == right[right_key or key]
+    cond = keq & (rcol >= lcol - lo) & (rcol < lcol)
+    if upper is not None:
+        up = F.expr(f"INTERVAL {upper}")
+        cond = keq & (rcol > lcol) & (rcol <= lcol + up)
+    return left.join(right, cond, "left_outer")

@@ -110,3 +110,50 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col), rolling_fingerprint(F.col(text_col)).alias("fingerprint")
     )
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per doc: the fraction of
+    tokens taken by the single most frequent token, and the fraction
+    of duplicate word 2-grams.
+
+    Heavily repetitive documents (boilerplate, generated spam) score
+    high on both; training-data pipelines filter on them alongside
+    the [[text_features]] quality score.
+
+    Physical shape: two explode→groupBy passes (token counts, then
+    per-doc rollup) — both shuffles are keyed on doc id + token, so
+    the operator scales with corpus size, never materializing a
+    per-doc vocabulary in one task.  Integer counts make every ratio
+    bit-exact across engines before the final round.
+    """
+    from ..functions.textfn import word_shingles
+
+    toks = df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("tok"))
+    per_tok = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_roll = per_tok.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("_top_cnt"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), 2)).alias("g"),
+    )
+    gram_roll = (
+        grams.groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("_n_grams"), F.count(F.lit(1)).alias("_n_distinct_grams"))
+    )
+    return (
+        tok_roll.join(gram_roll, "id", "left_outer")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round(F.col("_top_cnt") / F.col("n_tokens"), 6).alias("top_token_frac"),
+            F.round(
+                1 - F.col("_n_distinct_grams") / F.col("_n_grams"), 6
+            ).alias("dup_2gram_frac"),
+        )
+    )

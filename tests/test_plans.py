@@ -197,3 +197,37 @@ def test_q15_single_fact_scan(spark):
     df = m.queries()["q15_top_suppliers"](spark, SF_DIR_001)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"FileScan parquet.*lineitem", plan)) == 1, plan
+
+
+def test_q7_nation_filter_reaches_nation_scan(spark):
+    """The symmetric nation-pair disjunction must be inferred down to
+    the 25-row nation scans (Catalyst constraint propagation), and the
+    dims must broadcast -- the only big shuffle is lineitem x orders."""
+    df = entry_mod.q7_volume_shipping(spark, SF_DIR_001)
+    pf = pushed_filters(df)
+    assert any("n_name" in f for f in pf), f"nation name not pushed: {pf}"
+    assert has_broadcast_join(df)
+
+
+def test_q2_aggregates_lineitem_once(spark):
+    """Q2's correlated min is a window over the grouped join -- the
+    lineitem fact must be scanned exactly once (the naive correlated
+    formulation scans it twice)."""
+    df = entry_mod.q2_min_cost_supplier(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_range_join_is_keyed_not_cartesian(spark):
+    """The time-band predicate must ride an equi-join on user_id
+    (shuffle keyed per user), never a cartesian/BNLJ band sweep."""
+    df = entry_mod.range_join_clicks_before_errors(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    # any HASH-KEYED join is fine (broadcast-hash at tiny SF, sort-merge
+    # at scale); the band predicate must be the residual, not the key
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan

@@ -1902,6 +1902,42 @@ FROM w
 """
 
 
+def gap_filled_user_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (operators/timeseries.py): hourly
+    per-user event counts with explicit zero rows for empty hours
+    between each user's first and last event."""
+    from botkop_telcotraffic_spark_spark.operators import timeseries
+
+    e = _t(spark, sf_dir, "events")
+    filled = timeseries.gap_fill_counts(
+        e, key="user_id", ts_col="ts", step="1 hour", value_col="value"
+    )
+    return filled.select(
+        "user_id",
+        "bucket_start",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+_GAP_FILL_SQL = """
+WITH per AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         count(*) AS n, sum(value) AS sv
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+  FROM (SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+        FROM per GROUP BY user_id)
+)
+SELECT user_id, bucket_start,
+       coalesce(n, 0) AS n_events,
+       round(coalesce(sv, 0.0), 2) AS sum_value
+FROM spine LEFT JOIN per USING (user_id, bucket_start)
+"""
+
+
 def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: top-token fraction +
     duplicate-2gram fraction per document (operators/text.py)."""
@@ -2669,6 +2705,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q21_sole_failing_supplier": (q21_sole_failing_supplier, _Q21_SQL),
     "q22_idle_rich_customers": (q22_idle_rich_customers, _Q22_SQL),
     "repetition_docs": (repetition_docs, _REPETITION_SQL),
+    "gap_filled_user_hours": (gap_filled_user_hours, _GAP_FILL_SQL),
     "range_join_clicks_before_errors": (
         range_join_clicks_before_errors,
         _RANGE_JOIN_SQL,

@@ -75,13 +75,13 @@ def shingle_token_udf(k: int):
     rolling-hash tokens — the exact integer values of
     ``array_distinct(shingle_tokens_from_fps(word_fingerprints(text), k))``.
 
-    Exists because Catalyst evaluates higher-order functions
-    interpreted (no whole-stage codegen), which makes the pure-column
-    construction the scan bottleneck of every dedup/LSH operator
-    (~0.7 ms/doc measured at sf0.1); the Arrow batch path is ~10x
-    faster and scan-parallel, so it scales the same way.  Kept
-    value-identical so the DuckDB oracle still reproduces results
-    from the pure-SQL definition.
+    Kept for A/B because Catalyst evaluates higher-order functions
+    interpreted (no whole-stage codegen).  Current measurement at
+    sf0.1 (after the materialized-wf fix in token_postings): the
+    pure-column path wins warm (0.25s vs 0.44s for the full postings
+    scan) and ties cold — the Python worker round-trip costs more
+    than interpreted HOF evaluation at this shingle size.  Kept
+    value-identical so either path satisfies the DuckDB oracle.
     """
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType

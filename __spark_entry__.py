@@ -1938,6 +1938,67 @@ FROM spine LEFT JOIN per USING (user_id, bucket_start)
 """
 
 
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel (operators/funnel.py): users whose
+    first view precedes a click precedes a purchase."""
+    from botkop_telcotraffic_spark_spark.operators import funnel
+
+    e = _t(spark, sf_dir, "events")
+    return funnel.funnel_stages(
+        e, entity="user_id", ts_col="ts", type_col="event_type",
+        stages=["view", "click", "purchase"],
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 0 AS stage_idx, 'view' AS stage, count(*) AS n_entities FROM v
+UNION ALL
+SELECT 1, 'click', count(*) FROM c
+UNION ALL
+SELECT 2, 'purchase', count(*) FROM p
+"""
+
+
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators/funnel.py): users grouped by
+    first-seen week, counted when active N weeks later."""
+    from botkop_telcotraffic_spark_spark.operators import funnel
+
+    e = _t(spark, sf_dir, "events")
+    return funnel.cohort_retention(
+        e, entity="user_id", ts_col="ts", period="week", max_offset=4
+    )
+
+
+_COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_start
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS p
+  FROM events
+)
+SELECT cohort_start,
+       CAST(date_diff('day', cohort_start, p) / 7 AS INT) AS "offset",
+       count(*) AS n_active
+FROM active JOIN first USING (user_id)
+WHERE date_diff('day', cohort_start, p) / 7 <= 4
+GROUP BY 1, 2
+"""
+
+
 def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: top-token fraction +
     duplicate-2gram fraction per document (operators/text.py)."""
@@ -2706,6 +2767,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q22_idle_rich_customers": (q22_idle_rich_customers, _Q22_SQL),
     "repetition_docs": (repetition_docs, _REPETITION_SQL),
     "gap_filled_user_hours": (gap_filled_user_hours, _GAP_FILL_SQL),
+    "funnel_view_click_purchase": (funnel_view_click_purchase, _FUNNEL_SQL),
+    "cohort_weekly_retention": (cohort_weekly_retention, _COHORT_SQL),
     "range_join_clicks_before_errors": (
         range_join_clicks_before_errors,
         _RANGE_JOIN_SQL,

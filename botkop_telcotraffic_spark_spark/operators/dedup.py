@@ -95,6 +95,29 @@ def token_postings(
     return toks_df.select(*cols, F.explode("toks").alias("tok"))
 
 
+def _spread_buckets(grouped: DataFrame, spread: bool, *keys: str) -> DataFrame:
+    """Optionally pin pair-explosion parallelism before ``bucket_pairs``.
+
+    AQE coalesces the grouped bucket relation by BYTES, but the pair
+    explosion is O(width²) of its input — a byte-tiny coalesced
+    partition can hide a compute-heavy Generate (the sf0.1 SimHash
+    candidate stage runs in ONE task).  ``spread=True`` inserts one
+    explicit exchange (user-specified partitioning — AQE won't
+    re-coalesce it) so the explosion runs at full shuffle width.
+
+    Off by default: with narrow buckets (df-pruned Jaccard, banded
+    MinHash/SimHash at bench scale) the extra exchange costs more
+    than the skew it cures — measured +0.2-0.3 s per query at sf0.1.
+    Turn it on for corpora whose bucket width (and thus per-bucket
+    pair count) is large: that is exactly when one coalesced task
+    would serialize the quadratic work.
+    """
+    if not spread:
+        return grouped
+    n = int(grouped.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return grouped.repartition(n, *[F.col(k) for k in keys])
+
+
 def bucket_pairs(grouped_members: "F.Column") -> "F.Column":
     """All ordered pairs (i < j) from a sorted array column — the
     pair-explosion half of the bucket-join pattern.  Members may be
@@ -124,6 +147,7 @@ def jaccard_pairs(
     text_col: str,
     k: int = 3,
     max_doc_freq: int | None = None,
+    spread: bool = False,
 ) -> DataFrame:
     """All candidate pairs (a < b) sharing >= 1 k-shingle with their
     Jaccard similarity: |A∩B| / (|A| + |B| - |A∩B|).
@@ -144,8 +168,12 @@ def jaccard_pairs(
             "tok",
             "left_anti",
         )
-    grouped = post.groupBy("tok").agg(
-        F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("xs")
+    grouped = _spread_buckets(
+        post.groupBy("tok").agg(
+            F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("xs")
+        ),
+        spread,
+        "tok",
     )
     inter = (
         grouped.select(F.explode(bucket_pairs(F.col("xs"))).alias("p"))
@@ -216,7 +244,7 @@ def simhash_signatures(
 
 
 def simhash_band_candidates(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, spread: bool = False
 ) -> DataFrame:
     """Near-dup candidate pairs via byte-band matching on SimHash:
     pairs agreeing on >= 1 of 4 bytes, with their exact hamming
@@ -238,8 +266,13 @@ def simhash_band_candidates(
     buckets = sig.select(
         "id", "simhash", F.explode(band_structs).alias("bb")
     ).select("id", "simhash", "bb.band", "bb.byte")
-    grouped = buckets.groupBy("band", "byte").agg(
-        F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("xs")
+    grouped = _spread_buckets(
+        buckets.groupBy("band", "byte").agg(
+            F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("xs")
+        ),
+        spread,
+        "band",
+        "byte",
     )
     pairs = (
         grouped.select(F.explode(bucket_pairs(F.col("xs"))).alias("p"))
@@ -262,6 +295,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     bands: int = 8,
     rows_per_band: int = 2,
+    spread: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on all rows of >= 1 band.
 
@@ -289,8 +323,13 @@ def minhash_lsh_pairs(
     buckets = sig.select("id", F.explode(band_structs).alias("bb")).select(
         "id", "bb.band", "bb.bkey"
     )
-    grouped = buckets.groupBy("band", "bkey").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
+    grouped = _spread_buckets(
+        buckets.groupBy("band", "bkey").agg(
+            F.sort_array(F.collect_list("id")).alias("ids")
+        ),
+        spread,
+        "band",
+        "bkey",
     )
     return (
         grouped.select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))

@@ -137,3 +137,46 @@ def frame_sample_plan(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, content_col).mapInPandas(process, out_schema)
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    codec: Callable[[bytes, int, int], bytes] | None = None,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Image resize: (id, content) -> (id, content) at the target
+    dimensions, meta.width/height rewritten when a meta struct rides
+    along.  Same Arrow-batched mapInPandas plumbing as
+    decode_features; codec is ``(bytes, w, h) -> bytes`` (no image
+    libraries in this container — inject one, tests use a
+    deterministic fake)."""
+    if codec is None:
+        _default_codec(b"")  # raises with guidance
+    has_meta = "meta" in df.columns
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+    if has_meta:
+        fields.append(T.StructField("meta", MEDIA_META))
+    out_schema = T.StructType(fields)
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                id_col: pdf[id_col].values,
+                "content": [codec(b, width, height) for b in pdf[content_col]],
+            }
+            if has_meta:
+                out["meta"] = [
+                    {**(m or {}), "width": width, "height": height}
+                    for m in pdf["meta"]
+                ]
+            yield pd.DataFrame(out)
+
+    cols = [id_col, content_col] + (["meta"] if has_meta else [])
+    return df.select(*cols).mapInPandas(process, out_schema)

@@ -232,6 +232,18 @@ def test_multimodal_decode_with_injected_codec(spark):
         by_media.setdefault(r["media_id"], []).append((r["frame_idx"], r["frame"]))
     assert sorted(by_media[2]) == [(0, bytearray(b"bb")), (1, bytearray(b"bb")), (2, bytearray(b"bb"))]
 
+    from botkop_telcotraffic_spark_spark.operators.multimodal import resize_images
+
+    def fake_resize(content: bytes, w: int, h: int) -> bytes:
+        return content[: w * h // 8] or b"\x00"
+
+    resized = {
+        r["media_id"]: r for r in resize_images(df, 4, 4, codec=fake_resize).collect()
+    }
+    assert bytes(resized[1]["content"]) == b"aa"
+    assert resized[1]["meta"]["width"] == 4 and resized[1]["meta"]["height"] == 4
+    assert resized[2]["meta"]["mime"] == "image/png"  # meta rides along
+
 
 def test_asof_join_tolerance_and_equality(spark):
     """As-of join: equal timestamps match; tolerance drops stale

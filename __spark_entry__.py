@@ -534,8 +534,13 @@ FROM documents GROUP BY md5(text)
 # Shared oracle CTE: distinct 3-word-shingle postings per doc, as
 # integer tokens composed from per-word rolling fingerprints
 # (mirrors dedup.token_postings / textfn.shingle_token_array).
+# Parameterized by the source relation so composed pipelines can
+# build postings over a filtered survivor set.
 _B, _M = textfn.FP_BASE, textfn.FP_MOD
-_POSTINGS_CTE = f"""
+
+
+def _postings_cte(src: str = "documents") -> str:
+    return f"""
 post AS (
   SELECT doc_id AS id,
          unnest(list_distinct(list_transform(generate_series(1, len(wf) - 2),
@@ -548,9 +553,12 @@ post AS (
                       list_transform(generate_series(1, length(s)),
                                      j -> CAST(ascii(s[j]) AS BIGINT))),
                     (acc, c) -> (acc * {_B} + c) % {_M})) AS wf
-    FROM documents)
+    FROM {src})
 )
 """
+
+
+_POSTINGS_CTE = _postings_cte("documents")
 
 
 def jaccard_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,6 +1080,13 @@ def text_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOPWORD_LIST = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
+# Rounded quality-score expression, shared by the standalone quality
+# query and the corpus-curation pipeline's filter.
+_QUALITY_EXPR = f"""round(least(1.0, greatest(0.0,
+      0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
+      + 0.4 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+      + 0.2 * (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ({_STOPWORD_LIST}))) / len(string_split(text, ' '))))), 6)"""
+
 _QUALITY_SQL = f"""
 SELECT doc_id,
   length(text) AS n_chars_calc,
@@ -1080,10 +1095,7 @@ SELECT doc_id,
   round((length(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')), 6) AS avg_token_len,
   round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6) AS type_token_ratio,
   round(len(list_filter(string_split(text, ' '), w -> w IN ({_STOPWORD_LIST}))) / len(string_split(text, ' ')), 6) AS stopword_ratio,
-  round(least(1.0, greatest(0.0,
-      0.4 * least(1.0, len(string_split(text, ' ')) / 50.0)
-      + 0.4 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
-      + 0.2 * (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ({_STOPWORD_LIST}))) / len(string_split(text, ' '))))), 6) AS quality_score
+  {_QUALITY_EXPR} AS quality_score
 FROM documents
 """
 
@@ -1114,6 +1126,84 @@ SELECT doc_id,
        ELSE 'und' END AS pred_lang,
   greatest(en, de, fr, es) AS marker_hits
 FROM scores
+"""
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: the full training-corpus curation chain
+    in ONE declarative plan — quality scoring + language ID filter →
+    exact dedup (min-id per content hash) → MinHash-LSH near-dup
+    clustering → cluster representatives only.
+
+    Every stage is an engine operator (text.text_features,
+    text.lang_id, dedup.minhash_lsh_pairs, graph connected
+    components); Catalyst fuses the filters into the scans and the
+    whole chain shuffles only on (doc, token) / bucket / component
+    keys — no stage materializes the corpus on the driver."""
+    d = _t(spark, sf_dir, "documents")
+    from botkop_telcotraffic_spark_spark.operators import graph as _graph
+
+    feats = text.text_features(d, "doc_id", "text").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    langs = text.lang_id(d, "doc_id", "text").select("doc_id", "pred_lang")
+    kept = (
+        d.join(feats, "doc_id")
+        .join(langs, "doc_id")
+        .where(
+            (F.col("pred_lang") == "en")
+            & (F.col("quality_score") >= 0.5)
+            & F.col("n_tokens").between(5, 5000)
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("text")))
+    surv = (
+        kept.withColumn("_keeper", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("_keeper"))
+        .drop("_keeper")
+    )
+    pairs = dedup.minhash_lsh_pairs(surv, "doc_id", "text", k=3, bands=8, rows_per_band=2)
+    clusters = _graph.dedup_groups_from_pairs(surv, pairs, "doc_id")
+    reps = clusters.where(F.col("id") == F.col("cluster")).select(
+        F.col("id").alias("doc_id")
+    )
+    return surv.join(reps, "doc_id", "left_semi").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+
+
+_CURATION_SQL = f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         {_QUALITY_EXPR} AS quality_score,
+         {_marker_count('en')} AS en, {_marker_count('de')} AS de,
+         {_marker_count('fr')} AS fr, {_marker_count('es')} AS es
+  FROM documents
+), kept AS (
+  SELECT doc_id, text, n_tokens, quality_score FROM scored
+  WHERE NOT (es > greatest(fr, de, en)) AND NOT (fr > greatest(de, en))
+    AND NOT (de > en) AND en > 0
+    AND quality_score >= 0.5 AND n_tokens BETWEEN 5 AND 5000
+), surv AS (
+  SELECT doc_id, text, n_tokens, quality_score FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM kept)
+  WHERE doc_id = keeper
+), {_postings_cte('surv').strip()},
+sig AS (SELECT id, [{_MINHASH_EXPRS}] AS sig FROM post GROUP BY id),
+buckets AS ({_LSH_BANDS_SQL}),
+pairs AS (SELECT l.id AS a, r.id AS b
+          FROM buckets l JOIN buckets r USING (band, bkey)
+          WHERE l.id < r.id GROUP BY 1, 2),
+ed AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+  UNION
+  SELECT ed.u, reach.label FROM ed JOIN reach ON ed.v = reach.u),
+comp AS (SELECT u AS id, min(label) AS cluster FROM reach GROUP BY u)
+SELECT s.doc_id, s.n_tokens, s.quality_score
+FROM surv s LEFT JOIN comp ON s.doc_id = comp.id
+WHERE coalesce(comp.cluster, s.doc_id) = s.doc_id
 """
 
 
@@ -2769,6 +2859,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "gap_filled_user_hours": (gap_filled_user_hours, _GAP_FILL_SQL),
     "funnel_view_click_purchase": (funnel_view_click_purchase, _FUNNEL_SQL),
     "cohort_weekly_retention": (cohort_weekly_retention, _COHORT_SQL),
+    "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "range_join_clicks_before_errors": (
         range_join_clicks_before_errors,
         _RANGE_JOIN_SQL,

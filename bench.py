@@ -57,6 +57,7 @@ HEADLINE = [
     "window_analytics_events",
     "session_windows_users",
     "token_budget_docs",
+    "corpus_curation_pipeline",
 ]
 
 

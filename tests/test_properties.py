@@ -85,3 +85,55 @@ def test_iqr_exact_matches_python_reference(spark, values):
     row = iqr_bounds(df, ["k"], "v", mode="exact").collect()[0]
     lo, hi = _iqr_py(values)
     assert (row["lo"], row["hi"]) == (lo, hi)
+
+
+def test_funnel_counts_are_monotone_nonincreasing(spark):
+    """Each funnel stage only keeps survivors of the previous stage,
+    so counts must never increase (sf0.001 events fixture)."""
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_DIR_001
+
+    rows = {
+        r["stage_idx"]: r["n_entities"]
+        for r in entry_mod.funnel_view_click_purchase(spark, SF_DIR_001).collect()
+    }
+    assert rows[0] >= rows[1] >= rows[2]
+    assert rows[2] > 0  # fixture users do convert
+
+
+def test_gap_fill_conserves_events_and_fills_contiguously(spark):
+    """Densification invariants: total n_events equals the raw event
+    count, and each user's buckets are contiguous hours."""
+    import __spark_entry__ as entry_mod
+    from botkop_telcotraffic_spark_spark.sources import load_table
+    from tests.conftest import SF_DIR_001
+
+    filled = entry_mod.gap_filled_user_hours(spark, SF_DIR_001)
+    raw = load_table(spark, SF_DIR_001, "events").count()
+    agg = filled.groupBy("user_id").agg(
+        F.sum("n_events").alias("n"),
+        F.count(F.lit(1)).alias("buckets"),
+        ((F.unix_timestamp(F.max("bucket_start"))
+          - F.unix_timestamp(F.min("bucket_start"))) / 3600 + 1).alias("span_hours"),
+    )
+    rows = agg.collect()
+    assert sum(r["n"] for r in rows) == raw
+    for r in rows:
+        assert r["buckets"] == int(r["span_hours"])  # no holes, no dupes
+
+
+def test_curation_output_is_subset_with_thresholds(spark):
+    """Curated docs satisfy every filter and contain no exact-dup
+    pair (text uniqueness among survivors)."""
+    import __spark_entry__ as entry_mod
+    from botkop_telcotraffic_spark_spark.sources import load_table
+    from tests.conftest import SF_DIR_001
+
+    out = entry_mod.corpus_curation_pipeline(spark, SF_DIR_001)
+    docs = load_table(spark, SF_DIR_001, "documents")
+    joined = out.join(docs, "doc_id")
+    n = joined.count()
+    assert 0 < n < docs.count()
+    assert joined.where(F.col("quality_score") < 0.5).count() == 0
+    texts = joined.groupBy("text").count().where(F.col("count") > 1).count()
+    assert texts == 0

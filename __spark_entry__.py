@@ -1329,6 +1329,87 @@ SELECT vec_id, label, prediction, round(dist, 6) AS distance FROM (
 # --- wider relational surface (native Spark coverage) ----------------------
 
 
+def streaming_session_windows_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 as a STREAMING query: session_window aggregation over the
+    availableNow replay, complete mode — merging session state across
+    micro-batches.  Shares the batch islands-SQL oracle (full
+    value-hash check)."""
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+
+    tune(spark)
+    stream = stream_parquet_table(spark, sf_dir, "events")
+    g = stream.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    out = g.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+    return run_to_memory(out, output_mode="complete")
+
+
+def streaming_click_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (J1's pure-streaming
+    alternative, SURVEY.md §2.4 option B): error events joined to the
+    same user's clicks in the trailing 10 minutes.  availableNow over
+    the single-file fixture replays in one micro-batch, so no
+    watermark eviction fires and the batch join SQL is the exact
+    oracle; multi-batch eviction semantics are covered by
+    tests/test_streaming.py::test_watermarked_stream_stream_join."""
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+
+    tune(spark)
+    ev = stream_parquet_table(spark, sf_dir, "events")
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "1 hour")
+    )
+    clicks = (
+        stream_parquet_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") < F.col("error_ts")),
+        "inner",
+    ).select("error_id", "click_id", "user_id")
+    return run_to_memory(joined, output_mode="append")
+
+
+_STREAM_JOIN_SQL = """
+SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
+FROM events e JOIN events c
+  ON c.event_type = 'click' AND c.user_id = e.user_id
+  AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+WHERE e.event_type = 'error'
+"""
+
+
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets."""
     o = _t(spark, sf_dir, "orders")
@@ -2860,6 +2941,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "funnel_view_click_purchase": (funnel_view_click_purchase, _FUNNEL_SQL),
     "cohort_weekly_retention": (cohort_weekly_retention, _COHORT_SQL),
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
+    "streaming_session_windows_users": (streaming_session_windows_users, _SESSION_SQL),
+    "streaming_click_error_join": (streaming_click_error_join, _STREAM_JOIN_SQL),
     "range_join_clicks_before_errors": (
         range_join_clicks_before_errors,
         _RANGE_JOIN_SQL,

@@ -1161,6 +1161,11 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.withColumn("_keeper", F.min("doc_id").over(w))
         .where(F.col("doc_id") == F.col("_keeper"))
         .drop("_keeper")
+        # the survivor set feeds BOTH the LSH-pair branch (which the
+        # iterative components step materializes) and the final
+        # semi-join — checkpoint so the filter+dedup lineage runs
+        # once, not once per branch (cluster: persist/Delta temp)
+        .localCheckpoint()
     )
     pairs = dedup.minhash_lsh_pairs(surv, "doc_id", "text", k=3, bands=8, rows_per_band=2)
     clusters = _graph.dedup_groups_from_pairs(surv, pairs, "doc_id")

@@ -45,13 +45,24 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("_nl"))
         )
+        stepped = labels.join(neigh, "u", "left").select(
+            "u",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label <- label(label).  Labels are min-
+        # monotone (label(v) <= v), so one compression hop halves the
+        # remaining path length — O(log diameter) rounds instead of
+        # O(diameter), i.e. fewer checkpoint+check jobs per component.
+        lut = stepped.select(
+            F.col("u").alias("_lu"), F.col("label").alias("_ll")
+        )
         new_labels = (
-            labels.join(neigh, "u", "left")
+            stepped.join(lut, stepped["label"] == lut["_lu"], "left")
             .select(
                 "u",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
-                ).alias("label"),
+                F.coalesce(F.col("_ll"), F.col("label")).alias("label"),
             )
             .localCheckpoint()
         )

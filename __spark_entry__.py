@@ -1143,19 +1143,20 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     from botkop_telcotraffic_spark_spark.operators import graph as _graph
 
-    feats = text.text_features(d, "doc_id", "text").select(
-        "doc_id", "n_tokens", "quality_score"
+    # Features and language ID are pure per-row derivations, so they
+    # are APPENDED in one narrow projection — joining them back on
+    # doc_id would cost two shuffles Catalyst cannot elide.
+    enriched = text.lang_id(
+        text.text_features(d, "doc_id", "text", append=True),
+        "doc_id",
+        "text",
+        append=True,
     )
-    langs = text.lang_id(d, "doc_id", "text").select("doc_id", "pred_lang")
-    kept = (
-        d.join(feats, "doc_id")
-        .join(langs, "doc_id")
-        .where(
-            (F.col("pred_lang") == "en")
-            & (F.col("quality_score") >= 0.5)
-            & F.col("n_tokens").between(5, 5000)
-        )
-    )
+    kept = enriched.where(
+        (F.col("pred_lang") == "en")
+        & (F.col("quality_score") >= 0.5)
+        & F.col("n_tokens").between(5, 5000)
+    ).select("doc_id", "text", "n_tokens", "quality_score")
     w = Window.partitionBy(F.md5(F.col("text")))
     surv = (
         kept.withColumn("_keeper", F.min("doc_id").over(w))

@@ -23,14 +23,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(rows: list) -> list:
+    """Classic union-find with path compression over collected edges.
+    Used only below ``driver_threshold`` — see connected_components."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            # union by min so the representative IS the component min,
+            # matching the distributed path's label semantics
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``
     (undirected); component = min node id reachable.
+
+    Scale-adaptive: the duplicate-pair EDGE SET is orders of
+    magnitude smaller than the corpus it came from (only docs with a
+    near-dup appear), so it is frequently tiny even when the corpus
+    is not.  Below ``driver_threshold`` edges (~32 MB of id pairs) we
+    collect and run union-find on the driver — microseconds instead
+    of one Spark job per propagation round.  Above it, distributed
+    min-label propagation with pointer jumping, with the frames
+    repartitioned proportionally to the edge count so tiny graphs
+    don't pay 32-task shuffle overhead per round.
 
     Raises if ``max_iter`` rounds don't reach the fixpoint (raise it
     for long-chain graphs, or switch to star-contraction).
@@ -38,7 +72,32 @@ def connected_components(
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     e = e.localCheckpoint()
+    n_edges = e.count()
+    if n_edges == 0:
+        return e.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    if n_edges <= driver_threshold:
+        out = _driver_union_find(e.collect())
+        return edges.sparkSession.createDataFrame(
+            out, schema=e.select(
+                F.col("u").alias("node"), F.col("u").alias("component")
+            ).schema,
+        )
+    # distributed path: size-proportional parallelism (~1M edges/task)
+    p = max(1, n_edges // 1_000_000)
+    e = e.repartition(p, "v")
     labels = e.select("u").distinct().withColumn("label", F.col("u"))
+    # Convergence probe: labels are min-monotone (each round every
+    # label either stays or decreases), so the exact sum of labels
+    # strictly decreases iff ANY label changed.  One scalar agg over
+    # the just-checkpointed frame replaces a join-with-previous +
+    # count job per round.  decimal(38,0) keeps the sum exact for
+    # 64-bit ids at any node count.
+    def _label_sum(frame: DataFrame) -> object:
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = None
     for _ in range(max_iter):
         neigh = (
             e.join(labels.withColumnRenamed("u", "v"), "v")
@@ -66,15 +125,11 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "_old"), "u")
-            .where(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "long-chain graph; raise max_iter or use star-contraction"

@@ -25,12 +25,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = ["a", "the", "of", "and", "to", "in", "is", "it"]
 
 
-def text_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def text_features(
+    df: DataFrame, id_col: str, text_col: str, append: bool = False
+) -> DataFrame:
     """Per-doc features: n_chars, n_tokens, n_distinct_tokens,
     avg_token_len, type_token_ratio, stopword_ratio, quality_score.
 
     avg_token_len avoids array math: (chars - spaces) / tokens for a
     single-space-separated doc.
+
+    ``append=True`` keeps every input column and appends the feature
+    columns — a narrow projection, so composers never need to join
+    the features back to the source (a pure per-row derivation joined
+    on its own key is a shuffle Catalyst can't elide).
     """
     t = F.col(text_col)
     w = words(t)
@@ -51,8 +58,7 @@ def text_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             + 0.2 * (1.0 - stop_ratio),
         ),
     )
-    return df.select(
-        F.col(id_col),
+    cols = [
         n_chars.alias("n_chars_calc"),
         n_tokens.alias("n_tokens"),
         n_distinct.alias("n_distinct_tokens"),
@@ -60,17 +66,24 @@ def text_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(ttr, 6).alias("type_token_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(quality, 6).alias("quality_score"),
-    )
+    ]
+    if append:
+        return df.select("*", *cols)
+    return df.select(F.col(id_col), *cols)
 
 
 def _lang_score(w: Column, markers: list[str]) -> Column:
     return F.size(F.filter(w, lambda x: x.isin(*markers)))
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lang_id(
+    df: DataFrame, id_col: str, text_col: str, append: bool = False
+) -> DataFrame:
     """Stopword-marker language ID: argmax over per-language marker
     hit counts; 'und' (undetermined) when all scores are zero.  Ties
-    break by the fixed language order en > de > fr > es."""
+    break by the fixed language order en > de > fr > es.
+
+    ``append=True`` keeps every input column (see text_features)."""
     w = words(F.col(text_col))
     scores = {lang: _lang_score(w, mk) for lang, mk in LANG_MARKERS.items()}
     best = None
@@ -82,8 +95,10 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         else:
             best_lang = F.when(s > best, F.lit(lang)).otherwise(best_lang)
             best = F.greatest(best, s)
-    sel = [F.col(id_col), best_lang.alias("pred_lang"), best.alias("marker_hits")]
-    return df.select(*sel)
+    cols = [best_lang.alias("pred_lang"), best.alias("marker_hits")]
+    if append:
+        return df.select("*", *cols)
+    return df.select(F.col(id_col), *cols)
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1772,7 +1772,9 @@ SELECT id, simhash FROM sig
 """
 
 _SIMHASH_BANDS_SQL = " UNION ALL ".join(
-    f"SELECT id, simhash, {b} AS band, (simhash // {1 << (8*b)}) % 256 AS byte FROM sig"
+    f"SELECT id, simhash, {b} AS band, "
+    f"(simhash // {1 << (dedup.SIMHASH_BAND_BITS * b)}) "
+    f"% {1 << dedup.SIMHASH_BAND_BITS} AS byte FROM sig"
     for b in range(dedup.SIMHASH_BANDS)
 )
 

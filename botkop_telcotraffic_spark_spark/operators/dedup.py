@@ -213,18 +213,21 @@ def minhash_signatures(
     )
 
 
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4  # byte-bands: hamming <= 3 guaranteed caught (pigeonhole)
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # hamming <= 3 guaranteed caught (pigeonhole)
+SIMHASH_BAND_BITS = 15  # 32768 buckets/band: keeps candidate pairs near-linear
 
 
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """(id, simhash: bigint) — 32-bit SimHash over the k-shingle token
-    set.  Bit b votes +1/-1 per token via the deterministic affine
-    hash (tok*(2b+3) + 7b+1) % P >= P/2; bit set iff the vote sum is
-    positive.  One groupBy with 32 conditional sums — no explode, no
-    engine hash builtins (oracle-reproducible)."""
+    """(id, simhash: bigint) — 60-bit SimHash over the k-shingle token
+    set (64-bit-class fingerprints per Manku et al. 2007; 60 keeps
+    every band arithmetic in positive signed-long range on both the
+    engine and the DuckDB oracle).  Bit b votes +1/-1 per token via
+    the deterministic affine hash (tok*(2b+3) + 7b+1) % P >= P/2; bit
+    set iff the vote sum is positive.  One groupBy with 60 conditional
+    sums — no explode, no engine hash builtins (oracle-reproducible)."""
     post = token_postings(df, id_col, text_col, k)
     votes = [
         F.sum(
@@ -246,19 +249,23 @@ def simhash_signatures(
 def simhash_band_candidates(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, spread: bool = False
 ) -> DataFrame:
-    """Near-dup candidate pairs via byte-band matching on SimHash:
-    pairs agreeing on >= 1 of 4 bytes, with their exact hamming
-    distance.  Any pair within hamming 3 shares a byte (pigeonhole),
-    so recall is 1.0 for distance <= 3; the band join keeps the
-    candidate space near-linear at scale."""
+    """Near-dup candidate pairs via band matching on SimHash: pairs
+    agreeing on >= 1 of 4 fifteen-bit bands, with their exact hamming
+    distance.  Any pair within hamming 3 shares a band (pigeonhole),
+    so recall is 1.0 for distance <= 3; 32768 buckets per band keeps
+    expected bucket occupancy — and hence the quadratic in-bucket
+    pair explosion — near-linear in corpus size (8-bit bands tested
+    423k candidate pairs out of 5k docs; 15-bit bands cut that to the
+    true near-dup neighborhood)."""
     sig = simhash_signatures(df, id_col, text_col, k)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                ((F.col("simhash") / F.lit(1 << (8 * b))).cast("long") % 256).alias(
-                    "byte"
-                ),
+                (
+                    F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * b)
+                    % (1 << SIMHASH_BAND_BITS)
+                ).alias("byte"),
             )
             for b in range(SIMHASH_BANDS)
         ]

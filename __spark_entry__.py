@@ -1276,6 +1276,32 @@ SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank FROM (
 """
 
 
+def ann_cosine_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10, Arrow-vectorized (BLAS matmul per batch):
+    same answer as ann_cosine_topk via a 10-100x cheaper physical
+    strategy — the engine's embedding-similarity throughput path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    return similarity.brute_force_topk_blocked(q, emb, k=10)
+
+
+# Identical candidate set to _ANN_SQL, but ranked on the ROUNDED
+# similarity (ties by neighbor id) — the only ordering both a BLAS
+# matmul and a sequential fold reproduce bit-identically.
+_ANN_BLOCKED_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+sims AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qv', 'cv')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cs
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY round(cs, 6) DESC, neighbor_id) AS rank
+  FROM sims) WHERE rank <= 10
+"""
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.4)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2890,6 +2916,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "token_stats_docs": (token_stats_docs, _TOKEN_SQL),
     "doc_fingerprints": (doc_fingerprints, _FP_SQL),
     "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
+    "ann_cosine_topk_blocked": (ann_cosine_topk_blocked, _ANN_BLOCKED_SQL),
     "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
     "kmeans_label_assign": (kmeans_label_assign, _KMEANS_SQL),
     "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),

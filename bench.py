@@ -51,6 +51,7 @@ HEADLINE = [
     "embedding_near_dup",
     "tfidf_top_terms",
     "ann_cosine_topk",
+    "ann_cosine_topk_blocked",
     "ann_ivf_topk",
     "kmeans_label_assign",
     "asof_click_before_error",

@@ -59,31 +59,31 @@ def connected_components(
     Scale-adaptive: the duplicate-pair EDGE SET is orders of
     magnitude smaller than the corpus it came from (only docs with a
     near-dup appear), so it is frequently tiny even when the corpus
-    is not.  Below ``driver_threshold`` edges (~32 MB of id pairs) we
-    collect and run union-find on the driver — microseconds instead
-    of one Spark job per propagation round.  Above it, distributed
-    min-label propagation with pointer jumping, with the frames
-    repartitioned proportionally to the edge count so tiny graphs
-    don't pay 32-task shuffle overhead per round.
+    is not.  The size probe is ``limit(threshold+1).collect()`` on
+    the RAW edge frame — union-find tolerates duplicate and
+    asymmetric edges, so the tiny-graph path needs no symmetrize, no
+    distinct, no checkpoint and no count: ONE narrow job, then
+    microseconds of driver work (``driver_threshold`` edges ≈ 32 MB
+    of id pairs).  Above the threshold, distributed min-label
+    propagation with pointer jumping, with the frames repartitioned
+    proportionally to the edge count.
 
     Raises if ``max_iter`` rounds don't reach the fixpoint (raise it
     for long-chain graphs, or switch to star-contraction).
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    e = e.localCheckpoint()
-    n_edges = e.count()
-    if n_edges == 0:
-        return e.select(F.col("u").alias("node"), F.col("u").alias("component"))
-    if n_edges <= driver_threshold:
-        out = _driver_union_find(e.collect())
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    out_schema = e0.select(
+        F.col("u").alias("node"), F.col("u").alias("component")
+    ).schema
+    probe = e0.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
         return edges.sparkSession.createDataFrame(
-            out, schema=e.select(
-                F.col("u").alias("node"), F.col("u").alias("component")
-            ).schema,
+            _driver_union_find(probe), schema=out_schema
         )
+    e = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    e = e.localCheckpoint()
     # distributed path: size-proportional parallelism (~1M edges/task)
-    p = max(1, n_edges // 1_000_000)
+    p = max(1, e.count() // 1_000_000)
     e = e.repartition(p, "v")
     labels = e.select("u").distinct().withColumn("label", F.col("u"))
     # Convergence probe: labels are min-monotone (each round every

@@ -223,3 +223,83 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
     )
+
+
+def brute_force_topk_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k, Arrow-vectorized: the throughput path.
+
+    Same output contract as brute_force_topk, different physical
+    strategy: the (small) query set is collected once to a normalized
+    float64 numpy matrix and broadcast; each Arrow batch of the
+    corpus then does ONE (batch x d) @ (d x |Q|) BLAS matmul instead
+    of |batch| * |Q| sequential fold expressions — 10-100x less CPU
+    per row at wide d.  Per-batch partial top-k bounds the shuffle to
+    ~|Q| * k rows per Arrow batch; the global exact top-k is a tiny
+    window over those partials.
+
+    Determinism: BLAS summation order differs from the sequential
+    fold at ~1e-16, so the global rank orders by the 6-decimal
+    ROUNDED similarity (ties broken by neighbor id) and the per-batch
+    cut keeps everything within 1e-6 of the batch's k-th best —
+    any row whose rounded value could tie the global k-th survives
+    to the exact final ranking, making the result reproducible
+    across engines and batch sizes.
+    """
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm /= np.where(qn == 0.0, 1.0, qn)
+    bc = queries.sparkSession.sparkContext.broadcast((qids, qm))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        bqids, bq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            cn = np.linalg.norm(cm, axis=1, keepdims=True)
+            cm /= np.where(cn == 0.0, 1.0, cn)
+            sims = cm @ bq.T  # |batch| x |Q|
+            sims[ids[:, None] == bqids[None, :]] = -np.inf  # self-match
+            kk = min(k, sims.shape[0])
+            kth = np.partition(sims, sims.shape[0] - kk, axis=0)[
+                sims.shape[0] - kk
+            ]
+            ci, qi = np.nonzero(sims >= kth[None, :] - 1e-6)
+            yield pd.DataFrame(
+                {
+                    "query_id": bqids[qi],
+                    "neighbor_id": ids[ci],
+                    "cosine_sim": sims[ci, qi],
+                }
+            )
+
+    sims = corpus.select(id_col, vec_col).mapInPandas(
+        gen, schema="query_id long, neighbor_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine_sim"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

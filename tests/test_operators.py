@@ -196,6 +196,30 @@ def test_ivf_topk_probes_right_cells(spark):
     assert got2 == {11, 20, 21}
 
 
+def test_blocked_topk_matches_fold_path(spark):
+    """brute_force_topk_blocked (BLAS matmul + slack-thresholded
+    partial top-k) returns the same neighbor ranking as the exact
+    fold-expression path on real fixture embeddings, including across
+    multiple Arrow batches (operators/similarity.py)."""
+    from botkop_telcotraffic_spark_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_blocked,
+    )
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").repartition(4)
+    q = emb.where("vec_id < 3")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    blocked = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk_blocked(q, emb, k=5).collect()
+    }
+    assert blocked == exact
+
+
 def test_multimodal_decode_with_injected_codec(spark):
     """mapInPandas decode plumbing with a deterministic fake codec
     (operators/multimodal.py — real codec libs live outside this

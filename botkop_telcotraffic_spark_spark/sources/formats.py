@@ -82,3 +82,47 @@ def write_partitioned_parquet(
     and kills the listing phase.
     """
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Ingest opaque media files (images/audio/video) as binary rows:
+    (path, modificationTime, length, content) via Spark's binaryFile
+    source — the ingest edge of the multimodal pipeline
+    (operators/multimodal.py consumes the resulting binary column).
+
+    Scale notes: one row per file; parallelism = file count (the
+    source never splits a file), so the 100 TB path packs small
+    media into parquet/tar shards at the ingest boundary and keeps
+    this reader for raw landings.  Filter on ``length`` BEFORE
+    ``content`` is touched — the column is lazily read, and a
+    length predicate prunes oversized blobs without fetching bytes.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def binary_files_as_media(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """binaryFile rows reshaped to the engine's media schema
+    (media_id = hash64 of path; meta.uri = source path; dimensions
+    unset until a codec fills them), ready for
+    multimodal.decode_features / resize_images."""
+    from pyspark.sql import functions as F
+
+    raw = read_binary_files(spark, path, glob)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.col("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_ms"),
+            F.col("path").alias("uri"),
+        ).alias("meta"),
+    )

@@ -2035,6 +2035,45 @@ def streaming_running_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, output_mode="append")
 
 
+def simulated_traffic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's companion traffic simulator as a native Python
+    DataSource (sources/simulator.py): generate celltower events +
+    attach dimension, enrichment-join on bearer_id (SURVEY §2.4 J1),
+    explode the metrics map, per (city, metric) StatCounter stats.
+
+    No oracle entry: rows come from a registered Python source, not a
+    parquet table DuckDB can see (the generator itself is
+    deterministic, so the rows-only check is stable)."""
+    from botkop_telcotraffic_spark_spark.operators.window_stats import stat_aggs
+    from botkop_telcotraffic_spark_spark.sources import simulator
+
+    tune(spark)
+    simulator.register(spark)
+    cell = (
+        spark.read.format("telco_traffic")
+        .option("rows", 5000)
+        .option("partitions", 8)
+        .load()
+    )
+    attach = (
+        spark.read.format("telco_traffic")
+        .option("kind", "attach")
+        .option("rows", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    latest = attach.groupBy("bearer_id").agg(
+        F.max_by(F.col("city"), F.col("ts_ms")).alias("city")
+    )
+    enriched = cell.join(F.broadcast(latest), "bearer_id")
+    m = enriched.select("city", F.explode("metrics").alias("metric", "value"))
+    return (
+        m.groupBy("city", "metric")
+        .agg(*stat_aggs("value", round_digits=6))
+        .orderBy("city", "metric")
+    )
+
+
 def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline anomaly pipeline (W6 + A4/A5/J2) as a
     foreachBatch streaming query: train-then-predict streaming K-Means
@@ -2942,6 +2981,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grouping_sets_orders": (grouping_sets_orders, _GROUPING_SETS_SQL),
     "word_counts_docs": (word_counts_docs, _WORD_COUNTS_SQL),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),
+    "simulated_traffic_stats": (simulated_traffic_stats, None),
     "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),

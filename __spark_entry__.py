@@ -2924,6 +2924,177 @@ GROUP BY c_mktsegment
 """
 
 
+# --- LLM-pipeline extensions: contamination / packing / gating / chunking --
+
+
+def _postings_cte_k(src: str, k: int, where: str = "") -> str:
+    """Generalized k-shingle postings CTE (the k=3 `_postings_cte`
+    special case above predates this) — same rolling-hash token
+    machinery as functions/textfn.py so both engines agree bit-exactly."""
+    tok = "wf[i]"
+    for j in range(1, k):
+        tok = f"(({tok}) * {_B} + wf[i+{j}]) % {_M}"
+    return f"""
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_transform(generate_series(1, len(wf) - {k - 1}),
+             i -> {tok}))) AS tok
+  FROM (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '),
+             s -> list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(generate_series(1, length(s)),
+                                     j -> CAST(ascii(s[j]) AS BIGINT))),
+                    (acc, c) -> (acc * {_B} + c) % {_M})) AS wf
+    FROM {src} {where})
+"""
+
+
+# Deterministic benchmark split: every 29th doc is "eval material".
+_BENCH_MOD = 29
+
+
+def contamination_bench_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (operators/contamination.py):
+    8-gram shingle overlap of each training doc against the eval split
+    (doc_id % 29 == 0) — broadcast eval-token set, one map-side join +
+    one per-doc aggregate.  Surfaces exactly the planted near-dups
+    whose partner fell in the eval split."""
+    from botkop_telcotraffic_spark_spark.operators import contamination
+
+    d = _t(spark, sf_dir, "documents")
+    is_bench = (F.col("doc_id") % _BENCH_MOD) == 0
+    return contamination.benchmark_overlap(
+        d.where(~is_bench), d.where(is_bench), "doc_id", "text", k=8
+    ).orderBy("doc_id")
+
+
+_CONTAMINATION_SQL = f"""
+WITH train AS ({_postings_cte_k("documents", 8, f"WHERE doc_id % {_BENCH_MOD} != 0")}),
+bench AS (SELECT DISTINCT tok FROM ({_postings_cte_k("documents", 8, f"WHERE doc_id % {_BENCH_MOD} = 0")})),
+agg AS (
+  SELECT t.id, count(b.tok) AS n_overlap, count(*) AS n_shingles
+  FROM train t LEFT JOIN bench b USING (tok) GROUP BY t.id
+)
+SELECT id AS doc_id, n_overlap, n_shingles,
+       round(n_overlap * 1.0 / n_shingles, 6) AS overlap_frac
+FROM agg WHERE n_overlap > 0
+"""
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/sampling.py): shard by
+    doc_id, concatenate in id order, cut every 512 tokens; one row per
+    pack.  Per-shard windows — no global sort at scale."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(textfn.words(F.col("text"))).alias("n_tokens")
+    )
+    return sampling.pack_sequences(
+        d, "doc_id", "n_tokens", budget=_PACK_BUDGET, shards=_PACK_SHARDS
+    )
+
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS toks
+  FROM documents),
+placed AS (
+  SELECT shard, doc_id, toks,
+         CAST(floor((sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - toks) * 1.0 / {_PACK_BUDGET})
+              AS BIGINT) AS pack_id
+  FROM t)
+SELECT shard, pack_id, count(*) AS n_docs, sum(toks) AS pack_tokens,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM placed GROUP BY shard, pack_id
+"""
+
+
+def blocklist_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style wordlist gate (operators/text.py::blocklist_gate):
+    per-doc blocklisted-word stats + keep decision (floor on word
+    count AND cap on flagged fraction).  Pure scan-side column math."""
+    d = _t(spark, sf_dir, "documents")
+    return text.blocklist_gate(d, "doc_id", "text")
+
+
+_BLOCKLIST_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, len(toks) AS n_words,
+         len(list_filter(toks, x -> x IN ({", ".join(repr(b) for b in text.BLOCKLIST)}))) AS n_flagged
+  FROM w)
+SELECT doc_id, n_words, n_flagged,
+       round(n_flagged * 1.0 / n_words, 6) AS flagged_frac,
+       (n_words >= 20 AND n_flagged * 1.0 / n_words <= 0.15) AS keep
+FROM s
+"""
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (operators/chunking.py::chunk_words): 32-word
+    chunks, stride 24 (8-word overlap) — native sequence/slice/
+    posexplode path (the Python UDTF twin is unit-tested equal)."""
+    from botkop_telcotraffic_spark_spark.operators import chunking
+
+    d = _t(spark, sf_dir, "documents")
+    return chunking.chunk_words(
+        d, "doc_id", "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
+_CHUNK_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks), {_CHUNK_STRIDE}),
+            s -> struct_pack(chunk_id := CAST((s - 1) // {_CHUNK_STRIDE} AS INT),
+                             chunk := toks[s : s + {_CHUNK_SIZE - 1}]))) AS u
+  FROM w)
+SELECT doc_id, u.chunk_id AS chunk_id, CAST(len(u.chunk) AS INT) AS n_words,
+       array_to_string(u.chunk, ' ') AS chunk_text
+FROM e
+"""
+
+
+def streaming_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed stateful streaming via the Spark 4 transformWithState
+    API (streaming/tws.py): per-user EWMA over (ts, event_id)-ordered
+    values, ValueState in the RocksDB store.  The deterministic fold
+    lets the DuckDB oracle reproduce it with list_reduce."""
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.tws import running_ewma
+
+    tune(spark)
+    enable_large_state(spark)
+    stream = stream_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = running_ewma(stream)
+    return run_to_memory(out, output_mode="update").select(
+        "user_id", "n", F.round("ewma", 6).alias("ewma")
+    )
+
+
+_EWMA_SQL = """
+SELECT user_id, count(*) AS n,
+       round(list_reduce(list(value ORDER BY ts, event_id),
+                         (a, x) -> (a + x) / 2), 6) AS ewma
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2982,6 +3153,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "word_counts_docs": (word_counts_docs, _WORD_COUNTS_SQL),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),
     "simulated_traffic_stats": (simulated_traffic_stats, None),
+    "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),
+    "pack_sequences_docs": (pack_sequences_docs, _PACK_SQL),
+    "blocklist_gate_docs": (blocklist_gate_docs, _BLOCKLIST_SQL),
+    "chunk_docs": (chunk_docs, _CHUNK_SQL),
+    "streaming_ewma_user": (streaming_ewma_user, _EWMA_SQL),
     "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),

@@ -59,6 +59,9 @@ HEADLINE = [
     "session_windows_users",
     "token_budget_docs",
     "corpus_curation_pipeline",
+    "contamination_bench_overlap",
+    "pack_sequences_docs",
+    "chunk_docs",
 ]
 
 

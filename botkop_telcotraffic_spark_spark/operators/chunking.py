@@ -1,0 +1,95 @@
+"""Document chunking for embedding / RAG pipelines (SURVEY.md §2.12
+extension): split each document into fixed-size word windows with a
+configurable stride (overlap = size - stride).
+
+Two implementations of the same semantics:
+
+* ``chunk_words`` — the hot path: pure column expressions
+  (``sequence`` -> ``transform`` -> ``slice`` -> ``posexplode``),
+  whole-stage-codegen'd, zero Python.  Use this one in pipelines.
+* ``ChunkWords`` — a Python UDTF (``pyspark.sql.functions.udtf``)
+  exposing the identical row-expansion through the lateral-join SQL
+  surface (``SELECT * FROM chunk_words(TABLE(docs), ...)`` style /
+  per-row invocation).  Arrow-batched, but still the slow path —
+  kept because a table-function API is part of the engine surface,
+  and some downstream chunkers (sentence splitters, tokenizer-aware
+  packers) need imperative Python.  Unit tests assert both paths
+  produce byte-identical rows.
+
+Chunk rule: chunks start at word offsets 0, stride, 2*stride, ...
+while the offset is < n_words; the final chunk is truncated (no
+padding).  A doc shorter than ``size`` yields exactly one chunk.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import words
+
+
+def _chunk_starts(n: Column, stride: int) -> Column:
+    # 1-based start offsets: 1, 1+stride, ... <= n  (slice is 1-based)
+    return F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+
+
+def chunk_words(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """(id, chunk_id, n_words, chunk_text) — one row per chunk.
+
+    Scale: per-row expansion only (narrow transform, no shuffle); the
+    expansion factor is ~n_words/stride, bounded and predictable, so
+    partition sizing survives a 100x scale-up unchanged.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    w = words(F.col(text_col))
+    chunks = F.transform(
+        _chunk_starts(F.size(w), stride), lambda i: F.slice(w, i, size)
+    )
+    return (
+        df.select(F.col(id_col), chunks.alias("chunks"))
+        .select(id_col, F.posexplode("chunks").alias("chunk_id", "chunk"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("chunk").alias("n_words"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def make_chunk_udtf(size: int = 32, stride: int = 24):
+    """Build the UDTF class for a given (size, stride) — UDTF analyze
+    is static, so the geometry is baked into the class like SQL
+    table-function literal args."""
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, n_words int, chunk_text string")
+    class ChunkWords:
+        def eval(self, doc_id, text: str) -> Iterator[tuple]:  # noqa: ARG002
+            # mirrors F.split: "" -> [""], so both paths agree on
+            # degenerate docs (one empty chunk, n_words = 1)
+            toks = (text or "").split(" ")
+            n = len(toks)
+            for cid, lo in enumerate(range(0, n, stride)):
+                piece = toks[lo : lo + size]
+                yield cid, len(piece), " ".join(piece)
+
+    return ChunkWords
+
+
+def register_chunk_udtf(spark, name: str = "chunk_words", **kw) -> None:
+    """Expose the chunker on the SQL surface:
+    ``SELECT d.doc_id, c.* FROM docs d, LATERAL chunk_words(d.doc_id, d.text) c``
+    """
+    spark.udtf.register(name, make_chunk_udtf(**kw))

@@ -1,0 +1,78 @@
+"""Benchmark-contamination detection (SURVEY.md §2.12 extension):
+flag training documents whose k-word shingles overlap a benchmark /
+eval set — the decontamination step every LLM training pipeline runs
+before training (PaLM used 8-gram overlap; GPT-3 used 13-gram).
+
+Design (Spark-first):
+  1. both sides project to DISTINCT k-shingle rolling-hash tokens
+     (integer tokens via ``textfn.shingle_tokens_from_fps`` — pure
+     column expressions, codegen'd, no Python);
+  2. the benchmark token set is aggregated to DISTINCT tokens and
+     **broadcast** — eval sets are small (thousands of docs) even
+     when the train corpus is 100 TB, so the overlap join is a
+     map-side broadcast-hash join with zero shuffle on the fat side;
+  3. one hash aggregation per train doc counts overlapping tokens;
+     the per-doc shingle totals ride along in the same aggregate
+     (conditional count) so no second scan or join is needed.
+
+At scale: the explode produces ~n_words rows per doc but they are
+consumed map-side by the partial aggregate (per-doc keys are
+partition-local after the explode), so the only shuffle is the final
+per-doc count — O(contaminated docs), tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfn import shingle_tokens_from_fps, word_fingerprints
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, tok) postings of DISTINCT k-shingle tokens per doc."""
+    wf = df.select(
+        F.col(id_col).alias("id"),
+        word_fingerprints(F.col(text_col)).alias("wf"),
+    )
+    toks = wf.select(
+        "id",
+        F.explode(F.array_distinct(shingle_tokens_from_fps(F.col("wf"), k))).alias(
+            "tok"
+        ),
+    )
+    return toks
+
+
+def benchmark_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Per-train-doc contamination against the benchmark set.
+
+    Returns (id, n_overlap, n_shingles, overlap_frac) for every train
+    doc with at least one shingle shared with any benchmark doc.
+    ``overlap_frac`` near 1.0 means the doc is (close to) a verbatim
+    copy of benchmark material and must be dropped before training.
+    """
+    train_toks = _doc_tokens(train, id_col, text_col, k)
+    bench_toks = (
+        _doc_tokens(bench, id_col, text_col, k).select("tok").distinct()
+    )
+    hit = F.col("hit")
+    marked = train_toks.join(
+        F.broadcast(bench_toks.withColumn("hit", F.lit(True))), "tok", "left"
+    )
+    per_doc = marked.groupBy("id").agg(
+        F.count(F.when(hit, True)).alias("n_overlap"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+    return per_doc.where(F.col("n_overlap") > 0).select(
+        F.col("id").alias(id_col),
+        "n_overlap",
+        "n_shingles",
+        F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias("overlap_frac"),
+    )

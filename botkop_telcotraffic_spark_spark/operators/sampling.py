@@ -121,3 +121,49 @@ def token_budget_selection(
         )
         .withColumnRenamed("_running_tokens", "running_tokens")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    shards: int = 8,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in id order
+    and cut the stream every ``budget`` tokens — each document lands
+    in the pack where its first token falls (packs may straddle doc
+    boundaries, like training-sequence packing does).
+
+    Returns one row per pack: (shard, pack_id, n_docs, pack_tokens,
+    first_id, last_id).
+
+    Scale: a single global running sum would range-partition the whole
+    corpus through one sort; instead documents are deterministically
+    sharded (id mod ``shards`` — at 100 TB use one shard per output
+    writer task, thousands) and packed WITHIN each shard, so the
+    window runs per-shard in parallel and the only global op is a
+    hash partition on the shard key.  Pack boundaries are then a pure
+    function of (shard, id order) — reproducible across engines and
+    cluster layouts.
+    """
+    from pyspark.sql import Window
+
+    ident = F.col(id_col)
+    toks = F.col(token_count_col)
+    shard = (ident % shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = df.select(ident, toks, shard).withColumn(
+        "pack_id",
+        F.floor((F.sum(toks).over(w) - toks) / F.lit(budget)),
+    )
+    return placed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("pack_tokens"),
+        F.min(ident).alias("first_id"),
+        F.max(ident).alias("last_id"),
+    )

@@ -172,3 +172,41 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("dup_2gram_frac"),
         )
     )
+
+
+# C4-style wordlist gate: docs whose blocklisted-word fraction
+# exceeds the cap (or that are too short) are dropped from the
+# training corpus.  The synthetic-corpus blocklist marks the noise
+# words the generator plants.
+BLOCKLIST = ["slow", "dup", "big"]
+
+
+def blocklist_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    blocklist: list[str] | None = None,
+    max_frac: float = 0.15,
+    min_words: int = 20,
+) -> DataFrame:
+    """Per-doc blocklist stats + keep decision (C4-style filter rule:
+    word-count floor AND capped bad-word fraction).
+
+    Returns (id, n_words, n_flagged, flagged_frac, keep).  Pure
+    column math over the word array — scan-side, no shuffle, no
+    Python; the blocklist is a literal baked into the plan (for
+    large/secret lists broadcast a set and use a hashed semi-join per
+    word instead).
+    """
+    bl = blocklist if blocklist is not None else BLOCKLIST
+    w = words(F.col(text_col))
+    n_words = F.size(w)
+    n_flagged = F.size(F.filter(w, lambda x: x.isin(*bl)))
+    frac = n_flagged / n_words
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_flagged.alias("n_flagged"),
+        F.round(frac, 6).alias("flagged_frac"),
+        ((n_words >= min_words) & (frac <= max_frac)).alias("keep"),
+    )

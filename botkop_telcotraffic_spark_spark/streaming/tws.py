@@ -1,0 +1,108 @@
+"""Keyed stateful streaming via the transformWithState API (Spark
+4.x successor to applyInPandasWithState — SURVEY.md §2.9 W6's modern
+mapping).  Where stateful.py shows the classic GroupState path, this
+module shows the new StatefulProcessor surface: named state variables
+(ValueState here; ListState/MapState for fatter operators), explicit
+init/close lifecycle, timers, and RocksDB-backed state.
+
+The operator: per-key exponential moving average (alpha = 1/2).  For
+each key's events in (ts, event_id) order:
+
+    ewma_0 = value_0            ewma_i = (ewma_{i-1} + value_i) / 2
+
+emitting one row per key per micro-batch with the post-batch EWMA.
+
+Determinism across engines: the fold is a fixed sequence of IEEE
+double ops, so DuckDB's ``list_reduce`` over the same ordered list
+reproduces it bit-exactly (the oracle still rounds, belt and
+braces).  Within a batch rows are sorted per key; cross-batch order
+is the replay source's (single-file availableNow replay = one
+batch).
+
+Scale: state per key is (count, ewma) — two scalars in the RocksDB
+state store (session.enable_large_state), so key cardinality is
+bounded by disk, not executor heap; the only shuffle is the groupBy
+hash exchange Structured Streaming requires for keyed state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+_STATE_SCHEMA = "n long, ewma double"
+OUT_SCHEMA = "user_id long, n long, ewma double"
+
+
+class EwmaProcessor(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("ewma", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+        prior = self._state.get() if self._state.exists() else None
+        n, ewma = prior if prior is not None else (0, 0.0)
+        for v in batch["value"]:
+            ewma = float(v) if n == 0 else (ewma + float(v)) / 2.0
+            n += 1
+        self._state.update((n, ewma))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "ewma": [ewma]})
+
+    def close(self) -> None:
+        pass
+
+
+def transform_with_state_available() -> bool:
+    """transformWithState's Python side speaks protobuf to the JVM
+    state server; environments without ``google.protobuf`` must fall
+    back to the classic applyInPandasWithState path."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _ewma_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    # classic-API twin of EwmaProcessor.handleInputRows
+    n, ewma = state.get if state.exists else (0, 0.0)
+    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    for v in batch["value"]:
+        ewma = float(v) if n == 0 else (ewma + float(v)) / 2.0
+        n += 1
+    state.update((n, ewma))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "ewma": [ewma]})
+
+
+def running_ewma(events: DataFrame) -> DataFrame:
+    """events(event_id, user_id, ts, value) -> per-user EWMA rows.
+
+    Prefers the transformWithState API; falls back to
+    applyInPandasWithState (same semantics, same state shape) when the
+    protobuf dependency is absent."""
+    if transform_with_state_available():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=EwmaProcessor(),
+            outputStructType=OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_group,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -3095,6 +3095,32 @@ FROM events GROUP BY user_id
 """
 
 
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the Spark 4 VARIANT type:
+    ``parse_json`` once into VARIANT's binary encoding, then typed
+    ``variant_get`` extraction — the modern replacement for repeated
+    ``get_json_object`` string re-parsing (each get_json_object call
+    re-parses the JSON text; VARIANT parses once and navigates the
+    binary form, and columnar shredding prunes at the scan at scale)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(props->>'$.k' AS INT)) AS k_sum,
+       min(CAST(props->>'$.k' AS INT)) AS k_min,
+       max(CAST(props->>'$.k' AS INT)) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3158,6 +3184,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "blocklist_gate_docs": (blocklist_gate_docs, _BLOCKLIST_SQL),
     "chunk_docs": (chunk_docs, _CHUNK_SQL),
     "streaming_ewma_user": (streaming_ewma_user, _EWMA_SQL),
+    "variant_props_stats": (variant_props_stats, _VARIANT_SQL),
     "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),

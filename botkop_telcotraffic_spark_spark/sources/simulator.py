@@ -207,3 +207,53 @@ class TrafficDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(TrafficDataSource)
+
+
+# --- adapters: simulator rows -> reference event model ------------------
+# (schemas.py CELLTOWER_EVENT / ATTACH_EVENT shapes, so the simulated
+# streams drive the full TrafficPipeline unchanged)
+
+
+def as_celltower_events(df):
+    """Flat simulator celltower rows -> CELLTOWER_EVENT shape +
+    event_time (works on batch and streaming DataFrames alike)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.struct(
+            F.col("mcc"),
+            F.col("mnc"),
+            F.col("cell"),
+            F.col("area"),
+            F.struct(F.col("lat"), F.col("lng")).alias("location"),
+        ).alias("celltower"),
+        F.col("bearer_id").alias("bearerId"),
+        F.col("metrics"),
+        F.lit("celltower-topic").alias("topic"),
+        F.col("ts_ms").alias("ts"),
+        F.timestamp_millis(F.col("ts_ms")).alias("event_time"),
+    )
+
+
+def as_attach_events(df):
+    """Flat simulator attach rows -> ATTACH_EVENT shape + event_time."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("bearer_id").alias("bearerId"),
+        F.struct(
+            F.col("subscriber_id").cast("int").alias("id"),
+            F.col("imsi"),
+            F.col("msisdn"),
+            F.col("imei"),
+            F.col("last_name").alias("lastName"),
+            F.col("first_name").alias("firstName"),
+            F.lit(None).cast("string").alias("address"),
+            F.col("city"),
+            F.lit(None).cast("string").alias("zip"),
+            F.col("country"),
+        ).alias("subscriber"),
+        F.lit("attach-topic").alias("topic"),
+        F.col("ts_ms").alias("ts"),
+        F.timestamp_millis(F.col("ts_ms")).alias("event_time"),
+    )

@@ -3121,6 +3121,20 @@ FROM events GROUP BY event_type
 """
 
 
+def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (operators/sketch.py): per-day
+    user sketches unioned up to per-event_type distinct estimates —
+    the store-the-partials pattern that answers coarser rollups
+    without rescanning raw data.  No oracle entry: sketch estimates
+    are engine-specific (the union==direct invariant is unit-tested);
+    the driver records the rows-only check."""
+    from botkop_telcotraffic_spark_spark.operators import sketch
+
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = sketch.build_sketches(e, ["event_type", "day"], "user_id")
+    return sketch.rollup_sketches(daily, ["event_type"]).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3185,6 +3199,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "chunk_docs": (chunk_docs, _CHUNK_SQL),
     "streaming_ewma_user": (streaming_ewma_user, _EWMA_SQL),
     "variant_props_stats": (variant_props_stats, _VARIANT_SQL),
+    "hll_sketch_rollup_users": (hll_sketch_rollup_users, None),
     "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),

@@ -231,3 +231,24 @@ def test_range_join_is_keyed_not_cartesian(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_contamination_broadcasts_bench_tokens(spark):
+    """The eval-token set must broadcast (tiny side at any corpus
+    scale); a sort-merge join here would shuffle the full train
+    postings."""
+    df = entry_mod.contamination_bench_overlap(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_and_pack_are_codegen(spark):
+    """Chunker is a pure narrow expansion; packing's only exchange is
+    the shard hash partition (no global sort)."""
+    chunk = entry_mod.chunk_docs(spark, SF_DIR_001)
+    chunk.collect()  # codegen spans appear once AQE finalizes
+    assert wholestage_codegen_ids(chunk), "chunker fell out of codegen"
+    pack = entry_mod.pack_sequences_docs(spark, SF_DIR_001)
+    plan = physical_plan(pack)
+    assert "rangepartitioning" not in plan.lower(), "global sort crept in"

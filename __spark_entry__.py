@@ -3121,6 +3121,28 @@ FROM events GROUP BY event_type
 """
 
 
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (sampling.temperature_mix,
+    alpha=0.5): per-source keep-rates proportional to 1/sqrt(n),
+    normalized so the smallest source keeps everything; rates derived
+    in-plan from a per-source count, rows kept by the deterministic
+    hash-bucket rule."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.temperature_mix(d, "doc_id", "source", alpha=0.5)
+    return out.select("doc_id", "source", "lang")
+
+
+_TEMP_MIX_SQL = f"""
+WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, CAST(1.0 AS DOUBLE) / sqrt(n) AS w FROM sizes),
+th AS (SELECT source, CAST(floor(10000 * w / (SELECT max(w) FROM w)) AS BIGINT) AS t
+       FROM w)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN th USING (source)
+WHERE {_HASH_BUCKET_SQL.format(key="d.doc_id")} < t
+"""
+
+
 def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch rollup (operators/sketch.py): per-day
     user sketches unioned up to per-event_type distinct estimates —
@@ -3200,6 +3222,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_ewma_user": (streaming_ewma_user, _EWMA_SQL),
     "variant_props_stats": (variant_props_stats, _VARIANT_SQL),
     "hll_sketch_rollup_users": (hll_sketch_rollup_users, None),
+    "temperature_mix_docs": (temperature_mix_docs, _TEMP_MIX_SQL),
     "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),

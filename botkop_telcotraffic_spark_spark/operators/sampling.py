@@ -167,3 +167,48 @@ def pack_sequences(
         F.min(ident).alias("first_id"),
         F.max(ident).alias("last_id"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-based corpus mixing: keep-rate per source
+    proportional to n_source^(alpha-1), normalized so the smallest
+    source keeps everything — the standard "flatten the source
+    distribution" step (alpha=1 keeps natural proportions, alpha->0
+    approaches uniform over sources).
+
+    The rates are computed IN-PLAN from a per-source count aggregate
+    (a few rows, broadcast back) — no driver round-trip, no second
+    job, and the whole mix stays one declarative query at any corpus
+    size.  Row selection reuses the engine's deterministic
+    hash-bucket rule, so the sampled corpus is reproducible across
+    engines and re-runs.
+
+    alpha=0.5 uses an explicit 1/sqrt(n) weight (IEEE sqrt/divide are
+    correctly rounded -> bit-identical across engines); other alphas
+    go through pow() whose last-ulp behavior is library-specific —
+    fine in production, but pin 0.5 for oracle-checked runs.
+    """
+    n = F.count(F.lit(1)).alias("n")
+    sizes = df.groupBy(source_col).agg(n)
+    if alpha == 0.5:
+        w = F.lit(1.0) / F.sqrt(F.col("n"))
+    else:
+        w = F.pow(F.col("n"), F.lit(alpha - 1.0))
+    weighted = sizes.select(source_col, w.alias("w"))
+    mx = weighted.agg(F.max("w").alias("w_max"))
+    th = weighted.crossJoin(F.broadcast(mx)).select(
+        source_col,
+        F.floor(F.lit(buckets) * F.col("w") / F.col("w_max")).alias("_thresh"),
+    )
+    b = hash_bucket(F.col(key_col), buckets)
+    return (
+        df.join(F.broadcast(th), source_col)
+        .where(b < F.col("_thresh"))
+        .drop("_thresh")
+    )

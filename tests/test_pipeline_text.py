@@ -92,3 +92,29 @@ def test_blocklist_gate_rules(spark):
     assert not out[2]["keep"] and out[2]["n_flagged"] == 10
     assert not out[3]["keep"]  # under the word floor
     assert abs(out[2]["flagged_frac"] - round(10 / 30, 6)) < 1e-9
+
+
+def test_temperature_mix_flattens_sources(spark):
+    """alpha=0.5 mixing: the smallest source survives whole; keep
+    rates decrease with source size; selection is deterministic."""
+    rows = (
+        [(i, "s_big") for i in range(4000)]
+        + [(i + 10_000, "s_mid") for i in range(1000)]
+        + [(i + 20_000, "s_small") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = sampling.temperature_mix(df, "doc_id", "source", alpha=0.5)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["s_small"] == 100  # smallest keeps everything
+    rate_big = counts["s_big"] / 4000
+    rate_mid = counts["s_mid"] / 1000
+    assert rate_big < rate_mid < 1.0
+    # expected rates ~ sqrt(n_small/n): 0.158, 0.316 (hash noise ~1%)
+    assert abs(rate_big - (100 / 4000) ** 0.5) < 0.05
+    assert abs(rate_mid - (100 / 1000) ** 0.5) < 0.05
+    # deterministic: second run identical
+    again = sampling.temperature_mix(df, "doc_id", "source", alpha=0.5)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in kept.collect()
+    )

@@ -3157,6 +3157,91 @@ def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.rollup_sketches(daily, ["event_type"]).orderBy("event_type")
 
 
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (text.pii_redact): redact emails / IPv4s /
+    phone-like digit runs with per-doc match counts — scan-side
+    regexp column math, RE2-compatible patterns shared verbatim with
+    the oracle.  (The synthetic corpus is digit-free, so the parity
+    check pins the no-op path; planted-PII behavior is unit-tested in
+    test_operators.py.)"""
+    d = _t(spark, sf_dir, "documents")
+    return text.pii_redact(d, "doc_id", "text")
+
+
+def _pii_sql() -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in text.PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in text.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {counts}, {red} AS redacted FROM documents"
+
+
+_PII_SQL = _pii_sql()
+
+
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screen (dedup.incremental_dup_flags):
+    docs from source 'src0' act as the already-ingested corpus; every
+    other doc is the incoming batch, flagged is_dup iff it shares >= 1
+    MinHash-LSH band bucket with the corpus.  The corpus side reduces
+    to a distinct bucket index (persistable; no corpus rescan per
+    batch)."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("source") == "src0")
+    new = d.where(F.col("source") != "src0")
+    return dedup.incremental_dup_flags(
+        corpus, new, "doc_id", "text", k=3, bands=8, rows_per_band=2
+    )
+
+
+_INCR_DEDUP_SQL = f"""
+WITH {_POSTINGS_CTE},
+sig AS (SELECT id, [{_MINHASH_EXPRS}] AS sig FROM post GROUP BY id),
+buckets AS ({_LSH_BANDS_SQL}),
+src AS (SELECT doc_id AS id, source FROM documents),
+cb AS (SELECT DISTINCT band, bkey
+       FROM buckets JOIN src USING (id) WHERE source = 'src0'),
+nb AS (SELECT buckets.* FROM buckets JOIN src USING (id)
+       WHERE source <> 'src0'),
+dup AS (SELECT DISTINCT nb.id FROM nb JOIN cb USING (band, bkey))
+SELECT s.id, (dup.id IS NOT NULL) AS is_dup
+FROM src s LEFT JOIN dup ON s.id = dup.id
+WHERE s.source <> 'src0'
+"""
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (melt) of the four lineitem measures into
+    (measure, val) rows, then per-(returnflag, measure) stats — the
+    relational unpivot surface (Spark `Dataset.unpivot`; Catalyst
+    expands it to a Generate, one scan, no shuffle before the agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    m = li.select(
+        "l_returnflag", *[F.col(c).cast("double").alias(c) for c in measures]
+    ).unpivot(["l_returnflag"], measures, "measure", "val")
+    return m.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 2).alias("total"),
+        F.round(F.avg("val"), 6).alias("mean"),
+    )
+
+
+_UNPIVOT_SQL = """
+WITH m AS (
+  SELECT l_returnflag, 'l_quantity' AS measure, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem)
+SELECT l_returnflag, measure, count(*) AS n,
+       round(sum(val), 2) AS total, round(avg(val), 6) AS mean
+FROM m GROUP BY l_returnflag, measure
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3263,6 +3348,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         range_join_clicks_before_errors,
         _RANGE_JOIN_SQL,
     ),
+    "pii_redact_docs": (pii_redact_docs, _PII_SQL),
+    "dedup_incremental_docs": (dedup_incremental_docs, _INCR_DEDUP_SQL),
+    "unpivot_lineitem_measures": (unpivot_lineitem_measures, _UNPIVOT_SQL),
 }
 
 

@@ -295,6 +295,77 @@ def simhash_band_candidates(
     return pairs.select("a", "b", "n_bands", hamming.alias("hamming"))
 
 
+def minhash_band_buckets(
+    sig: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bkey) LSH bucket memberships from a (id, sig)
+    signature table — the shared banding step for self-join dedup
+    (minhash_lsh_pairs) and incremental dedup (incremental_dup_flags).
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", "bb.band", "bb.bkey"
+    )
+
+
+def incremental_dup_flags(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental near-dup screen: flag each NEW doc that shares >= 1
+    LSH band bucket with the existing corpus.  Columns: (id, is_dup).
+
+    This is the ingestion-time shape of dedup at 100 TB: the corpus
+    side collapses to its DISTINCT (band, bkey) bucket set — in
+    production that set is a persisted index table appended per
+    accepted batch, so each increment scans only the NEW batch,
+    semi-joins it against the index, and never rescans the corpus.
+    The semi-join keys are tiny fixed-width strings; the new side's
+    bucket explosion is bands× its row count, both linear.
+    """
+    assert bands * rows_per_band <= MINHASH_NUM
+    cb = (
+        minhash_band_buckets(
+            minhash_signatures(corpus, id_col, text_col, k), bands, rows_per_band
+        )
+        .select("band", "bkey")
+        .distinct()
+    )
+    nb = minhash_band_buckets(
+        minhash_signatures(new, id_col, text_col, k), bands, rows_per_band
+    )
+    dup_ids = (
+        nb.join(cb, ["band", "bkey"], "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        new.select(F.col(id_col).alias("id"))
+        .join(dup_ids, "id", "left")
+        .select("id", F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -312,24 +383,7 @@ def minhash_lsh_pairs(
     """
     assert bands * rows_per_band <= MINHASH_NUM
     sig = minhash_signatures(df, id_col, text_col, k)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select("id", F.explode(band_structs).alias("bb")).select(
-        "id", "bb.band", "bb.bkey"
-    )
+    buckets = minhash_band_buckets(sig, bands, rows_per_band)
     grouped = _spread_buckets(
         buckets.groupBy("band", "bkey").agg(
             F.sort_array(F.collect_list("id")).alias("ids")

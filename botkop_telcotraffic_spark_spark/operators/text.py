@@ -210,3 +210,38 @@ def blocklist_gate(
         F.round(frac, 6).alias("flagged_frac"),
         ((n_words >= min_words) & (frac <= max_frac)).alias("keep"),
     )
+
+
+# PII scrubbing (training-data hygiene).  Patterns are RE2-compatible
+# (no lookaround, no backreferences) so Java regex (Spark) and RE2
+# (DuckDB oracle) produce identical matches; alternation is avoided
+# because Java is leftmost-FIRST and RE2 leftmost-LONGEST.  Order is
+# load-bearing: emails first (they contain digit runs a phone pattern
+# could bite), then IPs (dotted quads the phone pattern cannot match),
+# then phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d() -]{6,}\d", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails / IPv4s / phone-like digit runs, with per-doc
+    match counts: (id, n_email, n_ip, n_phone, redacted).
+
+    Counts are taken on the ORIGINAL text per pattern (independent,
+    order-free semantics the oracle reproduces); the redacted text
+    applies the three replacements sequentially in PII_PATTERNS
+    order.  Pure scan-side column math (regexp_count/regexp_replace,
+    codegen'd) — no shuffle, no Python, trivially partition-parallel
+    at 100 TB.
+    """
+    red: Column = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col), *counts, red.alias("redacted"))

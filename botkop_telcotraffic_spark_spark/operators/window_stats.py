@@ -122,9 +122,10 @@ def windowed_stats(
         exp = buckets.select(
             "*", F.explode(F.sequence(F.lit(0), F.lit(ratio - 1))).alias("_k")
         )
-        ws = F.timestamp_millis(
-            F.unix_millis(F.col("w.start")) - F.col("_k") * F.lit(slide_ms)
-        )
+        # Interval arithmetic, not unix_millis round-trips: it keeps the
+        # bucket start's exact type (TIMESTAMP or TIMESTAMP_NTZ), which
+        # unix_millis rejects for NTZ inputs.
+        ws = F.col("w.start") - F.col("_k") * F.expr(f"INTERVAL {slide}")
         n = F.sum("_n")
         mean = F.sum("_s") / n
         var = F.greatest(F.lit(0.0), F.sum("_ss") / n - mean * mean)

@@ -30,6 +30,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # The events fixture stores ts as parquet TIMESTAMP(NANOS); Spark
     # has no nanos timestamp type — read as long, convert in loader.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive parquet timestamps (timestamp[us] without tz) must read as
+    # TIMESTAMP, not TIMESTAMP_NTZ: with the UTC session timezone the
+    # values are identical, but NTZ rejects unix_millis/div arithmetic
+    # and CSV-writes without sub-millis precision.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # InferFiltersFromGenerate synthesizes `size(arr)>0` ahead of every
     # explode; PushDownPredicates then substitutes the generator input
     # through intermediate Projects, duplicating expensive array

@@ -502,3 +502,79 @@ def test_hash_split_stable_under_partitioning_and_growth(spark):
     kept_rep = {r["doc_id"] for r in stratified_hash_sample(
         d.repartition(5), "doc_id", "lang", {"en": 0.5}, default_rate=1.0).collect()}
     assert kept == kept_rep
+
+
+def test_pii_redact_planted(spark):
+    from botkop_telcotraffic_spark_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact john.doe@example.com or +32 475 123 456 now"),
+            (2, "server at 10.0.0.1 and 192.168.1.254 rebooted"),
+            (3, "plain text with no identifiers at all"),
+            (4, "two mails a@b.io c.d@e.org one phone 0475 11 22 33"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(df, "doc_id", "text").collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ip"], rows[1]["n_phone"]) == (1, 0, 1)
+    assert rows[1]["redacted"] == "contact <EMAIL> or <PHONE> now"
+    assert (rows[2]["n_email"], rows[2]["n_ip"], rows[2]["n_phone"]) == (0, 2, 0)
+    assert rows[2]["redacted"] == "server at <IP> and <IP> rebooted"
+    assert rows[3]["redacted"] == "plain text with no identifiers at all"
+    assert (rows[4]["n_email"], rows[4]["n_phone"]) == (2, 1)
+    assert rows[4]["redacted"] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
+
+
+def test_pii_redact_matches_duckdb_on_planted(spark):
+    """Cross-engine regex parity on text that actually contains PII
+    (the synthetic corpus is digit-free, so the sf oracle run only
+    pins the no-op path)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from botkop_telcotraffic_spark_spark.operators.text import pii_redact
+
+    data = [
+        (1, "mail x_1%y@sub.domain.co, ip 8.8.8.8, call (02) 123 45 67"),
+        (2, "edge a@b.cd next to 999.1.2.3 and +1 (555) 000-1111 end"),
+        (3, "no pii here just words"),
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "text"])
+    got = sorted(
+        tuple(r) for r in pii_redact(df, "doc_id", "text").collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        con.query("SELECT * FROM (VALUES " + ", ".join(
+            f"({i}, '{t}')" for i, t in data
+        ) + ") AS t(doc_id, text)").to_arrow_table(),
+    )
+    want = sorted(tuple(r) for r in con.sql(entry_mod._PII_SQL).fetchall())
+    assert got == want
+
+
+def test_incremental_dup_flags(spark):
+    from botkop_telcotraffic_spark_spark.operators.dedup import incremental_dup_flags
+
+    base = "key agg row scan slow fast table value part hash merge batch spark"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words about streams windows joins")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),  # exact copy -> all bands agree
+            (11, base + " tail"),  # near-copy -> >=1 band agrees
+            (12, "unrelated fresh content nothing shared with any corpus doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    flags = {
+        r["id"]: r["is_dup"]
+        for r in incremental_dup_flags(corpus, new, "doc_id", "text").collect()
+    }
+    assert flags[10] is True
+    assert flags[12] is False
+    assert set(flags) == {10, 11, 12}

@@ -15,10 +15,10 @@ def test_hll_union_of_partials_is_lossless(spark):
     """Estimate(union(per-day sketches)) == estimate(one-shot sketch):
     the pre-aggregation invariant that makes sketch tables safe to
     store and roll up later."""
-    e = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .withColumn("day", F.to_date("ts"))
+    from botkop_telcotraffic_spark_spark.sources import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
     )
     daily = sketch.build_sketches(e, ["event_type", "day"], "user_id")
     rolled = sketch.rollup_sketches(daily, ["event_type"])

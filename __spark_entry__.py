@@ -561,10 +561,22 @@ post AS (
 _POSTINGS_CTE = _postings_cte("documents")
 
 
+# Hot-shingle df-pruning fraction for the near-dup entry query: a
+# shingle present in > 2% of the corpus is boilerplate, not evidence
+# of near-duplication — and is exactly the O(f²) pair-explosion risk
+# at 100 TB.  The threshold is derived in-plan from the corpus count
+# (no hard-coded row count), mirrored by the oracle below.
+JACCARD_MAX_DF_FRAC = 0.02
+
+
 def jaccard_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram (3-word shingle) Jaccard near-duplicate pairs >= 0.5."""
+    """N-gram (3-word shingle) Jaccard near-duplicate pairs >= 0.5,
+    with default hot-shingle df-pruning (see JACCARD_MAX_DF_FRAC and
+    dedup.jaccard_pairs for the recall argument)."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, "doc_id", "text", k=3)
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", k=3, max_doc_freq_frac=JACCARD_MAX_DF_FRAC
+    )
     return pairs.where(F.col("jaccard") >= 0.5).select(
         "a", "b", "inter", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -572,10 +584,16 @@ def jaccard_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_SQL = f"""
 WITH {_POSTINGS_CTE},
+n AS (SELECT count(*) AS n FROM documents),
+freq AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+pruned AS (
+  SELECT post.id, post.tok FROM post JOIN freq USING (tok) CROSS JOIN n
+  WHERE freq.df <= n.n * {JACCARD_MAX_DF_FRAC}
+),
 sizes AS (SELECT id, count(*) AS sz FROM post GROUP BY id),
 inter AS (
   SELECT l.id AS a, r.id AS b, count(*) AS cnt
-  FROM post l JOIN post r USING (tok)
+  FROM pruned l JOIN pruned r USING (tok)
   WHERE l.id < r.id GROUP BY 1, 2
 )
 SELECT a, b, cnt AS inter, sa.sz AS size_a, sb.sz AS size_b,
@@ -592,14 +610,21 @@ _MINHASH_EXPRS = ", ".join(
 
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 affine hashes over the global shingle
-    dictionary rank) — deterministic, engine-independent."""
+    dictionary rank) — deterministic, engine-independent.  Emitted as
+    16 scalar columns h0..h15 (sortable/hashable externally); the
+    array-valued variant remains the internal banding contract."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_signatures(d, "doc_id", "text", k=3)
+    return dedup.minhash_signatures(d, "doc_id", "text", k=3, wide=True)
 
+
+_MINHASH_WIDE_EXPRS = ", ".join(
+    f"min(({a} * tok + {b}) % {dedup.MINHASH_P}) AS h{j}"
+    for j, (a, b) in enumerate(zip(dedup.MINHASH_A, dedup.MINHASH_B))
+)
 
 _MINHASH_SQL = f"""
 WITH {_POSTINGS_CTE}
-SELECT id, [{_MINHASH_EXPRS}] AS sig FROM post GROUP BY id
+SELECT id, {_MINHASH_WIDE_EXPRS} FROM post GROUP BY id
 """
 
 
@@ -1303,20 +1328,48 @@ SELECT query_id, neighbor_id, round(cs, 6) AS cosine_sim, rank FROM (
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.4)."""
+    """Embedding-cosine near-duplicate pairs (cos >= 0.4) via banded
+    random-hyperplane LSH candidates + exact cosine verification —
+    the scale path (no all-pairs crossJoin; the oracle mirrors the
+    banding bit-exactly).  The all-pairs exact variant
+    (similarity.near_dup_pairs) remains the recall cross-check in
+    tests/test_operators.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.near_dup_pairs(emb, threshold=0.4)
+    return similarity.near_dup_pairs_banded(emb, dim=64, threshold=0.4)
 
+
+def _nd_plane_sql(vec: str, p: int, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {dim}), "
+        f"d -> CAST({vec}[d] AS DOUBLE) * ((({p * 37} + (d - 1) * 29) % 31) - 15))), "
+        f"(s, x) -> s + x)"
+    )
+
+
+def _nd_bkey_sql(vec: str, band: int, ppb: int = similarity.NEARDUP_PLANES_PER_BAND) -> str:
+    bits = [
+        f"(CASE WHEN {_nd_plane_sql(vec, band * ppb + r)} >= 0"
+        f" THEN {1 << (ppb - 1 - r)} ELSE 0 END)"
+        for r in range(ppb)
+    ]
+    return " + ".join(bits)
+
+
+_ND_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id AS id, embedding AS v, {b} AS band, "
+    f"{_nd_bkey_sql('embedding', b)} AS bkey FROM embeddings"
+    for b in range(similarity.NEARDUP_BANDS)
+)
 
 _EMB_DUP_SQL = f"""
-WITH p AS (
-  SELECT a.vec_id AS a, b.vec_id AS b,
-         {_dot_sql('a.embedding', 'b.embedding')}
-         / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
-            * sqrt({_dot_sql('b.embedding', 'b.embedding')})) AS cs
-  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id
+WITH bk AS ({_ND_BANDS_SQL}),
+p AS (
+  SELECT l.id AS a, r.id AS b,
+         {_dot_sql('l.v', 'r.v')}
+         / (sqrt({_dot_sql('l.v', 'l.v')}) * sqrt({_dot_sql('r.v', 'r.v')})) AS cs
+  FROM bk l JOIN bk r USING (band, bkey) WHERE l.id < r.id
 )
-SELECT a, b, round(cs, 6) AS cosine_sim FROM p WHERE cs >= 0.4
+SELECT DISTINCT a, b, round(cs, 6) AS cosine_sim FROM p WHERE cs >= 0.4
 """
 
 

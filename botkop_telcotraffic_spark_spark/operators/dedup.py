@@ -147,6 +147,7 @@ def jaccard_pairs(
     text_col: str,
     k: int = 3,
     max_doc_freq: int | None = None,
+    max_doc_freq_frac: float | None = None,
     spread: bool = False,
 ) -> DataFrame:
     """All candidate pairs (a < b) sharing >= 1 k-shingle with their
@@ -154,20 +155,38 @@ def jaccard_pairs(
 
     Columns: a, b, inter, size_a, size_b, jaccard.
 
+    df-pruning (``max_doc_freq`` absolute, or ``max_doc_freq_frac``
+    as a fraction of the corpus row count, derived IN-PLAN — no extra
+    action): shingles appearing in more docs than the threshold are
+    dropped from the posting join.  This is the scale guard — one
+    stop-shingle shared by f docs otherwise creates O(f²) candidate
+    pairs.  Recall argument: a pruned shingle only loses a pair if
+    EVERY shared shingle is hot; two genuinely near-dup docs share
+    many shingles, nearly all corpus-rare, so at sane thresholds
+    (1-2% of docs) only boilerplate-only overlap is dropped — which
+    is noise, not near-duplication.  Set sizes stay computed over the
+    FULL distinct-shingle set (pruning lowers inter, never sizes), so
+    pruned-pair Jaccard is a conservative underestimate.
+
     Physical shape: ONE corpus scan and one postings shuffle.  Set
     sizes are computed scan-side off the materialized token array and
     ride through the bucket groupBy inside the (id, sz) struct, so no
     second scan and no join-back is needed; pairs explode scan-side
-    (bucket_pairs) and the final groupBy keys carry both sizes.
+    (bucket_pairs) and the final groupBy keys carry both sizes.  The
+    hot-shingle list is tiny by construction (bounded by P/threshold
+    distinct values) and broadcast to an anti-join.
     """
     post = token_postings(df, id_col, text_col, k, with_size=True)
-    if max_doc_freq is not None:
+    if max_doc_freq is not None or max_doc_freq_frac is not None:
         freq = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-        post = post.join(
-            F.broadcast(freq.where(F.col("df") > max_doc_freq).select("tok")),
-            "tok",
-            "left_anti",
-        )
+        if max_doc_freq is not None:
+            hot = freq.where(F.col("df") > F.lit(max_doc_freq))
+        else:
+            n = df.agg(F.count(F.lit(1)).alias("_n"))
+            hot = freq.crossJoin(F.broadcast(n)).where(
+                F.col("df") > F.col("_n") * F.lit(max_doc_freq_frac)
+            )
+        post = post.join(F.broadcast(hot.select("tok")), "tok", "left_anti")
     grouped = _spread_buckets(
         post.groupBy("tok").agg(
             F.sort_array(F.collect_list(F.struct("id", "sz"))).alias("xs")
@@ -193,7 +212,7 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, wide: bool = False
 ) -> DataFrame:
     """(id, sig: array<bigint>) — MinHash signature of the doc's
     k-shingle set: sig[j] = min over shingle tokens of
@@ -201,6 +220,11 @@ def minhash_signatures(
 
     Deterministic and oracle-reproducible (no engine hash builtins,
     no global sort); tok < 1e9+7 so a_j*tok stays far below 2^63.
+
+    ``wide=True`` returns (id, h0..h15) scalar columns instead of the
+    array — the externally-consumable shape (sortable, hashable by any
+    downstream canonicalizer); the array variant stays the internal
+    operator contract for the banding step.
     """
     post = token_postings(df, id_col, text_col, k)
     aggs = [
@@ -208,6 +232,8 @@ def minhash_signatures(
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
     sig = post.groupBy(F.col("id")).agg(*aggs)
+    if wide:
+        return sig
     return sig.select(
         "id", F.array(*[f"h{j}" for j in range(MINHASH_NUM)]).alias("sig")
     )

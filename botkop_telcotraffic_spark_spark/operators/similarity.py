@@ -96,7 +96,11 @@ def near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold)."""
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold).
+
+    ALL-PAIRS (O(n²) through the join): the exact small-corpus
+    baseline and the recall oracle for near_dup_pairs_banded — do NOT
+    use at scale; the banded variant is the 100 TB path."""
     a = df.select(
         F.col(id_col).alias("a"),
         F.col(vec_col).alias("_av"),
@@ -119,6 +123,112 @@ def near_dup_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
         .select("a", "b", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
+# Banded random-hyperplane LSH for embedding near-dup.  Plane family
+# (distinct from the 8-plane topk bucket family; period-31 in p so all
+# 64 planes are distinct): hp[p][d] = ((p*37 + d*29) % 31) - 15.
+NEARDUP_BANDS = 16
+NEARDUP_PLANES_PER_BAND = 4
+
+
+def _nd_plane_expr(vec, p: int, dim: int):
+    """Dot of vec with deterministic near-dup hyperplane p."""
+    comps = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda d: F.element_at(vec, d).cast("double")
+        * (((F.lit(p * 37) + (d - 1) * 29) % 31) - 15).cast("double"),
+    )
+    return F.aggregate(comps, F.lit(0.0), lambda a, x: a + x)
+
+
+def _nd_band_key(vec, dim: int, band: int, planes_per_band: int):
+    """Sign-bit key (0 .. 2^planes_per_band - 1) of one band."""
+    key = F.lit(0)
+    for r in range(planes_per_band):
+        p = band * planes_per_band + r
+        bit = F.when(_nd_plane_expr(vec, p, dim) >= 0, F.lit(1)).otherwise(F.lit(0))
+        key = key * 2 + bit
+    return key
+
+
+def near_dup_pairs_banded(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = NEARDUP_BANDS,
+    planes_per_band: int = NEARDUP_PLANES_PER_BAND,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded random-hyperplane LSH —
+    the 100 TB path (no all-pairs crossJoin anywhere in the plan).
+
+    Candidates = pairs agreeing on the sign pattern of >= 1 band of
+    ``planes_per_band`` hyperplanes; each candidate is then verified
+    with the exact cosine, so precision is exact and only recall is
+    approximate.  Per-plane collision probability for angle θ is
+    1 - θ/π, so band agreement is (1-θ/π)^planes_per_band and recall
+    1 - (1 - (1-θ/π)^p)^bands — at production thresholds (cos >= 0.9,
+    θ <= 26°) 16x4 bands give recall > 0.999; at the fixture's low
+    0.4 threshold measured recall is ~0.8 (see
+    tests: banded ⊆ exact, recall floor asserted).
+
+    Physical shape: one scan computes all band keys scan-side
+    (codegen'd fold expressions, no UDF); rows explode ×n_bands and
+    self-join on (band, key) — shuffle volume is n_bands × corpus,
+    linear.  In-bucket pair count is the quadratic residual: at larger
+    corpora raise planes_per_band (buckets = 2^p per band) to keep
+    expected bucket width constant — the standard LSH scale knob.
+    AQE skew-join handles residual hot buckets.  Duplicate candidates
+    (pairs agreeing on several bands) are collapsed AFTER the rounded
+    cosine (deterministic per pair), so no second join-back for
+    vectors is needed.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _nd_band_key(F.col("_v"), dim, b, planes_per_band).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bl = base.select("id", "_v", "_n", F.explode(bands_arr).alias("bb")).select(
+        "id", "_v", "_n", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    left = bl.select(
+        F.col("id").alias("a"),
+        F.col("_v").alias("_av"),
+        F.col("_n").alias("_an"),
+        "band",
+        "bkey",
+    )
+    right = bl.select(
+        F.col("id").alias("b"),
+        F.col("_v").alias("_bv"),
+        F.col("_n").alias("_bn"),
+        "band",
+        "bkey",
+    )
+    scored = (
+        left.join(right, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")),
+        )
+    )
+    return (
+        scored.where(F.col("cosine_sim") >= threshold)
+        .select("a", "b", F.round("cosine_sim", 6).alias("cosine_sim"))
+        .distinct()
     )
 
 

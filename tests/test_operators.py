@@ -576,5 +576,47 @@ def test_incremental_dup_flags(spark):
         for r in incremental_dup_flags(corpus, new, "doc_id", "text").collect()
     }
     assert flags[10] is True
+    # near-copy: the appended word changes only the trailing shingles,
+    # so the first bands' min-hashes agree — deterministic for this
+    # fixture (pinned by running the affine hashes once)
+    assert flags[11] is True
     assert flags[12] is False
     assert set(flags) == {10, 11, 12}
+
+
+def test_banded_near_dup_subset_and_recall(spark):
+    """Banded embedding near-dup: exact-cosine verification makes
+    precision 1.0 (banded ⊆ all-pairs); recall at the fixture's low
+    0.4 threshold must clear the LSH-math floor."""
+    from botkop_telcotraffic_spark_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_banded,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["a"], r["b"], r["cosine_sim"])
+        for r in near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    banded = {
+        (r["a"], r["b"], r["cosine_sim"])
+        for r in near_dup_pairs_banded(emb, dim=64, threshold=0.4).collect()
+    }
+    assert banded <= exact, "banded produced a pair the exact path did not"
+    if exact:
+        assert len(banded) / len(exact) >= 0.6, (len(banded), len(exact))
+
+
+def test_jaccard_hot_shingle_pruning_bounds_candidates(spark):
+    """A planted boilerplate shingle shared by every doc must NOT
+    quadratically explode candidate pairs when df-pruning is on."""
+    from botkop_telcotraffic_spark_spark.operators.dedup import jaccard_pairs
+
+    boiler = "all rights reserved worldwide"
+    docs = [(i, f"unique{i} body{i} tail{i} {boiler}") for i in range(100)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # unpruned: the hot shingles pair every doc with every other
+    assert jaccard_pairs(df, "doc_id", "text", k=3).count() == 100 * 99 // 2
+    # pruned at 5%: hot shingles dropped, no shared rare shingles remain
+    pruned = jaccard_pairs(df, "doc_id", "text", k=3, max_doc_freq_frac=0.05)
+    assert pruned.count() == 0

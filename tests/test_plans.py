@@ -252,3 +252,26 @@ def test_chunk_and_pack_are_codegen(spark):
     pack = entry_mod.pack_sequences_docs(spark, SF_DIR_001)
     plan = physical_plan(pack)
     assert "rangepartitioning" not in plan.lower(), "global sort crept in"
+
+
+def test_embedding_near_dup_is_banded_not_allpairs(spark):
+    """The near-dup entry query must candidate via LSH bands: a keyed
+    join on (band, bkey), never an all-pairs cartesian or broadcast
+    nested loop over the corpus."""
+    df = entry_mod.embedding_near_dup(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_jaccard_prune_list_is_broadcast_anti_join(spark):
+    """The hot-shingle list (tiny by construction) must reach the
+    postings as a broadcast anti-join, not a shuffled one."""
+    df = entry_mod.jaccard_near_dup_docs(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

@@ -3299,9 +3299,76 @@ FROM m GROUP BY l_returnflag, measure
 # registry
 
 
+# Registry order is a VERIFICATION BUDGET: the driver's correctness
+# harness checks the first 50 entries against the DuckDB oracle each
+# round.  Slots 1-50 therefore carry the queries whose oracle evidence
+# is newest-needed this round (round 2: everything unverified in r1 —
+# TPC-H Q2-Q22, the curation flagship, contamination, sampling/splits,
+# funnel/cohort, streaming twins — plus the three queries whose
+# semantics changed this round: wide minhash signatures, banded
+# embedding near-dup, df-pruned jaccard).  Entries past slot 50 all
+# hold green CORRECTNESS_r01 rows (unchanged code), are intentionally
+# rows-only (no SQL-expressible oracle), or are subsumed by a green
+# sibling; the full suite still verifies every oracle entry in pytest
+# (tests/test_oracle_parity.py) regardless of slot.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # -- checked slots 1-50 ------------------------------------------------
+    "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
+    "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
+    "q4_order_priority": (q4_order_priority, _Q4_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
+    "q8_market_share": (q8_market_share, _Q8_SQL),
+    "q9_product_profit": (q9_product_profit, _Q9_SQL),
+    "q10_returned_items": (q10_returned_items, _Q10_SQL),
+    "q11_important_parts": (q11_important_parts, _Q11_SQL),
+    "q12_priority_classes": (q12_priority_classes, _Q12_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
+    "q15_top_suppliers": (q15_top_suppliers, _Q15_SQL),
+    "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
+    "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
+    "q20_excess_share_suppliers": (q20_excess_share_suppliers, _Q20_SQL),
+    "q21_sole_failing_supplier": (q21_sole_failing_supplier, _Q21_SQL),
+    "q22_idle_rich_customers": (q22_idle_rich_customers, _Q22_SQL),
+    "sample_docs_stratified": (sample_docs_stratified, _SAMPLE_SQL),
+    "train_val_test_split_docs": (train_val_test_split_docs, _SPLIT_SQL),
+    "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
+    "temperature_mix_docs": (temperature_mix_docs, _TEMP_MIX_SQL),
+    "funnel_view_click_purchase": (funnel_view_click_purchase, _FUNNEL_SQL),
+    "cohort_weekly_retention": (cohort_weekly_retention, _COHORT_SQL),
+    "gap_filled_user_hours": (gap_filled_user_hours, _GAP_FILL_SQL),
+    "range_join_clicks_before_errors": (
+        range_join_clicks_before_errors,
+        _RANGE_JOIN_SQL,
+    ),
+    "streaming_session_windows_users": (streaming_session_windows_users, _SESSION_SQL),
+    "streaming_click_error_join": (streaming_click_error_join, _STREAM_JOIN_SQL),
+    "streaming_ewma_user": (streaming_ewma_user, _EWMA_SQL),
+    "pii_redact_docs": (pii_redact_docs, _PII_SQL),
+    "dedup_incremental_docs": (dedup_incremental_docs, _INCR_DEDUP_SQL),
+    "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
+    "repetition_docs": (repetition_docs, _REPETITION_SQL),
+    "pack_sequences_docs": (pack_sequences_docs, _PACK_SQL),
+    "blocklist_gate_docs": (blocklist_gate_docs, _BLOCKLIST_SQL),
+    "chunk_docs": (chunk_docs, _CHUNK_SQL),
+    "variant_props_stats": (variant_props_stats, _VARIANT_SQL),
+    "window_points_json": (window_points_json, _WINDOW_JSON_SQL),
+    "metrics_map_stats": (metrics_map_stats, _METRICS_MAP_SQL),
+    "sql_text_surface": (sql_text_surface, _SQL_SURFACE_SQL),
+    "unpivot_lineitem_measures": (unpivot_lineitem_measures, _UNPIVOT_SQL),
+    "minhash_signatures_docs": (minhash_signatures_docs, _MINHASH_SQL),
+    "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
+    "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
+    # -- past the driver's 50-slot check: green in CORRECTNESS_r01 with
+    # -- unchanged code, rows-only by design, or subsumed by a green
+    # -- sibling; all still pytest-verified against their oracles -----------
     "q5_region_revenue": (q5_region_revenue, _Q5_SQL),
     "top_events_by_value": (top_events_by_value, _TOPK_SQL),
     "daily_distinct_users": (daily_distinct_users, _DAILY_SQL),
@@ -3318,8 +3385,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "geofence_rect_events": (geofence_rect_events, _GEO_RECT_SQL),
     "geofence_polygon_events": (geofence_polygon_events, _GEO_POLY_SQL),
     "dedup_exact_docs": (dedup_exact_docs, _DEDUP_EXACT_SQL),
-    "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
-    "minhash_signatures_docs": (minhash_signatures_docs, _MINHASH_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
     "text_quality_docs": (text_quality_docs, _QUALITY_SQL),
     "lang_id_docs": (lang_id_docs, _LANGID_SQL),
@@ -3327,7 +3392,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "doc_fingerprints": (doc_fingerprints, _FP_SQL),
     "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
     "ann_cosine_topk_blocked": (ann_cosine_topk_blocked, _ANN_BLOCKED_SQL),
-    "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
     "kmeans_label_assign": (kmeans_label_assign, _KMEANS_SQL),
     "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
     "cube_order_stats": (cube_order_stats, _CUBE_SQL),
@@ -3348,62 +3412,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_ivf_topk": (ann_ivf_topk, _ANN_IVF_SQL),
     "streaming_running_zscore": (streaming_running_zscore, _ZSCORE_SQL),
     "percentile_value_stats": (percentile_value_stats, _PERCENTILE_SQL),
-    "approx_distinct_users": (approx_distinct_users, None),
     "grouping_sets_orders": (grouping_sets_orders, _GROUPING_SETS_SQL),
     "word_counts_docs": (word_counts_docs, _WORD_COUNTS_SQL),
+    "rollup_multires_stats": (rollup_multires_stats, _MULTIRES_SQL),
+    # -- no SQL-expressible oracle (rows-only check by design) -------------
+    "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),
     "simulated_traffic_stats": (simulated_traffic_stats, None),
-    "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),
-    "pack_sequences_docs": (pack_sequences_docs, _PACK_SQL),
-    "blocklist_gate_docs": (blocklist_gate_docs, _BLOCKLIST_SQL),
-    "chunk_docs": (chunk_docs, _CHUNK_SQL),
-    "streaming_ewma_user": (streaming_ewma_user, _EWMA_SQL),
-    "variant_props_stats": (variant_props_stats, _VARIANT_SQL),
     "hll_sketch_rollup_users": (hll_sketch_rollup_users, None),
-    "temperature_mix_docs": (temperature_mix_docs, _TEMP_MIX_SQL),
-    "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
-    "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
-    "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
-    "q15_top_suppliers": (q15_top_suppliers, _Q15_SQL),
-    "window_points_json": (window_points_json, _WINDOW_JSON_SQL),
-    "rollup_multires_stats": (rollup_multires_stats, _MULTIRES_SQL),
-    "metrics_map_stats": (metrics_map_stats, _METRICS_MAP_SQL),
     "lloyd_kmeans_embeddings": (lloyd_kmeans_embeddings, None),
-    "sample_docs_stratified": (sample_docs_stratified, _SAMPLE_SQL),
-    "train_val_test_split_docs": (train_val_test_split_docs, _SPLIT_SQL),
-    "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
-    "sql_text_surface": (sql_text_surface, _SQL_SURFACE_SQL),
-    "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
-    "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
-    "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
-    "q4_order_priority": (q4_order_priority, _Q4_SQL),
-    "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
-    "q8_market_share": (q8_market_share, _Q8_SQL),
-    "q9_product_profit": (q9_product_profit, _Q9_SQL),
-    "q10_returned_items": (q10_returned_items, _Q10_SQL),
-    "q11_important_parts": (q11_important_parts, _Q11_SQL),
-    "q12_priority_classes": (q12_priority_classes, _Q12_SQL),
-    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
-    "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
-    "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
-    "q20_excess_share_suppliers": (q20_excess_share_suppliers, _Q20_SQL),
-    "q21_sole_failing_supplier": (q21_sole_failing_supplier, _Q21_SQL),
-    "q22_idle_rich_customers": (q22_idle_rich_customers, _Q22_SQL),
-    "repetition_docs": (repetition_docs, _REPETITION_SQL),
-    "gap_filled_user_hours": (gap_filled_user_hours, _GAP_FILL_SQL),
-    "funnel_view_click_purchase": (funnel_view_click_purchase, _FUNNEL_SQL),
-    "cohort_weekly_retention": (cohort_weekly_retention, _COHORT_SQL),
-    "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
-    "streaming_session_windows_users": (streaming_session_windows_users, _SESSION_SQL),
-    "streaming_click_error_join": (streaming_click_error_join, _STREAM_JOIN_SQL),
-    "range_join_clicks_before_errors": (
-        range_join_clicks_before_errors,
-        _RANGE_JOIN_SQL,
-    ),
-    "pii_redact_docs": (pii_redact_docs, _PII_SQL),
-    "dedup_incremental_docs": (dedup_incremental_docs, _INCR_DEDUP_SQL),
-    "unpivot_lineitem_measures": (unpivot_lineitem_measures, _UNPIVOT_SQL),
 }
 
 

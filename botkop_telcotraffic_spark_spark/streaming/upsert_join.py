@@ -9,13 +9,20 @@ the latest attach seen *at any time in the past* (unbounded state),
 and unmatched events drop (inner join).  A watermarked stream-stream
 join cannot reproduce that; a keyed upsert store can.
 
-``KeyedUpsertStore`` is a parquet-backed compacted table: each batch
-unions new rows with the current snapshot and keeps the latest row
-per key (max_by on event time, deterministic tiebreak).  On a real
-cluster this would be Delta ``MERGE`` (same semantics, transactional)
-— parquet-swap keeps the container dependency-free.  Writes are
-partitioned by a stable hash bucket of the key so the store stays
-scan- and join-efficient as it grows.
+``KeyedUpsertStore`` is a parquet-backed compacted table, hash-
+bucketed by key: rows live under ``_bucket=hash(key) % B`` partition
+directories.  Each micro-batch merge touches ONLY the buckets its
+keys fall in — the current snapshot of those buckets is read
+(partition-pruned), unioned with the batch, compacted latest-wins,
+and the rewritten bucket directories are swapped in; every other
+bucket's files are left byte-for-byte untouched.  Per-batch cost is
+therefore O(batch + store/B · touched_buckets), not O(store): at
+100 TB of accumulated attach state with B sized so a bucket fits an
+executor (e.g. B = store_bytes / 256 MB), a batch touching k distinct
+key-buckets rewrites only those k · 256 MB.  On a real cluster this
+is Delta ``MERGE`` (same semantics, transactional, file-level skip);
+parquet-dir-swap keeps the container dependency-free while preserving
+the incremental shape.
 """
 
 from __future__ import annotations
@@ -28,35 +35,83 @@ from pyspark.sql import functions as F
 
 from ..operators.enrich import latest_per_key
 
+_BUCKET = "_bucket"
+
 
 class KeyedUpsertStore:
-    """Latest-wins upsert store over parquet (Delta-MERGE semantics,
-    swap-on-write)."""
+    """Latest-wins upsert store over hash-bucketed parquet
+    (Delta-MERGE semantics, touched-buckets-only rewrite)."""
 
-    def __init__(self, spark: SparkSession, path: str, key_col: str, order_col: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        order_col: str,
+        n_buckets: int = 16,
+    ):
         self.spark = spark
         self.path = path
         self.key_col = key_col
         self.order_col = order_col
+        self.n_buckets = n_buckets
+
+    def _bucket_expr(self):
+        # xxhash64 is deterministic across sessions/executors (fixed
+        # seed 42), so a key's bucket never moves between batches.
+        # Null keys (xxhash64 -> null) pin to bucket 0 so they never
+        # create a hive default-partition directory.
+        return F.coalesce(
+            F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(self.n_buckets)),
+            F.lit(0),
+        )
 
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.path, "_SUCCESS"))
 
+    def _raw(self) -> DataFrame | None:
+        """Snapshot including the _bucket partition column."""
+        if not self.exists():
+            return None
+        return self.spark.read.option("basePath", self.path).parquet(self.path)
+
     def snapshot(self) -> DataFrame | None:
-        return self.spark.read.parquet(self.path) if self.exists() else None
+        raw = self._raw()
+        return raw.drop(_BUCKET) if raw is not None else None
 
     def upsert(self, batch: DataFrame) -> None:
-        """Merge a batch: latest row per key wins across (old, new)."""
-        new = batch
-        cur = self.snapshot()
+        """Merge a batch: latest row per key wins across (old, new).
+
+        Only bucket directories containing a batch key are rewritten;
+        all other buckets are untouched on disk.
+        """
+        newb = batch.withColumn(_BUCKET, self._bucket_expr())
+        # Tiny driver-side list (<= n_buckets ints) — this is what
+        # bounds the rewrite to touched buckets.
+        touched = [r[0] for r in newb.select(_BUCKET).distinct().collect()]
+        cur = self._raw()
         if cur is not None:
-            new = cur.unionByName(new, allowMissingColumns=True)
-        merged = latest_per_key(new, [self.key_col], [self.order_col])
+            cur = cur.where(F.col(_BUCKET).isin(touched))  # partition-pruned
+            newb = cur.unionByName(newb, allowMissingColumns=True)
+        merged = latest_per_key(newb, [self.key_col], [self.order_col])
+        # Stage the rewritten buckets, then swap each directory in —
+        # never read-and-overwrite the same files in one job.
         tmp = self.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        os.rename(tmp, self.path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        merged.write.partitionBy(_BUCKET).mode("overwrite").parquet(tmp)
+        os.makedirs(self.path, exist_ok=True)
+        for b in touched:
+            src = os.path.join(tmp, f"{_BUCKET}={b}")
+            dst = os.path.join(self.path, f"{_BUCKET}={b}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if os.path.exists(src):
+                os.rename(src, dst)
+        shutil.rmtree(tmp)
+        # Commit marker (idempotent).
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
 
     def join(self, facts: DataFrame, fact_key: str, how: str = "inner") -> DataFrame:
         """Enrich facts against the current snapshot (inner = reference

@@ -598,3 +598,57 @@ def test_simulator_stream_advances_offsets(spark, tmp_path):
     # second availableNow run resumed from the checkpoint: batch 1
     # appended after batch 0, nothing reprocessed
     assert [tuple(r)[:7] for r in got2] == [e[:7] for e in exp80]
+
+
+def test_upsert_store_rewrites_only_touched_buckets(spark, tmp_path):
+    """Incremental merge contract: a batch rewrites ONLY the hash
+    buckets its keys fall in; every other bucket directory stays
+    byte-for-byte identical on disk (the O(batch), not O(store),
+    per-micro-batch cost model)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    store = KeyedUpsertStore(
+        spark, str(tmp_path / "store"), key_col="k", order_col="ts", n_buckets=8
+    )
+    batch1 = spark.createDataFrame(
+        [(f"key{i}", i, f"v{i}") for i in range(40)], ["k", "ts", "val"]
+    )
+    store.upsert(batch1)
+
+    def dir_digest(d):
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(d)):
+            for f in sorted(files):
+                h.update(f.encode())
+                with open(os.path.join(root, f), "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    buckets = sorted(
+        d for d in os.listdir(store.path) if d.startswith("_bucket=")
+    )
+    assert len(buckets) > 1, "fixture must span several buckets"
+    before = {b: dir_digest(os.path.join(store.path, b)) for b in buckets}
+
+    # second batch touches exactly one key -> exactly one bucket
+    target = (
+        batch1.where(F.col("k") == "key0")
+        .select(store._bucket_expr().alias("b"))
+        .collect()[0]["b"]
+    )
+    batch2 = spark.createDataFrame([("key0", 100, "v0new")], ["k", "ts", "val"])
+    touched_bucket = f"_bucket={target}"
+    store.upsert(batch2)
+
+    after = {b: dir_digest(os.path.join(store.path, b)) for b in buckets}
+    for b in buckets:
+        if b != touched_bucket:
+            assert after[b] == before[b], f"untouched bucket {b} was rewritten"
+    assert after[touched_bucket] != before[touched_bucket]
+
+    # latest-wins still holds across the incremental merge
+    snap = {r["k"]: (r["ts"], r["val"]) for r in store.snapshot().collect()}
+    assert snap["key0"] == (100, "v0new")
+    assert len(snap) == 40

@@ -4,10 +4,12 @@
 Convention: a modality column is ``content: binary`` plus a typed
 ``meta`` struct (mime, width/height/duration, source uri).  All
 Spark-side plumbing — schema, partition sizing, Arrow batch shape —
-is real; the actual codecs (image decode, audio resample, video
-frame-sample) are pluggable callables because codec libraries are not
-available in this container.  The default codec raises
-NotImplementedError; tests inject a deterministic fake.
+is real, and so is the DEFAULT IMAGE CODEC: pure-stdlib decoders for
+uncompressed 24-bit BMP and binary PPM (header parse, padded
+bottom-up row walk, nearest-neighbor resize) power decode_features
+and resize_images out of the box.  Codecs remain pluggable callables
+for formats that genuinely need external libraries (JPEG, audio,
+video) — those paths raise NotImplementedError until one is injected.
 
 Scale notes: binary payloads dominate row size — ``mapInPandas``
 streams Arrow record batches so peak memory is one batch, not one
@@ -46,15 +48,175 @@ def media_schema(extra_fields: list[T.StructField] | None = None) -> T.StructTyp
     )
 
 
-def _default_codec(content: bytes) -> dict:
-    raise NotImplementedError(
-        "no codec libraries in this environment — inject a codec "
-        "callable (bytes -> {'width': int, 'height': int, "
-        "'features': list[float]})"
-    )
+# --- real pure-stdlib image codecs (BMP 24-bit, PPM P6) --------------------
+#
+# No image libraries ship in this container, but BMP (BITMAPINFOHEADER,
+# uncompressed 24-bit) and binary PPM are simple enough to implement
+# from the published format specs with `struct` alone — so the default
+# codec is REAL: it parses headers, walks padded bottom-up BMP rows /
+# row-major PPM payloads, and extracts deterministic features.  Codec
+# injection stays supported for tests and for formats beyond these two
+# (JPEG/audio/video need real libraries — still stubs, clearly marked).
+
+
+def encode_bmp(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Encode row-major top-down (r, g, b) pixels as an uncompressed
+    24-bit BMP (BITMAPINFOHEADER, bottom-up rows padded to 4 bytes)."""
+    import struct
+
+    row_size = (width * 3 + 3) & ~3
+    img_size = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (row_size - len(row))
+        rows += row
+    return header + dib + bytes(rows)
+
+
+def encode_ppm(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Encode row-major top-down (r, g, b) pixels as binary PPM (P6)."""
+    head = f"P6\n{width} {height}\n255\n".encode()
+    body = bytes(c for p in pixels for c in p)
+    return head + body
+
+
+def _decode_bmp(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    dib_size = struct.unpack_from("<I", content, 14)[0]
+    if dib_size < 40:
+        raise ValueError("unsupported BMP DIB header")
+    width, height = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    pixels: list[tuple[int, int, int]] = [(0, 0, 0)] * (width * height)
+    for row_idx in range(height):
+        y = (height - 1 - row_idx) if bottom_up else row_idx
+        base = data_off + row_idx * row_size
+        for x in range(width):
+            b, g, r = content[base + 3 * x : base + 3 * x + 3]
+            pixels[y * width + x] = (r, g, b)
+    return width, height, pixels
+
+
+def _decode_ppm(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    if content[:2] != b"P6":
+        raise ValueError("not a binary PPM payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    body = content[pos : pos + width * height * 3]
+    it = iter(body)
+    pixels = [(r, g, b) for r, g, b in zip(it, it, it)]
+    return width, height, pixels
 
 
 FEATURE_DIM = 8
+
+# Rec.601 luma weights — fixed constants shared with the oracle SQL.
+_LUMA = (0.299, 0.587, 0.114)
+
+
+def image_features(width: int, height: int, pixels: list[tuple[int, int, int]]) -> list[float]:
+    """FEATURE_DIM deterministic features: [width, height, mean_r,
+    mean_g, mean_b, mean_luma, min_luma, max_luma].  Sums accumulate
+    in row-major pixel order so any engine replaying the same order
+    (e.g. the DuckDB oracle's list_reduce) reproduces them
+    bit-exactly."""
+    n = width * height
+    sr = sg = sb = sl = 0.0
+    lmin, lmax = float("inf"), float("-inf")
+    for r, g, b in pixels:
+        sr += r
+        sg += g
+        sb += b
+        luma = _LUMA[0] * r + _LUMA[1] * g + _LUMA[2] * b
+        sl += luma
+        lmin = min(lmin, luma)
+        lmax = max(lmax, luma)
+    return [
+        float(width),
+        float(height),
+        sr / n,
+        sg / n,
+        sb / n,
+        sl / n,
+        lmin,
+        lmax,
+    ]
+
+
+def decode_image(content: bytes) -> dict:
+    """REAL default codec: BMP (24-bit uncompressed) and binary PPM
+    decode via stdlib struct/byte parsing; returns
+    {'width', 'height', 'features'} with FEATURE_DIM features."""
+    if content[:2] == b"BM":
+        width, height, pixels = _decode_bmp(content)
+    elif content[:2] == b"P6":
+        width, height, pixels = _decode_ppm(content)
+    else:
+        raise NotImplementedError(
+            "unsupported payload (only BMP/PPM decode ships in this "
+            "container) — inject a codec callable (bytes -> {'width', "
+            "'height', 'features'}) for other formats"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "features": image_features(width, height, pixels),
+    }
+
+
+def resize_image_bytes(content: bytes, width: int, height: int) -> bytes:
+    """REAL default resize codec: nearest-neighbor resample of a
+    BMP/PPM payload, re-encoded in its source format."""
+    if content[:2] == b"BM":
+        sw, sh, pixels = _decode_bmp(content)
+        enc = encode_bmp
+    elif content[:2] == b"P6":
+        sw, sh, pixels = _decode_ppm(content)
+        enc = encode_ppm
+    else:
+        raise NotImplementedError(
+            "unsupported payload for resize — inject a codec callable"
+        )
+    out = [
+        pixels[(y * sh // height) * sw + (x * sw // width)]
+        for y in range(height)
+        for x in range(width)
+    ]
+    return enc(width, height, out)
+
+
+_default_codec = decode_image
 
 
 def decode_features(
@@ -93,6 +255,45 @@ def decode_features(
     return df.select(id_col, content_col).mapInPandas(process, out_schema)
 
 
+def synth_images(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Deterministic image fixtures from an id column: each id becomes
+    a real encoded image — BMP for even ids, PPM for odd — whose
+    grayscale pixel (x, y) has value (id*31 + y*w + x) % 256 with
+    w = 4 + id%5, h = 3 + id%4.  The closed pixel form lets an
+    engine-independent oracle compute the decoded features without a
+    decoder, turning encode->decode into a verifiable round trip.
+    Arrow-batched mapInPandas; one narrow pass, no shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(content_col, T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs, mimes = [], [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                px = [((mid * 31 + i) % 256,) * 3 for i in range(w * h)]
+                if mid % 2 == 0:
+                    blobs.append(encode_bmp(w, h, px))
+                    mimes.append("image/bmp")
+                else:
+                    blobs.append(encode_ppm(w, h, px))
+                    mimes.append("image/x-portable-pixmap")
+                ids.append(mid)
+            yield pd.DataFrame({id_col: ids, content_col: blobs, "mime": mimes})
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
+
+
 def byte_stats(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
     """Pure-JVM byte-level stats on binary columns (no decode):
     payload size + declared mime passthrough if present."""
@@ -115,7 +316,12 @@ def frame_sample_plan(
     input (frame_idx, frame binary).  Codec pluggable as above.
     """
     if codec is None:
-        _default_codec(b"")  # raises with guidance
+        # video containers genuinely need a real demuxer library —
+        # this stays a clearly-marked stub until one is injected
+        raise NotImplementedError(
+            "no video demuxer in this environment — inject a codec "
+            "callable (bytes, every_ms) -> list[bytes]"
+        )
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -149,11 +355,12 @@ def resize_images(
     """Image resize: (id, content) -> (id, content) at the target
     dimensions, meta.width/height rewritten when a meta struct rides
     along.  Same Arrow-batched mapInPandas plumbing as
-    decode_features; codec is ``(bytes, w, h) -> bytes`` (no image
-    libraries in this container — inject one, tests use a
-    deterministic fake)."""
+    decode_features; codec is ``(bytes, w, h) -> bytes`` — defaults to
+    the real stdlib nearest-neighbor BMP/PPM resampler
+    (resize_image_bytes); injection stays supported for other
+    formats."""
     if codec is None:
-        _default_codec(b"")  # raises with guidance
+        codec = resize_image_bytes
     has_meta = "meta" in df.columns
     fields = [
         T.StructField(id_col, T.LongType()),

@@ -620,3 +620,62 @@ def test_jaccard_hot_shingle_pruning_bounds_candidates(spark):
     # pruned at 5%: hot shingles dropped, no shared rare shingles remain
     pruned = jaccard_pairs(df, "doc_id", "text", k=3, max_doc_freq_frac=0.05)
     assert pruned.count() == 0
+
+
+def test_bmp_ppm_codec_round_trip():
+    """Pure-stdlib codecs: encode -> decode is lossless for both
+    formats, including BMP rows needing pad bytes (w*3 % 4 != 0)."""
+    from botkop_telcotraffic_spark_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_ppm,
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    for w, h in [(4, 3), (5, 3), (7, 2), (1, 1)]:  # 5,7 -> padded rows
+        px = [((i * 37) % 256, (i * 11) % 256, (i * 5) % 256) for i in range(w * h)]
+        assert _decode_bmp(encode_bmp(w, h, px)) == (w, h, px)
+        assert _decode_ppm(encode_ppm(w, h, px)) == (w, h, px)
+    # comment-bearing PPM headers parse too
+    ppm = b"P6\n# a comment\n2 1\n255\n" + bytes(range(6))
+    assert _decode_ppm(ppm) == (2, 1, [(0, 1, 2), (3, 4, 5)])
+    out = decode_image(encode_bmp(2, 2, [(9, 9, 9)] * 4))
+    assert out["width"] == 2 and out["height"] == 2
+    assert out["features"][2] == 9.0  # mean_r of constant image
+
+
+def test_resize_image_bytes_real_codec():
+    from botkop_telcotraffic_spark_spark.operators.multimodal import (
+        _decode_bmp,
+        decode_image,
+        encode_bmp,
+        resize_image_bytes,
+    )
+
+    px = [(x * 10, y * 10, 0) for y in range(4) for x in range(4)]
+    small = resize_image_bytes(encode_bmp(4, 4, px), 2, 2)
+    w, h, spx = _decode_bmp(small)
+    assert (w, h) == (2, 2)
+    # nearest-neighbor: output (x,y) samples source (x*4//2, y*4//2)
+    assert spx == [px[0], px[2], px[8], px[10]]
+    assert decode_image(small)["features"][0] == 2.0
+
+
+def test_decode_features_default_codec_is_real(spark):
+    """decode_features needs NO injected codec for BMP/PPM payloads."""
+    from botkop_telcotraffic_spark_spark.operators.multimodal import (
+        decode_features,
+        synth_images,
+    )
+
+    ids = spark.range(6).select(F.col("id").alias("media_id"))
+    out = decode_features(synth_images(ids)).collect()
+    assert len(out) == 6
+    by_id = {r["media_id"]: r for r in out}
+    for mid in range(6):
+        assert by_id[mid]["width"] == 4 + mid % 5
+        assert by_id[mid]["height"] == 3 + mid % 4
+        w, h = 4 + mid % 5, 3 + mid % 4
+        vals = [(mid * 31 + i) % 256 for i in range(w * h)]
+        assert abs(by_id[mid]["features"][2] - sum(vals) / len(vals)) < 1e-9

@@ -2192,11 +2192,16 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     on 2-D points, IQR-flag by within-cluster distance per batch.
 
     No oracle entry: the iterative model update is not SQL-expressible
-    (the driver records the rows-only check).  The per-batch collect
-    here is the memory-sink equivalent for the bounded replay; a real
-    deployment writes each batch to a sink instead."""
+    (the driver records the rows-only check).  Each batch's scored
+    output flows through the PRODUCTION sink path (parquet append —
+    streaming/pipeline.py::parquet_append_sink; executor-side write,
+    no driver collect); the function returns the sink directory read
+    back, which is exactly what a downstream consumer would see."""
+    import tempfile
+
     from botkop_telcotraffic_spark_spark.operators.iqr import iqr_outliers
     from botkop_telcotraffic_spark_spark.operators.kmeans import StreamingKMeans
+    from botkop_telcotraffic_spark_spark.streaming.pipeline import parquet_append_sink
     from botkop_telcotraffic_spark_spark.streaming.runner import stream_parquet_table
 
     tune(spark)
@@ -2208,19 +2213,21 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("point"),
     ).where(~F.exists("point", lambda x: x.isNull()))
     model = StreamingKMeans(k=3, dim=2, decay=1.0, seed=42)
-    acc: list = []
+    out_dir = tempfile.mkdtemp(prefix="skm_outliers_")
+    sink = parquet_append_sink(out_dir)
 
-    def batch_fn(df: DataFrame, _eid: int) -> None:
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
         scored = model.update_and_assign(df, vec_col="point")
         out = iqr_outliers(scored, ["prediction"], "distance", mode="exact")
-        acc.extend(
+        sink(
             out.select(
                 "event_id",
                 "prediction",
                 F.round("distance", 6).alias("distance"),
                 F.round("lo", 6).alias("lo"),
                 F.round("hi", 6).alias("hi"),
-            ).collect()
+            ),
+            batch_id,
         )
 
     q = (
@@ -2229,9 +2236,8 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(
-        acc,
-        "event_id long, prediction int, distance double, lo double, hi double",
+    return spark.read.parquet(out_dir).select(
+        "event_id", "prediction", "distance", "lo", "hi"
     )
 
 

@@ -46,16 +46,20 @@ def kafka_json_sink(
     checkpoint: str,
     key_cols: list[str] | None = None,
     trigger_interval: str = "1 second",
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Publish a streaming DataFrame to a Kafka topic as JSON
     (at-least-once; micro-batch cadence mirrors the reference's 1 s
-    batch interval, application.conf:4)."""
+    batch interval, application.conf:4).  ``available_now=True`` runs
+    a bounded drain instead (replay/backfill/integration-test shape).
+    """
     payload = to_kafka_payload(df, key_cols)
-    return (
+    writer = (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
-        .trigger(processingTime=trigger_interval)
-        .start()
     )
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.trigger(processingTime=trigger_interval).start()

@@ -29,6 +29,22 @@ from ..operators.window_stats import windowed_stats
 Sink = Callable[[DataFrame, int], None]
 
 
+def parquet_append_sink(path: str, stamp_batch_id: bool = True) -> Sink:
+    """Production sink: append each micro-batch result to a parquet
+    directory (Kafka/Delta writers swap in behind the same callable
+    shape).  foreachBatch + append is at-least-once under retry —
+    downstream readers dedup on (_batch_id, key) for effectively-once,
+    the same contract the reference's Kafka publisher exposes
+    (KafkaStreamPublisher.scala:9-25).  No driver-side collect
+    anywhere: the batch result flows executor->parquet."""
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        out = df.withColumn("_batch_id", F.lit(batch_id)) if stamp_batch_id else df
+        out.write.mode("append").parquet(path)
+
+    return sink
+
+
 def read_geofences(spark, path: str) -> DataFrame:
     """S5/W9: (re-)read the geofence side input.  Called per batch —
     the well-defined version of the reference's 5s hot reload

@@ -69,17 +69,29 @@ def test_full_pipeline_fanout(spark, fixtures):
         checkpoint=os.path.join(TMP, "ckpt_attach2"),
     )
 
-    outputs = {"stats": [], "geo": [], "outliers": []}
+    from botkop_telcotraffic_spark_spark.streaming.pipeline import (
+        parquet_append_sink,
+    )
+
+    outlier_dir = os.path.join(TMP, "outlier_sink")
+    outputs = {"stats": [], "geo": []}
     pipe = TrafficPipeline(
         metric_names=["rtt", "byteLoss", "jitter"],
         kmeans_dims=["rtt", "byteLoss"],
         geofence_path=fixtures["geo_path"],
         stats_sink=lambda df, bid: outputs["stats"].extend(df.collect()),
         geofence_sink=lambda df, bid: outputs["geo"].extend(df.collect()),
-        outlier_sink=lambda df, bid: outputs["outliers"].extend(df.collect()),
+        # kmeans branch runs end-to-end through the PRODUCTION sink:
+        # executor-side parquet append, no driver collect
+        outlier_sink=parquet_append_sink(outlier_dir),
     )
     cell_stream = celltower_source(spark, fixtures["cell_path"])
     pipe.run(cell_stream, store, checkpoint=os.path.join(TMP, "ckpt_cell"))
+    outputs["outliers"] = (
+        spark.read.parquet(outlier_dir).collect()
+        if os.path.exists(outlier_dir)
+        else []
+    )
 
     # enrichment: unknown bearers dropped (inner join)
     known = {c["bearerId"] for c in fixtures["cells"]} & set(
@@ -652,3 +664,68 @@ def test_upsert_store_rewrites_only_touched_buckets(spark, tmp_path):
     snap = {r["k"]: (r["ts"], r["val"]) for r in store.snapshot().collect()}
     assert snap["key0"] == (100, "v0new")
     assert len(snap) == 40
+
+
+def _kafka_brokers():
+    """Broker discovery for the optional Kafka integration test:
+    KAFKA_BOOTSTRAP env var, else a TCP probe of localhost:9092."""
+    import socket
+
+    env = os.environ.get("KAFKA_BOOTSTRAP")
+    if env:
+        return env
+    try:
+        with socket.create_connection(("localhost", 9092), timeout=0.5):
+            return "localhost:9092"
+    except OSError:
+        return None
+
+
+@pytest.mark.skipif(_kafka_brokers() is None, reason="no Kafka broker reachable")
+def test_kafka_round_trip(spark, fixtures, tmp_path):
+    """S1/S2/K2 live: attach fixture JSONL -> kafka_json_sink (bounded
+    drain) -> kafka_json_source -> decode; payloads survive the broker
+    round trip.  Skips when no broker is reachable (none ships in the
+    CI sandbox); requires the spark-sql-kafka package on the session
+    classpath."""
+    import uuid
+
+    from botkop_telcotraffic_spark_spark.schemas import ATTACH
+    from botkop_telcotraffic_spark_spark.streaming.json_stream import (
+        decode_json_stream,
+        kafka_json_source,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.kafka_sink import kafka_json_sink
+
+    brokers = _kafka_brokers()
+    topic = f"sparktest-{uuid.uuid4().hex[:8]}"
+    stream = attach_source(spark, fixtures["attach_path"])
+    try:
+        q = kafka_json_sink(
+            stream,
+            topic=topic,
+            bootstrap_servers=brokers,
+            checkpoint=str(tmp_path / "ck_kafka"),
+            key_cols=["bearerId"],
+            available_now=True,
+        )
+        q.awaitTermination()
+    except Exception as ex:  # missing spark-sql-kafka jar -> skip, not fail
+        if "kafka" in str(ex).lower() and "source" in str(ex).lower():
+            pytest.skip(f"spark-sql-kafka package unavailable: {ex}")
+        raise
+    raw = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .select(F.col("value").cast("string").alias("value"))
+    )
+    decoded = decode_json_stream(raw, ATTACH)
+    got = {r["bearerId"] for r in decoded.collect()}
+    want = {a["bearerId"] for a in fixtures["attaches"]}
+    assert got == want
+    # the streaming source builder accepts the same brokers/topic
+    src = kafka_json_source(spark, brokers, topic, ATTACH)
+    assert src.isStreaming

@@ -3287,14 +3287,16 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pii_sql() -> str:
-    counts = ", ".join(
-        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
-        for name, pat, _ in text.PII_PATTERNS
-    )
+    # counts mirror the engine: pattern i counted on the text AFTER
+    # patterns 0..i-1 were replaced (count == placeholder occurrences)
+    parts = []
     red = "text"
-    for _, pat, repl in text.PII_PATTERNS:
+    for name, pat, repl in text.PII_PATTERNS:
+        # single-quoted SQL literals with no escaping below — guard it
+        assert "'" not in pat and "'" not in repl, (name, pat, repl)
+        parts.append(f"len(regexp_extract_all({red}, '{pat}')) AS n_{name}")
         red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
-    return f"SELECT doc_id, {counts}, {red} AS redacted FROM documents"
+    return f"SELECT doc_id, {', '.join(parts)}, {red} AS redacted FROM documents"
 
 
 _PII_SQL = _pii_sql()

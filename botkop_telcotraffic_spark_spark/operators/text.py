@@ -222,7 +222,13 @@ def blocklist_gate(
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d() -]{6,}\d", "<PHONE>"),
+    # digits with at most 2 of " ()-" between consecutive digits, >= 7
+    # digits total: spans "+1 (555) 000-1111" but no longer swallows
+    # arbitrarily long separator runs.  Known limitation (heuristic):
+    # two digit runs separated by a SINGLE space ("ids 1234567 7654321")
+    # still collapse into one match — fixing that needs lookaround,
+    # which RE2 (the oracle engine) lacks.
+    ("phone", r"\+?\d([ ()-]{0,2}\d){6,}", "<PHONE>"),
 ]
 
 
@@ -230,18 +236,18 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Redact emails / IPv4s / phone-like digit runs, with per-doc
     match counts: (id, n_email, n_ip, n_phone, redacted).
 
-    Counts are taken on the ORIGINAL text per pattern (independent,
-    order-free semantics the oracle reproduces); the redacted text
-    applies the three replacements sequentially in PII_PATTERNS
-    order.  Pure scan-side column math (regexp_count/regexp_replace,
+    Each pattern's count is taken on the PROGRESSIVELY-REDACTED text
+    (i.e. after the preceding patterns were replaced), so every count
+    equals the number of its placeholder occurrences in ``redacted``
+    — n_phone can never bite digit runs inside an email/IP that the
+    output no longer shows.  The oracle mirrors the same sequencing.
+    Pure scan-side column math (regexp_count/regexp_replace,
     codegen'd) — no shuffle, no Python, trivially partition-parallel
     at 100 TB.
     """
     red: Column = F.col(text_col)
     counts = []
     for name, pat, repl in PII_PATTERNS:
-        counts.append(
-            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{name}")
-        )
+        counts.append(F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, repl)
     return df.select(F.col(id_col), *counts, red.alias("redacted"))

@@ -3362,6 +3362,136 @@ FROM m GROUP BY l_returnflag, measure
 """
 
 
+def loghist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-histogram quantile sketch (operators/sketch.py):
+    per-(event_type, day) bucket partials merged up to event_type,
+    then p50/p95/p99 estimated off the compact sketch table alone —
+    the store-the-partials pattern that answers any coarser quantile
+    rollup at 100 TB without rescanning raw data (unlike
+    percentile_approx, whose GK state is engine-internal and
+    unmergeable across queries).  Every arithmetic step (floor-log2
+    bucketing, arithmetic-midpoint 1.5·2^b estimate) is exact in IEEE
+    doubles, so the oracle — which builds directly at the coarse
+    grain — hash-matches, which also proves the day→type merge is
+    lossless."""
+    from botkop_telcotraffic_spark_spark.operators import sketch
+
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = sketch.loghist_build(e, ["event_type", "day"], "value")
+    merged = sketch.loghist_rollup(daily, ["event_type"])
+    return sketch.loghist_quantiles(merged, ["event_type"], [0.5, 0.95, 0.99])
+
+
+_LOGHIST_SQL = """
+WITH sk AS (
+  SELECT event_type,
+         CASE WHEN value > 0 THEN CAST(floor(log2(value)) AS BIGINT)
+              ELSE -1099 END AS bucket,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), staged AS (
+  SELECT event_type, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total,
+         CASE WHEN bucket = -1099 THEN 0.0
+              ELSE 1.5 * power(2.0, bucket) END AS est
+  FROM sk
+)
+SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+       min(CASE WHEN cum >= total * 0.5 THEN est END) AS p50_est,
+       min(CASE WHEN cum >= total * 0.95 THEN est END) AS p95_est,
+       min(CASE WHEN cum >= total * 0.99 THEN est END) AS p99_est
+FROM staged GROUP BY event_type
+"""
+
+
+def resample_locf_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular hourly resample with forward fill (operators/
+    timeseries.py::resample_locf): per-user hourly value averages,
+    densified, empty hours carrying the last observed hour's value —
+    the serving-layer shape for time-series features.  The average is
+    rounded before the fill so the carried value is aggregation-order
+    stable."""
+    from botkop_telcotraffic_spark_spark.operators import timeseries
+
+    e = _t(spark, sf_dir, "events")
+    return timeseries.resample_locf(
+        e, key="user_id", ts_col="ts", value_col="value", step="1 hour"
+    )
+
+
+_LOCF_SQL = """
+WITH per AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         count(*) AS n, round(avg(value), 4) AS avg_v
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+  FROM (SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+        FROM per GROUP BY user_id)
+)
+SELECT user_id, bucket_start,
+       coalesce(n, 0) AS n_events,
+       last_value(avg_v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_value
+FROM spine LEFT JOIN per USING (user_id, bucket_start)
+"""
+
+
+def cms_user_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketch.py): sketch the user_id
+    frequency distribution into 4×1024 cells (a few KB regardless of
+    input size), then answer point-frequency probes for the top-20
+    exact users via a broadcast join against the cell table.  The
+    estimate never undercounts (unit-tested invariant: cms_est >=
+    exact_n); the oracle reproduces the exact hash family, so values
+    hash-match."""
+    from botkop_telcotraffic_spark_spark.operators import sketch
+
+    e = _t(spark, sf_dir, "events")
+    sk = sketch.cms_build(e, "user_id")
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+    return sketch.cms_estimate(sk, exact, "user_id")
+
+
+def _cms_sql() -> str:
+    from botkop_telcotraffic_spark_spark.operators import sketch as _sk
+
+    def case(consts: list[int]) -> str:
+        whens = " ".join(f"WHEN {i} THEN {c}" for i, c in enumerate(consts[:4]))
+        return f"CASE d {whens} END"
+
+    a, b = case(_sk._CMS_A), case(_sk._CMS_B)
+    bucket = f"(({a} * user_id + {b}) % {_sk._CMS_P}) % 1024"
+    return f"""
+WITH ds AS (SELECT unnest(range(4)) AS d),
+sk AS (
+  SELECT d, {bucket} AS bucket, count(*) AS cnt
+  FROM events CROSS JOIN ds
+  WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+), cand AS (
+  SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1
+  ORDER BY exact_n DESC, user_id LIMIT 20
+), probes AS (
+  SELECT user_id, exact_n, d, {bucket} AS bucket
+  FROM cand CROSS JOIN ds
+)
+SELECT p.user_id, p.exact_n, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_est
+FROM probes p LEFT JOIN sk s USING (d, bucket)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3483,6 +3613,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grouping_sets_orders": (grouping_sets_orders, _GROUPING_SETS_SQL),
     "word_counts_docs": (word_counts_docs, _WORD_COUNTS_SQL),
     "rollup_multires_stats": (rollup_multires_stats, _MULTIRES_SQL),
+    # new this session (pytest-verified at sf0.001 AND sf0.01; rotate
+    # into checked slots next round)
+    "loghist_quantiles_events": (loghist_quantiles_events, _LOGHIST_SQL),
+    "cms_user_counts_events": (cms_user_counts_events, _cms_sql()),
+    "resample_locf_users": (resample_locf_users, _LOCF_SQL),
     # -- no SQL-expressible oracle (rows-only check by design) -------------
     "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),

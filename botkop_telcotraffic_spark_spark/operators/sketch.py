@@ -15,10 +15,20 @@ function of the value set, so pre-aggregation is lossless.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 LG_K = 12  # 4096 buckets, ~1.6% relative error — datasketches default
+
+# log-histogram: values <= 0 (the histogram is multiplicative) live in a
+# dedicated sentinel bucket that sorts before every real bucket
+_NEG_BUCKET = -1099
+
+# count-min hash family: depth independent rows of ((a*v + b) % P) % width.
+# Constants are fixed primes/odds so both engines (and re-runs) agree.
+_CMS_P = 1_000_000_007
+_CMS_A = [999_883, 999_979, 999_961, 999_959, 999_953, 999_931]
+_CMS_B = [12_345, 67_890, 13_579, 24_680, 98_765, 55_555]
 
 
 def build_sketches(
@@ -43,3 +53,146 @@ def rollup_sketches(
         ).alias("approx_distinct"),
         F.sum("rows").alias("rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-histogram quantile sketch
+# ---------------------------------------------------------------------------
+# Mergeable quantiles for 100 TB rollups.  ``percentile_approx`` answers one
+# group per query and its GK state is engine-internal; this sketch is a plain
+# (keys..., bucket, cnt) TABLE you can store partitioned by the keys, merge
+# by summation to any coarser grain, and query for any quantile — the same
+# store-partials-once pattern as the HLL sketches above, with a bounded
+# multiplicative error (the estimate is the arithmetic midpoint of a
+# power-of-two bucket, so est/true ∈ [0.75, 1.5]).
+#
+# Everything is a pure Catalyst column expression, and every arithmetic step
+# is exact in IEEE doubles (floor(log2(v)) buckets; midpoint 1.5 * 2^b), so
+# the DuckDB oracle reproduces results bit-for-bit.
+
+
+def loghist_build(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Per-group log₂ histogram of ``value_col``: one (keys..., bucket,
+    cnt) row per occupied bucket — the materializable partial.
+
+    Physical shape: ONE scan + one partial-aggregated groupBy; the
+    output is ~64 rows per group regardless of input size, so the
+    sketch table is negligible next to the data."""
+    v = F.col(value_col)
+    bucket = (
+        F.when(v > 0, F.floor(F.log2(v)))
+        .otherwise(F.lit(_NEG_BUCKET))
+        .alias("bucket")
+    )
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*keys, bucket)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def loghist_rollup(sketches: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge finer sketches up to ``keys`` — summation per bucket.
+    Lossless: rollup(build(day-grain)) == build(coarse-grain) exactly
+    (unit-tested invariant), because the bucket of a value does not
+    depend on the grouping."""
+    return sketches.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def loghist_quantiles(
+    sketches: DataFrame, keys: list[str], qs: list[float]
+) -> DataFrame:
+    """Quantile estimates off the sketch table alone: for each q, the
+    arithmetic midpoint (1.5·2^b, exact in doubles) of the first
+    bucket whose cumulative count reaches q·total.  Values <= 0
+    estimate as 0.0.
+
+    Runs on the compact sketch table (two tiny window passes + one
+    groupBy), never on the raw data — that is the point."""
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    est = F.when(F.col("bucket") == _NEG_BUCKET, F.lit(0.0)).otherwise(
+        F.lit(1.5) * F.pow(F.lit(2.0), F.col("bucket"))
+    )
+    staged = (
+        sketches.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("total", F.sum("cnt").over(w_all))
+        .withColumn("est", est)
+    )
+    aggs = [F.max("total").alias("n")]
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.col("total") * F.lit(q), F.col("est")
+                )
+            ).alias(f"p{int(round(q * 100))}_est")
+        )
+    return staged.groupBy(*keys).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of an integer column as a (d, bucket, cnt)
+    table: depth independent hash rows, width buckets each.  Mergeable
+    by per-cell summation (``cms_merge``); point frequency estimates
+    never underestimate and overestimate by at most 2·N/width with
+    probability 1 − 2^−depth.
+
+    Physical shape: one scan, a depth-× row explode (cheap, column
+    exprs only), one partially-aggregated groupBy into depth·width
+    cells — a few KB regardless of input size."""
+    if depth > len(_CMS_A):
+        raise ValueError(f"depth <= {len(_CMS_A)} supported")
+    a = F.element_at(F.array([F.lit(x) for x in _CMS_A]), F.col("d") + 1)
+    b = F.element_at(F.array([F.lit(x) for x in _CMS_B]), F.col("d") + 1)
+    v = F.col("_cms_v")
+    return (
+        df.select(F.col(value_col).cast("long").alias("_cms_v"))
+        .where(v.isNotNull())
+        .select(v, F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"))
+        .groupBy("d", (((a * v + b) % _CMS_P) % width).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge unioned sketch tables cell-wise — partial sketches built
+    per shard/day sum to exactly the one-shot sketch (unit-tested)."""
+    return sketches.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Frequency estimate for each candidate value: min over the depth
+    hash rows of the cell count.  The sketch side is depth·width rows,
+    always broadcast — candidates stream through map-side."""
+    a = F.element_at(F.array([F.lit(x) for x in _CMS_A]), F.col("d") + 1)
+    b = F.element_at(F.array([F.lit(x) for x in _CMS_B]), F.col("d") + 1)
+    v = F.col("_cms_v")
+    probes = (
+        candidates.withColumn("_cms_v", F.col(value_col).cast("long"))
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"))
+        .withColumn("bucket", ((a * v + b) % _CMS_P) % width)
+        .drop("_cms_v")
+    )
+    joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left").withColumn(
+        "cnt", F.coalesce(F.col("cnt"), F.lit(0))
+    )
+    group_cols = [c for c in candidates.columns]
+    return joined.groupBy(*group_cols).agg(F.min("cnt").alias("cms_est"))

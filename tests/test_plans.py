@@ -275,3 +275,80 @@ def test_jaccard_prune_list_is_broadcast_anti_join(spark):
     df = entry_mod.jaccard_near_dup_docs(spark, SF_DIR_001)
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_zorder_layout_clusters_both_dims(spark, tmp_path):
+    """Z-order (sources/layout.py) vs round-robin layout: the fraction
+    of files whose per-file [min,max]² rectangle intersects a small
+    2-D query box must drop sharply — that rectangle is exactly what
+    parquet min/max file-skipping and row-group pruning key on."""
+    from botkop_telcotraffic_spark_spark.sources import load_table
+    from botkop_telcotraffic_spark_spark.sources.layout import zorder_write
+
+    e = load_table(spark, SF_DIR_001, "events").select("user_id", "value")
+    zpath = str(tmp_path / "zorder")
+    rpath = str(tmp_path / "rr")
+    zorder_write(e, "user_id", "value", zpath, files=16)
+    e.repartition(16).write.mode("overwrite").parquet(rpath)
+
+    def files_hit(path):
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+                F.min("value").alias("vlo"), F.max("value").alias("vhi"),
+            )
+            .collect()
+        )
+        assert len(stats) == 16
+        # box: middle eighth of user space crossed with low-value slice
+        b = e.agg(
+            F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+        ).collect()[0]
+        u0 = b[0] + (b[1] - b[0]) * 7 // 16
+        u1 = b[0] + (b[1] - b[0]) * 9 // 16
+        v0, v1 = b[2], b[2] + (b[3] - b[2]) / 8
+        return sum(
+            1 for s in stats
+            if s["ulo"] <= u1 and s["uhi"] >= u0 and s["vlo"] <= v1 and s["vhi"] >= v0
+        )
+
+    z, r = files_hit(zpath), files_hit(rpath)
+    assert r >= 12, f"round-robin layout unexpectedly clustered: {r}"
+    assert z <= r // 2, f"z-order should prune >=2x more files: z={z} rr={r}"
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime bloom-filter join pruning: with a selective dimension
+    filter, Spark injects a BloomFilter aggregate on the dim side and
+    a might_contain probe into the fact scan — the runtime analogue
+    of static partition pruning, essential when the fact side is
+    100 TB.  Thresholds are lowered to make tiny test data eligible;
+    on a cluster the defaults trigger at real sizes."""
+    from botkop_telcotraffic_spark_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join path
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_DIR_001, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_DIR_001, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower() or "might_contain" in plan.lower(), plan
+        assert j.collect()[0]["count"] > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -3492,6 +3492,100 @@ GROUP BY 1, 2
 """
 
 
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (operators/profile.py::profile_columns): per-
+    column completeness, exact cardinality, and numeric range/mean for
+    the orders table, computed in ONE scan + one single-row exchange
+    (no per-column re-scan).  The pre-flight sanity gate a corpus
+    build runs before committing cluster-hours; exact_distinct=True
+    here because the oracle needs COUNT(DISTINCT) parity — production
+    default is the mergeable HLL estimate."""
+    from botkop_telcotraffic_spark_spark.operators import profile
+
+    o = _t(spark, sf_dir, "orders")
+    return profile.profile_columns(o, exact_distinct=True)
+
+
+_PROFILE_NUMERIC = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        if c in _PROFILE_NUMERIC:
+            mn = f"CAST(MIN({c}) AS DOUBLE)"
+            mx = f"CAST(MAX({c}) AS DOUBLE)"
+            av = f"round(CAST(AVG({c}) AS DOUBLE), 6)"
+        else:
+            mn = mx = av = "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,\n"
+            f"  COUNT(*) - COUNT({c}) AS n_null,\n"
+            f"  round((COUNT(*) - COUNT({c})) / CAST(COUNT(*) AS DOUBLE), 6)"
+            f" AS null_frac,\n"
+            f"  COUNT(DISTINCT {c}) AS n_distinct,\n"
+            f"  {mn} AS min_num, {mx} AS max_num, {av} AS mean_num\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# Named row-level data-quality rules for the orders feed.  Plain ANSI
+# predicates so Spark (Catalyst codegen) and the DuckDB oracle
+# evaluate the identical expression; NULL evaluates as a violation
+# (data-quality semantics, not SQL three-valued logic).
+_DQ_RULES = {
+    "orderkey_not_null": "o_orderkey IS NOT NULL",
+    "totalprice_positive": "o_totalprice > 0",
+    "status_in_domain": "o_orderstatus IN ('O', 'F', 'P')",
+    "priority_rank_prefix": "substring(o_orderpriority, 2, 1) = '-'",
+    "orderdate_in_window": (
+        "o_orderdate >= TIMESTAMP '1990-01-01'"
+        " AND o_orderdate < TIMESTAMP '2010-01-01'"
+    ),
+    "open_orders_not_high_value": (
+        "o_orderstatus <> 'O' OR o_totalprice < 400000"
+    ),
+}
+
+
+def dq_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint pack (operators/
+    profile.py::check_constraints): six named predicates over orders
+    evaluated as conditional counts in one pass — one row per rule
+    with its violation count and pass flag.  The Deequ-style gate
+    that decides whether a 100 TB shard enters the corpus."""
+    from botkop_telcotraffic_spark_spark.operators import profile
+
+    o = _t(spark, sf_dir, "orders")
+    return profile.check_constraints(o, _DQ_RULES)
+
+
+def _dq_sql() -> str:
+    parts = []
+    for name, pred in _DQ_RULES.items():
+        parts.append(
+            f"SELECT '{name}' AS check_name, COUNT(*) AS n_rows,\n"
+            f"  CAST(SUM(CASE WHEN NOT COALESCE(({pred}), FALSE)"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,\n"
+            f"  round(SUM(CASE WHEN NOT COALESCE(({pred}), FALSE)"
+            f" THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)"
+            f" AS violation_frac,\n"
+            f"  SUM(CASE WHEN NOT COALESCE(({pred}), FALSE)"
+            f" THEN 1 ELSE 0 END) = 0 AS passed\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3562,11 +3656,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
     "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
     "multimodal_decode_features": (multimodal_decode_features, _MM_DECODE_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
+    "profile_orders": (profile_orders, _profile_sql()),
     # -- past the driver's 50-slot check: green in CORRECTNESS_r01 with
     # -- unchanged code, rows-only by design, or subsumed by a green
     # -- sibling; all still pytest-verified against their oracles -----------
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, _Q5_SQL),
     "top_events_by_value": (top_events_by_value, _TOPK_SQL),
     "daily_distinct_users": (daily_distinct_users, _DAILY_SQL),
@@ -3618,6 +3713,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "loghist_quantiles_events": (loghist_quantiles_events, _LOGHIST_SQL),
     "cms_user_counts_events": (cms_user_counts_events, _cms_sql()),
     "resample_locf_users": (resample_locf_users, _LOCF_SQL),
+    "dq_violations_orders": (dq_violations_orders, _dq_sql()),
     # -- no SQL-expressible oracle (rows-only check by design) -------------
     "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),

@@ -1,0 +1,150 @@
+"""Dataset profiling and declarative data-quality constraints
+(SURVEY.md §2.12 extension surface — the "did the crawl shard arrive
+sane?" gate every large-scale corpus build runs before spending
+cluster-hours on it).
+
+Design (Deequ-shaped, Spark-first):
+
+* ``profile_columns`` computes per-column completeness / cardinality
+  / numeric range in ONE aggregation pass — all metrics are plain
+  Catalyst aggregate expressions over a single scan, so the physical
+  plan is scan -> partial agg -> single-row exchange -> final agg,
+  then a constant-side explode to one row per column.  At 100 TB the
+  only shuffle is the one-row metric exchange; there is no per-column
+  re-scan (a naive loop of ``df.select(col).agg(...)`` would scan the
+  table N_cols times).
+
+  Exact ``count(distinct)`` over many columns at once would multiply
+  the shuffle by N_cols (Catalyst expands one row per distinct
+  aggregate), so cardinality uses ``approx_count_distinct`` by
+  default (HLL, map-side mergeable, rsd 1.5%%); pass
+  ``exact_distinct=True`` for the expensive exact variant when
+  auditing small dimensions.
+
+* ``check_constraints`` evaluates a list of named boolean predicates
+  as conditional counts in the same single-pass shape and returns one
+  row per constraint with its violation count — the declarative
+  "completeness > x / values in set / non-negative" rule pack.
+  Predicates are Column expressions (or SQL strings), so they stay
+  inside whole-stage codegen; nothing row-at-a-time.
+
+Reference parity note: the reference has no profiling surface (its
+553-line Scala pipeline trusts the simulator's schema,
+TrafficStreamProcessor.scala:22-58); this is part of the
+training-data-pipeline extension the brief mandates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One row per profiled column:
+
+    ``col_name | n_rows | n_null | null_frac | n_distinct | min_num |
+    max_num | mean_num``
+
+    (``col_name``, not ``column`` — COLUMN is an ANSI reserved word
+    and the oracle SQL should not need quoting gymnastics.)
+
+    Numeric min/max/mean are NULL for non-numeric columns (kept
+    numeric, not stringified, so engines cannot disagree on float
+    rendering; null_frac/mean round to 6 per engine convention).
+    """
+    if cols is None:
+        cols = df.columns
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("integer", "long", "short", "byte", "double", "float", "decimal")
+    }
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+        else:
+            aggs.append(
+                F.approx_count_distinct(F.col(c)).alias(f"nd_{c}")
+            )
+        if c in numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"mx_{c}"))
+            aggs.append(F.avg(F.col(c)).cast("double").alias(f"av_{c}"))
+
+    row = df.agg(*aggs)
+
+    # Constant-side pivot of the single metrics row into one row per
+    # column: a stack() over already-computed scalars — no second
+    # scan, no shuffle.
+    stacked = []
+    for c in cols:
+        mn = f"mn_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"mx_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        av = f"av_{c}" if c in numeric else "CAST(NULL AS DOUBLE)"
+        stacked.append(f"'{c}', nn_{c}, nd_{c}, {mn}, {mx}, {av}")
+    n = len(cols)
+    expr = (
+        f"stack({n}, " + ", ".join(stacked) +
+        ") AS (col_name, n_nonnull, n_distinct, min_num, max_num, mean_num)"
+    )
+    return row.selectExpr("n_rows", expr).select(
+        "col_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
+        F.round(
+            (F.col("n_rows") - F.col("n_nonnull")) / F.col("n_rows"), 6
+        ).alias("null_frac"),
+        "n_distinct",
+        "min_num",
+        "max_num",
+        F.round("mean_num", 6).alias("mean_num"),
+    )
+
+
+def check_constraints(
+    df: DataFrame,
+    constraints: Mapping[str, Column | str],
+) -> DataFrame:
+    """Evaluate named row-level predicates in one pass; return
+    ``check_name | n_rows | n_violations | violation_frac | passed``
+    (passed = zero violations), one row per constraint.
+
+    A predicate that evaluates to NULL (e.g. a comparison on a NULL
+    cell) counts as a violation — data-quality semantics, not SQL
+    three-valued logic: an unknown is not a pass.
+    """
+    names = list(constraints)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for i, name in enumerate(names):
+        pred = constraints[name]
+        col = F.expr(pred) if isinstance(pred, str) else pred
+        ok = F.coalesce(col.cast("boolean"), F.lit(False))
+        aggs.append(
+            F.sum(F.when(~ok, 1).otherwise(0)).alias(f"v_{i}")
+        )
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{name.replace(chr(39), chr(39) * 2)}', v_{i}"
+        for i, name in enumerate(names)
+    )
+    expr = f"stack({len(names)}, {stacked}) AS (check_name, n_violations)"
+    return row.selectExpr("n_rows", expr).select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
+            "violation_frac"
+        ),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

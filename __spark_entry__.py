@@ -3492,6 +3492,51 @@ GROUP BY 1, 2
 """
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators/sampling.py::
+    weighted_hash_sample): per-language top-20 by Efraimidis–Spirakis
+    priority with weight = doc length, hash-derived instead of RNG —
+    inclusion odds ∝ length, yet bit-reproducible across engines and
+    re-runs.  Runs the exact two-phase shard decomposition (local
+    top-k per hash shard, then per-stratum final) so no stratum ever
+    occupies a single task at 100 TB."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.greatest(F.col("n_chars"), F.lit(1)).alias("weight"),
+    )
+    out = sampling.weighted_hash_sample(
+        d, "doc_id", "weight", k=20, stratum_col="lang"
+    )
+    return out.select("doc_id", "lang", "weight", "sample_priority")
+
+
+def _wsample_fp_sql(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, length({expr})), "
+        f"i -> CAST(ascii(({expr})[i]) AS BIGINT))), "
+        f"(acc, c) -> (acc * {textfn.FP_BASE} + c) % {textfn.FP_MOD})"
+    )
+
+
+_WSAMPLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, greatest(n_chars, 1) AS weight,
+         {_wsample_fp_sql("'wsample:' || CAST(doc_id AS VARCHAR)")} AS fp
+  FROM documents
+), pr AS (
+  SELECT doc_id, lang, weight,
+         ln((fp + 0.5) / 1000000007.0) / CAST(weight AS DOUBLE) AS p
+  FROM base
+)
+SELECT doc_id, lang, weight, round(p, 6) AS sample_priority
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY p DESC, doc_id) AS rk FROM pr)
+WHERE rk <= 20
+"""
+
+
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profiling (operators/profile.py::profile_columns): per-
     column completeness, exact cardinality, and numeric range/mean for
@@ -3714,6 +3759,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "cms_user_counts_events": (cms_user_counts_events, _cms_sql()),
     "resample_locf_users": (resample_locf_users, _LOCF_SQL),
     "dq_violations_orders": (dq_violations_orders, _dq_sql()),
+    "weighted_sample_docs": (weighted_sample_docs, _WSAMPLE_SQL),
     # -- no SQL-expressible oracle (rows-only check by design) -------------
     "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),

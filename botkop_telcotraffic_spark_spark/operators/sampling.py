@@ -212,3 +212,66 @@ def temperature_mix(
         .where(b < F.col("_thresh"))
         .drop("_thresh")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    spread: int = 64,
+    salt: str = "wsample:",
+    priority_col: str = "sample_priority",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement: keep the k
+    rows (per stratum) with the highest Efraimidis–Spirakis priority
+    ``u^(1/w)``, where u is derived from the rolling-hash fingerprint
+    of the key instead of an RNG.  Inclusion probability is
+    proportional to ``weight_col`` (the A-ES reservoir guarantee),
+    yet every engine, partitioning, and re-run selects the identical
+    rows — the reproducibility property RNG reservoirs lack.
+
+    We rank on ``ln(u)/w`` (monotone in u^(1/w), cheaper, and better
+    float behavior near u→1); ties break on the key, so selection is
+    total-ordered.  The reported priority is rounded to 6 for
+    engine-stable display.
+
+    Scale shape: a single ``row_number() OVER (PARTITION BY stratum)``
+    puts an entire stratum in one task — a skew wall at 100 TB.  This
+    runs the exact two-phase decomposition instead: local top-k per
+    (stratum, fp%%spread) shard, then global top-k over the
+    ≤ spread·k survivors per stratum.  Phase-1 partitions are
+    bounded, phase 2 sees k·spread rows per stratum — both trivially
+    executor-sized; the result set is provably identical to the
+    one-phase window (global top-k ⊆ union of shard top-ks).
+    """
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    fp = rolling_fingerprint(F.concat(F.lit(salt), key.cast("string")))
+    mod = float(1_000_000_007)
+    u = (fp.cast("double") + F.lit(0.5)) / F.lit(mod)
+    w = F.col(weight_col).cast("double")
+    pr = F.log(u) / w  # < 0; larger (closer to 0) = more likely kept
+
+    strata = [stratum_col] if stratum_col else []
+    staged = df.withColumn("_pr", pr).withColumn(
+        "_shard", (fp % F.lit(spread)).cast("int")
+    )
+    w1 = Window.partitionBy(*strata, "_shard").orderBy(
+        F.desc("_pr"), key
+    )
+    local = (
+        staged.withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= k)
+        .drop("_rk", "_shard")
+    )
+    w2 = Window.partitionBy(*strata).orderBy(F.desc("_pr"), key)
+    return (
+        local.withColumn("_rk", F.row_number().over(w2))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+        .withColumn(priority_col, F.round(F.col("_pr"), 6))
+        .drop("_pr")
+    )

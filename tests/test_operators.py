@@ -679,3 +679,69 @@ def test_decode_features_default_codec_is_real(spark):
         w, h = 4 + mid % 5, 3 + mid % 4
         vals = [(mid * 31 + i) % 256 for i in range(w * h)]
         assert abs(by_id[mid]["features"][2] - sum(vals) / len(vals)) < 1e-9
+
+
+def test_weighted_hash_sample_two_phase_exact_and_stable(spark):
+    """Two-phase shard decomposition must equal the one-phase window
+    result, and the selection must be invariant to partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from botkop_telcotraffic_spark_spark.functions.textfn import (
+        rolling_fingerprint,
+    )
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "lang", F.greatest("n_chars", F.lit(1)).alias("w")
+    )
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in weighted_hash_sample(
+            df, "doc_id", "w", k=5, stratum_col="lang"
+        ).collect()
+    }
+
+    # one-phase reference
+    fp = rolling_fingerprint(
+        F.concat(F.lit("wsample:"), F.col("doc_id").cast("string"))
+    )
+    u = (fp.cast("double") + F.lit(0.5)) / F.lit(1_000_000_007.0)
+    pr = F.log(u) / F.col("w").cast("double")
+    w1 = Window.partitionBy("lang").orderBy(F.desc("_pr"), F.col("doc_id"))
+    ref = {
+        (r["doc_id"], r["lang"])
+        for r in df.withColumn("_pr", pr)
+        .withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= 5)
+        .collect()
+    }
+    assert got == ref
+
+    again = {
+        (r["doc_id"], r["lang"])
+        for r in weighted_hash_sample(
+            df.repartition(13), "doc_id", "w", k=5, stratum_col="lang"
+        ).collect()
+    }
+    assert again == got
+
+
+def test_weighted_hash_sample_favors_heavy_rows(spark):
+    """Heavy rows must be selected far above their uniform share —
+    the A-ES proportional-inclusion property, sanity-checked."""
+    from pyspark.sql import functions as F
+
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    rows = [(i, 1000.0 if i % 10 == 0 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    picked = weighted_hash_sample(df, "id", "w", k=50).collect()
+    heavy = sum(1 for r in picked if r["w"] == 1000.0)
+    # 100 heavy rows of 1000 (10% uniform share); weight 1000x should
+    # make them dominate the k=50 sample
+    assert heavy >= 40, heavy

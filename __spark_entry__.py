@@ -3492,6 +3492,37 @@ GROUP BY 1, 2
 """
 
 
+def ngram_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM quality scoring (operators/text.py::
+    ngram_lm_score): per-doc average conditional log-probability under
+    the corpus's own trigram model — the perplexity-proxy filter
+    signal.  Narrow explode, bounded-vocab model aggregate, broadcast
+    score join, one doc-sized shuffle."""
+    from botkop_telcotraffic_spark_spark.operators.text import ngram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_lm_score(d, "doc_id", "text")
+
+
+_NGRAM_LM_SQL = """
+WITH ex AS (
+  SELECT doc_id, substring(lower(text), i, 3) AS g
+  FROM documents,
+       unnest(generate_series(1, greatest(length(text) - 2, 0))) AS t(i)
+), m3 AS (
+  SELECT g, count(*) AS n3 FROM ex GROUP BY g
+), m2 AS (
+  SELECT substring(g, 1, 2) AS p, sum(n3) AS n2 FROM m3 GROUP BY 1
+), model AS (
+  SELECT g, ln(n3 / CAST(n2 AS DOUBLE)) AS logp
+  FROM m3 JOIN m2 ON substring(g, 1, 2) = p
+)
+SELECT doc_id, count(*) AS n_grams, round(avg(logp), 6) AS avg_logprob
+FROM ex JOIN model USING (g)
+GROUP BY doc_id
+"""
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (operators/sampling.py::
     weighted_hash_sample): per-language top-20 by Efraimidis–Spirakis
@@ -3760,6 +3791,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "resample_locf_users": (resample_locf_users, _LOCF_SQL),
     "dq_violations_orders": (dq_violations_orders, _dq_sql()),
     "weighted_sample_docs": (weighted_sample_docs, _WSAMPLE_SQL),
+    "ngram_lm_score_docs": (ngram_lm_score_docs, _NGRAM_LM_SQL),
     # -- no SQL-expressible oracle (rows-only check by design) -------------
     "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),

@@ -251,3 +251,69 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         counts.append(F.regexp_count(red, F.lit(pat)).cast("long").alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, repl)
     return df.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    model_df: DataFrame | None = None,
+) -> DataFrame:
+    """Character n-gram language-model scoring — the classic
+    perplexity-proxy quality signal for corpus filtering (docs whose
+    character statistics diverge from the corpus read as boilerplate,
+    encoding damage, or spam).
+
+    Model: conditional ``P(c_n | c_1..c_{n-1}) = count(ngram) /
+    count(prefix)`` with the prefix counts derived by re-aggregating
+    the n-gram counts (so probabilities normalize exactly and
+    scoring the training corpus itself never sees an OOV).  Pass
+    ``model_df`` (columns ``g``, ``logp``) to score against a model
+    trained elsewhere (e.g. the clean reference corpus).
+
+    Physical shape at 100 TB: n-gram expansion is a NARROW explode
+    (no shuffle); model building is one map-side-combined aggregate
+    whose key space is bounded by alphabet^n, not corpus size; the
+    model joins back as a BROADCAST (alphabet^3 of printable ASCII is
+    ~100k rows); per-doc re-aggregation partial-combines map-side, so
+    the only corpus-sized shuffle carries one row per document, not
+    one per character.  Everything is Catalyst column math — no
+    Python in the hot path.
+    """
+    t = F.lower(F.col(text_col))
+    grams = F.when(
+        F.length(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (n - 1)),
+            lambda i: F.substring(t, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col), F.explode(grams).alias("g"))
+
+    if model_df is None:
+        m3 = ex.groupBy("g").agg(F.count(F.lit(1)).alias("n3"))
+        m2 = (
+            m3.groupBy(F.expr("substr(g, 1, {})".format(n - 1)).alias("p"))
+            .agg(F.sum("n3").alias("n2"))
+        )
+        model_df = (
+            m3.join(
+                F.broadcast(m2),
+                F.expr("substr(g, 1, {})".format(n - 1)) == F.col("p"),
+            )
+            .select(
+                "g",
+                F.log(F.col("n3") / F.col("n2").cast("double")).alias("logp"),
+            )
+        )
+
+    scored = (
+        ex.join(F.broadcast(model_df), "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        )
+    )
+    return scored

@@ -118,3 +118,31 @@ def test_temperature_mix_flattens_sources(spark):
     assert sorted(r["doc_id"] for r in again.collect()) == sorted(
         r["doc_id"] for r in kept.collect()
     )
+
+
+def test_ngram_lm_score_flags_gibberish(spark):
+    """A doc with corpus-typical character statistics must outscore a
+    gibberish doc under the corpus-trained trigram model."""
+    from pyspark.sql import functions as F
+
+    from botkop_telcotraffic_spark_spark.operators.text import ngram_lm_score
+
+    normal = "the quick brown fox jumps over the lazy dog and runs away "
+    docs = [(i, normal * 3) for i in range(20)]
+    docs.append((99, "xq zvkj qqwx jzxv kqzj xxqv zzjk qvxz jkqx vzqj " * 3))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in ngram_lm_score(df, "doc_id", "text").collect()
+    }
+    assert scores[99] < scores[0], scores
+
+
+def test_ngram_lm_model_join_is_broadcast(spark):
+    from botkop_telcotraffic_spark_spark.operators.text import ngram_lm_score
+    from botkop_telcotraffic_spark_spark.plans.inspect import physical_plan
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = physical_plan(ngram_lm_score(d, "doc_id", "text"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan

@@ -92,3 +92,71 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compaction_plan(
+    spark, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Inspect a parquet dataset's file layout via the hidden
+    ``_metadata`` columns (footer-only — ReadSchema is empty, no data
+    pages are decoded) and decide how many output files a compaction
+    should produce: ``ceil(total_bytes / target_bytes)``.
+
+    The small-file problem is THE operational failure mode of
+    long-running ingestion at 100 TB: a streaming sink or a
+    fine-partitioned batch write leaves millions of KB-sized files,
+    and every downstream scan pays per-file open/footer/seek costs
+    that dwarf the data read.  Returns
+    ``{n_input_files, total_bytes, n_output_files}``.
+    """
+    import math
+
+    files = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("p"),
+            F.col("_metadata.file_size").alias("sz"),
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("sz").alias("b"))
+        .collect()[0]
+    )
+    total = int(files["b"] or 0)
+    return {
+        "n_input_files": int(files["n"]),
+        "total_bytes": total,
+        "n_output_files": max(1, math.ceil(total / target_bytes)),
+    }
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet dataset into ~``target_bytes`` files (Delta
+    OPTIMIZE / Iceberg rewrite_data_files, in stock Spark): size the
+    output from the real input byte count (compaction_plan), then one
+    job — round-robin ``repartition(n)`` for pure compaction, or
+    ``repartitionByRange(n, sort_cols)`` + in-file sort when a
+    clustering order should be (re)established while we're paying for
+    the rewrite anyway.  Returns the plan dict it executed.
+
+    Each output file is written by one task, so the write itself is
+    embarrassingly parallel; the only wide dependency is the single
+    exchange, and AQE cannot under-split it because n is computed
+    from target size, not from shuffle-partition defaults.
+    """
+    plan = compaction_plan(spark, in_path, target_bytes)
+    df = spark.read.parquet(in_path)
+    n = plan["n_output_files"]
+    if sort_cols:
+        df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n)
+    df.write.mode("overwrite").parquet(out_path)
+    return plan

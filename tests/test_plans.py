@@ -352,3 +352,52 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_compaction_sizes_output_from_input_bytes(spark, tmp_path):
+    """compact_parquet must produce ceil(total/target) files and
+    preserve content exactly; compaction_plan must read only footers
+    (empty ReadSchema scan)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from botkop_telcotraffic_spark_spark.sources.layout import (
+        compact_parquet,
+        compaction_plan,
+    )
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    o.repartition(40).write.parquet(src)  # the small-file mess
+    assert len(glob.glob(src + "/part-*.parquet")) == 40
+
+    plan = compaction_plan(spark, src, target_bytes=plan_bytes(src, 4))
+    assert plan["n_input_files"] == 40
+    executed = compact_parquet(
+        spark, src, dst, target_bytes=plan_bytes(src, 4)
+    )
+    out_files = glob.glob(dst + "/part-*.parquet")
+    assert len(out_files) == executed["n_output_files"] <= 5
+
+    a = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("s"),
+        F.sum(F.hash("o_orderkey", "o_totalprice")).alias("h"),
+    ).collect()[0]
+    b = spark.read.parquet(dst).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("s"),
+        F.sum(F.hash("o_orderkey", "o_totalprice")).alias("h"),
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def plan_bytes(src: str, parts: int) -> int:
+    """Target size that should yield ~`parts` output files."""
+    import glob
+    import os
+
+    total = sum(os.path.getsize(p) for p in glob.glob(src + "/part-*.parquet"))
+    return max(1, total // parts)

@@ -176,21 +176,33 @@ def near_dup_pairs_banded(
     tests: banded ⊆ exact, recall floor asserted).
 
     Physical shape: one scan computes all band keys scan-side
-    (codegen'd fold expressions, no UDF); rows explode ×n_bands and
-    self-join on (band, key) — shuffle volume is n_bands × corpus,
-    linear.  In-bucket pair count is the quadratic residual: at larger
-    corpora raise planes_per_band (buckets = 2^p per band) to keep
-    expected bucket width constant — the standard LSH scale knob.
-    AQE skew-join handles residual hot buckets.  Duplicate candidates
-    (pairs agreeing on several bands) are collapsed AFTER the rounded
-    cosine (deterministic per pair), so no second join-back for
-    vectors is needed.
+    (codegen'd fold expressions, no UDF); rows explode ×n_bands
+    (narrow) and shuffle ONCE on (band, key) — volume is
+    n_bands × corpus, linear.  The in-bucket quadratic residual is
+    then paid INSIDE an Arrow ``applyInPandas`` batch as one BLAS
+    ``V @ V.T`` per bucket, not as joined rows: only the pairs that
+    clear the threshold ever materialize (a self-join would push
+    every candidate pair — quadratic in bucket width — back through
+    the engine carrying two vectors each, and evaluate an interpreted
+    fold dot per pair; the matmul does the same arithmetic at SIMD
+    speed on data that never leaves the task).  At larger corpora
+    raise planes_per_band (buckets = 2^p per band) to keep expected
+    bucket width — and thus per-task matmul size — constant; the
+    standard LSH scale knob.  Duplicate candidates (pairs agreeing on
+    several bands) are collapsed after the rounded cosine
+    (deterministic per pair), so no second join-back is needed.
+
+    Cosines come out of float64 BLAS instead of the fold expression:
+    identical inputs, same-order-of-ulp sums, and both sides round to
+    6 before comparison — the same determinism contract the blocked
+    exact top-k (ann_cosine_topk_blocked) already proved out.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("_v"),
-        norm(F.col(vec_col)).alias("_n"),
-    )
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[id_col]
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
     bands_arr = F.array(
         *[
             F.struct(
@@ -200,34 +212,34 @@ def near_dup_pairs_banded(
             for b in range(n_bands)
         ]
     )
-    bl = base.select("id", "_v", "_n", F.explode(bands_arr).alias("bb")).select(
-        "id", "_v", "_n", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    bl = base.select("id", "_v", F.explode(bands_arr).alias("bb")).select(
+        "id", "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
-    left = bl.select(
-        F.col("id").alias("a"),
-        F.col("_v").alias("_av"),
-        F.col("_n").alias("_an"),
-        "band",
-        "bkey",
-    )
-    right = bl.select(
-        F.col("id").alias("b"),
-        F.col("_v").alias("_bv"),
-        F.col("_n").alias("_bn"),
-        "band",
-        "bkey",
-    )
-    scored = (
-        left.join(right, ["band", "bkey"])
-        .where(F.col("a") < F.col("b"))
-        .withColumn(
-            "cosine_sim",
-            dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")),
+
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine_sim": []})
+        ids = pdf["id"].to_numpy()
+        v = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        nrm = np.sqrt((v * v).sum(axis=1))
+        sims = (v @ v.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(m, k=1)
+        c = sims[iu, ju]
+        keep = c >= threshold
+        x, y = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "a": np.minimum(x, y),
+                "b": np.maximum(x, y),
+                "cosine_sim": np.round(c[keep], 6),
+            }
         )
-    )
+
+    out_schema = f"a {id_type}, b {id_type}, cosine_sim double"
     return (
-        scored.where(F.col("cosine_sim") >= threshold)
-        .select("a", "b", F.round("cosine_sim", 6).alias("cosine_sim"))
+        bl.groupBy("band", "bkey")
+        .applyInPandas(_score_bucket, out_schema)
         .distinct()
     )
 

@@ -255,18 +255,17 @@ def test_chunk_and_pack_are_codegen(spark):
 
 
 def test_embedding_near_dup_is_banded_not_allpairs(spark):
-    """The near-dup entry query must candidate via LSH bands: a keyed
-    join on (band, bkey), never an all-pairs cartesian or broadcast
-    nested loop over the corpus."""
+    """The near-dup entry query must candidate via LSH bands — never
+    an all-pairs cartesian/broadcast nested loop over the corpus.
+    The in-bucket quadratic residual must be paid inside the Arrow
+    per-bucket BLAS stage (FlatMapGroupsInPandas keyed on band/bkey),
+    not as joined candidate rows."""
     df = entry_mod.embedding_near_dup(spark, SF_DIR_001)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert (
-        "SortMergeJoin" in plan
-        or "ShuffledHashJoin" in plan
-        or "BroadcastHashJoin" in plan
-    ), plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "band" in plan and "bkey" in plan, plan
 
 
 def test_jaccard_prune_list_is_broadcast_anti_join(spark):

@@ -62,6 +62,10 @@ HEADLINE = [
     "contamination_bench_overlap",
     "pack_sequences_docs",
     "chunk_docs",
+    "profile_orders",
+    "dq_violations_orders",
+    "weighted_sample_docs",
+    "ngram_lm_score_docs",
 ]
 
 

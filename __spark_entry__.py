@@ -3492,6 +3492,41 @@ GROUP BY 1, 2
 """
 
 
+def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming content dedup (§2.12 dedup × §2.9 streaming):
+    replay documents as a bounded stream and suppress identical-text
+    re-deliveries with ``dropDuplicatesWithinWatermark`` on the md5
+    content hash (streaming/dedup_stream.py) — state is bounded by
+    the watermark horizon, not stream lifetime.  The emitted
+    projection is the content-hash set: WHICH physical row survives
+    a duplicate group depends on micro-batch arrival order, but the
+    hash set does not, so this streaming operator gets the full
+    value-hash oracle."""
+    from botkop_telcotraffic_spark_spark.streaming.dedup_stream import (
+        dedup_content_stream,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+
+    tune(spark)
+    stream = stream_parquet_table(spark, sf_dir, "documents").withColumn(
+        "_ts",
+        F.timestamp_seconds(F.lit(1_600_000_000) + (F.col("doc_id") % 3600)),
+    )
+    out = dedup_content_stream(
+        stream, ["text"], ts_col="_ts", delay="2 hours", keep_hash=True
+    )
+    return run_to_memory(out.select("content_hash"), output_mode="append")
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT md5(coalesce(CAST(text AS VARCHAR), '')) AS content_hash
+FROM documents
+"""
+
+
 def ngram_lm_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram LM quality scoring (operators/text.py::
     ngram_lm_score): per-doc average conditional log-probability under
@@ -3792,6 +3827,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dq_violations_orders": (dq_violations_orders, _dq_sql()),
     "weighted_sample_docs": (weighted_sample_docs, _WSAMPLE_SQL),
     "ngram_lm_score_docs": (ngram_lm_score_docs, _NGRAM_LM_SQL),
+    "streaming_dedup_docs": (streaming_dedup_docs, _STREAM_DEDUP_SQL),
     # -- no SQL-expressible oracle (rows-only check by design) -------------
     "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),

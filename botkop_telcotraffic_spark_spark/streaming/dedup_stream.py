@@ -38,15 +38,21 @@ def dedup_content_stream(
     content_cols: list[str],
     ts_col: str = "ts",
     delay: str = "30 seconds",
+    keep_hash: bool = False,
 ) -> DataFrame:
     """Suppress re-deliveries with identical content (id-independent):
-    key = md5 over the canonical '\\x1f'-joined string forms."""
+    key = md5 over the canonical '\\x1f'-joined string forms.  With
+    ``keep_hash`` the content hash survives as ``content_hash`` —
+    the deterministic projection of the result (WHICH physical row
+    represents a content group depends on arrival order; the hash set
+    does not, so hash-level outputs are what oracles can check)."""
     hashed = stream.withColumn(
         "_content_hash",
         F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])),
     )
-    return (
-        hashed.withWatermark(ts_col, delay)
-        .dropDuplicatesWithinWatermark(["_content_hash"])
-        .drop("_content_hash")
+    out = hashed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        ["_content_hash"]
     )
+    if keep_hash:
+        return out.withColumnRenamed("_content_hash", "content_hash")
+    return out.drop("_content_hash")

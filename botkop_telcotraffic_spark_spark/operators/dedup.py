@@ -255,21 +255,24 @@ def simhash_signatures(
     set iff the vote sum is positive.  One groupBy with 60 conditional
     sums — no explode, no engine hash builtins (oracle-reproducible)."""
     post = token_postings(df, id_col, text_col, k)
+    # The 60 vote aggregates and the 60-term signature sum are built
+    # as SQL strings parsed once JVM-side: composing them through the
+    # Python Column API costs >1 s of pure Py4J driver time per query
+    # build (one round-trip per operator node).  Arithmetic identical.
     votes = [
-        F.sum(
-            F.when(
-                ((F.col("tok") * (2 * b + 3) + (7 * b + 1)) % MINHASH_P)
-                >= MINHASH_P // 2,
-                1,
-            ).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN ((tok * {2 * b + 3} + {7 * b + 1})"
+            f" % {MINHASH_P}) >= {MINHASH_P // 2} THEN 1 ELSE -1 END)"
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
     g = post.groupBy("id").agg(*votes)
-    sig = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0)
-    return g.select("id", sig.alias("simhash"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return g.select("id", F.expr(f"({sig_sql})").alias("simhash"))
 
 
 def simhash_band_candidates(

@@ -153,6 +153,32 @@ def _nd_band_key(vec, dim: int, band: int, planes_per_band: int):
     return key
 
 
+def _nd_plane_sql(vec_sql: str, p: int, dim: int) -> str:
+    """SQL text of _nd_plane_expr — same arithmetic, zero Py4J
+    round-trips (one string parsed JVM-side instead of hundreds of
+    Column calls: building the 64-plane tree through the Python
+    Column API costs ~2 s of pure driver time per query build)."""
+    return (
+        f"aggregate(transform(sequence(1, {dim}), d -> "
+        f"CAST(element_at({vec_sql}, d) AS DOUBLE) * "
+        f"CAST((({p * 37} + (d - 1) * 29) % 31) - 15 AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+
+
+def _nd_band_key_sql(vec_sql: str, dim: int, band: int, planes_per_band: int) -> str:
+    """SQL text of _nd_band_key (bit-identical results)."""
+    terms = []
+    for r in range(planes_per_band):
+        p = band * planes_per_band + r
+        w = 1 << (planes_per_band - 1 - r)
+        terms.append(
+            f"(CASE WHEN {_nd_plane_sql(vec_sql, p, dim)} >= 0 "
+            f"THEN {w} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def near_dup_pairs_banded(
     df: DataFrame,
     dim: int,
@@ -203,15 +229,12 @@ def near_dup_pairs_banded(
     id_type = dict(zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields]))[id_col]
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
-    bands_arr = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                _nd_band_key(F.col("_v"), dim, b, planes_per_band).alias("bkey"),
-            )
-            for b in range(n_bands)
-        ]
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bkey', "
+        f"{_nd_band_key_sql('_v', dim, b, planes_per_band)})"
+        for b in range(n_bands)
     )
+    bands_arr = F.expr(f"array({structs})")
     bl = base.select("id", "_v", F.explode(bands_arr).alias("bb")).select(
         "id", "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )

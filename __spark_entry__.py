@@ -3492,6 +3492,45 @@ GROUP BY 1, 2
 """
 
 
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join (operators/fuzzy.py): link part names to a
+    deterministically-corrupted catalog (3rd character dropped) via
+    q-gram candidate join + exact levenshtein verify — the
+    record-linkage primitive.  Under the len >= q(d+1) precondition
+    the candidate step is recall-exact, so the oracle is the plain
+    edit-distance theta-join."""
+    from botkop_telcotraffic_spark_spark.operators import fuzzy
+
+    p = _t(spark, sf_dir, "part")
+    typos = p.select(
+        F.concat(
+            F.expr("substring(p_name, 1, 2)"), F.expr("substring(p_name, 4)")
+        ).alias("typo_name")
+    )
+    out = fuzzy.fuzzy_join(p, typos, "p_name", "typo_name", max_dist=1, q=3)
+    return out.select(
+        F.col("a").alias("p_name"),
+        F.col("b").alias("typo_name"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+_FUZZY_SQL = """
+WITH a AS (
+  SELECT DISTINCT p_name FROM part WHERE length(p_name) >= 6
+), t AS (
+  SELECT DISTINCT substring(p_name, 1, 2) || substring(p_name, 4) AS typo_name
+  FROM part
+), tf AS (
+  SELECT typo_name FROM t WHERE length(typo_name) >= 6
+)
+SELECT a.p_name, tf.typo_name,
+       CAST(levenshtein(a.p_name, tf.typo_name) AS INT) AS dist
+FROM a, tf
+WHERE levenshtein(a.p_name, tf.typo_name) <= 1
+"""
+
+
 def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming content dedup (§2.12 dedup × §2.9 streaming):
     replay documents as a bounded stream and suppress identical-text
@@ -3828,6 +3867,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "weighted_sample_docs": (weighted_sample_docs, _WSAMPLE_SQL),
     "ngram_lm_score_docs": (ngram_lm_score_docs, _NGRAM_LM_SQL),
     "streaming_dedup_docs": (streaming_dedup_docs, _STREAM_DEDUP_SQL),
+    "fuzzy_join_part_names": (fuzzy_join_part_names, _FUZZY_SQL),
     # -- no SQL-expressible oracle (rows-only check by design) -------------
     "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),

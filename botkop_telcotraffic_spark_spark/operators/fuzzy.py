@@ -1,0 +1,110 @@
+"""Fuzzy (approximate) string join — the record-linkage /
+entity-resolution primitive: pair strings whose edit distance is
+within a bound, without an all-pairs comparison.
+
+Candidate generation is a q-gram inverted-index join (the same
+postings-shape as the Jaccard near-dup path): two strings within
+Levenshtein distance d share at least one q-gram PROVIDED
+``len >= q * (d + 1)`` — a single edit disturbs at most q of the
+``len - q + 1`` grams, so for long-enough strings an untouched gram
+survives verbatim in both.  Under that length precondition the
+candidate join is therefore RECALL-EXACT: candidates → exact
+``levenshtein`` verification equals the naive all-pairs join, which
+is what the DuckDB oracle checks.
+
+Scale: the quadratic residual is hot grams (every "widget" shares
+"idg").  ``prefix_k`` enables Chaudhuri-style prefix filtering — keep
+only each string's k globally-rarest grams (k = q·d + 1 preserves the
+shared-gram guarantee for same-length multiset reasoning; slightly
+conservative for set semantics, so it is an opt-in scale knob, not
+the oracle-checked default).  Gram frequencies come from one bounded
+aggregate (vocab ≤ alphabet^q) broadcast back; postings shrink from
+O(len) to O(k) per string and the hot-gram explosion disappears.
+Everything is Catalyst column math + one postings shuffle; the
+verify step uses the built-in ``levenshtein`` (JVM codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _grams(col, q: int):
+    s = F.lower(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - (q - 1)),
+            lambda i: F.substring(s, i, F.lit(q)),
+        )
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    q: int = 3,
+    prefix_k: int | None = None,
+) -> DataFrame:
+    """Pairs ``(a, b, dist)`` with ``levenshtein(a, b) <= max_dist``,
+    for distinct values of the join columns (case-insensitive grams,
+    case-sensitive distance).  Both sides are length-filtered to
+    ``len >= q * (max_dist + 1)`` — below that no gram-overlap
+    guarantee exists and the caller should brute-force the short
+    stragglers (tiny by construction).
+
+    ``prefix_k``: keep only each string's ``prefix_k`` rarest grams
+    (global frequency order, gram as tie-break) before the join — the
+    scale path for corpora with hot grams.
+    """
+    min_len = q * (max_dist + 1)
+    a = (
+        left.select(F.col(left_col).alias("a"))
+        .where(F.length("a") >= min_len)
+        .distinct()
+    )
+    b = (
+        right.select(F.col(right_col).alias("b"))
+        .where(F.length("b") >= min_len)
+        .distinct()
+    )
+    ag = a.select("a", F.explode(_grams(F.col("a"), q)).alias("g"))
+    bg = b.select("b", F.explode(_grams(F.col("b"), q)).alias("g"))
+
+    if prefix_k is not None:
+        freq = (
+            ag.select("g").union(bg.select("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_f"))
+        )
+        w_a = Window.partitionBy("a").orderBy("_f", "g")
+        ag = (
+            ag.join(F.broadcast(freq), "g")
+            .withColumn("_rk", F.row_number().over(w_a))
+            .where(F.col("_rk") <= prefix_k)
+            .select("a", "g")
+        )
+        w_b = Window.partitionBy("b").orderBy("_f", "g")
+        bg = (
+            bg.join(F.broadcast(freq), "g")
+            .withColumn("_rk", F.row_number().over(w_b))
+            .where(F.col("_rk") <= prefix_k)
+            .select("b", "g")
+        )
+
+    cand = (
+        ag.join(bg, "g")
+        .where(
+            F.abs(F.length("a") - F.length("b")) <= max_dist
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("a", "b"))
+        .where(F.col("dist") <= max_dist)
+    )

@@ -745,3 +745,39 @@ def test_weighted_hash_sample_favors_heavy_rows(spark):
     # 100 heavy rows of 1000 (10% uniform share); weight 1000x should
     # make them dominate the k=50 sample
     assert heavy >= 40, heavy
+
+
+def test_fuzzy_join_finds_planted_typos_and_prefix_subset(spark):
+    """Every single-char-dropped typo must link back to its source
+    (recall-exact under the length precondition); the prefix-filtered
+    scale variant must be a subset of the exact candidates."""
+    from pyspark.sql import functions as F
+
+    from botkop_telcotraffic_spark_spark.operators.fuzzy import fuzzy_join
+
+    p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    typos = p.select(
+        F.concat(
+            F.expr("substring(p_name, 1, 2)"), F.expr("substring(p_name, 4)")
+        ).alias("t")
+    )
+    exact = {
+        (r["a"], r["b"])
+        for r in fuzzy_join(p, typos, "p_name", "t", max_dist=1).collect()
+    }
+    # planted recall: each long-enough name matches its own typo
+    for r in p.select("p_name").distinct().collect():
+        name = r["p_name"]
+        typo = name[:2] + name[3:]
+        if len(name) >= 6 and len(typo) >= 6:
+            assert (name, typo) in exact, (name, typo)
+
+    pref = {
+        (r["a"], r["b"])
+        for r in fuzzy_join(
+            p, typos, "p_name", "t", max_dist=1, prefix_k=4
+        ).collect()
+    }
+    assert pref <= exact
+    # hot-gram pruning must not cost recall on this fixture
+    assert len(pref) >= int(0.9 * len(exact)), (len(pref), len(exact))

@@ -1708,6 +1708,38 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def rolling_hour_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames: trailing 1-hour per-user event count
+    and value sum at every event — the "activity in the last hour"
+    feature shape.  Spark expresses interval frames as rangeBetween
+    over epoch MICROseconds (unix_micros, tz-independent; whole
+    seconds would truncate sub-second timestamps and change frame
+    peer sets vs the oracle's full-precision INTERVAL arithmetic)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+    )
+
+
+_ROLLING_1H_SQL = """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 6) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def session_windows_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8: session windows (5-minute inactivity gap) per user."""
     e = _t(spark, sf_dir, "events")
@@ -3868,6 +3900,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ngram_lm_score_docs": (ngram_lm_score_docs, _NGRAM_LM_SQL),
     "streaming_dedup_docs": (streaming_dedup_docs, _STREAM_DEDUP_SQL),
     "fuzzy_join_part_names": (fuzzy_join_part_names, _FUZZY_SQL),
+    "rolling_hour_user_stats": (rolling_hour_user_stats, _ROLLING_1H_SQL),
     # -- no SQL-expressible oracle (rows-only check by design) -------------
     "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),

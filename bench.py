@@ -66,6 +66,8 @@ HEADLINE = [
     "dq_violations_orders",
     "weighted_sample_docs",
     "ngram_lm_score_docs",
+    "fuzzy_join_part_names",
+    "rolling_hour_user_stats",
 ]
 
 

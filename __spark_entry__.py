@@ -2268,7 +2268,14 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select(
+    # Explicit schema: an empty stream writes no files, and a bare
+    # parquet read of the empty sink dir would fail schema inference
+    # instead of returning the typed empty frame downstream expects.
+    sink_schema = (
+        "event_id bigint, prediction int, distance double, "
+        "lo double, hi double"
+    )
+    return spark.read.schema(sink_schema).parquet(out_dir).select(
         "event_id", "prediction", "distance", "lo", "hi"
     )
 
@@ -3415,12 +3422,22 @@ def loghist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LOGHIST_SQL = """
-WITH sk AS (
+WITH k0v AS (
+  SELECT event_type, value,
+         CAST(floor(log2(value)) AS BIGINT) AS k0
+  FROM events WHERE value IS NOT NULL AND value > 0
+), sk AS (
+  -- exact-power-of-two correction: engine-independent floor(log2(v))
   SELECT event_type,
-         CASE WHEN value > 0 THEN CAST(floor(log2(value)) AS BIGINT)
-              ELSE -1099 END AS bucket,
+         CASE WHEN power(2.0, k0 + 1) <= value THEN k0 + 1
+              WHEN power(2.0, k0) > value THEN k0 - 1
+              ELSE k0 END AS bucket,
          count(*) AS cnt
-  FROM events WHERE value IS NOT NULL
+  FROM k0v
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT event_type, -1099 AS bucket, count(*) AS cnt
+  FROM events WHERE value IS NOT NULL AND value <= 0
   GROUP BY 1, 2
 ), staged AS (
   SELECT event_type, bucket, cnt,

@@ -142,3 +142,18 @@ def rolling_fingerprint(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
     )
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """All length-``n`` character substrings of ``text`` in order;
+    empty array when the string is shorter than ``n`` (the guard
+    matters: ``sequence(1, len-n+1)`` with a negative span would
+    produce a DESCENDING sequence, not an empty one).  Shared
+    substrate for the q-gram fuzzy join and the char-n-gram LM."""
+    return F.when(
+        F.length(text) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (n - 1)),
+            lambda i: F.substring(text, i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

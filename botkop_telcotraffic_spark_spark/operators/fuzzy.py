@@ -30,15 +30,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from ..functions.textfn import char_ngrams
+
 
 def _grams(col, q: int):
-    s = F.lower(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length(s) - (q - 1)),
-            lambda i: F.substring(s, i, F.lit(q)),
-        )
-    )
+    return F.array_distinct(char_ngrams(F.lower(col), q))
 
 
 def fuzzy_join(

@@ -249,14 +249,23 @@ def near_dup_pairs_banded(
         sims = (v @ v.T) / np.outer(nrm, nrm)
         iu, ju = np.triu_indices(m, k=1)
         c = sims[iu, ju]
-        keep = c >= threshold
-        x, y = ids[iu[keep]], ids[ju[keep]]
+        # widen the matmul screen by a whisker, then re-derive each
+        # surviving pair's cosine with a bucket-shape-INDEPENDENT
+        # vector-vector ddot: gemm blocking (and thus last-ulp sums)
+        # varies with bucket size, so a pair caught in two bands could
+        # otherwise round to two different 6-decimal values and leave
+        # duplicate (a,b) rows behind the .distinct()
+        keep = c >= threshold - 1e-9
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(iu[keep], ju[keep]):
+            cs = float(np.dot(v[i], v[j]) / (nrm[i] * nrm[j]))
+            if cs >= threshold:
+                x, y = ids[i], ids[j]
+                out_a.append(min(x, y))
+                out_b.append(max(x, y))
+                out_c.append(round(cs, 6))
         return pd.DataFrame(
-            {
-                "a": np.minimum(x, y),
-                "b": np.maximum(x, y),
-                "cosine_sim": np.round(c[keep], 6),
-            }
+            {"a": out_a, "b": out_b, "cosine_sim": out_c}
         )
 
     out_schema = f"a {id_type}, b {id_type}, cosine_sim double"

@@ -79,11 +79,21 @@ def loghist_build(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     output is ~64 rows per group regardless of input size, so the
     sketch table is negligible next to the data."""
     v = F.col(value_col)
-    bucket = (
-        F.when(v > 0, F.floor(F.log2(v)))
-        .otherwise(F.lit(_NEG_BUCKET))
-        .alias("bucket")
+    # floor(log2(v)) computed via floating log2 is NOT engine-exact:
+    # libm log2 implementations differ in the last ulp near powers of
+    # two (e.g. log(2^-29)/log(2) = -29.000000000000004 floors to
+    # -30).  The one-step correction below compares against exact
+    # powers of two (2^k is exactly representable), so the final
+    # bucket is floor(log2(v)) in exact arithmetic on ANY engine
+    # whose log2 is within 1 ulp — the oracle applies the same
+    # correction.
+    k0 = F.floor(F.log2(v))
+    k = (
+        F.when(F.pow(F.lit(2.0), k0 + 1) <= v, k0 + 1)
+        .when(F.pow(F.lit(2.0), k0) > v, k0 - 1)
+        .otherwise(k0)
     )
+    bucket = F.when(v > 0, k).otherwise(F.lit(_NEG_BUCKET)).alias("bucket")
     return (
         df.where(v.isNotNull())
         .groupBy(*keys, bucket)

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfn import rolling_fingerprint, stopword_count, words
+from ..functions.textfn import (
+    char_ngrams,
+    rolling_fingerprint,
+    stopword_count,
+    words,
+)
 
 # Marker stopwords per language for the n-gram/stopword heuristic
 # language-ID.  (Synthetic corpus is English-ish tech words; the
@@ -282,14 +287,9 @@ def ngram_lm_score(
     Python in the hot path.
     """
     t = F.lower(F.col(text_col))
-    grams = F.when(
-        F.length(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - (n - 1)),
-            lambda i: F.substring(t, i, F.lit(n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    ex = df.select(
+        F.col(id_col), F.explode(char_ngrams(t, n)).alias("g")
+    )
 
     if model_df is None:
         m3 = ex.groupBy("g").agg(F.count(F.lit(1)).alias("n3"))

@@ -70,10 +70,25 @@ class KeyedUpsertStore:
         return os.path.exists(os.path.join(self.path, "_SUCCESS"))
 
     def _raw(self) -> DataFrame | None:
-        """Snapshot including the _bucket partition column."""
+        """Snapshot including the _bucket partition column.
+
+        Stores written by the earlier flat (pre-bucketing) layout —
+        part files at the store root, no ``_bucket=N`` directories —
+        are read without the partition column; ``_bucket`` is derived
+        on the fly so the first upsert migrates them: every legacy
+        key's bucket counts as touched and the root part files are
+        removed after the bucketed rewrite lands."""
         if not self.exists():
             return None
-        return self.spark.read.option("basePath", self.path).parquet(self.path)
+        raw = self.spark.read.option("basePath", self.path).parquet(self.path)
+        if _BUCKET not in raw.columns:  # legacy flat layout
+            raw = raw.withColumn(_BUCKET, self._bucket_expr())
+        return raw
+
+    def _legacy_root_files(self) -> list[str]:
+        import glob
+
+        return glob.glob(os.path.join(self.path, "part-*"))
 
     def snapshot(self) -> DataFrame | None:
         raw = self._raw()
@@ -86,13 +101,22 @@ class KeyedUpsertStore:
         all other buckets are untouched on disk.
         """
         newb = batch.withColumn(_BUCKET, self._bucket_expr())
-        # Tiny driver-side list (<= n_buckets ints) — this is what
-        # bounds the rewrite to touched buckets.
-        touched = [r[0] for r in newb.select(_BUCKET).distinct().collect()]
         cur = self._raw()
-        if cur is not None:
-            cur = cur.where(F.col(_BUCKET).isin(touched))  # partition-pruned
+        legacy = self._legacy_root_files() if cur is not None else []
+        if cur is not None and legacy:
+            # One-time migration off the flat layout: every legacy
+            # row must land in a bucket directory, so this batch
+            # rewrites every occupied bucket (subsequent batches are
+            # touched-only again).
             newb = cur.unionByName(newb, allowMissingColumns=True)
+            touched = [r[0] for r in newb.select(_BUCKET).distinct().collect()]
+        else:
+            # Tiny driver-side list (<= n_buckets ints) — this is what
+            # bounds the rewrite to touched buckets.
+            touched = [r[0] for r in newb.select(_BUCKET).distinct().collect()]
+            if cur is not None:
+                cur = cur.where(F.col(_BUCKET).isin(touched))  # pruned
+                newb = cur.unionByName(newb, allowMissingColumns=True)
         merged = latest_per_key(newb, [self.key_col], [self.order_col])
         # Stage the rewritten buckets, then swap each directory in —
         # never read-and-overwrite the same files in one job.
@@ -109,6 +133,8 @@ class KeyedUpsertStore:
             if os.path.exists(src):
                 os.rename(src, dst)
         shutil.rmtree(tmp)
+        for f in legacy:  # flat-layout files now folded into buckets
+            os.remove(f)
         # Commit marker (idempotent).
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass

@@ -781,3 +781,24 @@ def test_fuzzy_join_finds_planted_typos_and_prefix_subset(spark):
     assert pref <= exact
     # hot-gram pruning must not cost recall on this fixture
     assert len(pref) >= int(0.9 * len(exact)), (len(pref), len(exact))
+
+
+def test_nd_band_key_sql_matches_column_twin(spark):
+    """The SQL-string band keys (the hot path) must equal the Column
+    API construction bit-for-bit — guards the two plane-family
+    implementations against silent drift."""
+    from pyspark.sql import functions as F
+
+    from botkop_telcotraffic_spark_spark.operators.similarity import (
+        _nd_band_key,
+        _nd_band_key_sql,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(50).select("vec_id", F.col("embedding").alias("_v"))
+    for band in (0, 7, 15):
+        col_v = _nd_band_key(F.col("_v"), 64, band, 4).alias("k")
+        sql_v = F.expr(_nd_band_key_sql("_v", 64, band, 4)).alias("k2")
+        bad = emb.select(col_v, sql_v).where(F.col("k") != F.col("k2"))
+        assert bad.count() == 0, bad.take(3)

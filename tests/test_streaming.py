@@ -729,3 +729,31 @@ def test_kafka_round_trip(spark, fixtures, tmp_path):
     # the streaming source builder accepts the same brokers/topic
     src = kafka_json_source(spark, brokers, topic, ATTACH)
     assert src.isStreaming
+
+
+def test_upsert_store_migrates_legacy_flat_layout(spark, tmp_path):
+    """A store written by the old flat (non-bucketed) layout must
+    survive the first bucketed upsert: all legacy rows fold into
+    _bucket=N dirs, root part files disappear, latest-wins holds."""
+    import glob
+    import os
+
+    from botkop_telcotraffic_spark_spark.streaming.upsert_join import (
+        KeyedUpsertStore,
+    )
+
+    path = str(tmp_path / "legacy_store")
+    old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")], ["k", "v", "tag"]
+    )
+    old.write.parquet(path)  # flat layout: part-* at the root
+    assert glob.glob(os.path.join(path, "part-*"))
+
+    store = KeyedUpsertStore(spark, path, key_col="k", order_col="v")
+    batch = spark.createDataFrame([(2, 20, "B"), (4, 20, "d")], ["k", "v", "tag"])
+    store.upsert(batch)
+
+    snap = {r["k"]: (r["v"], r["tag"]) for r in store.snapshot().collect()}
+    assert snap == {1: (10, "a"), 2: (20, "B"), 3: (10, "c"), 4: (20, "d")}
+    assert not glob.glob(os.path.join(path, "part-*"))  # migrated
+    assert glob.glob(os.path.join(path, "_bucket=*"))

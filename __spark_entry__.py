@@ -3580,6 +3580,89 @@ WHERE levenshtein(a.p_name, tf.typo_name) <= 1
 """
 
 
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy-link the part catalog to
+    its corrupted twin (operators/fuzzy.py), take the match pairs as
+    edges, run connected components (operators/graph.py), and emit
+    one canonical entity (min name string) per component — the
+    record-linkage → clustering → golden-record chain.
+
+    Components run over rolling-hash fingerprints of the strings
+    (numeric node ids keep the distributed min-label path's exact
+    decimal convergence probe available); the canonical name is then
+    the min STRING per component, and the oracle mirrors the
+    fingerprint, so any fp collision collapses identically on both
+    engines."""
+    from botkop_telcotraffic_spark_spark.operators import fuzzy, graph
+
+    p = _t(spark, sf_dir, "part")
+    typos = p.select(
+        F.concat(
+            F.expr("substring(p_name, 1, 2)"), F.expr("substring(p_name, 4)")
+        ).alias("typo_name")
+    )
+    pairs = fuzzy.fuzzy_join(p, typos, "p_name", "typo_name", max_dist=1, q=3)
+
+    fp = textfn.rolling_fingerprint
+    names = (
+        p.select(F.col("p_name").alias("s"))
+        .where(F.length("s") >= 6)
+        .distinct()
+    )
+    tnames = (
+        typos.select(F.col("typo_name").alias("s"))
+        .where(F.length("s") >= 6)
+        .distinct()
+    )
+    nodes = names.union(tnames).distinct().withColumn("fp", fp(F.col("s")))
+    edges = pairs.select(
+        fp(F.col("a")).alias("u"), fp(F.col("b")).alias("v")
+    )
+    cc = graph.connected_components(edges, "u", "v")
+    labeled = nodes.join(cc, nodes["fp"] == cc["node"], "left").select(
+        "s", F.coalesce("component", "fp").alias("comp")
+    )
+    ent = labeled.groupBy("comp").agg(F.min("s").alias("entity"))
+    return labeled.join(ent, "comp").select(F.col("s").alias("name"), "entity")
+
+
+def _entity_sql() -> str:
+    def fp(expr: str) -> str:
+        return _wsample_fp_sql(expr)
+
+    return f"""
+WITH RECURSIVE a AS (
+  SELECT DISTINCT p_name AS s FROM part WHERE length(p_name) >= 6
+), t AS (
+  SELECT DISTINCT substring(p_name, 1, 2) || substring(p_name, 4) AS s
+  FROM part
+), tf AS (SELECT s FROM t WHERE length(s) >= 6),
+nodes AS (
+  SELECT s, {fp("s")} AS fp
+  FROM (SELECT s FROM a UNION SELECT s FROM tf)
+), pairs AS (
+  SELECT x.s AS sa, y.s AS sb FROM a x, tf y
+  WHERE abs(length(x.s) - length(y.s)) <= 1 AND levenshtein(x.s, y.s) <= 1
+), ed AS (
+  SELECT {fp("sa")} AS u, {fp("sb")} AS v FROM pairs
+  UNION
+  SELECT {fp("sb")}, {fp("sa")} FROM pairs
+), reach(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+  UNION
+  SELECT ed.u, reach.label FROM ed JOIN reach ON ed.v = reach.u
+), comp AS (
+  SELECT u, min(label) AS c FROM reach GROUP BY u
+), lab AS (
+  SELECT n.s, coalesce(comp.c, n.fp) AS comp
+  FROM nodes n LEFT JOIN comp ON n.fp = comp.u
+), ent AS (
+  SELECT comp, min(s) AS entity FROM lab GROUP BY comp
+)
+SELECT lab.s AS name, ent.entity FROM lab JOIN ent USING (comp)
+"""
+
+
 def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming content dedup (§2.12 dedup × §2.9 streaming):
     replay documents as a bounded stream and suppress identical-text
@@ -3918,6 +4001,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_dedup_docs": (streaming_dedup_docs, _STREAM_DEDUP_SQL),
     "fuzzy_join_part_names": (fuzzy_join_part_names, _FUZZY_SQL),
     "rolling_hour_user_stats": (rolling_hour_user_stats, _ROLLING_1H_SQL),
+    "entity_resolution_parts": (entity_resolution_parts, _entity_sql()),
     # -- no SQL-expressible oracle (rows-only check by design) -------------
     "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),

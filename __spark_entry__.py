@@ -3580,6 +3580,38 @@ WHERE levenshtein(a.p_name, tf.typo_name) <= 1
 """
 
 
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier flags per event_type (operators/iqr.py::
+    mad_outliers): |v − median| > 3.5·1.4826·MAD, exact interpolating
+    medians, two broadcast join-backs, zero fact shuffles."""
+    from botkop_telcotraffic_spark_spark.operators.iqr import mad_outliers
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = mad_outliers(e, ["event_type"], "value")
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+    )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(m.med, 6) AS med, round(d.mad, 6) AS mad
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE abs(e.value - m.med) > 5.1891 * d.mad
+"""
+
+
 def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end-to-end: fuzzy-link the part catalog to
     its corrupted twin (operators/fuzzy.py), take the match pairs as
@@ -4002,6 +4034,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "fuzzy_join_part_names": (fuzzy_join_part_names, _FUZZY_SQL),
     "rolling_hour_user_stats": (rolling_hour_user_stats, _ROLLING_1H_SQL),
     "entity_resolution_parts": (entity_resolution_parts, _entity_sql()),
+    "mad_outliers_events": (mad_outliers_events, _MAD_SQL),
     # -- no SQL-expressible oracle (rows-only check by design) -------------
     "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),

@@ -80,3 +80,47 @@ def iqr_outliers(
         df.join(F.broadcast(bounds.select(*key_cols, "lo", "hi")), list(key_cols))
         .where((v < F.col("lo")) | (v > F.col("hi")))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    cutoff: float = 5.1891,  # 3.5 * 1.4826 (Iglewicz-Hoaglin z on σ̂)
+    mode: str = "exact",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Median-absolute-deviation outlier flags — the robust companion
+    to the IQR fences (a single wild value moves mean/stddev and even
+    quartiles more than it moves the MAD).
+
+    Flags rows with ``|v - median| > cutoff * mad`` where ``mad =
+    median(|v - median|)`` per key; the default cutoff is the
+    Iglewicz-Hoaglin modified-z 3.5 pre-multiplied by the 1.4826
+    normal-consistency constant as ONE literal, so both engines do a
+    single IEEE multiply (no association-order drift).
+
+    Physical shape: nested medians force two passes — (1) per-key
+    median aggregate, broadcast back; (2) per-key deviation median,
+    broadcast back; the fact table is scanned twice but never
+    shuffled (both joins are one-row-per-key broadcasts).  ``exact``
+    uses the interpolating ``percentile`` (list-per-group memory,
+    oracle twin is quantile_cont); ``approx`` is the 100 TB path
+    (percentile_approx sketches, bounded memory).
+    """
+    v = F.col(value_col)
+
+    def _median(frame: DataFrame, col, out: str) -> DataFrame:
+        if mode == "exact":
+            agg = F.percentile(col, F.lit(0.5))
+        elif mode == "approx":
+            agg = F.percentile_approx(col, F.lit(0.5), accuracy)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        return frame.groupBy(*key_cols).agg(agg.alias(out))
+
+    med = _median(df, v, "med")
+    with_med = df.join(F.broadcast(med), list(key_cols))
+    mad = _median(with_med, F.abs(v - F.col("med")), "mad")
+    scored = with_med.join(F.broadcast(mad), list(key_cols))
+    return scored.where(F.abs(v - F.col("med")) > F.lit(cutoff) * F.col("mad"))

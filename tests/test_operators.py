@@ -802,3 +802,23 @@ def test_nd_band_key_sql_matches_column_twin(spark):
         sql_v = F.expr(_nd_band_key_sql("_v", 64, band, 4)).alias("k2")
         bad = emb.select(col_v, sql_v).where(F.col("k") != F.col("k2"))
         assert bad.count() == 0, bad.take(3)
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    from botkop_telcotraffic_spark_spark.operators.iqr import mad_outliers
+    from botkop_telcotraffic_spark_spark.plans.inspect import physical_plan
+
+    rows = [(i, "a", 10.0 + (i % 7) * 0.1) for i in range(200)]
+    rows.append((900, "a", 10_000.0))  # the spike
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+    out = mad_outliers(df, ["grp"], "v")
+    got = [r["id"] for r in out.collect()]
+    assert got == [900]
+    # both median join-backs must broadcast: the fact side never shuffles
+    plan = physical_plan(out)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    # approx mode agrees on an obvious spike
+    approx = [r["id"] for r in mad_outliers(df, ["grp"], "v", mode="approx").collect()]
+    assert 900 in approx

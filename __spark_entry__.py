@@ -3580,6 +3580,83 @@ WHERE levenshtein(a.p_name, tf.typo_name) <= 1
 """
 
 
+def bigram_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-25 adjacent-word bigrams by pointwise
+    mutual information, min count 5.  PMI = ln(P(ab) / (P(a)P(b)))
+    with bigram/unigram probabilities over their own totals.  All
+    narrow explodes + bounded-vocab aggregates; the unigram table
+    joins back as a broadcast (twice, aliased); one TakeOrdered
+    top-k — no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    w = textfn.words(F.col("text"))
+    uni = (
+        d.select(F.explode(w).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    t1 = uni.agg(F.sum("c1").cast("double").alias("_T1"))
+    bg = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.struct(
+                    F.element_at(w, i).alias("wa"),
+                    F.element_at(w, i + 1).alias("wb"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.wa", "b.wb")
+    big = bg.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("c2"))
+    t2 = big.agg(F.sum("c2").cast("double").alias("_T2"))
+    ua = uni.select(F.col("w").alias("wa"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("c1").alias("cb"))
+    scored = (
+        big.where(F.col("c2") >= 5)
+        .join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "wa",
+            "wb",
+            "c2",
+            F.round(
+                F.log(
+                    (F.col("c2") / F.col("_T2"))
+                    / ((F.col("ca") / F.col("_T1")) * (F.col("cb") / F.col("_T1")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "wa", "wb").limit(25)
+
+
+_PMI_SQL = """
+WITH uni AS (
+  SELECT w, count(*) AS c1
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+), t1 AS (SELECT CAST(sum(c1) AS DOUBLE) AS T1 FROM uni),
+ws AS (SELECT string_split(text, ' ') AS arr FROM documents),
+bg AS (
+  SELECT arr[i] AS wa, arr[i + 1] AS wb
+  FROM ws, unnest(generate_series(1, len(arr) - 1)) AS t(i)
+), big AS (
+  SELECT wa, wb, count(*) AS c2 FROM bg GROUP BY wa, wb
+), t2 AS (SELECT CAST(sum(c2) AS DOUBLE) AS T2 FROM big)
+SELECT wa, wb, c2,
+       round(ln((c2 / T2) / ((ua.c1 / T1) * (ub.c1 / T1))), 6) AS pmi
+FROM big
+JOIN uni ua ON big.wa = ua.w
+JOIN uni ub ON big.wb = ub.w
+CROSS JOIN t1 CROSS JOIN t2
+WHERE c2 >= 5
+ORDER BY pmi DESC, wa, wb
+LIMIT 25
+"""
+
+
 def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust MAD outlier flags per event_type (operators/iqr.py::
     mad_outliers): |v − median| > 3.5·1.4826·MAD, exact interpolating
@@ -4035,6 +4112,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rolling_hour_user_stats": (rolling_hour_user_stats, _ROLLING_1H_SQL),
     "entity_resolution_parts": (entity_resolution_parts, _entity_sql()),
     "mad_outliers_events": (mad_outliers_events, _MAD_SQL),
+    "bigram_pmi_docs": (bigram_pmi_docs, _PMI_SQL),
     # -- no SQL-expressible oracle (rows-only check by design) -------------
     "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),

@@ -68,6 +68,9 @@ HEADLINE = [
     "ngram_lm_score_docs",
     "fuzzy_join_part_names",
     "rolling_hour_user_stats",
+    "entity_resolution_parts",
+    "mad_outliers_events",
+    "bigram_pmi_docs",
 ]
 
 

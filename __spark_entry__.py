@@ -3580,6 +3580,46 @@ WHERE levenshtein(a.p_name, tf.typo_name) <= 1
 """
 
 
+def decile_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature binning: per event_type decile boundaries
+    (exact interpolating percentile — one bounded aggregate), then
+    each row's bin = 1 + #boundaries <= value via a fold over the
+    broadcast 9-element boundary array.  The standard numeric →
+    categorical feature step; no fact shuffle, boundaries broadcast."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", F.array(*[F.lit(q) for q in qs])).alias("_bs")
+    )
+    binned = e.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            1
+            + F.aggregate(
+                F.col("_bs"),
+                F.lit(0),
+                lambda acc, b: acc + F.when(b <= F.col("value"), 1).otherwise(0),
+            )
+        ).alias("decile"),
+    )
+    return binned
+
+
+_DECILE_SQL = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS bs
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       1 + len(list_filter(bs, b -> b <= value)) AS decile
+FROM events e JOIN bounds USING (event_type)
+"""
+
+
 def bigram_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-25 adjacent-word bigrams by pointwise
     mutual information, min count 5.  PMI = ln(P(ab) / (P(a)P(b)))
@@ -4099,8 +4139,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grouping_sets_orders": (grouping_sets_orders, _GROUPING_SETS_SQL),
     "word_counts_docs": (word_counts_docs, _WORD_COUNTS_SQL),
     "rollup_multires_stats": (rollup_multires_stats, _MULTIRES_SQL),
-    # new this session (pytest-verified at sf0.001 AND sf0.01; rotate
-    # into checked slots next round)
+    # new in round 2 (pytest-verified at sf0.001 AND sf0.01 against
+    # their oracles in both engine and hostile vanilla sessions;
+    # rotate into checked slots next round): loghist/cms sketches,
+    # LOCF resample, data-quality pack, weighted sampling, trigram
+    # LM, streaming dedup, fuzzy join, rolling range frames, entity
+    # resolution, MAD outliers, bigram PMI, decile binning
     "loghist_quantiles_events": (loghist_quantiles_events, _LOGHIST_SQL),
     "cms_user_counts_events": (cms_user_counts_events, _cms_sql()),
     "resample_locf_users": (resample_locf_users, _LOCF_SQL),
@@ -4113,6 +4157,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "entity_resolution_parts": (entity_resolution_parts, _entity_sql()),
     "mad_outliers_events": (mad_outliers_events, _MAD_SQL),
     "bigram_pmi_docs": (bigram_pmi_docs, _PMI_SQL),
+    "decile_bins_events": (decile_bins_events, _DECILE_SQL),
     # -- no SQL-expressible oracle (rows-only check by design) -------------
     "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),

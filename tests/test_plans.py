@@ -420,6 +420,7 @@ def test_registry_wide_no_cartesian(spark):
         "temperature_mix_docs",      # one-row max-weight scalar
         "tfidf_top_terms",           # one-row n_docs scalar
         "jaccard_near_dup_docs",     # one-row corpus-count scalar
+        "bigram_pmi_docs",           # one-row T1/T2 total scalars
         "geofence_rect_events",      # broadcast fence rectangles
         "ann_cosine_topk",           # broadcast bounded query set
         "ann_ivf_topk",              # broadcast k centroids

@@ -3580,6 +3580,32 @@ WHERE levenshtein(a.p_name, tf.typo_name) <= 1
 """
 
 
+def streaming_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's geofence pipeline as a Structured Streaming
+    query (availableNow replay, memory sink): point-in-polygon
+    ray-casting as a stateless streaming map — batch and streaming
+    share the identical Catalyst expressions, so this shares the
+    batch oracle (the reference runs exactly this as its second
+    DStream pipeline, TrafficStreamProcessor.scala:39-47)."""
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+
+    tune(spark)
+    e = stream_parquet_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        "user_id",
+        ((F.col("event_id") % 180) - 90 + F.lit(0.5)).alias("lat"),
+        (((F.col("event_id") * 7) % 360) - 180 + F.lit(0.5)).alias("lng"),
+    )
+    out = geofence.polygon_geofence_join(pts, _POLY_FENCES).select(
+        "event_id", "user_id", "lat", "lng", "name"
+    )
+    return run_to_memory(out, output_mode="append")
+
+
 def decile_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile feature binning: per event_type decile boundaries
     (exact interpolating percentile — one bounded aggregate), then
@@ -4158,6 +4184,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "mad_outliers_events": (mad_outliers_events, _MAD_SQL),
     "bigram_pmi_docs": (bigram_pmi_docs, _PMI_SQL),
     "decile_bins_events": (decile_bins_events, _DECILE_SQL),
+    "streaming_geofence_events": (streaming_geofence_events, _GEO_POLY_SQL),
     # -- no SQL-expressible oracle (rows-only check by design) -------------
     "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),

@@ -3580,6 +3580,62 @@ WHERE levenshtein(a.p_name, tf.typo_name) <= 1
 """
 
 
+def streaming_upsert_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's attach-store enrichment (S6+J1/K1) end-to-end
+    through the BUCKETED KeyedUpsertStore: replay orders as a stream,
+    foreachBatch-upsert into the hash-bucketed latest-wins store
+    (order col = o_orderkey, a total order, so the final snapshot is
+    batching-independent), then enrich the customer dim against the
+    snapshot — the exact keyed-lookup shape the reference runs against
+    Cassandra (TrafficStreamProcessor.scala:42,53), value-hash
+    oracled."""
+    import tempfile
+
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        stream_parquet_table,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.upsert_join import (
+        KeyedUpsertStore,
+    )
+
+    tune(spark)
+    store = KeyedUpsertStore(
+        spark,
+        tempfile.mkdtemp(prefix="upsert_enrich_"),
+        key_col="o_custkey",
+        order_col="o_orderkey",
+    )
+    stream = stream_parquet_table(spark, sf_dir, "orders")
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        store.upsert(df.select("o_custkey", "o_orderkey", "o_totalprice"))
+
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    c = _t(spark, sf_dir, "customer")
+    snap = store.snapshot()
+    return c.join(snap, c["c_custkey"] == snap["o_custkey"]).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+_STREAM_UPSERT_SQL = """
+WITH latest AS (
+  SELECT o_custkey, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1
+), lo AS (
+  SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN latest l ON o.o_orderkey = l.o_orderkey
+)
+SELECT c.c_custkey, c.c_name, lo.o_orderkey, lo.o_totalprice
+FROM customer c JOIN lo ON c.c_custkey = lo.o_custkey
+"""
+
+
 def streaming_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's geofence pipeline as a Structured Streaming
     query (availableNow replay, memory sink): point-in-polygon
@@ -4185,6 +4241,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bigram_pmi_docs": (bigram_pmi_docs, _PMI_SQL),
     "decile_bins_events": (decile_bins_events, _DECILE_SQL),
     "streaming_geofence_events": (streaming_geofence_events, _GEO_POLY_SQL),
+    "streaming_upsert_enrich": (streaming_upsert_enrich, _STREAM_UPSERT_SQL),
     # -- no SQL-expressible oracle (rows-only check by design) -------------
     "approx_distinct_users": (approx_distinct_users, None),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),

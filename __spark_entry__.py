@@ -45,14 +45,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Synthetic deterministic lat/lng derived from integer event ids so
 # geo queries are exact on both engines (integer modular arithmetic,
 # +0.5 is exact in binary).
-def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+def _points_from_events(e: DataFrame) -> DataFrame:
+    """Synthetic lat/lng derivation — the ONE definition shared by the
+    batch and streaming geofence queries (its SQL twin is
+    _EVENT_POINTS_SQL; keep all three in lockstep)."""
     return e.select(
         "event_id",
         "user_id",
         ((F.col("event_id") % 180) - 90 + F.lit(0.5)).alias("lat"),
         (((F.col("event_id") * 7) % 360) - 180 + F.lit(0.5)).alias("lng"),
     )
+
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _points_from_events(_t(spark, sf_dir, "events"))
 
 
 _EVENT_POINTS_SQL = (
@@ -3649,13 +3655,7 @@ def streaming_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
-    e = stream_parquet_table(spark, sf_dir, "events")
-    pts = e.select(
-        "event_id",
-        "user_id",
-        ((F.col("event_id") % 180) - 90 + F.lit(0.5)).alias("lat"),
-        (((F.col("event_id") * 7) % 360) - 180 + F.lit(0.5)).alias("lng"),
-    )
+    pts = _points_from_events(stream_parquet_table(spark, sf_dir, "events"))
     out = geofence.polygon_geofence_join(pts, _POLY_FENCES).select(
         "event_id", "user_id", "lat", "lng", "name"
     )
@@ -3717,17 +3717,20 @@ def bigram_pmi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c1"))
     )
     t1 = uni.agg(F.sum("c1").cast("double").alias("_T1"))
-    bg = d.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - 1),
-                lambda i: F.struct(
-                    F.element_at(w, i).alias("wa"),
-                    F.element_at(w, i + 1).alias("wb"),
-                ),
-            )
-        ).alias("b")
-    ).select("b.wa", "b.wb")
+    # guarded: a single-token doc gives size(w)-1 = 0 and
+    # sequence(1, 0) is DESCENDING [1, 0], not empty — the same
+    # hazard char_ngrams guards against
+    pair_arr = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("wa"),
+                F.element_at(w, i + 1).alias("wb"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<wa:string,wb:string>>"))
+    bg = d.select(F.explode(pair_arr).alias("b")).select("b.wa", "b.wb")
     big = bg.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("c2"))
     t2 = big.agg(F.sum("c2").cast("double").alias("_T2"))
     ua = uni.select(F.col("w").alias("wa"), F.col("c1").alias("ca"))
@@ -3811,6 +3814,15 @@ WHERE abs(e.value - m.med) > 5.1891 * d.mad
 """
 
 
+# Entity-resolution fuzzy parameters; the node universe's length
+# filter MUST be fuzzy_join's internal min_len = q * (max_dist + 1)
+# (derived once here so tuning q/max_dist cannot desync Spark, the
+# node frames, and the oracle SQL's literals).
+_ENTITY_Q = 3
+_ENTITY_D = 1
+_ENTITY_MIN_LEN = _ENTITY_Q * (_ENTITY_D + 1)
+
+
 def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end-to-end: fuzzy-link the part catalog to
     its corrupted twin (operators/fuzzy.py), take the match pairs as
@@ -3832,17 +3844,19 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(p_name, 1, 2)"), F.expr("substring(p_name, 4)")
         ).alias("typo_name")
     )
-    pairs = fuzzy.fuzzy_join(p, typos, "p_name", "typo_name", max_dist=1, q=3)
+    pairs = fuzzy.fuzzy_join(
+        p, typos, "p_name", "typo_name", max_dist=_ENTITY_D, q=_ENTITY_Q
+    )
 
     fp = textfn.rolling_fingerprint
     names = (
         p.select(F.col("p_name").alias("s"))
-        .where(F.length("s") >= 6)
+        .where(F.length("s") >= _ENTITY_MIN_LEN)
         .distinct()
     )
     tnames = (
         typos.select(F.col("typo_name").alias("s"))
-        .where(F.length("s") >= 6)
+        .where(F.length("s") >= _ENTITY_MIN_LEN)
         .distinct()
     )
     nodes = names.union(tnames).distinct().withColumn("fp", fp(F.col("s")))
@@ -3863,17 +3877,19 @@ def _entity_sql() -> str:
 
     return f"""
 WITH RECURSIVE a AS (
-  SELECT DISTINCT p_name AS s FROM part WHERE length(p_name) >= 6
+  SELECT DISTINCT p_name AS s FROM part
+  WHERE length(p_name) >= {_ENTITY_MIN_LEN}
 ), t AS (
   SELECT DISTINCT substring(p_name, 1, 2) || substring(p_name, 4) AS s
   FROM part
-), tf AS (SELECT s FROM t WHERE length(s) >= 6),
+), tf AS (SELECT s FROM t WHERE length(s) >= {_ENTITY_MIN_LEN}),
 nodes AS (
   SELECT s, {fp("s")} AS fp
   FROM (SELECT s FROM a UNION SELECT s FROM tf)
 ), pairs AS (
   SELECT x.s AS sa, y.s AS sb FROM a x, tf y
-  WHERE abs(length(x.s) - length(y.s)) <= 1 AND levenshtein(x.s, y.s) <= 1
+  WHERE abs(length(x.s) - length(y.s)) <= {_ENTITY_D}
+    AND levenshtein(x.s, y.s) <= {_ENTITY_D}
 ), ed AS (
   SELECT {fp("sa")} AS u, {fp("sb")} AS v FROM pairs
   UNION

@@ -27,6 +27,7 @@ the incremental shape.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -80,14 +81,31 @@ class KeyedUpsertStore:
         removed after the bucketed rewrite lands."""
         if not self.exists():
             return None
+        legacy = self._legacy_root_files()
+        bucket_dirs = glob.glob(os.path.join(self.path, f"{_BUCKET}=*"))
+        if legacy and bucket_dirs:
+            # Crash window between the migration's bucket-dir renames
+            # and the legacy-file removal leaves BOTH layouts on disk;
+            # partition discovery over the mixed tree fails, so read
+            # each layout from its explicit file list and self-heal:
+            # latest-wins collapses the stale flat rows (they are the
+            # same or older versions of keys already in buckets), and
+            # the next upsert's migration pass removes them for good.
+            flat = self.spark.read.parquet(*legacy).withColumn(
+                _BUCKET, self._bucket_expr()
+            )
+            part = self.spark.read.option("basePath", self.path).parquet(
+                *bucket_dirs
+            )
+            return latest_per_key(
+                part.unionByName(flat), [self.key_col], [self.order_col]
+            )
         raw = self.spark.read.option("basePath", self.path).parquet(self.path)
         if _BUCKET not in raw.columns:  # legacy flat layout
             raw = raw.withColumn(_BUCKET, self._bucket_expr())
         return raw
 
     def _legacy_root_files(self) -> list[str]:
-        import glob
-
         return glob.glob(os.path.join(self.path, "part-*"))
 
     def snapshot(self) -> DataFrame | None:

@@ -146,3 +146,17 @@ def test_ngram_lm_model_join_is_broadcast(spark):
     plan = physical_plan(ngram_lm_score(d, "doc_id", "text"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bigram_pmi_survives_single_token_docs(spark, monkeypatch):
+    """A one-token (or empty) doc must contribute zero bigrams, not
+    crash the descending-sequence element_at path."""
+    import __spark_entry__ as m
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b a b a b a b a b a b")],
+        ["doc_id", "text"],
+    )
+    monkeypatch.setattr(m, "_t", lambda spark, sf, name: docs)
+    out = m.bigram_pmi_docs(spark, "ignored").collect()
+    assert {(r["wa"], r["wb"]) for r in out} == {("a", "b"), ("b", "a")}

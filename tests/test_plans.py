@@ -431,11 +431,7 @@ def test_registry_wide_no_cartesian(spark):
     # time and return a batch read of their sink — a parquet scan
     # cannot contain a cartesian, so auditing them buys nothing and
     # costs minutes of wall clock + leaked sink dirs.
-    skip = {
-        n
-        for n in entry_mod.queries()
-        if n.startswith("streaming_") or n == "simulated_traffic_stats"
-    }
+    skip = {n for n in entry_mod.queries() if n.startswith("streaming_")}
     offenders = {}
     for name, fn in entry_mod.queries().items():
         if name in skip:

@@ -757,3 +757,35 @@ def test_upsert_store_migrates_legacy_flat_layout(spark, tmp_path):
     assert snap == {1: (10, "a"), 2: (20, "B"), 3: (10, "c"), 4: (20, "d")}
     assert not glob.glob(os.path.join(path, "part-*"))  # migrated
     assert glob.glob(os.path.join(path, "_bucket=*"))
+
+
+def test_upsert_store_survives_mixed_layout(spark, tmp_path):
+    """Crash window between bucket-dir publish and legacy-file removal
+    leaves BOTH layouts on disk; reads must self-heal (latest-wins)
+    and the next upsert must purge the flat leftovers."""
+    import glob
+    import os
+
+    from botkop_telcotraffic_spark_spark.streaming.upsert_join import (
+        KeyedUpsertStore,
+    )
+
+    path = str(tmp_path / "mixed_store")
+    spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], ["k", "v", "tag"]).write.parquet(path)
+    store = KeyedUpsertStore(spark, path, key_col="k", order_col="v")
+    store.upsert(spark.createDataFrame([(2, 2, "B")], ["k", "v", "tag"]))
+    assert not glob.glob(os.path.join(path, "part-*"))
+
+    # simulate the crash leftover: a stale flat file reappears at root
+    spark.createDataFrame([(1, 0, "stale")], ["k", "v", "tag"]).write.mode(
+        "append"
+    ).parquet(path)
+    assert glob.glob(os.path.join(path, "part-*"))
+
+    snap = {r["k"]: (r["v"], r["tag"]) for r in store.snapshot().collect()}
+    assert snap == {1: (1, "a"), 2: (2, "B")}  # stale row collapsed
+
+    store.upsert(spark.createDataFrame([(3, 1, "c")], ["k", "v", "tag"]))
+    assert not glob.glob(os.path.join(path, "part-*"))  # healed
+    snap = {r["k"]: (r["v"], r["tag"]) for r in store.snapshot().collect()}
+    assert snap == {1: (1, "a"), 2: (2, "B"), 3: (1, "c")}

@@ -1066,8 +1066,9 @@ def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUDGET_SQL = """
 SELECT doc_id, lang, n_tokens, running_tokens FROM (
   SELECT doc_id, lang, n_tokens,
-         sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS running_tokens
+         CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS running_tokens
   FROM (SELECT doc_id, lang, length(string_split(text, ' ')) AS n_tokens
         FROM documents))
 WHERE running_tokens - n_tokens < 100000
@@ -2419,7 +2420,7 @@ WITH toks AS (
 ), per_tok AS (
   SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
 ), tok_roll AS (
-  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_cnt,
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_cnt,
          count(*) AS n_distinct_tokens
   FROM per_tok GROUP BY doc_id
 ), grams AS (
@@ -2830,10 +2831,10 @@ def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_SQL = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -3171,7 +3172,8 @@ placed AS (
                       ROWS UNBOUNDED PRECEDING) - toks) * 1.0 / {_PACK_BUDGET})
               AS BIGINT) AS pack_id
   FROM t)
-SELECT shard, pack_id, count(*) AS n_docs, sum(toks) AS pack_tokens,
+SELECT shard, pack_id, count(*) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS pack_tokens,
        min(doc_id) AS first_id, max(doc_id) AS last_id
 FROM placed GROUP BY shard, pack_id
 """
@@ -3277,7 +3279,7 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VARIANT_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(props->>'$.k' AS INT)) AS k_sum,
+       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS k_sum,
        min(CAST(props->>'$.k' AS INT)) AS k_min,
        max(CAST(props->>'$.k' AS INT)) AS k_max
 FROM events GROUP BY event_type

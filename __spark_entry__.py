@@ -1050,8 +1050,11 @@ GROUP BY 1, 2
 
 def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fill a 100k-token training mix in quality-priority order
-    (longest docs first, stable tiebreak): running-sum window + cut
-    (operators/sampling.py::token_budget_selection)."""
+    (longest docs first, stable tiebreak): two-phase distributed
+    prefix sum — range-partition on the priority order, per-partition
+    running sums, broadcast prefix offsets, cut at the budget
+    (operators/sampling.py::token_budget_selection; plan-asserted
+    partitioned window in tests/test_plans.py)."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",

@@ -95,31 +95,65 @@ def token_budget_selection(
     token_count_col: str,
     priority_cols: Sequence[str],
     budget: int,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Select documents in priority order until the running token sum
     exceeds ``budget`` (the last admitted doc may cross it) — the
     standard "fill the training mix to N tokens" step.
 
-    Physical shape: one global window ordered by ``priority_cols``
-    computing the running sum.  A single-direction running sum over
-    the full corpus implies a range-partitioned sort (Spark handles
-    the global ordering via range exchange); at 100 TB pre-filter to
-    the plausible budget neighborhood first (e.g. top-k by priority
-    with k ~ budget / median_tokens) before the exact pass.
+    Physical shape — two-phase distributed prefix sum, NO global
+    window (``Window.orderBy`` with no partitionBy funnels every row
+    into ONE task in Spark, a wall at 100 TB):
+
+    1. ``repartitionByRange`` on the priority order — an
+       order-preserving range exchange, so global order ==
+       (partition id, within-partition order).
+    2. Per-partition running sums via a window PARTITIONED on
+       ``spark_partition_id()`` — every partition computes its local
+       prefix sums in parallel.
+    3. Per-partition totals (one row per partition — a few hundred
+       rows at any scale) get their exclusive prefix sum on a single
+       tiny task, then broadcast back as offsets.
+    4. running = local running + partition offset; cut at ``budget``.
+
+    ``priority_cols`` must be a total order (include a unique
+    tiebreaker) so the running sum is engine-independent.  The result
+    is provably identical to the single global window: range
+    partitioning never reorders across the total order, and offsets
+    are exact sums of everything ordered earlier.
     """
     from pyspark.sql import Window
 
     order = [F.col(c) if isinstance(c, str) else c for c in priority_cols]
-    w = Window.orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    run = F.sum(F.col(token_count_col)).over(w)
-    return (
-        df.withColumn("_running_tokens", run)
-        .where(
-            (F.col("_running_tokens") - F.col(token_count_col)) < F.lit(budget)
+    toks = F.col(token_count_col)
+    if partitions is None:
+        partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        .withColumnRenamed("_running_tokens", "running_tokens")
+    ranged = df.repartitionByRange(partitions, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_local_run", F.sum(toks).over(w_local))
+    # one row per partition; the global window here runs over at most
+    # `partitions` rows — a deliberately tiny single task
+    totals = ranged.groupBy("_pid").agg(F.sum(toks).alias("_tot"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("running_tokens", F.col("_local_run") + F.col("_off"))
+        .where((F.col("running_tokens") - toks) < F.lit(budget))
+        .drop("_pid", "_local_run", "_off")
     )
 
 

@@ -254,6 +254,27 @@ def test_chunk_and_pack_are_codegen(spark):
     assert "rangepartitioning" not in plan.lower(), "global sort crept in"
 
 
+def test_token_budget_window_is_partitioned(spark):
+    """The running-sum window over the CORPUS must be partitioned
+    (per range-partition prefix sums), never a bare global
+    ``Window.orderBy`` — that is a single-task WindowExec at 100 TB.
+    The only permissible single-partition stage is the per-partition
+    offset window, which sees one row per partition."""
+    import re
+
+    df = entry_mod.token_budget_docs(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    # order-preserving range exchange feeds the corpus-side window
+    assert "rangepartitioning" in plan.lower(), plan
+    # the corpus window is keyed on the range-partition id
+    assert re.search(r"windowspecdefinition\(_pid", plan), plan
+    # offsets come back as a broadcast, not a shuffled join
+    assert has_broadcast_join(df)
+    # exactly one tiny single-partition stage (the offset prefix sum
+    # over <= `partitions` rows); the data path must not have one
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
 def test_embedding_near_dup_is_banded_not_allpairs(spark):
     """The near-dup entry query must candidate via LSH bands — never
     an all-pairs cartesian/broadcast nested loop over the corpus.

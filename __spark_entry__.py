@@ -42,6 +42,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Temp dir for streaming sinks/stores that the RETURNED lazy
+    DataFrame still reads from — cannot be deleted eagerly, so it is
+    registered for removal at interpreter exit (after the driver has
+    collected).  Prevents every driver/bench/pytest invocation from
+    leaking a populated directory in /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 # Synthetic deterministic lat/lng derived from integer event ids so
 # geo queries are exact on both engines (integer modular arithmetic,
 # +0.5 is exact in binary).
@@ -2239,7 +2254,6 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/pipeline.py::parquet_append_sink; executor-side write,
     no driver collect); the function returns the sink directory read
     back, which is exactly what a downstream consumer would see."""
-    import tempfile
 
     from botkop_telcotraffic_spark_spark.operators.iqr import iqr_outliers
     from botkop_telcotraffic_spark_spark.operators.kmeans import StreamingKMeans
@@ -2255,7 +2269,7 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("point"),
     ).where(~F.exists("point", lambda x: x.isNull()))
     model = StreamingKMeans(k=3, dim=2, decay=1.0, seed=42)
-    out_dir = tempfile.mkdtemp(prefix="skm_outliers_")
+    out_dir = _scratch_dir("skm_outliers_")
     sink = parquet_append_sink(out_dir)
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
@@ -3600,7 +3614,6 @@ def streaming_upsert_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot — the exact keyed-lookup shape the reference runs against
     Cassandra (TrafficStreamProcessor.scala:42,53), value-hash
     oracled."""
-    import tempfile
 
     from botkop_telcotraffic_spark_spark.streaming.runner import (
         stream_parquet_table,
@@ -3612,7 +3625,7 @@ def streaming_upsert_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     store = KeyedUpsertStore(
         spark,
-        tempfile.mkdtemp(prefix="upsert_enrich_"),
+        _scratch_dir("upsert_enrich_"),
         key_col="o_custkey",
         order_col="o_orderkey",
     )
@@ -4016,7 +4029,7 @@ WITH base AS (
   FROM documents
 ), pr AS (
   SELECT doc_id, lang, weight,
-         ln((fp + 0.5) / 1000000007.0) / CAST(weight AS DOUBLE) AS p
+         ln((fp + 0.5) / {float(textfn.FP_MOD)!r}) / CAST(weight AS DOUBLE) AS p
   FROM base
 )
 SELECT doc_id, lang, weight, round(p, 6) AS sample_priority
@@ -4037,7 +4050,10 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from botkop_telcotraffic_spark_spark.operators import profile
 
     o = _t(spark, sf_dir, "orders")
-    return profile.profile_columns(o, exact_distinct=True)
+    # drive both sides from the same column list: profiling all of
+    # df.columns would silently desync from _profile_sql() the moment
+    # the orders fixture grows a column
+    return profile.profile_columns(o, cols=_PROFILE_COLS, exact_distinct=True)
 
 
 _PROFILE_NUMERIC = ("o_orderkey", "o_custkey", "o_totalprice")
@@ -4166,6 +4182,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "repetition_docs": (repetition_docs, _REPETITION_SQL),
     "pack_sequences_docs": (pack_sequences_docs, _PACK_SQL),
     "variant_props_stats": (variant_props_stats, _VARIANT_SQL),
+    # -- code changed in round 3 (cosine re-derive is now the sequential
+    # -- fold, bit-identical to the oracle's list_reduce) ------------------
+    "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
     # -- new in round 3 (inserted here as they land) -----------------------
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
@@ -4198,10 +4217,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         range_join_clicks_before_errors,
         _RANGE_JOIN_SQL,
     ),
-    "streaming_session_windows_users": (streaming_session_windows_users, _SESSION_SQL),
     # -- past the driver's 50-slot check: green in CORRECTNESS_r01/_r02
     # -- with unchanged code, rows-only by design, or subsumed by a green
     # -- sibling; all still pytest-verified against their oracles -----------
+    "streaming_session_windows_users": (streaming_session_windows_users, _SESSION_SQL),
     "streaming_click_error_join": (streaming_click_error_join, _STREAM_JOIN_SQL),
     "streaming_ewma_user": (streaming_ewma_user, _EWMA_SQL),
     "pii_redact_docs": (pii_redact_docs, _PII_SQL),
@@ -4215,7 +4234,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sql_text_surface": (sql_text_surface, _SQL_SURFACE_SQL),
     "unpivot_lineitem_measures": (unpivot_lineitem_measures, _UNPIVOT_SQL),
     "minhash_signatures_docs": (minhash_signatures_docs, _MINHASH_SQL),
-    "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
     "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
     "multimodal_decode_features": (multimodal_decode_features, _MM_DECODE_SQL),
     "profile_orders": (profile_orders, _profile_sql()),

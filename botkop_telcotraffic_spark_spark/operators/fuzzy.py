@@ -14,10 +14,14 @@ is what the DuckDB oracle checks.
 
 Scale: the quadratic residual is hot grams (every "widget" shares
 "idg").  ``prefix_k`` enables Chaudhuri-style prefix filtering — keep
-only each string's k globally-rarest grams (k = q·d + 1 preserves the
-shared-gram guarantee for same-length multiset reasoning; slightly
-conservative for set semantics, so it is an opt-in scale knob, not
-the oracle-checked default).  Gram frequencies come from one bounded
+only each string's k globally-rarest grams.  NOTE: prefix filtering
+here is RECALL-LOSSY, not conservative: the distance-d guarantee is
+only that SOME gram survives in both strings, and that surviving
+gram may fall outside one side's k-rarest prefix, so a true match
+can be dropped.  It is therefore an opt-in approximate scale knob
+(the contract test asserts candidates ⊆ exact and >= 90% recall on
+the fixture), never the oracle-checked default.  Gram frequencies
+come from one bounded
 aggregate (vocab ≤ alphabet^q) broadcast back; postings shrink from
 O(len) to O(k) per string and the hot-gram explosion disappears.
 Everything is Catalyst column math + one postings shuffle; the

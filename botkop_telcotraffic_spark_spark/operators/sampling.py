@@ -22,7 +22,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfn import rolling_fingerprint
+from ..functions.textfn import FP_MOD, rolling_fingerprint
 
 
 HASH_SALT = "mix:"
@@ -284,8 +284,9 @@ def weighted_hash_sample(
 
     key = F.col(key_col)
     fp = rolling_fingerprint(F.concat(F.lit(salt), key.cast("string")))
-    mod = float(1_000_000_007)
-    u = (fp.cast("double") + F.lit(0.5)) / F.lit(mod)
+    # the modulus rolling_fingerprint actually reduces by — imported,
+    # not repeated, so u stays in (0, 1) if FP_MOD ever changes
+    u = (fp.cast("double") + F.lit(0.5)) / F.lit(float(FP_MOD))
     w = F.col(weight_col).cast("double")
     pr = F.log(u) / w  # < 0; larger (closer to 0) = more likely kept
 

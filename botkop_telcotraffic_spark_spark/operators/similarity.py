@@ -218,10 +218,14 @@ def near_dup_pairs_banded(
     several bands) are collapsed after the rounded cosine
     (deterministic per pair), so no second join-back is needed.
 
-    Cosines come out of float64 BLAS instead of the fold expression:
-    identical inputs, same-order-of-ulp sums, and both sides round to
-    6 before comparison — the same determinism contract the blocked
-    exact top-k (ann_cosine_topk_blocked) already proved out.
+    Determinism contract: BLAS is only the SCREEN.  Every surviving
+    pair's reported cosine is re-derived with a sequential left-fold
+    over the vector (0.0 + a1*b1) + a2*b2 + ... for both the dot and
+    the two self-dots — the exact evaluation order of the engine's
+    fold expression and DuckDB's ``list_reduce`` — so the rounded
+    6-decimal value is bit-identical to the oracle by construction,
+    not merely within an ulp of it.  The fold costs O(dim) per
+    SURVIVING pair only; the quadratic screen stays in the matmul.
     """
     import numpy as np
     import pandas as pd
@@ -250,15 +254,34 @@ def near_dup_pairs_banded(
         iu, ju = np.triu_indices(m, k=1)
         c = sims[iu, ju]
         # widen the matmul screen by a whisker, then re-derive each
-        # surviving pair's cosine with a bucket-shape-INDEPENDENT
-        # vector-vector ddot: gemm blocking (and thus last-ulp sums)
-        # varies with bucket size, so a pair caught in two bands could
-        # otherwise round to two different 6-decimal values and leave
-        # duplicate (a,b) rows behind the .distinct()
+        # surviving pair's cosine with the SEQUENTIAL left fold
+        # (0 + x1*y1) + x2*y2 + ... — the exact evaluation order of
+        # the fold expression and DuckDB's list_reduce.  gemm/ddot
+        # block sums vary with bucket shape and BLAS build, so a pair
+        # caught in two bands (or checked by another engine) could
+        # otherwise round to two different 6-decimal values; the fold
+        # is bit-identical everywhere and costs O(dim) per survivor.
         keep = c >= threshold - 1e-9
+
+        def _fold_dot(x, y) -> float:
+            s = 0.0
+            for xi, yi in zip(x, y):
+                s += xi * yi
+            return s
+
+        seq_norm: dict[int, float] = {}
+
+        def _seq_norm(i: int) -> float:
+            if i not in seq_norm:
+                import math
+
+                seq_norm[i] = math.sqrt(_fold_dot(vl[i], vl[i]))
+            return seq_norm[i]
+
+        vl = [[float(x) for x in row] for row in pdf["_v"]]
         out_a, out_b, out_c = [], [], []
         for i, j in zip(iu[keep], ju[keep]):
-            cs = float(np.dot(v[i], v[j]) / (nrm[i] * nrm[j]))
+            cs = _fold_dot(vl[i], vl[j]) / (_seq_norm(i) * _seq_norm(j))
             if cs >= threshold:
                 x, y = ids[i], ids[j]
                 out_a.append(min(x, y))

@@ -4,6 +4,8 @@ cartesian products, codegen coverage."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
@@ -295,6 +297,87 @@ def test_jaccard_prune_list_is_broadcast_anti_join(spark):
     df = entry_mod.jaccard_near_dup_docs(spark, SF_DIR_001)
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_mad_outliers_fact_never_shuffled(spark):
+    """iqr.mad_outliers docstring claim: both median join-backs are
+    one-row-per-key broadcasts — the fact table is scanned twice but
+    NEVER shuffled."""
+    df = entry_mod.mad_outliers_events(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_loghist_build_is_single_scan(spark):
+    """sketch.loghist_build docstring claim: ONE scan + a partially
+    aggregated groupBy (map-side combine before the exchange)."""
+    df = entry_mod.loghist_quantiles_events(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    """sketch.cms_estimate docstring claim: the depth×width cell table
+    is always broadcast — candidates stream through map-side."""
+    df = entry_mod.cms_user_counts_events(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ngram_lm_model_join_is_broadcast(spark):
+    """text.ngram_lm_score docstring claim: the bounded-vocab trigram
+    model joins back as a broadcast, never a fact-side shuffle join."""
+    df = entry_mod.ngram_lm_score_docs(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_multimodal_decode_has_no_shuffle(spark):
+    """multimodal module docstring claim: decode/feature extraction is
+    embarrassingly parallel — no data shuffle from the operators
+    themselves.  The only permissible Exchange is the table loader's
+    parallelism-floor round-robin repartition (sources/tables.py),
+    which exists because the sf0.001 fixture is one input split."""
+    df = entry_mod.multimodal_decode_features(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), plan
+
+
+def test_asof_is_union_window_not_join(spark):
+    """asof module docstring claim: the union-window pattern — tag
+    both sides, ONE shuffle on the key, one ordered window pass.  No
+    join operator of any kind in the plan, and exactly one
+    hash-partition exchange (the window's) from the operator itself."""
+    from botkop_telcotraffic_spark_spark.operators.asof import asof_join
+
+    e = spark.read.parquet(f"{SF_DIR_001}/events.parquet")
+    left = e.select("event_id", "user_id", F.col("ts").alias("l_ts"))
+    right = e.select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    ).withColumnRenamed("r_user", "user_id")
+    df = asof_join(left, right, "user_id", "l_ts", "r_ts", ["r_value"])
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_brute_force_topk_broadcasts_probes(spark):
+    """similarity module docstring claim: the probe side is broadcast
+    and the corpus stays partition-parallel — no corpus-wide shuffle
+    join, only the final per-query top-k."""
+    df = entry_mod.ann_cosine_topk(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_zorder_layout_clusters_both_dims(spark, tmp_path):

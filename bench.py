@@ -25,7 +25,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
+# Round-over-round continuity: every name benched in earlier rounds
+# keeps its wall-time row even after rotating out of the driver's
+# checked slots, so BENCH_r{N} stays comparable with BENCH_r{N-1}.
+# The actual bench list is CONTINUITY ∪ the registry's first 50
+# (derived at runtime — the driver's checked slots always have rows).
+CONTINUITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -85,6 +90,8 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
+    checked_50 = list(qs)[:50]  # the driver's oracle-checked slots
+    headline = checked_50 + [n for n in CONTINUITY if n not in checked_50]
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
@@ -96,7 +103,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         cold[name] = round(run(name), 3)  # untimed warmup (codegen+JIT)
         timings[name] = round(min(run(name), run(name)), 3)
 

@@ -136,6 +136,97 @@ def connected_components(
     )
 
 
+def star_contraction_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """(node, component) via CC-MR alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — the long-chain-safe path: O(log² n) rounds worst
+    case regardless of component DIAMETER, where min-label
+    propagation needs O(diameter) (pointer jumping: O(log diameter)).
+    Use for path/chain-shaped graphs (linked-list id chains, temporal
+    hand-off graphs); near-dup cliques converge faster under the
+    default label propagation.
+
+    One round = two half-steps, each a groupBy + broadcast-free
+    join-back on the same key:
+
+    * large-star(u): let m = min(N(u) ∪ {u}); re-point every
+      STRICTLY-LARGER neighbor at m — emit (v, m) for v ∈ N(u), v > u.
+    * small-star(u): re-point every not-larger neighbor (and u) at m —
+      emit (v, m) for v ∈ N(u), v <= u, plus (u, m).
+
+    Both preserve connectivity and never create an edge to a larger
+    node, so the exact decimal edge-endpoint sum is non-increasing and
+    strictly decreases until the fixpoint — the same one-scalar
+    convergence probe the label-propagation path uses.  At the
+    fixpoint every edge is (child, component-min): a star.
+
+    Every half-step ends in localCheckpoint (on a cluster: persist or
+    a checkpoint dir) to keep the iterative plan from stacking.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    ).localCheckpoint()
+    # drop self-loops; orient is irrelevant — each half-step
+    # symmetrizes via the union below
+    e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+
+    def _half_step(frame: DataFrame, large: bool) -> DataFrame:
+        sym = frame.union(
+            frame.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("_mv"), F.col("u")).alias("_m"))
+        )
+        joined = sym.join(m, "u")
+        if large:
+            out = joined.where(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("_m").alias("v")
+            )
+        else:
+            out = joined.where(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("_m").alias("v")
+            ).union(m.select("u", F.col("_m").alias("v")))
+        return (
+            out.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+        )
+
+    def _probe(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+
+    prev = None
+    for _ in range(max_iter):
+        e = _half_step(e, large=True)
+        e = _half_step(e, large=False)
+        cur = _probe(e)
+        if prev is not None and tuple(prev) == tuple(cur):
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds"
+        )
+    # fixpoint edges are (child, root) stars; roots label themselves
+    return (
+        nodes.join(e, "u", "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce(F.col("v"), F.col("u")).alias("component"),
+        )
+    )
+
+
 def dedup_groups_from_pairs(
     all_ids: DataFrame,
     pairs: DataFrame,

@@ -395,6 +395,39 @@ def test_connected_components_chain_and_clique(spark):
     assert groups[4] == 1 and groups[22] == 20
 
 
+def test_star_contraction_matches_union_find(spark):
+    """CC-MR large/small-star contraction (operators/graph.py::
+    star_contraction_components) must produce the identical
+    (node -> component-min) labeling as driver union-find on chains,
+    cliques, crossing edges, and a planted random graph — and must
+    converge on a LONG PATH in far fewer rounds than its diameter
+    (the case it exists for)."""
+    import random
+
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        _driver_union_find,
+        star_contraction_components,
+    )
+
+    # long path: diameter 199; label propagation without pointer
+    # jumping would need ~200 rounds — star contraction logarithmic
+    path = [(i, i + 1) for i in range(200)]
+    # planted clusters + noise edges, seeded
+    rng = random.Random(7)
+    planted = []
+    for c in range(20):
+        members = [1000 + c * 50 + i for i in range(rng.randint(2, 12))]
+        planted += [(rng.choice(members), rng.choice(members)) for _ in range(15)]
+    edges = path + planted
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["component"]
+        for r in star_contraction_components(df, max_iter=12).collect()
+    }
+    want = dict(_driver_union_find(edges))
+    assert got == want
+
+
 def test_orc_roundtrip_lossless(spark, tmp_path):
     """ORC round-trip preserves rows and types (sources/formats.py)."""
     from botkop_telcotraffic_spark_spark.sources.formats import read_orc, write_orc

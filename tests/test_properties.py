@@ -137,3 +137,52 @@ def test_curation_output_is_subset_with_thresholds(spark):
     assert joined.where(F.col("quality_score") < 0.5).count() == 0
     texts = joined.groupBy("text").count().where(F.col("count") > 1).count()
     assert texts == 0
+
+
+def test_entity_resolution_recovers_planted_clusters(spark):
+    """Planted-cluster property check for the ER chain at a scale the
+    recursive-CTE oracle cannot verify: 3 000 planted entities × 3
+    variants (12 000 strings).  Names are high-entropy md5-hex tokens
+    — no constant affixes, so no corpus-wide hot gram can explode the
+    candidate join (the failure mode the df-pruning knobs exist for).
+    Construction: every variant is Levenshtein-1 from its base via a
+    'z' substitution ('z' is outside the hex alphabet); with this
+    seed no two strings from different entities are within distance
+    1 (verified by the exactness assertion itself).  The resolved
+    (name -> cluster) mapping must equal the planted partition
+    exactly — precision AND recall 1.0, no tolerance."""
+    import hashlib
+
+    from botkop_telcotraffic_spark_spark.operators import fuzzy, graph
+
+    n_entities = 3000
+    rows = []
+    for i in range(n_entities):
+        tok = hashlib.md5(f"ent{i}".encode()).hexdigest()[:12]
+        rows.append((tok, i))
+        rows.append(("z" + tok[1:], i))
+        rows.append((tok[:6] + "z" + tok[7:], i))
+        rows.append((tok[:-1] + "z", i))
+    df = spark.createDataFrame(rows, "name string, planted long")
+
+    names = df.select(F.col("name").alias("p_name"))
+    pairs = fuzzy.fuzzy_join(names, names, "p_name", "p_name", max_dist=1, q=3)
+    comps = graph.dedup_groups_from_pairs(
+        df.select("name"), pairs, "name", src="a", dst="b"
+    )
+    got = comps.join(
+        df.withColumnRenamed("name", "id"), "id"
+    ).select("id", "cluster", "planted").collect()
+    assert len(got) == 4 * n_entities
+
+    by_cluster: dict = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster"], set()).add(r["planted"])
+    # every resolved cluster is pure (one planted entity) ...
+    assert all(len(v) == 1 for v in by_cluster.values())
+    # ... and complete: one cluster per planted entity, 4 members each
+    assert len(by_cluster) == n_entities
+    sizes: dict = {}
+    for r in got:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+    assert set(sizes.values()) == {4}

@@ -4136,6 +4136,174 @@ def _dq_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 historization (operators/scd.py::scd2_intervals):
+    collapse each customer's order-status observations (ordered by
+    o_orderdate, o_orderkey) into validity intervals — one row per
+    status RUN with valid_from/valid_to/is_current.  One key shuffle,
+    two window passes, no joins; runs collapse before the interval
+    close so output is change-sized, not log-sized."""
+    from botkop_telcotraffic_spark_spark.operators.scd import scd2_intervals
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    return scd2_intervals(
+        o,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
+_SCD2_SQL = """
+WITH obs AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev
+  FROM orders
+), starts AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+  FROM obs WHERE prev IS NULL OR prev <> o_orderstatus
+)
+SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS valid_to,
+       lead(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) IS NULL AS is_current
+FROM starts
+"""
+
+_EVAL_PROBES = 20
+_EVAL_RETRIEVE_K = 10
+_EVAL_METRIC_K = 5
+
+
+def retrieval_eval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline retrieval eval (operators/ranking.py::ranking_metrics):
+    run the BLAS-blocked exact top-10 for 20 probe vectors, grade
+    each neighbor by label agreement, and score the ranking per query
+    — MRR, NDCG@5, recall@5.  The eval loop that decides whether an
+    ANN index (IVF/LSH) is good enough to replace brute force in the
+    dedup/RAG pipeline."""
+    from botkop_telcotraffic_spark_spark.operators.ranking import ranking_metrics
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _EVAL_PROBES)
+    ranked = similarity.brute_force_topk_blocked(q, emb, k=_EVAL_RETRIEVE_K)
+    labels = emb.select("vec_id", "label")
+    graded = (
+        ranked.join(
+            labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                "label", "qlab"
+            ),
+            "query_id",
+        )
+        .join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "nlab"
+            ),
+            "neighbor_id",
+        )
+        .withColumn("rel", (F.col("qlab") == F.col("nlab")).cast("int"))
+    )
+    m = ranking_metrics(graded, "query_id", "rank", "rel", k=_EVAL_METRIC_K)
+    return m.select(
+        "query_id",
+        "n_candidates",
+        "n_relevant",
+        F.round("mrr", 6).alias("mrr"),
+        F.round("ndcg_at_k", 6).alias("ndcg_at_5"),
+        F.round("recall_at_k", 6).alias("recall_at_5"),
+    )
+
+
+_EVAL_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+           FROM embeddings WHERE vec_id < {_EVAL_PROBES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nlab
+      FROM embeddings),
+sims AS (
+  SELECT query_id, qlab, neighbor_id, nlab,
+         {_dot_sql('qv', 'cv')}
+         / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('cv', 'cv')})) AS cs
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN qlab = nlab THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(cs, 6) DESC, neighbor_id
+         ) AS rank
+  FROM sims
+), topk AS (
+  SELECT * FROM ranked WHERE rank <= {_EVAL_RETRIEVE_K}
+), ideal AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rel DESC, rank) AS ideal_rank
+  FROM topk
+)
+SELECT query_id,
+  count(*) AS n_candidates,
+  CAST(sum(rel) AS BIGINT) AS n_relevant,
+  round(coalesce(1.0 / min(CASE WHEN rel > 0 THEN rank END), 0.0), 6) AS mrr,
+  round(CASE
+    WHEN sum(CASE WHEN ideal_rank <= {_EVAL_METRIC_K}
+             THEN rel / log2(ideal_rank + 1.0) ELSE 0.0 END) > 0
+    THEN sum(CASE WHEN rank <= {_EVAL_METRIC_K}
+             THEN rel / log2(rank + 1.0) ELSE 0.0 END)
+       / sum(CASE WHEN ideal_rank <= {_EVAL_METRIC_K}
+             THEN rel / log2(ideal_rank + 1.0) ELSE 0.0 END)
+    ELSE 0.0 END, 6) AS ndcg_at_5,
+  round(CASE WHEN sum(rel) > 0
+    THEN sum(CASE WHEN rank <= {_EVAL_METRIC_K} THEN rel ELSE 0 END) * 1.0
+       / sum(rel)
+    ELSE 0.0 END, 6) AS recall_at_5
+FROM ideal GROUP BY query_id
+"""
+
+_HIST_BINS = 16
+
+
+def hist_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (operators/histogram.py::equi_width_hist):
+    16 linear bins of `value` per event_type, edges from each group's
+    own [min, max] — the fixed-edge distribution profile
+    complementing the equi-depth decile binning and the mergeable
+    log2 sketch.  Tiny per-group range broadcast back; one keyed
+    aggregate."""
+    from botkop_telcotraffic_spark_spark.operators.histogram import (
+        equi_width_hist,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return equi_width_hist(e, ["event_type"], "value", bins=_HIST_BINS)
+
+
+_HIST_SQL = f"""
+WITH rng AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), binned AS (
+  SELECT e.event_type,
+         CASE WHEN r.hi = r.lo THEN 0
+              ELSE least(CAST(floor((e.value - r.lo)
+                               / ((r.hi - r.lo) / {float(_HIST_BINS)!r}))
+                          AS BIGINT), {_HIST_BINS - 1}) END AS bin,
+         r.lo, r.hi
+  FROM events e JOIN rng r USING (event_type)
+  WHERE e.value IS NOT NULL
+)
+SELECT event_type, bin, count(*) AS n,
+       round(min(lo + bin * ((hi - lo) / {float(_HIST_BINS)!r})), 6) AS bin_lo,
+       round(min(lo + (bin + 1) * ((hi - lo) / {float(_HIST_BINS)!r})), 6) AS bin_hi
+FROM binned GROUP BY event_type, bin
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4186,6 +4354,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- fold, bit-identical to the oracle's list_reduce) ------------------
     "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
     # -- new in round 3 (inserted here as they land) -----------------------
+    "scd2_customer_status": (scd2_customer_status, _SCD2_SQL),
+    "retrieval_eval_ann": (retrieval_eval_ann, _EVAL_SQL),
+    "hist_value_events": (hist_value_events, _HIST_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),
@@ -4211,15 +4382,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "train_val_test_split_docs": (train_val_test_split_docs, _SPLIT_SQL),
     "temperature_mix_docs": (temperature_mix_docs, _TEMP_MIX_SQL),
     "funnel_view_click_purchase": (funnel_view_click_purchase, _FUNNEL_SQL),
+    # -- past the driver's 50-slot check: green in CORRECTNESS_r01/_r02
+    # -- with unchanged code, rows-only by design, or subsumed by a green
+    # -- sibling; all still pytest-verified against their oracles -----------
     "cohort_weekly_retention": (cohort_weekly_retention, _COHORT_SQL),
     "gap_filled_user_hours": (gap_filled_user_hours, _GAP_FILL_SQL),
     "range_join_clicks_before_errors": (
         range_join_clicks_before_errors,
         _RANGE_JOIN_SQL,
     ),
-    # -- past the driver's 50-slot check: green in CORRECTNESS_r01/_r02
-    # -- with unchanged code, rows-only by design, or subsumed by a green
-    # -- sibling; all still pytest-verified against their oracles -----------
     "streaming_session_windows_users": (streaming_session_windows_users, _SESSION_SQL),
     "streaming_click_error_join": (streaming_click_error_join, _STREAM_JOIN_SQL),
     "streaming_ewma_user": (streaming_ewma_user, _EWMA_SQL),

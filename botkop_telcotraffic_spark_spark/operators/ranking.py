@@ -1,0 +1,90 @@
+"""Retrieval-quality metrics — the offline eval loop for the
+similarity-search operators (operators/similarity.py): given ranked
+candidates with graded relevance, compute per-query MRR, NDCG@k and
+recall@k.  This is how an embedding index (IVF/LSH vs brute force)
+or a reranker is actually judged before it ships into a RAG or
+dedup pipeline.
+
+Physical shape: metrics are per-query aggregates over an
+already-small candidate list (queries × k rows), so the whole
+computation is one window pass (ideal ranking for IDCG) + one
+groupBy on the query id — no joins against the corpus, nothing
+driver-side.  At 100 TB the eval set shards by query id like any
+keyed aggregate.
+
+Determinism: DCG/IDCG use log2 on small integer ranks (exact in
+doubles) and the per-query sums are over <= k terms; results are
+rounded before comparison like every float-bearing query in the
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval metrics from (query, rank, relevance) rows.
+
+    ``rank_col``: 1-based position assigned by the system under eval.
+    ``rel_col``: graded relevance (0 = irrelevant); binary inputs are
+    the usual case but grades work (standard DCG gain = rel).
+
+    Returns one row per query:
+    (query, n_candidates, n_relevant, mrr, ndcg_at_k, recall_at_k).
+
+    * mrr: 1/rank of the first relevant candidate (0 if none).
+    * ndcg_at_k: DCG@k / IDCG@k with DCG = Σ rel_i / log2(i + 1);
+      IDCG ranks the SAME candidate list ideally (rel desc, then
+      system rank for determinism).  0 when the list has no
+      relevant candidate.
+    * recall_at_k: relevant found in the top k / relevant in the
+      whole candidate list (the retrieval-stage recall proxy;
+      corpus-wide recall needs corpus-wide labels).
+    """
+    q = F.col(query_col)
+    rank = F.col(rank_col)
+    rel = F.col(rel_col).cast("double")
+
+    w_ideal = Window.partitionBy(q).orderBy(F.desc(rel_col), rank_col)
+    staged = ranked.select(
+        q.alias("_q"),
+        rank.alias("_rank"),
+        rel.alias("_rel"),
+        F.row_number().over(w_ideal).alias("_ideal_rank"),
+    )
+
+    dcg = F.sum(
+        F.when(
+            F.col("_rank") <= k,
+            F.col("_rel") / F.log2(F.col("_rank") + 1),
+        ).otherwise(0.0)
+    )
+    idcg = F.sum(
+        F.when(
+            F.col("_ideal_rank") <= k,
+            F.col("_rel") / F.log2(F.col("_ideal_rank") + 1),
+        ).otherwise(0.0)
+    )
+    first_rel_rank = F.min(F.when(F.col("_rel") > 0, F.col("_rank")))
+    n_rel = F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0))
+    n_rel_topk = F.sum(
+        F.when((F.col("_rel") > 0) & (F.col("_rank") <= k), 1).otherwise(0)
+    )
+
+    return staged.groupBy(F.col("_q").alias(query_col)).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        n_rel.cast("long").alias("n_relevant"),
+        F.coalesce(1.0 / first_rel_rank, F.lit(0.0)).alias("mrr"),
+        F.when(idcg > 0, dcg / idcg).otherwise(0.0).alias("ndcg_at_k"),
+        F.when(n_rel > 0, n_rel_topk.cast("double") / n_rel)
+        .otherwise(0.0)
+        .alias("recall_at_k"),
+    )

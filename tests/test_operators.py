@@ -855,3 +855,94 @@ def test_mad_outliers_flags_planted_spike(spark):
     # approx mode agrees on an obvious spike
     approx = [r["id"] for r in mad_outliers(df, ["grp"], "v", mode="approx").collect()]
     assert 900 in approx
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark):
+    """scd2_intervals (operators/scd.py): runs of identical attrs
+    collapse to one interval; valid_to chains to the next run's
+    valid_from; only the last run per key is current; null attrs
+    compare null-safely."""
+    import datetime as dt
+
+    from botkop_telcotraffic_spark_spark.operators.scd import scd2_intervals
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    rows = [
+        (1, "O", t(1), 1), (1, "O", t(2), 2), (1, "F", t(3), 3),
+        (1, "F", t(4), 4), (1, "O", t(5), 5),
+        (2, None, t(1), 6), (2, None, t(2), 7), (2, "P", t(3), 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, status string, ts timestamp, seq long"
+    )
+    out = scd2_intervals(df, ["k"], "ts", ["status"], ["seq"]).collect()
+    got = {
+        (r["k"], r["status"], r["valid_from"].day): (
+            r["valid_to"].day if r["valid_to"] else None,
+            r["is_current"],
+        )
+        for r in out
+    }
+    assert got == {
+        (1, "O", 1): (3, False),
+        (1, "F", 3): (5, False),
+        (1, "O", 5): (None, True),
+        (2, None, 1): (3, False),
+        (2, "P", 3): (None, True),
+    }
+    assert len(out) == 5  # runs collapsed, not one row per observation
+
+
+def test_ranking_metrics_known_values(spark):
+    """ranking_metrics (operators/ranking.py) against hand-computed
+    MRR/NDCG/recall, including the no-relevant and graded cases."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.ranking import (
+        ranking_metrics,
+    )
+
+    rows = (
+        # q1: rel at ranks 2 and 4 (binary)
+        [(1, r, 1 if r in (2, 4) else 0) for r in range(1, 6)]
+        # q2: nothing relevant
+        + [(2, r, 0) for r in range(1, 6)]
+        # q3: graded relevance, best item ranked last
+        + [(3, 1, 1), (3, 2, 0), (3, 3, 3)]
+    )
+    df = spark.createDataFrame(rows, "q long, rank long, rel long")
+    got = {
+        r["q"]: r for r in ranking_metrics(df, "q", "rank", "rel", k=3).collect()
+    }
+    assert got[1]["mrr"] == 0.5
+    # DCG@3 = 1/log2(3); IDCG@3 = 1/log2(2) + 1/log2(3)
+    want1 = (1 / math.log2(3)) / (1.0 + 1 / math.log2(3))
+    assert abs(got[1]["ndcg_at_k"] - want1) < 1e-12
+    assert got[1]["recall_at_k"] == 0.5  # one of two relevant in top 3
+    assert got[2]["mrr"] == 0.0 and got[2]["ndcg_at_k"] == 0.0
+    assert got[2]["recall_at_k"] == 0.0
+    # q3: DCG = 1/1 + 3/log2(4); ideal order (3,1): IDCG = 3 + 1/log2(3)
+    want3 = (1.0 + 3 / 2.0) / (3.0 + 1 / math.log2(3))
+    assert abs(got[3]["ndcg_at_k"] - want3) < 1e-12
+    assert got[3]["mrr"] == 1.0 and got[3]["recall_at_k"] == 1.0
+
+
+def test_equi_width_hist_conserves_and_handles_degenerate(spark):
+    """equi_width_hist (operators/histogram.py): bin counts sum to the
+    non-null row count, max lands in the LAST bin (clamped), and a
+    constant group collapses into bin 0."""
+    from botkop_telcotraffic_spark_spark.operators.histogram import (
+        equi_width_hist,
+    )
+
+    rows = [("a", float(i)) for i in range(101)] + [
+        ("b", 7.0), ("b", 7.0), ("b", 7.0), ("a", None)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = equi_width_hist(df, ["g"], "v", bins=10).collect()
+    a = {r["bin"]: r for r in out if r["g"] == "a"}
+    b = {r["bin"]: r for r in out if r["g"] == "b"}
+    assert sum(r["n"] for r in a.values()) == 101
+    assert max(a) == 9  # v=100.0 clamps into the last bin
+    assert a[0]["bin_lo"] == 0.0 and a[9]["bin_hi"] == 100.0
+    assert set(b) == {0} and b[0]["n"] == 3

@@ -4304,6 +4304,81 @@ FROM binned GROUP BY event_type, bin
 """
 
 
+_SPAN_WORDS = 10
+
+
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup (operators/dedup.py::span_dedup): segment
+    docs into 10-word spans, keep the corpus-wide first occurrence of
+    each distinct span, rebuild docs from survivors — the
+    inside-document boilerplate remover that document-grain exact
+    dedup cannot express."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.span_dedup(d, "doc_id", "text", span_words=_SPAN_WORDS)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_spans", "n_kept", "new_text"
+    )
+
+
+_SPAN_DEDUP_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+segs AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(toks[(i * {_SPAN_WORDS} + 1):(i * {_SPAN_WORDS} + {_SPAN_WORDS})], ' ') AS seg
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(ceil(len(toks) / {float(_SPAN_WORDS)!r}) AS INT) - 1)) AS i) s
+), ranked AS (
+  SELECT doc_id, idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+  FROM segs
+)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY idx), '')
+         AS new_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+def quality_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/text.py::
+    quality_logistic_gate): logistic score over the engine's text
+    features + keep decision — the classifier stage LLM pipelines run
+    after the rule-based gates."""
+    d = _t(spark, sf_dir, "documents")
+    return text.quality_logistic_gate(d, "doc_id", "text")
+
+
+def _quality_gate_sql() -> str:
+    wts = text.QUALITY_LOGIT_WEIGHTS
+    toks = "string_split(text, ' ')"
+    n_tok = f"len({toks})"
+    ttr = f"round(len(list_distinct({toks})) / {n_tok}, 6)"
+    stop = (
+        f"round(len(list_filter({toks}, w -> w IN ({_STOPWORD_LIST})))"
+        f" / {n_tok}, 6)"
+    )
+    z = (
+        f"({text.QUALITY_LOGIT_BIAS!r} + {wts['type_token_ratio']!r} * ttr"
+        f" + {wts['stopword_ratio']!r} * stopword_ratio"
+        f" + {wts['length_sat']!r} * least(1.0, n_tokens / 50.0))"
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id, {n_tok} AS n_tokens, {ttr} AS ttr, {stop} AS stopword_ratio
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_tokens, ttr, stopword_ratio, {z} AS z FROM feats
+)
+SELECT doc_id, n_tokens, ttr AS type_token_ratio, stopword_ratio,
+       round(z, 6) AS quality_logit,
+       round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4357,6 +4432,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "scd2_customer_status": (scd2_customer_status, _SCD2_SQL),
     "retrieval_eval_ann": (retrieval_eval_ann, _EVAL_SQL),
     "hist_value_events": (hist_value_events, _HIST_SQL),
+    "span_dedup_docs": (span_dedup_docs, _SPAN_DEDUP_SQL),
+    "quality_gate_docs": (quality_gate_docs, _quality_gate_sql()),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),
@@ -4380,11 +4457,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "q22_idle_rich_customers": (q22_idle_rich_customers, _Q22_SQL),
     "sample_docs_stratified": (sample_docs_stratified, _SAMPLE_SQL),
     "train_val_test_split_docs": (train_val_test_split_docs, _SPLIT_SQL),
-    "temperature_mix_docs": (temperature_mix_docs, _TEMP_MIX_SQL),
-    "funnel_view_click_purchase": (funnel_view_click_purchase, _FUNNEL_SQL),
     # -- past the driver's 50-slot check: green in CORRECTNESS_r01/_r02
     # -- with unchanged code, rows-only by design, or subsumed by a green
     # -- sibling; all still pytest-verified against their oracles -----------
+    "temperature_mix_docs": (temperature_mix_docs, _TEMP_MIX_SQL),
+    "funnel_view_click_purchase": (funnel_view_click_purchase, _FUNNEL_SQL),
     "cohort_weekly_retention": (cohort_weekly_retention, _COHORT_SQL),
     "gap_filled_user_hours": (gap_filled_user_hours, _GAP_FILL_SQL),
     "range_join_clicks_before_errors": (

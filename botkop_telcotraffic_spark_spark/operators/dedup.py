@@ -426,3 +426,73 @@ def minhash_lsh_pairs(
         .groupBy(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 10,
+) -> DataFrame:
+    """C4-style span-level deduplication: segment every document into
+    consecutive ``span_words``-word spans, keep exactly ONE occurrence
+    of each distinct span corpus-wide (the first by (doc, position)),
+    and rebuild each document from its surviving spans.  This is the
+    intra-corpus boilerplate remover (C4 drops repeated three-sentence
+    spans the same way) — exact dedup works at document grain, span
+    dedup kills the repeated footer/license/navigation text INSIDE
+    otherwise-distinct documents.
+
+    Returns (id, n_spans, n_kept, new_text); documents whose every
+    span was seen earlier come back with ``new_text = ''`` (drop or
+    quarantine downstream).
+
+    Physical shape: a narrow segment explode (≈ n_tokens/span rows per
+    doc), ONE shuffle on the span text for the global first-occurrence
+    rank, one keyed aggregate to reassemble.  A pathologically hot
+    span (the same footer in every document) concentrates its
+    occurrences in one rank partition — the same skew class as the
+    Jaccard posting join; cap occurrences per span with a count
+    pre-filter (df-pruning) if a corpus degenerates that far.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    w = words(t)
+    n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.array_join(
+                F.slice(w, i * span_words + 1, span_words), " "
+            ).alias("seg"),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(segs).alias("s")
+    ).select("id", F.col("s.idx").alias("idx"), F.col("s.seg").alias("seg"))
+    w_first = Window.partitionBy("seg").orderBy("id", "idx")
+    ranked = exploded.withColumn(
+        "_keep", F.row_number().over(w_first) == 1
+    )
+    return ranked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("idx"), F.col("seg")),
+                        )
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )

@@ -317,3 +317,64 @@ def ngram_lm_score(
         )
     )
     return scored
+
+
+# Fixed linear quality model — stands in for the fastText-style
+# quality classifier LLM pipelines run after the rule-based gates
+# (weights would come from a trained model; the ENGINE contract is
+# the in-plan scoring, which is identical whatever the weights are).
+# Scored on the ROUNDED feature columns text_features emits, so the
+# oracle reproduces the logit bit-for-bit from the same features.
+#
+# Weights are deliberately INTEGER-valued: the features are 6-decimal
+# roundings, so integer weights keep the logit an exact 6-decimal
+# value and round(z, 6) never sits on a digit-7 half — a fractional
+# weight like 2.5 puts EVERY logit exactly on x.xxxxxx5, where
+# Spark's BigDecimal rounding and a multiply-by-1e6 double rounding
+# (DuckDB) legitimately disagree by one ulp of output.
+QUALITY_LOGIT_BIAS = -1.0
+QUALITY_LOGIT_WEIGHTS = {
+    "type_token_ratio": 3.0,
+    "stopword_ratio": -2.0,
+    "length_sat": 1.0,  # min(1, n_tokens/50) — the saturating length term
+}
+
+
+def quality_logistic_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality filter: logistic score over the engine's
+    text features, plus the keep decision — the classifier-stage
+    complement to the rule-based gates (blocklist_gate, repetition
+    thresholds).  Pure scan-side column math: features, logit and
+    sigmoid are one narrow projection; nothing shuffles.
+
+    Returns (id, n_tokens, type_token_ratio, stopword_ratio,
+    quality_logit, quality_prob, keep).  ``keep`` compares the
+    6-rounded probability against ``threshold`` so the decision is
+    engine-stable (exp differs across libms in the last ulp; the
+    rounded probability does not).
+    """
+    feats = text_features(df, id_col, text_col)
+    length_sat = F.least(F.lit(1.0), F.col("n_tokens") / F.lit(50.0))
+    z = (
+        F.lit(QUALITY_LOGIT_BIAS)
+        + F.lit(QUALITY_LOGIT_WEIGHTS["type_token_ratio"])
+        * F.col("type_token_ratio")
+        + F.lit(QUALITY_LOGIT_WEIGHTS["stopword_ratio"])
+        * F.col("stopword_ratio")
+        + F.lit(QUALITY_LOGIT_WEIGHTS["length_sat"]) * length_sat
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return feats.select(
+        F.col(id_col),
+        "n_tokens",
+        "type_token_ratio",
+        "stopword_ratio",
+        F.round(z, 6).alias("quality_logit"),
+        prob.alias("quality_prob"),
+        (prob >= F.lit(threshold)).alias("keep"),
+    )

@@ -946,3 +946,49 @@ def test_equi_width_hist_conserves_and_handles_degenerate(spark):
     assert max(a) == 9  # v=100.0 clamps into the last bin
     assert a[0]["bin_lo"] == 0.0 and a[9]["bin_hi"] == 100.0
     assert set(b) == {0} and b[0]["n"] == 3
+
+
+def test_span_dedup_keeps_first_occurrence_only(spark):
+    """span_dedup (operators/dedup.py): a span repeated across (and
+    within) documents survives exactly once — at its smallest
+    (doc, position); partial trailing spans dedup like any other."""
+    from botkop_telcotraffic_spark_spark.operators.dedup import span_dedup
+
+    boiler = "one two three"
+    rows = [
+        (1, f"{boiler} alpha beta gamma"),       # spans: boiler+.., tail
+        (2, f"{boiler} alpha beta gamma"),       # exact copy -> all dropped
+        (3, f"delta {boiler} epsilon zeta eta"), # different split points
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["id"]: r for r in span_dedup(df, "doc_id", "text", span_words=3).collect()
+    }
+    assert out[1]["n_spans"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["new_text"] == "one two three alpha beta gamma"
+    # doc 2 is span-for-span identical to doc 1 -> nothing survives
+    assert out[2]["n_kept"] == 0 and out[2]["new_text"] == ""
+    # doc 3's spans differ (offset shifts the 3-word windows) -> kept
+    assert out[3]["n_kept"] == out[3]["n_spans"] == 3
+    assert out[3]["new_text"] == "delta one two three epsilon zeta eta"
+
+
+def test_quality_logistic_gate_monotone_and_bounded(spark):
+    """quality_logistic_gate (operators/text.py): probabilities in
+    (0,1); a diverse long doc outscores a stopword-stuffed repetitive
+    one; keep matches the rounded-prob threshold."""
+    from botkop_telcotraffic_spark_spark.operators.text import (
+        quality_logistic_gate,
+    )
+
+    good = " ".join(f"word{i}" for i in range(60))
+    bad = " ".join(["the a of"] * 20)
+    df = spark.createDataFrame(
+        [(1, good), (2, bad)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in quality_logistic_gate(df, "doc_id", "text").collect()}
+    for r in out.values():
+        assert 0.0 < r["quality_prob"] < 1.0
+        assert r["keep"] == (r["quality_prob"] >= 0.5)
+    assert out[1]["quality_prob"] > out[2]["quality_prob"]
+    assert out[1]["keep"] is True and out[2]["keep"] is False

@@ -4379,6 +4379,139 @@ FROM scored
 """
 
 
+_HH_K = 20
+
+
+def heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter skew probe (operators/skew.py::
+    heavy_hitters): the 20 hottest user_ids in events with their
+    share of all rows and the cumulative share — the diagnostic that
+    decides whether a key needs salting/bucketing before a shuffle.
+    One keyed aggregate + top-k heap (TakeOrderedAndProject), 1-row
+    total broadcast back; CMS in operators/sketch.py is the mergeable
+    streaming analogue of this batch-exact form."""
+    from botkop_telcotraffic_spark_spark.operators.skew import heavy_hitters
+
+    e = _t(spark, sf_dir, "events")
+    return heavy_hitters(e, ["user_id"], k=_HH_K)
+
+
+_HH_SQL = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS weight FROM events GROUP BY user_id
+), total AS (SELECT sum(weight) AS t FROM counts),
+topk AS (
+  SELECT user_id, weight FROM counts
+  ORDER BY weight DESC, user_id ASC LIMIT {_HH_K}
+)
+SELECT user_id, weight,
+       round(weight / t, 6) AS share,
+       round(sum(weight) OVER (ORDER BY weight DESC, user_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t, 6)
+         AS cum_share
+FROM topk CROSS JOIN total
+"""
+
+
+_DRIFT_LAPLACE = 0.5
+
+
+def drift_word_dist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift (operators/drift.py::
+    categorical_drift): per-word counts and Laplace-smoothed
+    probabilities in English docs (slice B) vs all other languages
+    (slice A), with each word's Jensen-Shannon divergence
+    contribution and pointwise KL term — `sum(js_term)` is the JS
+    divergence and the top `js_term` rows name the words that moved.
+    The corpus-rebuild drift monitor for training-data pipelines.
+    ONE keyed aggregate over the vocabulary (map-side combined),
+    1-row totals broadcast; no fact rescans."""
+    from botkop_telcotraffic_spark_spark.operators.drift import (
+        categorical_drift,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word"), "lang"
+    )
+    return categorical_drift(
+        tok, ["word"], F.col("lang") == "en", laplace=_DRIFT_LAPLACE
+    )
+
+
+_DRIFT_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word, lang FROM documents
+), agg AS (
+  SELECT word,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM tok GROUP BY word
+), tot AS (
+  SELECT CAST(sum(n_a) AS DOUBLE) AS ta, CAST(sum(n_b) AS DOUBLE) AS tb,
+         CAST(count(*) AS DOUBLE) AS k
+  FROM agg
+), probs AS (
+  SELECT word, n_a, n_b,
+         (n_a + {_DRIFT_LAPLACE!r}) / (ta + {_DRIFT_LAPLACE!r} * k) AS p_a,
+         (n_b + {_DRIFT_LAPLACE!r}) / (tb + {_DRIFT_LAPLACE!r} * k) AS p_b
+  FROM agg CROSS JOIN tot
+)
+SELECT word, n_a, n_b,
+       round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+       round((p_a * log2(p_a / ((p_a + p_b) / 2.0))
+            + p_b * log2(p_b / ((p_a + p_b) / 2.0))) / 2.0, 6) AS js_term,
+       round(p_a * log2(p_a / p_b), 6) AS kl_term
+FROM probs
+"""
+
+
+_CONTAIN_THRESHOLD = 0.8
+
+
+def containment_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup pairs:
+    |A∩B| / min(|A|,|B|) >= 0.8 over 3-shingle sets — the asymmetric
+    measure that catches subset copies (a doc embedded whole inside a
+    longer one), which symmetric Jaccard under-scores by design.
+    Reuses the df-pruned single-scan posting join of
+    operators/dedup.py::jaccard_pairs (inter/size_a/size_b are
+    already in its output; containment is column math on top), so
+    the scale story is identical: one corpus scan, one postings
+    shuffle, hot-shingle pruning."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", k=3, max_doc_freq_frac=JACCARD_MAX_DF_FRAC
+    )
+    contain = F.col("inter") / F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        pairs.withColumn("containment", F.round(contain, 6))
+        .where(contain >= _CONTAIN_THRESHOLD)
+        .select("a", "b", "inter", "size_a", "size_b", "containment")
+    )
+
+
+_CONTAIN_SQL = f"""
+WITH {_POSTINGS_CTE},
+n AS (SELECT count(*) AS n FROM documents),
+freq AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+pruned AS (
+  SELECT post.id, post.tok FROM post JOIN freq USING (tok) CROSS JOIN n
+  WHERE freq.df <= n.n * {JACCARD_MAX_DF_FRAC}
+),
+sizes AS (SELECT id, count(*) AS sz FROM post GROUP BY id),
+inter AS (
+  SELECT l.id AS a, r.id AS b, count(*) AS cnt
+  FROM pruned l JOIN pruned r USING (tok)
+  WHERE l.id < r.id GROUP BY 1, 2
+)
+SELECT a, b, cnt AS inter, sa.sz AS size_a, sb.sz AS size_b,
+       round(cnt / least(sa.sz, sb.sz), 6) AS containment
+FROM inter JOIN sizes sa ON a = sa.id JOIN sizes sb ON b = sb.id
+WHERE cnt / least(sa.sz, sb.sz) >= {_CONTAIN_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4434,6 +4567,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hist_value_events": (hist_value_events, _HIST_SQL),
     "span_dedup_docs": (span_dedup_docs, _SPAN_DEDUP_SQL),
     "quality_gate_docs": (quality_gate_docs, _quality_gate_sql()),
+    "heavy_hitters_users": (heavy_hitters_users, _HH_SQL),
+    "drift_word_dist_docs": (drift_word_dist_docs, _DRIFT_SQL),
+    "containment_near_dup_docs": (containment_near_dup_docs, _CONTAIN_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

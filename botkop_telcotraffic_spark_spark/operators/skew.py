@@ -25,6 +25,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    k: int = 20,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exact top-``k`` heavy-hitter diagnostic over ``key_cols``: the
+    k keys with the largest count (or sum of ``weight_col``), each
+    with its share of the total and the cumulative share — the
+    pre-join skew probe that decides whether a key needs
+    :func:`salted_join` / bucketing before it melts a shuffle.  (The
+    streaming/mergeable analogue is the CMS sketch in
+    ``operators/sketch.py``; this is the exact batch form.)
+
+    Physical shape: one keyed aggregate (map-side partial combine —
+    the per-task state is bounded by distinct keys per task), then a
+    global top-k sort-limit (TakeOrderedAndProject: per-partition
+    heaps of k rows, k rows per task to the driver-side merge — NOT a
+    global sort).  The grand total rides along via a window over the
+    aggregated keyspace, partial-agg'd the same way.  No fact-table
+    rescan, no broadcast of anything unbounded; scale cost is one
+    shuffle of (distinct keys) rows.
+
+    Cumulative share is computed over the k-row result only — a
+    k-row single task, deliberately.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in key_cols]
+    wexpr = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    ).alias("weight")
+    counts = df.groupBy(*keys).agg(wexpr)
+    total = counts.agg(
+        F.sum("weight").cast("double").alias("_total")
+    )
+    order = [F.col("weight").desc(), *[F.col(c).asc() for c in key_cols]]
+    topk = counts.orderBy(*order).limit(k)
+    w_cum = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("weight") / F.col("_total"))
+        .withColumn(
+            "cum_share", F.sum("weight").over(w_cum) / F.col("_total")
+        )
+        .select(
+            *key_cols,
+            (
+                F.round("weight", 6).alias("weight")
+                if weight_col
+                else F.col("weight").cast("long").alias("weight")
+            ),
+            F.round("share", 6).alias("share"),
+            F.round("cum_share", 6).alias("cum_share"),
+        )
+    )
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,

@@ -992,3 +992,55 @@ def test_quality_logistic_gate_monotone_and_bounded(spark):
         assert r["keep"] == (r["quality_prob"] >= 0.5)
     assert out[1]["quality_prob"] > out[2]["quality_prob"]
     assert out[1]["keep"] is True and out[2]["keep"] is False
+
+
+def test_heavy_hitters_exact_counts_and_shares(spark):
+    """heavy_hitters (operators/skew.py): exact top-k by count with
+    deterministic tie order, share = weight/total over ALL keys (not
+    just the returned k), cum_share increments in rank order; the
+    weighted form sums the weight column instead."""
+    from botkop_telcotraffic_spark_spark.operators.skew import heavy_hitters
+
+    rows = (
+        [("hot", 1.0)] * 6 + [("warm", 2.0)] * 3 + [("a", 1.0)] * 3
+        + [("b", 1.0), ("c", 1.0)]
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = heavy_hitters(df, ["k"], k=3).collect()
+    assert [r["k"] for r in out] == ["hot", "a", "warm"]  # ties: key asc
+    assert [r["weight"] for r in out] == [6, 3, 3]
+    total = 14.0
+    assert out[0]["share"] == round(6 / total, 6)
+    assert out[2]["cum_share"] == round(12 / total, 6)
+    w = heavy_hitters(df, ["k"], k=2, weight_col="v").collect()
+    assert [r["k"] for r in w] == ["hot", "warm"]
+    assert [r["weight"] for r in w] == [6.0, 6.0]
+
+
+def test_categorical_drift_js_properties(spark):
+    """categorical_drift (operators/drift.py): identical slices give
+    JS divergence 0; disjoint categories give a large positive JS;
+    counts are raw while probabilities are Laplace-smoothed (finite
+    for one-slice-only categories); sum(js_term) stays in [0, 1]."""
+    from botkop_telcotraffic_spark_spark.operators.drift import (
+        categorical_drift,
+    )
+    from pyspark.sql import functions as F
+
+    same = spark.createDataFrame(
+        [("x", False), ("y", False), ("x", True), ("y", True)],
+        "cat string, b boolean",
+    )
+    out = categorical_drift(same, ["cat"], F.col("b")).collect()
+    assert all(r["js_term"] == 0.0 for r in out)
+
+    disjoint = spark.createDataFrame(
+        [("only_a", False)] * 5 + [("only_b", True)] * 5,
+        "cat string, b boolean",
+    )
+    rows = {r["cat"]: r for r in
+            categorical_drift(disjoint, ["cat"], F.col("b")).collect()}
+    assert rows["only_a"]["n_a"] == 5 and rows["only_a"]["n_b"] == 0
+    assert rows["only_b"]["p_a"] > 0.0  # smoothing keeps it finite
+    js = sum(r["js_term"] for r in rows.values())
+    assert 0.5 < js <= 1.0

@@ -524,6 +524,9 @@ def test_registry_wide_no_cartesian(spark):
         "temperature_mix_docs",      # one-row max-weight scalar
         "tfidf_top_terms",           # one-row n_docs scalar
         "jaccard_near_dup_docs",     # one-row corpus-count scalar
+        "containment_near_dup_docs", # same jaccard machinery + scalar
+        "heavy_hitters_users",       # one-row grand-total scalar
+        "drift_word_dist_docs",      # one-row totals (ta/tb/k) scalar
         "bigram_pmi_docs",           # one-row T1/T2 total scalars
         "geofence_rect_events",      # broadcast fence rectangles
         "ann_cosine_topk",           # broadcast bounded query set
@@ -547,3 +550,20 @@ def test_registry_wide_no_cartesian(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_heavy_hitters_topk_heap_not_global_sort(spark):
+    """heavy_hitters' top-k must plan as TakeOrderedAndProject
+    (per-partition k-row heaps) — never a global Sort over the full
+    keyspace — and the 1-row total must broadcast back."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR_001
+
+    plan = (
+        m.queries()["heavy_hitters_users"](spark, SF_DIR_001)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total, broadcast side

@@ -105,9 +105,16 @@ def get_spark(
         # stops JIT-compiling new generated classes and hot operators
         # run interpreted (observed: 3-5x slowdowns late in a query
         # suite).  Give codegen room + let cold methods be flushed.
+        # 2g: at 70+ registry queries x 3 runs the 1g cache still
+        # thrashes (late-suite queries ran ~75% over their
+        # fresh-session times); size is reserved virtual, not
+        # committed, so the only cost is address space.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            os.environ.get(
+                "SPARK_GRAFT_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
+            ),
         )
     )
     for k, v in RUNTIME_CONFS.items():

@@ -4512,6 +4512,75 @@ WHERE cnt / least(sa.sz, sb.sz) >= {_CONTAIN_THRESHOLD}
 """
 
 
+_SHUFFLE_SHARDS = 8
+
+
+def corpus_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (operators/sampling.py::
+    deterministic_shuffle): every doc gets a shard in [0,8) and a
+    dense position within its shard, both pure functions of
+    (salt, doc_id) — the reproducible pre-training data-ordering
+    step (hash order IS the random order; a new salt is a fresh
+    permutation).  One hash exchange + per-shard window sort; no
+    global window."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.deterministic_shuffle(d, "doc_id", _SHUFFLE_SHARDS)
+
+
+_SHUFFLE_FP = _wsample_fp_sql("'shuffle:' || CAST(doc_id AS VARCHAR)")
+
+_SHUFFLE_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, lang, {_SHUFFLE_FP} AS f FROM documents
+)
+SELECT doc_id, lang,
+       CAST(f % {_SHUFFLE_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY f % {_SHUFFLE_SHARDS}
+            ORDER BY f, doc_id) AS INT) AS pos
+FROM fp
+"""
+
+
+def token_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced training shards (operators/sampling.py::
+    token_balanced_shards): shuffle the corpus into deterministic
+    hash order, then cut it into 8 contiguous shards of ≈ equal
+    TOKEN mass (each within one document of total/8) — row-count
+    shards waste accelerator steps under length skew.  Two-phase
+    distributed prefix sum (no global window) + 1-row total
+    broadcast."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(textfn.words(F.col("text"))).alias("n_tokens"),
+        textfn.rolling_fingerprint(
+            F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))
+        ).alias("_ord"),
+    )
+    out = sampling.token_balanced_shards(
+        d, "n_tokens", _SHUFFLE_SHARDS, ["_ord", "doc_id"]
+    )
+    return out.select("doc_id", "n_tokens", "running_tokens", "shard")
+
+
+_TOKEN_SHARDS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, length(string_split(text, ' ')) AS n_tokens,
+         {_SHUFFLE_FP} AS ord
+  FROM documents
+), run AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY ord, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens
+  FROM base
+), tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS g FROM base)
+SELECT doc_id, n_tokens, running_tokens,
+       CAST(least(CAST(floor((running_tokens - n_tokens)
+                             * {float(_SHUFFLE_SHARDS)!r} / g) AS BIGINT),
+                  {_SHUFFLE_SHARDS - 1}) AS INT) AS shard
+FROM run CROSS JOIN tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4570,6 +4639,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "heavy_hitters_users": (heavy_hitters_users, _HH_SQL),
     "drift_word_dist_docs": (drift_word_dist_docs, _DRIFT_SQL),
     "containment_near_dup_docs": (containment_near_dup_docs, _CONTAIN_SQL),
+    "corpus_shuffle_docs": (corpus_shuffle_docs, _SHUFFLE_SQL),
+    "token_shards_docs": (token_shards_docs, _TOKEN_SHARDS_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -122,10 +122,35 @@ def token_budget_selection(
     partitioning never reorders across the total order, and offsets
     are exact sums of everything ordered earlier.
     """
+    toks = F.col(token_count_col)
+    running = distributed_running_sum(
+        df, token_count_col, priority_cols, "running_tokens", partitions
+    )
+    return running.where(
+        (F.col("running_tokens") - toks) < F.lit(budget)
+    )
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str],
+    out_col: str = "running",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Global inclusive prefix sum of ``value_col`` in ``order_cols``
+    order WITHOUT a global window — the two-phase shape shared by
+    :func:`token_budget_selection` and :func:`token_balanced_shards`
+    (see the former's docstring for the identity argument):
+    order-preserving range exchange → per-partition parallel running
+    sums → tiny per-partition-totals prefix (≤ `partitions` rows, one
+    task) broadcast back as offsets.  ``order_cols`` must be a total
+    order for engine-independent results.
+    """
     from pyspark.sql import Window
 
-    order = [F.col(c) if isinstance(c, str) else c for c in priority_cols]
-    toks = F.col(token_count_col)
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    val = F.col(value_col)
     if partitions is None:
         partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
@@ -138,10 +163,10 @@ def token_budget_selection(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("_local_run", F.sum(toks).over(w_local))
+    local = ranged.withColumn("_local_run", F.sum(val).over(w_local))
     # one row per partition; the global window here runs over at most
     # `partitions` rows — a deliberately tiny single task
-    totals = ranged.groupBy("_pid").agg(F.sum(toks).alias("_tot"))
+    totals = ranged.groupBy("_pid").agg(F.sum(val).alias("_tot"))
     w_off = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -151,9 +176,93 @@ def token_budget_selection(
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn("running_tokens", F.col("_local_run") + F.col("_off"))
-        .where((F.col("running_tokens") - toks) < F.lit(budget))
+        .withColumn(out_col, F.col("_local_run") + F.col("_off"))
         .drop("_pid", "_local_run", "_off")
+    )
+
+
+def token_balanced_shards(
+    df: DataFrame,
+    token_count_col: str,
+    n_shards: int,
+    order_cols: Sequence[str],
+    partitions: int | None = None,
+) -> DataFrame:
+    """Cut the corpus (in ``order_cols`` order) into ``n_shards``
+    contiguous shards of ≈ equal TOKEN mass — the training-shard
+    writer's partitioner.  Row-count sharding wastes accelerator
+    steps when document lengths are skewed; token balancing makes
+    every shard the same number of optimizer steps.
+
+    Shard of a doc = which k-th of the total token mass its
+    EXCLUSIVE running sum falls in: ``least(floor((running - toks) *
+    k / total), k - 1)`` — every shard's token sum is within one
+    document of total/k, and the assignment is a pure function of
+    the order (reproducible on any cluster layout).
+
+    Physical shape: the :func:`distributed_running_sum` two-phase
+    prefix sum (no global window) + a 1-row total broadcast; adds
+    ``running_tokens`` and ``shard``.  Pair ``order_cols`` with the
+    rolling-fingerprint hash for a deterministic pre-shuffle
+    (hash order ≈ random order), then write with
+    ``partitionBy("shard")``.
+    """
+    toks = F.col(token_count_col)
+    running = distributed_running_sum(
+        df, token_count_col, order_cols, "running_tokens", partitions
+    )
+    # grand total from the INPUT (plain partial-agg scan), not from
+    # `running` — avoids dragging the prefix-sum lineage into a
+    # 1-row aggregate
+    total = df.agg(F.sum(toks).cast("double").alias("_grand"))
+    shard = F.least(
+        F.floor(
+            (F.col("running_tokens") - toks)
+            * F.lit(float(n_shards))
+            / F.col("_grand")
+        ),
+        F.lit(n_shards - 1),
+    ).cast("int")
+    return (
+        running.crossJoin(F.broadcast(total))
+        .withColumn("shard", shard)
+        .drop("_grand")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shuffle:",
+) -> DataFrame:
+    """Deterministic global pseudo-random shuffle + sharding: every
+    row gets a ``shard`` in [0, n_shards) and a dense ``pos`` within
+    its shard, both pure functions of (salt, key) — the corpus
+    ordering step before training-shard writes.  Hash order is the
+    random order: reshuffling with a new ``salt`` is a fresh
+    permutation, and re-runs (or incremental corpus rebuilds)
+    reproduce the same placement for unchanged keys.
+
+    Physical shape: ONE hash exchange on ``shard`` and a per-shard
+    window sort on the fingerprint — shards are uniform by
+    construction (rolling-hash buckets), so no shard straggles; at
+    scale set ``n_shards`` ≈ the target output file count and write
+    with ``partitionBy("shard")``.  No global window, no driver
+    data.
+    """
+    from pyspark.sql import Window
+
+    fp = rolling_fingerprint(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    )
+    with_fp = df.withColumn("_fp", fp).withColumn(
+        "shard", (F.col("_fp") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_fp", key_col)
+    return (
+        with_fp.withColumn("pos", F.row_number().over(w))
+        .drop("_fp")
     )
 
 

@@ -1044,3 +1044,53 @@ def test_categorical_drift_js_properties(spark):
     assert rows["only_b"]["p_a"] > 0.0  # smoothing keeps it finite
     js = sum(r["js_term"] for r in rows.values())
     assert 0.5 < js <= 1.0
+
+
+def test_deterministic_shuffle_dense_stable_and_salted(spark):
+    """deterministic_shuffle (operators/sampling.py): pos is dense
+    1..n per shard, assignment is a pure function of (salt, key)
+    (re-run identical), and a different salt yields a different
+    permutation."""
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    out = deterministic_shuffle(df, "k", 4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4)) and len(out) == 200
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    again = deterministic_shuffle(df, "k", 4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    other = deterministic_shuffle(df, "k", 4, salt="epoch2:").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_token_balanced_shards_mass_within_one_doc(spark):
+    """token_balanced_shards (operators/sampling.py): shards are
+    contiguous in the given order and each shard's token mass is
+    within one max-document of total/k, even under heavy length
+    skew; shard ids cover [0, k)."""
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        token_balanced_shards,
+    )
+
+    rows = [(i, 1 if i < 90 else 100) for i in range(100)]  # skewed tail
+    df = spark.createDataFrame(rows, "doc long, toks int")
+    out = token_balanced_shards(df, "toks", 4, ["doc"], partitions=4)
+    rs = sorted(out.collect(), key=lambda r: r["doc"])
+    assert [r["running_tokens"] for r in rs] == [
+        sum(t for _, t in rows[: i + 1]) for i in range(100)
+    ]
+    shards = [r["shard"] for r in rs]
+    assert shards == sorted(shards)  # contiguous cut points
+    total = sum(t for _, t in rows)
+    per = {}
+    for r in rs:
+        per[r["shard"]] = per.get(r["shard"], 0) + r["toks"]
+    assert set(per) == set(range(4))
+    for mass in per.values():
+        assert abs(mass - total / 4) <= 100  # one max-doc tolerance

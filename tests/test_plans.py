@@ -527,6 +527,7 @@ def test_registry_wide_no_cartesian(spark):
         "containment_near_dup_docs", # same jaccard machinery + scalar
         "heavy_hitters_users",       # one-row grand-total scalar
         "drift_word_dist_docs",      # one-row totals (ta/tb/k) scalar
+        "token_shards_docs",         # one-row grand-total scalar
         "bigram_pmi_docs",           # one-row T1/T2 total scalars
         "geofence_rect_events",      # broadcast fence rectangles
         "ann_cosine_topk",           # broadcast bounded query set

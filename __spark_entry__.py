@@ -4581,6 +4581,105 @@ FROM run CROSS JOIN tot
 """
 
 
+_EPOCHS = {"en": 2.5, "de": 1.0, "fr": 0.5}
+
+
+def epoch_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch corpus mixing (operators/sampling.py::
+    epoch_repeat_mix): English docs repeated 2.5 epochs (every doc
+    twice, a deterministic hash-selected half a third time), German
+    1, French 0.5, other languages dropped — the upsampling
+    counterpart of stratified downsampling, materialized as rows
+    with a `copy` index.  Narrow explode, no shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.epoch_repeat_mix(d, "doc_id", "lang", _EPOCHS)
+
+
+_EPOCH_MIX_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.0
+                   WHEN 'fr' THEN 0.5 ELSE 0.0 END AS e,
+         {_HASH_BUCKET_SQL.replace("'mix:'", "'epoch:'").format(key="doc_id")} AS b
+  FROM documents
+), counted AS (
+  SELECT doc_id, lang,
+         CAST(floor(e) + CASE WHEN b < (e - floor(e)) * 10000
+                              THEN 1 ELSE 0 END AS INT) AS n
+  FROM base
+)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, n)) AS INT) AS copy
+FROM counted WHERE n >= 1
+"""
+
+
+def pit_status_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against the SCD2 dimension: for each
+    order, the customer's status interval active 90 days after the
+    order date (half-open containment: valid_from <= t < valid_to,
+    open current run) — the lookup pattern scd2_intervals exists to
+    serve.  Equi-join on the customer key with a residual range
+    predicate; the dimension is change-sized (one row per status
+    run), orders of magnitude smaller than the log it came from."""
+    from botkop_telcotraffic_spark_spark.operators.scd import scd2_intervals
+
+    o = _t(spark, sf_dir, "orders")
+    dim = scd2_intervals(
+        o.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tiebreak_cols=["o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status_then"),
+        "valid_from",
+        "valid_to",
+    )
+    fact = o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("as_of"),
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.o_custkey == dim.custkey)
+            & (dim.valid_from <= fact.as_of)
+            & (dim.valid_to.isNull() | (fact.as_of < dim.valid_to)),
+        )
+        .select("o_orderkey", "o_custkey", "as_of", "status_then", "valid_from")
+    )
+
+
+_PIT_SQL = """
+WITH obs AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev
+  FROM orders
+), starts AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+  FROM obs WHERE prev IS NULL OR prev <> o_orderstatus
+), dim AS (
+  SELECT o_custkey AS custkey, o_orderstatus AS status_then,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS valid_to
+  FROM starts
+)
+SELECT o.o_orderkey, o.o_custkey,
+       o.o_orderdate + INTERVAL 90 DAY AS as_of,
+       d.status_then, d.valid_from
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.custkey
+ AND d.valid_from <= o.o_orderdate + INTERVAL 90 DAY
+ AND (d.valid_to IS NULL OR o.o_orderdate + INTERVAL 90 DAY < d.valid_to)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4641,6 +4740,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "containment_near_dup_docs": (containment_near_dup_docs, _CONTAIN_SQL),
     "corpus_shuffle_docs": (corpus_shuffle_docs, _SHUFFLE_SQL),
     "token_shards_docs": (token_shards_docs, _TOKEN_SHARDS_SQL),
+    "epoch_mix_docs": (epoch_mix_docs, _EPOCH_MIX_SQL),
+    "pit_status_orders": (pit_status_orders, _PIT_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

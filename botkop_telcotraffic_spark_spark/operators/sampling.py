@@ -230,6 +230,60 @@ def token_balanced_shards(
     )
 
 
+def epoch_repeat_mix(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    epochs: Mapping[str, float],
+    default_epochs: float = 0.0,
+    buckets: int = 10_000,
+    salt: str = "epoch:",
+) -> DataFrame:
+    """Fractional-epoch upsampling: materialize each row
+    ``floor(e)`` times plus one more iff its hash bucket falls under
+    ``frac(e)`` — so a stratum with e=2.5 contributes every doc
+    twice and a deterministic half of them a third time.  This is
+    the "repeat the high-quality corpus 2.5 epochs" mixing step;
+    :func:`stratified_hash_sample` is its e<1 downsampling special
+    case, and both compose (same bucket space, different salts).
+
+    Adds ``copy`` (1..n for that row).  Physical shape: a narrow
+    per-row ``explode(sequence(...))`` — rows multiply by the epoch
+    factor with no shuffle, no join, no driver data; which copy a
+    doc gets is a pure function of (salt, key) so re-runs and
+    engines agree exactly.
+
+    Fractional-part accuracy is statistical: the rolling-hash
+    buckets of short SEQUENTIAL keys equidistribute only past ~1-2k
+    keys per stratum (below that, digit-structure runs cluster mod
+    the bucket count).  Real corpora clear this by orders of
+    magnitude; for tiny strata round the epochs or accept the
+    variance.
+    """
+    e_expr = None
+    for value, e in epochs.items():
+        cond = F.col(stratum_col) == value
+        e_expr = (
+            F.when(cond, float(e))
+            if e_expr is None
+            else e_expr.when(cond, float(e))
+        )
+    e_expr = e_expr.otherwise(float(default_epochs))
+    b = hash_bucket(F.col(key_col), buckets, salt)
+    extra = (b < (e_expr - F.floor(e_expr)) * buckets).cast("int")
+    n = (F.floor(e_expr).cast("int") + extra).alias("_n")
+    # sequence(1, n) with n == 0 is DESCENDING [1, 0], not empty —
+    # filter n >= 1 BEFORE exploding (the char_ngrams hazard)
+    return (
+        df.withColumn("_n", n)
+        .where(F.col("_n") >= 1)
+        .withColumn(
+            "copy", F.explode(F.sequence(F.lit(1), F.col("_n")))
+        )
+        .drop("_n")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str,

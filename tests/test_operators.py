@@ -1094,3 +1094,33 @@ def test_token_balanced_shards_mass_within_one_doc(spark):
     assert set(per) == set(range(4))
     for mass in per.values():
         assert abs(mass - total / 4) <= 100  # one max-doc tolerance
+
+
+def test_epoch_repeat_mix_counts_and_determinism(spark):
+    """epoch_repeat_mix (operators/sampling.py): e=2.0 repeats every
+    row exactly twice; e=2.5 gives 2 or 3 copies with roughly half
+    the keys getting the third; e=0 drops the stratum; copy indices
+    are dense 1..n and re-runs are identical."""
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        epoch_repeat_mix,
+    )
+
+    # 2000 keys: the rolling-hash buckets of SHORT sequential keys
+    # cluster below ~1k keys (digit-structure runs mod 10000) and
+    # equidistribute above it — sized where the law of the hash holds
+    rows = [(i, "a") for i in range(2000)] + [(i, "b") for i in range(2000, 2300)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = epoch_repeat_mix(df, "k", "s", {"a": 2.5, "b": 2.0}).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["k"], []).append(r["copy"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    a_counts = [len(per[i]) for i in range(2000)]
+    assert set(a_counts) <= {2, 3}
+    third = sum(1 for c in a_counts if c == 3)
+    assert 800 <= third <= 1200  # ~half, hash-deterministic
+    assert all(len(per[i]) == 2 for i in range(2000, 2300))
+    dropped = epoch_repeat_mix(df, "k", "s", {"a": 1.0}).collect()
+    assert {r["s"] for r in dropped} == {"a"}
+    again = epoch_repeat_mix(df, "k", "s", {"a": 2.5, "b": 2.0}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

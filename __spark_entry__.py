@@ -4680,6 +4680,72 @@ FROM orders o JOIN dim d
 """
 
 
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+
+
+def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py::pagerank) over the directed
+    customer→supplier purchase graph (distinct edges from
+    orders⋈lineitem): suppliers are ranked by damped, demand-weighted
+    customer mass; all suppliers are sinks, so the dangling-mass
+    redistribution path is exercised every iteration.  3 fixed power
+    iterations, one shuffle each + a 1-row dangling scalar."""
+    from botkop_telcotraffic_spark_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    out = pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMPING
+    )
+    return out.select("node", F.round("rank", 9).alias("rank"))
+
+
+def _pagerank_sql(iters: int = _PR_ITERS, d: float = _PR_DAMPING) -> str:
+    """Oracle twin: the same power iteration unrolled into one CTE
+    per round (DuckDB has no iteration; the loop is generated here)."""
+    header = f"""
+WITH edges AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+                  's' || CAST(l_suppkey AS VARCHAR) AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), nodes AS (
+  SELECT u AS node FROM edges UNION SELECT v FROM edges
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY u),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        steps.append(f""",
+dang{i} AS (
+  SELECT coalesce(sum(r.rank), 0.0) AS m
+  FROM {p} r LEFT JOIN deg ON deg.u = r.node WHERE deg.u IS NULL
+),
+recv{i} AS (
+  SELECT e.v AS node, sum(r.rank / deg.deg) AS s
+  FROM edges e JOIN {p} r ON e.u = r.node JOIN deg ON deg.u = e.u
+  GROUP BY e.v
+),
+r{i} AS (
+  SELECT n.node,
+         {(1.0 - d)!r} / (SELECT n FROM nn)
+         + {d!r} * (coalesce(recv{i}.s, 0.0)
+                    + (SELECT m FROM dang{i}) / (SELECT n FROM nn)) AS rank
+  FROM nodes n LEFT JOIN recv{i} ON n.node = recv{i}.node
+)""")
+        steps.append("")
+    return (
+        header
+        + "".join(steps)
+        + f"\nSELECT node, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4742,6 +4808,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "token_shards_docs": (token_shards_docs, _TOKEN_SHARDS_SQL),
     "epoch_mix_docs": (epoch_mix_docs, _EPOCH_MIX_SQL),
     "pit_status_orders": (pit_status_orders, _PIT_SQL),
+    "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -246,3 +246,82 @@ def dedup_groups_from_pairs(
             "id", F.coalesce(F.col("component"), F.col("id")).alias("cluster")
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank by power iteration over a directed
+    edge list — the graph-centrality companion to connected
+    components (influence ranking over citation / link / interaction
+    graphs; on a customer→supplier purchase graph it ranks suppliers
+    by weighted demand).
+
+    Per iteration: each node sends rank/out_degree along its edges,
+    received mass aggregates per target, and dangling (sink) mass is
+    redistributed uniformly so total rank stays 1:
+    ``r' = (1-d)/N + d * (received + dangling/N)``.
+
+    Returns (node, rank) for every node, rank summing to 1.
+
+    Physical shape: the node set, out-degrees, and edge list are
+    computed once and reused; each iteration is ONE shuffle (join
+    ranks onto edges by source — both sides hash-partitioned on the
+    same key — then partial-agg by target) plus a 1-row dangling-mass
+    aggregate broadcast back.  A hot target (every page links to the
+    hub) is absorbed by map-side partial aggregation.  Fixed
+    ``iterations`` (not convergence-probed) keeps the plan
+    deterministic and oracle-reproducible; each round ends in
+    localCheckpoint to keep lineage flat (cluster: persist).
+    """
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # O(1) scalar, intentional
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        with_deg = ranks.join(deg, ranks.node == deg.u, "left").select(
+            "node", "rank", "deg"
+        )
+        # dangling nodes (no out-edges) leak their mass; collect it
+        # in a 1-row aggregate and hand it back uniformly
+        dangling = with_deg.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        contrib = (
+            e.join(
+                with_deg.where(F.col("deg").isNotNull()),
+                e.u == F.col("node"),
+            )
+            .select("v", (F.col("rank") / F.col("deg")).alias("w"))
+            .groupBy("v")
+            .agg(F.sum("w").alias("recv"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.v, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("recv"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

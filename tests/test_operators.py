@@ -1124,3 +1124,23 @@ def test_epoch_repeat_mix_counts_and_determinism(spark):
     assert {r["s"] for r in dropped} == {"a"}
     again = epoch_repeat_mix(df, "k", "s", {"a": 2.5, "b": 2.0}).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pagerank_hand_values_and_mass_conservation(spark):
+    """pagerank (operators/graph.py): a 2-cycle stays uniform; a
+    single edge a->b with dangling b gives the hand-computed ranks
+    after one iteration ((1-d)/N + d*(recv + dangling/N)); total
+    rank mass is conserved at 1 across iterations."""
+    from botkop_telcotraffic_spark_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    r = {x["node"]: x["rank"] for x in pagerank(cyc, iterations=4).collect()}
+    assert abs(r["a"] - 0.5) < 1e-12 and abs(r["b"] - 0.5) < 1e-12
+
+    one = spark.createDataFrame([("a", "b")], "src string, dst string")
+    r1 = {x["node"]: x["rank"] for x in pagerank(one, iterations=1).collect()}
+    # N=2, r0=0.5: dangling m=0.5 (b); a gets 0.075+0.85*(0+0.25)
+    assert abs(r1["a"] - 0.2875) < 1e-12
+    assert abs(r1["b"] - 0.7125) < 1e-12
+    r3 = pagerank(one, iterations=3).collect()
+    assert abs(sum(x["rank"] for x in r3) - 1.0) < 1e-9

@@ -528,6 +528,7 @@ def test_registry_wide_no_cartesian(spark):
         "heavy_hitters_users",       # one-row grand-total scalar
         "drift_word_dist_docs",      # one-row totals (ta/tb/k) scalar
         "token_shards_docs",         # one-row grand-total scalar
+        "pagerank_purchase_graph",   # one-row dangling-mass scalar/iter
         "bigram_pmi_docs",           # one-row T1/T2 total scalars
         "geofence_rect_events",      # broadcast fence rectangles
         "ann_cosine_topk",           # broadcast bounded query set

@@ -4746,6 +4746,43 @@ r{i} AS (
     )
 
 
+_INC_CUT = "2024-01-15"
+
+
+def incremental_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup without rescanning history
+    (operators/window_stats.py::stat_partials / merge_stat_partials):
+    exact mergeable partials (n, Σv, Σv², min, max) are computed
+    separately for the two halves of the month — standing in for
+    "yesterday's stored partials + today's delta" — then combined
+    into final per-type count/mean/stddev/min/max.  The oracle
+    aggregates the raw table directly, so the green row IS the
+    merge-equals-direct identity.  Change-sized state, one keyed
+    aggregate per side."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    cut = F.lit(_INC_CUT).cast("timestamp")
+    early = window_stats.stat_partials(
+        e.where(F.col("ts") < cut), ["event_type"], "value"
+    )
+    late = window_stats.stat_partials(
+        e.where(F.col("ts") >= cut), ["event_type"], "value"
+    )
+    return window_stats.merge_stat_partials(
+        early.unionByName(late), ["event_type"]
+    )
+
+
+_INC_STATS_SQL = """
+SELECT event_type, count(value) AS n,
+       round(sum(value) / count(value), 6) AS mean,
+       round(sqrt(greatest(sum(value * value) / count(value)
+                  - (sum(value) / count(value)) ^ 2, 0.0)), 6) AS stdev,
+       min(value) AS vmin, max(value) AS vmax
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4809,6 +4846,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "epoch_mix_docs": (epoch_mix_docs, _EPOCH_MIX_SQL),
     "pit_status_orders": (pit_status_orders, _PIT_SQL),
     "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
+    "incremental_stats_events": (incremental_stats_events, _INC_STATS_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -58,6 +58,60 @@ def keyed_stats(
     return df.groupBy(*key_cols).agg(*stat_aggs(value_col, round_digits))
 
 
+PARTIAL_FIELDS = ("n", "s", "s2", "vmin", "vmax")
+
+
+def stat_partials(
+    df: DataFrame, key_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Mergeable per-key statistics partials: (n, Σv, Σv², min, max)
+    — the commutative-monoid form of :func:`stat_aggs`.  Store these
+    per day/partition/shard and any rollup (daily→monthly, per-file→
+    corpus, yesterday+today) is :func:`merge_stat_partials` over the
+    partial rows — NO rescan of history.  This is the incremental
+    analogue of the mergeable HLL/log-histogram sketches in
+    ``operators/sketch.py``, exact instead of approximate.
+    """
+    v = F.col(value_col)
+    return df.where(v.isNotNull()).groupBy(*key_cols).agg(
+        F.count(v).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("s2"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+
+
+def merge_stat_partials(
+    parts: DataFrame, key_cols: Sequence[str], round_digits: int = 6
+) -> DataFrame:
+    """Combine partial rows (any number per key — different days,
+    shards, or batches) into final count/mean/stddev_pop/min/max.
+    stddev via sqrt(Σv²/n − (Σv/n)²) — algebraically exact on
+    merged sums; one keyed aggregate over CHANGE-SIZED partial rows,
+    never the raw data.
+    """
+    merged = parts.groupBy(*key_cols).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("s2").alias("s2"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    return merged.select(
+        *key_cols,
+        F.col("n"),
+        F.round(mean, round_digits).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), round_digits).alias(
+            "stdev"
+        ),
+        "vmin",
+        "vmax",
+    )
+
+
 def _duration_ms(s: str) -> int:
     qty, unit = s.split()
     per = {"millisecond": 1, "second": 1000, "minute": 60_000, "hour": 3_600_000}

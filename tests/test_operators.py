@@ -1144,3 +1144,43 @@ def test_pagerank_hand_values_and_mass_conservation(spark):
     assert abs(r1["b"] - 0.7125) < 1e-12
     r3 = pagerank(one, iterations=3).collect()
     assert abs(sum(x["rank"] for x in r3) - 1.0) < 1e-9
+
+
+def test_stat_partials_merge_equals_direct(spark):
+    """stat_partials/merge_stat_partials (operators/window_stats.py):
+    merging partials from an arbitrary 3-way split reproduces the
+    direct keyed stats exactly (n/min/max) and to float tolerance
+    (mean/stdev); nulls are excluded like count(value)."""
+    import math
+    import random
+
+    from botkop_telcotraffic_spark_spark.operators.window_stats import (
+        keyed_stats,
+        merge_stat_partials,
+        stat_partials,
+    )
+
+    rng = random.Random(7)
+    rows = [("k%d" % (i % 3), rng.uniform(-50, 50)) for i in range(300)]
+    rows += [("k0", None), ("k1", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    parts = [df.where(F.crc32(F.col("v").cast("string")) % 3 == i)
+             for i in range(3)]
+    merged = {
+        r["g"]: r
+        for r in merge_stat_partials(
+            stat_partials(parts[0], ["g"], "v")
+            .unionByName(stat_partials(parts[1], ["g"], "v"))
+            .unionByName(stat_partials(parts[2], ["g"], "v")),
+            ["g"],
+        ).collect()
+    }
+    direct = {r["g"]: r for r in keyed_stats(df, ["g"], "v").collect()}
+    assert set(merged) == set(direct)
+    for g, d in direct.items():
+        m = merged[g]
+        assert m["n"] == d["n"]
+        assert m["vmin"] == d["vmin"]
+        assert m["vmax"] == d["vmax"]
+        assert math.isclose(m["mean"], d["mean"], abs_tol=1e-6)
+        assert math.isclose(m["stdev"], d["stdev"], abs_tol=1e-6)

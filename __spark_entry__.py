@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from botkop_telcotraffic_spark_spark.functions import textfn
 from botkop_telcotraffic_spark_spark.operators import (
+    bloom,
     dedup,
     sampling,
     enrich,
@@ -4783,6 +4784,48 @@ GROUP BY event_type
 """
 
 
+def bloom_join_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact join (operators/bloom.py::bloom_prune_join):
+    lineitem joined to URGENT-priority orders through a 64 Kbit / 5-hash
+    Bloom pre-filter built on the dim keys, then revenue per
+    returnflag.  The Bloom pass is a pure physical optimization — the
+    exact join after the filter drops false positives, so the result
+    is row-identical to the plain join and the oracle IS the plain
+    join.  At 100 TB the fact shuffle carries only probable matches
+    (~selectivity x fact) instead of every row."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    joined = bloom.bloom_prune_join(li, dim, "l_orderkey", "o_orderkey")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("urgent_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_BLOOM_JOIN_SQL = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS urgent_revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4847,6 +4890,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pit_status_orders": (pit_status_orders, _PIT_SQL),
     "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
     "incremental_stats_events": (incremental_stats_events, _INC_STATS_SQL),
+    "bloom_join_urgent_revenue": (bloom_join_urgent_revenue, _BLOOM_JOIN_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -1184,3 +1184,49 @@ def test_stat_partials_merge_equals_direct(spark):
         assert m["vmax"] == d["vmax"]
         assert math.isclose(m["mean"], d["mean"], abs_tol=1e-6)
         assert math.isclose(m["stdev"], d["stdev"], abs_tol=1e-6)
+
+
+def test_bloom_no_false_negatives_and_join_identical(spark):
+    """bloom_prune_join (operators/bloom.py): a Bloom filter may pass
+    extra rows but must NEVER drop a true match — every build key
+    probes true, and the pruned join is row-identical to the plain
+    join (false positives removed by the exact join)."""
+    from botkop_telcotraffic_spark_spark.operators import bloom
+
+    keys = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
+    words = bloom.bloom_build(keys, "k", num_bits=1 << 12, num_hashes=4)
+    missed = keys.where(
+        ~bloom.bloom_probe(F.col("k"), words, num_hashes=4)
+    ).count()
+    assert missed == 0
+
+    fact = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    pruned = bloom.bloom_prune_join(
+        fact, keys, "k", "k", num_bits=1 << 12, num_hashes=4
+    )
+    plain = fact.join(keys, fact.k == keys.k)
+    got = sorted(r["v"] for r in pruned.collect())
+    want = sorted(r["v"] for r in plain.collect())
+    assert got == want
+
+
+def test_bloom_sizing_formula_and_validation(spark):
+    import math
+
+    import pytest as _pytest
+
+    from botkop_telcotraffic_spark_spark.operators import bloom
+
+    # k*n/m = 5*1000/65536 -> (1-e^-x)^5, hand-checked
+    x = 5 * 1000 / 65536
+    assert math.isclose(
+        bloom.bloom_false_positive_rate(1000, 1 << 16, 5),
+        (1 - math.exp(-x)) ** 5,
+    )
+    df = spark.range(1).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError):
+        bloom.bloom_build(df, "k", num_bits=100)  # not a multiple of 64
+    with _pytest.raises(ValueError):
+        bloom.bloom_prune_join(df, df, "k", "k", how="left")

@@ -569,3 +569,22 @@ def test_heavy_hitters_topk_heap_not_global_sort(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total, broadcast side
+
+
+def test_bloom_probe_is_scan_side_no_shuffle(spark):
+    """The Bloom probe (operators/bloom.py::bloom_probe) must be pure
+    scan-stage column math: filtering the fact by the probe adds NO
+    Exchange — at 100 TB that is the whole point (only probable
+    matches reach the join shuffle)."""
+    from botkop_telcotraffic_spark_spark.operators import bloom
+
+    li = spark.read.parquet(f"{SF_DIR_001}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR_001}/orders.parquet")
+    dim = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    words = bloom.bloom_build(dim, "o_orderkey")
+    pruned = li.where(bloom.bloom_probe(F.col("l_orderkey"), words))
+    plan = physical_plan(pruned)
+    assert "Exchange" not in plan, plan
+    assert "Filter" in plan, plan

@@ -4826,6 +4826,54 @@ ORDER BY l_returnflag
 """
 
 
+# epoch micros of 1997-01-01 UTC — the fixed x-origin for trend_ols
+# (pre-centering keeps sum(x^2) inside float53 precision; the raw
+# epoch would lose ~6 digits).  Hardcoded on BOTH sides so neither
+# engine's timestamp-literal timezone rules enter the comparison.
+_TREND_ORIGIN_US = 852_076_800_000_000
+
+
+def trend_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key closed-form OLS (operators/timeseries.py::trend_ols):
+    slope / intercept / r² of value over time (days since 1997-01-01)
+    for every event_type — drift-over-time detection as ONE keyed
+    aggregate of six mergeable sums, no window, no second scan."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import trend_ols
+
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    e = e.withColumn(
+        "x_days",
+        (F.unix_micros("ts") - F.lit(_TREND_ORIGIN_US)) / F.lit(86_400_000_000.0),
+    )
+    return trend_ols(e, ["event_type"], "x_days", "value").orderBy("event_type")
+
+
+_TREND_SQL = f"""
+WITH pts AS (
+  SELECT event_type,
+         (epoch_us(ts) - {_TREND_ORIGIN_US}) / 86400000000.0 AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events
+  WHERE value IS NOT NULL
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4891,6 +4939,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
     "incremental_stats_events": (incremental_stats_events, _INC_STATS_SQL),
     "bloom_join_urgent_revenue": (bloom_join_urgent_revenue, _BLOOM_JOIN_SQL),
+    "trend_value_by_type": (trend_value_by_type, _TREND_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

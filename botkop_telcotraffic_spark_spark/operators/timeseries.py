@@ -133,3 +133,67 @@ def resample_locf(
             F.last("_avg_v", ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+
+
+def trend_ols(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key simple linear regression (closed form) — slope,
+    intercept and r² of ``y ~ x`` for every key group, in ONE keyed
+    aggregate.
+
+    The normal equations need only the five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) plus Σy² for r² — a mergeable monoid like
+    ``stat_partials``, so the map-side combine does almost all the
+    work and the final shuffle carries one row of six sums per key
+    regardless of input size.  No window, no second scan, no driver
+    math: the closed forms
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+
+    are column expressions over the aggregate.  Degenerate groups
+    (n < 2 or zero x-variance) yield NULL slope/intercept/r² rather
+    than a division error; zero y-variance (flat but fittable) yields
+    r² = NULL while slope/intercept stay defined.
+
+    Scale: x should be pre-centered to a magnitude where Σx² does not
+    lose float precision (callers pass e.g. epoch-seconds relative to
+    a fixed origin, not raw nanoseconds) — documented contract, the
+    operator does not rescale.
+    """
+    rows = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    agg = rows.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxy, sxx, syy = F.col("_sxy"), F.col("_sxx"), F.col("_syy")
+    cov_n = n * sxy - sx * sy        # n² · cov(x, y)
+    var_x = n * sxx - sx * sx        # n² · var(x)
+    var_y = n * syy - sy * sy        # n² · var(y)
+    slope = F.when((n >= 2) & (var_x > 0), cov_n / var_x)
+    intercept = F.when(
+        (n >= 2) & (var_x > 0), (sy - (cov_n / var_x) * sx) / n
+    )
+    r2 = F.when(
+        (n >= 2) & (var_x > 0) & (var_y > 0),
+        (cov_n * cov_n) / (var_x * var_y),
+    )
+    return agg.select(
+        *key_cols,
+        F.col("_n").cast("long").alias("n"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+        F.round(r2, round_to).alias("r2"),
+    )

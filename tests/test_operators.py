@@ -1230,3 +1230,40 @@ def test_bloom_sizing_formula_and_validation(spark):
         bloom.bloom_build(df, "k", num_bits=100)  # not a multiple of 64
     with _pytest.raises(ValueError):
         bloom.bloom_prune_join(df, df, "k", "k", how="left")
+
+
+def test_trend_ols_hand_values_and_degenerates(spark):
+    """trend_ols (operators/timeseries.py): exact fit on a perfect
+    line (slope 2, intercept 1, r²=1), a hand-checked noisy fit, and
+    NULL handling for degenerate groups (n<2, zero x-variance) and a
+    flat-y group (slope 0 defined, r² NULL)."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import trend_ols
+
+    rows = (
+        [("line", float(x), 2.0 * x + 1.0) for x in range(10)]
+        # y = x with one outlier at (4, 0): hand-solved below
+        + [("noisy", 0.0, 0.0), ("noisy", 1.0, 1.0), ("noisy", 2.0, 2.0),
+           ("noisy", 3.0, 3.0), ("noisy", 4.0, 0.0)]
+        + [("single", 5.0, 7.0)]
+        + [("novarx", 3.0, 1.0), ("novarx", 3.0, 2.0)]
+        + [("flaty", 1.0, 4.0), ("flaty", 2.0, 4.0), ("flaty", 3.0, 4.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in trend_ols(df, ["g"], "x", "y").collect()}
+
+    assert got["line"]["slope"] == 2.0
+    assert got["line"]["intercept"] == 1.0
+    assert got["line"]["r2"] == 1.0
+
+    # noisy: n=5 sx=10 sy=6 sxy=14 sxx=30 syy=14
+    # slope=(5*14-60)/(5*30-100)=10/50=0.2
+    # intercept=(6-0.2*10)/5=0.8 ; r2=100/(50*(70-36))=100/1700
+    assert got["noisy"]["slope"] == 0.2
+    assert got["noisy"]["intercept"] == 0.8
+    assert got["noisy"]["r2"] == round(100 / 1700, 6)
+
+    for g in ("single", "novarx"):
+        assert got[g]["slope"] is None and got[g]["r2"] is None
+    assert got["flaty"]["slope"] == 0.0
+    assert got["flaty"]["intercept"] == 4.0
+    assert got["flaty"]["r2"] is None

@@ -4874,6 +4874,55 @@ ORDER BY event_type
 """
 
 
+def triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py::triangle_counts)
+    over the frequently-co-purchased part graph: parts are linked when
+    they co-occur in >= 2 distinct orders, and a triangle is three
+    parts pairwise so linked — the cohesion probe for basket analysis
+    / dedup-cluster density.  Degree-oriented wedge join, O(m^1.5)
+    bound, hub-proof; the oracle counts the same triangles with a
+    plain canonical 3-way self-join (orientation-independent set)."""
+    from botkop_telcotraffic_spark_spark.operators.graph import triangle_counts
+
+    l1 = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = l1.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_partkey").alias("r_partkey"),
+    )
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_partkey") < F.col("r_partkey")),
+        )
+        .groupBy("l_partkey", "r_partkey")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2)
+        .select(F.col("l_partkey").alias("src"), F.col("r_partkey").alias("dst"))
+    )
+    return triangle_counts(pairs)
+
+
+_TRIANGLE_SQL = """
+WITH pairs AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), tri AS (
+  SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT unnest([t1, t2, t3]) AS node FROM tri)
+GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4940,6 +4989,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "incremental_stats_events": (incremental_stats_events, _INC_STATS_SQL),
     "bloom_join_urgent_revenue": (bloom_join_urgent_revenue, _BLOOM_JOIN_SQL),
     "trend_value_by_type": (trend_value_by_type, _TREND_SQL),
+    "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -325,3 +325,81 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected
+    graph — the clustering/cohesion primitive (community density,
+    spam-farm detection, dedup-cluster sanity).
+
+    Algorithm: degree-oriented node-iterator (Schank-Wagner; the
+    MapReduce form is Suri-Vassilvitskii's "Counting Triangles and
+    the Curse of the Last Reducer", WWW'11).  Edges are canonicalized
+    undirected-distinct, then oriented along the total order
+    (degree, id) — every edge points from its lower-degree endpoint
+    to its higher-degree one.  Each triangle {x,y,z} with
+    π(x)<π(y)<π(z) is then found EXACTLY once, as the wedge
+    (x→y, x→z) closed by the oriented edge (y→z).
+
+    Why orientation matters at scale: out-degree under the degree
+    order is bounded by O(√m), so the wedge self-join generates
+    O(m^1.5) candidates worst-case instead of Σdeg² — a star node
+    (every user touched one hub part) produces NO wedges at its
+    center, because all its edges point INTO it.  The "last reducer"
+    hub that melts the naive algorithm is exactly what the
+    orientation removes.
+
+    Physical shape: one distinct (shuffle on the canonical pair), one
+    degree aggregate, two keyed joins to attach endpoint degrees, the
+    wedge self-join keyed on the apex, and the closing semi-join
+    keyed on the (v, w) pair — every shuffle keyed, nothing
+    broadcast-unbounded, no cartesian.
+
+    Returns (node, n_triangles) for every node in >= 1 triangle.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    x, y = o.alias("x"), o.alias("y")
+    v_before_w = (F.col("x.dv") < F.col("y.dv")) | (
+        (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
+    )
+    wedges = x.join(y, (F.col("x.u") == F.col("y.u")) & v_before_w).select(
+        F.col("x.u").alias("t1"),
+        F.col("x.v").alias("t2"),
+        F.col("y.v").alias("t3"),
+    )
+    closing = o.select(F.col("u").alias("t2"), F.col("v").alias("t3"))
+    tris = wedges.join(closing, ["t2", "t3"], "left_semi")
+    return (
+        tris.select(
+            F.explode(F.array("t1", "t2", "t3")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -1267,3 +1267,28 @@ def test_trend_ols_hand_values_and_degenerates(spark):
     assert got["flaty"]["slope"] == 0.0
     assert got["flaty"]["intercept"] == 4.0
     assert got["flaty"]["r2"] is None
+
+
+def test_triangle_counts_hand_graphs(spark):
+    """triangle_counts (operators/graph.py): K4 has 4 triangles with
+    every node in 3; a square (C4) has none; a star has none (the
+    degree orientation must not manufacture wedges at the hub); a
+    hub with one rim edge has exactly one triangle.  Duplicate and
+    reversed input edges must not double-count."""
+    from botkop_telcotraffic_spark_spark.operators.graph import triangle_counts
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+
+    k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    # duplicates + reversals: same graph
+    got = run(k4 + [(b, a) for a, b in k4] + k4[:2])
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    assert run([("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]) == {}
+
+    star = [("hub", f"s{i}") for i in range(6)]
+    assert run(star) == {}
+    got = run(star + [("s0", "s1")])
+    assert got == {"hub": 1, "s0": 1, "s1": 1}

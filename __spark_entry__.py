@@ -4923,6 +4923,58 @@ GROUP BY node
 """
 
 
+# fixed embedding width of the synthetic corpus (all SFs) — shared by
+# the Spark query and the oracle SQL below, like _TREND_ORIGIN_US
+_EMB_DIM = 64
+
+
+def pca_cov_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of PCA (operators/pca.py::gram_summary):
+    upper-triangle covariance entries of the embedding corpus from
+    ONE BLAS-partial pass (per-Arrow-batch X.T@X, merged to a single
+    row).  The d×d result is MODEL-sized (the driver-side eigen step
+    consumes it — centroid-table pattern), so materializing it as a
+    2 080-row DataFrame is O(d²), not O(data).  The oracle recomputes
+    every entry relationally; the green row certifies the whole
+    data-touching pass bit-for-bit at 6 decimals."""
+    from botkop_telcotraffic_spark_spark.operators.pca import gram_summary
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n, s, g = gram_summary(emb, "embedding", _EMB_DIM)
+    rows = []
+    for i in range(_EMB_DIM):
+        for j in range(i, _EMB_DIM):
+            cov = g[i * _EMB_DIM + j] / n - (s[i] / n) * (s[j] / n)
+            rows.append((i + 1, j + 1, cov))
+    raw = spark.createDataFrame(rows, "i long, j long, cov double")
+    # + 0.0 after round: IEEE -0.0 + 0.0 = +0.0, so a tiny negative
+    # that rounds to zero cannot hash-differ from the oracle's +0.0
+    return raw.select("i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov"))
+
+
+_PCA_COV_SQL = f"""
+WITH m AS (
+  SELECT i, sum(CAST(embedding[i] AS DOUBLE)) AS si
+  FROM embeddings, generate_series(1, {_EMB_DIM}) t(i)
+  GROUP BY i
+), cnt AS (SELECT count(*) AS n FROM embeddings),
+prod AS (
+  SELECT a.i AS i, b.i AS j,
+         sum(CAST(e.embedding[a.i] AS DOUBLE)
+             * CAST(e.embedding[b.i] AS DOUBLE)) AS gij
+  FROM embeddings e,
+       generate_series(1, {_EMB_DIM}) a(i),
+       generate_series(1, {_EMB_DIM}) b(i)
+  WHERE a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+       round(p.gij / n - (ma.si / n) * (mb.si / n), 6) + 0.0 AS cov
+FROM prod p, cnt, m ma, m mb
+WHERE ma.i = p.i AND mb.i = p.j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -4990,6 +5042,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bloom_join_urgent_revenue": (bloom_join_urgent_revenue, _BLOOM_JOIN_SQL),
     "trend_value_by_type": (trend_value_by_type, _TREND_SQL),
     "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
+    "pca_cov_embeddings": (pca_cov_embeddings, _PCA_COV_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -1292,3 +1292,46 @@ def test_triangle_counts_hand_graphs(spark):
     assert run(star) == {}
     got = run(star + [("s0", "s1")])
     assert got == {"hub": 1, "s0": 1, "s1": 1}
+
+
+def test_pca_fit_matches_numpy_and_projects(spark):
+    """pca_fit/pca_project (operators/pca.py): the distributed gram
+    pass + driver eigen must reproduce numpy PCA on the same data —
+    eigenvalues match eigvalsh, components are orthonormal and
+    sign-fixed (deterministic across runs), and the fold-based
+    projection equals (X−μ)·cᵀ to float tolerance."""
+    import numpy as np
+
+    from botkop_telcotraffic_spark_spark.operators import pca
+
+    rng = np.random.default_rng(11)
+    d, n, k = 6, 300, 3
+    # anisotropic cloud so the spectrum is distinct
+    X = rng.normal(size=(n, d)) * np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.1])
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(4)
+
+    fit = pca.pca_fit(df, "embedding", d, k)
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / n
+    want_evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:k]
+    assert np.allclose(fit["explained_var"], want_evals, atol=1e-9)
+    assert np.allclose(fit["mean"], mu, atol=1e-9)
+
+    C = np.asarray(fit["components"])
+    assert np.allclose(C @ C.T, np.eye(k), atol=1e-9)  # orthonormal
+    for row in C:  # sign fix
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+    proj = pca.pca_project(df, "embedding", fit["mean"], fit["components"])
+    got = {r["vec_id"]: np.asarray(r["pc"]) for r in proj.collect()}
+    want = (X - mu) @ C.T
+    for i in range(n):
+        assert np.allclose(got[i], want[i], atol=1e-5)
+
+    # variance ratios: descending, sum <= 1
+    r = fit["ratio"]
+    assert all(r[i] >= r[i + 1] for i in range(k - 1)) and sum(r) <= 1 + 1e-12
+
+    with pytest.raises(ValueError):
+        pca.pca_fit(df.limit(1), "embedding", d, k)

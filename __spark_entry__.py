@@ -4975,6 +4975,101 @@ WHERE ma.i = p.i AND mb.i = p.j
 """
 
 
+def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix
+    (operators/funnel.py::markov_transitions) over per-user event
+    sequences ordered by (ts, event_id) — one keyed window + a
+    |states|²-sized aggregate; P(next|current) rounded at 6."""
+    from botkop_telcotraffic_spark_spark.operators.funnel import markov_transitions
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return markov_transitions(e, "user_id", "ts", "event_type", "event_id")
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_state
+  FROM events
+), trans AS (
+  SELECT state, next_state, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_state IS NOT NULL
+  GROUP BY state, next_state
+)
+SELECT state, next_state, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY state) AS DOUBLE), 6) AS p
+FROM trans
+"""
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed CDC between two synthetic versions of orders
+    (operators/diff.py::snapshot_diff): v_old drops keys ≡5 (mod 11),
+    v_new drops keys ≡3 (mod 13), bumps price 10% on keys ≡0 (mod 5)
+    and flips status to 'X' on keys ≡2 (mod 17) — exercising added /
+    removed / changed(one col) / changed(two cols) in one run.  One
+    full-outer keyed join, delta-sized output."""
+    from botkop_telcotraffic_spark_spark.operators.diff import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.where(F.col("o_orderkey") % 11 != 5)
+    new = (
+        o.where(F.col("o_orderkey") % 13 != 3)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0,
+                F.round(F.col("o_totalprice") * 1.1, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 17 == 2, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+_DIFF_SQL = """
+WITH v_old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 11 != 5
+), v_new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 17 = 2 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 13 != 3
+), j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+              THEN 'changed' END AS status,
+         o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS ds,
+         o.o_totalprice IS DISTINCT FROM n.o_totalprice AS dp
+  FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, status,
+       CASE WHEN status = 'changed'
+            THEN concat_ws(',', CASE WHEN ds THEN 'o_orderstatus' END,
+                                CASE WHEN dp THEN 'o_totalprice' END)
+            ELSE '' END AS changed_cols
+FROM j WHERE status IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5043,6 +5138,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "trend_value_by_type": (trend_value_by_type, _TREND_SQL),
     "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
     "pca_cov_embeddings": (pca_cov_embeddings, _PCA_COV_SQL),
+    "markov_transitions_events": (markov_transitions_events, _MARKOV_SQL),
+    "snapshot_diff_orders": (snapshot_diff_orders, _DIFF_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

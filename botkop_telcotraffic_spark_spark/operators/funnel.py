@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -94,4 +94,49 @@ def cohort_retention(
         joined.where(F.col("offset") <= max_offset)
         .groupBy("cohort_start", "offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def markov_transitions(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: for every (state → next_state) pair, the transition
+    count and the conditional probability P(next | current) — the
+    next-event model behind journey analysis, autocomplete-style
+    next-action suggestions, and anomalous-path detection.
+
+    ``tiebreak_col`` is REQUIRED, not optional: same-timestamp events
+    are real at scale, and ``lead()`` over a non-total order is
+    engine-dependent — the tiebreaker pins one canonical sequence so
+    every engine derives the same transitions.
+
+    Physical shape: ONE keyed window (partition by entity, order by
+    (ts, tiebreak)) to derive successors — the same shuffle profile
+    as any per-entity sessionization — then a (state, next) aggregate
+    whose cardinality is |states|², independent of data size, and a
+    broadcast-sized per-state total joined back via a window over the
+    tiny aggregate.  No self-join of the fact against itself.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col, tiebreak_col)
+    trans = (
+        df.select(
+            F.col(state_col).alias("state"),
+            F.lead(state_col).over(w).alias("next_state"),
+        )
+        .where(F.col("next_state").isNotNull())
+        .groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("state")
+    return trans.select(
+        "state",
+        "next_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), round_to).alias("p"),
     )

@@ -1335,3 +1335,63 @@ def test_pca_fit_matches_numpy_and_projects(spark):
 
     with pytest.raises(ValueError):
         pca.pca_fit(df.limit(1), "embedding", d, k)
+
+
+def test_markov_transitions_hand_sequence(spark):
+    """markov_transitions (operators/funnel.py): hand-built sequences
+    A->B->A->C (u1) and B->A (u2, interleaved timestamps) give exact
+    counts/probabilities; a same-timestamp pair is ordered by the
+    tiebreaker; last events emit no transition."""
+    from botkop_telcotraffic_spark_spark.operators.funnel import (
+        markov_transitions,
+    )
+
+    rows = [
+        ("u1", 1, 1, "A"), ("u1", 2, 2, "B"), ("u1", 3, 3, "A"),
+        ("u1", 4, 4, "C"),
+        ("u2", 1, 5, "B"), ("u2", 5, 6, "A"),
+        # u3: same ts, tiebreak 8 before 9 -> X->Y not Y->X
+        ("u3", 7, 8, "X"), ("u3", 7, 9, "Y"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts long, eid long, s string")
+    got = {
+        (r["state"], r["next_state"]): (r["n"], r["p"])
+        for r in markov_transitions(df, "u", "ts", "s", "eid").collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 0.5),
+        ("A", "C"): (1, 0.5),
+        ("B", "A"): (2, 1.0),
+        ("X", "Y"): (1, 1.0),
+    }
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    """snapshot_diff (operators/diff.py): added/removed/changed with
+    column attribution; NULL->value and value->NULL are changes,
+    NULL->NULL is not; unchanged keys are omitted."""
+    from botkop_telcotraffic_spark_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (4, None, None), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        2: ("changed", "v"),      # NULL -> 20.0
+        3: ("removed", ""),
+        4: ("changed", "v"),      # 40.0 -> NULL; s NULL->NULL not a change
+        5: ("added", ""),
+    }
+    # multi-column change attribution, sorted names
+    old2 = spark.createDataFrame([(1, "a", 1.0)], "k int, s string, v double")
+    new2 = spark.createDataFrame([(1, "b", 2.0)], "k int, s string, v double")
+    [r] = snapshot_diff(old2, new2, ["k"]).collect()
+    assert r["changed_cols"] == "s,v"

@@ -4786,19 +4786,24 @@ GROUP BY event_type
 
 def bloom_join_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned fact join (operators/bloom.py::bloom_prune_join):
-    lineitem joined to URGENT-priority orders through a 64 Kbit / 5-hash
-    Bloom pre-filter built on the dim keys, then revenue per
-    returnflag.  The Bloom pass is a pure physical optimization — the
-    exact join after the filter drops false positives, so the result
-    is row-identical to the plain join and the oracle IS the plain
-    join.  At 100 TB the fact shuffle carries only probable matches
-    (~selectivity x fact) instead of every row."""
+    lineitem joined to Q1-1997 URGENT orders (~5% of orders) through
+    an auto-sized 5-hash Bloom pre-filter built on the dim keys, then
+    revenue per returnflag.  The Bloom pass is a pure physical
+    optimization — the exact join after the filter drops false
+    positives, so the result is row-identical to the plain join and
+    the oracle IS the plain join.  At 100 TB the fact shuffle carries
+    only probable matches (~selectivity x fact) instead of every
+    row."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
     )
     dim = (
         _t(spark, sf_dir, "orders")
-        .where(F.col("o_orderpriority") == "1-URGENT")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
         .select("o_orderkey")
     )
     joined = bloom.bloom_prune_join(li, dim, "l_orderkey", "o_orderkey")
@@ -4821,6 +4826,8 @@ SELECT l_returnflag,
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
@@ -5070,6 +5077,40 @@ FROM j WHERE status IS NOT NULL
 """
 
 
+def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives
+    (operators/sampling.py::negative_samples): 4 hash-drawn other
+    docs per doc via dense fingerprint-order positions (two-phase
+    rank, no global window) and a modular jump that can never land on
+    the doc itself; the oracle replays the identical arithmetic."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.negative_samples(d, "doc_id", k=4)
+
+
+def _negs_fp_sql(expr: str) -> str:
+    return _wsample_fp_sql(expr)
+
+
+_NEGS_SQL = f"""
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY {_negs_fp_sql("'negs:' || CAST(doc_id AS VARCHAR)")},
+                    doc_id) - 1 AS pos0
+  FROM documents
+), cnt AS (SELECT count(*) AS n FROM documents),
+probes AS (
+  SELECT r.doc_id, t.i AS neg_rank,
+         (pos0 + 1
+          + {_negs_fp_sql("'negs:p:' || CAST(r.doc_id AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)")}
+            % (n - 1)) % n AS tgt
+  FROM r, cnt, generate_series(1, 4) t(i)
+)
+SELECT p.doc_id, p.neg_rank, r2.doc_id AS neg_doc_id
+FROM probes p JOIN r r2 ON r2.pos0 = p.tgt
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5140,6 +5181,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pca_cov_embeddings": (pca_cov_embeddings, _PCA_COV_SQL),
     "markov_transitions_events": (markov_transitions_events, _MARKOV_SQL),
     "snapshot_diff_orders": (snapshot_diff_orders, _DIFF_SQL),
+    "negative_samples_docs": (negative_samples_docs, _NEGS_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -473,3 +473,76 @@ def weighted_hash_sample(
         .withColumn(priority_col, F.round(F.col("_pr"), 6))
         .drop("_pr")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    salt: str = "negs:",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive
+    training: each key draws ``k`` pseudo-random OTHER keys from the
+    corpus — no RNG, so re-runs, retries, and the oracle reproduce
+    the same pairs (the same discipline as every sampler here).
+
+    Construction: keys get a dense global position in fingerprint
+    order (hash order = random order) via the shared two-phase
+    :func:`distributed_running_sum` — no global window.  Draw ``i``
+    of ``k`` for key d jumps to position
+    ``(pos(d) + 1 + h(d, i) mod (n-1)) mod n``: the offset lies in
+    [1, n-1], so a key can NEVER draw itself, and the join back from
+    target position to key is an equi-join on the dense rank.  Draws
+    are with replacement ACROSS i (two draws of one key may coincide
+    — at corpus scale collisions are ~k²/n and harmless for
+    contrastive loss).
+
+    Physical shape: rank assignment (one range exchange + per-shard
+    window + broadcast offsets), a k-way narrow explode, and ONE
+    keyed equi-join on position.  Returns
+    ``(key_col, neg_rank, neg_<key_col>)``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    fp = rolling_fingerprint(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    ranked = distributed_running_sum(
+        df.select(key_col).withColumn("_nfp", fp).withColumn("_one", F.lit(1)),
+        "_one",
+        ["_nfp", key_col],
+        out_col="_rank",
+    ).select(key_col, (F.col("_rank") - 1).alias("_pos"))
+    n_row = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    probes = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            key_col,
+            "_pos",
+            "_n",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"),
+        )
+        .withColumn(
+            "_h",
+            rolling_fingerprint(
+                F.concat(
+                    F.lit(salt + "p:"),
+                    F.col(key_col).cast("string"),
+                    F.lit(":"),
+                    F.col("neg_rank").cast("string"),
+                )
+            ),
+        )
+        .select(
+            key_col,
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            (
+                (F.col("_pos") + 1 + F.col("_h") % (F.col("_n") - 1))
+                % F.col("_n")
+            ).alias("_tgt"),
+        )
+    )
+    targets = ranked.select(
+        F.col(key_col).alias(f"neg_{key_col}"), F.col("_pos").alias("_tgt")
+    )
+    return probes.join(targets, "_tgt").select(
+        key_col, "neg_rank", f"neg_{key_col}"
+    )

@@ -1395,3 +1395,25 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
     new2 = spark.createDataFrame([(1, "b", 2.0)], "k int, s string, v double")
     [r] = snapshot_diff(old2, new2, ["k"]).collect()
     assert r["changed_cols"] == "s,v"
+
+
+def test_negative_samples_never_self_deterministic(spark):
+    """negative_samples (operators/sampling.py): k rows per key, a
+    key never draws itself, all negatives are real corpus keys, and
+    two runs produce identical pairs (hash, not RNG)."""
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    out = negative_samples(df, "doc_id", k=3).collect()
+    assert len(out) == 150
+    ids = set(range(50))
+    for r in out:
+        assert r["neg_doc_id"] != r["doc_id"]
+        assert r["neg_doc_id"] in ids
+    again = negative_samples(df, "doc_id", k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # a different salt is a different draw
+    other = negative_samples(df, "doc_id", k=3, salt="negs2:").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))

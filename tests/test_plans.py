@@ -530,6 +530,8 @@ def test_registry_wide_no_cartesian(spark):
         "token_shards_docs",         # one-row grand-total scalar
         "pagerank_purchase_graph",   # one-row dangling-mass scalar/iter
         "bigram_pmi_docs",           # one-row T1/T2 total scalars
+        "bloom_join_urgent_revenue", # one-row broadcast bitset probe
+        "negative_samples_docs",     # one-row corpus-count scalar
         "geofence_rect_events",      # broadcast fence rectangles
         "ann_cosine_topk",           # broadcast bounded query set
         "ann_ivf_topk",              # broadcast k centroids
@@ -572,10 +574,13 @@ def test_heavy_hitters_topk_heap_not_global_sort(spark):
 
 
 def test_bloom_probe_is_scan_side_no_shuffle(spark):
-    """The Bloom probe (operators/bloom.py::bloom_probe) must be pure
-    scan-stage column math: filtering the fact by the probe adds NO
-    Exchange — at 100 TB that is the whole point (only probable
-    matches reach the join shuffle)."""
+    """The Bloom probe must cut the fact BEFORE any shuffle — at
+    100 TB that is the whole point (only probable matches reach the
+    join Exchange).  Standalone ``bloom_probe`` is a plain Filter
+    with no Exchange at all; ``bloom_prune_join``'s probe stage is a
+    BroadcastNestedLoopJoin against the 1-row bitset (broadcast — no
+    shuffle of the fact) and the only ShuffleExchanges in the full
+    plan belong to the exact join AFTER the cut."""
     from botkop_telcotraffic_spark_spark.operators import bloom
 
     li = spark.read.parquet(f"{SF_DIR_001}/lineitem.parquet")
@@ -583,8 +588,14 @@ def test_bloom_probe_is_scan_side_no_shuffle(spark):
     dim = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey"
     )
-    words = bloom.bloom_build(dim, "o_orderkey")
+    words = bloom.bloom_build(dim, "o_orderkey", num_bits=1 << 16)
     pruned = li.where(bloom.bloom_probe(F.col("l_orderkey"), words))
     plan = physical_plan(pruned)
     assert "Exchange" not in plan, plan
     assert "Filter" in plan, plan
+
+    full = bloom.bloom_prune_join(li, dim, "l_orderkey", "o_orderkey")
+    fplan = physical_plan(full)
+    assert "BroadcastNestedLoopJoin" in fplan, fplan
+    # the probe join must be broadcast, never a shuffled cartesian
+    assert "CartesianProduct" not in fplan, fplan

@@ -278,41 +278,53 @@ def pagerank(
     deterministic and oracle-reproducible; each round ends in
     localCheckpoint to keep lineage flat (cluster: persist).
     """
-    e = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).distinct().localCheckpoint()
+    # Iteration state is ONE table (node, deg, rank) hash-partitioned
+    # on node, and the edge list is pre-partitioned on its source —
+    # so each round adds only the contrib groupBy shuffle: the
+    # edge⋈rank join sees both sides already hashed on the join key
+    # (distinct/groupBy partitioning is reused, localCheckpoint
+    # preserves it), and the per-round degree re-join of the old
+    # formulation is gone because deg rides in the state.
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .repartition("u")
+        .persist()
+    )
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
-    n_nodes = nodes.count()  # O(1) scalar, intentional
-    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ranks = nodes.join(deg, "node", "left").persist()
+    n_nodes = ranks.count()  # O(1) scalar, intentional
+    ranks = ranks.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
-        with_deg = ranks.join(deg, ranks.node == deg.u, "left").select(
-            "node", "rank", "deg"
-        )
         # dangling nodes (no out-edges) leak their mass; collect it
         # in a 1-row aggregate and hand it back uniformly
-        dangling = with_deg.where(F.col("deg").isNull()).agg(
+        dangling = ranks.where(F.col("deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         contrib = (
             e.join(
-                with_deg.where(F.col("deg").isNotNull()),
+                ranks.where(F.col("deg").isNotNull()).select(
+                    F.col("node"), (F.col("rank") / F.col("deg")).alias("w")
+                ),
                 e.u == F.col("node"),
             )
-            .select("v", (F.col("rank") / F.col("deg")).alias("w"))
-            .groupBy("v")
+            .groupBy(F.col("v").alias("node"))
             .agg(F.sum("w").alias("recv"))
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.v, "left")
+            ranks.select("node", "deg")
+            .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "deg",
                 (
                     F.lit((1.0 - damping) / n_nodes)
                     + F.lit(damping)
@@ -324,7 +336,7 @@ def pagerank(
             )
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def triangle_counts(

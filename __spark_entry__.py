@@ -5111,6 +5111,82 @@ FROM probes p JOIN r r2 ON r2.pos0 = p.tgt
 """
 
 
+def chisq_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity drift
+    (operators/drift.py::chi_square_drift) of the event_type
+    distribution, first half-month vs second: one keyed aggregate +
+    1-row grand-total broadcast; sum(chi2_term) is the statistic."""
+    from botkop_telcotraffic_spark_spark.operators.drift import chi_square_drift
+
+    e = _t(spark, sf_dir, "events").select("event_type", "ts")
+    return chi_square_drift(
+        e, ["event_type"], F.col("ts") >= F.lit(_INC_CUT).cast("timestamp")
+    )
+
+
+_CHISQ_SQL = f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_INC_CUT}' THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '{_INC_CUT}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(sum(n_a) AS DOUBLE) AS ta, CAST(sum(n_b) AS DOUBLE) AS tb
+  FROM counts
+)
+SELECT event_type, n_a, n_b,
+       round((n_a + n_b) * ta / (ta + tb), 6) AS exp_a,
+       round((n_a + n_b) * tb / (ta + tb), 6) AS exp_b,
+       round((n_a - (n_a + n_b) * ta / (ta + tb))
+             * (n_a - (n_a + n_b) * ta / (ta + tb))
+             / ((n_a + n_b) * ta / (ta + tb))
+             + (n_b - (n_a + n_b) * tb / (ta + tb))
+             * (n_b - (n_a + n_b) * tb / (ta + tb))
+             / ((n_a + n_b) * tb / (ta + tb)), 6) AS chi2_term
+FROM counts, tot
+"""
+
+
+def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: per-user running (count, value-sum)
+    held as transformWithState ValueState
+    (streaming/tws.py::KeyedCountProcessor), replayed availableNow,
+    then an exact top-20 cut over the final snapshot (count desc, id
+    asc — deterministic ties).  State math is exact (int count) /
+    round-stable (double sum at 6dp), so the batch oracle reproduces
+    the snapshot."""
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.tws import running_keyed_counts
+
+    tune(spark)
+    enable_large_state(spark)
+    stream = stream_parquet_table(spark, sf_dir, "events").select(
+        "user_id", "value"
+    )
+    snap = run_to_memory(running_keyed_counts(stream), output_mode="update")
+    return (
+        snap.orderBy(F.col("n").desc(), F.col("user_id"))
+        .limit(20)
+        .select("user_id", "n", F.round("vsum", 6).alias("vsum"))
+    )
+
+
+_STREAM_TOPK_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS vsum
+FROM events
+GROUP BY user_id
+ORDER BY n DESC, user_id
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5182,6 +5258,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "markov_transitions_events": (markov_transitions_events, _MARKOV_SQL),
     "snapshot_diff_orders": (snapshot_diff_orders, _DIFF_SQL),
     "negative_samples_docs": (negative_samples_docs, _NEGS_SQL),
+    "chisq_event_drift": (chisq_event_drift, _CHISQ_SQL),
+    "streaming_topk_users": (streaming_topk_users, _STREAM_TOPK_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

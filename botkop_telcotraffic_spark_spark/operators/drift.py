@@ -74,3 +74,57 @@ def categorical_drift(
         F.round(js, 6).alias("js_term"),
         F.round(kl, 6).alias("kl_term"),
     )
+
+
+def chi_square_drift(
+    df: DataFrame,
+    cat_cols: Sequence[str],
+    in_b: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson chi-square two-sample homogeneity test between slice A
+    (``in_b`` false) and slice B (``in_b`` true) over the
+    ``cat_cols`` categories — the classical significance companion to
+    :func:`categorical_drift`'s information-theoretic view (JS says
+    "how different", chi-square says "could this be chance").
+
+    Per category: observed a/b counts, expected counts under
+    homogeneity (row_total * col_total / grand_total), and the
+    category's chi-square contribution Σ (obs-exp)²/exp over both
+    slices.  The statistic is the sum of the ``chi2_term`` column;
+    degrees of freedom = (#categories - 1) — left to the caller, who
+    knows which categories they consider structural.
+
+    Physical shape: ONE keyed aggregate over the categories (map-side
+    combined), a 1-row grand-total broadcast joined back — same
+    profile as categorical_drift; output is category-sized.
+    Zero-expected categories cannot occur: a category only appears if
+    observed in at least one slice, so both its row total and each
+    column total are positive.
+    """
+    b = in_b.cast("boolean")
+    keys = [F.col(c) for c in cat_cols]
+    counts = df.groupBy(*keys).agg(
+        F.sum(F.when(~b, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(b, 1).otherwise(0)).alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").cast("double").alias("_ta"),
+        F.sum("n_b").cast("double").alias("_tb"),
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    row_tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    grand = F.col("_ta") + F.col("_tb")
+    exp_a = row_tot * F.col("_ta") / grand
+    exp_b = row_tot * F.col("_tb") / grand
+    chi = (F.col("n_a") - exp_a) * (F.col("n_a") - exp_a) / exp_a + (
+        F.col("n_b") - exp_b
+    ) * (F.col("n_b") - exp_b) / exp_b
+    return j.select(
+        *cat_cols,
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(exp_a, round_to).alias("exp_a"),
+        F.round(exp_b, round_to).alias("exp_b"),
+        F.round(chi, round_to).alias("chi2_term"),
+    )

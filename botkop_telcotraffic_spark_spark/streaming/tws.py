@@ -106,3 +106,70 @@ def running_ewma(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_COUNT_STATE_SCHEMA = "n long, vsum double"
+COUNT_OUT_SCHEMA = "user_id long, n long, vsum double"
+
+
+class KeyedCountProcessor(StatefulProcessor):
+    """Running (count, value-sum) per key — the stateful substrate of
+    a streaming leaderboard / heavy-hitter monitor.  State is two
+    scalars per key in the RocksDB store; each micro-batch emits the
+    key's post-batch totals (update mode), and the top-k cut happens
+    OVER THE SNAPSHOT downstream, where it is a k-row sort — ranking
+    inside the processor would need cross-key state, which keyed
+    state deliberately cannot see."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("counts", _COUNT_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows))
+        prior = self._state.get() if self._state.exists() else None
+        n, vsum = prior if prior is not None else (0, 0.0)
+        vals = batch["value"].dropna()
+        n += int(len(batch))
+        vsum += float(vals.sum()) if len(vals) else 0.0
+        self._state.update((n, vsum))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "vsum": [vsum]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _count_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    # classic-API twin of KeyedCountProcessor.handleInputRows
+    n, vsum = state.get if state.exists else (0, 0.0)
+    batch = pd.concat(list(pdfs))
+    vals = batch["value"].dropna()
+    n += int(len(batch))
+    vsum += float(vals.sum()) if len(vals) else 0.0
+    state.update((n, vsum))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "vsum": [vsum]})
+
+
+def running_keyed_counts(events: DataFrame) -> DataFrame:
+    """events(user_id, value, ...) -> per-user running (n, vsum).
+
+    Same API preference dance as :func:`running_ewma`."""
+    if transform_with_state_available():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=KeyedCountProcessor(),
+            outputStructType=COUNT_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _count_group,
+        outputStructType=COUNT_OUT_SCHEMA,
+        stateStructType=_COUNT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

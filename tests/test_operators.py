@@ -1417,3 +1417,32 @@ def test_negative_samples_never_self_deterministic(spark):
     # a different salt is a different draw
     other = negative_samples(df, "doc_id", k=3, salt="negs2:").collect()
     assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+
+
+def test_chi_square_drift_hand_table(spark):
+    """chi_square_drift (operators/drift.py): hand-solved 2x2x2 —
+    X: a=30,b=10; Y: a=20,b=40 -> ta=tb=50, exp X=(20,20), Y=(30,30),
+    chi2 X=10, Y=20/3; identical slices give chi2 0."""
+    from botkop_telcotraffic_spark_spark.operators.drift import (
+        chi_square_drift,
+    )
+
+    rows = (
+        [("X", False)] * 30 + [("X", True)] * 10
+        + [("Y", False)] * 20 + [("Y", True)] * 40
+    )
+    df = spark.createDataFrame(rows, "cat string, b boolean")
+    got = {
+        r["cat"]: r
+        for r in chi_square_drift(df, ["cat"], F.col("b")).collect()
+    }
+    assert (got["X"]["n_a"], got["X"]["n_b"]) == (30, 10)
+    assert (got["X"]["exp_a"], got["X"]["exp_b"]) == (20.0, 20.0)
+    assert got["X"]["chi2_term"] == 10.0
+    assert got["Y"]["chi2_term"] == round(200 / 30, 6)
+
+    same = spark.createDataFrame(
+        [("X", False)] * 5 + [("X", True)] * 5, "cat string, b boolean"
+    )
+    [r] = chi_square_drift(same, ["cat"], F.col("b")).collect()
+    assert r["chi2_term"] == 0.0

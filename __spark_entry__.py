@@ -5187,6 +5187,84 @@ LIMIT 20
 """
 
 
+def impute_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median null imputation
+    (operators/impute.py::impute_group_stat): event values filled
+    with their type's exact interpolating median; per-key aggregate
+    broadcast back, fact never shuffled."""
+    from botkop_telcotraffic_spark_spark.operators.impute import impute_group_stat
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = impute_group_stat(e, ["event_type"], "value")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value_filled", 6).alias("value_filled"),
+        "was_imputed",
+    )
+
+
+_IMPUTE_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       round(coalesce(value, m), 6) AS value_filled,
+       value IS NULL AS was_imputed
+FROM events e JOIN med USING (event_type)
+"""
+
+
+def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules
+    (operators/assoc.py::association_rules) over order baskets of
+    parts: directed (antecedent → consequent) support / confidence /
+    lift, support ≥ 2 — the recommendation companion to the triangle
+    and PMI miners; per-basket-bounded pair join, min-support pruning
+    before the metric joins."""
+    from botkop_telcotraffic_spark_spark.operators.assoc import association_rules
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(l, "l_orderkey", "l_partkey", min_support=2)
+
+
+_ASSOC_SQL = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem
+), n AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS nb FROM bi),
+sup AS (SELECT item, count(*) AS s FROM bi GROUP BY item),
+pairs AS (
+  SELECT x.item AS antecedent, y.item AS consequent,
+         CAST(count(*) AS BIGINT) AS support
+  FROM bi x JOIN bi y ON x.b = y.b AND x.item != y.item
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT antecedent, consequent, support,
+       round(CAST(support AS DOUBLE) / sa.s, 6) AS confidence,
+       round((CAST(support AS DOUBLE) / sa.s) / (CAST(sb.s AS DOUBLE) / nb),
+             6) AS lift
+FROM pairs
+JOIN sup sa ON sa.item = antecedent
+JOIN sup sb ON sb.item = consequent, n
+"""
+
+
+def kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment
+    (operators/sampling.py::kfold_assign): stable hash fold per doc —
+    disjoint, uniform, growth-stable; scan-side column math."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.kfold_assign(d, "doc_id", k=5)
+
+
+_KFOLD_SQL = f"""
+SELECT doc_id, lang,
+       {_wsample_fp_sql("'kfold:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5260,6 +5338,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "negative_samples_docs": (negative_samples_docs, _NEGS_SQL),
     "chisq_event_drift": (chisq_event_drift, _CHISQ_SQL),
     "streaming_topk_users": (streaming_topk_users, _STREAM_TOPK_SQL),
+    "impute_events_value": (impute_events_value, _IMPUTE_SQL),
+    "assoc_rules_parts": (assoc_rules_parts, _ASSOC_SQL),
+    "kfold_docs": (kfold_docs, _KFOLD_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

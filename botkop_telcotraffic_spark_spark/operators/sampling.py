@@ -546,3 +546,22 @@ def negative_samples(
     return probes.join(targets, "_tgt").select(
         key_col, "neg_rank", f"neg_{key_col}"
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    salt: str = "kfold:",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: ``fold`` in
+    [0, k) from the stable key hash — folds are uniform, disjoint by
+    construction, reproducible across engines/re-runs, and STABLE
+    under corpus growth (a new doc lands in one fold without moving
+    any existing doc — the property random splits lack and leak-free
+    evaluation needs).  Train set for fold i = ``fold != i``; pure
+    scan-side column math, no shuffle.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return df.withColumn("fold", hash_bucket(F.col(key_col), k, salt))

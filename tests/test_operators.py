@@ -1446,3 +1446,81 @@ def test_chi_square_drift_hand_table(spark):
     )
     [r] = chi_square_drift(same, ["cat"], F.col("b")).collect()
     assert r["chi2_term"] == 0.0
+
+
+def test_impute_group_stat_strategies(spark):
+    """impute_group_stat (operators/impute.py): median fill per
+    group (interpolating: median of [1,2,10,100] = 6.0), mean fill,
+    all-null group keeps null, flag set exactly on filled rows."""
+    from botkop_telcotraffic_spark_spark.operators.impute import (
+        impute_group_stat,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", 2.0), ("a", 10.0), ("a", 100.0), ("a", None),
+        ("b", 5.0), ("b", None),
+        ("c", None), ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = impute_group_stat(df, ["g"], "v").collect()
+    filled = sorted(
+        (r["g"], r["v_filled"], r["was_imputed"]) for r in got
+        if r["was_imputed"]
+    )
+    assert filled == [("a", 6.0, True), ("b", 5.0, True),
+                      ("c", None, True), ("c", None, True)]
+    assert all(not r["was_imputed"] for r in got if r["v"] is not None)
+
+    mean = impute_group_stat(df, ["g"], "v", strategy="mean").collect()
+    [a_fill] = [r["v_filled"] for r in mean if r["g"] == "a" and r["was_imputed"]]
+    assert a_fill == (1.0 + 2.0 + 10.0 + 100.0) / 4
+
+    with pytest.raises(ValueError):
+        impute_group_stat(df, ["g"], "v", strategy="mode")
+
+
+def test_association_rules_hand_baskets(spark):
+    """association_rules (operators/assoc.py): hand-solved baskets
+    {1:(x,y), 2:(x,y), 3:(x,z)} with min_support=2 keep only x<->y:
+    conf(x->y)=2/3, conf(y->x)=1, lift both = 1 / (2/3 * ... ) —
+    N=3, sup(x)=3, sup(y)=2: lift(x->y) = (2/3)/(2/3) = 1.0,
+    lift(y->x) = 1/(3/3) = 1.0."""
+    from botkop_telcotraffic_spark_spark.operators.assoc import (
+        association_rules,
+    )
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"),
+            (1, "x")]  # duplicate item in basket must not double-count
+    df = spark.createDataFrame(rows, "b int, item string")
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, "b", "item", min_support=2).collect()
+    }
+    assert set(got) == {("x", "y"), ("y", "x")}
+    assert got[("x", "y")]["support"] == 2
+    assert got[("x", "y")]["confidence"] == round(2 / 3, 6)
+    assert got[("x", "y")]["lift"] == 1.0
+    assert got[("y", "x")]["confidence"] == 1.0
+    assert got[("y", "x")]["lift"] == 1.0
+
+
+def test_kfold_assign_disjoint_uniform_stable(spark):
+    """kfold_assign (operators/sampling.py): folds cover [0,k),
+    roughly uniform, and adding rows never moves an existing row's
+    fold (growth stability)."""
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        kfold_assign,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    a = {r["id"]: r["fold"] for r in kfold_assign(df, "id", 5).collect()}
+    assert set(a.values()) == {0, 1, 2, 3, 4}
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert all(120 <= v <= 280 for v in c.values()), c
+    grown = spark.createDataFrame([(i,) for i in range(1500)], "id long")
+    b = {r["id"]: r["fold"] for r in kfold_assign(grown, "id", 5).collect()}
+    assert all(b[i] == a[i] for i in a)
+    with pytest.raises(ValueError):
+        kfold_assign(df, "id", 1)

@@ -186,3 +186,90 @@ def test_entity_resolution_recovers_planted_clusters(spark):
     for r in got:
         sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
     assert set(sizes.values()) == {4}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """triangle_counts equals a pure-python brute force over every
+    random small graph (self-loops and duplicate/reversed edges
+    included in the input)."""
+    from itertools import combinations
+
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    es = {frozenset(e) for e in edges if e[0] != e[1]}
+    want: dict[int, int] = {}
+    nodes = {n for e in es for n in e}
+    for tri in combinations(sorted(nodes), 3):
+        a, b, c = tri
+        if (
+            frozenset((a, b)) in es
+            and frozenset((a, c)) in es
+            and frozenset((b, c)) in es
+        ):
+            for n in tri:
+                want[n] = want.get(n, 0) + 1
+    df = spark.createDataFrame(
+        edges or [(0, 0)], "src int, dst int"
+    )
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 9),            # key
+            st.booleans(),                 # present in old
+            st.booleans(),                 # present in new
+            st.integers(0, 3),             # old value
+            st.integers(0, 3),             # new value
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_snapshot_diff_flip_symmetry(spark, rows):
+    """diff(new, old) is diff(old, new) with added<->removed swapped
+    and the changed set identical — on arbitrary keyed snapshots."""
+    from botkop_telcotraffic_spark_spark.operators.diff import snapshot_diff
+
+    old = [(k, vo) for k, po, pn, vo, vn in rows if po]
+    new = [(k, vn) for k, po, pn, vo, vn in rows if pn]
+    o = spark.createDataFrame(old or [(99, 0)], "k int, v int")
+    n = spark.createDataFrame(new or [(98, 0)], "k int, v int")
+    fwd = {
+        r["k"]: r["status"] for r in snapshot_diff(o, n, ["k"]).collect()
+    }
+    rev = {
+        r["k"]: r["status"] for r in snapshot_diff(n, o, ["k"]).collect()
+    }
+    flip = {"added": "removed", "removed": "added", "changed": "changed"}
+    assert rev == {k: flip[s] for k, s in fwd.items()}
+
+
+def test_markov_probabilities_sum_to_one(spark):
+    """markov_transitions: per-state transition probabilities sum to
+    ~1 (rounding at 6dp) for every state with outgoing transitions,
+    on the events fixture."""
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_DIR
+
+    out = entry_mod.markov_transitions_events(spark, SF_DIR).collect()
+    sums: dict[str, float] = {}
+    for r in out:
+        sums[r["state"]] = sums.get(r["state"], 0.0) + r["p"]
+    assert sums and all(abs(s - 1.0) < 1e-4 for s in sums.values()), sums

@@ -5265,6 +5265,40 @@ FROM documents
 """
 
 
+def length_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-batch planning (operators/chunking.py::
+    length_bucket_stats): docs bucketed to the next power-of-two
+    token length, padding waste and uniform-shape batch counts per
+    bucket — one scan, bucket-count-sized output."""
+    from botkop_telcotraffic_spark_spark.operators.chunking import (
+        length_bucket_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.size(textfn.words(F.col("text"))).alias("n_tokens")
+    )
+    return length_bucket_stats(d, "n_tokens", batch_tokens=4096)
+
+
+_LENBUCKET_SQL = """
+WITH lens AS (
+  SELECT greatest(CAST(length(string_split(text, ' ')) AS BIGINT), 1) AS n
+  FROM documents
+), b AS (
+  SELECT CAST(power(2.0, ceil(log2(n))) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_seqs,
+         CAST(sum(n) AS BIGINT) AS sum_tokens
+  FROM lens GROUP BY 1
+)
+SELECT bucket, n_seqs, sum_tokens,
+       n_seqs * bucket AS padded_tokens,
+       round((n_seqs * bucket - sum_tokens)
+             / CAST(n_seqs * bucket AS DOUBLE), 6) AS waste_frac,
+       CAST(ceil(n_seqs * bucket / 4096.0) AS BIGINT) AS n_batches
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5341,6 +5375,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "impute_events_value": (impute_events_value, _IMPUTE_SQL),
     "assoc_rules_parts": (assoc_rules_parts, _ASSOC_SQL),
     "kfold_docs": (kfold_docs, _KFOLD_SQL),
+    "length_buckets_docs": (length_buckets_docs, _LENBUCKET_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -93,3 +93,49 @@ def register_chunk_udtf(spark, name: str = "chunk_words", **kw) -> None:
     ``SELECT d.doc_id, c.* FROM docs d, LATERAL chunk_words(d.doc_id, d.text) c``
     """
     spark.udtf.register(name, make_chunk_udtf(**kw))
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    len_col: str,
+    batch_tokens: int = 4096,
+) -> DataFrame:
+    """Power-of-two length bucketing for padded batch assembly — the
+    inference/training-batcher planning step: sequences padded to
+    their bucket's length waste ``bucket − len`` tokens each, and
+    this operator prices that waste per bucket BEFORE any batches are
+    built.
+
+    Per bucket (the next power of two ≥ length, floor 1):
+    ``n_seqs``, ``sum_tokens`` (real), ``padded_tokens``
+    (n · bucket), ``waste_frac`` (padding share of the padded total)
+    and ``n_batches`` (ceil(padded / batch_tokens) — full-bucket
+    batches of uniform shape, the layout compilers want).
+
+    Physical shape: pure scan-side bucket math + ONE keyed aggregate
+    over ≤ log2(max_len) buckets — the output is bucket-count sized
+    regardless of corpus size.  The bucket uses float log2, which is
+    EXACT at powers of two (IEEE) and >1 ulp away from integers
+    elsewhere, so Spark and any oracle agree on every boundary.
+    """
+    n = F.greatest(F.col(len_col).cast("long"), F.lit(1))
+    bucket = F.pow(F.lit(2.0), F.ceil(F.log2(n))).cast("long")
+    agg = (
+        df.select(n.alias("_n"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("_n").alias("sum_tokens"),
+        )
+    )
+    pad = F.col("n_seqs") * F.col("bucket")
+    return agg.select(
+        "bucket",
+        "n_seqs",
+        "sum_tokens",
+        pad.alias("padded_tokens"),
+        F.round((pad - F.col("sum_tokens")) / pad.cast("double"), 6).alias(
+            "waste_frac"
+        ),
+        F.ceil(pad / F.lit(float(batch_tokens))).alias("n_batches"),
+    )

@@ -1524,3 +1524,25 @@ def test_kfold_assign_disjoint_uniform_stable(spark):
     assert all(b[i] == a[i] for i in a)
     with pytest.raises(ValueError):
         kfold_assign(df, "id", 1)
+
+
+def test_length_bucket_stats_hand_values(spark):
+    """length_bucket_stats (operators/chunking.py): lens 1,2 -> their
+    own buckets; 3 -> 4; 5,7,8 -> 8; waste and batch counts
+    hand-checked; len 0 clamps to bucket 1."""
+    from botkop_telcotraffic_spark_spark.operators.chunking import (
+        length_bucket_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (5,), (7,), (8,), (0,)], "n long"
+    )
+    got = {r["bucket"]: r for r in length_bucket_stats(df, "n", batch_tokens=10).collect()}
+    assert set(got) == {1, 2, 4, 8}
+    assert (got[1]["n_seqs"], got[1]["sum_tokens"]) == (2, 2)  # 1 and clamped 0
+    assert got[1]["waste_frac"] == 0.0
+    assert got[4]["padded_tokens"] == 4 and got[4]["waste_frac"] == 0.25
+    b8 = got[8]
+    assert (b8["n_seqs"], b8["sum_tokens"], b8["padded_tokens"]) == (3, 20, 24)
+    assert b8["waste_frac"] == round(4 / 24, 6)
+    assert b8["n_batches"] == 3  # ceil(24/10)

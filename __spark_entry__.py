@@ -5299,6 +5299,57 @@ FROM b
 """
 
 
+def ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS drift (operators/drift.py::
+    ks_drift_binned) of per-type value distributions, first
+    half-month vs second, 64 global equi-width bins — exact for the
+    binned ECDF, scale-safe (window over ≤ 64 rows per key, never a
+    per-key value sort)."""
+    from botkop_telcotraffic_spark_spark.operators.drift import ks_drift_binned
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    return ks_drift_binned(
+        e,
+        ["event_type"],
+        "value",
+        F.col("ts") >= F.lit(_INC_CUT).cast("timestamp"),
+        bins=64,
+    )
+
+
+_KS_SQL = f"""
+WITH base AS (
+  SELECT event_type, value AS v,
+         ts >= TIMESTAMP '{_INC_CUT}' AS b
+  FROM events WHERE value IS NOT NULL
+), rng AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+binned AS (
+  SELECT event_type,
+         least(63, CAST(floor((v - lo) / ((hi - lo) / 64)) AS INT)) AS bin,
+         sum(CASE WHEN b THEN 0 ELSE 1 END) AS ca,
+         sum(CASE WHEN b THEN 1 ELSE 0 END) AS cb
+  FROM base, rng GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin,
+         sum(ca) OVER (PARTITION BY event_type ORDER BY bin) AS cum_a,
+         sum(cb) OVER (PARTITION BY event_type ORDER BY bin) AS cum_b,
+         sum(ca) OVER (PARTITION BY event_type) AS na,
+         sum(cb) OVER (PARTITION BY event_type) AS nb
+  FROM binned
+), g AS (
+  SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         bin,
+         round(abs(cum_a / CAST(na AS DOUBLE)
+                   - cum_b / CAST(nb AS DOUBLE)), 6) AS gap
+  FROM cum WHERE na > 0 AND nb > 0
+)
+SELECT event_type, n_a, n_b, gap AS ks, bin AS ks_bin
+FROM g
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY gap DESC, bin) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5376,6 +5427,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "assoc_rules_parts": (assoc_rules_parts, _ASSOC_SQL),
     "kfold_docs": (kfold_docs, _KFOLD_SQL),
     "length_buckets_docs": (length_buckets_docs, _LENBUCKET_SQL),
+    "ks_value_drift": (ks_value_drift, _KS_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -1546,3 +1546,30 @@ def test_length_bucket_stats_hand_values(spark):
     assert (b8["n_seqs"], b8["sum_tokens"], b8["padded_tokens"]) == (3, 20, 24)
     assert b8["waste_frac"] == round(4 / 24, 6)
     assert b8["n_batches"] == 3  # ceil(24/10)
+
+
+def test_ks_drift_binned_hand_values(spark):
+    """ks_drift_binned (operators/drift.py): A=[0,1,2,3] vs
+    B=[2,3,3,3] on 4 bins over [0,3] -> binned ECDF gaps
+    .25/.5/.5/0, KS=0.5 attained first at bin 1 (tie broken to the
+    smaller bin); identical slices -> KS 0; a key with an empty
+    slice is omitted."""
+    from botkop_telcotraffic_spark_spark.operators.drift import (
+        ks_drift_binned,
+    )
+
+    rows = (
+        [("k", float(v), False) for v in [0, 1, 2, 3]]
+        + [("k", float(v), True) for v in [2, 3, 3, 3]]
+        + [("same", 1.0, False), ("same", 1.0, True)]
+        + [("onesided", 2.0, False)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double, b boolean")
+    got = {
+        r["g"]: r
+        for r in ks_drift_binned(df, ["g"], "v", F.col("b"), bins=4).collect()
+    }
+    assert "onesided" not in got
+    k = got["k"]
+    assert (k["n_a"], k["n_b"], k["ks"], k["ks_bin"]) == (4, 4, 0.5, 1)
+    assert got["same"]["ks"] == 0.0

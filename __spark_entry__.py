@@ -5350,6 +5350,36 @@ QUALIFY row_number() OVER (PARTITION BY event_type
 """
 
 
+def embedding_centroid_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier scores
+    (operators/similarity.py::label_centroid_distance): cosine of
+    every embedding to its own label's centroid — mislabel/noise
+    probe.  Centroids are model-sized and broadcast; cosine is the
+    fold-deterministic column expression."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.label_centroid_distance(
+        emb, "vec_id", "embedding", "label"
+    )
+
+
+_CENTROID_COS_SQL = f"""
+WITH pos AS (
+  SELECT label, u.i AS p, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, {_EMB_DIM}) u(i)
+), cent AS (
+  SELECT label, p, avg(x) AS c FROM pos GROUP BY 1, 2
+), carr AS (
+  SELECT label, list(c ORDER BY p) AS centroid FROM cent GROUP BY label
+)
+SELECT vec_id, e.label,
+       round({_dot_sql('e.embedding', 'centroid')}
+             / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                * sqrt({_dot_sql('centroid', 'centroid')})), 6)
+         AS cos_centroid
+FROM embeddings e JOIN carr USING (label)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5364,10 +5394,12 @@ QUALIFY row_number() OVER (PARTITION BY event_type
 # multi-resolution rollup), (b) the 5 queries whose oracle SQL was
 # fixed this round (DuckDB HUGEINT -> BIGINT: q12, token budget —
 # whose engine side was also rewritten two-phase — repetition, pack,
-# variant), and (c) everything newly implemented in round 3.  Entries
-# past slot 50 all hold green rows in CORRECTNESS_r01 or _r02 with
-# unchanged code, are intentionally rows-only (no SQL-expressible
-# oracle), or are subsumed by a green sibling; the full suite still
+# variant), and (c) everything newly implemented in round 3 up to the
+# slot budget.  Entries past slot 50 hold green rows in
+# CORRECTNESS_r01 or _r02 with unchanged code, are intentionally
+# rows-only (no SQL-expressible oracle), are subsumed by a green
+# sibling, or (ks_value_drift) landed after the round-3 window filled
+# — first in line for the round-4 rotation; the full suite still
 # verifies every oracle entry in pytest (tests/test_oracle_parity.py)
 # regardless of slot.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -5428,6 +5460,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "kfold_docs": (kfold_docs, _KFOLD_SQL),
     "length_buckets_docs": (length_buckets_docs, _LENBUCKET_SQL),
     "ks_value_drift": (ks_value_drift, _KS_SQL),
+    "embedding_centroid_cos": (embedding_centroid_cos, _CENTROID_COS_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -480,3 +480,61 @@ def brute_force_topk_blocked(
             "rank",
         )
     )
+
+
+def label_centroid_distance(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cosine of every vector to ITS OWN label's centroid — semantic
+    outlier detection for labeled/clustered corpora: a document far
+    from its class centroid is mislabeled, noisy, or interesting.
+
+    Physical shape: centroids via posexplode → (label, pos) avg (one
+    keyed aggregate over n·d narrow rows), reassembled per label with
+    sort_array(collect_list(struct(pos, avg))) — the centroid table
+    is MODEL-sized (labels × d) and joins back broadcast; the cosine
+    is the engine's fold-deterministic column expression
+    (functions/vector.py), scan-side, no second shuffle of the
+    vectors.
+
+    Returns (id_col, label_col, cos_centroid).  Centroid components
+    are plain avg() — cross-engine reproducible to FP-sum order,
+    hence the rounding contract on the output, not the centroid.
+    """
+    from ..functions.vector import cosine
+
+    pos = df.select(
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "_pos", "_x"
+        ),
+    )
+    cents = (
+        pos.groupBy("_lbl", "_pos")
+        .agg(F.avg("_x").alias("_c"))
+        .groupBy("_lbl")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_pos", "_c"))
+            ).alias("_pc")
+        )
+        .select(
+            "_lbl",
+            F.transform(F.col("_pc"), lambda s: s["_c"]).alias("_centroid"),
+        )
+    )
+    joined = df.join(
+        F.broadcast(cents), df[label_col] == cents["_lbl"]
+    )
+    return joined.select(
+        id_col,
+        label_col,
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("_centroid")),
+            round_to,
+        ).alias("cos_centroid"),
+    )

@@ -1573,3 +1573,25 @@ def test_ks_drift_binned_hand_values(spark):
     k = got["k"]
     assert (k["n_a"], k["n_b"], k["ks"], k["ks_bin"]) == (4, 4, 0.5, 1)
     assert got["same"]["ks"] == 0.0
+
+
+def test_label_centroid_distance_hand_values(spark):
+    """label_centroid_distance (operators/similarity.py): label A
+    {(1,0),(0,1)} -> centroid (.5,.5), both members at cos 1/sqrt(2);
+    label B single member at cos 1.0 to itself."""
+    from botkop_telcotraffic_spark_spark.operators.similarity import (
+        label_centroid_distance,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 0),
+        (3, [2.0, 3.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {
+        r["vec_id"]: r["cos_centroid"]
+        for r in label_centroid_distance(df, "vec_id", "embedding", "label").collect()
+    }
+    assert got[1] == got[2] == round(1 / 2**0.5, 6)
+    assert got[3] == 1.0

@@ -5380,6 +5380,44 @@ FROM embeddings e JOIN carr USING (label)
 """
 
 
+def funnel_bounded_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (operators/funnel.py::funnel_stages
+    with ``within='2 days'``): view → click → purchase where each
+    step lands within 48 h of the previous — the bounded form product
+    analytics asks for; late converters drop out by design."""
+    from botkop_telcotraffic_spark_spark.operators import funnel
+
+    e = _t(spark, sf_dir, "events")
+    return funnel.funnel_stages(
+        e, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within="2 days",
+    )
+
+
+_FUNNEL_BOUNDED_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id
+   AND e.ts >= v.t AND e.ts <= v.t + INTERVAL 2 DAY
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id
+   AND e.ts >= c.t AND e.ts <= c.t + INTERVAL 2 DAY
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 0 AS stage_idx, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_entities
+FROM v
+UNION ALL
+SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5461,6 +5499,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "length_buckets_docs": (length_buckets_docs, _LENBUCKET_SQL),
     "ks_value_drift": (ks_value_drift, _KS_SQL),
     "embedding_centroid_cos": (embedding_centroid_cos, _CENTROID_COS_SQL),
+    "funnel_bounded_conversions": (funnel_bounded_conversions, _FUNNEL_BOUNDED_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

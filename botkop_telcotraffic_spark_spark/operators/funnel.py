@@ -30,13 +30,22 @@ def funnel_stages(
     ts_col: str,
     type_col: str,
     stages: Sequence[str],
+    within: str | None = None,
 ) -> DataFrame:
     """Strictly-ordered funnel: for each entity, stage k counts only
-    if its event happens at-or-after the entity's stage k-1 time.
+    if its event happens at-or-after the entity's stage k-1 time —
+    and, when ``within`` is given (an INTERVAL string like
+    ``'7 days'``), no later than that long after it.  The bounded
+    form answers the question product analytics actually asks
+    ("converted WITHIN a week"), and makes abandoned journeys visible
+    instead of folding them into eventual converters.
 
     Returns one row per stage: (stage_idx, stage, n_entities),
     n_entities = entities whose first qualifying stage-k event
-    exists.
+    exists.  Note the bound applies per consecutive stage pair, and
+    the surviving timestamp is the FIRST qualifying one — an entity
+    that converts late is dropped even if an unqualifying earlier
+    path existed (first-touch attribution, documented contract).
     """
     reached = None  # DataFrame(entity, _t) of stage survivors
     out_rows = []
@@ -47,9 +56,15 @@ def funnel_stages(
         if reached is None:
             cur = ev.groupBy("_e").agg(F.min("_ts").alias("_t"))
         else:
+            gate = F.col("_ts") >= F.col("_t")
+            if within is not None:
+                gate = gate & (
+                    F.col("_ts")
+                    <= F.col("_t") + F.expr(f"INTERVAL {within}")
+                )
             cur = (
                 ev.join(reached, ev["_e"] == reached["_e"])
-                .where(F.col("_ts") >= F.col("_t"))
+                .where(gate)
                 .select(ev["_e"].alias("_e2"), "_ts")
                 .groupBy("_e2")
                 .agg(F.min("_ts").alias("_t"))

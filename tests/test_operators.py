@@ -1595,3 +1595,33 @@ def test_label_centroid_distance_hand_values(spark):
     }
     assert got[1] == got[2] == round(1 / 2**0.5, 6)
     assert got[3] == 1.0
+
+
+def test_funnel_within_drops_late_converters(spark):
+    """funnel_stages(within=...): u1 converts next hour (counted),
+    u2 clicks 3 days after viewing (dropped by a 2-day bound but
+    counted without one)."""
+    from datetime import datetime
+
+    from botkop_telcotraffic_spark_spark.operators.funnel import (
+        funnel_stages,
+    )
+
+    def ts(d, h=0):
+        return datetime(2024, 1, d, h)
+
+    rows = [
+        (1, ts(1), "view"), (1, ts(1, 1), "click"),
+        (2, ts(1), "view"), (2, ts(4), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    unbounded = {
+        r["stage"]: r["n_entities"]
+        for r in funnel_stages(df, "user_id", "ts", "event_type", ["view", "click"]).collect()
+    }
+    bounded = {
+        r["stage"]: r["n_entities"]
+        for r in funnel_stages(df, "user_id", "ts", "event_type", ["view", "click"], within="2 days").collect()
+    }
+    assert unbounded == {"view": 2, "click": 2}
+    assert bounded == {"view": 2, "click": 1}

@@ -532,6 +532,9 @@ def test_registry_wide_no_cartesian(spark):
         "bigram_pmi_docs",           # one-row T1/T2 total scalars
         "bloom_join_urgent_revenue", # one-row broadcast bitset probe
         "negative_samples_docs",     # one-row corpus-count scalar
+        "assoc_rules_parts",         # one-row basket-count scalar
+        "chisq_event_drift",         # one-row grand-total scalar
+        "ks_value_drift",            # one-row global min/max scalar
         "geofence_rect_events",      # broadcast fence rectangles
         "ann_cosine_topk",           # broadcast bounded query set
         "ann_ivf_topk",              # broadcast k centroids

@@ -4895,11 +4895,18 @@ def triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orientation-independent set)."""
     from botkop_telcotraffic_spark_spark.operators.graph import triangle_counts
 
+    return triangle_counts(_copart_edges(spark, sf_dir))
+
+
+def _copart_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (src < dst) part pairs co-occurring in >= 2 DISTINCT
+    orders — per-order item-SET combination explode (no fact
+    self-join; duplicates within an order cannot fake support)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("items")
     )
-    pairs = (
+    return (
         baskets.select(
             F.explode(
                 F.flatten(
@@ -4918,7 +4925,6 @@ def triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= 2)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    return triangle_counts(pairs)
 
 
 _TRIANGLE_SQL = """
@@ -5431,6 +5437,50 @@ SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM p
 """
 
 
+_LPA_ITERS = 3
+
+
+def lpa_copart_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities
+    (operators/graph.py::label_propagation) over the co-purchase part
+    graph: synchronous neighbor-majority label adoption, ties to the
+    smallest label, 3 fixed rounds — deterministic by construction so
+    the DuckDB oracle replays it as 3 unrolled CTE rounds."""
+    from botkop_telcotraffic_spark_spark.operators.graph import label_propagation
+
+    return label_propagation(
+        _copart_edges(spark, sf_dir), iterations=_LPA_ITERS
+    )
+
+
+def _lpa_sql(iters: int = _LPA_ITERS) -> str:
+    head = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), cp AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM bi l1 JOIN bi l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), e AS (
+  SELECT a AS u, b AS v FROM cp UNION SELECT b, a FROM cp
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS label FROM e
+)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f""", n{i} AS (
+  SELECT e.u AS node, l.label, count(*) AS cnt
+  FROM e JOIN l{i - 1} l ON l.node = e.v
+  GROUP BY 1, 2
+), l{i} AS (
+  SELECT node, label FROM n{i}
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY cnt DESC, label) = 1
+)""")
+    return head + "".join(rounds) + f"\nSELECT node, label FROM l{iters}"
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5513,6 +5563,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ks_value_drift": (ks_value_drift, _KS_SQL),
     "embedding_centroid_cos": (embedding_centroid_cos, _CENTROID_COS_SQL),
     "funnel_bounded_conversions": (funnel_bounded_conversions, _FUNNEL_BOUNDED_SQL),
+    "lpa_copart_communities": (lpa_copart_communities, _lpa_sql()),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -415,3 +415,68 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over an
+    undirected graph — the density-based companion to
+    :func:`connected_components` (components merge everything
+    reachable; LPA groups nodes by where their NEIGHBOR MAJORITY
+    lives, splitting a bridge-connected blob into its dense cores).
+
+    Deterministic by construction, so an oracle can replay it: labels
+    start as the node id; each round every node adopts the most
+    frequent label among its neighbors, ties broken to the SMALLEST
+    label; a fixed ``iterations`` (asynchronous/randomized LPA is
+    irreproducible by design — explicitly rejected here).  Isolated
+    nodes never appear (edge-derived node set).
+
+    Physical shape per round: one keyed join (neighbor labels onto
+    the pre-partitioned edge list), one (node, label) count
+    aggregate, one max_by argmax per node — all keyed shuffles on
+    node ids; label state is node-sized, localCheckpoint keeps
+    lineage flat.  O(m) per round like PageRank.
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = (
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition("v")
+        .persist()
+    )
+    labels = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iterations):
+        neigh = e.join(
+            labels.select(F.col("node").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # argmax: highest count then smallest label, as ONE min over
+        # (-cnt, label) structs — label comparison uses the node-id
+        # type's own ordering, which the oracle must mirror
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label")
+                    )
+                ).alias("_top")
+            )
+            .select("node", F.col("_top.label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels

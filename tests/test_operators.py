@@ -1625,3 +1625,23 @@ def test_funnel_within_drops_late_converters(spark):
     }
     assert unbounded == {"view": 2, "click": 2}
     assert bounded == {"view": 2, "click": 1}
+
+
+def test_label_propagation_bridged_triangles_and_determinism(spark):
+    """label_propagation (operators/graph.py): two triangles joined
+    by one bridge stay two communities (components would merge
+    them); repeated runs are identical (synchronous + deterministic
+    ties)."""
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+             (2, 1)]  # reversed duplicate must not matter
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r["node"]: r["label"] for r in label_propagation(df, iterations=3).collect()}
+    assert len({out[1], out[2], out[3]}) == 1
+    assert len({out[4], out[5], out[6]}) == 1
+    assert out[1] != out[4]
+    again = {r["node"]: r["label"] for r in label_propagation(df, iterations=3).collect()}
+    assert again == out

@@ -126,3 +126,35 @@ def binary_files_as_media(
             F.col("path").alias("uri"),
         ).alias("meta"),
     )
+
+
+def backfill_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent partition backfill: rewrite ONLY the partitions
+    present in ``df``, leaving every other partition's files
+    untouched — the correction/late-data pattern (re-run one bad day
+    of a 3-year table without touching the other ~1 000 days).
+
+    Mechanics: ``partitionOverwriteMode=dynamic`` scopes
+    ``mode("overwrite")`` to the partitions the incoming frame
+    actually contains (static mode would TRUNCATE the whole table —
+    the failure people discover in production).  The conf is set
+    per-write and restored, so a shared session keeps its default.
+
+    At 100 TB this is also the unit of reproducibility: a backfill
+    job keyed by partition value is idempotent — re-running it
+    converges to the same layout, no read-modify-write races within
+    one writer.  (Concurrent writers to the SAME partition still
+    need a table format with commit coordination — Delta/Iceberg —
+    documented limit of raw parquet layouts.)
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -1645,3 +1645,54 @@ def test_label_propagation_bridged_triangles_and_determinism(spark):
     assert out[1] != out[4]
     again = {r["node"]: r["label"] for r in label_propagation(df, iterations=3).collect()}
     assert again == out
+
+
+def test_backfill_rewrites_only_touched_partitions(spark, tmp_path):
+    """backfill_partitions (sources/formats.py): overwriting one
+    day's slice leaves other days' files byte-identical and on disk,
+    replaces the target day, and a second identical backfill is
+    idempotent."""
+    import os
+
+    from botkop_telcotraffic_spark_spark.sources.formats import (
+        backfill_partitions,
+        write_partitioned_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("2024-01-01", i, float(i)) for i in range(10)]
+        + [("2024-01-02", i, float(i)) for i in range(10)],
+        "day string, k int, v double",
+    )
+    write_partitioned_parquet(base, path, ["day"])
+
+    def files(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    day1_before = files("2024-01-01")
+    fix = spark.createDataFrame(
+        [("2024-01-02", i, float(i) * 10) for i in range(5)],
+        "day string, k int, v double",
+    )
+    backfill_partitions(fix, path, ["day"])
+
+    assert files("2024-01-01") == day1_before  # untouched, same files
+    got = spark.read.parquet(path)
+    assert got.where(F.col("day") == "2024-01-02").count() == 5
+    assert got.where(F.col("day") == "2024-01-01").count() == 10
+    [mx] = got.where(F.col("day") == "2024-01-02").agg(F.max("v")).collect()
+    assert mx[0] == 40.0
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        == "static"
+    )
+
+    backfill_partitions(fix, path, ["day"])  # idempotent
+    assert spark.read.parquet(path).count() == 15

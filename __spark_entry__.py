@@ -5481,6 +5481,44 @@ WITH bi AS (
     return head + "".join(rounds) + f"\nSELECT node, label FROM l{iters}"
 
 
+def masked_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized-column analytics (operators/mask.py::mask_columns):
+    customer names masked with a salted md5 pseudonym, then the usual
+    per-segment aggregation runs UNCHANGED on the masked frame —
+    proving joinability/groupability survives masking.  Pure
+    scan-side column math, bit-identical across engines (no
+    rounding)."""
+    from botkop_telcotraffic_spark_spark.operators.mask import mask_columns
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    masked = mask_columns(c, ["c_name"], salt="mask:", length=16)
+    return masked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count_distinct("c_name").alias("n_tokens"),
+        F.min("c_name").alias("min_token"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+_MASK_SQL = """
+WITH masked AS (
+  SELECT c_mktsegment, c_acctbal,
+         CASE WHEN c_name IS NULL THEN NULL
+              ELSE substring(md5('mask:' || c_name), 1, 16) END AS c_name
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT c_name) AS BIGINT) AS n_tokens,
+       min(c_name) AS min_token,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM masked
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5564,6 +5602,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "embedding_centroid_cos": (embedding_centroid_cos, _CENTROID_COS_SQL),
     "funnel_bounded_conversions": (funnel_bounded_conversions, _FUNNEL_BOUNDED_SQL),
     "lpa_copart_communities": (lpa_copart_communities, _lpa_sql()),
+    "masked_customer_segments": (masked_customer_segments, _MASK_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

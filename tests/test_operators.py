@@ -1696,3 +1696,32 @@ def test_backfill_rewrites_only_touched_partitions(spark, tmp_path):
 
     backfill_partitions(fix, path, ["day"])  # idempotent
     assert spark.read.parquet(path).count() == 15
+
+
+def test_mask_columns_deterministic_joinable_null_safe(spark):
+    """mask_columns (operators/mask.py): same value same token
+    (joins survive), different salt different token, NULL stays
+    NULL, sha256 path and truncation work, bad algo raises."""
+    import hashlib
+
+    from botkop_telcotraffic_spark_spark.operators.mask import mask_columns
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "alice"), (4, None)],
+        "id int, name string",
+    )
+    got = {r["id"]: r["name"] for r in mask_columns(df, ["name"], "s1:").collect()}
+    assert got[1] == got[3] != got[2]
+    assert got[4] is None
+    assert got[1] == hashlib.md5(b"s1:alice").hexdigest()
+
+    other = {r["id"]: r["name"] for r in mask_columns(df, ["name"], "s2:").collect()}
+    assert other[1] != got[1]
+
+    sha = {r["id"]: r["name"] for r in mask_columns(df, ["name"], "s1:", algo="sha256", length=8).collect()}
+    assert sha[1] == hashlib.sha256(b"s1:alice").hexdigest()[:8]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mask_columns(df, ["name"], "s", algo="rot13")

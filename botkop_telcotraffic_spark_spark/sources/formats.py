@@ -158,3 +158,21 @@ def backfill_partitions(
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under
+    EVOLVING schemas (columns added over time) as one unified frame:
+    ``mergeSchema`` unions the footers' schemas and files missing a
+    column yield NULLs for it — the additive-evolution contract a
+    long-lived ingest directory accumulates.
+
+    Why not default-on: schema merging reads EVERY file footer at
+    planning time (at 100 TB that is a listing+footer storm), so the
+    engine's normal readers assume a stable schema and this entry
+    point is the explicit opt-in for evolved directories.  Only
+    ADDITIVE evolution is safe — a column that changed TYPE across
+    files fails the merge loudly (better than silent coercion);
+    resolve those with an explicit per-era read + cast + union.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -1725,3 +1725,26 @@ def test_mask_columns_deterministic_joinable_null_safe(spark):
 
     with _pytest.raises(ValueError):
         mask_columns(df, ["name"], "s", algo="rot13")
+
+
+def test_read_parquet_merged_additive_evolution(spark, tmp_path):
+    """read_parquet_merged (sources/formats.py): a directory with
+    v1 files (k, v) and v2 files (k, v, extra) reads as one frame
+    with NULL extra for v1 rows; a plain read may drop the new
+    column depending on footer order, the merged read never does."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    v1.write.mode("append").parquet(path)
+    v2 = spark.createDataFrame(
+        [(3, 30.0, "x")], "k int, v double, extra string"
+    )
+    v2.write.mode("append").parquet(path)
+
+    from botkop_telcotraffic_spark_spark.sources.formats import (
+        read_parquet_merged,
+    )
+
+    got = read_parquet_merged(spark, path)
+    assert set(got.columns) == {"k", "v", "extra"}
+    rows = {r["k"]: r["extra"] for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: "x"}

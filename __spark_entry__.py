@@ -5519,6 +5519,63 @@ GROUP BY c_mktsegment
 """
 
 
+def streaming_idle_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time TIMER sessionization
+    (streaming/tws.py::IdleSessionProcessor): per-user gap sessions
+    (5 min) finalized by input-time splits plus watermark-driven
+    timers; replayed availableNow.  Deterministic, so the oracle
+    replays it relationally: classic lag/cumsum gap sessions, kept if
+    closed by a later session OR expired against the final watermark
+    (max ts − 10 s)."""
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.tws import idle_sessions
+
+    tune(spark)
+    enable_large_state(spark)
+    stream = (
+        stream_parquet_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .withWatermark("ts", "10 seconds")
+    )
+    snap = run_to_memory(
+        idle_sessions(stream, gap="5 minutes"), output_mode="append"
+    )
+    return snap.select(
+        "user_id", "n", F.round("vsum", 6).alias("vsum"), "last_us"
+    )
+
+
+_IDLE_SESS_SQL = """
+WITH s AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS sid
+  FROM s
+), sess AS (
+  SELECT user_id, sid,
+         CAST(count(*) AS BIGINT) AS n,
+         round(coalesce(sum(value), 0.0), 6) AS vsum,
+         max(ts) AS last_ts,
+         max(sid) OVER (PARTITION BY user_id) AS max_sid
+  FROM g GROUP BY user_id, sid
+), wm AS (SELECT max(ts) - INTERVAL 10 SECOND AS w FROM events)
+SELECT user_id, n, vsum, epoch_us(last_ts) AS last_us
+FROM sess, wm
+WHERE sid < max_sid OR last_ts + INTERVAL 5 MINUTE < w
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5603,6 +5660,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "funnel_bounded_conversions": (funnel_bounded_conversions, _FUNNEL_BOUNDED_SQL),
     "lpa_copart_communities": (lpa_copart_communities, _lpa_sql()),
     "masked_customer_segments": (masked_customer_segments, _MASK_SQL),
+    "streaming_idle_sessions": (streaming_idle_sessions, _IDLE_SESS_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -173,3 +173,140 @@ def running_keyed_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- idle-session finalization via event-time TIMERS ----------------------
+
+_SESS_STATE_SCHEMA = "n long, vsum double, last_us long"
+SESSION_OUT_SCHEMA = "user_id long, n long, vsum double, last_us long"
+
+
+class IdleSessionProcessor(StatefulProcessor):
+    """Timer-driven sessionization: a user's session FINALIZES (one
+    emitted row, state cleared) when the event-time watermark passes
+    ``last_event + gap`` — the timer surface of transformWithState,
+    which the windowless processors here don't otherwise exercise.
+
+    Contrast with ``session_window`` aggregation: the built-in emits
+    when Spark's window state decides; the timer form hands the
+    expiry policy to user code (mixed policies, side effects on
+    expiry, cascaded timers), at the cost of owning correctness.
+
+    Determinism contract for the oracle/tests: emission depends only
+    on (events, watermark movement) = (data, file split), both fixed
+    in replay; within-session aggregates are order-insensitive
+    (count + sum).  Sessions still open when the query ends are NOT
+    emitted — exactly the at-watermark semantics a downstream
+    consumer sees in production.
+    """
+
+    def __init__(self, gap_ms: int) -> None:
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("sess", _SESS_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows)).sort_values("ts")
+        prior = self._state.get() if self._state.exists() else None
+        n, vsum, last_us = prior if prior is not None else (0, 0.0, 0)
+        # gap-split AT INPUT TIME: the timer only closes the idle
+        # TAIL — a gap that has already elapsed when the next event
+        # arrives (watermark lag) must split here, or two sessions
+        # would silently merge
+        closed = []
+        for ts, v in zip(batch["ts"], batch["value"]):
+            t_us = int(ts.value // 1_000)
+            if n > 0 and t_us - last_us > self._gap_ms * 1_000:
+                closed.append((key[0], n, vsum, last_us))
+                n, vsum = 0, 0.0
+            n += 1
+            vsum += float(v) if pd.notna(v) else 0.0
+            last_us = max(last_us, t_us)
+        self._state.update((n, vsum, last_us))
+        # one live timer per key: re-arm at last_event + gap
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(last_us // 1_000 + self._gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "n", "vsum", "last_us"]
+            )
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            n, vsum, last_us = self._state.get()
+            self._state.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    "vsum": [vsum],
+                    "last_us": [last_us],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def idle_sessions(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """events(user_id, ts, value) WITH a watermark already applied ->
+    finalized-session rows (user_id, n, vsum, last_us), emitted when
+    the watermark passes last_event + gap.  transformWithState
+    event-time timers; falls back to applyInPandasWithState
+    EventTimeTimeout (same semantics) without protobuf."""
+    num, unit = gap.split()
+    gap_ms = int(num) * {
+        "second": 1_000, "seconds": 1_000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+    }[unit]
+    if transform_with_state_available():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=IdleSessionProcessor(gap_ms),
+            outputStructType=SESSION_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n, vsum, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "vsum": [vsum],
+                 "last_us": [last_us]}
+            )
+            return
+        n, vsum, last_us = state.get if state.exists else (0, 0.0, 0)
+        batch = pd.concat(list(pdfs)).sort_values("ts")
+        closed = []
+        for ts, v in zip(batch["ts"], batch["value"]):
+            t_us = int(ts.value // 1_000)
+            if n > 0 and t_us - last_us > gap_ms * 1_000:
+                closed.append((key[0], n, vsum, last_us))
+                n, vsum = 0, 0.0
+            n += 1
+            vsum += float(v) if pd.notna(v) else 0.0
+            last_us = max(last_us, t_us)
+        state.update((n, vsum, last_us))
+        state.setTimeoutTimestamp(last_us // 1_000 + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "n", "vsum", "last_us"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _group,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

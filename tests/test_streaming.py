@@ -789,3 +789,51 @@ def test_upsert_store_survives_mixed_layout(spark, tmp_path):
     assert not glob.glob(os.path.join(path, "part-*"))  # healed
     snap = {r["k"]: (r["v"], r["tag"]) for r in store.snapshot().collect()}
     assert snap == {1: (1, "a"), 2: (2, "B"), 3: (1, "c")}
+
+
+def test_idle_session_timer_finalizes_on_watermark(spark):
+    """Event-time TIMERS (streaming/tws.py::IdleSessionProcessor):
+    sessions from file A (two users, events within a minute) finalize
+    when file B's much-later events advance the watermark past
+    last+gap; the session B (re)opens stays un-emitted at query end —
+    at-watermark semantics."""
+    import pandas as pd
+
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.tws import idle_sessions
+
+    enable_large_state(spark)
+    src = os.path.join(TMP, "idle_sess_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def row(uid, sec, v):
+        return {"user_id": uid, "ts": t0 + datetime.timedelta(seconds=sec),
+                "value": v}
+
+    a = pd.DataFrame([row(1, 0, 10.0), row(1, 30, 20.0), row(1, 60, 30.0),
+                      row(2, 10, 5.0), row(2, 40, 7.0)])
+    b = pd.DataFrame([row(1, 3600, 99.0)])  # one hour later
+    # micros, not pandas' default nanos: watermarks need TIMESTAMP,
+    # and the session reads TIMESTAMP(NANOS) as long (nanosAsLong)
+    a.to_parquet(os.path.join(src, "a.parquet"), coerce_timestamps="us")
+    b.to_parquet(os.path.join(src, "b.parquet"), coerce_timestamps="us")
+    shutil.rmtree(os.path.join(TMP, "ckpt_idle_sess"), ignore_errors=True)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 seconds")
+    )
+    out = run_to_memory(
+        idle_sessions(stream, gap="5 minutes"),
+        output_mode="append",
+        checkpoint=os.path.join(TMP, "ckpt_idle_sess"),
+    )
+    got = {r["user_id"]: (r["n"], r["vsum"]) for r in out.collect()}
+    # u1's file-A session (3 events) and u2's (2 events) closed; u1's
+    # file-B session is still open -> exactly two rows
+    assert got == {1: (3, 60.0), 2: (2, 12.0)}

@@ -5576,6 +5576,35 @@ WHERE sid < max_sid OR last_ts + INTERVAL 5 MINUTE < w
 """
 
 
+def streaming_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapState streaming counts
+    (streaming/tws.py::TypeCountProcessor): per-(user, event type)
+    running counts where each type key is a RocksDB point lookup —
+    replayed availableNow; the final update-mode snapshot equals the
+    batch group-by, which is the oracle."""
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.tws import running_type_counts
+
+    tune(spark)
+    enable_large_state(spark)
+    stream = stream_parquet_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(
+        running_type_counts(stream), output_mode="update"
+    ).select("user_id", "event_type", "n")
+
+
+_TYPE_COUNTS_SQL = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5661,6 +5690,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "lpa_copart_communities": (lpa_copart_communities, _lpa_sql()),
     "masked_customer_segments": (masked_customer_segments, _MASK_SQL),
     "streaming_idle_sessions": (streaming_idle_sessions, _IDLE_SESS_SQL),
+    "streaming_type_counts": (streaming_type_counts, _TYPE_COUNTS_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

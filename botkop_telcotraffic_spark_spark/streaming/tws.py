@@ -310,3 +310,96 @@ def idle_sessions(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- per-key MapState: running counts by a secondary dimension ------------
+
+TYPE_COUNT_OUT_SCHEMA = "user_id long, event_type string, n long"
+
+
+class TypeCountProcessor(StatefulProcessor):
+    """Per-user running counts BY EVENT TYPE held in MapState — the
+    state shape for "how many of each action has this entity taken",
+    where ValueState would need a full read-modify-write of the whole
+    map per batch and a windowed aggregate would shuffle per
+    (user, type).  MapState reads/writes ONLY the touched type keys
+    (RocksDB point lookups), so per-batch cost follows the batch, not
+    the accumulated per-user type universe.  Emits the post-batch
+    count for every type touched in the batch (update-mode
+    semantics)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "type_counts", "event_type string", "n long"
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows))
+        touched = batch["event_type"].value_counts()
+        out_t, out_n = [], []
+        for etype, cnt in touched.items():
+            k = (etype,)
+            prior = (
+                self._counts.getValue(k)[0]
+                if self._counts.containsKey(k)
+                else 0
+            )
+            n = int(prior) + int(cnt)
+            self._counts.updateValue(k, (n,))
+            out_t.append(etype)
+            out_n.append(n)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_t),
+                "event_type": out_t,
+                "n": out_n,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_type_counts(events: DataFrame) -> DataFrame:
+    """events(user_id, event_type) -> per-(user, type) running counts.
+
+    Primary path: transformWithState MapState (per-type point
+    lookups).  Fallback without protobuf: applyInPandasWithState with
+    a ``map<string,bigint>`` state column — same semantics, but the
+    WHOLE map is read-modify-written per batch, which is exactly the
+    cost profile MapState exists to avoid (acceptable for the
+    fallback, documented here)."""
+    if transform_with_state_available():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TypeCountProcessor(),
+            outputStructType=TYPE_COUNT_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (counts,) = state.get if state.exists else ({},)
+        counts = dict(counts) if counts else {}
+        batch = pd.concat(list(pdfs))
+        touched = batch["event_type"].value_counts()
+        out_t, out_n = [], []
+        for etype, cnt in touched.items():
+            counts[etype] = int(counts.get(etype, 0)) + int(cnt)
+            out_t.append(etype)
+            out_n.append(counts[etype])
+        state.update((counts,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]] * len(out_t), "event_type": out_t,
+             "n": out_n}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _group,
+        outputStructType=TYPE_COUNT_OUT_SCHEMA,
+        stateStructType="counts map<string,bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -837,3 +837,51 @@ def test_idle_session_timer_finalizes_on_watermark(spark):
     # u1's file-A session (3 events) and u2's (2 events) closed; u1's
     # file-B session is still open -> exactly two rows
     assert got == {1: (3, 60.0), 2: (2, 12.0)}
+
+
+def test_mapstate_type_counts_accumulate_across_batches(spark):
+    """MapState (streaming/tws.py::TypeCountProcessor): counts
+    accumulate per (user, type) across two micro-batches; the final
+    emission per pair equals the full-batch group-by."""
+    import pandas as pd
+
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.tws import (
+        running_type_counts,
+    )
+
+    enable_large_state(spark)
+    src = os.path.join(TMP, "type_counts_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    a = pd.DataFrame(
+        {"user_id": [1, 1, 2], "event_type": ["view", "click", "view"]}
+    )
+    b = pd.DataFrame(
+        {"user_id": [1, 2, 2], "event_type": ["view", "view", "buy"]}
+    )
+    a.to_parquet(os.path.join(src, "a.parquet"))
+    b.to_parquet(os.path.join(src, "b.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    shutil.rmtree(os.path.join(TMP, "ckpt_type_counts"), ignore_errors=True)
+    out = run_to_memory(
+        running_type_counts(stream),
+        output_mode="update",
+        checkpoint=os.path.join(TMP, "ckpt_type_counts"),
+    )
+    rows = out.collect()
+    # LAST emission per (user, type) is the running total
+    last = {}
+    for r in rows:
+        last[(r["user_id"], r["event_type"])] = max(
+            r["n"], last.get((r["user_id"], r["event_type"]), 0)
+        )
+    assert last == {
+        (1, "view"): 2, (1, "click"): 1,
+        (2, "view"): 2, (2, "buy"): 1,
+    }

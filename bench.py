@@ -76,6 +76,16 @@ CONTINUITY = [
     "entity_resolution_parts",
     "mad_outliers_events",
     "bigram_pmi_docs",
+    # round-3 additions past the 50-slot check window (rotation
+    # candidates for round 4) — benched here so they carry wall-time
+    # evidence from day one
+    "ks_value_drift",
+    "embedding_centroid_cos",
+    "funnel_bounded_conversions",
+    "lpa_copart_communities",
+    "masked_customer_segments",
+    "streaming_idle_sessions",
+    "streaming_type_counts",
 ]
 
 

@@ -5605,6 +5605,47 @@ FROM events GROUP BY user_id, event_type
 """
 
 
+def streaming_lastk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListState recent-history features
+    (streaming/tws.py::LastKProcessor): per event, the mean of the
+    user's previous 3 observed values — bounded k-scalar state per
+    key; the oracle is the exact ROWS-frame window over the non-null
+    value stream."""
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.tws import (
+        rolling_history_features,
+    )
+
+    tune(spark)
+    enable_large_state(spark)
+    stream = stream_parquet_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    snap = run_to_memory(
+        rolling_history_features(stream, k=3), output_mode="append"
+    )
+    return snap.select(
+        "event_id", "user_id", "n_prior", F.round("mean_k", 6).alias("mean_k")
+    )
+
+
+_LASTK_SQL = """
+WITH nn AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, user_id,
+       CAST(count(value) OVER w AS BIGINT) AS n_prior,
+       round(avg(value) OVER w, 6) AS mean_k
+FROM nn
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5691,6 +5732,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "masked_customer_segments": (masked_customer_segments, _MASK_SQL),
     "streaming_idle_sessions": (streaming_idle_sessions, _IDLE_SESS_SQL),
     "streaming_type_counts": (streaming_type_counts, _TYPE_COUNTS_SQL),
+    "streaming_lastk_features": (streaming_lastk_features, _LASTK_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -86,6 +86,7 @@ CONTINUITY = [
     "masked_customer_segments",
     "streaming_idle_sessions",
     "streaming_type_counts",
+    "streaming_lastk_features",
 ]
 
 

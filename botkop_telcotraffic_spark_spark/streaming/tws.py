@@ -403,3 +403,86 @@ def running_type_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- per-key ListState: bounded recent-history features -------------------
+
+LASTK_OUT_SCHEMA = "event_id long, user_id long, n_prior long, mean_k double"
+
+
+class LastKProcessor(StatefulProcessor):
+    """Per-key bounded recent-history features via ListState: for
+    every (non-null-valued) event, the count and mean of the user's
+    PREVIOUS k observed values — the online feature-engineering shape
+    ("average of the last 3 readings") that a windowed aggregate
+    cannot produce per-event and a ValueState would have to encode by
+    hand.  ListState stores the rolling window as rows; state per key
+    is exactly k scalars (trimmed on every append)."""
+
+    def __init__(self, k: int) -> None:
+        self._k = k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._recent = handle.getListState("recent", "v double")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+        vals = [t[0] for t in self._recent.get()] if self._recent.exists() else []
+        out = {"event_id": [], "user_id": [], "n_prior": [], "mean_k": []}
+        for eid, v in zip(batch["event_id"], batch["value"]):
+            if pd.isna(v):
+                continue
+            hist = vals[-self._k:]
+            out["event_id"].append(int(eid))
+            out["user_id"].append(key[0])
+            out["n_prior"].append(len(hist))
+            out["mean_k"].append(
+                sum(hist) / len(hist) if hist else None
+            )
+            vals.append(float(v))
+        self._recent.put([(v,) for v in vals[-self._k:]])
+        yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def rolling_history_features(events: DataFrame, k: int = 3) -> DataFrame:
+    """events(event_id, user_id, ts, value) -> per-event features
+    from the user's previous k observed values.  ListState primary;
+    array-typed applyInPandasWithState fallback without protobuf."""
+    if transform_with_state_available():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=LastKProcessor(k),
+            outputStructType=LASTK_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (vals,) = state.get if state.exists else ([],)
+        vals = list(vals)
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = {"event_id": [], "user_id": [], "n_prior": [], "mean_k": []}
+        for eid, v in zip(batch["event_id"], batch["value"]):
+            if pd.isna(v):
+                continue
+            hist = vals[-k:]
+            out["event_id"].append(int(eid))
+            out["user_id"].append(key[0])
+            out["n_prior"].append(len(hist))
+            out["mean_k"].append(sum(hist) / len(hist) if hist else None)
+            vals.append(float(v))
+        state.update((vals[-k:],))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _group,
+        outputStructType=LASTK_OUT_SCHEMA,
+        stateStructType="vals array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -885,3 +885,52 @@ def test_mapstate_type_counts_accumulate_across_batches(spark):
         (1, "view"): 2, (1, "click"): 1,
         (2, "view"): 2, (2, "buy"): 1,
     }
+
+
+def test_lastk_features_carry_history_across_batches(spark):
+    """ListState-backed rolling_history_features (streaming/tws.py):
+    the prior-3 mean for the first event of file B uses values from
+    file A (state carries); null values are skipped in history and
+    emission."""
+    import pandas as pd
+
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.tws import (
+        rolling_history_features,
+    )
+
+    enable_large_state(spark)
+    src = os.path.join(TMP, "lastk_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def row(eid, sec, v):
+        return {"event_id": eid, "user_id": 1,
+                "ts": t0 + datetime.timedelta(seconds=sec), "value": v}
+
+    a = pd.DataFrame([row(1, 1, 10.0), row(2, 2, 20.0),
+                      row(3, 3, None), row(4, 4, 30.0)])
+    b = pd.DataFrame([row(5, 10, 40.0), row(6, 11, 50.0)])
+    a.to_parquet(os.path.join(src, "a.parquet"), coerce_timestamps="us")
+    b.to_parquet(os.path.join(src, "b.parquet"), coerce_timestamps="us")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    shutil.rmtree(os.path.join(TMP, "ckpt_lastk"), ignore_errors=True)
+    out = run_to_memory(
+        rolling_history_features(stream, k=3),
+        output_mode="append",
+        checkpoint=os.path.join(TMP, "ckpt_lastk"),
+    )
+    got = {r["event_id"]: (r["n_prior"], r["mean_k"]) for r in out.collect()}
+    assert got == {
+        1: (0, None),
+        2: (1, 10.0),
+        4: (2, 15.0),                 # null event 3 skipped
+        5: (3, 20.0),                 # (10+20+30)/3, carried from file A
+        6: (3, 30.0),                 # (20+30+40)/3
+    }

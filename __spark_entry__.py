@@ -5664,10 +5664,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 # slot budget.  Entries past slot 50 hold green rows in
 # CORRECTNESS_r01 or _r02 with unchanged code, are intentionally
 # rows-only (no SQL-expressible oracle), are subsumed by a green
-# sibling, or (ks_value_drift) landed after the round-3 window filled
-# — first in line for the round-4 rotation; the full suite still
-# verifies every oracle entry in pytest (tests/test_oracle_parity.py)
-# regardless of slot.
+# sibling, or landed after the round-3 window filled (ks_value_drift,
+# embedding_centroid_cos, funnel_bounded_conversions,
+# lpa_copart_communities, masked_customer_segments, and the
+# streaming idle-session / MapState / ListState trio) — first in
+# line for the round-4 rotation, all benched via bench.py CONTINUITY;
+# the full suite still verifies every oracle entry in pytest
+# (tests/test_oracle_parity.py) regardless of slot.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- checked slots 1-50 ------------------------------------------------
     # never driver-checked before round 3

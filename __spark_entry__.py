@@ -5646,6 +5646,63 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def target_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (operators/encode.py::target_encode):
+    each event's type encoded as the α=10-shrunk mean value of its
+    type — fit-on-self (train-encode case), one aggregate + broadcast
+    join-back, fact never shuffled."""
+    from botkop_telcotraffic_spark_spark.operators.encode import target_encode
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = target_encode(e, "event_type", "value", alpha=10.0)
+    return out.select("event_id", "event_type", "event_type_enc")
+
+
+_TENC_SQL = """
+WITH stats AS (
+  SELECT event_type, sum(CAST(value AS DOUBLE)) AS s,
+         CAST(count(value) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+), gmean AS (
+  SELECT sum(CAST(value AS DOUBLE)) / count(value) AS mu FROM events
+)
+SELECT event_id, e.event_type,
+       round((s + 10.0 * mu) / (n + 10.0), 6) AS event_type_enc
+FROM events e JOIN stats USING (event_type), gmean
+"""
+
+
+def collapse_rare_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category collapse (operators/encode.py::collapse_rare):
+    users with < 60 events fold into one ``__rare__`` level (the
+    fixture's per-user counts straddle 60 at every SF), then the
+    level histogram — vocabulary bounding before one-hot/embedding
+    encodings of high-cardinality entity columns."""
+    from botkop_telcotraffic_spark_spark.operators.encode import collapse_rare
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_id"), F.col("user_id").cast("string").alias("user_cat")
+    )
+    out = collapse_rare(e, "user_cat", min_count=60)
+    return out.groupBy("user_cat").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+_RARE_SQL = """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_cat FROM events
+), counts AS (
+  SELECT user_cat, count(*) AS n FROM ev GROUP BY user_cat
+), mapped AS (
+  SELECT CASE WHEN e.user_cat IS NULL THEN NULL
+              WHEN c.n >= 60 THEN e.user_cat
+              ELSE '__rare__' END AS user_cat
+  FROM ev e LEFT JOIN counts c ON e.user_cat = c.user_cat
+)
+SELECT user_cat, CAST(count(*) AS BIGINT) AS n_events
+FROM mapped GROUP BY user_cat
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5736,6 +5793,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_idle_sessions": (streaming_idle_sessions, _IDLE_SESS_SQL),
     "streaming_type_counts": (streaming_type_counts, _TYPE_COUNTS_SQL),
     "streaming_lastk_features": (streaming_lastk_features, _LASTK_SQL),
+    "target_encode_events": (target_encode_events, _TENC_SQL),
+    "collapse_rare_users": (collapse_rare_users, _RARE_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -87,6 +87,8 @@ CONTINUITY = [
     "streaming_idle_sessions",
     "streaming_type_counts",
     "streaming_lastk_features",
+    "target_encode_events",
+    "collapse_rare_users",
 ]
 
 

@@ -1,0 +1,90 @@
+"""Categorical feature encoding for training pipelines — the
+feature-engineering steps between raw categories and a model matrix.
+
+Two encoders, both single-aggregate + broadcast join-back shapes (the
+fact table is never shuffled, output is input-sized):
+
+* ``target_encode`` — smoothed mean-target encoding
+  ``enc(c) = (Σ target_c + α·μ) / (n_c + α)``: a category's code
+  shrinks toward the global mean μ as its support shrinks (α is the
+  pseudo-count).  NOTE the leakage contract: this is the FIT-ON-TRAIN
+  form — encode validation/test rows with the training-fit table
+  (pass ``fit_df``), never with their own targets; for strict
+  leave-one-out within train, subtract the row's own target from the
+  numerator (documented variant, not default — it doubles the
+  aggregate width for a correction most pipelines skip in favor of
+  CV-fold fitting, see ``sampling.kfold_assign``).
+
+* ``collapse_rare`` — categories with support < ``min_count`` become
+  one ``rare_token`` level: stabilizes downstream encodings (a
+  1-occurrence category's target mean is noise) and bounds the
+  one-hot/embedding vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    alpha: float = 10.0,
+    fit_df: DataFrame | None = None,
+    out_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Append ``out_col`` (default ``<cat_col>_enc``) = smoothed mean
+    target of the row's category, fit on ``fit_df`` (default: df
+    itself — the train-encode case).  Unseen categories get the
+    global mean (the α-shrinkage limit)."""
+    fit = fit_df if fit_df is not None else df
+    t = F.col(target_col).cast("double")
+    stats = fit.groupBy(cat_col).agg(
+        F.sum(t).alias("_s"), F.count(t).alias("_n")
+    )
+    glob = fit.agg(
+        (F.sum(t) / F.count(t)).alias("_mu")
+    )
+    out = out_col or f"{cat_col}_enc"
+    enc = (F.col("_s") + F.lit(alpha) * F.col("_mu")) / (
+        F.col("_n") + F.lit(alpha)
+    )
+    return (
+        df.join(F.broadcast(stats), cat_col, "left")
+        .crossJoin(F.broadcast(glob))
+        .withColumn(
+            out,
+            F.round(F.coalesce(enc, F.col("_mu")), round_to),
+        )
+        .drop("_s", "_n", "_mu")
+    )
+
+
+def collapse_rare(
+    df: DataFrame,
+    cat_col: str,
+    min_count: int,
+    rare_token: str = "__rare__",
+) -> DataFrame:
+    """Replace categories seen fewer than ``min_count`` times with
+    ``rare_token`` (in place, same column name).  NULL categories are
+    left NULL — missing is its own signal, not a rare level."""
+    counts = df.groupBy(cat_col).agg(F.count(F.lit(1)).alias("_n"))
+    keep = counts.where(F.col("_n") >= min_count).select(
+        F.col(cat_col).alias("_keep")
+    )
+    return (
+        df.join(
+            F.broadcast(keep), df[cat_col] == F.col("_keep"), "left"
+        )
+        .withColumn(
+            cat_col,
+            F.when(F.col(cat_col).isNull(), F.lit(None).cast("string"))
+            .when(F.col("_keep").isNotNull(), F.col(cat_col))
+            .otherwise(F.lit(rare_token)),
+        )
+        .drop("_keep")
+    )

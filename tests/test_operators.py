@@ -1748,3 +1748,44 @@ def test_read_parquet_merged_additive_evolution(spark, tmp_path):
     assert set(got.columns) == {"k", "v", "extra"}
     rows = {r["k"]: r["extra"] for r in got.collect()}
     assert rows == {1: None, 2: None, 3: "x"}
+
+
+def test_target_encode_shrinks_and_handles_unseen(spark):
+    """target_encode (operators/encode.py): hand-solved shrinkage —
+    mu=2.0 over targets [1,1,4,2]; cat a (n=2, sum=2, alpha=2):
+    (2+2*2)/(2+2)=1.5; unseen category in transform gets mu; rare
+    category shrinks harder toward mu than a frequent one."""
+    from botkop_telcotraffic_spark_spark.operators.encode import (
+        target_encode,
+    )
+
+    fit = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 4.0), ("b", 2.0)],
+        "cat string, y double",
+    )
+    enc = {r["cat"]: r["cat_enc"] for r in target_encode(
+        fit, "cat", "y", alpha=2.0, out_col="cat_enc").collect()}
+    assert enc["a"] == 1.5   # (2 + 2*2)/(2+2)
+    assert enc["b"] == 2.5   # (6 + 4)/4
+
+    new = spark.createDataFrame([("zzz", 0.0)], "cat string, y double")
+    [r] = target_encode(new, "cat", "y", alpha=2.0, fit_df=fit,
+                        out_col="cat_enc").collect()
+    assert r["cat_enc"] == 2.0  # unseen -> global mean
+
+
+def test_collapse_rare_thresholds_and_null(spark):
+    """collapse_rare (operators/encode.py): below-threshold levels
+    fold to __rare__, NULL stays NULL, at-threshold kept."""
+    from botkop_telcotraffic_spark_spark.operators.encode import (
+        collapse_rare,
+    )
+
+    rows = [("a",)] * 3 + [("b",)] * 2 + [("c",)] * 1 + [(None,)]
+    df = spark.createDataFrame(rows, "cat string")
+    out = [r["cat"] for r in collapse_rare(df, "cat", min_count=2).collect()]
+    from collections import Counter
+
+    assert Counter(out) == Counter(
+        {"a": 3, "b": 2, "__rare__": 1, None: 1}
+    )

@@ -535,6 +535,7 @@ def test_registry_wide_no_cartesian(spark):
         "assoc_rules_parts",         # one-row basket-count scalar
         "chisq_event_drift",         # one-row grand-total scalar
         "ks_value_drift",            # one-row global min/max scalar
+        "target_encode_events",      # one-row global-mean scalar
         "geofence_rect_events",      # broadcast fence rectangles
         "ann_cosine_topk",           # broadcast bounded query set
         "ann_ivf_topk",              # broadcast k centroids

@@ -5703,6 +5703,138 @@ FROM mapped GROUP BY user_cat
 """
 
 
+def apply_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply / MERGE-INTO (operators/diff.py::apply_changes) —
+    the write-side complement of `snapshot_diff_orders`: base = the
+    latest order per customer before 1995-07-01; changelog = every
+    later order as an upsert of that customer's (status, price) row,
+    except 1-URGENT orders which act as deletes (account closes).
+    Latest o_orderdate wins per customer (o_orderkey tie-break), a
+    winning delete removes the key — the resulting next snapshot is
+    the output.  One union + one keyed shuffle; the same plan
+    Delta/Hudi run for MERGE after file pruning."""
+    from botkop_telcotraffic_spark_spark.operators.diff import apply_changes
+
+    cols = [
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+    ]
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-07-01").cast("timestamp")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    base = (
+        o.where(F.col("o_orderdate") < cutoff)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*cols)
+    )
+    chg = o.where(F.col("o_orderdate") >= cutoff).select(
+        *cols,
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_changes(
+        base,
+        chg,
+        ["o_custkey"],
+        "o_orderdate",
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
+_APPLY_SQL = """
+WITH base AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+         'U' AS op, 0 AS _src
+  FROM (
+    SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'
+  ) WHERE rn = 1
+), chg AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 'D' ELSE 'U' END AS op,
+         1 AS _src
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+), merged AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC, _src DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM chg)
+)
+SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+FROM merged WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (sources/layout.py::zorder_key): Morton-
+    interleave 8-bit quantized (user_id, value), assign each event to
+    one of 64 virtual files by Morton range (z >> 10), and report
+    each file's row count and per-dimension min/max envelope — the
+    exact statistics parquet footers would carry after
+    `zorder_write`, i.e. the skipping power a 2-D point/box predicate
+    gets on EITHER column.  The oracle replays the identical
+    quantize + bit-interleave arithmetic.  Plan: one scan + a
+    4-number bounds aggregate (driver scalars, not data) + one
+    groupBy; the quantize/interleave tree is whole-stage codegen."""
+    from botkop_telcotraffic_spark_spark.sources import layout
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    z = layout.zorder_key(e, "user_id", "value", bits=8)
+    return (
+        z.withColumn("file_id", F.shiftright(F.col("_z"), 10))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("user_id").alias("user_min"),
+            F.max("user_id").alias("user_max"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    """DuckDB twin of quantize(bits=8) + morton_code + z >> 10."""
+
+    def q(x: str, lo: str, hi: str) -> str:
+        return (
+            f"least(CAST(floor(least(greatest(({x} - {lo}) / "
+            f"(CASE WHEN {hi} > {lo} THEN {hi} - {lo} ELSE 1.0 END), "
+            f"0.0), 1.0) * 256.0) AS BIGINT), 255)"
+        )
+
+    morton = " | ".join(
+        f"((((qx >> {i}) & 1) << {2 * i}) | (((qy >> {i}) & 1) << {2 * i + 1}))"
+        for i in range(8)
+    )
+    return f"""
+WITH b AS (
+  SELECT min(CAST(user_id AS DOUBLE)) AS xlo,
+         max(CAST(user_id AS DOUBLE)) AS xhi,
+         min(value) AS ylo, max(value) AS yhi
+  FROM events
+), qq AS (
+  SELECT user_id, value,
+         {q("CAST(user_id AS DOUBLE)", "xlo", "xhi")} AS qx,
+         {q("value", "ylo", "yhi")} AS qy
+  FROM events, b
+)
+SELECT ({morton}) >> 10 AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(user_id) AS user_min, max(user_id) AS user_max,
+       min(value) AS value_min, max(value) AS value_max
+FROM qq GROUP BY file_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5723,8 +5855,9 @@ FROM mapped GROUP BY user_cat
 # rows-only (no SQL-expressible oracle), are subsumed by a green
 # sibling, or landed after the round-3 window filled (ks_value_drift,
 # embedding_centroid_cos, funnel_bounded_conversions,
-# lpa_copart_communities, masked_customer_segments, and the
-# streaming idle-session / MapState / ListState trio) — first in
+# lpa_copart_communities, masked_customer_segments, the streaming
+# idle-session / MapState / ListState trio, target/rare encoders,
+# CDC apply_changes, and the Z-order layout audit) — first in
 # line for the round-4 rotation, all benched via bench.py CONTINUITY;
 # the full suite still verifies every oracle entry in pytest
 # (tests/test_oracle_parity.py) regardless of slot.
@@ -5795,6 +5928,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_lastk_features": (streaming_lastk_features, _LASTK_SQL),
     "target_encode_events": (target_encode_events, _TENC_SQL),
     "collapse_rare_users": (collapse_rare_users, _RARE_SQL),
+    "apply_changes_orders": (apply_changes_orders, _APPLY_SQL),
+    "zorder_layout_events": (zorder_layout_events, _zorder_sql()),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -89,6 +89,8 @@ CONTINUITY = [
     "streaming_lastk_features",
     "target_encode_events",
     "collapse_rare_users",
+    "apply_changes_orders",
+    "zorder_layout_events",
 ]
 
 

@@ -27,6 +27,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    version_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """MERGE-INTO / CDC-apply: fold a changelog into a base snapshot
+    and return the next snapshot — the write-side complement of
+    `snapshot_diff` (which extracts a changelog this operator can
+    replay).
+
+    ``base`` holds one row per key with a ``version_col`` (its rows
+    are implicit upserts); ``changes`` has the same columns plus
+    ``op_col`` ∈ {upsert, ``delete_op``}.  Latest version wins per
+    key; at equal ``(version, *tiebreak_cols)`` the changelog row
+    beats the base row (a re-delivered change must supersede the
+    snapshot it was derived from — at-least-once replay safety).  A
+    winning ``delete_op`` removes the key from the output.
+
+    Physical shape: union (narrow) + ONE shuffle on ``key_cols`` for
+    a per-key ``row_number`` — no global window, no driver state.
+    The per-key partition is changelog-depth-sized, so skew follows
+    update-hotness, not table size; this is the same plan Delta/Hudi
+    execute for MERGE after their file-pruning step.  Determinism:
+    pass ``tiebreak_cols`` that make ``(version, *tiebreaks)`` unique
+    per key and the winner is total-ordered on every engine.
+    """
+    from pyspark.sql import Window
+
+    out_cols = list(base.columns)
+    b = base.withColumn(op_col, F.lit("U")).withColumn(
+        "_src", F.lit(0)
+    )
+    c = changes.select(*out_cols, op_col).withColumn("_src", F.lit(1))
+    u = b.select(*out_cols, op_col, "_src").unionByName(c)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(),
+        *[F.col(t).desc() for t in tiebreak_cols],
+        F.col("_src").desc(),
+    )
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .select(*out_cols)
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -1397,6 +1397,50 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
     assert r["changed_cols"] == "s,v"
 
 
+def test_apply_changes_upsert_delete_latest_wins(spark):
+    """apply_changes (operators/diff.py): CDC-apply semantics —
+    insert new keys, latest-version update wins, a winning delete
+    removes the key, and a STALE delete (older version than the base
+    row) must NOT remove it; at an exact (version, tiebreak) tie the
+    changelog row beats the base row (at-least-once replay)."""
+    from botkop_telcotraffic_spark_spark.operators.diff import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10), (4, "d", 10)],
+        "k int, s string, v int",
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, "b2", 11, "U"),   # update: newer version wins
+            (2, "b1", 9, "U"),    # stale update: loses to v11
+            (3, "x", 12, "D"),    # delete: newer, key removed
+            (4, "y", 9, "D"),     # STALE delete: base v10 survives
+            (5, "e", 11, "U"),    # insert
+            (1, "a2", 10, "U"),   # exact tie with base: change wins
+        ],
+        "k int, s string, v int, op string",
+    )
+    got = {
+        r["k"]: (r["s"], r["v"])
+        for r in apply_changes(base, chg, ["k"], "v").collect()
+    }
+    assert got == {
+        1: ("a2", 10),
+        2: ("b2", 11),
+        4: ("d", 10),
+        5: ("e", 11),
+    }
+    # snapshot_diff(base, apply_changes(base, chg)) round-trips: the
+    # extracted delta names exactly the keys the changelog touched
+    from botkop_telcotraffic_spark_spark.operators.diff import snapshot_diff
+
+    nxt = apply_changes(base, chg, ["k"], "v")
+    delta = {
+        r["k"]: r["status"] for r in snapshot_diff(base, nxt, ["k"]).collect()
+    }
+    assert delta == {1: "changed", 2: "changed", 3: "removed", 5: "added"}
+
+
 def test_negative_samples_never_self_deterministic(spark):
     """negative_samples (operators/sampling.py): k rows per key, a
     key never draws itself, all negatives are real corpus keys, and

@@ -5835,6 +5835,42 @@ FROM qq GROUP BY file_id
 """
 
 
+def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-conditioned anomalies
+    (operators/timeseries.py::seasonal_zscore): score each event
+    against the mean/stddev_pop of its own (event_type, hour-of-day)
+    cell, keep |z| > 2.5 — fires on "unusual for 3 am", not on the
+    nightly pattern itself, unlike the global IQR/MAD gates.  One
+    scan-side profile aggregate (types × 24 rows) + one
+    co-partitioned join back; anomaly-sized output."""
+    from botkop_telcotraffic_spark_spark.operators import timeseries
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    out = timeseries.seasonal_zscore(
+        e, "ts", ["event_type"], "value", z_thresh=2.5
+    )
+    return out.select(
+        "event_id", "event_type", "value", "hour_of_day", "cell_mean", "z"
+    )
+
+
+_SEASONAL_SQL = """
+WITH prof AS (
+  SELECT event_type, hour(ts) AS hr,
+         avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type, e.value,
+       p.hr AS hour_of_day, round(p.mu, 6) AS cell_mean,
+       round((e.value - p.mu) / p.sd, 6) AS z
+FROM events e
+JOIN prof p ON e.event_type = p.event_type AND hour(e.ts) = p.hr
+WHERE p.sd > 0 AND abs((e.value - p.mu) / p.sd) > 2.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5930,6 +5966,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "collapse_rare_users": (collapse_rare_users, _RARE_SQL),
     "apply_changes_orders": (apply_changes_orders, _APPLY_SQL),
     "zorder_layout_events": (zorder_layout_events, _zorder_sql()),
+    "seasonal_anomaly_events": (seasonal_anomaly_events, _SEASONAL_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

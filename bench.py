@@ -91,6 +91,7 @@ CONTINUITY = [
     "collapse_rare_users",
     "apply_changes_orders",
     "zorder_layout_events",
+    "seasonal_anomaly_events",
 ]
 
 

@@ -197,3 +197,52 @@ def trend_ols(
         F.round(intercept, round_to).alias("intercept"),
         F.round(r2, round_to).alias("r2"),
     )
+
+
+def seasonal_zscore(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    z_thresh: float = 2.5,
+) -> DataFrame:
+    """Seasonality-conditioned anomaly detection: score each row
+    against the mean/stddev of its OWN (key, hour-of-day) cell and
+    keep rows with ``|z| > z_thresh``.
+
+    A global or per-key threshold (IQR/MAD operators here) flags the
+    nightly batch spike every night; conditioning on the seasonal
+    cell ("EV charging at 3 am") only fires when a value is unusual
+    FOR THAT HOUR — the standard first model for telemetry/traffic
+    monitoring, and the degenerate (profile-free) case of what the
+    streaming z-score operator maintains incrementally.
+
+    Physical shape: one scan-side aggregate to the (keys × 24)
+    profile dim, then one equi-join back on (keys, hour) — both
+    sides hash-partition on the same compound key, so the join is
+    co-partitioned and AQE broadcasts the profile when it is tiny.
+    Cells with zero variance (or a single row) score NULL and are
+    never flagged.  Output is anomaly-sized, not table-sized.
+    """
+    hr = F.hour(F.col(ts_col)).alias("_hr")
+    v = F.col(value_col).cast("double")
+    prof = (
+        df.select(*key_cols, hr, v.alias("_v"))
+        .groupBy(*key_cols, "_hr")
+        .agg(
+            F.avg("_v").alias("_mu"),
+            F.stddev_pop("_v").alias("_sd"),
+        )
+    )
+    z = (v - F.col("_mu")) / F.col("_sd")
+    return (
+        df.withColumn("_hr", F.hour(F.col(ts_col)))
+        .join(prof, [*key_cols, "_hr"])
+        .where((F.col("_sd") > 0) & (F.abs(z) > z_thresh))
+        .select(
+            *df.columns,
+            F.col("_hr").alias("hour_of_day"),
+            F.round(F.col("_mu"), 6).alias("cell_mean"),
+            F.round(z, 6).alias("z"),
+        )
+    )

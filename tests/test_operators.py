@@ -1441,6 +1441,35 @@ def test_apply_changes_upsert_delete_latest_wins(spark):
     assert delta == {1: "changed", 2: "changed", 3: "removed", 5: "added"}
 
 
+def test_seasonal_zscore_flags_cell_outlier(spark):
+    """seasonal_zscore (operators/timeseries.py): a value normal
+    globally but anomalous FOR ITS HOUR is flagged; the same value in
+    an hour where it is typical is not; zero-variance cells never
+    flag (no division blowup)."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        seasonal_zscore,
+    )
+
+    rows = []
+    # hour 3: tight cell around 10 (+ one wild 100 -> the anomaly)
+    for i, v in enumerate([10.0, 11.0, 9.0, 10.0, 100.0]):
+        rows.append((i, f"2024-01-01 03:{i:02d}:00", "load", v))
+    # hour 12: 100 is TYPICAL here -> must not flag
+    for i, v in enumerate([100.0, 101.0, 99.0, 101.0, 99.0]):
+        rows.append((10 + i, f"2024-01-01 12:{i:02d}:00", "load", v))
+    # hour 5: zero variance -> sd = 0, never flagged
+    for i in range(3):
+        rows.append((20 + i, f"2024-01-01 05:{i:02d}:00", "load", 7.0))
+    df = spark.createDataFrame(
+        rows, "event_id int, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = seasonal_zscore(df, "ts", ["event_type"], "value", z_thresh=1.5)
+    got = out.select("event_id", "hour_of_day", "z").collect()
+    assert [r["event_id"] for r in got] == [4]
+    assert got[0]["hour_of_day"] == 3 and got[0]["z"] > 1.5
+
+
 def test_negative_samples_never_self_deterministic(spark):
     """negative_samples (operators/sampling.py): k rows per key, a
     key never draws itself, all negatives are real corpus keys, and

@@ -5856,6 +5856,40 @@ def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rebalance_docs_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-mixture corpus rebalance
+    (operators/sampling.py::rebalance_to_target): downsample so the
+    language distribution matches an explicit uniform target (0.2
+    per language) — DoReMi-style domain weights, vs temperature_mix's
+    transform of the natural proportions.  The binding language keeps
+    every row; selection is the shared deterministic hash-bucket
+    rule, so the oracle replays the identical feasible-scale and
+    threshold arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.rebalance_to_target(
+        d,
+        "doc_id",
+        "lang",
+        {"de": 0.2, "en": 0.2, "es": 0.2, "fr": 0.2, "zh": 0.2},
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+_REBALANCE_SQL = f"""
+WITH sizes AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tgt AS (SELECT * FROM (VALUES ('de', 0.2), ('en', 0.2), ('es', 0.2),
+                              ('fr', 0.2), ('zh', 0.2)) AS t(lang, p)),
+s AS (SELECT min(n / p) AS s FROM sizes JOIN tgt USING (lang)),
+th AS (SELECT lang,
+              CAST(floor(10000.0 * least(1.0, (SELECT s FROM s) * p / n))
+                   AS BIGINT) AS t
+       FROM sizes JOIN tgt USING (lang))
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN th USING (lang)
+WHERE {_HASH_BUCKET_SQL.format(key="d.doc_id")} < t
+"""
+
+
 _SEASONAL_SQL = """
 WITH prof AS (
   SELECT event_type, hour(ts) AS hr,
@@ -5967,6 +6001,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "apply_changes_orders": (apply_changes_orders, _APPLY_SQL),
     "zorder_layout_events": (zorder_layout_events, _zorder_sql()),
     "seasonal_anomaly_events": (seasonal_anomaly_events, _SEASONAL_SQL),
+    "rebalance_docs_target": (rebalance_docs_target, _REBALANCE_SQL),
     # -- r2-green re-checks padding the remainder of the 50 ----------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),

@@ -92,6 +92,7 @@ CONTINUITY = [
     "apply_changes_orders",
     "zorder_layout_events",
     "seasonal_anomaly_events",
+    "rebalance_docs_target",
 ]
 
 

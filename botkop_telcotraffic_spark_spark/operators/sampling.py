@@ -411,6 +411,58 @@ def temperature_mix(
     )
 
 
+def rebalance_to_target(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    targets: Mapping[str, float],
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Downsample over-represented groups so the kept corpus matches
+    EXPLICIT target proportions — the fixed-mixture (DoReMi-style
+    domain weights) complement of `temperature_mix`, which instead
+    transforms the natural distribution.
+
+    Feasible scale ``s = min_g count_g / p_g`` (no upsampling: the
+    binding group is kept whole); per-group keep-rate
+    ``min(1, s·p_g/count_g)``.  Groups absent from ``targets`` are
+    dropped; target groups absent from the corpus renormalize the
+    mixture over the groups present.  Selection reuses the salted
+    deterministic hash-bucket rule, so the kept set is reproducible
+    across engines, partitionings, and re-runs.
+
+    Physical shape: one tiny per-group count aggregate joined to the
+    literal target table, a one-row feasible-scale scalar broadcast
+    back over it, and ONE broadcast join of the per-group threshold
+    onto the corpus — the fact table is scanned once and filtered
+    scan-side; no windows, no per-group tasks, rate-based like every
+    other sampler here.
+    """
+    tgt = df.sparkSession.createDataFrame(
+        [(g, float(p)) for g, p in targets.items()],
+        f"{group_col} string, _p double",
+    )
+    sizes = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(tgt), group_col)
+    )
+    s = sizes.agg(F.min(F.col("_n") / F.col("_p")).alias("_s"))
+    th = sizes.crossJoin(F.broadcast(s)).select(
+        group_col,
+        F.floor(
+            F.lit(float(buckets))
+            * F.least(F.lit(1.0), F.col("_s") * F.col("_p") / F.col("_n"))
+        ).alias("_thresh"),
+    )
+    b = hash_bucket(F.col(key_col), buckets)
+    return (
+        df.join(F.broadcast(th), group_col)
+        .where(b < F.col("_thresh"))
+        .drop("_thresh")
+    )
+
+
 def weighted_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -1441,6 +1441,47 @@ def test_apply_changes_upsert_delete_latest_wins(spark):
     assert delta == {1: "changed", 2: "changed", 3: "removed", 5: "added"}
 
 
+def test_rebalance_to_target_binding_group_kept_whole(spark):
+    """rebalance_to_target (operators/sampling.py): the binding
+    group (smallest count/target ratio) is kept in full, groups
+    outside the target map are dropped, kept rows are a subset of
+    the input, and the draw is deterministic across invocations."""
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        rebalance_to_target,
+    )
+
+    rows = (
+        [(f"a{i}", "a") for i in range(100)]
+        + [(f"b{i}", "b") for i in range(50)]
+        + [(f"c{i}", "c") for i in range(10)]
+        + [(f"x{i}", "other") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "k string, g string")
+    targets = {"a": 0.5, "b": 0.3, "c": 0.2}
+    # s = min(100/.5, 50/.3, 10/.2) = 50 -> per-group thresholds
+    # floor(10000 * min(1, s*p/n)): a=2500, b=3000, c=10000 (whole)
+    out = rebalance_to_target(df, "k", "g", targets)
+    kept = {r["k"] for r in out.select("k").collect()}
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    thresh = {"a": 2500, "b": 3000, "c": 10000}
+    buckets = {
+        r["k"]: r["b"]
+        for r in df.select("k", hash_bucket(F.col("k")).alias("b")).collect()
+    }
+    expected = {
+        k for k, g in rows if g in thresh and buckets[k] < thresh[g]
+    }
+    assert kept == expected                       # exact keep rule
+    assert {k for k, g in rows if g == "c"} <= kept   # binding group whole
+    assert not any(k.startswith("x") for k in kept)   # untargeted dropped
+    again = {r["k"] for r in
+             rebalance_to_target(df, "k", "g", targets).select("k").collect()}
+    assert kept == again                          # deterministic
+
+
 def test_seasonal_zscore_flags_cell_outlier(spark):
     """seasonal_zscore (operators/timeseries.py): a value normal
     globally but anomalous FOR ITS HOUR is flagged; the same value in

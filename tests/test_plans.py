@@ -522,6 +522,7 @@ def test_registry_wide_no_cartesian(spark):
         "q11_important_parts",       # one-row global threshold scalar
         "q22_idle_rich_customers",   # one-row avg-balance scalar
         "temperature_mix_docs",      # one-row max-weight scalar
+        "rebalance_docs_target",     # one-row feasible-scale scalar
         "tfidf_top_terms",           # one-row n_docs scalar
         "jaccard_near_dup_docs",     # one-row corpus-count scalar
         "containment_near_dup_docs", # same jaccard machinery + scalar

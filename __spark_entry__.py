@@ -5927,7 +5927,8 @@ WHERE p.sd > 0 AND abs((e.value - p.mu) / p.sd) > 2.5
 # embedding_centroid_cos, funnel_bounded_conversions,
 # lpa_copart_communities, masked_customer_segments, the streaming
 # idle-session / MapState / ListState trio, target/rare encoders,
-# CDC apply_changes, and the Z-order layout audit) — first in
+# CDC apply_changes, the Z-order layout audit, the seasonal
+# anomaly query, and the fixed-mixture rebalance) — first in
 # line for the round-4 rotation, all benched via bench.py CONTINUITY;
 # the full suite still verifies every oracle entry in pytest
 # (tests/test_oracle_parity.py) regardless of slot.

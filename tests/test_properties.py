@@ -261,6 +261,47 @@ def test_snapshot_diff_flip_symmetry(spark, rows):
     assert rev == {k: flip[s] for k, s in fwd.items()}
 
 
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 9),            # key
+            st.booleans(),                 # present in old
+            st.booleans(),                 # present in new
+            st.integers(0, 3),             # old value
+            st.integers(0, 3),             # new value
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_apply_changes_inverts_snapshot_diff(spark, rows):
+    """CDC round-trip: replaying the changelog between two arbitrary
+    snapshots (upsert every key present in new, delete every key that
+    vanished) on top of old reproduces new exactly — apply_changes is
+    the inverse of the delta snapshot_diff extracts."""
+    from botkop_telcotraffic_spark_spark.operators.diff import apply_changes
+
+    old = [(k, vo, 0) for k, po, pn, vo, vn in rows if po]
+    new = {k: vn for k, po, pn, vo, vn in rows if pn}
+    chg = [(k, v, 1, "U") for k, v in new.items()] + [
+        (k, vo, 1, "D") for k, vo, _ in old if k not in new
+    ]
+    o = spark.createDataFrame(old or [(99, 0, 0)], "k int, v int, ver int")
+    c = spark.createDataFrame(
+        chg or [(99, 0, 1, "D")], "k int, v int, ver int, op string"
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changes(o, c, ["k"], "ver").collect()
+    }
+    # key 99 only ever comes from the empty-frame sentinels (real
+    # keys are 0..9); drop it before comparing
+    got.pop(99, None)
+    assert got == new
+
+
 def test_markov_probabilities_sum_to_one(spark):
     """markov_transitions: per-state transition probabilities sum to
     ~1 (rounding at 6dp) for every state with outgoing transitions,

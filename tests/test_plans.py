@@ -604,3 +604,35 @@ def test_bloom_probe_is_scan_side_no_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in fplan, fplan
     # the probe join must be broadcast, never a shuffled cartesian
     assert "CartesianProduct" not in fplan, fplan
+
+
+def test_apply_changes_single_shuffle(spark):
+    """apply_changes (operators/diff.py) docstring claims union +
+    ONE shuffle on the merge key — assert the physical plan carries
+    exactly one hash Exchange (the window's) and no extra
+    repartition/sort-merge exchanges above the union."""
+    import re as _re
+
+    from botkop_telcotraffic_spark_spark.operators.diff import apply_changes
+
+    base = (
+        spark.read.parquet(f"{SF_DIR_001}/orders.parquet")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .where(F.col("o_orderkey") % 2 == 0)
+    )
+    chg = (
+        spark.read.parquet(f"{SF_DIR_001}/orders.parquet")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+            F.lit("U").alias("op"),
+        )
+        .where(F.col("o_orderkey") % 3 == 0)
+    )
+    out = apply_changes(base, chg, ["o_orderkey"], "o_orderdate")
+    plan = physical_plan(out)
+    hash_exchanges = _re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_exchanges) == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Window" in plan, plan

@@ -5344,7 +5344,9 @@ WITH base AS (
 ), rng AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
 binned AS (
   SELECT event_type,
-         least(63, CAST(floor((v - lo) / ((hi - lo) / 64)) AS INT)) AS bin,
+         least(63, CAST(floor((v - lo)
+               / ((CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END) / 64))
+               AS INT)) AS bin,
          sum(CASE WHEN b THEN 0 ELSE 1 END) AS ca,
          sum(CASE WHEN b THEN 1 ELSE 0 END) AS cb
   FROM base, rng GROUP BY 1, 2

@@ -94,6 +94,8 @@ def snapshot_diff(
     """
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c not in set(key_cols)]
+    if len(set(compare_cols)) != len(list(compare_cols)):
+        raise ValueError(f"duplicate names in compare_cols: {list(compare_cols)}")
     keys = list(key_cols)
     o = old.select(
         *[F.col(c).alias(f"k_{c}") for c in keys],
@@ -128,7 +130,7 @@ def snapshot_diff(
             ",",
             *[
                 F.when(d, F.lit(c))
-                for c, d in sorted(zip(compare_cols, diffs))
+                for c, d in sorted(zip(compare_cols, diffs), key=lambda t: t[0])
             ],
         ),
     ).otherwise(F.lit(""))

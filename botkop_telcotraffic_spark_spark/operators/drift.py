@@ -171,11 +171,21 @@ def ks_drift_binned(
         .select(
             *key_cols,
             "_b",
+            # Degenerate range (min == max): (v-lo)/0 is NaN → floor →
+            # NULL → null-skipping least() silently buckets everything
+            # into bin bins-1 and reports ks=0.  Guard the span like
+            # layout.quantize: a constant column lands in bin 0 exactly.
             F.least(
                 F.lit(bins - 1),
                 F.floor(
                     (F.col("_v") - F.col("_lo"))
-                    / ((F.col("_hi") - F.col("_lo")) / bins)
+                    / (
+                        F.when(
+                            F.col("_hi") > F.col("_lo"),
+                            F.col("_hi") - F.col("_lo"),
+                        ).otherwise(F.lit(1.0))
+                        / bins
+                    )
                 ).cast("int"),
             ).alias("bin"),
         )

@@ -48,8 +48,16 @@ def impute_group_stat(
         raise ValueError(f"unknown strategy {strategy!r}")
     out = out_col or f"{value_col}_filled"
     stats = df.groupBy(*key_cols).agg(agg.alias("_fill"))
+    # Left join on null-safe equality: rows whose key IS NULL must still
+    # match their (NULL-key) stats group — an inner equi-join would drop
+    # them and break the "output is input-sized" contract.
+    cond = None
+    for k in key_cols:
+        c = df[k].eqNullSafe(stats[k])
+        cond = c if cond is None else cond & c
     return (
-        df.join(F.broadcast(stats), list(key_cols))
+        df.join(F.broadcast(stats), cond, "left")
+        .drop(*[stats[k] for k in key_cols])
         .withColumn(out, F.coalesce(v, F.col("_fill")))
         .withColumn("was_imputed", v.isNull())
         .drop("_fill")

@@ -448,12 +448,22 @@ def rebalance_to_target(
         .join(F.broadcast(tgt), group_col)
     )
     s = sizes.agg(F.min(F.col("_n") / F.col("_p")).alias("_s"))
+    # The binding group has _n/_p == _s bit-exactly (_s IS the min of
+    # those values), so short-circuit it to the full bucket range: the
+    # floor(buckets * _s*_p/_n) round trip can land a hair under 1.0
+    # and silently drop ~1/buckets of the group it promised to keep whole.
     th = sizes.crossJoin(F.broadcast(s)).select(
         group_col,
-        F.floor(
-            F.lit(float(buckets))
-            * F.least(F.lit(1.0), F.col("_s") * F.col("_p") / F.col("_n"))
-        ).alias("_thresh"),
+        F.when(
+            F.col("_n") / F.col("_p") <= F.col("_s"), F.lit(buckets)
+        )
+        .otherwise(
+            F.floor(
+                F.lit(float(buckets))
+                * F.least(F.lit(1.0), F.col("_s") * F.col("_p") / F.col("_n"))
+            )
+        )
+        .alias("_thresh"),
     )
     b = hash_bucket(F.col(key_col), buckets)
     return (
@@ -586,8 +596,22 @@ def negative_samples(
         .select(
             key_col,
             F.col("neg_rank").cast("long").alias("neg_rank"),
+            # n == 1 would be modulo-by-zero → NULL (non-ANSI) → silently
+            # empty join; raise instead.  The guard lives inside the hot
+            # expression so column pruning cannot drop it.
             (
-                (F.col("_pos") + 1 + F.col("_h") % (F.col("_n") - 1))
+                (
+                    F.col("_pos")
+                    + 1
+                    + F.col("_h")
+                    % F.when(F.col("_n") >= 2, F.col("_n") - 1).otherwise(
+                        F.raise_error(
+                            F.lit(
+                                "negative_samples requires >= 2 distinct keys"
+                            )
+                        ).cast("long")
+                    )
+                )
                 % F.col("_n")
             ).alias("_tgt"),
         )

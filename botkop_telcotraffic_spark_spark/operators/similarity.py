@@ -269,19 +269,29 @@ def near_dup_pairs_banded(
                 s += xi * yi
             return s
 
+        # Lazy per-row conversion: only rows that appear in a
+        # surviving pair pay the O(dim) list build — a bucket whose
+        # BLAS screen kills every pair does zero Python list work.
+        raw = pdf["_v"]
+        vl_cache: dict[int, list[float]] = {}
+
+        def _vl(i: int) -> list[float]:
+            if i not in vl_cache:
+                vl_cache[i] = [float(x) for x in raw.iloc[i]]
+            return vl_cache[i]
+
         seq_norm: dict[int, float] = {}
 
         def _seq_norm(i: int) -> float:
             if i not in seq_norm:
                 import math
 
-                seq_norm[i] = math.sqrt(_fold_dot(vl[i], vl[i]))
+                seq_norm[i] = math.sqrt(_fold_dot(_vl(i), _vl(i)))
             return seq_norm[i]
 
-        vl = [[float(x) for x in row] for row in pdf["_v"]]
         out_a, out_b, out_c = [], [], []
         for i, j in zip(iu[keep], ju[keep]):
-            cs = _fold_dot(vl[i], vl[j]) / (_seq_norm(i) * _seq_norm(j))
+            cs = _fold_dot(_vl(i), _vl(j)) / (_seq_norm(i) * _seq_norm(j))
             if cs >= threshold:
                 x, y = ids[i], ids[j]
                 out_a.append(min(x, y))

@@ -1903,3 +1903,104 @@ def test_collapse_rare_thresholds_and_null(spark):
     assert Counter(out) == Counter(
         {"a": 3, "b": 2, "__rare__": 1, None: 1}
     )
+
+
+def test_impute_preserves_null_key_rows(spark):
+    """impute_group_stat (operators/impute.py): rows whose GROUP KEY
+    is NULL survive (null-safe left join) — output is input-sized,
+    and the NULL-key group imputes from its own statistic like any
+    other group."""
+    from botkop_telcotraffic_spark_spark.operators.impute import (
+        impute_group_stat,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", None),
+        (None, 7.0), (None, 9.0), (None, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = impute_group_stat(df, ["g"], "v").collect()
+    assert len(got) == len(rows)                       # input-sized
+    nulls = [r for r in got if r["g"] is None]
+    assert len(nulls) == 3
+    [filled] = [r for r in nulls if r["was_imputed"]]
+    assert filled["v_filled"] == 8.0                   # median of 7,9
+
+
+def test_snapshot_diff_rejects_duplicate_compare_cols(spark):
+    """snapshot_diff (operators/diff.py): duplicate names in
+    compare_cols raise a clear ValueError instead of falling through
+    to bool(Column) inside sorted()."""
+    from botkop_telcotraffic_spark_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x")], "k int, v string")
+    new = spark.createDataFrame([(1, "y")], "k int, v string")
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_diff(old, new, ["k"], compare_cols=["v", "v"])
+
+
+def test_rebalance_binding_group_survives_float_roundtrip(spark):
+    """rebalance_to_target (operators/sampling.py): (n=103, p=0.7)
+    vs (n=100, p=0.3) makes s*p/n = 0.999... for the binding group —
+    the old floor() dropped bucket-9999 keys.  Plant a key whose
+    hash bucket IS 9999 and assert the binding group stays whole."""
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        hash_bucket,
+        rebalance_to_target,
+    )
+
+    cand = spark.createDataFrame(
+        [(f"z{i}",) for i in range(30000)], "k string"
+    )
+    buckets = {
+        r["k"]: r["b"]
+        for r in cand.select(
+            "k", hash_bucket(F.col("k")).alias("b")
+        ).collect()
+    }
+    edge = [k for k, b in buckets.items() if b == 9999]
+    assert edge, "no candidate key hashed to bucket 9999"
+    others = [k for k, b in buckets.items() if b != 9999]
+    a_keys = [edge[0]] + others[:102]          # 103 keys, binding group
+    rows = [(k, "a") for k in a_keys] + [
+        (f"bb{i}", "b") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, g string")
+    kept = {
+        r["k"]
+        for r in rebalance_to_target(
+            df, "k", "g", {"a": 0.7, "b": 0.3}
+        ).select("k").collect()
+    }
+    assert set(a_keys) <= kept                 # binding group WHOLE
+
+
+def test_negative_samples_single_key_raises(spark):
+    """negative_samples (operators/sampling.py): a 1-key corpus has
+    no valid negatives — raise loudly instead of the silent-empty
+    result the NULL-on-mod-zero path produced."""
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        negative_samples,
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame([("only",)], "doc_id string")
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        negative_samples(df, "doc_id", k=2).collect()
+
+
+def test_ks_drift_constant_column_reports_zero(spark):
+    """ks_drift_binned (operators/drift.py): min == max (constant
+    column) must not divide by zero — every row lands in bin 0 and
+    identical constant slices report ks = 0, not NaN/NULL fallout."""
+    from botkop_telcotraffic_spark_spark.operators.drift import (
+        ks_drift_binned,
+    )
+
+    rows = [("t", 5.0, i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, v double, b boolean")
+    [r] = ks_drift_binned(df, ["k"], "v", F.col("b"), bins=64).collect()
+    assert r["n_a"] == 5 and r["n_b"] == 5
+    assert r["ks"] == 0.0
+    assert r["ks_bin"] == 0

@@ -13,6 +13,18 @@ Scale notes
   * lsh_topk buckets both sides by hyperplane sign bits; the join
     touches only same-bucket pairs — the 100 TB path (recall < 1,
     tunable by n_planes / probing multiple buckets).
+
+Bench note (round 4): the apparent r2->r3 regression of the topk
+family (ann_cosine_topk_blocked 0.49s -> 1.30s in BENCH_r03) is NOT
+a code cost.  An isolated A/B at sf0.1 (fresh JVM, warmup + best of
+3, same box) of the round-2-end commit (14e5e39) vs head gives
+blocked 0.70s vs 0.76s, ivf 1.66s vs 1.60s, lsh 1.11s vs 1.10s —
+parity within run noise; none of the round-3 similarity commits
+touched the topk execution path (only near_dup_pairs_banded's
+survivor re-derive and the added label_centroid_distance).  The
+BENCH delta comes from the shared-JVM bench context growing from
+~46 to ~110 queries per run (GC + Python-worker pressure and run
+order), which inflates short mapInPandas queries the most.
 """
 
 from __future__ import annotations

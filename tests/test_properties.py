@@ -314,3 +314,55 @@ def test_markov_probabilities_sum_to_one(spark):
     for r in out:
         sums[r["state"]] = sums.get(r["state"], 0.0) + r["p"]
     assert sums and all(abs(s - 1.0) < 1e-4 for s in sums.values()), sums
+
+
+def test_star_contraction_long_chain_planted(spark):
+    """Planted-component hardening at sf0.1-ish scale (round-3 brief
+    item carried from r2 #8): the recursive-CTE oracle caps the
+    component sizes it can verify, so plant the adversarial shape
+    directly — one 20,001-node PATH (diameter 20,000, the case where
+    min-label propagation needs O(diameter) rounds and CC-MR star
+    contraction must still converge in O(log² n)) plus two planted
+    cliques and a 2-node island — and assert exact membership:
+    every node's component is its planted group's minimum id."""
+    from pyspark.sql import functions as SF
+
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        star_contraction_components,
+    )
+
+    n_chain = 20_001
+    chain = spark.range(n_chain - 1).select(
+        SF.col("id").alias("a"), (SF.col("id") + 1).alias("b")
+    )
+    # planted cliques at 10^6 + i and 2*10^6 + i, plus an island pair
+    clique1 = spark.createDataFrame(
+        [(1_000_000 + i, 1_000_000 + j) for i in range(8) for j in range(i)],
+        "a long, b long",
+    )
+    clique2 = spark.createDataFrame(
+        [(2_000_000 + i, 2_000_000 + j) for i in range(5) for j in range(i)],
+        "a long, b long",
+    )
+    island = spark.createDataFrame([(3_000_000, 3_000_001)], "a long, b long")
+    # localCheckpoint severs lineage: Catalyst's Union constraint
+    # rewrite trips over range()-derived attribute ids otherwise
+    # (key-not-found in rewriteConstraints on Spark 4.1)
+    edges = (
+        chain.union(clique1).union(clique2).union(island).localCheckpoint()
+    )
+
+    comp = {
+        r["node"]: r["component"]
+        for r in star_contraction_components(edges).collect()
+    }
+    assert len(comp) == n_chain + 8 + 5 + 2
+    for node, c in comp.items():
+        if node < 1_000_000:
+            assert c == 0, (node, c)
+        elif node < 2_000_000:
+            assert c == 1_000_000, (node, c)
+        elif node < 3_000_000:
+            assert c == 2_000_000, (node, c)
+        else:
+            assert c == 3_000_000, (node, c)

@@ -5989,6 +5989,573 @@ WHERE p.sd > 0 AND abs((e.value - p.mu) / p.sd) > 2.5
 """
 
 
+
+# --- round-4 additions: privacy audits, bootstrap CI, cluster quality,
+# --- attribution, Gopher rules, MMR diverse selection ----------------------
+
+
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/privacy.py): equivalence classes
+    over the quasi-identifier set (nation, segment, 500-wide balance
+    bucket) smaller than k=5 — the classes that need generalization
+    before release.  One keyed aggregate, violation-sized output."""
+    from botkop_telcotraffic_spark_spark.operators.privacy import (
+        k_anonymity_violations,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 500).alias("bal_bucket"),
+    )
+    return k_anonymity_violations(
+        c, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
+    )
+
+
+_KANON_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 500) AS BIGINT) AS bal_bucket,
+       CAST(count(*) AS BIGINT) AS class_size
+FROM customer
+GROUP BY 1, 2, 3
+HAVING count(*) < 5
+"""
+
+
+def l_diversity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators/privacy.py): classes over
+    (order status, order month) whose sensitive attribute
+    (o_orderpriority) shows fewer than l=5 distinct values — the
+    classes where the quasi-identifiers leak the priority."""
+    from botkop_telcotraffic_spark_spark.operators.privacy import (
+        l_diversity_violations,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.month("o_orderdate").alias("order_month"),
+        "o_orderpriority",
+    )
+    return l_diversity_violations(
+        o, ["o_orderstatus", "order_month"], "o_orderpriority", l=5
+    )
+
+
+_LDIV_SQL = """
+SELECT o_orderstatus, month(o_orderdate) AS order_month,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS distinct_sensitive
+FROM orders
+GROUP BY 1, 2
+HAVING count(DISTINCT o_orderpriority) < 5
+"""
+
+
+def bootstrap_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI of the per-type mean
+    value (operators/boot.py): 32 hash-seeded Poisson(1) replicates,
+    one scan + one keyed aggregate — the scalable bootstrap."""
+    from botkop_telcotraffic_spark_spark.operators.boot import (
+        bootstrap_mean_ci,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        e, ["event_type"], "value", "event_id", n_boot=32
+    )
+
+
+def _boot_sql(n_boot: int = 32) -> str:
+    from botkop_telcotraffic_spark_spark.functions.textfn import (
+        FP_BASE,
+        FP_MOD,
+    )
+    from botkop_telcotraffic_spark_spark.operators.boot import (
+        poisson1_weight_sql,
+    )
+
+    s = "'boot:' || CAST(j.j AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)"
+    fp = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, length({s})), "
+        f"i -> CAST(ascii(({s})[i]) AS BIGINT))), "
+        f"(acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})"
+    )
+    u = f"((CAST({fp} AS DOUBLE) + 0.5) / {float(FP_MOD)!r})"
+    w = poisson1_weight_sql(u)
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v, event_id
+  FROM events WHERE value IS NOT NULL
+), rep AS (
+  SELECT event_type, v, CAST({w} AS DOUBLE) AS w, j.j AS j
+  FROM base CROSS JOIN generate_series(0, {n_boot - 1}) j(j)
+), reps AS (
+  SELECT event_type, j, sum(w * v) / sum(w) AS bm
+  FROM rep GROUP BY 1, 2 HAVING sum(w) > 0
+), ci AS (
+  SELECT event_type,
+         round(quantile_cont(bm, 0.025), 6) AS ci_lo,
+         round(quantile_cont(bm, 0.975), 6) AS ci_hi
+  FROM reps GROUP BY event_type
+)
+SELECT b.event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(v), 6) AS mean, any_value(ci_lo) AS ci_lo,
+       any_value(ci_hi) AS ci_hi
+FROM base b JOIN ci ON b.event_type = ci.event_type
+GROUP BY b.event_type
+"""
+
+
+_CENT_CTE = """
+cent AS (
+  SELECT label AS prediction, i.i AS d,
+         round(avg(CAST(embedding[i.i] AS DOUBLE)), 9) AS m
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+  GROUP BY 1, 2
+),
+cvec AS (
+  SELECT prediction, list_transform(list_sort(list({'d': d, 'm': m})), s -> s.m) AS centroid
+  FROM cent GROUP BY prediction
+)"""
+
+_EUCLID_EC = """sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+              i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                   * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))),
+              (s, x) -> s + x))"""
+
+
+def silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette
+    (operators/cluster_eval.py::simplified_silhouette) against the
+    deterministic per-label centroids — centroid-based O(n·k), never
+    O(n²) pairwise."""
+    from botkop_telcotraffic_spark_spark.operators.cluster_eval import (
+        simplified_silhouette,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans.label_centroids(emb, round_digits=9)
+    return simplified_silhouette(emb, cents)
+
+
+_SILHOUETTE_SQL = f"""
+WITH {_CENT_CTE},
+dists AS (
+  SELECT e.vec_id, c.prediction, {_EUCLID_EC} AS dist
+  FROM embeddings e CROSS JOIN cvec c
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist, prediction) AS rn
+  FROM dists
+), pp AS (
+  SELECT vec_id,
+         min(CASE WHEN rn = 1 THEN prediction END) AS cluster,
+         min(CASE WHEN rn = 1 THEN dist END) AS a,
+         min(CASE WHEN rn = 2 THEN dist END) AS b
+  FROM rk WHERE rn <= 2 GROUP BY vec_id
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       round(avg(CASE WHEN greatest(a, b) > 0
+                      THEN (b - a) / greatest(a, b) ELSE 0.0 END), 6)
+         AS silhouette
+FROM pp GROUP BY cluster
+"""
+
+
+def davies_bouldin_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster Davies-Bouldin terms
+    (operators/cluster_eval.py::davies_bouldin): scatter + worst
+    overlap ratio per label-centroid cluster; mean(r_max) is the DB
+    index."""
+    from botkop_telcotraffic_spark_spark.operators.cluster_eval import (
+        davies_bouldin,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans.label_centroids(emb, round_digits=9)
+    return davies_bouldin(emb, cents)
+
+
+_DB_PAIR_EUCLID = """sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
+              i -> (ci.centroid[i] - cj.centroid[i])
+                   * (ci.centroid[i] - cj.centroid[i]))),
+              (s, x) -> s + x))"""
+
+_DAVIES_SQL = f"""
+WITH {_CENT_CTE},
+dists AS (
+  SELECT e.vec_id, c.prediction, {_EUCLID_EC} AS dist
+  FROM embeddings e CROSS JOIN cvec c
+), assigned AS (
+  SELECT prediction AS cluster, dist AS a FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, prediction) AS rn
+    FROM dists) WHERE rn = 1
+), scat AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n, avg(a) AS s
+  FROM assigned GROUP BY cluster
+), pairs AS (
+  SELECT ci.prediction AS c_i, cj.prediction AS c_j,
+         {_DB_PAIR_EUCLID} AS m
+  FROM cvec ci CROSS JOIN cvec cj WHERE ci.prediction <> cj.prediction
+), r AS (
+  SELECT p.c_i AS cluster, max((si.s + sj.s) / p.m) AS r_max
+  FROM pairs p JOIN scat si ON p.c_i = si.cluster
+               JOIN scat sj ON p.c_j = sj.cluster
+  GROUP BY p.c_i
+)
+SELECT scat.cluster, scat.n, round(scat.s, 6) AS s_scatter,
+       round(coalesce(r.r_max, 0.0), 6) AS r_max
+FROM scat LEFT JOIN r ON scat.cluster = r.cluster
+"""
+
+
+def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution
+    (operators/funnel.py::last_touch_attribution): each purchase
+    event's value is credited to the user's latest prior
+    view/click/signup touch (ties: highest event_id); purchases with
+    no prior touch go to 'direct'.  One keyed union-window shuffle —
+    the as-of pattern, no pair join."""
+    from botkop_telcotraffic_spark_spark.operators.funnel import (
+        last_touch_attribution,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    touches = e.where(
+        F.col("event_type").isin("view", "click", "signup")
+    )
+    convs = e.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    return last_touch_attribution(
+        convs,
+        touches,
+        key="user_id",
+        conv_ts="ts",
+        touch_ts="ts",
+        channel_col="event_type",
+        value_col="value",
+        touch_tiebreak="event_id",
+    )
+
+
+_ATTRIB_SQL = """
+WITH t AS (
+  SELECT user_id AS k, ts, 0 AS side, event_id AS tb,
+         event_type AS ch, CAST(NULL AS DOUBLE) AS val
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+), c AS (
+  SELECT user_id AS k, ts, 1 AS side, CAST(NULL AS BIGINT) AS tb,
+         CAST(NULL AS VARCHAR) AS ch, CAST(value AS DOUBLE) AS val
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), u AS (
+  SELECT * FROM t UNION ALL SELECT * FROM c
+), filled AS (
+  SELECT side, val,
+         last_value(ch IGNORE NULLS) OVER (
+           PARTITION BY k ORDER BY ts, side, tb NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ch
+  FROM u
+)
+SELECT coalesce(last_ch, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       round(sum(val), 2) AS revenue
+FROM filled WHERE side = 1
+GROUP BY 1
+"""
+
+
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher quality-filter rule-pack (Rae et al. 2021;
+    operators/text.py::gopher_rules) — per-doc 0/1 rule flags and
+    the release-gate conjunction.  Pure scan-side column math."""
+    d = _t(spark, sf_dir, "documents")
+    return text.gopher_rules(d, "doc_id", "text")
+
+
+def _gopher_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_words,
+    (length(text) - (len(string_split(text, ' ')) - 1))
+      / len(string_split(text, ' ')) AS mean_len,
+    ((length(text) - length(replace(text, '#', '')))
+     + (length(text) - length(replace(text, {chr(39)}{chr(0x2026)}{chr(39)}, '')))
+     + (length(text) - length(replace(text, '...', ''))) / 3)
+      / len(string_split(text, ' ')) AS symbol_ratio,
+    len(string_split(text, chr(10))) AS n_lines,
+    len(list_filter(string_split(text, chr(10)),
+        l -> starts_with(l, '- ') OR starts_with(l, '* ')
+             OR starts_with(l, {chr(39)}{chr(0x2022)} {chr(39)}))) AS bullets,
+    len(list_filter(string_split(text, chr(10)),
+        l -> ends_with(l, '...')
+             OR ends_with(l, {chr(39)}{chr(0x2026)}{chr(39)}))) AS ellipses,
+    len(list_filter(string_split(text, ' '),
+        w -> regexp_matches(w, '[a-zA-Z]'))) AS alpha_words,
+    len(list_intersect(list_distinct(string_split(text, ' ')),
+        [{stop_list}])) AS stop_hits
+  FROM documents
+), rules AS (
+  SELECT doc_id, n_words, mean_len, symbol_ratio,
+         bullets / n_lines AS bullet_frac,
+         ellipses / n_lines AS ellipsis_frac,
+         alpha_words / n_words AS alpha_frac,
+         stop_hits,
+         (CASE WHEN n_words >= {text.GOPHER_MIN_WORDS}
+                AND n_words <= {text.GOPHER_MAX_WORDS}
+               THEN 1 ELSE 0 END) AS r_words,
+         (CASE WHEN mean_len >= 3 AND mean_len <= 10
+               THEN 1 ELSE 0 END) AS r_mean_len,
+         (CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END) AS r_symbol,
+         (CASE WHEN bullets / n_lines <= 0.9
+                AND ellipses / n_lines <= 0.3
+               THEN 1 ELSE 0 END) AS r_bullet,
+         (CASE WHEN alpha_words / n_words >= 0.8
+               THEN 1 ELSE 0 END) AS r_alpha,
+         (CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END) AS r_stop
+  FROM feat
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(mean_len, 6) AS mean_word_len,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       round(bullet_frac, 6) AS bullet_frac,
+       round(ellipsis_frac, 6) AS ellipsis_frac,
+       round(alpha_frac, 6) AS alpha_frac,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       r_words, r_mean_len, r_symbol, r_bullet, r_alpha, r_stop,
+       r_words * r_mean_len * r_symbol * r_bullet * r_alpha * r_stop
+         AS pass_gopher
+FROM rules
+"""
+
+
+_MMR_K = 5
+_MMR_LAM = 0.7
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse selection (operators/similarity.py::mmr_select):
+    5 picks at lambda=0.7 from the 200-candidate pool ranked by
+    cosine relevance to the vec_id=0 probe — the diversity-aware
+    re-rank after an ANN top-N."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_probe"),
+        similarity.norm(F.col("embedding")).alias("_probe_n"),
+    )
+    cand = (
+        emb.where(F.col("vec_id") < 200)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "embedding",
+            (
+                similarity.dot(F.col("embedding"), F.col("_probe"))
+                / (
+                    similarity.norm(F.col("embedding"))
+                    * F.col("_probe_n")
+                )
+            ).alias("relevance"),
+        )
+    )
+    return similarity.mmr_select(cand, k=_MMR_K, lam=_MMR_LAM)
+
+
+def _mmr_sql(k: int = _MMR_K, lam: float = _MMR_LAM) -> str:
+    """Oracle twin: the greedy MMR rounds unrolled (pagerank/lloyd
+    pattern).  The engine's running greatest() penalty equals the max
+    over the selected set; lam and (1-lam) are embedded as the same
+    Python-evaluated double literals the engine multiplies by."""
+    one_m = 1.0 - lam
+
+    def cos(a: str, b: str) -> str:
+        d = _dot_sql(a, b)
+        na = _dot_sql(a, a)
+        nb = _dot_sql(b, b)
+        return f"({d} / (sqrt({na}) * sqrt({nb})))"
+
+    header = f"""
+WITH cand AS (
+  SELECT e.vec_id AS id, e.embedding AS v,
+         {cos('e.embedding', 'p.pv')} AS rel
+  FROM embeddings e CROSS JOIN
+       (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0) p
+  WHERE e.vec_id < 200
+),
+pick1 AS (
+  SELECT 1 AS rank, id, v, rel, rel * {lam!r} - 0.0 * {one_m!r} AS score
+  FROM cand
+  QUALIFY row_number() OVER (ORDER BY rel * {lam!r} - 0.0 * {one_m!r} DESC,
+                             id) = 1
+),
+sel1 AS (SELECT rank, id, v, rel, score FROM pick1)"""
+    steps = []
+    for r in range(2, k + 1):
+        p = f"sel{r - 1}"
+        steps.append(f""",
+ms{r} AS (
+  SELECT c.id, c.v, c.rel, max({cos('c.v', 's.v')}) AS m
+  FROM cand c CROSS JOIN {p} s
+  WHERE c.id NOT IN (SELECT id FROM {p})
+  GROUP BY c.id, c.v, c.rel
+),
+pick{r} AS (
+  SELECT {r} AS rank, id, v, rel,
+         rel * {lam!r} - m * {one_m!r} AS score
+  FROM ms{r}
+  QUALIFY row_number() OVER (ORDER BY rel * {lam!r} - m * {one_m!r} DESC,
+                             id) = 1
+),
+sel{r} AS (SELECT * FROM {p} UNION ALL
+           SELECT rank, id, v, rel, score FROM pick{r})""")
+    final = f"""
+SELECT rank, id AS vec_id, round(rel, 6) AS relevance,
+       round(score, 6) AS mmr_score
+FROM sel{k}"""
+    return header + "".join(steps) + final
+
+
+
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval
+    (operators/ranking.py::bm25_scores): top-20 docs for the query
+    {join, window, stream} — postings filtered to the broadcast query
+    terms BEFORE the shuffle, scan-side doc lengths, |q|-row df
+    broadcast, global top-n via TakeOrderedAndProject."""
+    from botkop_telcotraffic_spark_spark.operators.ranking import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, ["join", "window", "stream"], "doc_id", "text")
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_SQL = f"""
+WITH base AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+), matched AS (
+  SELECT * FROM base WHERE term IN ('join', 'window', 'stream')
+), nrow AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+ad AS (
+  SELECT avg(CAST(len(string_split(text, ' ')) AS BIGINT)) AS avgdl
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+         CAST(any_value(dl) AS DOUBLE) AS dl
+  FROM matched GROUP BY 1, 2
+), dfq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+         sum(ln(((SELECT n FROM nrow) - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * ({_BM25_K1} + 1.0))
+             / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                + {_BM25_B} * dl / (SELECT avgdl FROM ad)))) AS score
+  FROM tf JOIN dfq USING (term)
+  GROUP BY doc_id
+)
+SELECT doc_id, matched_terms, round(score, 6) AS score, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scored) WHERE rank <= 20
+"""
+
+
+def cusum_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint per event type
+    (operators/timeseries.py::cusum_changepoint): where each type's
+    value level most likely shifted — one keyed sort-window running
+    sum, rounded-|S| argmax with earliest-ts tiebreak."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return cusum_changepoint(
+        e, ["event_type"], "ts", "value", tiebreak_col="event_id"
+    )
+
+
+_CUSUM_SQL = """
+WITH base AS (
+  SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), mu AS (
+  SELECT event_type, avg(v) AS mu FROM base GROUP BY 1
+), cum AS (
+  SELECT b.event_type, b.ts,
+         sum(b.v - mu.mu) OVER (
+           PARTITION BY b.event_type ORDER BY b.ts, b.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM base b JOIN mu USING (event_type)
+), n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1
+), peak AS (
+  SELECT event_type, ts AS cp_ts, round(s, 6) AS cusum_peak FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type
+      ORDER BY round(abs(s), 6) DESC, ts) AS rk
+    FROM cum) WHERE rk = 1
+)
+SELECT n.event_type, n.n, peak.cp_ts, peak.cusum_peak
+FROM n JOIN peak USING (event_type)
+"""
+
+
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type [p1, p99] winsorization
+    (operators/iqr.py::winsorize): tail clamping that keeps the row —
+    per-key percentile bounds broadcast back, fact never shuffled.
+    Summarized per type (input-sized outputs hash slowly at sf0.01,
+    and the clamp stats are the decision artifact)."""
+    from botkop_telcotraffic_spark_spark.operators.iqr import winsorize
+
+    e = _t(spark, sf_dir, "events")
+    w = winsorize(e, ["event_type"], "value")
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("was_clamped"), 1).otherwise(0)).cast(
+            "long"
+        ).alias("n_clamped"),
+        F.round(F.avg("value_winsor"), 6).alias("mean_winsor"),
+        F.round(F.min("value_winsor"), 6).alias("lo_winsor"),
+        F.round(F.max("value_winsor"), 6).alias("hi_winsor"),
+    )
+
+
+_WINSOR_SQL = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), 0.01) AS lo,
+         quantile_cont(CAST(value AS DOUBLE), 0.99) AS hi
+  FROM events GROUP BY 1
+), w AS (
+  SELECT e.event_type,
+         CASE WHEN e.value IS NULL THEN NULL
+              ELSE least(greatest(CAST(e.value AS DOUBLE), b.lo), b.hi)
+         END AS vw,
+         (e.value IS NOT NULL
+          AND (CAST(e.value AS DOUBLE) < b.lo
+               OR CAST(e.value AS DOUBLE) > b.hi)) AS clamped
+  FROM events e JOIN b USING (event_type)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN clamped THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped,
+       round(avg(vw), 6) AS mean_winsor,
+       round(min(vw), 6) AS lo_winsor,
+       round(max(vw), 6) AS hi_winsor
+FROM w GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6041,6 +6608,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_cosine_topk_blocked": (ann_cosine_topk_blocked, _ANN_BLOCKED_SQL),
     "ann_lsh_topk": (ann_lsh_topk, _ANN_LSH_SQL),
     "ann_ivf_topk": (ann_ivf_topk, _ANN_IVF_SQL),
+    # new in round 4: privacy audits, bootstrap CI, cluster quality,
+    # attribution, Gopher rules, MMR diverse selection
+    "k_anonymity_customers": (k_anonymity_customers, _KANON_SQL),
+    "l_diversity_orders": (l_diversity_orders, _LDIV_SQL),
+    "bootstrap_ci_events": (bootstrap_ci_events, _boot_sql()),
+    "silhouette_embeddings": (silhouette_embeddings, _SILHOUETTE_SQL),
+    "davies_bouldin_embeddings": (davies_bouldin_embeddings, _DAVIES_SQL),
+    "attribution_events": (attribution_events, _ATTRIB_SQL),
+    "gopher_rules_docs": (gopher_rules_docs, _gopher_sql()),
+    "mmr_diverse_topk": (mmr_diverse_topk, _mmr_sql()),
+    "bm25_search_docs": (bm25_search_docs, _BM25_SQL),
+    "cusum_value_by_type": (cusum_value_by_type, _CUSUM_SQL),
+    "winsorize_events": (winsorize_events, _WINSOR_SQL),
     # r1-r3-green re-checks padding the remainder of the 50
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
@@ -6048,26 +6628,26 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
     "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
-    "weighted_sample_docs": (weighted_sample_docs, _WSAMPLE_SQL),
-    "kfold_docs": (kfold_docs, _KFOLD_SQL),
     "scd2_customer_status": (scd2_customer_status, _SCD2_SQL),
     "pit_status_orders": (pit_status_orders, _PIT_SQL),
-    "chisq_event_drift": (chisq_event_drift, _CHISQ_SQL),
     "streaming_upsert_enrich": (streaming_upsert_enrich, _STREAM_UPSERT_SQL),
     "streaming_geofence_events": (streaming_geofence_events, _GEO_POLY_SQL),
     "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
-    "variant_props_stats": (variant_props_stats, _VARIANT_SQL),
     "bloom_join_urgent_revenue": (bloom_join_urgent_revenue, _BLOOM_JOIN_SQL),
     "pca_cov_embeddings": (pca_cov_embeddings, _PCA_COV_SQL),
-    "fuzzy_join_part_names": (fuzzy_join_part_names, _FUZZY_SQL),
+    # -- past the driver's 50-slot check: driver-green in r1/r2/r3 with
+    # -- unchanged code; all still pytest-oracle-verified every run -------
+    "weighted_sample_docs": (weighted_sample_docs, _WSAMPLE_SQL),
+    "kfold_docs": (kfold_docs, _KFOLD_SQL),
+    "chisq_event_drift": (chisq_event_drift, _CHISQ_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
     "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
     "q15_top_suppliers": (q15_top_suppliers, _Q15_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
     "q21_sole_failing_supplier": (q21_sole_failing_supplier, _Q21_SQL),
-    # -- past the driver's 50-slot check: driver-green in r1/r2/r3 with
-    # -- unchanged code; all still pytest-oracle-verified every run -------
+    "variant_props_stats": (variant_props_stats, _VARIANT_SQL),
+    "fuzzy_join_part_names": (fuzzy_join_part_names, _FUZZY_SQL),
     "loghist_quantiles_events": (loghist_quantiles_events, _LOGHIST_SQL),
     "cms_user_counts_events": (cms_user_counts_events, _cms_sql()),
     "resample_locf_users": (resample_locf_users, _LOCF_SQL),

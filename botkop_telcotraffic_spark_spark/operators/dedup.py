@@ -95,7 +95,14 @@ def token_postings(
     return toks_df.select(*cols, F.explode("toks").alias("tok"))
 
 
-def _spread_buckets(grouped: DataFrame, spread: bool, *keys: str) -> DataFrame:
+# "auto" spread probes max bucket width and spreads only past this;
+# below it the extra exchange costs more than the skew it cures
+AUTO_SPREAD_WIDTH = 256
+
+
+def _spread_buckets(
+    grouped: DataFrame, spread: bool | str, *keys: str
+) -> DataFrame:
     """Optionally pin pair-explosion parallelism before ``bucket_pairs``.
 
     AQE coalesces the grouped bucket relation by BYTES, but the pair
@@ -111,7 +118,23 @@ def _spread_buckets(grouped: DataFrame, spread: bool, *keys: str) -> DataFrame:
     Turn it on for corpora whose bucket width (and thus per-bucket
     pair count) is large: that is exactly when one coalesced task
     would serialize the quadratic work.
+
+    ``spread="auto"`` decides from the data: the grouped relation is
+    localCheckpoint'ed (its shuffle would otherwise run twice) and a
+    bounded one-row probe reads the max bucket width; the exchange is
+    inserted only when it exceeds ``AUTO_SPREAD_WIDTH`` — i.e. when
+    the quadratic work is large enough that serializing it in one
+    coalesced task dominates the probe + exchange cost.  On a
+    cluster, swap localCheckpoint for persist (same trade as the
+    iterative graph ops).
     """
+    if spread == "auto":
+        member_col = grouped.columns[-1]
+        grouped = grouped.localCheckpoint()
+        width = grouped.agg(
+            F.max(F.size(F.col(member_col))).alias("w")
+        ).collect()[0]["w"]
+        spread = bool(width is not None and width > AUTO_SPREAD_WIDTH)
     if not spread:
         return grouped
     n = int(grouped.sparkSession.conf.get("spark.sql.shuffle.partitions"))

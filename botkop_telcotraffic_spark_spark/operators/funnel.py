@@ -155,3 +155,74 @@ def markov_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(tot), round_to).alias("p"),
     )
+
+
+def last_touch_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    key: str,
+    conv_ts: str,
+    touch_ts: str,
+    channel_col: str,
+    value_col: str,
+    touch_tiebreak: str,
+    unattributed: str = "direct",
+) -> DataFrame:
+    """Last-touch revenue attribution: each conversion's ``value_col``
+    is credited to the entity's LATEST touch at-or-before the
+    conversion time (ties on touch timestamp broken by the highest
+    ``touch_tiebreak`` — deterministic across engines); conversions
+    with no prior touch credit the ``unattributed`` channel.
+
+    Returns (channel, n_conversions, revenue) — revenue rounded to 2.
+
+    Physical shape: the union-window as-of pattern (operators/asof.py)
+    — touches and conversions are unioned, partitioned by the entity
+    key and ordered by (ts, side, tiebreak) so each conversion row
+    reads the running last-non-null channel via one window pass: ONE
+    keyed shuffle of touches + conversions, never a per-pair join
+    explosion; then a |channels|-sized aggregate.  At 100 TB both
+    inputs shuffle once on the same key — the same profile as any
+    per-entity sessionization.
+    """
+    t = touches.select(
+        F.col(key).alias("_k"),
+        F.col(touch_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(touch_tiebreak).cast("long").alias("_tb"),
+        F.col(channel_col).alias("_ch"),
+        F.lit(None).cast("double").alias("_val"),
+    )
+    c = conversions.select(
+        F.col(key).alias("_k"),
+        F.col(conv_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tb"),
+        F.lit(None).cast("string").alias("_ch"),
+        F.col(value_col).cast("double").alias("_val"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_side"), F.col("_tb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = (
+        t.unionByName(c)
+        .select(
+            "_side",
+            "_val",
+            F.last(F.col("_ch"), ignorenulls=True).over(w).alias("_last_ch"),
+        )
+        .where(F.col("_side") == 1)
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("_last_ch"), F.lit(unattributed)).alias(
+                "channel"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("_val"), 2).alias("revenue"),
+        )
+    )

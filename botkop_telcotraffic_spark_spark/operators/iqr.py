@@ -124,3 +124,45 @@ def mad_outliers(
     mad = _median(with_med, F.abs(v - F.col("med")), "mad")
     scored = with_med.join(F.broadcast(mad), list(key_cols))
     return scored.where(F.abs(v - F.col("med")) > F.lit(cutoff) * F.col("mad"))
+
+
+def winsorize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group percentile winsorization: clamp ``value_col`` into
+    its group's [lo_q, hi_q] exact interpolating percentiles — the
+    standard robust-prep companion to IQR/MAD outlier DETECTION when
+    the pipeline wants to keep the row but tame the tail (heavy-tail
+    features before regression / target encoding).
+
+    Appends ``out_col`` (default ``<value_col>_winsor``) and
+    ``was_clamped``; NULL values pass through unclamped with
+    was_clamped false.  Output is input-sized.
+
+    Physical shape: one per-key percentile aggregate (key-count rows)
+    broadcast back onto the fact — the fact is never shuffled; same
+    contract as impute_group_stat.  At extreme per-group cardinality
+    swap percentile for percentile_approx (the operators/iqr.py
+    trade, documented there).
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*key_cols).agg(
+        F.percentile(v, F.lit(lo_q)).alias("_lo"),
+        F.percentile(v, F.lit(hi_q)).alias("_hi"),
+    )
+    out = out_col or f"{value_col}_winsor"
+    clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(F.broadcast(bounds), list(key_cols))
+        .withColumn(out, F.when(v.isNull(), v).otherwise(clamped))
+        .withColumn(
+            "was_clamped",
+            v.isNotNull() & ((v < F.col("_lo")) | (v > F.col("_hi"))),
+        )
+        .drop("_lo", "_hi")
+    )

@@ -1,0 +1,81 @@
+"""Privacy audits for training-data / analytics release: k-anonymity
+and l-diversity over quasi-identifier columns (Sweeney, "k-anonymity:
+a model for protecting privacy", 2002; Machanavajjhala et al.,
+"l-diversity", 2007 — public literature).
+
+A table is k-anonymous w.r.t. a quasi-identifier set Q when every
+equivalence class (distinct combination of Q values) contains at
+least k rows; l-diverse w.r.t. sensitive column s when every class
+contains at least l DISTINCT values of s.  The audits return the
+VIOLATING classes — the actionable output: each row is a class that
+must be generalized, suppressed, or merged before release.
+
+Complements ``operators/mask.py`` (salted column masking): masking
+hides direct identifiers; these audits catch re-identification via
+quasi-identifier joins, which masking alone does not.
+
+Scale shape: ONE keyed aggregate on the quasi-identifier columns
+(count / count-distinct), filtered to violations — output is
+violation-sized, never table-sized.  Cardinality of Q drives the
+shuffle; skewed classes are exactly the NON-violating ones (big
+classes), so the filter drops the heavy groups and violation output
+stays tiny.  At 100 TB this is the same plan as any groupBy-count:
+partial aggregation map-side, then one exchange on hash(Q).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: Sequence[str | Column],
+    k: int,
+) -> DataFrame:
+    """Equivalence classes over ``quasi_cols`` with fewer than ``k``
+    rows.  Returns (*quasi_cols, class_size) — empty result means the
+    table is k-anonymous for this quasi-identifier set.
+
+    NULL quasi values form their own class (groupBy NULL-key
+    semantics), matching the attacker model: a NULL in a released
+    quasi column is as linkable as any other value.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .where(F.col("class_size") < k)
+    )
+
+
+def l_diversity_violations(
+    df: DataFrame,
+    quasi_cols: Sequence[str | Column],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """Equivalence classes over ``quasi_cols`` whose ``sensitive_col``
+    has fewer than ``l`` distinct (non-null) values.  Returns
+    (*quasi_cols, class_size, distinct_sensitive) for each violating
+    class.  Exact count-distinct per class — at extreme class
+    cardinality swap in approx_count_distinct, trading the exact
+    audit for a sketch (documented, not default: a privacy audit
+    should not under-count diversity).
+    """
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct(F.col(sensitive_col)).alias(
+                "distinct_sensitive"
+            ),
+        )
+        .where(F.col("distinct_sensitive") < l)
+    )

@@ -88,3 +88,88 @@ def ranking_metrics(
         .otherwise(0.0)
         .alias("recall_at_k"),
     )
+
+
+def bm25_scores(
+    docs,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+):
+    """Okapi BM25 scoring of every document against a fixed query
+    term set (Robertson & Walker 1994; the Lucene idf variant
+    ``ln((N - df + 0.5) / (df + 0.5) + 1)``, which is always
+    positive) — the lexical-retrieval complement of the embedding
+    ANN family, and the usual first stage before MMR re-ranking.
+
+    Returns the ``top_n`` docs by score: (id_col, matched_terms,
+    score, rank); ties break on the doc id.
+
+    Physical shape — the 100 TB discipline:
+      * doc length is computed SCAN-SIDE (size of the token array) —
+        no separate length aggregate;
+      * postings are filtered to the broadcast query-term set BEFORE
+        the (doc, term) aggregate, so the shuffle carries only
+        matching occurrences (|q| terms, not the vocabulary);
+      * df and avgdl are |q|-row / 1-row broadcast aggregates;
+      * one final groupBy(doc) sums <= |q| per-term scores, then a
+        global top-n (TakeOrderedAndProject).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.textfn import words
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    spark = docs.sparkSession
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        words(F.col(text_col)).alias("_w"),
+    ).select("_id", F.size("_w").alias("_dl"), F.explode("_w").alias("term"))
+    qt = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
+    matched = base.join(F.broadcast(qt), "term")
+    n_row = docs.agg(F.count(F.lit(1)).cast("double").alias("_N"))
+    avgdl = docs.select(
+        F.size(words(F.col(text_col))).alias("_dl")
+    ).agg(F.avg("_dl").alias("_avgdl"))
+    tf = matched.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf"),
+        F.first("_dl").cast("double").alias("_dl"),
+    )
+    df_tbl = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    idf = F.log(
+        (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    denom = F.col("_tf") + k1 * (
+        1.0 - b + b * F.col("_dl") / F.col("_avgdl")
+    )
+    term_score = idf * (F.col("_tf") * (k1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("matched_terms"),
+            F.sum(term_score).alias("_score"),
+        )
+    )
+    # global top-n via orderBy+limit (TakeOrderedAndProject — a
+    # distributed per-partition cut, NOT a single-task global window);
+    # the rank window then runs over only top_n rows
+    cut = scored.orderBy(
+        F.round(F.col("_score"), 6).desc(), F.col("_id")
+    ).limit(top_n)
+    w = Window.orderBy(F.round(F.col("_score"), 6).desc(), F.col("_id"))
+    return cut.withColumn("rank", F.row_number().over(w)).select(
+        F.col("_id").alias(id_col),
+        "matched_terms",
+        F.round("_score", 6).alias("score"),
+        "rank",
+    )

@@ -560,3 +560,102 @@ def label_centroid_distance(
             round_to,
         ).alias("cos_centroid"),
     )
+
+
+def mmr_select(
+    candidates: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "relevance",
+    lam: float = 0.7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998, public literature): greedily pick ``k`` items maximizing
+    ``lam * relevance - (1 - lam) * max_sim_to_already_selected`` —
+    the diversity-aware re-ranking step after any ANN top-k, and the
+    standard recipe for diverse few-shot/RAG example selection.
+
+    Returns (rank, id_col, relevance, mmr_score): rank is the
+    1-based selection order; mmr_score is the objective value at
+    selection time (for rank 1 the similarity penalty is 0).
+
+    Determinism: relevance and the cosine penalty are the engine's
+    sequential-fold doubles (functions/vector.py), the argmax
+    tie-breaks on the id, and each round's running penalty is
+    greatest(prev, cos(vec, last_pick)) — so the DuckDB oracle's
+    unrolled-round twin (max over the selected set) computes the
+    identical doubles and the identical picks.
+
+    Scale shape: k driver rounds; each is ONE distributed
+    top-1 (TakeOrderedAndProject) + ONE narrow update of the running
+    penalty against the single picked vector (1-row broadcast).  The
+    selected set is model-sized (k × dim) driver state — the same
+    contract as StreamingKMeans/lloyd.  The candidate frame is
+    localCheckpoint'ed per round to keep the iterative plan flat
+    (on a cluster: persist).  Cost: k scans of the candidate set —
+    run it on a pre-filtered candidate pool (an ANN top-N), never the
+    raw corpus.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = candidates.sparkSession
+    cand = candidates.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.col(rel_col).cast("double").alias("_rel"),
+        norm(F.col(vec_col)).alias("_n"),
+        F.lit(None).cast("double").alias("_maxsim"),
+    ).localCheckpoint()
+
+    out_rows = []
+    for rank in range(1, k + 1):
+        score = F.col("_rel") * lam - F.coalesce(
+            F.col("_maxsim"), F.lit(0.0)
+        ) * (1.0 - lam)
+        top = (
+            cand.withColumn("_score", score)
+            .orderBy(F.col("_score").desc(), F.col("_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        p = top[0]
+        out_rows.append((rank, p["_id"], p["_rel"], p["_score"]))
+        picked = spark.createDataFrame(
+            [(list(p["_vec"]), float(p["_n"]))], "_pv array<double>, _pn double"
+        )
+        sim = dot(F.col("_vec"), F.col("_pv")) / (F.col("_n") * F.col("_pn"))
+        cand = (
+            cand.where(F.col("_id") != p["_id"])
+            .crossJoin(F.broadcast(picked))
+            .withColumn(
+                "_ms2",
+                F.greatest(F.coalesce(F.col("_maxsim"), F.lit(-2.0)), sim),
+            )
+            .select(
+                "_id",
+                "_vec",
+                "_rel",
+                "_n",
+                F.col("_ms2").alias("_maxsim"),
+            )
+            .localCheckpoint()
+        )
+    id_type = dict(
+        zip(candidates.columns, [f.dataType.simpleString() for f in candidates.schema.fields])
+    )[id_col]
+    res = spark.createDataFrame(
+        out_rows,
+        f"rank int, {id_col} {id_type}, relevance double, mmr_score double",
+    )
+    # round JVM-side (HALF_UP, same as the oracle's round()) — Python's
+    # banker's rounding differs on exact .5 boundaries
+    return res.select(
+        "rank",
+        id_col,
+        F.round("relevance", round_to).alias("relevance"),
+        F.round("mmr_score", round_to).alias("mmr_score"),
+    )

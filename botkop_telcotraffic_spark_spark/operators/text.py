@@ -378,3 +378,98 @@ def quality_logistic_gate(
         prob.alias("quality_prob"),
         (prob >= F.lit(threshold)).alias("keep"),
     )
+
+
+# Gopher rule-pack (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1 —
+# public literature).  Thresholds are the published ones; the
+# required-stopword list is the paper's.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc Gopher quality-filter rules as 0/1 flags plus the
+    conjunction — the published rule-pack complement to the engine's
+    learned/heuristic gates (text_features, quality_logistic_gate):
+
+    * word count in [50, 100 000]
+    * mean word length in [3, 10]
+    * symbol-to-word ratio ('#', '…', '...') <= 0.1
+    * <= 90% of lines start with a bullet; <= 30% end with an ellipsis
+    * >= 80% of words contain an alphabetic character
+    * >= 2 distinct required stopwords present
+
+    Returns (id_col, n_words, mean_word_len, symbol_ratio,
+    bullet_frac, ellipsis_frac, alpha_frac, stop_hits, r_*cols,
+    pass_gopher).  Flags are INT 0/1 for cross-engine hash stability.
+
+    Pure scan-side column math — one projection, no shuffle, no UDF;
+    the filter composes with any downstream gate via pass_gopher.
+    """
+    t = F.col(text_col)
+    w = words(t)
+    n_words = F.size(w)
+    n_chars = F.length(t)
+    mean_len = (n_chars - (n_words - 1)) / n_words
+    occurrences = (
+        (n_chars - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+        + (n_chars - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+        + (n_chars - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    )
+    symbol_ratio = occurrences / n_words
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("- ")
+            | ln.startswith("* ")
+            | ln.startswith("• "),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(
+            lines, lambda ln: ln.endswith("...") | ln.endswith("…")
+        )
+    )
+    bullet_frac = bullet / n_lines
+    ellipsis_frac = ellipsis / n_lines
+    alpha = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
+    alpha_frac = alpha / n_words
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(w),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    r_words = flag(
+        (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    )
+    r_mean_len = flag((mean_len >= 3) & (mean_len <= 10))
+    r_symbol = flag(symbol_ratio <= 0.1)
+    r_bullet = flag((bullet_frac <= 0.9) & (ellipsis_frac <= 0.3))
+    r_alpha = flag(alpha_frac >= 0.8)
+    r_stop = flag(stop_hits >= 2)
+    all_pass = (
+        r_words * r_mean_len * r_symbol * r_bullet * r_alpha * r_stop
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        r_words.alias("r_words"),
+        r_mean_len.alias("r_mean_len"),
+        r_symbol.alias("r_symbol"),
+        r_bullet.alias("r_bullet"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        all_pass.alias("pass_gopher"),
+    )

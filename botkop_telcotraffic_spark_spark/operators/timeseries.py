@@ -246,3 +246,65 @@ def seasonal_zscore(
             F.round(z, 6).alias("z"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Offline CUSUM changepoint location (Page 1954, public
+    literature): per key, the running cumulative sum of deviations
+    from the key's mean, S_i = Σ_{j<=i} (v_j - mean); the most likely
+    single changepoint is the position where |S_i| peaks.
+
+    Returns per key: (key_cols..., n, cp_ts, cusum_peak) — cp_ts is
+    the timestamp attaining the max |S| (earliest on rounded ties),
+    cusum_peak the signed S there, rounded.
+
+    Determinism: the running sum is evaluated in (ts, tiebreak)
+    order — a sequential left-to-right accumulation both engines
+    share — and the argmax ranks on the ROUNDED |S| with the
+    timestamp tiebreak, so engine-ulp differences in the (unordered)
+    mean cannot flip the reported position unless two peaks round
+    equal, where the earlier wins on both sides.
+
+    Scale shape: one per-key mean aggregate broadcast back (the fact
+    is not shuffled for it when AQE broadcasts the tiny aggregate),
+    ONE keyed sort-window for the running sum — the same shuffle
+    profile as sessionization — and a per-key 1-row argmax reduce.
+    Never a global window; skew follows key hotness.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        *key_cols, F.col(ts_col).alias("_ts"), v.alias("_v"),
+        *([F.col(tiebreak_col).alias("_tb")] if tiebreak_col else []),
+    )
+    means = base.groupBy(*key_cols).agg(F.avg("_v").alias("_mu"))
+    wsum = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_ts"), *([F.col("_tb")] if tiebreak_col else []))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.join(F.broadcast(means), list(key_cols)).select(
+        *key_cols,
+        "_ts",
+        F.sum(F.col("_v") - F.col("_mu")).over(wsum).alias("_s"),
+    )
+    wmax = Window.partitionBy(*key_cols).orderBy(
+        F.round(F.abs(F.col("_s")), round_to).desc(), F.col("_ts")
+    )
+    counts = base.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    peak = (
+        cum.withColumn("_rk", F.row_number().over(wmax))
+        .where(F.col("_rk") == 1)
+        .select(
+            *key_cols,
+            F.col("_ts").alias("cp_ts"),
+            F.round(F.col("_s"), round_to).alias("cusum_peak"),
+        )
+    )
+    return counts.join(peak, list(key_cols))

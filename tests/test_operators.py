@@ -2004,3 +2004,302 @@ def test_ks_drift_constant_column_reports_zero(spark):
     assert r["n_a"] == 5 and r["n_b"] == 5
     assert r["ks"] == 0.0
     assert r["ks_bin"] == 0
+
+
+def test_k_anonymity_and_l_diversity_hand(spark):
+    """privacy.py: hand-built table — class (a,1) has 3 rows (passes
+    k=3), (a,2) has 2 (violates); l-diversity over the same classes
+    with sensitive s."""
+    from botkop_telcotraffic_spark_spark.operators.privacy import (
+        k_anonymity_violations,
+        l_diversity_violations,
+    )
+
+    rows = [
+        ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "z"),
+        ("a", 2, "x"), ("a", 2, "x"),
+        (None, 1, "x"),
+    ]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s string")
+    viol = {
+        (r["q1"], r["q2"]): r["class_size"]
+        for r in k_anonymity_violations(df, ["q1", "q2"], k=3).collect()
+    }
+    assert viol == {("a", 2): 2, (None, 1): 1}
+
+    ldiv = {
+        (r["q1"], r["q2"]): (r["class_size"], r["distinct_sensitive"])
+        for r in l_diversity_violations(
+            df, ["q1", "q2"], "s", l=2
+        ).collect()
+    }
+    # (a,1) has 3 distinct -> passes l=2; (a,2) has 1; (None,1) has 1
+    assert ldiv == {("a", 2): (2, 1), (None, 1): (1, 1)}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        k_anonymity_violations(df, ["q1"], k=0)
+
+
+def test_bootstrap_ci_deterministic_and_sane(spark):
+    """boot.py: CI is deterministic across invocations, ordered
+    (lo <= hi), brackets the point mean for a well-behaved sample,
+    and the hash-Poisson weights average ~1."""
+    import random
+
+    from botkop_telcotraffic_spark_spark.operators.boot import (
+        POISSON1_CDF,
+        bootstrap_mean_ci,
+    )
+
+    rng = random.Random(7)
+    rows = [("g", i, rng.uniform(0, 10)) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    [r1] = bootstrap_mean_ci(df, ["g"], "v", "k", n_boot=16).collect()
+    [r2] = bootstrap_mean_ci(df, ["g"], "v", "k", n_boot=16).collect()
+    assert r1 == r2                         # deterministic
+    assert r1["ci_lo"] <= r1["ci_hi"]
+    assert r1["ci_lo"] <= r1["mean"] <= r1["ci_hi"]
+    assert r1["n"] == 400
+    # threshold chain is a valid CDF
+    assert all(
+        b > a for a, b in zip(POISSON1_CDF, POISSON1_CDF[1:])
+    ) and POISSON1_CDF[-1] < 1.0
+
+
+def test_cluster_eval_hand_values(spark):
+    """cluster_eval.py: 2 centroids at (0,0) and (10,0); points at
+    +-1 around each.  a=1, b in {9,11}; silhouette per cluster =
+    avg((b-a)/b); Davies-Bouldin: S_i=1, M=10 -> r_max=0.2."""
+    from botkop_telcotraffic_spark_spark.operators.cluster_eval import (
+        davies_bouldin,
+        simplified_silhouette,
+    )
+
+    pts = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]), (2, [-1.0, 0.0]),
+            (3, [9.0, 0.0]), (4, [11.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0])],
+        "prediction int, centroid array<double>",
+    )
+    sil = {
+        r["cluster"]: (r["n"], r["silhouette"])
+        for r in simplified_silhouette(pts, cents).collect()
+    }
+    # cluster 0: points 1,2 -> b = 9, 11; s = (8/9 + 10/11)/2
+    exp0 = round((8 / 9 + 10 / 11) / 2, 6)
+    assert sil[0] == (2, exp0) and sil[1] == (2, exp0)
+
+    db = {
+        r["cluster"]: (r["n"], r["s_scatter"], r["r_max"])
+        for r in davies_bouldin(pts, cents).collect()
+    }
+    assert db[0] == (2, 1.0, 0.2) and db[1] == (2, 1.0, 0.2)
+
+
+def test_last_touch_attribution_hand(spark):
+    """funnel.py::last_touch_attribution: latest touch at-or-before
+    wins, equal-timestamp ties go to the higher tiebreak id, no prior
+    touch -> 'direct'."""
+    from datetime import datetime
+
+    from botkop_telcotraffic_spark_spark.operators.funnel import (
+        last_touch_attribution,
+    )
+
+    t = datetime
+    touches = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 10), "view", 100),
+            (1, t(2024, 1, 1, 11), "click", 101),   # latest before conv
+            (2, t(2024, 1, 2, 9), "view", 200),
+            (2, t(2024, 1, 2, 9), "click", 201),    # tie -> higher id wins
+            (3, t(2024, 1, 5, 0), "view", 300),     # AFTER conv -> direct
+        ],
+        "uid long, ts timestamp, ch string, eid long",
+    )
+    convs = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 12), 10.0),
+            (2, t(2024, 1, 2, 9), 20.0),   # equal ts: touch wins (at-or-before)
+            (3, t(2024, 1, 4, 0), 40.0),
+        ],
+        "uid long, ts timestamp, v double",
+    )
+    out = {
+        r["channel"]: (r["n_conversions"], r["revenue"])
+        for r in last_touch_attribution(
+            convs, touches, "uid", "ts", "ts", "ch", "v", "eid"
+        ).collect()
+    }
+    assert out == {"click": (2, 30.0), "direct": (1, 40.0)}
+
+
+def test_gopher_rules_hand(spark):
+    """text.py::gopher_rules: a 60-word clean doc passes every rule;
+    a 5-word doc fails word count; a symbol-stuffed doc fails the
+    symbol rule."""
+    from botkop_telcotraffic_spark_spark.operators.text import gopher_rules
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + [f"word{i}" for i in range(55)]
+    )
+    short = "too short to pass here"
+    symbols = " ".join(["####"] * 60)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1]["pass_gopher"] == 1
+    assert out[2]["r_words"] == 0 and out[2]["pass_gopher"] == 0
+    assert out[3]["r_symbol"] == 0 and out[3]["pass_gopher"] == 0
+    assert out[1]["stop_hits"] == 5
+
+
+def test_mmr_select_prefers_diverse(spark):
+    """similarity.py::mmr_select: with lam=0.3 the second pick is the
+    orthogonal lower-relevance candidate, not the near-duplicate of
+    the first pick; rank order and determinism asserted."""
+    from botkop_telcotraffic_spark_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    import math
+
+    n = math.hypot(0.999, 0.045)
+    cand = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1.0),                     # top relevance
+            (2, [0.999 / n, 0.045 / n], 0.999),       # near-dup of 1
+            (3, [0.0, 1.0], 0.7),                     # diverse
+        ],
+        "vec_id long, embedding array<double>, relevance double",
+    )
+    out = [
+        (r["rank"], r["vec_id"])
+        for r in mmr_select(cand, k=3, lam=0.3).orderBy("rank").collect()
+    ]
+    assert out == [(1, 1), (2, 3), (3, 2)]
+
+
+def test_spread_buckets_auto_probe(spark, monkeypatch):
+    """dedup.py::_spread_buckets 'auto': narrow buckets skip the
+    exchange, wide buckets (forced via AUTO_SPREAD_WIDTH=1) insert
+    it; candidate pairs are identical in every mode."""
+    from botkop_telcotraffic_spark_spark.operators import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(spread):
+        return sorted(
+            (r["a"], r["b"], r["jaccard"])
+            for r in dedup.jaccard_pairs(
+                df, "doc_id", "text", spread=spread
+            ).collect()
+        )
+
+    base = pairs(False)
+    assert pairs("auto") == base          # narrow: probe says no spread
+    monkeypatch.setattr(dedup, "AUTO_SPREAD_WIDTH", 1)
+    assert pairs("auto") == base          # forced spread: same answer
+    assert pairs(True) == base
+
+
+def test_bm25_matches_python_model(spark):
+    """ranking.py::bm25_scores vs an independent pure-python BM25
+    (Lucene idf variant) on a 4-doc corpus."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.ranking import bm25_scores
+
+    docs = {
+        1: "spark join window join",
+        2: "window window stream",
+        3: "filter scan sort",
+        4: "join stream stream stream",
+    }
+    q = ["join", "stream"]
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["matched_terms"], r["score"], r["rank"])
+        for r in bm25_scores(df, q, top_n=10).collect()
+    }
+
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    dfreq = {t: sum(1 for w in toks.values() if t in w) for t in q}
+    exp = {}
+    k1, b = 1.2, 0.75
+    for d, t in toks.items():
+        s, m = 0.0, 0
+        for term in q:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            m += 1
+            idf = math.log((N - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(t) / avgdl)
+            )
+        if m:
+            exp[d] = (m, round(s, 6))
+    assert set(out) == set(exp)
+    for d, (m, s) in exp.items():
+        assert out[d][0] == m and out[d][1] == pytest.approx(s, abs=1e-6)
+    ranks = sorted((v[1], d) for d, v in out.items())
+    assert out[max(exp, key=lambda d: (exp[d][1], -d))][2] == 1
+
+
+def test_cusum_changepoint_level_shift(spark):
+    """timeseries.py::cusum_changepoint: series 0,0,0,10,10,10 has
+    S = -5,-10,-15,-10,-5,0 -> peak |S| 15 at the 3rd point."""
+    from datetime import datetime
+
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    rows = [
+        ("k", datetime(2024, 1, 1, h), float(v), h)
+        for h, v in enumerate([0, 0, 0, 10, 10, 10])
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, i long")
+    [r] = cusum_changepoint(df, ["k"], "ts", "v", tiebreak_col="i").collect()
+    assert r["n"] == 6
+    assert r["cp_ts"] == datetime(2024, 1, 1, 2)
+    assert r["cusum_peak"] == -15.0
+
+
+def test_winsorize_clamps_tails_only(spark):
+    """iqr.py::winsorize: with lo_q=0.25/hi_q=0.75 over 1..8 plus a
+    NULL, tails clamp to the exact interpolating quartiles, middles
+    and NULL pass through."""
+    from botkop_telcotraffic_spark_spark.operators.iqr import winsorize
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, None]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v double"
+    )
+    out = {
+        (r["v"]): (r["v_winsor"], r["was_clamped"])
+        for r in winsorize(df, ["g"], "v", 0.25, 0.75).collect()
+    }
+    # percentile([1..8], .25) = 2.75, .75 = 6.25
+    assert out[1.0] == (2.75, True) and out[2.0] == (2.75, True)
+    assert out[8.0] == (6.25, True) and out[7.0] == (6.25, True)
+    assert out[4.0] == (4.0, False)
+    assert out[None] == (None, False)

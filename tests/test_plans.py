@@ -542,6 +542,9 @@ def test_registry_wide_no_cartesian(spark):
         "ann_ivf_topk",              # broadcast k centroids
         "kmeans_label_assign",       # broadcast k centroids
         "lloyd_kmeans_embeddings",   # broadcast k centroids
+        "silhouette_embeddings",     # broadcast k centroids
+        "davies_bouldin_embeddings", # broadcast k centroids (+ k x k pairs)
+        "mmr_diverse_topk",          # broadcast 1-row probe / picked vector
     }
     # Streaming/replay entries execute a full streaming job at build
     # time and return a batch read of their sink — a parquet scan

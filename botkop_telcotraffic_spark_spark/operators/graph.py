@@ -480,3 +480,56 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    rounds: int = 6,
+) -> DataFrame:
+    """k-core peeling (Seidman 1983, public literature): repeatedly
+    drop nodes of degree < k; what survives is the maximal subgraph
+    where every node keeps >= k neighbors — the standard dense-core
+    extractor for community seeds and spam/bot rings.
+
+    Runs a FIXED number of peel rounds (``rounds``) so the
+    computation is a pure function of (edges, k, rounds) — the
+    contract the unrolled-CTE oracle shares.  Peeling is monotone
+    (each round only removes nodes) and idempotent at the fixpoint,
+    so when convergence happens in fewer rounds the remaining rounds
+    are no-ops; chain-shaped graphs needing more than ``rounds``
+    peels return the (still valid, possibly loose) partial core —
+    documented, and callers can raise ``rounds``.
+
+    Returns (node, degree) of the surviving subgraph.
+
+    Scale shape per round: one degree aggregate (keyed shuffle of the
+    live edge set) + two semi-joins of the edge set against the
+    surviving-node set (both keyed; AQE broadcasts the survivor side
+    when it shrinks).  Edge set only shrinks; localCheckpoint per
+    round keeps lineage flat (persist on a cluster).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
+    ).distinct()
+    sym = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    for _ in range(rounds):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.where(F.col("_d") >= k).select("u")
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= k)
+        .select(F.col("u").alias("node"), "degree")
+    )

@@ -173,3 +173,53 @@ def bm25_scores(
         F.round("_score", 6).alias("score"),
         "rank",
     )
+
+
+def rrf_fuse(
+    rankings,
+    id_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int = 20,
+):
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009,
+    public literature): combine N independent rankings of the same id
+    space by ``score(id) = Σ_lists 1 / (k + rank)`` — the standard
+    hybrid-search merge (BM25 lexical + embedding ANN) that needs no
+    score calibration between the lists.
+
+    ``rankings``: list of DataFrames each carrying (id_col, rank_col).
+    Returns (id_col, n_lists, rrf_score, fused_rank) for the top_n
+    fused ids; ties break on the id.
+
+    Scale shape: inputs are already top-n-sized (the upstream
+    retrievers' cut), so the union + groupBy is list-count × n rows —
+    broadcast territory; the final cut is TakeOrderedAndProject.  The
+    operator never touches the corpora, only the rankings.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = [
+        r.select(
+            F.col(id_col).alias("_id"),
+            (1.0 / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "_c"
+            ),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.round(F.sum("_c"), 6).alias("rrf_score"),
+    )
+    cut = fused.orderBy(F.col("rrf_score").desc(), F.col("_id")).limit(top_n)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("_id"))
+    return cut.withColumn("fused_rank", F.row_number().over(w)).select(
+        F.col("_id").alias(id_col), "n_lists", "rrf_score", "fused_rank"
+    )

@@ -2303,3 +2303,45 @@ def test_winsorize_clamps_tails_only(spark):
     assert out[8.0] == (6.25, True) and out[7.0] == (6.25, True)
     assert out[4.0] == (4.0, False)
     assert out[None] == (None, False)
+
+
+def test_k_core_hand_graph(spark):
+    """graph.py::k_core: triangle+tail graph — the 2-core is exactly
+    the triangle (tail peels off, cascading); a 3-core of the same
+    graph is empty."""
+    from botkop_telcotraffic_spark_spark.operators.graph import k_core
+
+    # triangle 1-2-3 plus chain 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    core2 = {
+        r["node"]: r["degree"] for r in k_core(edges, k=2).collect()
+    }
+    assert core2 == {1: 2, 2: 2, 3: 2}
+    assert k_core(edges, k=3).count() == 0
+    with pytest.raises(ValueError):
+        k_core(edges, k=0)
+
+
+def test_rrf_fuse_hand_lists(spark):
+    """ranking.py::rrf_fuse: two 3-item lists — the id on top of both
+    lists wins; an id in only one list scores a single term."""
+    from botkop_telcotraffic_spark_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(10, 1), (30, 2), (40, 3)], "doc_id long, rank int"
+    )
+    out = {
+        r["doc_id"]: (r["n_lists"], r["rrf_score"], r["fused_rank"])
+        for r in rrf_fuse([a, b], "doc_id").collect()
+    }
+    assert out[10] == (2, round(2 / 61, 6), 1)
+    assert out[30] == (2, round(1 / 63 + 1 / 62, 6), 2)
+    assert out[20][0] == 1 and out[40][0] == 1
+    assert out[20] == (1, round(1 / 62, 6), 3)  # id tiebreak over 40? no:
+    # 20 scores 1/62 > 40's 1/63, so rank 3 and 4 respectively
+    assert out[40] == (1, round(1 / 63, 6), 4)

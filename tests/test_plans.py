@@ -545,6 +545,8 @@ def test_registry_wide_no_cartesian(spark):
         "silhouette_embeddings",     # broadcast k centroids
         "davies_bouldin_embeddings", # broadcast k centroids (+ k x k pairs)
         "mmr_diverse_topk",          # broadcast 1-row probe / picked vector
+        "bm25_search_docs",          # one-row N / avgdl scalars
+        "hybrid_rrf_docs",           # bm25 input (same scalars) + probe
     }
     # Streaming/replay entries execute a full streaming job at build
     # time and return a batch read of their sink — a parquet scan

@@ -488,6 +488,7 @@ def k_core(
     src: str = "a",
     dst: str = "b",
     rounds: int = 6,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """k-core peeling (Seidman 1983, public literature): repeatedly
     drop nodes of degree < k; what survives is the maximal subgraph
@@ -505,6 +506,9 @@ def k_core(
 
     Returns (node, degree) of the surviving subgraph.
 
+    ``checkpoint=False`` keeps the full lineage (plan tests; tiny
+    graphs) — production keeps the default.
+
     Scale shape per round: one degree aggregate (keyed shuffle of the
     live edge set) + two semi-joins of the edge set against the
     surviving-node set (both keyed; AQE broadcasts the survivor side
@@ -513,19 +517,19 @@ def k_core(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    ckpt = (lambda d: d.localCheckpoint()) if checkpoint else (lambda d: d)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u") != F.col("v")
     ).distinct()
-    sym = e.union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    sym = ckpt(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
     for _ in range(rounds):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
         keep = deg.where(F.col("_d") >= k).select("u")
-        sym = (
+        sym = ckpt(
             sym.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint()
         )
     return (
         sym.groupBy("u")

@@ -641,3 +641,63 @@ def test_apply_changes_single_shuffle(spark):
     assert len(hash_exchanges) == 1, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_bm25_global_cut_is_take_ordered(spark):
+    """bm25_scores: the global top-n must plan as
+    TakeOrderedAndProject (distributed per-partition cut), never a
+    single-task global window over the scored docs."""
+    df = entry_mod.bm25_search_docs(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_attribution_single_keyed_window_shuffle(spark):
+    """last_touch_attribution: exactly one exchange keyed on the
+    entity (the union-window) plus the tiny channel aggregate — no
+    touch-conversion join at all."""
+    df = entry_mod.attribution_events(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges:\n{plan[:2000]}"
+
+
+def test_winsorize_fact_not_shuffled(spark):
+    """winsorize: the fact joins the key-count bounds via broadcast —
+    no exchange of the events scan (only the bounds aggregate
+    shuffles on the tiny key set)."""
+    from botkop_telcotraffic_spark_spark.operators.iqr import winsorize
+
+    e = entry_mod._t(spark, SF_DIR_001, "events")
+    df = winsorize(e, ["event_type"], "value")
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bootstrap_explode_before_single_aggregate_exchange(spark):
+    """bootstrap_mean_ci: the replicate explode is narrow (no
+    exchange between the scan and the (group, j) partial aggregate);
+    the per-group percentile sees only n_boot rows per group."""
+    df = entry_mod.bootstrap_ci_events(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "Generate explode" in plan
+    # no single-partition global window anywhere
+    assert "Window [" not in plan or "SinglePartition" not in plan
+
+
+def test_kcore_uses_semi_joins(spark):
+    """k_core: survivor filtering is left-semi joins, never an inner
+    join that would duplicate edges.  checkpoint=False keeps lineage
+    so the joins are visible in the plan (the registry query
+    checkpoints per round, leaving only the final aggregate)."""
+    from botkop_telcotraffic_spark_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
+    )
+    df = k_core(edges, k=2, rounds=2, checkpoint=False)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

@@ -6671,13 +6671,16 @@ SELECT doc_id, n_lists, rrf_score, fused_rank FROM (
 # anomaly, fixed-mixture rebalance — plus the rows-only trio and
 # lloyd_kmeans_embeddings, which gained a full unrolled-CTE oracle
 # this round), (b) the 8 queries whose engine code or oracle changed
-# in round 4 (advisory-fix modules and the ANN/near-dup family), and
-# (c) r1-r3-green re-checks up to the slot budget.  Entries past slot
-# 50 hold green rows in CORRECTNESS_r01/_r02/_r03 with unchanged
-# code or are intentionally rows-only (approx_distinct_users); the
-# full suite still verifies every oracle entry in pytest
-# (tests/test_oracle_parity.py) regardless of slot, and bench.py
-# rows cover the whole registry.
+# in round 4 (advisory-fix modules and the ANN/near-dup family),
+# (c) the 13 operators NEW in round 4 (k-anonymity, l-diversity,
+# bootstrap CI, silhouette, Davies-Bouldin, last-touch attribution,
+# Gopher rules, MMR, BM25, CUSUM, winsorization, k-core, RRF hybrid
+# fusion), and (d) r1-r3-green re-checks up to the slot budget.
+# Entries past slot 50 hold green rows in CORRECTNESS_r01/_r02/_r03
+# with unchanged code or are intentionally rows-only
+# (approx_distinct_users); the full suite still verifies every
+# oracle entry in pytest (tests/test_oracle_parity.py) regardless of
+# slot, and bench.py rows cover the whole registry.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- checked slots 1-50 ------------------------------------------------
     # never driver-checked before round 4 (r3 additions past the window)

@@ -6368,40 +6368,33 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_select(cand, k=_MMR_K, lam=_MMR_LAM)
 
 
-def _mmr_sql(k: int = _MMR_K, lam: float = _MMR_LAM) -> str:
-    """Oracle twin: the greedy MMR rounds unrolled (pagerank/lloyd
-    pattern).  The engine's running greatest() penalty equals the max
-    over the selected set; lam and (1-lam) are embedded as the same
-    Python-evaluated double literals the engine multiplies by."""
+def _cos_sql(a: str, b: str) -> str:
+    d = _dot_sql(a, b)
+    na = _dot_sql(a, a)
+    nb = _dot_sql(b, b)
+    return f"({d} / (sqrt({na}) * sqrt({nb})))"
+
+
+def _mmr_rounds_sql(k: int, lam: float, id_out: str) -> str:
+    """Shared oracle generator for the greedy MMR rounds: expects a
+    CTE named ``cand(id, v, rel)`` already in scope; emits
+    pick/sel CTEs plus the final select.  lam and (1 - lam) are
+    embedded as the same Python-evaluated double literals the engine
+    multiplies by."""
     one_m = 1.0 - lam
-
-    def cos(a: str, b: str) -> str:
-        d = _dot_sql(a, b)
-        na = _dot_sql(a, a)
-        nb = _dot_sql(b, b)
-        return f"({d} / (sqrt({na}) * sqrt({nb})))"
-
-    header = f"""
-WITH cand AS (
-  SELECT e.vec_id AS id, e.embedding AS v,
-         {cos('e.embedding', 'p.pv')} AS rel
-  FROM embeddings e CROSS JOIN
-       (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0) p
-  WHERE e.vec_id < 200
-),
+    parts = [f""",
 pick1 AS (
   SELECT 1 AS rank, id, v, rel, rel * {lam!r} - 0.0 * {one_m!r} AS score
   FROM cand
   QUALIFY row_number() OVER (ORDER BY rel * {lam!r} - 0.0 * {one_m!r} DESC,
                              id) = 1
 ),
-sel1 AS (SELECT rank, id, v, rel, score FROM pick1)"""
-    steps = []
+sel1 AS (SELECT rank, id, v, rel, score FROM pick1)"""]
     for r in range(2, k + 1):
         p = f"sel{r - 1}"
-        steps.append(f""",
+        parts.append(f""",
 ms{r} AS (
-  SELECT c.id, c.v, c.rel, max({cos('c.v', 's.v')}) AS m
+  SELECT c.id, c.v, c.rel, max({_cos_sql('c.v', 's.v')}) AS m
   FROM cand c CROSS JOIN {p} s
   WHERE c.id NOT IN (SELECT id FROM {p})
   GROUP BY c.id, c.v, c.rel
@@ -6415,12 +6408,26 @@ pick{r} AS (
 ),
 sel{r} AS (SELECT * FROM {p} UNION ALL
            SELECT rank, id, v, rel, score FROM pick{r})""")
-    final = f"""
-SELECT rank, id AS vec_id, round(rel, 6) AS relevance,
+    parts.append(f"""
+SELECT rank, id AS {id_out}, round(rel, 6) AS relevance,
        round(score, 6) AS mmr_score
-FROM sel{k}"""
-    return header + "".join(steps) + final
+FROM sel{k}""")
+    return "".join(parts)
 
+
+def _mmr_sql(k: int = _MMR_K, lam: float = _MMR_LAM) -> str:
+    """Oracle twin of mmr_diverse_topk: the greedy rounds unrolled
+    (pagerank/lloyd pattern); the engine's running greatest() penalty
+    equals the max over the selected set."""
+    header = f"""
+WITH cand AS (
+  SELECT e.vec_id AS id, e.embedding AS v,
+         {_cos_sql('e.embedding', 'p.pv')} AS rel
+  FROM embeddings e CROSS JOIN
+       (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0) p
+  WHERE e.vec_id < 200
+)"""
+    return header + _mmr_rounds_sql(k, lam, "vec_id")
 
 
 def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6626,8 +6633,7 @@ def hybrid_rrf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, sem], "doc_id")
 
 
-_RRF_SQL = f"""
-WITH bm25 AS ({_BM25_SQL.replace("rank <= 20", "rank <= 20")}),
+_RRF_CTES = f"""bm25 AS ({_BM25_SQL}),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id = 0),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 sims AS (
@@ -6650,11 +6656,84 @@ fused AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
          round(sum(c), 6) AS rrf_score
   FROM u GROUP BY doc_id
-)
-SELECT doc_id, n_lists, rrf_score, fused_rank FROM (
-  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
-  FROM fused) WHERE fused_rank <= 20
+),
+rrf AS (
+  SELECT doc_id, n_lists, rrf_score, fused_rank FROM (
+    SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+    FROM fused) WHERE fused_rank <= 20
+)"""
+
+_RRF_SQL = f"""
+WITH {_RRF_CTES}
+SELECT doc_id, n_lists, rrf_score, fused_rank FROM rrf
 """
+
+
+
+def zipf_slope_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health Zipf fit (operators/text.py::zipf_slope): OLS
+    slope of ln(freq) vs ln(rank) over the top-1000 vocabulary —
+    bounded-size cut via TakeOrderedAndProject, one-row output."""
+    d = _t(spark, sf_dir, "documents")
+    return text.zipf_slope(d, "text", top_v=1000)
+
+
+_ZIPF_SQL = """
+WITH freq AS (
+  SELECT term, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1
+), cut AS (
+  SELECT * FROM freq ORDER BY freq DESC, term LIMIT 1000
+), xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM cut
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round((count(*) * sum(x*y) - sum(x) * sum(y))
+             / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS slope,
+       round((sum(y) - ((count(*) * sum(x*y) - sum(x) * sum(y))
+             / (count(*) * sum(x*x) - sum(x) * sum(x))) * sum(x))
+             / count(*), 6) AS intercept
+FROM xy
+"""
+
+
+
+def retrieval_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hybrid retrieval pipeline — the engine's operators
+    COMPOSED in one query: BM25 lexical top-20 + embedding cosine
+    top-20 -> reciprocal rank fusion -> top-10 -> MMR diversification
+    (lambda=0.7, relevance = the fused RRF score) -> 5 diverse picks.
+    Every stage is the already-oracled operator; the pipeline oracle
+    recomputes the full chain in SQL (fusion CTEs + unrolled MMR
+    rounds)."""
+    from botkop_telcotraffic_spark_spark.operators.similarity import mmr_select
+
+    fused = hybrid_rrf_docs(spark, sf_dir).where(F.col("fused_rank") <= 10)
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = fused.join(
+        emb, fused["doc_id"] == emb["vec_id"]
+    ).select(
+        fused["doc_id"],
+        emb["embedding"],
+        F.col("rrf_score").alias("relevance"),
+    )
+    return mmr_select(
+        cand, k=5, id_col="doc_id", vec_col="embedding",
+        rel_col="relevance", lam=_MMR_LAM,
+    )
+
+
+def _retrieval_pipeline_sql() -> str:
+    return f"""
+WITH {_RRF_CTES},
+cand AS (
+  SELECT f.doc_id AS id, e.embedding AS v, f.rrf_score AS rel
+  FROM rrf f JOIN embeddings e ON e.vec_id = f.doc_id
+  WHERE f.fused_rank <= 10
+){_mmr_rounds_sql(5, _MMR_LAM, "doc_id")}"""
 
 
 # ---------------------------------------------------------------------------
@@ -6727,6 +6806,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "winsorize_events": (winsorize_events, _WINSOR_SQL),
     "kcore_purchase_graph": (kcore_purchase_graph, _kcore_sql()),
     "hybrid_rrf_docs": (hybrid_rrf_docs, _RRF_SQL),
+    "zipf_slope_docs": (zipf_slope_docs, _ZIPF_SQL),
+    "retrieval_pipeline_docs": (retrieval_pipeline_docs, _retrieval_pipeline_sql()),
     # r1-r3-green re-checks padding the remainder of the 50
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
@@ -6734,13 +6815,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
     "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
-    "streaming_upsert_enrich": (streaming_upsert_enrich, _STREAM_UPSERT_SQL),
-    "streaming_geofence_events": (streaming_geofence_events, _GEO_POLY_SQL),
     "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
     "bloom_join_urgent_revenue": (bloom_join_urgent_revenue, _BLOOM_JOIN_SQL),
     "pca_cov_embeddings": (pca_cov_embeddings, _PCA_COV_SQL),
     # -- past the driver's 50-slot check: driver-green in r1/r2/r3 with
     # -- unchanged code; all still pytest-oracle-verified every run -------
+    "streaming_geofence_events": (streaming_geofence_events, _GEO_POLY_SQL),
+    "streaming_upsert_enrich": (streaming_upsert_enrich, _STREAM_UPSERT_SQL),
     "scd2_customer_status": (scd2_customer_status, _SCD2_SQL),
     "pit_status_orders": (pit_status_orders, _PIT_SQL),
     "weighted_sample_docs": (weighted_sample_docs, _WSAMPLE_SQL),

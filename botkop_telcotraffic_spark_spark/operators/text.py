@@ -473,3 +473,49 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         r_stop.alias("r_stop"),
         all_pass.alias("pass_gopher"),
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str,
+    top_v: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(freq) on ln(rank) for the ``top_v`` most frequent terms — the
+    corpus-health scalar (natural language tracks slope ≈ -1;
+    boilerplate-heavy or synthetic corpora drift off it, making this
+    a cheap whole-corpus quality monitor next to the per-doc gates).
+
+    Returns ONE row: (n_terms, slope, intercept) rounded.
+
+    Physical shape: one postings aggregate (vocabulary-sized — bounded
+    regardless of corpus rows), a top-V cut via TakeOrderedAndProject
+    (distributed; never a global sort of the vocabulary), then a rank
+    window + OLS closed form over only top_v rows.  The single-
+    partition window is bounded at top_v — the documented exception
+    pattern (same as BM25's rank over its top-n cut).
+    """
+    freq = (
+        df.select(F.explode(words(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cut = freq.orderBy(F.col("freq").desc(), F.col("term")).limit(top_v)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("freq").desc(), F.col("term"))
+    xy = cut.withColumn("rnk", F.row_number().over(w)).select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return xy.agg(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(intercept, round_to).alias("intercept"),
+    )

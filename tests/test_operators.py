@@ -2345,3 +2345,17 @@ def test_rrf_fuse_hand_lists(spark):
     assert out[20] == (1, round(1 / 62, 6), 3)  # id tiebreak over 40? no:
     # 20 scores 1/62 > 40's 1/63, so rank 3 and 4 respectively
     assert out[40] == (1, round(1 / 63, 6), 4)
+
+
+def test_zipf_slope_synthetic_power_law(spark):
+    """text.py::zipf_slope: a corpus built with freq(term_r) ∝ 1/r
+    recovers slope ≈ -1 (exact OLS on the planted power law)."""
+    from botkop_telcotraffic_spark_spark.operators.text import zipf_slope
+
+    terms = []
+    for r in range(1, 51):
+        terms += [f"t{r:03d}"] * (1000 // r)
+    df = spark.createDataFrame([(" ".join(terms),)], "text string")
+    [row] = zipf_slope(df, "text", top_v=50).collect()
+    assert row["n_terms"] == 50
+    assert abs(row["slope"] + 1.0) < 0.05, row["slope"]

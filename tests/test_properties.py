@@ -366,3 +366,39 @@ def test_star_contraction_long_chain_planted(spark):
             assert c == 2_000_000, (node, c)
         else:
             assert c == 3_000_000, (node, c)
+
+
+def test_bootstrap_mix_u_quality(spark):
+    """boot.py::mix_u: across (row-hash, replicate) pairs, u is
+    uniform enough that the Poisson(1) weights average ~1 with
+    variance ~1, and per-replicate streams are not phase-locked
+    (distinct rows disagree on their weight for a fixed j)."""
+    from pyspark.sql import functions as SF
+
+    from botkop_telcotraffic_spark_spark.operators.boot import (
+        mix_u,
+        poisson1_weight,
+    )
+    from botkop_telcotraffic_spark_spark.functions.textfn import (
+        rolling_fingerprint,
+    )
+
+    rows = spark.range(2000).select(
+        rolling_fingerprint(
+            SF.concat(SF.lit("q:"), SF.col("id").cast("string"))
+        ).alias("h"),
+        SF.explode(SF.sequence(SF.lit(0), SF.lit(7))).alias("j"),
+    )
+    w = rows.select(
+        "j", poisson1_weight(mix_u(SF.col("h"), SF.col("j"))).alias("w")
+    )
+    stats = w.agg(
+        SF.avg("w").alias("m"), SF.var_pop("w").alias("v")
+    ).collect()[0]
+    assert abs(stats["m"] - 1.0) < 0.05, stats
+    assert abs(stats["v"] - 1.0) < 0.15, stats
+    # no phase lock: for each replicate j the weights vary across rows
+    per_j = w.groupBy("j").agg(
+        SF.count_distinct("w").alias("nd")
+    ).collect()
+    assert all(r["nd"] >= 3 for r in per_j), per_j

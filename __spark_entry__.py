@@ -2369,12 +2369,17 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_id,
         )
 
-    q = (
-        stream.writeStream.foreachBatch(batch_fn)
-        .trigger(availableNow=True)
-        .start()
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        replay_partitions,
     )
-    q.awaitTermination()
+
+    with replay_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # Explicit schema: an empty stream writes no files, and a bare
     # parquet read of the empty sink dir would fail schema inference
     # instead of returning the typed empty frame downstream expects.
@@ -3717,12 +3722,17 @@ def streaming_upsert_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     def batch_fn(df: DataFrame, batch_id: int) -> None:
         store.upsert(df.select("o_custkey", "o_orderkey", "o_totalprice"))
 
-    q = (
-        stream.writeStream.foreachBatch(batch_fn)
-        .trigger(availableNow=True)
-        .start()
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        replay_partitions,
     )
-    q.awaitTermination()
+
+    with replay_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     c = _t(spark, sf_dir, "customer")
     snap = store.snapshot()
     return c.join(snap, c["c_custkey"] == snap["o_custkey"]).select(

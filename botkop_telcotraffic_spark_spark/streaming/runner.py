@@ -22,16 +22,30 @@ def run_to_memory(
     memory sink; return the result as a batch DataFrame."""
     spark = stream_df.sparkSession
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    writer = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-    )
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.start()
-    q.awaitTermination()
+    # Bounded-replay accommodation: each stateful partition opens its
+    # own state store per micro-batch, so a 32-partition one-shot
+    # replay of a tiny fixture spends its wall clock on store
+    # open/commit, not data (stream-stream join = 4 stores/partition;
+    # measured 5.5 s -> ~2 s at sf0.1 with 8).  Fresh checkpoints per
+    # invocation make the pinned-at-start partition count safe to
+    # vary; values are partitioning-independent.  Production streams
+    # size shuffle partitions to the cluster instead (SCALE.md).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if checkpoint is None and int(prev) > 8:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        writer = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+        )
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -56,3 +70,25 @@ def stream_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFra
 
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return stream
+
+
+class replay_partitions:
+    """Context manager applying the same bounded-replay shuffle trim
+    as run_to_memory to custom-started streams (foreachBatch
+    pipelines): fewer partitions = fewer per-batch state-store /
+    task round-trips on a tiny one-shot replay.  No-op when the
+    session is already at or below the floor."""
+
+    def __init__(self, spark: SparkSession, n: int = 8) -> None:
+        self._spark, self._n = spark, n
+        self._prev: str | None = None
+
+    def __enter__(self) -> "replay_partitions":
+        self._prev = self._spark.conf.get("spark.sql.shuffle.partitions")
+        if int(self._prev) > self._n:
+            self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._prev is not None:
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._prev)

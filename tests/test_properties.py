@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import itertools
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -402,3 +403,136 @@ def test_bootstrap_mix_u_quality(spark):
         SF.count_distinct("w").alias("nd")
     ).collect()
     assert all(r["nd"] >= 3 for r in per_j), per_j
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0,
+        max_size=40,
+    ),
+    k=st.integers(2, 4),
+)
+@settings(**_SETTINGS)
+def test_k_core_matches_python_peeling(spark, edges, k):
+    """k_core equals pure-python iterative peeling on every random
+    small graph (self-loops / duplicate / reversed edges included)."""
+    from botkop_telcotraffic_spark_spark.operators.graph import k_core
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    live = set(adj)
+    while True:
+        drop = {u for u in live if len(adj[u] & live) < k}
+        if not drop:
+            break
+        live -= drop
+    expected = {u: len(adj[u] & live) for u in live}
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["degree"]
+        for r in k_core(df, k=k, rounds=12).collect()
+    }
+    assert got == expected
+
+
+@given(
+    vals=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=64),
+        min_size=3,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_cusum_matches_python_model(spark, vals):
+    """cusum_changepoint equals the pure-python running-sum argmax
+    (rounded-|S| ranking, earliest-position ties) on random series."""
+    from datetime import datetime, timedelta
+
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("k", t0 + timedelta(minutes=i), float(v), i)
+        for i, v in enumerate(vals)
+    ]
+    mu = sum(float(v) for v in vals) / len(vals)
+    s, best = 0.0, None
+    for i, v in enumerate(vals):
+        s += float(v) - mu
+        key = (round(abs(s), 6), -i)
+        if best is None or key > (best[0], -best[1]):
+            best = (round(abs(s), 6), i, round(s, 6))
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, v double, i long"
+    )
+    [r] = cusum_changepoint(df, ["k"], "ts", "v", tiebreak_col="i").collect()
+    assert r["cp_ts"] == t0 + timedelta(minutes=best[1])
+    assert r["cusum_peak"] == pytest.approx(best[2], abs=2e-6)
+
+
+@given(
+    touches=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.sampled_from("abc")),
+        max_size=25,
+    ),
+    convs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(1, 9)),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@settings(**_SETTINGS)
+def test_attribution_matches_python_model(spark, touches, convs):
+    """last_touch_attribution equals the pure-python credit
+    assignment on random touch/conversion sets (ties at equal time
+    go to the highest touch id)."""
+    from datetime import datetime, timedelta
+
+    from botkop_telcotraffic_spark_spark.operators.funnel import (
+        last_touch_attribution,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    t_rows = [
+        (u, t0 + timedelta(minutes=m), ch, i)
+        for i, (u, m, ch) in enumerate(touches)
+    ]
+    c_rows = [
+        (u, t0 + timedelta(minutes=m), float(v)) for u, m, v in convs
+    ]
+    expected: dict[str, list[float]] = {}
+    for u, ct, v in c_rows:
+        cands = [(tt, i) for (tu, tt, _, i) in t_rows if tu == u and tt <= ct]
+        ch = "direct"
+        if cands:
+            tt, i = max(cands)
+            ch = [r[2] for r in t_rows if r[3] == i][0]
+        expected.setdefault(ch, []).append(v)
+
+    tdf = spark.createDataFrame(
+        t_rows or [(99, t0, "x", 0)],
+        "uid long, ts timestamp, ch string, eid long",
+    )
+    cdf = spark.createDataFrame(c_rows, "uid long, ts timestamp, v double")
+    got = {
+        r["channel"]: (r["n_conversions"], r["revenue"])
+        for r in last_touch_attribution(
+            cdf, tdf, "uid", "ts", "ts", "ch", "v", "eid"
+        ).collect()
+    }
+    exp = {
+        ch: (len(vs), round(sum(vs), 2)) for ch, vs in expected.items()
+    }
+    if not touches:
+        exp.pop("x", None)
+    assert got == exp

@@ -5315,6 +5315,9 @@ def impute_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Null-safe LEFT join mirrors the engine's eqNullSafe left join: a
+# NULL event_type row keeps its row and imputes from the NULL-key
+# group (latent for this fixture, but the twin must match the code).
 _IMPUTE_SQL = """
 WITH med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS m
@@ -5323,7 +5326,8 @@ WITH med AS (
 SELECT event_id, e.event_type,
        round(coalesce(value, m), 6) AS value_filled,
        value IS NULL AS was_imputed
-FROM events e JOIN med USING (event_type)
+FROM events e LEFT JOIN med
+  ON e.event_type IS NOT DISTINCT FROM med.event_type
 """
 
 
@@ -5975,8 +5979,10 @@ tgt AS (SELECT * FROM (VALUES ('de', 0.2), ('en', 0.2), ('es', 0.2),
                               ('fr', 0.2), ('zh', 0.2)) AS t(lang, p)),
 s AS (SELECT min(n / p) AS s FROM sizes JOIN tgt USING (lang)),
 th AS (SELECT lang,
-              CAST(floor(10000.0 * least(1.0, (SELECT s FROM s) * p / n))
-                   AS BIGINT) AS t
+              CAST(CASE WHEN n / p <= (SELECT s FROM s) THEN 10000
+                   ELSE floor(10000.0
+                              * least(1.0, (SELECT s FROM s) * p / n))
+                   END AS BIGINT) AS t
        FROM sizes JOIN tgt USING (lang))
 SELECT d.doc_id, d.lang, d.source
 FROM documents d JOIN th USING (lang)
@@ -6169,8 +6175,8 @@ dists AS (
   FROM rk WHERE rn <= 2 GROUP BY vec_id
 )
 SELECT cluster, CAST(count(*) AS BIGINT) AS n,
-       round(avg(CASE WHEN greatest(a, b) > 0
-                      THEN (b - a) / greatest(a, b) ELSE 0.0 END), 6)
+       round(avg(coalesce(CASE WHEN greatest(a, b) > 0
+                      THEN (b - a) / greatest(a, b) ELSE 0.0 END, 0.0)), 6)
          AS silhouette
 FROM pp GROUP BY cluster
 """
@@ -6509,7 +6515,7 @@ WITH base AS (
 ), mu AS (
   SELECT event_type, avg(v) AS mu FROM base GROUP BY 1
 ), cum AS (
-  SELECT b.event_type, b.ts,
+  SELECT b.event_type, b.ts, b.event_id,
          sum(b.v - mu.mu) OVER (
            PARTITION BY b.event_type ORDER BY b.ts, b.event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
@@ -6520,7 +6526,7 @@ WITH base AS (
   SELECT event_type, ts AS cp_ts, round(s, 6) AS cusum_peak FROM (
     SELECT *, row_number() OVER (
       PARTITION BY event_type
-      ORDER BY round(abs(s), 6) DESC, ts) AS rk
+      ORDER BY round(abs(s), 6) DESC, ts, event_id) AS rk
     FROM cum) WHERE rk = 1
 )
 SELECT n.event_type, n.n, peak.cp_ts, peak.cusum_peak
@@ -6602,10 +6608,14 @@ def kcore_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     """Oracle twin: the fixed peel rounds unrolled into CTEs."""
     header = """
-WITH base AS (
-  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
-                  's' || CAST(l_suppkey AS VARCHAR) AS v
+WITH raw AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS u0,
+         's' || CAST(l_suppkey AS VARCHAR) AS v0
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+base AS (
+  SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v
+  FROM raw WHERE u0 <> v0
 ),
 e0 AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base)"""
     steps = []

@@ -111,7 +111,9 @@ def davies_bouldin(
     lowest id on ties), r_max = max over other clusters of
     (S_i + S_j) / M_ij.  mean(r_max) over clusters is the DB index;
     the per-cluster rows keep the worst-overlap pair visible.
-    Clusters that win no points get s_scatter 0 (empty scatter).
+    Centroids that win no points are OMITTED (no scatter to report
+    and no standard DB contribution) — callers averaging r_max get
+    the index over the populated clusters.
     """
     d = _point_centroid_dists(
         points.select(id_col, vec_col),

@@ -101,7 +101,10 @@ AUTO_SPREAD_WIDTH = 256
 
 
 def _spread_buckets(
-    grouped: DataFrame, spread: bool | str, *keys: str
+    grouped: DataFrame,
+    spread: bool | str,
+    *keys: str,
+    member_col: str = "xs",
 ) -> DataFrame:
     """Optionally pin pair-explosion parallelism before ``bucket_pairs``.
 
@@ -129,7 +132,6 @@ def _spread_buckets(
     iterative graph ops).
     """
     if spread == "auto":
-        member_col = grouped.columns[-1]
         grouped = grouped.localCheckpoint()
         width = grouped.agg(
             F.max(F.size(F.col(member_col))).alias("w")

@@ -518,9 +518,18 @@ def k_core(
     if k < 1:
         raise ValueError("k must be >= 1")
     ckpt = (lambda d: d.localCheckpoint()) if checkpoint else (lambda d: d)
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
-        F.col("u") != F.col("v")
-    ).distinct()
+    # canonicalize BEFORE symmetrizing: an input carrying both (a,b)
+    # and (b,a) would otherwise survive the directed distinct and
+    # double every degree after the union (confirmed wrong 2-core on
+    # [(1,2),(2,1)])
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
     sym = ckpt(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )

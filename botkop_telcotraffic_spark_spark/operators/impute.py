@@ -47,17 +47,20 @@ def impute_group_stat(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     out = out_col or f"{value_col}_filled"
-    stats = df.groupBy(*key_cols).agg(agg.alias("_fill"))
+    stats = df.groupBy(*key_cols).agg(agg.alias("_fill")).select(
+        *[F.col(k).alias(f"_sk_{k}") for k in key_cols], "_fill"
+    )
     # Left join on null-safe equality: rows whose key IS NULL must still
     # match their (NULL-key) stats group — an inner equi-join would drop
-    # them and break the "output is input-sized" contract.
+    # them and break the "output is input-sized" contract.  Keys are
+    # renamed so the condition never resolves both sides to one attr.
     cond = None
     for k in key_cols:
-        c = df[k].eqNullSafe(stats[k])
+        c = F.col(k).eqNullSafe(F.col(f"_sk_{k}"))
         cond = c if cond is None else cond & c
     return (
         df.join(F.broadcast(stats), cond, "left")
-        .drop(*[stats[k] for k in key_cols])
+        .drop(*[f"_sk_{k}" for k in key_cols])
         .withColumn(out, F.coalesce(v, F.col("_fill")))
         .withColumn("was_imputed", v.isNull())
         .drop("_fill")

@@ -155,14 +155,30 @@ def winsorize(
         F.percentile(v, F.lit(lo_q)).alias("_lo"),
         F.percentile(v, F.lit(hi_q)).alias("_hi"),
     )
+    bounds = bounds.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in key_cols], "_lo", "_hi"
+    )
     out = out_col or f"{value_col}_winsor"
+    # Null-safe LEFT join: rows whose GROUP KEY is NULL must still
+    # match their (NULL-key) bounds group — same contract (and same
+    # bug class) as impute_group_stat's fix; keys renamed so the
+    # condition never resolves both sides to one attribute
+    cond = None
+    for k in key_cols:
+        c = F.col(k).eqNullSafe(F.col(f"_bk_{k}"))
+        cond = c if cond is None else cond & c
     clamped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
     return (
-        df.join(F.broadcast(bounds), list(key_cols))
-        .withColumn(out, F.when(v.isNull(), v).otherwise(clamped))
+        df.join(F.broadcast(bounds), cond, "left")
+        .drop(*[f"_bk_{k}" for k in key_cols])
+        .withColumn(
+            out,
+            F.when(v.isNull() | F.col("_lo").isNull(), v).otherwise(clamped),
+        )
         .withColumn(
             "was_clamped",
-            v.isNotNull() & ((v < F.col("_lo")) | (v > F.col("_hi"))),
+            v.isNotNull()
+            & ((v < F.col("_lo")) | (v > F.col("_hi"))),
         )
         .drop("_lo", "_hi")
     )

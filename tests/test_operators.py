@@ -2359,3 +2359,35 @@ def test_zipf_slope_synthetic_power_law(spark):
     [row] = zipf_slope(df, "text", top_v=50).collect()
     assert row["n_terms"] == 50
     assert abs(row["slope"] + 1.0) < 0.05, row["slope"]
+
+
+def test_semdedup_hand_clusters(spark):
+    """similarity.py::semdedup: identical vectors in the SAME group
+    collapse to the min id; the same vector in a DIFFERENT group does
+    not (SemDeDup is cluster-scoped by design); a lone orthogonal
+    vector keeps itself."""
+    from botkop_telcotraffic_spark_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, "g1", [1.0, 0.0]),
+        (2, "g1", [1.0, 0.0]),       # dup of 1 within g1
+        (3, "g1", [0.0, 1.0]),       # orthogonal — unique
+        (4, "g2", [1.0, 0.0]),       # same vector, other group: kept
+        (5, "g2", [0.99, 0.01]),     # near-dup of 4 within g2
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: (r["keep_id"], r["is_kept"])
+        for r in semdedup(
+            df, "label", "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (3, True)
+    assert out[4] == (4, True)
+    assert out[5] == (4, False)
+    assert len(out) == 5
+

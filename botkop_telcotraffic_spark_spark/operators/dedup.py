@@ -521,3 +521,118 @@ def span_dedup(
             " ",
         ).alias("new_text"),
     )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_words: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal repeated-substring report, the word-level analogue of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public literature):
+    a word position is *duplicated* when some corpus-wide repeated
+    ``gram_words``-gram covers it; maximal runs of covered positions
+    are merged into spans (gaps-and-islands, overlap = gram width).
+
+    Per document: (id, n_words, n_dup_grams, n_spans, dup_words,
+    dup_frac) where dup_words counts words covered by at least one
+    repeated gram and dup_frac = dup_words / n_words rounded to 6
+    decimals.  Docs shorter than ``gram_words`` report zeros (no gram
+    can witness duplication).
+
+    Contrast with span_dedup (C4 recipe, fixed non-overlapping
+    segments): overlapping grams detect duplicated text at ANY
+    alignment, the property the suffix-array method buys — a footer
+    shifted by one word still matches here but misses every fixed
+    segment boundary there.
+
+    Scale shape: explode to overlapping grams (n_words rows/doc —
+    same order as the shingle postings the Jaccard path already
+    pays), ONE aggregate on the gram hash for corpus counts, join the
+    repeated-gram set back (Catalyst picks shuffle-hash/broadcast by
+    stats — the repeated set is typically tiny), then a per-doc
+    window for island merge.  The gram join key is a 64-bit xxhash,
+    not the gram text: shuffle width is 16 B/row instead of the
+    ~60 B gram string.  Hot grams (the same footer everywhere)
+    concentrate a key — identical skew class and mitigation
+    (count cap) as jaccard_pairs df-pruning.
+    """
+    from pyspark.sql import Window
+
+    k = int(gram_words)
+    if k < 2:
+        raise ValueError(f"gram_words must be >= 2, got {gram_words}")
+    w = words(F.col(text_col))
+    n = F.size(w)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_words"),
+        F.explode_outer(idx).alias("p"),
+        w.alias("_w"),
+    ).select(
+        "id",
+        "n_words",
+        "p",
+        F.when(
+            F.col("p").isNotNull(),
+            F.xxhash64(
+                F.array_join(F.slice("_w", F.col("p") + 1, k), " ")
+            ),
+        ).alias("gh"),
+    )
+    rep = (
+        grams.where(F.col("gh").isNotNull())
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("gh")
+    )
+    dup = grams.join(rep, "gh", "left_semi").select("id", "p")
+    win = Window.partitionBy("id").orderBy("p")
+    islands = (
+        dup.withColumn(
+            "_new",
+            F.when(
+                F.col("p") - F.lag("p").over(win) <= k - 1, 0
+            ).otherwise(1),
+        )
+        .withColumn("_isl", F.sum("_new").over(win))
+        .groupBy("id", "_isl")
+        .agg(
+            F.count(F.lit(1)).alias("_grams"),
+            (F.max("p") - F.min("p") + k).alias("_span_words"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("_grams").cast("long").alias("n_dup_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("_span_words").cast("long").alias("dup_words"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), n.alias("n_words").cast("long")
+    )
+    return (
+        base.join(islands, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_words", F.lit(0)).alias("dup_words"),
+            (
+                F.round(
+                    F.coalesce("dup_words", F.lit(0))
+                    / F.greatest("n_words", F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_frac"),
+        )
+    )

@@ -2391,3 +2391,92 @@ def test_semdedup_hand_clusters(spark):
     assert out[5] == (4, False)
     assert len(out) == 5
 
+
+def test_repeated_substring_spans_hand(spark):
+    """dedup.py::repeated_substring_spans: a 4-word phrase planted in
+    two docs at different alignments is caught by overlapping 3-grams
+    (the alignment-free property fixed spans lack); a unique doc and
+    a too-short doc report zeros; islands merge overlapping grams."""
+    from botkop_telcotraffic_spark_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    common = "the quick brown fox"
+    rows = [
+        (1, f"alpha {common} jumps high today"),          # 8 words
+        (2, f"beta gamma delta {common} runs"),           # 8 words
+        (3, "totally unique words nothing shared here"),  # 6 words
+        (4, "too short"),                                 # 2 words < k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in repeated_substring_spans(
+            df, "doc_id", "text", gram_words=3
+        ).collect()
+    }
+    # shared 4-word phrase -> two overlapping repeated 3-grams,
+    # merged into ONE 4-word span in each doc
+    for d, nw in ((1, 8), (2, 8)):
+        r = out[d]
+        assert (r["n_words"], r["n_dup_grams"], r["n_spans"]) == (nw, 2, 1)
+        assert r["dup_words"] == 4
+        assert r["dup_frac"] == round(4 / nw, 6)
+    assert (out[3]["n_spans"], out[3]["dup_words"], out[3]["dup_frac"]) == (0, 0, 0.0)
+    assert (out[4]["n_words"], out[4]["n_spans"], out[4]["dup_frac"]) == (2, 0, 0.0)
+
+
+def test_dsir_scores_match_python_model(spark):
+    """dsir.py::dsir_scores vs an independent pure-python model of the
+    hashed-unigram importance ratio (same rolling fingerprint, same
+    Laplace smoothing) on a corpus where target and raw slices favor
+    different words — target-flavored docs must outscore raw ones."""
+    from botkop_telcotraffic_spark_spark.operators.dsir import dsir_scores
+
+    rows = [
+        (1, "alpha alpha beta", True),
+        (2, "alpha gamma gamma", True),
+        (3, "delta delta beta", False),
+        (4, "delta epsilon beta", False),
+        (5, "alpha alpha alpha", False),   # raw doc with target words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    B, S = 32, 1.0
+
+    def fp(w):
+        h = 0
+        for ch in w:
+            h = (h * 131 + ord(ch)) % 1_000_000_007
+        return h
+
+    from collections import Counter
+    import math
+
+    raw, tgt = Counter(), Counter()
+    for _, text, is_t in rows:
+        for w in text.split(" "):
+            b = fp(w) % B
+            raw[b] += 1
+            if is_t:
+                tgt[b] += 1
+    R, T = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: math.log((tgt[b] + S) / (T + S * B))
+        - math.log((raw[b] + S) / (R + S * B))
+        for b in raw
+    }
+    expect = {
+        d: round(sum(lr[fp(w) % B] for w in text.split(" ")), 6) + 0.0
+        for d, text, _ in rows
+    }
+    out = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_scores(
+            df, "doc_id", "text", F.col("tgt"), buckets=B
+        ).collect()
+    }
+    assert out == pytest.approx(expect, abs=1e-6)
+    # target-flavored docs outscore raw-flavored ones
+    assert min(out[1], out[2], out[5]) > max(out[3], out[4])
+    with pytest.raises(ValueError):
+        dsir_scores(df, "doc_id", "text", F.col("tgt"), buckets=1)

@@ -537,6 +537,7 @@ def test_registry_wide_no_cartesian(spark):
         "chisq_event_drift",         # one-row grand-total scalar
         "ks_value_drift",            # one-row global min/max scalar
         "target_encode_events",      # one-row global-mean scalar
+        "dsir_select_docs",          # one-row token-totals scalar
         "geofence_rect_events",      # broadcast fence rectangles
         "ann_cosine_topk",           # broadcast bounded query set
         "ann_ivf_topk",              # broadcast k centroids
@@ -701,3 +702,29 @@ def test_kcore_uses_semi_joins(spark):
     plan = physical_plan(df)
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repeated_substring_spans_plan_shape(spark):
+    """repeated_substring_docs: repeated-gram membership is a
+    left-semi join on the 16-byte gram hash (never an inner join that
+    would duplicate positions), the island merge is a per-doc window
+    (no SinglePartition WindowExec), and no cartesian appears."""
+    df = entry_mod.repeated_substring_docs(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "xxhash64" in plan, "gram join key must be the 64-bit hash"
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "doc_id" in line or "id#" in line, line
+
+
+def test_dsir_ratio_join_is_broadcast(spark):
+    """dsir_select_docs: the buckets-row log-ratio table must reach
+    the token stream as a BroadcastHashJoin (shuffling the token
+    stream against a 256-row dim would be the 100 TB mistake), and
+    the top-100 must be TakeOrderedAndProject, not a global sort."""
+    df = entry_mod.dsir_select_docs(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -6900,6 +6900,91 @@ LIMIT 100
 """
 
 
+def source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (operators/sampling.py::
+    cap_per_group): at most 60 documents per crawl source, best-first
+    by n_chars with doc_id tiebreak — the FineWeb/RefinedWeb domain
+    cap, via the exact two-phase shard top-k (no single-task hot
+    source)."""
+    docs = _t(spark, sf_dir, "documents")
+    capped = sampling.cap_per_group(
+        docs, ["source"], 60, "n_chars", tiebreak_col="doc_id"
+    )
+    return capped.select("doc_id", "source", "n_chars", "group_rank")
+
+
+_SOURCE_CAP_SQL = """
+SELECT doc_id, source, n_chars, group_rank FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS group_rank
+  FROM documents
+) WHERE group_rank <= 60
+"""
+
+
+def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form exact dedup (operators/dedup.py::
+    normalized_exact_dedup): lowercase / punctuation-strip /
+    whitespace-collapse before hashing, collapsing trivially-perturbed
+    copies byte-exact md5 misses — the C4/Dolma normalization
+    recipe."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.normalized_exact_dedup(docs, "doc_id", "text")
+
+
+_NORM_DEDUP_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+  FROM documents
+),
+g AS (
+  SELECT norm_hash, min(doc_id) AS canon,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM h GROUP BY norm_hash
+)
+SELECT h.doc_id, h.norm_hash, g.group_size,
+       h.doc_id = g.canon AS is_canonical
+FROM h JOIN g USING (norm_hash)
+"""
+
+
+def streaming_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup bucket claims (§2.12 dedup × §2.9
+    streaming; streaming/dedup_stream.py::simhash_bucket_claims_stream):
+    documents replayed as a bounded stream claim their 4 SimHash band
+    buckets; first arrival per bucket wins within the watermark
+    horizon.  The claimed-bucket SET is arrival-order-independent, so
+    this streaming operator gets the full value-hash oracle (the
+    batch band projection of the same signatures)."""
+    from botkop_telcotraffic_spark_spark.streaming.dedup_stream import (
+        simhash_bucket_claims_stream,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+
+    tune(spark)
+    stream = stream_parquet_table(spark, sf_dir, "documents").withColumn(
+        "_ts",
+        F.timestamp_seconds(F.lit(1_600_000_000) + (F.col("doc_id") % 3600)),
+    )
+    out = simhash_bucket_claims_stream(
+        stream, "text", ts_col="_ts", delay="2 hours", k=3
+    )
+    return run_to_memory(out, output_mode="append")
+
+
+_STREAM_SIMHASH_SQL = f"""
+WITH {_POSTINGS_CTE}, {_simhash_sql_core()},
+buckets AS ({_SIMHASH_BANDS_SQL})
+SELECT DISTINCT band, byte FROM buckets
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6975,15 +7060,18 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "semdedup_embeddings": (semdedup_embeddings, _SEMDEDUP_SQL),
     "repeated_substring_docs": (repeated_substring_docs, _SUBSTR_SPAN_SQL),
     "dsir_select_docs": (dsir_select_docs, _DSIR_SQL),
+    "source_cap_docs": (source_cap_docs, _SOURCE_CAP_SQL),
+    "normalized_dedup_docs": (normalized_dedup_docs, _NORM_DEDUP_SQL),
+    "streaming_simhash_buckets": (streaming_simhash_buckets, _STREAM_SIMHASH_SQL),
     # r1-r3-green re-checks padding the remainder of the 50
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
     "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
+    # -- past the driver's 50-slot check: driver-green in r1/r2/r3 with
+    # -- unchanged code; all still pytest-oracle-verified every run -------
     "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
     "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
-    # -- past the driver's 50-slot check: driver-green in r1/r2/r3 with
-    # -- unchanged code; all still pytest-oracle-verified every run -------
     "bloom_join_urgent_revenue": (bloom_join_urgent_revenue, _BLOOM_JOIN_SQL),
     "pca_cov_embeddings": (pca_cov_embeddings, _PCA_COV_SQL),
     "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),

@@ -636,3 +636,104 @@ def repeated_substring_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def normalized_exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Exact dedup on the CANONICAL text form — lowercase, strip
+    non-alphanumerics to spaces, collapse runs of whitespace, trim —
+    the normalization step the public curation recipes (C4, Dolma)
+    apply before hashing, so copies differing only in case,
+    punctuation, or spacing collapse into one group where
+    ``exact_dedup_groups`` (byte-exact md5) sees distinct documents.
+
+    Returns one row per input: (id_col, norm_hash, group_size,
+    is_canonical) — canonical = minimum id of the group; norm_hash
+    is the md5 hex of the canonical form (joinable across corpora).
+
+    Scale shape: the normalization is scan-side column math; then the
+    identical O(rows) hash-keyed groupBy as exact dedup plus one
+    join back on the 32-char hash — skew only if one canonical form
+    dominates the corpus, which is precisely what the report is for.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.col(text_col)), "[^a-z0-9 ]", " "
+            ),
+            " +",
+            " ",
+        )
+    )
+    hashed = df.select(
+        F.col(id_col).alias("id"), F.md5(norm).alias("norm_hash")
+    )
+    groups = hashed.groupBy("norm_hash").agg(
+        F.min("id").alias("_canon"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )
+    return hashed.join(groups, "norm_hash").select(
+        F.col("id").alias(id_col),
+        "norm_hash",
+        "group_size",
+        (F.col("id") == F.col("_canon")).alias("is_canonical"),
+    )
+
+
+def simhash_udf(k: int = 3):
+    """Arrow-batched per-row SimHash: pandas UDF ``text -> bigint``
+    producing the EXACT integer of ``simhash_signatures`` (same
+    distinct shingle tokens, same affine votes, same bit threshold)
+    without the groupBy — the form a streaming pipeline needs, where
+    an aggregation would force complete-mode.  Value-identity with
+    the native path is pinned by ``test_simhash_udf_matches_native``.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from ..functions.textfn import FP_BASE, FP_MOD
+
+    base, mod, p = FP_BASE, FP_MOD, MINHASH_P
+    half = p // 2
+
+    def _sig(texts):
+        import numpy as np
+
+        # vote math vectorized: (tokens x 60) outer affine stays
+        # < 1e9 * 123 + 414 < 2^63, so int64 semantics are exact
+        av = np.arange(SIMHASH_BITS, dtype=np.int64) * 2 + 3
+        cv = np.arange(SIMHASH_BITS, dtype=np.int64) * 7 + 1
+        bits = np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64)
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            fps = []
+            for w in t.split(" "):
+                h = 0
+                for ch in w:
+                    h = (h * base + ord(ch)) % mod
+                fps.append(h)
+            n = len(fps)
+            toks = {}
+            for i in range(n - k + 1):
+                acc = fps[i]
+                for j in range(1, k):
+                    acc = (acc * base + fps[i + j]) % mod
+                toks[acc] = None
+            if not toks:
+                out.append(0)
+                continue
+            ta = np.fromiter(toks, dtype=np.int64, count=len(toks))
+            votes = ((ta[:, None] * av[None, :] + cv[None, :]) % p >= half)
+            v = 2 * votes.sum(axis=0, dtype=np.int64) - len(ta)
+            out.append(int(bits[v > 0].sum()))
+        return pd.Series(out, dtype=object)
+
+    _sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_sig, LongType())

@@ -641,3 +641,56 @@ def kfold_assign(
     if k < 2:
         raise ValueError("k must be >= 2")
     return df.withColumn("fold", hash_bucket(F.col(key_col), k, salt))
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    n_max: int,
+    order_col: str,
+    ascending: bool = False,
+    tiebreak_col: str | None = None,
+    spread: int = 64,
+    rank_col: str = "group_rank",
+) -> DataFrame:
+    """Per-group quota: keep at most ``n_max`` rows of each group,
+    best-first by ``order_col`` (desc unless ``ascending``) with a
+    total-order tiebreak.  This is the corpus-curation "domain cap"
+    (FineWeb/RefinedWeb cap documents per registered domain so no
+    single crawl source dominates the mixture) generalized to any
+    quota: N products per supplier, N events per user, ...
+
+    Exact two-phase shard top-k, the same decomposition as
+    ``weighted_hash_sample``: phase 1 ranks within (group, shard)
+    where shard = fingerprint(tiebreak) % ``spread`` and keeps
+    ``n_max`` per shard; phase 2 re-ranks the ≤ spread·n_max
+    survivors per group.  A single hot group never lands in one task
+    with its full row set — the one-window ``row_number() OVER
+    (PARTITION BY group)`` skew wall this replaces.  Result is
+    provably identical (global top-n ⊆ union of shard top-ns).
+
+    Returns the capped rows with ``rank_col`` (1 = best in group).
+    """
+    from pyspark.sql import Window
+
+    if n_max < 1:
+        raise ValueError(f"n_max must be >= 1, got {n_max}")
+    tb = tiebreak_col or order_col
+    direction = F.asc(order_col) if ascending else F.desc(order_col)
+    fp = rolling_fingerprint(
+        F.concat(F.lit("cap:"), F.col(tb).cast("string"))
+    )
+    staged = df.withColumn("_shard", (fp % F.lit(spread)).cast("int"))
+    w1 = Window.partitionBy(*group_cols, "_shard").orderBy(
+        direction, F.asc(tb)
+    )
+    local = (
+        staged.withColumn("_rk", F.row_number().over(w1))
+        .where(F.col("_rk") <= n_max)
+        .drop("_rk", "_shard")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(direction, F.asc(tb))
+    return (
+        local.withColumn(rank_col, F.row_number().over(w2))
+        .where(F.col(rank_col) <= n_max)
+    )

@@ -56,3 +56,55 @@ def dedup_content_stream(
     if keep_hash:
         return out.withColumnRenamed("_content_hash", "content_hash")
     return out.drop("_content_hash")
+
+
+def simhash_bucket_claims_stream(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str = "ts",
+    delay: str = "30 seconds",
+    k: int = 3,
+) -> DataFrame:
+    """Streaming NEAR-duplicate detection state: each arriving
+    document computes its 60-bit SimHash (per-row Arrow UDF —
+    identical integers to the batch ``simhash_signatures``) and
+    claims its 4 fifteen-bit band buckets; first arrival per
+    (band, byte) within the watermark horizon wins, later claims are
+    suppressed.  A document none of whose claims survive arrived
+    after near-duplicates already covered all its bands — the
+    streaming analog of the batch band-candidate join, with state
+    bounded by the horizon (~rate × delay buckets, each a 12-byte
+    key), not stream lifetime.
+
+    Emits the claimed (band, byte) rows.  As with content dedup,
+    WHICH document claims a bucket depends on micro-batch arrival
+    order; the claimed bucket SET does not — so bucket-level output
+    is the oracle-checkable projection.
+    """
+    from ..operators.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        simhash_udf,
+    )
+
+    sig = stream.withColumn("_sh", simhash_udf(k)(F.col(text_col)))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (
+                    F.shiftright(F.col("_sh"), SIMHASH_BAND_BITS * b)
+                    % (1 << SIMHASH_BAND_BITS)
+                ).alias("byte"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    claims = sig.select(
+        F.col(ts_col), F.explode(band_structs).alias("bb")
+    ).select(ts_col, F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
+    return (
+        claims.withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["band", "byte"])
+        .select("band", "byte")
+    )

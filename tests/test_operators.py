@@ -2480,3 +2480,86 @@ def test_dsir_scores_match_python_model(spark):
     assert min(out[1], out[2], out[5]) > max(out[3], out[4])
     with pytest.raises(ValueError):
         dsir_scores(df, "doc_id", "text", F.col("tgt"), buckets=1)
+
+
+def test_cap_per_group_two_phase_exact_and_quota(spark):
+    """sampling.py::cap_per_group: the two-phase shard top-k selects
+    exactly the rows a single global window would, every group
+    respects the quota, and ranks are 1..min(n, n_max)."""
+    from pyspark.sql import Window
+
+    from botkop_telcotraffic_spark_spark.operators.sampling import cap_per_group
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"s{rng.randint(1, 4)}", rng.randint(0, 1000))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, score long")
+    out = cap_per_group(
+        df, ["src"], 10, "score", tiebreak_col="id", spread=8
+    ).collect()
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("id"))
+    ref = (
+        df.withColumn("group_rank", F.row_number().over(w))
+        .where(F.col("group_rank") <= 10)
+        .collect()
+    )
+    assert sorted(map(tuple, out)) == sorted(map(tuple, ref))
+    from collections import Counter
+
+    per = Counter(r["src"] for r in out)
+    assert all(v <= 10 for v in per.values())
+    with pytest.raises(ValueError):
+        cap_per_group(df, ["src"], 0, "score")
+
+
+def test_normalized_exact_dedup_collapses_variants(spark):
+    """dedup.py::normalized_exact_dedup: case / punctuation / spacing
+    variants share a group with the min id canonical; genuinely
+    different text stays its own group."""
+    from botkop_telcotraffic_spark_spark.operators.dedup import (
+        normalized_exact_dedup,
+    )
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),
+        (3, "HELLO WORLD."),
+        (4, "goodbye world"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["group_size"], r["is_canonical"], r["norm_hash"])
+        for r in normalized_exact_dedup(df, "doc_id", "text").collect()
+    }
+    assert out[1][0] == 3 and out[1][1] is True
+    assert out[2][0] == 3 and out[2][1] is False
+    assert out[3][0] == 3 and out[3][1] is False
+    assert out[4][0] == 1 and out[4][1] is True
+    assert out[1][2] == out[2][2] == out[3][2] != out[4][2]
+
+
+def test_simhash_udf_matches_native(spark):
+    """dedup.py::simhash_udf (per-row Arrow path for streams) produces
+    the EXACT integers of the batch simhash_signatures groupBy on the
+    sf0.001 documents fixture."""
+    from botkop_telcotraffic_spark_spark.operators.dedup import (
+        simhash_signatures,
+        simhash_udf,
+    )
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    d = load_table(spark, SF_DIR_001, "documents").limit(50)
+    native = {
+        r["id"]: r["simhash"]
+        for r in simhash_signatures(d, "doc_id", "text", k=3).collect()
+    }
+    udf_out = {
+        r["doc_id"]: r["sh"]
+        for r in d.select(
+            "doc_id", simhash_udf(3)(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert native and all(udf_out[i] == v for i, v in native.items())

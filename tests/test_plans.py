@@ -728,3 +728,17 @@ def test_dsir_ratio_join_is_broadcast(spark):
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cap_per_group_windows_are_sharded(spark):
+    """source_cap_docs: BOTH ranking windows must be partitioned
+    (phase 1 on (group, shard), phase 2 on group over the pruned
+    survivors) — never a SinglePartition WindowExec, and no exchange
+    wider than the two ranking shuffles + the scan."""
+    df = entry_mod.source_cap_docs(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "SinglePartition" not in line, line
+    assert plan.count("Window") >= 2, plan

@@ -2563,3 +2563,67 @@ def test_simhash_udf_matches_native(spark):
         ).collect()
     }
     assert native and all(udf_out[i] == v for i, v in native.items())
+
+
+def test_jl_project_preserves_distances_on_average(spark):
+    """embed.py::jl_project: JL lemma sanity — squared pairwise
+    distances survive 64->16 projection within loose tolerance on
+    average (exact per-pair distortion is probabilistic; the MEAN
+    ratio over many pairs concentrates near 1), and the projection is
+    deterministic across runs."""
+    from botkop_telcotraffic_spark_spark.operators.embed import jl_project
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["proj"]
+        for r in jl_project(df, "vec_id", "embedding", 64, 16).collect()
+    }
+    assert all(len(p) == 16 for p in out.values())
+    vecs = dict(rows)
+    ratios = []
+    for i in range(0, 38, 2):
+        a, b = i, i + 1
+        d_orig = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+        d_proj = sum((x - y) ** 2 for x, y in zip(out[a], out[b]))
+        ratios.append(d_proj / d_orig)
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.6 < mean_ratio < 1.4, mean_ratio
+    out2 = {
+        r["vec_id"]: r["proj"]
+        for r in jl_project(df, "vec_id", "embedding", 64, 16).collect()
+    }
+    assert out == out2
+    with pytest.raises(ValueError):
+        jl_project(df, out_dim=0)
+
+
+def test_quantize_int8_hand_values(spark):
+    """embed.py::quantize_int8: per-dim corpus maxima drive the
+    scales — the max row quantizes to +-127 exactly, proportional
+    values land proportionally, an all-zero dim quantizes to 0, and
+    reconstruction MSE is small and non-negative."""
+    from botkop_telcotraffic_spark_spark.operators.embed import quantize_int8
+
+    rows = [
+        (1, [2.0, -4.0, 0.0] + [1.0] * 61),
+        (2, [1.0, 2.0, 0.0] + [0.5] * 61),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in quantize_int8(df, "vec_id", "embedding", 64).collect()
+    }
+    q1, q2 = out[1]["qvec"], out[2]["qvec"]
+    # dim 1: max |.| = 2 -> row1 127, row2 round(1*127/2) = 64
+    assert (q1[0], q2[0]) == (127, 64)
+    # dim 2: max 4 -> -127 and round(2*127/4) = 64
+    assert (q1[1], q2[1]) == (-127, 64)
+    # all-zero dim
+    assert (q1[2], q2[2]) == (0, 0)
+    assert q1[3:] == [127] * 61 and q2[3:] == [64] * 61
+    for r in out.values():
+        assert 0.0 <= r["mse"] < 1e-3

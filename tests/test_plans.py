@@ -538,6 +538,7 @@ def test_registry_wide_no_cartesian(spark):
         "ks_value_drift",            # one-row global min/max scalar
         "target_encode_events",      # one-row global-mean scalar
         "dsir_select_docs",          # one-row token-totals scalar
+        "quantize_embeddings",       # one-row per-dim scale array
         "geofence_rect_events",      # broadcast fence rectangles
         "ann_cosine_topk",           # broadcast bounded query set
         "ann_ivf_topk",              # broadcast k centroids
@@ -742,3 +743,25 @@ def test_cap_per_group_windows_are_sharded(spark):
         if "windowspecdefinition" in line.lower():
             assert "SinglePartition" not in line, line
     assert plan.count("Window") >= 2, plan
+
+
+def test_jl_project_is_scan_side_no_shuffle(spark):
+    """jl_project_embeddings: pure projection — no keyed, range, or
+    single-partition exchange anywhere (the whole point of JL over
+    PCA: no statistics pass).  load_table's round-robin parallelism
+    floor is the one permitted (narrow, data-independent) exchange."""
+    df = entry_mod.jl_project_embeddings(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert not re.search(r"\bExchange (hash|range|SinglePartition)", plan), plan
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+
+
+def test_quantize_fact_side_never_shuffles(spark):
+    """quantize_embeddings: the only exchanges belong to the 64-key
+    scale aggregate and its 1-row collapse; the vectors themselves
+    flow scan -> broadcast-join -> output unshuffled."""
+    df = entry_mod.quantize_embeddings(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    n_exchanges = len(re.findall(r"\bExchange (hash|range|SinglePartition)", plan))
+    assert n_exchanges <= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

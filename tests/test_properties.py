@@ -536,3 +536,72 @@ def test_attribution_matches_python_model(spark, touches, convs):
     if not touches:
         exp.pop("x", None)
     assert got == exp
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repeated_substring_spans_match_python_model(spark, docs):
+    """dedup.py::repeated_substring_spans vs an independent pure-python
+    model: overlapping k-grams, corpus-count >= 2 marks positions,
+    overlap-merge (gap <= k-1) into islands — on random tiny corpora
+    over a 5-word alphabet (gram repeats are common by design)."""
+    from collections import Counter
+
+    from botkop_telcotraffic_spark_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    k = 3
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    # python model
+    grams = Counter()
+    for ws in docs:
+        for p in range(len(ws) - k + 1):
+            grams[tuple(ws[p : p + k])] += 1
+    expect = {}
+    for i, ws in enumerate(docs):
+        pos = [
+            p
+            for p in range(len(ws) - k + 1)
+            if grams[tuple(ws[p : p + k])] >= 2
+        ]
+        spans = []
+        for p in pos:
+            if spans and p - spans[-1][1] <= k - 1:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        dup_words = sum(e - s + k for s, e in spans)
+        expect[i] = (
+            len(ws),
+            len(pos),
+            len(spans),
+            dup_words,
+            round(dup_words / max(len(ws), 1), 6) + 0.0,
+        )
+    out = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_dup_grams"],
+            r["n_spans"],
+            r["dup_words"],
+            r["dup_frac"],
+        )
+        for r in repeated_substring_spans(
+            df, "doc_id", "text", gram_words=k
+        ).collect()
+    }
+    assert out == expect

@@ -7044,6 +7044,114 @@ FROM embeddings, sc
 """
 
 
+def pattern_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP regex motif counts (operators/funnel.py::
+    sequence_pattern_counts): per-user event strings (v/c/p/e/s
+    alphabet), non-overlapping matches of 'a view, then clicks or
+    errors, then a purchase' (v[ce]*p) — the MATCH_RECOGNIZE shape
+    with an engine-agnostic unambiguous pattern."""
+    from botkop_telcotraffic_spark_spark.operators.funnel import (
+        sequence_pattern_counts,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return sequence_pattern_counts(
+        e,
+        "user_id",
+        "event_type",
+        "ts",
+        r"v[ce]*p",
+        {"view": "v", "click": "c", "purchase": "p", "error": "e",
+         "signup": "s"},
+        tiebreak_col="event_id",
+    )
+
+
+_PATTERN_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'view' THEN 'v'
+                    WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                    WHEN 'error' THEN 'e' WHEN 'signup' THEN 's'
+                    ELSE 'x' END, '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS BIGINT) AS n_matches
+FROM s
+"""
+
+
+def pctile_chars_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percentile normalization (operators/encode.py::
+    percentile_normalize): each document's n_chars percentile inside
+    its own source — comparable across sources with different length
+    distributions.  Same numbers as percent_rank(), computed on the
+    distinct-value frame (no hot-source single-task sort)."""
+    from botkop_telcotraffic_spark_spark.operators.encode import (
+        percentile_normalize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return percentile_normalize(docs, ["source"], "n_chars")
+
+
+_PCTILE_SQL = """
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+         + 0.0 AS pctile
+FROM documents
+"""
+
+
+def cross_corpus_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-vs-big decontamination join (operators/contamination.py::
+    cross_corpus_overlap): even-numbered sources vs odd-numbered
+    sources as the two large corpora, 3-word shingles, pairs sharing
+    >= 3 distinct shingles with per-side overlap fractions — ONE
+    shuffle-hash token join, the non-broadcast twin of
+    benchmark_overlap."""
+    from botkop_telcotraffic_spark_spark.operators.contamination import (
+        cross_corpus_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    parity = F.substring("source", 4, 10).cast("int") % 2
+    return cross_corpus_overlap(
+        docs.where(parity == 0),
+        docs.where(parity == 1),
+        "doc_id",
+        "text",
+        k=3,
+        min_shared=3,
+    )
+
+
+_CROSS_CORPUS_SQL = f"""
+WITH {_POSTINGS_CTE},
+src AS (SELECT doc_id, CAST(substring(source, 4, 10) AS INT) % 2 AS par
+        FROM documents),
+lt AS (SELECT p.id, p.tok FROM post p JOIN src ON p.id = src.doc_id
+       WHERE src.par = 0),
+rt AS (SELECT p.id, p.tok FROM post p JOIN src ON p.id = src.doc_id
+       WHERE src.par = 1),
+ls AS (SELECT id, count(*) AS size_a FROM lt GROUP BY id),
+rs AS (SELECT id, count(*) AS size_b FROM rt GROUP BY id),
+pairs AS (
+  SELECT lt.id AS a_id, rt.id AS b_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM lt JOIN rt USING (tok) GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT a_id, b_id, n_shared,
+       CAST(ls.size_a AS BIGINT) AS size_a,
+       CAST(rs.size_b AS BIGINT) AS size_b,
+       round(n_shared / ls.size_a, 6) + 0.0 AS frac_a,
+       round(n_shared / rs.size_b, 6) + 0.0 AS frac_b
+FROM pairs JOIN ls ON pairs.a_id = ls.id JOIN rs ON pairs.b_id = rs.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7087,8 +7195,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rebalance_docs_target": (rebalance_docs_target, _REBALANCE_SQL),
     # never-checked rows-only trio + lloyd (oracled this round: _lloyd_sql)
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),
-    "simulated_traffic_stats": (simulated_traffic_stats, None),
-    "hll_sketch_rollup_users": (hll_sketch_rollup_users, None),
     "lloyd_kmeans_embeddings": (lloyd_kmeans_embeddings, _lloyd_sql()),
     # code or oracle changed in round 4 (advisory fixes / lazy fold)
     "impute_events_value": (impute_events_value, _IMPUTE_SQL),
@@ -7124,10 +7230,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_simhash_buckets": (streaming_simhash_buckets, _STREAM_SIMHASH_SQL),
     "jl_project_embeddings": (jl_project_embeddings, _JL_SQL),
     "quantize_embeddings": (quantize_embeddings, _QUANT_SQL),
-    # r1-r3-green re-checks padding the remainder of the 50
-    "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
+    "pattern_funnel_events": (pattern_funnel_events, _PATTERN_FUNNEL_SQL),
+    "pctile_chars_docs": (pctile_chars_docs, _PCTILE_SQL),
+    "cross_corpus_overlap_docs": (cross_corpus_overlap_docs, _CROSS_CORPUS_SQL),
     # -- past the driver's 50-slot check: driver-green in r1/r2/r3 with
     # -- unchanged code; all still pytest-oracle-verified every run -------
+    "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
+    "simulated_traffic_stats": (simulated_traffic_stats, None),
+    "hll_sketch_rollup_users": (hll_sketch_rollup_users, None),
     "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
     "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
     "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),

@@ -93,6 +93,27 @@ CONTINUITY = [
     "zorder_layout_events",
     "seasonal_anomaly_events",
     "rebalance_docs_target",
+    # round-4 additions (rotation candidates for round 5)
+    "semdedup_embeddings",
+    "repeated_substring_docs",
+    "dsir_select_docs",
+    "source_cap_docs",
+    "normalized_dedup_docs",
+    "streaming_simhash_buckets",
+    "jl_project_embeddings",
+    "quantize_embeddings",
+    "pattern_funnel_events",
+    "pctile_chars_docs",
+    "cross_corpus_overlap_docs",
+    "kcore_purchase_graph",
+    "hybrid_rrf_docs",
+    "retrieval_pipeline_docs",
+    "bm25_search_docs",
+    "mmr_diverse_topk",
+    "bootstrap_ci_events",
+    "silhouette_embeddings",
+    "attribution_events",
+    "cusum_value_by_type",
 ]
 
 

@@ -76,3 +76,69 @@ def benchmark_overlap(
         "n_shingles",
         F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias("overlap_frac"),
     )
+
+
+def cross_corpus_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_shared: int = 2,
+    max_token_freq: int | None = None,
+) -> DataFrame:
+    """Big-vs-big n-gram overlap: document pairs (one from each
+    corpus) sharing >= ``min_shared`` distinct k-word shingles, with
+    per-side overlap fractions.  This is the decontamination /
+    cross-snapshot dedup shape when BOTH sides are large (snapshot A
+    vs snapshot B of a crawl) and ``benchmark_overlap``'s broadcast
+    of the small side no longer applies.
+
+    Returns (a_id, b_id, n_shared, size_a, size_b, frac_a, frac_b),
+    frac = n_shared / distinct-shingle count of that side, rounded
+    to 6.
+
+    Scale shape: both sides explode to DISTINCT (token, id) postings
+    and meet in ONE shuffle-hash join on the 8-byte token — the
+    bipartite twin of ``jaccard_pairs``'s self-join, with the same
+    hot-token hazard and the same cure: ``max_token_freq`` drops
+    tokens whose combined document frequency exceeds the cap
+    (boilerplate shingles explode the pair count quadratically and
+    carry no contamination signal at sane thresholds).  The pair
+    aggregate's key set is bounded by truly-overlapping pairs, not
+    the cross product.
+    """
+    lt = _doc_tokens(left, id_col, text_col, k)
+    rt = _doc_tokens(right, id_col, text_col, k)
+    if max_token_freq is not None:
+        hot = (
+            lt.select("tok").union(rt.select("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_token_freq)
+            .select("tok")
+        )
+        lt = lt.join(hot, "tok", "left_anti")
+        rt = rt.join(hot, "tok", "left_anti")
+    ls = lt.groupBy("id").agg(F.count(F.lit(1)).alias("size_a"))
+    rs = rt.groupBy("id").agg(F.count(F.lit(1)).alias("size_b"))
+    pairs = (
+        lt.select(F.col("id").alias("a_id"), "tok")
+        .join(rt.select(F.col("id").alias("b_id"), "tok"), "tok")
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(ls.withColumnRenamed("id", "a_id"), "a_id")
+        .join(rs.withColumnRenamed("id", "b_id"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "n_shared",
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            (F.round(F.col("n_shared") / F.col("size_a"), 6) + F.lit(0.0)).alias("frac_a"),
+            (F.round(F.col("n_shared") / F.col("size_b"), 6) + F.lit(0.0)).alias("frac_b"),
+        )
+    )

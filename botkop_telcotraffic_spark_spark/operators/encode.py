@@ -88,3 +88,63 @@ def collapse_rare(
         )
         .drop("_keep")
     )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "pctile",
+) -> DataFrame:
+    """Within-group percentile rank of ``value_col`` — the
+    cross-source score normalizer: a quality score's PERCENTILE
+    within its own source is comparable across sources whose raw
+    score distributions differ (the standard fix before mixing
+    corpora filtered by heterogeneous classifiers).
+
+    Semantics are exactly SQL ``percent_rank() OVER (PARTITION BY
+    group ORDER BY value)``: (min_rank - 1) / (n - 1), ties share a
+    rank, single-row groups get 0.  Output is input-sized with
+    ``out_col`` rounded to 6.
+
+    Scale shape: the naive window sorts EVERY ROW of a group in one
+    task — a hot source is a straggler wall.  This computes the same
+    number on the (group, DISTINCT value) frame instead: one keyed
+    count aggregate (map-side combined), a window over the
+    distinct-value rows only (bounded by value cardinality, not row
+    count), and one keyed join back onto the fact.  NULL values pass
+    through with NULL percentile (SQL window semantics would rank
+    them; a NULL score has no meaningful percentile)."""
+    g = [F.col(c) for c in group_cols]
+    vc = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*g, F.col(value_col))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = Window.partitionBy(*group_cols)
+    ranked = (
+        vc.withColumn("_below", F.coalesce(F.sum("_c").over(w), F.lit(0)))
+        .withColumn("_n", F.sum("_c").over(wg))
+        .select(
+            *group_cols,
+            value_col,
+            (
+                F.round(
+                    F.when(
+                        F.col("_n") > 1,
+                        F.col("_below") / (F.col("_n") - 1),
+                    ).otherwise(0.0),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias(out_col),
+        )
+    )
+    return df.join(ranked, [*group_cols, value_col], "left")

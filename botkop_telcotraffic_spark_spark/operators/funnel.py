@@ -226,3 +226,65 @@ def last_touch_attribution(
             F.round(F.sum("_val"), 2).alias("revenue"),
         )
     )
+
+
+def sequence_pattern_counts(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    pattern: str,
+    type_chars: dict[str, str],
+    tiebreak_col: str | None = None,
+    default_char: str = "x",
+) -> DataFrame:
+    """CEP-style regex over per-entity event sequences — the
+    MATCH_RECOGNIZE shape: encode each entity's time-ordered event
+    types as a character string via ``type_chars`` (unmapped types
+    become ``default_char``) and count NON-OVERLAPPING matches of
+    ``pattern``.  Where ``funnel_stages`` counts staged reach and
+    ``markov_transitions`` models adjacent pairs, this matches
+    arbitrary ordered motifs with gaps ("a view, then any clicks or
+    errors, then a purchase" = ``v[ce]*p``).
+
+    DETERMINISM: pick patterns whose character classes are disjoint
+    from their terminators (like ``v[ce]*p`` — the class cannot eat
+    the terminator), so the match decomposition is unique and
+    backtracking (Java) and DFA (RE2/DuckDB) engines agree exactly.
+    Ambiguous patterns may count differently across engines.  Ties in
+    ``ts_col`` are broken by ``tiebreak_col`` for a total order.
+
+    Returns (entity_col, seq_len, n_matches).
+
+    Scale shape: ONE keyed shuffle (the per-entity collect_list);
+    per-entity state is the event-type string — bytes per event, the
+    same order as any per-entity feature.  The regex runs scan-side
+    post-aggregate.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in type_chars.items() for x in kv]
+    )
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    ch = F.coalesce(mapping[F.col(type_col)], F.lit(default_char))
+    seq = (
+        df.select(
+            F.col(entity_col).alias("entity"),
+            F.struct(*order, ch.alias("ch")).alias("s"),
+        )
+        .groupBy("entity")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["ch"]
+                ),
+                "",
+            ).alias("_seq")
+        )
+    )
+    return seq.select(
+        F.col("entity").alias(entity_col),
+        F.length("_seq").cast("long").alias("seq_len"),
+        F.regexp_count("_seq", F.lit(pattern)).cast("long").alias("n_matches"),
+    )

@@ -1,5 +1,6 @@
 from .inspect import (
     assert_no_cartesian_without_broadcast,
+    audit,
     has_broadcast_join,
     physical_plan,
     pushed_filters,
@@ -8,6 +9,7 @@ from .inspect import (
 
 __all__ = [
     "assert_no_cartesian_without_broadcast",
+    "audit",
     "has_broadcast_join",
     "physical_plan",
     "pushed_filters",

@@ -176,3 +176,59 @@ def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
     resolve those with an explicit per-era read + cast + union.
     """
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_jsonl_corpus(
+    spark,
+    path: str,
+    schema: str,
+    quarantine: bool = True,
+):
+    """Read a JSONL corpus (the interchange format of public LLM
+    datasets) with an explicit schema and a corrupt-record policy.
+
+    Returns ``(good, bad)``: ``good`` has the schema's columns from
+    rows that parsed clean; ``bad`` (when ``quarantine``, else None)
+    holds the raw line of every record that failed to parse or
+    type-check — plus its partially-parsed fields (a type-drift row
+    shows every field except the drifted one) — the quarantine
+    stream a curation pipeline routes to triage instead of silently
+    dropping (DROPMALFORMED) or poisoning typed columns with NULLs
+    (plain PERMISSIVE).
+
+    Explicit schema matters twice at 100 TB: inference costs a full
+    extra pass over every byte, and JSON type drift (an int column
+    arriving as a string in one shard) surfaces as quarantined rows
+    instead of a mid-job cast failure.
+
+    Spark-first shape: ONE line-oriented text scan + a ``from_json``
+    EXPRESSION with ``columnNameOfCorruptRecord`` (the json SOURCE
+    refuses corrupt-column-only queries; the expression form has no
+    such restriction and is the same decode convention as
+    streaming/json_stream.py).  Both outputs are scan-side
+    projections of that one scan.
+    """
+    from pyspark.sql import functions as F
+
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("raw"),
+        F.from_json(
+            F.col("value"),
+            schema + ", _c string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_c"},
+        ).alias("p"),
+    )
+    field_names = [
+        n.strip().split()[0] for n in schema.split(",")
+    ]
+    good = parsed.where(
+        F.col("p").isNotNull() & F.col("p._c").isNull()
+    ).select(*[F.col(f"p.{n}").alias(n) for n in field_names])
+    if not quarantine:
+        return good, None
+    bad = parsed.where(
+        F.col("p").isNull() | F.col("p._c").isNotNull()
+    ).select(
+        "raw", *[F.col(f"p.{n}").alias(n) for n in field_names]
+    )
+    return good, bad

@@ -2627,3 +2627,150 @@ def test_quantize_int8_hand_values(spark):
     assert q1[3:] == [127] * 61 and q2[3:] == [64] * 61
     for r in out.values():
         assert 0.0 <= r["mse"] < 1e-3
+
+
+def test_sequence_pattern_counts_hand(spark):
+    """funnel.py::sequence_pattern_counts: hand-built sequences —
+    v[ce]*p counts non-overlapping view→(clicks/errors)→purchase
+    motifs; unmapped types become the default char and break runs;
+    ties on ts break by the tiebreak column."""
+    from botkop_telcotraffic_spark_spark.operators.funnel import (
+        sequence_pattern_counts,
+    )
+
+    rows = [
+        # user 1: v c c p v p -> 2 matches
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "click"), (1, 4, "purchase"),
+        (1, 5, "view"), (1, 6, "purchase"),
+        # user 2: v c OTHER p -> 'other' breaks the motif -> 0
+        (2, 1, "view"), (2, 2, "click"), (2, 3, "other"), (2, 4, "purchase"),
+        # user 3: same ts, tiebreak by event_id: v(1) p(2) -> 1 match
+        (3, 7, "purchase"), (3, 7, "view"),
+    ]
+    # encode event_id implicitly as the insertion index for tiebreak
+    data = [(u, float(t), i, et) for i, (u, t, et) in enumerate(rows)]
+    # user 3: make view's tiebreak SMALLER than purchase's at equal ts
+    df = spark.createDataFrame(
+        [(3, 7.0, 0, "view"), (3, 7.0, 1, "purchase")]
+        + [d for d in data if d[0] != 3],
+        "user_id long, ts double, event_id long, event_type string",
+    )
+    out = {
+        r["user_id"]: (r["seq_len"], r["n_matches"])
+        for r in sequence_pattern_counts(
+            df, "user_id", "event_type", "ts", r"v[ce]*p",
+            {"view": "v", "click": "c", "purchase": "p", "error": "e"},
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out[1] == (6, 2)
+    assert out[2] == (4, 0)
+    assert out[3] == (2, 1)
+
+
+def test_percentile_normalize_matches_percent_rank(spark):
+    """encode.py::percentile_normalize: the distinct-value
+    decomposition equals percent_rank() OVER (PARTITION BY g ORDER BY
+    v) exactly (incl. ties and 1-row groups); NULL values pass
+    through with NULL percentile."""
+    from pyspark.sql import Window
+
+    from botkop_telcotraffic_spark_spark.operators.encode import (
+        percentile_normalize,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, f"g{rng.randint(1, 3)}",
+         float(rng.choice([1, 2, 2, 3, 5, 8])))
+        for i in range(60)
+    ] + [(100, "g9", 4.0), (101, "g1", None)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {
+        r["id"]: r["pctile"]
+        for r in percentile_normalize(df, ["g"], "v").collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    ref = {
+        r["id"]: round(r["pr"], 6) + 0.0
+        for r in df.where(F.col("v").isNotNull())
+        .withColumn("pr", F.percent_rank().over(w))
+        .collect()
+    }
+    assert out[101] is None
+    assert out[100] == 0.0  # single-row group
+    for i, p in ref.items():
+        assert out[i] == pytest.approx(p, abs=1e-9), i
+    assert len(out) == len(rows)
+
+
+def test_cross_corpus_overlap_planted_and_hot_token_cap(spark):
+    """contamination.py::cross_corpus_overlap: a planted shared
+    passage links exactly its pair with the right shared count and
+    fractions; a boilerplate shingle in every doc is killed by
+    max_token_freq without destroying the true pair."""
+    from botkop_telcotraffic_spark_spark.operators.contamination import (
+        cross_corpus_overlap,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    left = spark.createDataFrame(
+        [(1, f"{shared} unique left tail words here"),
+         (2, "completely different content on this side")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(10, f"prefix words then {shared} closing"),
+         (11, "nothing in common with anything at all")],
+        "doc_id long, text string",
+    )
+    out = cross_corpus_overlap(
+        left, right, "doc_id", "text", k=3, min_shared=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # shared passage has 3 distinct 3-shingles
+    assert (r["a_id"], r["b_id"], r["n_shared"]) == (1, 10, 3)
+    assert r["size_a"] == 8 and r["size_b"] == 7
+    assert r["frac_a"] == 0.375 and r["frac_b"] == round(3 / 7, 6)
+    # hot-token cap: capping df at 1 kills every shared token
+    out2 = cross_corpus_overlap(
+        left, right, "doc_id", "text", k=3, min_shared=1,
+        max_token_freq=1,
+    ).collect()
+    assert out2 == []
+
+
+def test_read_jsonl_corpus_quarantines_corrupt(spark, tmp_path):
+    """read_jsonl_corpus (sources/formats.py): well-formed rows parse
+    typed; malformed JSON and type-drift rows land in the quarantine
+    stream with their raw line intact; quarantine=False returns only
+    the good side."""
+    from botkop_telcotraffic_spark_spark.sources.formats import (
+        read_jsonl_corpus,
+    )
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        'not json at all\n'
+        '{"doc_id": "seven", "text": "type drift"}\n'
+        '{"doc_id": 4, "text": "fine again"}\n'
+    )
+    good, bad = read_jsonl_corpus(
+        spark, str(p), "doc_id long, text string"
+    )
+    g = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert g == {1: "hello world", 4: "fine again"}
+    brows = bad.collect()
+    raws = sorted(r["raw"] for r in brows)
+    assert len(raws) == 2
+    assert raws[0] == 'not json at all'
+    assert '"seven"' in raws[1]
+    # type-drift row keeps its parseable fields for triage
+    drift = [r for r in brows if '"seven"' in r["raw"]][0]
+    assert drift["text"] == "type drift" and drift["doc_id"] is None
+    good_only, none_bad = read_jsonl_corpus(
+        spark, str(p), "doc_id long, text string", quarantine=False
+    )
+    assert none_bad is None and good_only.count() == 2

@@ -765,3 +765,36 @@ def test_quantize_fact_side_never_shuffles(spark):
     n_exchanges = len(re.findall(r"\bExchange (hash|range|SinglePartition)", plan))
     assert n_exchanges <= 2, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_percentile_normalize_windows_over_aggregate(spark):
+    """pctile_chars_docs: the percent_rank twin must window over the
+    (group, distinct value) AGGREGATE, never the raw fact — plan
+    shows a HashAggregate feeding the Window, windows partitioned by
+    source, and a join back onto the fact."""
+    df = entry_mod.pctile_chars_docs(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan, plan
+    w_idx = plan.find("Window")
+    assert w_idx >= 0 and "HashAggregate" in plan[w_idx:], (
+        "no aggregate below the window"
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "SinglePartition" not in line, line
+    assert "Join" in plan
+
+
+def test_audit_reports_plan_health(spark):
+    """plans.audit: the structured report agrees with the raw plan on
+    a known query — q5 broadcasts its dims, reads pushed filters,
+    has no cartesian, and counts at least one exchange for the agg."""
+    from botkop_telcotraffic_spark_spark.plans import audit
+
+    rep = audit(entry_mod.q5_region_revenue(spark, SF_DIR_001))
+    assert rep["cartesian"] is False
+    assert rep["broadcast_joins"] >= 1
+    assert rep["exchanges"] >= 1
+    assert rep["scans"] >= 3  # lineitem + orders + dims
+    assert isinstance(rep["pushed_filters"], list)
+    assert "FileScan" in rep["plan"]

@@ -605,3 +605,61 @@ def test_repeated_substring_spans_match_python_model(spark, docs):
         ).collect()
     }
     assert out == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.sampled_from([(1.0, 0.0), (0.0, 1.0), (0.9, 0.1), (0.6, 0.8)]),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_semdedup_matches_bruteforce_components(spark, rows):
+    """similarity.py::semdedup vs a brute-force python model: within
+    each group compute all pairwise cosines, union-find components
+    over pairs >= threshold, representative = min id — on random
+    placements of four direction archetypes across two groups."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.similarity import semdedup
+
+    thr = 0.95
+    data = [
+        (i, g, [float(x), float(y)]) for i, (g, (x, y)) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "vec_id long, label string, embedding array<double>"
+    )
+    # python model
+    parent = {i: i for i, _, _ in data}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i, gi, vi in data:
+        for j, gj, vj in data:
+            if i < j and gi == gj:
+                dot = sum(a * b for a, b in zip(vi, vj))
+                na = math.sqrt(sum(a * a for a in vi))
+                nb = math.sqrt(sum(b * b for b in vj))
+                if dot / (na * nb) >= thr:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i, _, _ in data}
+    out = {
+        r["vec_id"]: (r["keep_id"], r["is_kept"])
+        for r in semdedup(
+            df, "label", "vec_id", "embedding", threshold=thr
+        ).collect()
+    }
+    assert len(out) == len(data)
+    for i, keep in expect.items():
+        assert out[i] == (keep, keep == i), (i, out[i], keep)

@@ -7152,6 +7152,75 @@ FROM pairs JOIN ls ON pairs.a_id = ls.id JOIN rs ON pairs.b_id = rs.id
 """
 
 
+def transcripts_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window transcript assembly (operators/chunking.py::
+    assemble_transcripts): per-user event messages ('type props'),
+    newest-first within a 24-whitespace-token budget, emitted in
+    chronological order — the SFT/chat context-packing shape."""
+    from botkop_telcotraffic_spark_spark.operators.chunking import (
+        assemble_transcripts,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat_ws(" ", "event_type", "props").alias("msg"),
+    )
+    return assemble_transcripts(
+        e, "user_id", "ts", "msg", max_tokens=24, tiebreak_col="event_id"
+    )
+
+
+_TRANSCRIPTS_SQL = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         event_type || ' ' || props AS msg,
+         len(string_split(event_type || ' ' || props, ' ')) AS tok
+  FROM events
+),
+c AS (
+  SELECT *, sum(tok) OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM m
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_msgs,
+       CAST(sum(CASE WHEN cum <= 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(tok) FILTER (WHERE cum <= 24), 0) AS BIGINT)
+         AS tokens_kept,
+       coalesce(string_agg(msg, chr(10) ORDER BY ts, event_id)
+                  FILTER (WHERE cum <= 24), '') AS transcript
+FROM c GROUP BY user_id
+"""
+
+
+def dp_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP released per-type event counts (operators/privacy.py::
+    dp_counts, ε=0.5): Laplace mechanism with the deterministic
+    inverse-CDF draw from the engine fingerprint — same released
+    table on every engine and re-run, bit-matched by the oracle."""
+    from botkop_telcotraffic_spark_spark.operators.privacy import dp_counts
+
+    e = _t(spark, sf_dir, "events")
+    return dp_counts(e, ["event_type"], epsilon=0.5)
+
+
+_DP_COUNTS_SQL = f"""
+WITH c AS (
+  SELECT event_type, count(*) AS n,
+         ({_wsample_fp_sql("'dp:' || coalesce(CAST(event_type AS VARCHAR), chr(0))")}
+          + 0.5) / {float(textfn.FP_MOD)!r} AS u
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       round(n + (-2.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+         + 0.0 AS n_noisy
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7194,7 +7263,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "seasonal_anomaly_events": (seasonal_anomaly_events, _SEASONAL_SQL),
     "rebalance_docs_target": (rebalance_docs_target, _REBALANCE_SQL),
     # never-checked rows-only trio + lloyd (oracled this round: _lloyd_sql)
-    "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),
     "lloyd_kmeans_embeddings": (lloyd_kmeans_embeddings, _lloyd_sql()),
     # code or oracle changed in round 4 (advisory fixes / lazy fold)
     "impute_events_value": (impute_events_value, _IMPUTE_SQL),
@@ -7233,10 +7301,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pattern_funnel_events": (pattern_funnel_events, _PATTERN_FUNNEL_SQL),
     "pctile_chars_docs": (pctile_chars_docs, _PCTILE_SQL),
     "cross_corpus_overlap_docs": (cross_corpus_overlap_docs, _CROSS_CORPUS_SQL),
-    # -- past the driver's 50-slot check: driver-green in r1/r2/r3 with
-    # -- unchanged code; all still pytest-oracle-verified every run -------
+    "transcripts_users": (transcripts_users, _TRANSCRIPTS_SQL),
+    # -- past the driver's 50-slot check ----------------------------------
+    # round-4 overflow (pytest-oracle-green; rotation candidates for r5):
+    "dp_event_type_counts": (dp_event_type_counts, _DP_COUNTS_SQL),
+    # driver-green in r1/r2/r3 with unchanged code; all still
+    # pytest-oracle-verified every run ------------------------------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "simulated_traffic_stats": (simulated_traffic_stats, None),
+    "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),
     "hll_sketch_rollup_users": (hll_sketch_rollup_users, None),
     "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
     "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),

@@ -139,3 +139,77 @@ def length_bucket_stats(
         ),
         F.ceil(pad / F.lit(float(batch_tokens))).alias("n_batches"),
     )
+
+
+def assemble_transcripts(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    text_col: str,
+    max_tokens: int,
+    tiebreak_col: str | None = None,
+    sep: str = "\n",
+) -> DataFrame:
+    """Context-window transcript assembly — the SFT/chat-data shape:
+    per entity, keep the LATEST messages whose cumulative token count
+    fits ``max_tokens`` (recency-first truncation, the standard
+    context-window packing rule), then emit them in chronological
+    order as one transcript document.
+
+    Returns (entity_col, n_msgs, n_kept, tokens_kept, transcript);
+    an entity whose newest single message already overflows the
+    budget gets an empty transcript (0 kept) rather than a silently
+    truncated message — message-level truncation composes with
+    ``chunk_text`` upstream if needed.
+
+    Scale shape: ONE keyed shuffle; the reverse-cumulative token sum
+    and the final assembly are per-entity windows/aggregates bounded
+    by messages-per-entity (cap upstream for unbounded entities —
+    same guidance as sessionization).  Tokens are whitespace tokens
+    (compose with token_stats' BPE estimate for model budgets).
+    """
+    from pyspark.sql import Window
+
+    tok = F.size(F.split(F.col(text_col), " "))
+    order = [F.col(ts_col).desc()] + (
+        [F.col(tiebreak_col).desc()] if tiebreak_col else []
+    )
+    w = (
+        Window.partitionBy("entity")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sort_key = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    staged = df.select(
+        F.col(entity_col).alias("entity"),
+        *[F.col(c) for c in {ts_col, *( [tiebreak_col] if tiebreak_col else [] )}],
+        F.col(text_col).alias("_txt"),
+        tok.alias("_tok"),
+    ).withColumn("_kept", F.sum("_tok").over(w) <= max_tokens)
+    return staged.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("long").alias("n_msgs"),
+        F.sum(F.when(F.col("_kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("_kept"), F.col("_tok"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_kept"),
+                            F.struct(*sort_key, F.col("_txt").alias("t")),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            sep,
+        ).alias("transcript"),
+    ).withColumnRenamed("entity", entity_col)

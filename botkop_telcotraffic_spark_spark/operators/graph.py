@@ -533,6 +533,15 @@ def k_core(
     sym = ckpt(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
+    # Fixpoint early-exit: peeling is monotone, so an unchanged edge
+    # count means the keep set is stable and every remaining round is
+    # a no-op — skip their materializations.  The RESULT is identical
+    # to running all ``rounds`` (the oracle's unrolled contract holds
+    # by idempotence); only wasted checkpoint/agg work is saved.  The
+    # per-round count reads the just-checkpointed frame (cheap); with
+    # checkpoint=False it forces the lineage once, same as the next
+    # round's aggregate would.
+    prev_n = sym.count()
     for _ in range(rounds):
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
         keep = deg.where(F.col("_d") >= k).select("u")
@@ -540,6 +549,10 @@ def k_core(
             sym.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
         )
+        n = sym.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return (
         sym.groupBy("u")
         .agg(F.count(F.lit(1)).alias("degree"))

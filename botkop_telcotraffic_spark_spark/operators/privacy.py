@@ -79,3 +79,61 @@ def l_diversity_violations(
         )
         .where(F.col("distinct_sensitive") < l)
     )
+
+
+def dp_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    salt: str = "dp:",
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace
+    mechanism (Dwork et al. 2006, public literature): released count
+    = true count + Laplace(1/ε) noise (count queries have L1
+    sensitivity 1).  The privacy audits above say WHAT cannot be
+    released raw; this is the standard mechanism for releasing it
+    anyway.
+
+    REPRODUCIBILITY over RNG: the Laplace draw derives from the
+    engine's rolling-hash fingerprint of (salt, group key) through
+    the inverse CDF — u in (0,1),
+    ``noise = -(1/ε)·sign(u-½)·ln(1-2|u-½|)`` — so every engine,
+    partitioning, and re-run releases the identical table (and the
+    DuckDB oracle reproduces it bit-for-bit).  A deterministic draw
+    per (salt, group) is one fixed sample of the mechanism; release
+    a new version under a FRESH salt, and account ε per release
+    (standard composition), never re-drawing to shop for noise.
+
+    Returns (*group_cols, n_noisy) with the noisy count rounded to 6
+    (negative releases are kept: post-hoc clamping is allowed but
+    changes the estimator's bias — caller's choice).
+
+    Scale shape: ONE keyed aggregate (map-side combined) + scan-side
+    noise math on the group-sized result.  Nothing else touches the
+    fact table.
+    """
+    from ..functions.textfn import FP_MOD, rolling_fingerprint
+
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    key = F.concat(
+        F.lit(salt),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in group_cols],
+    )
+    u = (rolling_fingerprint(key).cast("double") + F.lit(0.5)) / F.lit(
+        float(FP_MOD)
+    )
+    b = 1.0 / float(epsilon)
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        *group_cols,
+        (F.round(F.col("_n") + noise, 6) + F.lit(0.0)).alias("n_noisy"),
+    )

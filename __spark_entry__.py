@@ -7221,6 +7221,102 @@ FROM c
 """
 
 
+def pretrain_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 flagship composition: the pretraining-mix selection
+    chain in ONE declarative plan — canonical-form exact dedup (keep
+    the min-id representative) → DSIR importance scores toward the
+    lang='en' target → per-source cap (30 best by logw, two-phase
+    shard top-k) → 50k-token budget fill in (logw desc, doc_id)
+    order via the pinned distributed prefix sum.
+
+    Every stage is an engine operator (dedup.normalized_exact_dedup,
+    dsir.dsir_scores, sampling.cap_per_group,
+    sampling.token_budget_selection); the oracle chains the same four
+    stages as CTEs."""
+    from botkop_telcotraffic_spark_spark.operators.dsir import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    canon = (
+        dedup.normalized_exact_dedup(docs, "doc_id", "text")
+        .where(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    kept = docs.join(canon, "doc_id")
+    sc = dsir_scores(kept, "doc_id", "text", F.col("lang") == "en", buckets=256)
+    scored = sc.join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    capped = sampling.cap_per_group(
+        scored, ["source"], 30, "logw", tiebreak_col="doc_id"
+    ).drop("group_rank")
+    sel = sampling.token_budget_selection(
+        capped,
+        "n_tokens",
+        [F.col("logw").desc(), F.col("doc_id")],
+        50_000,
+    )
+    return sel.select(
+        "doc_id", "source", "n_tokens", "logw", "running_tokens"
+    )
+
+
+_PRETRAIN_MIX_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nh
+  FROM documents
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM h GROUP BY nh),
+kept AS (SELECT d.* FROM documents d JOIN canon USING (doc_id)),
+tok AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(string_split(text, ' '),
+           w -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, length(w)),
+                      i -> CAST(ascii(w[i]) AS BIGINT))),
+                  (acc, c) -> (acc * 131 + c) % 1000000007))) AS fp
+  FROM kept
+),
+b AS (SELECT doc_id, lang, fp % 256 AS bucket FROM tok),
+cnt AS (
+  SELECT bucket, count(*) AS raw_c,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_c
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT sum(raw_c) AS r, sum(tgt_c) AS t FROM cnt),
+ratio AS (
+  SELECT bucket,
+         ln((tgt_c + 1.0) / (t + 256.0)) - ln((raw_c + 1.0) / (r + 256.0))
+           AS lr
+  FROM cnt, tot
+),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(lr), 6) + 0.0 AS logw
+  FROM b JOIN ratio USING (bucket) GROUP BY doc_id
+),
+scored AS (
+  SELECT sc.*, d.source FROM sc JOIN documents d USING (doc_id)
+),
+capped AS (
+  SELECT doc_id, source, n_tokens, logw FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY logw DESC, doc_id) AS rk
+    FROM scored) WHERE rk <= 30
+),
+sel AS (
+  SELECT *, CAST(sum(n_tokens) OVER (ORDER BY logw DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS running_tokens
+  FROM capped
+)
+SELECT doc_id, source, n_tokens, logw, running_tokens
+FROM sel WHERE running_tokens - n_tokens < 50000
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7305,6 +7401,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- past the driver's 50-slot check ----------------------------------
     # round-4 overflow (pytest-oracle-green; rotation candidates for r5):
     "dp_event_type_counts": (dp_event_type_counts, _DP_COUNTS_SQL),
+    "pretrain_mix_pipeline": (pretrain_mix_pipeline, _PRETRAIN_MIX_SQL),
     # driver-green in r1/r2/r3 with unchanged code; all still
     # pytest-oracle-verified every run ------------------------------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),

@@ -6998,12 +6998,16 @@ def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JL_SCALE = __import__("math").sqrt(3.0 / 16)
 
-_JL_SQL = f"""
+
+def _jl_sql() -> str:
+    from botkop_telcotraffic_spark_spark.operators.embed import JL_A, JL_B, JL_P
+
+    return f"""
 SELECT vec_id,
   list_transform(generate_series(0, 15), j ->
     round(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64),
       d -> CAST(embedding[d] AS DOUBLE) *
-           (CASE ((131 * j + 31 * (d - 1)) % 6)
+           (CASE (((j * {JL_A} + (d - 1) * {JL_B}) % {JL_P}) % 6)
             WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
       (a, x) -> a + x) * {_JL_SCALE!r}, 6) + 0.0) AS proj
 FROM embeddings
@@ -7210,7 +7214,9 @@ def dp_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DP_COUNTS_SQL = f"""
 WITH c AS (
   SELECT event_type, count(*) AS n,
-         ({_wsample_fp_sql("'dp:' || coalesce(CAST(event_type AS VARCHAR), chr(0))")}
+         ({_wsample_fp_sql(
+             "'dp:' || coalesce(CAST(length(event_type) AS VARCHAR)"
+             " || ':' || event_type, '-1:')")}
           + 0.5) / {float(textfn.FP_MOD)!r} AS u
   FROM events GROUP BY event_type
 )
@@ -7392,7 +7398,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "source_cap_docs": (source_cap_docs, _SOURCE_CAP_SQL),
     "normalized_dedup_docs": (normalized_dedup_docs, _NORM_DEDUP_SQL),
     "streaming_simhash_buckets": (streaming_simhash_buckets, _STREAM_SIMHASH_SQL),
-    "jl_project_embeddings": (jl_project_embeddings, _JL_SQL),
+    "jl_project_embeddings": (jl_project_embeddings, _jl_sql()),
     "quantize_embeddings": (quantize_embeddings, _QUANT_SQL),
     "pattern_funnel_events": (pattern_funnel_events, _PATTERN_FUNNEL_SQL),
     "pctile_chars_docs": (pctile_chars_docs, _PCTILE_SQL),

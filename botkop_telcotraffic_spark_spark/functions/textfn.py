@@ -69,6 +69,30 @@ def shingle_tokens_from_fps(wf: Column, k: int) -> Column:
     return F.transform(idx, tok)
 
 
+def py_shingle_tokens(text: str, k: int) -> list[int]:
+    """Pure-python twin of ``array_distinct(shingle_tokens_from_fps(
+    word_fingerprints(text), k))`` — the DISTINCT k-word-shingle
+    rolling-hash tokens, insertion-ordered.  Single source of truth
+    for every Arrow UDF that needs per-row tokens
+    (``shingle_token_udf``, ``operators.dedup.simhash_udf``): one
+    implementation, one drift surface for the batch/stream
+    value-identity contracts."""
+    fps = []
+    for w in text.split(" "):
+        h = 0
+        for ch in w:
+            h = (h * FP_BASE + ord(ch)) % FP_MOD
+        fps.append(h)
+    n = len(fps)
+    toks: dict[int, None] = {}
+    for i in range(n - k + 1):
+        acc = fps[i]
+        for j in range(1, k):
+            acc = (acc * FP_BASE + fps[i + j]) % FP_MOD
+        toks[acc] = None
+    return list(toks)
+
+
 def shingle_token_udf(k: int):
     """Arrow-batched fast path for k-shingle tokens: returns a pandas
     UDF ``text -> array<bigint>`` of the doc's DISTINCT k-word-shingle
@@ -88,28 +112,13 @@ def shingle_token_udf(k: int):
 
     from pyspark.sql.functions import pandas_udf
 
-    base, mod = FP_BASE, FP_MOD
-
     def _tokens(texts):
         out = []
         for t in texts:
             if t is None:
                 out.append(None)
                 continue
-            fps = []
-            for w in t.split(" "):
-                h = 0
-                for ch in w:
-                    h = (h * base + ord(ch)) % mod
-                fps.append(h)
-            n = len(fps)
-            toks = {}
-            for i in range(n - k + 1):
-                acc = fps[i]
-                for j in range(1, k):
-                    acc = (acc * base + fps[i + j]) % mod
-                toks[acc] = None
-            out.append(list(toks))
+            out.append(py_shingle_tokens(t, k))
         return pd.Series(out, dtype=object)
 
     _tokens.__annotations__ = {"texts": pd.Series, "return": pd.Series}

@@ -689,15 +689,19 @@ def simhash_udf(k: int = 3):
     distinct shingle tokens, same affine votes, same bit threshold)
     without the groupBy — the form a streaming pipeline needs, where
     an aggregation would force complete-mode.  Value-identity with
-    the native path is pinned by ``test_simhash_udf_matches_native``.
+    the native path is pinned by ``test_simhash_udf_matches_native``,
+    INCLUDING the no-shingle case: a doc with fewer than k words has
+    no postings, so the native groupBy emits no row — this UDF
+    returns NULL for it (not 0, which would claim phantom (band, 0)
+    buckets downstream).
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    from ..functions.textfn import FP_BASE, FP_MOD
+    from ..functions.textfn import py_shingle_tokens
 
-    base, mod, p = FP_BASE, FP_MOD, MINHASH_P
+    p = MINHASH_P
     half = p // 2
 
     def _sig(texts):
@@ -713,21 +717,9 @@ def simhash_udf(k: int = 3):
             if t is None:
                 out.append(None)
                 continue
-            fps = []
-            for w in t.split(" "):
-                h = 0
-                for ch in w:
-                    h = (h * base + ord(ch)) % mod
-                fps.append(h)
-            n = len(fps)
-            toks = {}
-            for i in range(n - k + 1):
-                acc = fps[i]
-                for j in range(1, k):
-                    acc = (acc * base + fps[i + j]) % mod
-                toks[acc] = None
+            toks = py_shingle_tokens(t, k)
             if not toks:
-                out.append(0)
+                out.append(None)  # native groupBy emits no row here
                 continue
             ta = np.fromiter(toks, dtype=np.int64, count=len(toks))
             votes = ((ta[:, None] * av[None, :] + cv[None, :]) % p >= half)

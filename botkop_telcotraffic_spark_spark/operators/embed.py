@@ -26,12 +26,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+JL_A = 1_315_423_911
+JL_B = 2_654_435_761
+JL_P = 1_000_000_007
+
+
 def _jl_sign_sql(j: int) -> str:
     """Achlioptas sparse entry for output dim j as a SQL CASE over the
-    lambda var d (1-based): +1 / -1 each with prob 1/6, 0 with 2/3,
-    from ((131*j + 31*(d-1)) % 6)."""
+    lambda var d (1-based): +1 / -1 each with prob 1/6, 0 with 2/3.
+
+    The (j, d) pair is hashed through a LARGE PRIME before the mod-6
+    reduction: any direct polynomial mod 6 is period-6 in j (integer
+    coefficients shift by multiples of 6), which would make rows j
+    and j+6 identical and cap the projection's rank at 6 — the
+    large-prime mix breaks the periodicity, so all out_dim rows are
+    distinct (asserted by the unit test).  Products stay < 2·10¹¹,
+    well inside 64-bit, identical in Spark and DuckDB."""
     return (
-        f"(CASE ((131 * {j} + 31 * (d - 1)) % 6) "
+        f"(CASE ((({j * JL_A} + (d - 1) * CAST({JL_B} AS BIGINT))"
+        f" % {JL_P}) % 6) "
         "WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END)"
     )
 

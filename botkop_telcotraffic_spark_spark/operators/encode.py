@@ -112,9 +112,11 @@ def percentile_normalize(
     number on the (group, DISTINCT value) frame instead: one keyed
     count aggregate (map-side combined), a window over the
     distinct-value rows only (bounded by value cardinality, not row
-    count), and one keyed join back onto the fact.  NULL values pass
+    count), and one keyed join back onto the fact.  NULL VALUES pass
     through with NULL percentile (SQL window semantics would rank
-    them; a NULL score has no meaningful percentile)."""
+    them; a NULL score has no meaningful percentile); NULL GROUP
+    KEYS are a group like any other (null-safe join back — the same
+    contract as winsorize/impute_group_stat)."""
     g = [F.col(c) for c in group_cols]
     vc = (
         df.where(F.col(value_col).isNotNull())
@@ -147,4 +149,13 @@ def percentile_normalize(
             ).alias(out_col),
         )
     )
-    return df.join(ranked, [*group_cols, value_col], "left")
+    r = ranked.select(
+        *[F.col(c).alias(f"_r_{c}") for c in group_cols],
+        F.col(value_col).alias("_r_v"),
+        out_col,
+    )
+    cond = [df[c].eqNullSafe(r[f"_r_{c}"]) for c in group_cols] + [
+        df[value_col] == r["_r_v"]
+    ]
+    joined = df.join(r, cond, "left")
+    return joined.drop("_r_v", *[f"_r_{c}" for c in group_cols])

@@ -119,10 +119,19 @@ def dp_counts(
     counts = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_n")
     )
-    key = F.concat(
-        F.lit(salt),
-        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in group_cols],
-    )
+    # length-prefix each value so the concatenated key is INJECTIVE:
+    # a bare concat would collide ("x","yz") with ("xy","z"), giving
+    # two groups byte-identical noise draws — comparing their
+    # released counts would then cancel the noise exactly (caught in
+    # review).  NULL encodes as "-1:" (no length can be -1).
+    def _piece(c: str):
+        v = F.col(c).cast("string")
+        return F.coalesce(
+            F.concat(F.length(v).cast("string"), F.lit(":"), v),
+            F.lit("-1:"),
+        )
+
+    key = F.concat(F.lit(salt), *[_piece(c) for c in group_cols])
     u = (rolling_fingerprint(key).cast("double") + F.lit(0.5)) / F.lit(
         float(FP_MOD)
     )

@@ -209,6 +209,7 @@ def read_jsonl_corpus(
     projections of that one scan.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
     parsed = spark.read.text(path).select(
         F.col("value").alias("raw"),
@@ -218,9 +219,9 @@ def read_jsonl_corpus(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_c"},
         ).alias("p"),
     )
-    field_names = [
-        n.strip().split()[0] for n in schema.split(",")
-    ]
+    # DDL-aware name extraction: a naive split(',') breaks on types
+    # that contain commas (struct<a:int,b:int>, decimal(10,2))
+    field_names = StructType.fromDDL(schema).fieldNames()
     good = parsed.where(
         F.col("p").isNotNull() & F.col("p._c").isNull()
     ).select(*[F.col(f"p.{n}").alias(n) for n in field_names])

@@ -87,7 +87,12 @@ def simhash_bucket_claims_stream(
         simhash_udf,
     )
 
-    sig = stream.withColumn("_sh", simhash_udf(k)(F.col(text_col)))
+    # docs with no k-shingle (< k words) have NULL signatures — they
+    # claim nothing, matching the batch band projection which has no
+    # row for them
+    sig = stream.withColumn("_sh", simhash_udf(k)(F.col(text_col))).where(
+        F.col("_sh").isNotNull()
+    )
     band_structs = F.array(
         *[
             F.struct(

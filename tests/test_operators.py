@@ -2563,6 +2563,12 @@ def test_simhash_udf_matches_native(spark):
         ).collect()
     }
     assert native and all(udf_out[i] == v for i, v in native.items())
+    # no-shingle doc: native emits NO row; the UDF must return NULL
+    # (a 0 signature would claim phantom (band, 0) buckets downstream)
+    short = spark.createDataFrame([(99, "too short")], "doc_id long, text string")
+    assert simhash_signatures(short, "doc_id", "text", k=3).count() == 0
+    [r] = short.select(simhash_udf(3)(F.col("text")).alias("sh")).collect()
+    assert r["sh"] is None
 
 
 def test_jl_project_preserves_distances_on_average(spark):
@@ -2597,6 +2603,19 @@ def test_jl_project_preserves_distances_on_average(spark):
         for r in jl_project(df, "vec_id", "embedding", 64, 16).collect()
     }
     assert out == out2
+    # all 16 matrix rows are DISTINCT sign patterns: a direct
+    # polynomial mod 6 is period-6 in j (rows j and j+6 identical,
+    # rank <= 6 — caught in review); the large-prime mix must not be
+    from botkop_telcotraffic_spark_spark.operators.embed import JL_A, JL_B, JL_P
+
+    mat = [
+        tuple(
+            {0: 1, 1: -1}.get((j * JL_A + (d - 1) * JL_B) % JL_P % 6, 0)
+            for d in range(1, 65)
+        )
+        for j in range(16)
+    ]
+    assert len(set(mat)) == 16, "JL matrix rows must be distinct"
     with pytest.raises(ValueError):
         jl_project(df, out_dim=0)
 
@@ -2684,7 +2703,8 @@ def test_percentile_normalize_matches_percent_rank(spark):
         (i, f"g{rng.randint(1, 3)}",
          float(rng.choice([1, 2, 2, 3, 5, 8])))
         for i in range(60)
-    ] + [(100, "g9", 4.0), (101, "g1", None)]
+    ] + [(100, "g9", 4.0), (101, "g1", None),
+         (102, None, 1.0), (103, None, 2.0)]  # NULL group key IS a group
     df = spark.createDataFrame(rows, "id long, g string, v double")
     out = {
         r["id"]: r["pctile"]
@@ -2699,6 +2719,7 @@ def test_percentile_normalize_matches_percent_rank(spark):
     }
     assert out[101] is None
     assert out[100] == 0.0  # single-row group
+    assert (out[102], out[103]) == (0.0, 1.0)  # null-safe join back
     for i, p in ref.items():
         assert out[i] == pytest.approx(p, abs=1e-9), i
     assert len(out) == len(rows)
@@ -2831,3 +2852,38 @@ def test_dp_counts_deterministic_noise_properties(spark):
     assert fresh != out1
     with pytest.raises(ValueError):
         dp_counts(df, ["g"], epsilon=0.0)
+
+
+def test_read_jsonl_corpus_nested_schema(spark, tmp_path):
+    """read_jsonl_corpus: DDL types containing commas (struct,
+    decimal) must parse — the naive comma-split regression."""
+    from botkop_telcotraffic_spark_spark.sources.formats import (
+        read_jsonl_corpus,
+    )
+
+    p = tmp_path / "nested.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "meta": {"a": 2, "b": 3}}\n'
+        'broken\n'
+    )
+    good, bad = read_jsonl_corpus(
+        spark, str(p), "doc_id long, meta struct<a:int,b:int>"
+    )
+    [r] = good.collect()
+    assert r["doc_id"] == 1 and r["meta"]["a"] == 2 and r["meta"]["b"] == 3
+    assert bad.count() == 1
+
+
+def test_dp_counts_key_injective_across_columns(spark):
+    """dp_counts: multi-column groups whose bare concatenation
+    collides — ('x','yz') vs ('xy','z') — must receive DIFFERENT
+    noise draws (length-prefixed seed key; review finding)."""
+    from botkop_telcotraffic_spark_spark.operators.privacy import dp_counts
+
+    df = spark.createDataFrame(
+        [("x", "yz")] * 50 + [("xy", "z")] * 50, "a string, b string"
+    )
+    out = {(r["a"], r["b"]): r["n_noisy"] for r in dp_counts(df, ["a", "b"]).collect()}
+    n1, n2 = out[("x", "yz")], out[("xy", "z")]
+    # identical true counts, so equal noise would mean equal release
+    assert n1 != n2

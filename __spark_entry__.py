@@ -7179,8 +7179,8 @@ def transcripts_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRANSCRIPTS_SQL = """
 WITH m AS (
   SELECT user_id, ts, event_id,
-         event_type || ' ' || props AS msg,
-         len(string_split(event_type || ' ' || props, ' ')) AS tok
+         concat_ws(' ', event_type, props) AS msg,
+         len(string_split(concat_ws(' ', event_type, props), ' ')) AS tok
   FROM events
 ),
 c AS (

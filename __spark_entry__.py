@@ -7323,6 +7323,147 @@ FROM sel WHERE running_tokens - n_tokens < 50000
 """
 
 
+def cuped_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (operators/experiment.py::
+    cuped_adjust): per-user pre-period (before Jan 15) mean value as
+    the covariate, post-period mean as the metric, hash arms — the
+    Deng et al. 2013 sensitivity win, pooled-θ, missing pre-period
+    imputed at the mean (zero adjustment)."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        cuped_adjust,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.col("ts") < cutoff, F.col("value"))).alias("x"),
+            F.avg(F.when(F.col("ts") >= cutoff, F.col("value"))).alias("y"),
+        )
+        .where(F.col("y").isNotNull())
+        .withColumn(
+            "arm",
+            F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise("B"),
+        )
+    )
+    return cuped_adjust(per_user, "y", "x", "arm")
+
+
+_CUPED_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         avg(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN value END) AS x,
+         avg(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN value END) AS y
+  FROM events GROUP BY user_id
+),
+u AS (
+  SELECT user_id, x, y,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+  FROM pu WHERE y IS NOT NULL
+),
+s AS (
+  SELECT covar_pop(x, y) AS cxy, var_pop(x) AS vx, avg(x) AS mx
+  FROM u WHERE x IS NOT NULL
+),
+a AS (
+  SELECT u.*,
+         CASE WHEN x IS NOT NULL
+              THEN y - (CASE WHEN vx > 0 THEN cxy / vx ELSE 0 END)
+                   * (x - mx)
+              ELSE y END AS adj
+  FROM u, s
+)
+SELECT arm, CAST(count(*) AS BIGINT) AS n,
+       round(avg(y), 6) + 0.0 AS mean_y,
+       round(avg(adj), 6) + 0.0 AS mean_cuped,
+       round(var_pop(y), 6) + 0.0 AS var_y,
+       round(var_pop(adj), 6) + 0.0 AS var_cuped,
+       round(CASE WHEN var_pop(y) > 0
+                  THEN 1.0 - var_pop(adj) / var_pop(y)
+                  ELSE 0.0 END, 6) + 0.0 AS var_reduction
+FROM a GROUP BY arm
+"""
+
+
+def streaming_window_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: tumbling 6-hour
+    event-type counts computed BY THE STREAM (availableNow replay,
+    complete mode), then a batch post-pass joins each finalized
+    window against the corpus baseline and reports the per-window
+    Jensen-Shannon divergence (Laplace-smoothed, the
+    drift.categorical_drift formula per window) — the production
+    shape for 'did this hour's traffic mix drift from normal'.
+    Rounded to 6; deterministic, full value-hash oracle."""
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+
+    tune(spark)
+    stream = stream_parquet_table(spark, sf_dir, "events")
+    counts = stream.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).count()
+    mem = run_to_memory(counts, output_mode="complete").select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        F.col("count").alias("c"),
+    )
+    base = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("bc"))
+    )
+    k = base.agg(F.count(F.lit(1)).alias("_k"), F.sum("bc").alias("_bt"))
+    s = 0.5
+    joined = (
+        mem.join(F.broadcast(base), "event_type")
+        .crossJoin(F.broadcast(k))
+        .withColumn(
+            "_wt", F.sum("c").over(Window.partitionBy("window_start"))
+        )
+    )
+    p = (F.col("c") + s) / (F.col("_wt") + s * F.col("_k"))
+    q = (F.col("bc") + s) / (F.col("_bt") + s * F.col("_k"))
+    m = (p + q) / 2
+    contrib = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return (
+        joined.withColumn("_js", contrib)
+        .groupBy("window_start")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            (F.round(F.sum("_js"), 6) + F.lit(0.0)).alias("js_div"),
+        )
+    )
+
+
+_STREAM_DRIFT_SQL = """
+WITH w AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+         event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+base AS (SELECT event_type, count(*) AS bc FROM events GROUP BY 1),
+k AS (SELECT count(*) AS kk, sum(bc) AS bt FROM base),
+j AS (
+  SELECT w.window_start, w.c, base.bc, k.kk, k.bt,
+         sum(w.c) OVER (PARTITION BY w.window_start) AS wt
+  FROM w JOIN base USING (event_type), k
+),
+c AS (
+  SELECT window_start, c,
+         (c + 0.5) / (wt + 0.5 * kk) AS p,
+         (bc + 0.5) / (bt + 0.5 * kk) AS q
+  FROM j
+)
+SELECT window_start, CAST(sum(c) AS BIGINT) AS n_events,
+       round(sum(0.5 * p * ln(p / ((p + q) / 2))
+                 + 0.5 * q * ln(q / ((p + q) / 2))), 6) + 0.0 AS js_div
+FROM c GROUP BY window_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7408,6 +7549,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # round-4 overflow (pytest-oracle-green; rotation candidates for r5):
     "dp_event_type_counts": (dp_event_type_counts, _DP_COUNTS_SQL),
     "pretrain_mix_pipeline": (pretrain_mix_pipeline, _PRETRAIN_MIX_SQL),
+    "cuped_ab_events": (cuped_ab_events, _CUPED_SQL),
+    "streaming_window_drift": (streaming_window_drift, _STREAM_DRIFT_SQL),
     # driver-green in r1/r2/r3 with unchanged code; all still
     # pytest-oracle-verified every run ------------------------------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),

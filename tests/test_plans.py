@@ -555,6 +555,8 @@ def test_registry_wide_no_cartesian(spark):
         "target_encode_events",      # one-row global-mean scalar
         "dsir_select_docs",          # one-row token-totals scalar
         "quantize_embeddings",       # one-row per-dim scale array
+        "cuped_ab_events",           # one-row theta/mean scalar
+        "streaming_window_drift",    # one-row baseline-total scalar
         "geofence_rect_events",      # broadcast fence rectangles
         "ann_cosine_topk",           # broadcast bounded query set
         "ann_ivf_topk",              # broadcast k centroids

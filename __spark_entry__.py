@@ -7464,6 +7464,96 @@ FROM c GROUP BY window_start
 """
 
 
+def km_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention (operators/survival.py::kaplan_meier):
+    per-user lifetime = whole days between first and last event;
+    users whose last event falls in the final 5 fixture days are
+    CENSORED (still active at observation end) — the churn curve
+    cohort_retention cannot express without bias."""
+    from botkop_telcotraffic_spark_spark.operators.survival import kaplan_meier
+
+    e = _t(spark, sf_dir, "events")
+    lifetimes = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("double").alias("dur"),
+        (F.max("ts") < F.lit("2024-01-26").cast("timestamp")).alias("obs"),
+    )
+    return kaplan_meier(lifetimes, "dur", "obs")
+
+
+_KM_SQL = """
+WITH lt AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+              AS DOUBLE) AS dur,
+         max(ts) < TIMESTAMP '2024-01-26' AS obs
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT dur AS t,
+         sum(CASE WHEN obs THEN 1 ELSE 0 END) AS deaths,
+         count(*) AS arrivals
+  FROM lt GROUP BY dur
+),
+curve AS (
+  SELECT t, deaths,
+         sum(arrivals) OVER (ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS at_risk
+  FROM grid
+),
+flagged AS (
+  SELECT t, deaths, at_risk,
+         max(CASE WHEN deaths >= at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zeroed,
+         sum(CASE WHEN deaths < at_risk THEN ln(1.0 - deaths / at_risk)
+                  ELSE 0.0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lns
+  FROM curve
+)
+SELECT t, CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(deaths AS BIGINT) AS deaths,
+       CASE WHEN zeroed = 1 THEN 0.0
+            ELSE round(exp(lns), 6) + 0.0 END AS survival
+FROM flagged WHERE deaths > 0
+"""
+
+
+def geohash_cells_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash spatial bucketing (functions/geo.py::geohash_sql, one
+    generator emitting both dialects): precision-5 base32 cells over
+    the synthetic event points, per-cell count + mean value — the
+    prefix-range-scan companion to the Z-order layout."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    pts = _event_points(spark, sf_dir).join(
+        _t(spark, sf_dir, "events").select("event_id", "value"), "event_id"
+    )
+    gh = F.expr(geohash_sql("lat", "lng", 5, "spark"))
+    return (
+        pts.withColumn("cell", gh)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.round(F.avg("value"), 6) + F.lit(0.0)).alias("avg_value"),
+        )
+    )
+
+
+def _geohash_cells_sql() -> str:
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+j AS (
+  SELECT pts.lat, pts.lng, e.value
+  FROM pts JOIN events e USING (event_id)
+)
+SELECT {geohash_sql('lat', 'lng', 5, 'duckdb')} AS cell,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) + 0.0 AS avg_value
+FROM j GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7551,6 +7641,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pretrain_mix_pipeline": (pretrain_mix_pipeline, _PRETRAIN_MIX_SQL),
     "cuped_ab_events": (cuped_ab_events, _CUPED_SQL),
     "streaming_window_drift": (streaming_window_drift, _STREAM_DRIFT_SQL),
+    "km_user_retention": (km_user_retention, _KM_SQL),
+    "geohash_cells_events": (geohash_cells_events, _geohash_cells_sql()),
     # driver-green in r1/r2/r3 with unchanged code; all still
     # pytest-oracle-verified every run ------------------------------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),

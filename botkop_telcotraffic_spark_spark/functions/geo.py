@@ -75,3 +75,62 @@ def point_in_polygon_literal(
     for t in terms[1:]:
         acc = acc + t
     return acc % 2 == 1
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql(
+    lat_sql: str, lng_sql: str, precision: int, dialect: str
+) -> str:
+    """Standard base32 geohash as ONE arithmetic expression, emitted
+    for either engine (``dialect`` = 'spark' | 'duckdb') from a
+    single generator so the two sides cannot drift — the geo twin of
+    the shared fingerprint SQL (spatial bucketing / prefix range
+    scans; complements the Z-order layout in sources/layout.py).
+
+    Bit layout per the public spec: 5·precision bits, longitude
+    first, alternating; each 5-bit group maps through the base32
+    alphabet.  Integer math only (quantize → interleave via shifts),
+    identical across engines; lat/lng clamped to the valid range, so
+    the +90/+180 upper edges land in the last cell.
+    """
+    if dialect == "spark":
+        def shr(x: str, n: int) -> str:
+            return f"shiftright({x}, {n})"
+    elif dialect == "duckdb":
+        def shr(x: str, n: int) -> str:
+            return f"(({x}) >> {n})"
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown dialect {dialect!r}")
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits - lon_bits
+
+    def quant(v_sql: str, lo: float, hi: float, nb: int) -> str:
+        return (
+            f"CAST(least(CAST({(1 << nb) - 1} AS BIGINT), greatest(CAST(0 AS BIGINT), "
+            f"CAST(floor((least(greatest(CAST({v_sql} AS DOUBLE), {lo!r}), {hi!r})"
+            f" - {lo!r}) / {hi - lo!r} * {1 << nb}) AS BIGINT))) AS BIGINT)"
+        )
+
+    lon = quant(lng_sql, -180.0, 180.0, lon_bits)
+    lat = quant(lat_sql, -90.0, 90.0, lat_bits)
+    terms = []
+    li = la = 0
+    for pos in range(bits):  # MSB-first interleave, lon on even slots
+        out_sh = bits - 1 - pos
+        if pos % 2 == 0:
+            bit = f"({shr(lon, lon_bits - 1 - li)} % 2)"
+            li += 1
+        else:
+            bit = f"({shr(lat, lat_bits - 1 - la)} % 2)"
+            la += 1
+        terms.append(f"{bit} * CAST({1 << out_sh} AS BIGINT)" if out_sh else bit)
+    total = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST({shr(total, 5 * (precision - 1 - c))} % 32 AS INT) + 1, 1)"
+        for c in range(precision)
+    ]
+    return "concat(" + ", ".join(chars) + ")"

@@ -2938,3 +2938,46 @@ def test_cuped_adjust_matches_python_and_reduces_variance(spark):
         assert r["var_y"] == pytest.approx(v_y, abs=1e-4)
         assert r["var_cuped"] == pytest.approx(v_a, abs=1e-4)
         assert r["var_reduction"] > 0.5  # corr ~ 0.9 -> big win
+
+
+def test_kaplan_meier_matches_lifelines_convention(spark):
+    """survival.py::kaplan_meier vs the hand-computed product-limit
+    on the classic toy: durations [1,2+,3,4+,5] ('+' = censored) —
+    censored-at-t still at risk AT t; a time where everyone dies
+    zeroes the curve permanently."""
+    from botkop_telcotraffic_spark_spark.operators.survival import kaplan_meier
+
+    rows = [
+        (1.0, True), (2.0, False), (3.0, True), (4.0, False), (5.0, True),
+    ]
+    df = spark.createDataFrame(rows, "dur double, obs boolean")
+    out = {r["t"]: r for r in kaplan_meier(df, "dur", "obs").collect()}
+    # t=1: n=5, d=1 -> S=4/5; t=3: n=3, d=1 -> S=4/5*2/3; t=5: n=1,d=1 -> 0
+    assert set(out) == {1.0, 3.0, 5.0}
+    assert (out[1.0]["at_risk"], out[1.0]["deaths"]) == (5, 1)
+    assert out[1.0]["survival"] == 0.8
+    assert (out[3.0]["at_risk"], out[3.0]["deaths"]) == (3, 1)
+    assert out[3.0]["survival"] == round(0.8 * 2 / 3, 6)
+    assert (out[5.0]["at_risk"], out[5.0]["survival"]) == (1, 0.0)
+
+
+def test_geohash_sql_known_values(spark):
+    """functions/geo.py::geohash_sql (spark dialect) reproduces
+    published geohash values: (57.64911, 10.40744) -> u4pruyd,
+    (0, 0) -> s000000, and the clamped poles stay in range."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    df = spark.createDataFrame(
+        [(1, 57.64911, 10.40744), (2, 0.0, 0.0), (3, 90.0, 180.0),
+         (4, -90.0, -180.0)],
+        "id long, lat double, lng double",
+    )
+    out = {
+        r["id"]: r["gh"]
+        for r in df.select(
+            "id", F.expr(geohash_sql("lat", "lng", 7, "spark")).alias("gh")
+        ).collect()
+    }
+    assert out[1] == "u4pruyd"
+    assert out[2] == "s000000"  # 0,0 hashes into the 's' cell
+    assert out[3] == "z" * 7 and out[4] == "0" * 7

@@ -114,6 +114,13 @@ CONTINUITY = [
     "silhouette_embeddings",
     "attribution_events",
     "cusum_value_by_type",
+    "transcripts_users",
+    "dp_event_type_counts",
+    "pretrain_mix_pipeline",
+    "cuped_ab_events",
+    "streaming_window_drift",
+    "km_user_retention",
+    "geohash_cells_events",
 ]
 
 

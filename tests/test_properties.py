@@ -663,3 +663,99 @@ def test_semdedup_matches_bruteforce_components(spark, rows):
     assert len(out) == len(data)
     for i, keep in expect.items():
         assert out[i] == (keep, keep == i), (i, out[i], keep)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # entity
+            st.integers(min_value=0, max_value=20),  # ts
+            st.integers(min_value=1, max_value=4),   # msg token count
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_assemble_transcripts_matches_python_model(spark, msgs):
+    """chunking.py::assemble_transcripts vs a pure-python model:
+    recency-first budget admission then chronological emission, on
+    random (entity, ts, size) message streams with ts ties broken by
+    a unique id."""
+    from botkop_telcotraffic_spark_spark.operators.chunking import (
+        assemble_transcripts,
+    )
+
+    B = 6
+    rows = [
+        (ent, float(ts), i, " ".join(f"w{i}x{j}" for j in range(k)))
+        for i, (ent, ts, k) in enumerate(msgs)
+    ]
+    df = spark.createDataFrame(
+        rows, "e long, ts double, mid long, msg string"
+    )
+    expect = {}
+    for ent in {r[0] for r in rows}:
+        mine = sorted(
+            (r for r in rows if r[0] == ent), key=lambda r: (-r[1], -r[2])
+        )
+        kept, acc = [], 0
+        for _, ts, mid, msg in mine:
+            tk = len(msg.split(" "))
+            acc += tk
+            if acc <= B:
+                kept.append((ts, mid, msg, tk))
+        kept.sort(key=lambda t: (t[0], t[1]))
+        expect[ent] = (
+            sum(1 for r in rows if r[0] == ent),
+            len(kept),
+            sum(t[3] for t in kept),
+            "\n".join(t[2] for t in kept),
+        )
+    out = {
+        r["e"]: (r["n_msgs"], r["n_kept"], r["tokens_kept"], r["transcript"])
+        for r in assemble_transcripts(
+            df, "e", "ts", "msg", max_tokens=B, tiebreak_col="mid"
+        ).collect()
+    }
+    assert out == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # duration
+            st.booleans(),                          # observed
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kaplan_meier_matches_python_model(spark, subjects):
+    """survival.py::kaplan_meier vs a pure-python product-limit model
+    on random censored samples over a small duration grid."""
+    from botkop_telcotraffic_spark_spark.operators.survival import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(float(d), o) for d, o in subjects], "dur double, obs boolean"
+    )
+    times = sorted({float(d) for d, _ in subjects})
+    s, zero = 1.0, False
+    expect = {}
+    for t in times:
+        n = sum(1 for d, _ in subjects if d >= t)
+        dth = sum(1 for d, o in subjects if d == t and o)
+        if dth == 0:
+            continue
+        if zero or dth >= n:
+            zero = True
+            expect[t] = (n, dth, 0.0)
+        else:
+            s *= 1.0 - dth / n
+            expect[t] = (n, dth, round(s, 6) + 0.0)
+    out = {
+        r["t"]: (r["at_risk"], r["deaths"], r["survival"])
+        for r in kaplan_meier(df, "dur", "obs").collect()
+    }
+    assert out == expect

@@ -7554,6 +7554,71 @@ FROM j GROUP BY 1
 """
 
 
+def conformal_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal intervals (operators/experiment.py::
+    conformal_intervals): per-type mean-value predictor fit on the
+    pre-Jan-15 calibration split, exact ⌈(n+1)(1-α)⌉-th order
+    statistic of |residual| as q̂ (α=0.1), coverage audited on the
+    post split.  Predictions round to 6 BEFORE residuals so both
+    engines rank bit-identical values."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        conformal_intervals,
+    )
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    cal0 = e.where(F.col("ts") < cutoff)
+    test0 = e.where(F.col("ts") >= cutoff)
+    means = cal0.groupBy("event_type").agg(
+        (F.round(F.avg("value"), 6) + F.lit(0.0)).alias("pred")
+    )
+    cal = cal0.join(F.broadcast(means), "event_type")
+    test = test0.join(F.broadcast(means), "event_type")
+    return conformal_intervals(
+        cal, test, "pred", "value", ["event_type"],
+        alpha=0.1, tiebreak_col="event_id",
+    )
+
+
+_CONFORMAL_SQL = """
+WITH e AS (SELECT * FROM events WHERE value IS NOT NULL),
+cal0 AS (SELECT * FROM e WHERE ts < TIMESTAMP '2024-01-15'),
+test0 AS (SELECT * FROM e WHERE ts >= TIMESTAMP '2024-01-15'),
+means AS (
+  SELECT event_type, round(avg(value), 6) + 0.0 AS pred
+  FROM cal0 GROUP BY event_type
+),
+cal AS (
+  SELECT c.event_type, c.event_id, abs(c.value - m.pred) AS r
+  FROM cal0 c JOIN means m USING (event_type)
+),
+ranked AS (
+  SELECT event_type, r,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY r, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM cal
+),
+qs AS (
+  SELECT event_type, r AS q_hat, n
+  FROM ranked WHERE rk = CAST(ceil((n + 1) * 0.9) AS BIGINT)
+),
+t AS (
+  SELECT t0.event_type, abs(t0.value - m.pred) AS r
+  FROM test0 t0 JOIN means m USING (event_type)
+)
+SELECT t.event_type, CAST(qs.n AS BIGINT) AS n_cal,
+       round(qs.q_hat, 6) + 0.0 AS q_hat,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN t.r <= qs.q_hat THEN 1 ELSE 0 END) AS BIGINT)
+         AS covered,
+       round(sum(CASE WHEN t.r <= qs.q_hat THEN 1 ELSE 0 END)
+             / count(*), 6) + 0.0 AS coverage
+FROM t JOIN qs USING (event_type)
+GROUP BY t.event_type, qs.n, qs.q_hat
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7643,6 +7708,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_window_drift": (streaming_window_drift, _STREAM_DRIFT_SQL),
     "km_user_retention": (km_user_retention, _KM_SQL),
     "geohash_cells_events": (geohash_cells_events, _geohash_cells_sql()),
+    "conformal_value_events": (conformal_value_events, _CONFORMAL_SQL),
     # driver-green in r1/r2/r3 with unchanged code; all still
     # pytest-oracle-verified every run ------------------------------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),

@@ -76,3 +76,100 @@ def cuped_adjust(
             ).alias("var_reduction"),
         )
     )
+
+
+def conformal_intervals(
+    cal: DataFrame,
+    test: DataFrame,
+    pred_col: str,
+    actual_col: str,
+    group_cols: list[str],
+    alpha: float = 0.1,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Split conformal prediction (Vovk et al.; Lei et al. 2018,
+    public literature): per group, q̂ = the ⌈(n+1)(1-α)⌉-th smallest
+    absolute calibration residual; the interval prediction ± q̂ then
+    covers ≥ 1-α of exchangeable test points — the
+    distribution-free guarantee every 'give me error bars on this
+    model' request actually wants.
+
+    Returns per group: (group..., n_cal, q_hat, n_test, covered,
+    coverage) where covered counts test rows with |actual - pred| ≤
+    q̂ and coverage rounds to 6.  Groups whose ⌈(n+1)(1-α)⌉ exceeds
+    n_cal get q_hat = NULL (n too small for the level — the honest
+    answer) and zero coverage.
+
+    Exact integer order statistics (rank window over residuals with
+    a total-order tiebreak), NOT interpolated percentiles — engines
+    disagree on interpolation conventions; the kth order statistic
+    is engine-independent.
+
+    Scale shape: one per-group rank window on the CALIBRATION set
+    (calibration is the small split by construction), one broadcast
+    of the |groups|-row q̂ table onto the test side, one keyed
+    aggregate.  The test set is never sorted.
+    """
+    from pyspark.sql import Window
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    r = F.abs(
+        F.col(actual_col).cast("double") - F.col(pred_col).cast("double")
+    )
+    order = [F.col("_r")] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    wn = Window.partitionBy(*group_cols)
+    ranked = (
+        cal.withColumn("_r", r)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "_k", F.ceil((F.col("_n") + 1) * (1.0 - alpha)).cast("long")
+        )
+    )
+    qs = (
+        ranked.where(F.col("_rk") == F.col("_k"))
+        .select(*group_cols, F.col("_r").alias("q_hat"), F.col("_n"))
+        .union(
+            # groups too small for the level: emit NULL q_hat
+            ranked.where(F.col("_k") > F.col("_n"))
+            .groupBy(*group_cols)
+            .agg(F.first("_n").alias("_n"))
+            .select(
+                *group_cols,
+                F.lit(None).cast("double").alias("q_hat"),
+                "_n",
+            )
+        )
+    )
+    t = test.withColumn("_r", r)
+    joined = t.join(F.broadcast(qs), group_cols, "inner")
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.first("_n").cast("long").alias("n_cal"),
+            (F.round(F.first("q_hat"), 6) + F.lit(0.0)).alias("q_hat"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("_r") <= F.col("q_hat"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered"),
+            (
+                F.round(
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("_r") <= F.col("q_hat"), 1).otherwise(0)
+                        )
+                        / F.count(F.lit(1)),
+                        F.lit(0.0),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("coverage"),
+        )
+    )

@@ -2981,3 +2981,40 @@ def test_geohash_sql_known_values(spark):
     assert out[1] == "u4pruyd"
     assert out[2] == "s000000"  # 0,0 hashes into the 's' cell
     assert out[3] == "z" * 7 and out[4] == "0" * 7
+
+
+def test_conformal_intervals_hand_and_small_group(spark):
+    """experiment.py::conformal_intervals: hand-checkable order
+    statistic — 9 calibration residuals, alpha=0.1 -> k=9 -> q_hat =
+    the largest; coverage counted with <=; a 2-row group cannot
+    support the level (k=3>2) -> NULL q_hat, zero covered."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        conformal_intervals,
+    )
+
+    cal_rows = [("g", float(i), 0.0, i) for i in range(1, 10)]  # residuals 1..9
+    cal_rows += [("tiny", 1.0, 0.0, 100), ("tiny", 2.0, 0.0, 101)]
+    cal = spark.createDataFrame(
+        cal_rows, "grp string, actual double, pred double, rid long"
+    )
+    test_rows = [("g", 5.0, 0.0, 1), ("g", 9.0, 0.0, 2), ("g", 9.5, 0.0, 3),
+                 ("tiny", 1.0, 0.0, 4)]
+    test = spark.createDataFrame(
+        test_rows, "grp string, actual double, pred double, rid long"
+    )
+    out = {
+        r["grp"]: r
+        for r in conformal_intervals(
+            cal, test, "pred", "actual", ["grp"], alpha=0.1,
+            tiebreak_col="rid",
+        ).collect()
+    }
+    g = out["g"]
+    # k = ceil(10 * 0.9) = 9 -> q_hat = 9.0; residuals 5, 9 covered, 9.5 not
+    assert (g["n_cal"], g["q_hat"]) == (9, 9.0)
+    assert (g["n_test"], g["covered"]) == (3, 2)
+    assert g["coverage"] == round(2 / 3, 6)
+    t = out["tiny"]
+    assert t["q_hat"] is None and t["covered"] == 0
+    with pytest.raises(ValueError):
+        conformal_intervals(cal, test, "pred", "actual", ["grp"], alpha=1.5)

@@ -7619,6 +7619,55 @@ GROUP BY t.event_type, qs.n, qs.q_hat
 """
 
 
+def msprt_value_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid A/B p-value (operators/experiment.py::
+    msprt_test, Johari et al. 2017): hash arms over event values,
+    normal-mixture τ²=1 likelihood ratio and p_always = min(1, 1/Λ)
+    — continuous-monitoring-safe inference, the sequential companion
+    to the CUPED report."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import msprt_test
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "arm",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise("B"),
+    )
+    return msprt_test(e, "value", "arm", "A", "B", tau2=1.0)
+
+
+_MSPRT_SQL = """
+WITH g AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         count(*) AS n, avg(value) AS m, var_pop(value) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+j AS (
+  SELECT c.n AS nc, c.m AS mc, c.v AS vc,
+         t.n AS nt, t.m AS mt, t.v AS vt
+  FROM (SELECT * FROM g WHERE arm = 'A') c,
+       (SELECT * FROM g WHERE arm = 'B') t
+),
+s AS (
+  SELECT *,
+         (nc * vc + nt * vt) / (nc + nt) * (1.0 / nc + 1.0 / nt) AS V,
+         mt - mc AS theta
+  FROM j
+),
+l AS (
+  SELECT *,
+         sqrt(V / (V + 1.0)) * exp(theta * theta * 1.0
+                                   / (2.0 * V * (V + 1.0))) AS lam
+  FROM s
+)
+SELECT CAST(nc AS BIGINT) AS n_control, CAST(nt AS BIGINT) AS n_treatment,
+       round(mc, 6) + 0.0 AS mean_control,
+       round(mt, 6) + 0.0 AS mean_treatment,
+       round(theta, 6) + 0.0 AS effect,
+       round(lam, 6) + 0.0 AS lambda_lr,
+       round(least(1.0, 1.0 / lam), 6) + 0.0 AS p_always
+FROM l
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7709,6 +7758,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "km_user_retention": (km_user_retention, _KM_SQL),
     "geohash_cells_events": (geohash_cells_events, _geohash_cells_sql()),
     "conformal_value_events": (conformal_value_events, _CONFORMAL_SQL),
+    "msprt_value_ab": (msprt_value_ab, _MSPRT_SQL),
     # driver-green in r1/r2/r3 with unchanged code; all still
     # pytest-oracle-verified every run ------------------------------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),

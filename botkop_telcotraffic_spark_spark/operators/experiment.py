@@ -173,3 +173,72 @@ def conformal_intervals(
             ).alias("coverage"),
         )
     )
+
+
+def msprt_test(
+    df: DataFrame,
+    y_col: str,
+    arm_col: str,
+    control: str,
+    treatment: str,
+    tau2: float = 1.0,
+) -> DataFrame:
+    """Mixture sequential probability ratio test — the always-valid
+    p-value construction (Johari, Koomen, Pekelis, Walsh 2017,
+    "Peeking at A/B Tests", public literature): with a normal
+    mixture prior of variance ``tau2`` over the effect, the
+    likelihood ratio at the current sample is
+
+        Λ = sqrt(V / (V + τ²)) · exp(θ̂² τ² / (2 V (V + τ²)))
+
+    where θ̂ = mean(treatment) - mean(control) and V = s²(1/n_t +
+    1/n_c) with the pooled variance s².  p_always = min(1, 1/Λ) is
+    valid at EVERY peek — continuous monitoring without alpha
+    inflation, which the fixed-horizon t-test (and the CUPED report
+    above) cannot give.
+
+    Returns ONE row: (n_control, n_treatment, mean_control,
+    mean_treatment, effect, lambda_lr, p_always), floats rounded
+    to 6.
+
+    Scale shape: a single two-group aggregate (map-side combined);
+    everything else is scalar math on that 2-row result.
+    """
+    if tau2 <= 0:
+        raise ValueError(f"tau2 must be > 0, got {tau2}")
+    y = F.col(y_col).cast("double")
+    g = (
+        df.where(F.col(arm_col).isin(control, treatment) & y.isNotNull())
+        .groupBy(arm_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(y).alias("m"),
+            F.var_pop(y).alias("v"),
+        )
+    )
+    c = g.where(F.col(arm_col) == control).select(
+        F.col("n").alias("nc"), F.col("m").alias("mc"), F.col("v").alias("vc")
+    )
+    t = g.where(F.col(arm_col) == treatment).select(
+        F.col("n").alias("nt"), F.col("m").alias("mt"), F.col("v").alias("vt")
+    )
+    j = c.crossJoin(t)
+    s2 = (F.col("nc") * F.col("vc") + F.col("nt") * F.col("vt")) / (
+        F.col("nc") + F.col("nt")
+    )
+    V = s2 * (1.0 / F.col("nc") + 1.0 / F.col("nt"))
+    theta = F.col("mt") - F.col("mc")
+    lam = F.sqrt(V / (V + tau2)) * F.exp(
+        (theta * theta) * tau2 / (2.0 * V * (V + tau2))
+    )
+    return j.select(
+        F.col("nc").cast("long").alias("n_control"),
+        F.col("nt").cast("long").alias("n_treatment"),
+        (F.round(F.col("mc"), 6) + F.lit(0.0)).alias("mean_control"),
+        (F.round(F.col("mt"), 6) + F.lit(0.0)).alias("mean_treatment"),
+        (F.round(theta, 6) + F.lit(0.0)).alias("effect"),
+        (F.round(lam, 6) + F.lit(0.0)).alias("lambda_lr"),
+        (F.round(F.least(F.lit(1.0), 1.0 / lam), 6) + F.lit(0.0)).alias(
+            "p_always"
+        ),
+    )

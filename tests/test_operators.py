@@ -3018,3 +3018,43 @@ def test_conformal_intervals_hand_and_small_group(spark):
     assert t["q_hat"] is None and t["covered"] == 0
     with pytest.raises(ValueError):
         conformal_intervals(cal, test, "pred", "actual", ["grp"], alpha=1.5)
+
+
+def test_msprt_matches_python_and_detects_effect(spark):
+    """experiment.py::msprt_test vs the closed-form python mixture
+    LR: a planted large effect drives p_always -> ~0; a null effect
+    keeps p_always high; values match the formula exactly."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.experiment import msprt_test
+
+    rng = random.Random(9)
+    effect_rows = [(i, "A", rng.gauss(10, 1)) for i in range(300)] + [
+        (i + 1000, "B", rng.gauss(12, 1)) for i in range(300)
+    ]
+    df = spark.createDataFrame(effect_rows, "id long, arm string, y double")
+    [r] = msprt_test(df, "y", "arm", "A", "B", tau2=1.0).collect()
+
+    ys_a = [y for _, a, y in effect_rows if a == "A"]
+    ys_b = [y for _, a, y in effect_rows if a == "B"]
+    na, nb = len(ys_a), len(ys_b)
+    ma, mb = sum(ys_a) / na, sum(ys_b) / nb
+    va = sum((v - ma) ** 2 for v in ys_a) / na
+    vb = sum((v - mb) ** 2 for v in ys_b) / nb
+    s2 = (na * va + nb * vb) / (na + nb)
+    V = s2 * (1 / na + 1 / nb)
+    theta = mb - ma
+    lam = math.sqrt(V / (V + 1.0)) * math.exp(
+        theta * theta / (2 * V * (V + 1.0))
+    )
+    assert r["n_control"] == na and r["n_treatment"] == nb
+    assert r["effect"] == pytest.approx(theta, abs=1e-5)
+    assert r["p_always"] == pytest.approx(min(1.0, 1 / lam), abs=1e-5)
+    assert r["p_always"] < 1e-4  # planted 2-sigma effect detected
+
+    null_rows = [(i, "A" if i % 2 else "B", rng.gauss(10, 1)) for i in range(600)]
+    df0 = spark.createDataFrame(null_rows, "id long, arm string, y double")
+    [r0] = msprt_test(df0, "y", "arm", "A", "B").collect()
+    assert r0["p_always"] > 0.05  # no effect -> no (confident) rejection
+    with pytest.raises(ValueError):
+        msprt_test(df0, "y", "arm", "A", "B", tau2=0)

@@ -557,6 +557,7 @@ def test_registry_wide_no_cartesian(spark):
         "quantize_embeddings",       # one-row per-dim scale array
         "cuped_ab_events",           # one-row theta/mean scalar
         "streaming_window_drift",    # one-row baseline-total scalar
+        "msprt_value_ab",            # two 1-row arm aggregates
         "geofence_rect_events",      # broadcast fence rectangles
         "ann_cosine_topk",           # broadcast bounded query set
         "ann_ivf_topk",              # broadcast k centroids

@@ -7389,12 +7389,15 @@ FROM a GROUP BY arm
 def streaming_window_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming distribution-drift monitor: tumbling 6-hour
     event-type counts computed BY THE STREAM (availableNow replay,
-    complete mode), then a batch post-pass joins each finalized
-    window against the corpus baseline and reports the per-window
-    Jensen-Shannon divergence (Laplace-smoothed, the
-    drift.categorical_drift formula per window) — the production
-    shape for 'did this hour's traffic mix drift from normal'.
-    Rounded to 6; deterministic, full value-hash oracle."""
+    complete mode), then a batch post-pass scores each finalized
+    window against the corpus baseline with natural-log
+    Jensen-Shannon divergence, Laplace-smoothed over the FULL
+    baseline support — a type that VANISHES from a window still
+    contributes its smoothed term (that absence is the strongest
+    drift signal; an inner join on observed types would silently
+    drop it — caught in review).  The baseline is the whole corpus,
+    so its support is a superset of every window's.  Rounded to 6;
+    deterministic, full value-hash oracle."""
     from botkop_telcotraffic_spark_spark.streaming.runner import (
         run_to_memory,
         stream_parquet_table,
@@ -7417,8 +7420,14 @@ def streaming_window_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = base.agg(F.count(F.lit(1)).alias("_k"), F.sum("bc").alias("_bt"))
     s = 0.5
+    # (window x baseline-type) grid: every baseline type appears in
+    # every window, count 0 when absent — union-support smoothing
+    grid = mem.select("window_start").distinct().crossJoin(
+        F.broadcast(base)
+    )
     joined = (
-        mem.join(F.broadcast(base), "event_type")
+        grid.join(mem, ["window_start", "event_type"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
         .crossJoin(F.broadcast(k))
         .withColumn(
             "_wt", F.sum("c").over(Window.partitionBy("window_start"))
@@ -7446,10 +7455,14 @@ WITH w AS (
 ),
 base AS (SELECT event_type, count(*) AS bc FROM events GROUP BY 1),
 k AS (SELECT count(*) AS kk, sum(bc) AS bt FROM base),
+grid AS (
+  SELECT ws.window_start, base.event_type, base.bc
+  FROM (SELECT DISTINCT window_start FROM w) ws, base
+),
 j AS (
-  SELECT w.window_start, w.c, base.bc, k.kk, k.bt,
-         sum(w.c) OVER (PARTITION BY w.window_start) AS wt
-  FROM w JOIN base USING (event_type), k
+  SELECT grid.window_start, coalesce(w.c, 0) AS c, grid.bc, k.kk, k.bt,
+         sum(coalesce(w.c, 0)) OVER (PARTITION BY grid.window_start) AS wt
+  FROM grid LEFT JOIN w USING (window_start, event_type), k
 ),
 c AS (
   SELECT window_start, c,
@@ -7492,7 +7505,7 @@ grid AS (
   SELECT dur AS t,
          sum(CASE WHEN obs THEN 1 ELSE 0 END) AS deaths,
          count(*) AS arrivals
-  FROM lt GROUP BY dur
+  FROM lt WHERE dur IS NOT NULL GROUP BY dur
 ),
 curve AS (
   SELECT t, deaths,
@@ -7602,6 +7615,10 @@ ranked AS (
 qs AS (
   SELECT event_type, r AS q_hat, n
   FROM ranked WHERE rk = CAST(ceil((n + 1) * 0.9) AS BIGINT)
+  UNION ALL
+  -- groups too small for the level: NULL q_hat (mirrors the engine)
+  SELECT DISTINCT event_type, CAST(NULL AS DOUBLE) AS q_hat, n
+  FROM ranked WHERE CAST(ceil((n + 1) * 0.9) AS BIGINT) > n
 ),
 t AS (
   SELECT t0.event_type, abs(t0.value - m.pred) AS r

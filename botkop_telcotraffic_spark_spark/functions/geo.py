@@ -133,4 +133,10 @@ def geohash_sql(
         f"CAST({shr(total, 5 * (precision - 1 - c))} % 32 AS INT) + 1, 1)"
         for c in range(precision)
     ]
-    return "concat(" + ", ".join(chars) + ")"
+    # explicit NULL guard: Spark concat NULL-propagates but DuckDB
+    # concat skips NULLs ('' instead of NULL) — the one place the two
+    # dialects would silently drift on NULL coordinates
+    return (
+        f"(CASE WHEN ({lat_sql}) IS NULL OR ({lng_sql}) IS NULL "
+        f"THEN NULL ELSE concat({', '.join(chars)}) END)"
+    )

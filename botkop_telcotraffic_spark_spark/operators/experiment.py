@@ -35,7 +35,12 @@ def cuped_adjust(
     Units with NULL covariate are excluded from θ but keep their raw
     metric with zero adjustment (x imputed at the global mean — the
     standard treatment of missing pre-period data: contributes no
-    variance reduction, introduces no bias).
+    variance reduction, introduces no bias).  Units with NULL METRIC
+    are dropped entirely (they have nothing to measure); θ and E[x]
+    come from the COMPLETE-PAIR population only, so θ is the actual
+    regression slope on one consistent sample — mixing cov over
+    pairs with var/mean over all x-rows attenuates θ (caught in
+    review).
 
     θ is fit POOLED across arms (the published estimator; per-arm θ
     reintroduces bias under randomization imbalance).  All reported
@@ -43,6 +48,7 @@ def cuped_adjust(
     """
     y = F.col(y_col).cast("double")
     x = F.col(x_col).cast("double")
+    df = df.where(y.isNotNull())
     stats = df.where(x.isNotNull()).agg(
         F.covar_pop(x, y).alias("_cxy"),
         F.var_pop(x).alias("_vx"),

@@ -3058,3 +3058,25 @@ def test_msprt_matches_python_and_detects_effect(spark):
     assert r0["p_always"] > 0.05  # no effect -> no (confident) rejection
     with pytest.raises(ValueError):
         msprt_test(df0, "y", "arm", "A", "B", tau2=0)
+
+
+def test_geohash_sql_null_coordinates_null_both_dialects(spark):
+    """geohash_sql: NULL lat/lng yields NULL in BOTH dialects (Spark
+    concat NULL-propagates, DuckDB concat skips NULLs — the guard
+    pins them equal; review finding)."""
+    import duckdb
+
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    df = spark.createDataFrame(
+        [(1, None, 10.0), (2, 10.0, None)],
+        "id long, lat double, lng double",
+    )
+    rows = df.select(
+        F.expr(geohash_sql("lat", "lng", 5, "spark")).alias("gh")
+    ).collect()
+    assert all(r["gh"] is None for r in rows)
+    got = duckdb.sql(
+        "SELECT " + geohash_sql("CAST(NULL AS DOUBLE)", "10.0", 5, "duckdb")
+    ).fetchone()[0]
+    assert got is None

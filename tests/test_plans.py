@@ -817,3 +817,33 @@ def test_audit_reports_plan_health(spark):
     assert rep["scans"] >= 3  # lineitem + orders + dims
     assert isinstance(rep["pushed_filters"], list)
     assert "FileScan" in rep["plan"]
+
+
+def test_pretrain_mix_pre_pin_stage_audited(spark):
+    """The registry-wide cartesian audit sees pretrain_mix_pipeline
+    only DOWN to token_budget_selection's pinned (localCheckpoint)
+    stage — lineage above the pin is invisible there (review-noted
+    blind spot).  This test rebuilds the pre-pin chain (dedup ->
+    DSIR -> source cap) and audits ITS physical plan: no
+    CartesianProduct; the only BNLJ is dsir's 1-row totals scalar."""
+    from pyspark.sql import functions as SF
+
+    from botkop_telcotraffic_spark_spark.operators import dedup, sampling
+    from botkop_telcotraffic_spark_spark.operators.dsir import dsir_scores
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR_001, "documents")
+    canon = (
+        dedup.normalized_exact_dedup(docs, "doc_id", "text")
+        .where(SF.col("is_canonical"))
+        .select("doc_id")
+    )
+    kept = docs.join(canon, "doc_id")
+    sc = dsir_scores(kept, "doc_id", "text", SF.col("lang") == "en", buckets=256)
+    scored = sc.join(docs.select("doc_id", "source"), "doc_id")
+    capped = sampling.cap_per_group(
+        scored, ["source"], 30, "logw", tiebreak_col="doc_id"
+    )
+    plan = physical_plan(capped)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan

@@ -6607,25 +6607,30 @@ def kcore_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     """Oracle twin: the fixed peel rounds unrolled into CTEs."""
+    # MATERIALIZED is load-bearing: every round references the
+    # previous round ~3x (degree aggregate + two semi-filters); with
+    # DuckDB's default CTE INLINING the unrolled chain re-evaluates
+    # the whole prefix ~3^rounds times and spills past local disk at
+    # sf0.1 (observed).  Materializing pins each round to one pass.
     header = """
-WITH raw AS (
+WITH raw AS MATERIALIZED (
   SELECT 'c' || CAST(o_custkey AS VARCHAR) AS u0,
          's' || CAST(l_suppkey AS VARCHAR) AS v0
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ),
-base AS (
+base AS MATERIALIZED (
   SELECT DISTINCT least(u0, v0) AS u, greatest(u0, v0) AS v
   FROM raw WHERE u0 <> v0
 ),
-e0 AS (SELECT u, v FROM base UNION ALL SELECT v, u FROM base)"""
+e0 AS MATERIALIZED (SELECT u, v FROM base UNION ALL SELECT v, u FROM base)"""
     steps = []
     for r in range(1, rounds + 1):
         p = f"e{r - 1}"
         steps.append(f""",
-keep{r} AS (
+keep{r} AS MATERIALIZED (
   SELECT u FROM {p} GROUP BY u HAVING count(*) >= {k}
 ),
-e{r} AS (
+e{r} AS MATERIALIZED (
   SELECT e.u, e.v FROM {p} e
   WHERE e.u IN (SELECT u FROM keep{r})
     AND e.v IN (SELECT u FROM keep{r})

@@ -127,16 +127,30 @@ def geohash_sql(
             bit = f"({shr(lat, lat_bits - 1 - la)} % 2)"
             la += 1
         terms.append(f"{bit} * CAST({1 << out_sh} AS BIGINT)" if out_sh else bit)
-    total = "(" + " + ".join(terms) + ")"
+    # NULL coordinates must yield NULL cells in BOTH dialects.  Spark
+    # greatest/least SKIP nulls (a null lat would silently quantize
+    # to the range floor), so the interleave sum carries an arithmetic
+    # null-poison term — CAST(lat*0 + lng*0 AS BIGINT) is 0 normally,
+    # NULL if either coordinate is NULL, and unlike an outer CASE it
+    # does not wrap the big tree in a conditional (a CASE around the
+    # concat disabled codegen subexpression sharing and cost 14x —
+    # 0.4 s -> 5.5 s at sf0.1).
+    poison = (
+        f"CAST(({lat_sql}) * 0 + ({lng_sql}) * 0 AS BIGINT)"
+    )
+    total = "(" + " + ".join(terms) + f" + {poison})"
     chars = [
         f"substr('{GEOHASH_ALPHABET}', "
         f"CAST({shr(total, 5 * (precision - 1 - c))} % 32 AS INT) + 1, 1)"
         for c in range(precision)
     ]
-    # explicit NULL guard: Spark concat NULL-propagates but DuckDB
-    # concat skips NULLs ('' instead of NULL) — the one place the two
-    # dialects would silently drift on NULL coordinates
-    return (
-        f"(CASE WHEN ({lat_sql}) IS NULL OR ({lng_sql}) IS NULL "
-        f"THEN NULL ELSE concat({', '.join(chars)}) END)"
-    )
+    body = "concat(" + ", ".join(chars) + ")"
+    if dialect == "duckdb":
+        # DuckDB concat SKIPS null chars ('' instead of NULL) — only
+        # there an outer guard is needed (and cheap: no codegen CSE
+        # at stake)
+        return (
+            f"(CASE WHEN ({lat_sql}) IS NULL OR ({lng_sql}) IS NULL "
+            f"THEN NULL ELSE {body} END)"
+        )
+    return body

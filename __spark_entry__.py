@@ -7641,6 +7641,39 @@ GROUP BY t.event_type, qs.n, qs.q_hat
 """
 
 
+def quantile_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (operators/encode.py::
+    quantile_match): each document's n_chars maps to the POOLED
+    corpus value at its within-source percentile — per-source length
+    distributions become directly comparable (the bioinformatics
+    quantile-normalization recipe applied to corpus scores)."""
+    from botkop_telcotraffic_spark_spark.operators.encode import quantile_match
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_match(docs, ["source"], "n_chars")
+
+
+_QMATCH_SQL = """
+WITH src AS (
+  SELECT doc_id, source, n_chars,
+         round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+           + 0.0 AS p
+  FROM documents
+),
+ref AS (
+  SELECT DISTINCT n_chars AS rv, gp FROM (
+    SELECT n_chars,
+           round(percent_rank() OVER (ORDER BY n_chars), 6) + 0.0 AS gp
+    FROM documents)
+)
+SELECT doc_id, source, n_chars,
+       (SELECT min(rv) FROM ref r WHERE r.gp >= s.p) AS matched
+FROM src s
+"""
+
+
 def msprt_value_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Always-valid A/B p-value (operators/experiment.py::
     msprt_test, Johari et al. 2017): hash arms over event values,
@@ -7781,6 +7814,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "geohash_cells_events": (geohash_cells_events, _geohash_cells_sql()),
     "conformal_value_events": (conformal_value_events, _CONFORMAL_SQL),
     "msprt_value_ab": (msprt_value_ab, _MSPRT_SQL),
+    "quantile_match_docs": (quantile_match_docs, _QMATCH_SQL),
     # driver-green in r1/r2/r3 with unchanged code; all still
     # pytest-oracle-verified every run ------------------------------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),

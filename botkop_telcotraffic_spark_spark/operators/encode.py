@@ -159,3 +159,80 @@ def percentile_normalize(
     ]
     joined = df.join(r, cond, "left")
     return joined.drop("_r_v", *[f"_r_{c}" for c in group_cols])
+
+
+def quantile_match(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "matched",
+) -> DataFrame:
+    """Quantile normalization across groups: replace each value with
+    the GLOBAL value at the same percentile its group assigns it —
+    the bioinformatics quantile-normalization / score-calibration
+    recipe that makes per-source quality scores comparable by
+    construction (each group's distribution maps onto the pooled
+    one; `percentile_normalize` reports the percentile, this maps it
+    back into value space).
+
+    matched(x) = min global v with global_pctile(v) >= group_pctile(x),
+    both percentiles in percent_rank semantics.  NULL values pass
+    through with NULL ``out_col``.
+
+    Scale shape: both percentile passes run on distinct-value frames
+    (the percentile_normalize decomposition); the forward as-of
+    lookup is ONE ordered window over the UNION of the two grids —
+    grid-sized, never row-sized.  Like kaplan_meier, quantize
+    continuous values upstream so grids stay bounded.
+    """
+    from pyspark.sql import Window
+
+    src = percentile_normalize(df, group_cols, value_col, "_p")
+    src_grid = (
+        src.where(F.col(value_col).isNotNull())
+        .select(*group_cols, value_col, "_p")
+        .distinct()
+    )
+    ref_grid = (
+        percentile_normalize(df, [], value_col, "_gp")
+        .where(F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("_rv"), "_gp")
+        .distinct()
+    )
+    # union as-of: order by (key, side) with ref AFTER src on ties so
+    # an equal-percentile global value is eligible for the src row
+    u = src_grid.select(
+        *group_cols,
+        F.col(value_col),
+        F.col("_p").alias("_key"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(df.schema[value_col].dataType).alias("_rv"),
+    ).unionByName(
+        ref_grid.select(
+            *[F.lit(None).cast(df.schema[c].dataType).alias(c) for c in group_cols],
+            F.lit(None).cast(df.schema[value_col].dataType).alias(value_col),
+            F.col("_gp").alias("_key"),
+            F.lit(1).alias("_side"),
+            "_rv",
+        )
+    )
+    w = (
+        Window.orderBy("_key", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched_grid = (
+        u.withColumn("_m", F.first("_rv", ignorenulls=True).over(w))
+        .where(F.col("_side") == 0)
+        .select(*group_cols, value_col, F.col("_m").alias(out_col))
+    )
+    r = matched_grid.select(
+        *[F.col(c).alias(f"_g_{c}") for c in group_cols],
+        F.col(value_col).alias("_g_v"),
+        out_col,
+    )
+    cond = [df[c].eqNullSafe(r[f"_g_{c}"]) for c in group_cols] + [
+        df[value_col] == r["_g_v"]
+    ]
+    return df.join(F.broadcast(r), cond, "left").drop(
+        "_g_v", *[f"_g_{c}" for c in group_cols]
+    )

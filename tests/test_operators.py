@@ -3080,3 +3080,25 @@ def test_geohash_sql_null_coordinates_null_both_dialects(spark):
         "SELECT " + geohash_sql("CAST(NULL AS DOUBLE)", "10.0", 5, "duckdb")
     ).fetchone()[0]
     assert got is None
+
+
+def test_quantile_match_hand_values(spark):
+    """encode.py::quantile_match: two groups with disjoint ranges map
+    onto the pooled distribution at their own percentiles — hand
+    percent_rank math; NULL passes through."""
+    from botkop_telcotraffic_spark_spark.operators.encode import quantile_match
+
+    rows = [(i, "A", float(v)) for i, v in enumerate([1, 2, 3, 4])] + [
+        (10 + i, "B", float(v)) for i, v in enumerate([10, 20, 30, 40])
+    ] + [(99, "A", None)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {
+        r["id"]: r["matched"]
+        for r in quantile_match(df, ["g"], "v").collect()
+    }
+    # global order: 1,2,3,4,10,20,30,40 (n=8, gp = below/7)
+    # p=0 -> 1; p=1/3 -> min gp>=1/3 is 4 (3/7); p=2/3 -> 20 (5/7); p=1 -> 40
+    assert [out[0], out[1], out[2], out[3]] == [1.0, 4.0, 20.0, 40.0]
+    assert [out[10], out[11], out[12], out[13]] == [1.0, 4.0, 20.0, 40.0]
+    assert out[99] is None
+    assert len(out) == 9

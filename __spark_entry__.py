@@ -7641,6 +7641,37 @@ GROUP BY t.event_type, qs.n, qs.q_hat
 """
 
 
+def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (operators/profile.py::
+    benford_screen) over order totals — the forensic data-quality
+    test; natural multiplicative amounts should track
+    log10(1 + 1/d)."""
+    from botkop_telcotraffic_spark_spark.operators.profile import benford_screen
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_screen(o, "o_totalprice")
+
+
+_BENFORD_SQL = """
+WITH i AS (
+  SELECT CAST(floor(abs(CAST(o_totalprice AS DOUBLE)) * 1000000) AS BIGINT) AS x
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+d AS (
+  SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS observed
+  FROM i WHERE x >= 1 GROUP BY 1
+),
+t AS (SELECT sum(observed) AS n FROM d)
+SELECT digit, CAST(observed AS BIGINT) AS observed,
+       round(n * log10(1 + 1.0 / digit), 6) + 0.0 AS expected,
+       round((observed - n * log10(1 + 1.0 / digit))
+             * (observed - n * log10(1 + 1.0 / digit))
+             / (n * log10(1 + 1.0 / digit)), 6) + 0.0 AS contrib
+FROM d, t
+"""
+
+
 def quantile_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source quantile normalization (operators/encode.py::
     quantile_match): each document's n_chars maps to the POOLED
@@ -7815,6 +7846,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "conformal_value_events": (conformal_value_events, _CONFORMAL_SQL),
     "msprt_value_ab": (msprt_value_ab, _MSPRT_SQL),
     "quantile_match_docs": (quantile_match_docs, _QMATCH_SQL),
+    "benford_orders": (benford_orders, _BENFORD_SQL),
     # driver-green in r1/r2/r3 with unchanged code; all still
     # pytest-oracle-verified every run ------------------------------------
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),

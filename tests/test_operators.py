@@ -3102,3 +3102,24 @@ def test_quantile_match_hand_values(spark):
     assert [out[10], out[11], out[12], out[13]] == [1.0, 4.0, 20.0, 40.0]
     assert out[99] is None
     assert len(out) == 9
+
+
+def test_benford_screen_hand_counts(spark):
+    """profile.py::benford_screen: leading digits from the integer
+    rendering (123.4->1, 0.05->5, -20->2), zeros-at-scale excluded,
+    expected/contrib match the closed form."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.profile import benford_screen
+
+    rows = [(123.4,), (0.05,), (-20.0,), (1.0,), (0.0,), (None,), (9e-9,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_screen(df, "v").collect()}
+    # 9e-9 * 1e6 = 0.009 -> floor 0 -> excluded; 0.0 excluded; None excluded
+    assert {d: out[d]["observed"] for d in out} == {1: 2, 5: 1, 2: 1}
+    n = 4
+    for d in (1, 5, 2):
+        e = n * math.log10(1 + 1 / d)
+        assert out[d]["expected"] == pytest.approx(round(e, 6), abs=1e-6)
+        o = out[d]["observed"]
+        assert out[d]["contrib"] == pytest.approx(round((o - e) ** 2 / e, 6), abs=1e-6)

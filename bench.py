@@ -121,6 +121,12 @@ CONTINUITY = [
     "streaming_window_drift",
     "km_user_retention",
     "geohash_cells_events",
+    # round-5 checked-slot entries (former never-checked + changed)
+    "benford_orders",
+    "conformal_value_events",
+    "msprt_value_ab",
+    "quantile_match_docs",
+    "winsorize_events",
 ]
 
 
@@ -159,13 +165,23 @@ def main() -> None:
         timings[name] = round(min(run(name), run(name)), 3)
 
     total = round(sum(timings.values()), 3)
+    # The driver's BENCH capture keeps only the TAIL of bench output
+    # (round-4 verdict: only 4 rows were round-over-round comparable
+    # because the CONTINUITY rows printed first and were truncated
+    # away).  EXECUTION order above is unchanged (checked slots +
+    # CONTINUITY first, same JVM age as earlier rounds); the PRINTED
+    # dict puts the CONTINUITY names last so they always survive tail
+    # truncation.
+    cont = set(CONTINUITY)
+    printed = {n: timings[n] for n in timings if n not in cont}
+    printed.update({n: timings[n] for n in CONTINUITY if n in timings})
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": printed,
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "runs_per_query": 3,

@@ -216,8 +216,13 @@ def quantile_match(
             "_rv",
         )
     )
+    # _rv ascending third: if two distinct global values round to the
+    # same 6-decimal percentile (adjacent percent_rank steps collide as
+    # the distinct-value grid approaches ~1e6 values), ties resolve to
+    # the MINIMUM global value — matching the oracle's correlated
+    # min(rv) semantics deterministically.
     w = (
-        Window.orderBy("_key", "_side")
+        Window.orderBy("_key", "_side", F.col("_rv").asc_nulls_first())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     matched_grid = (

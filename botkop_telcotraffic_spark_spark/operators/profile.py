@@ -168,14 +168,25 @@ def benford_screen(
     |v|·scale < 1 (true zeros at the given scale) are excluded like
     zeros are in the standard test.
 
-    Returns 9 rows: (digit, observed, expected, contrib) with
-    expected = n·P(d) and contrib = (o-e)²/e, both rounded to 6.
-    Sum of contribs ~ χ²(8) under the null.
+    Returns ALL 9 rows — observed counts are right-joined onto a
+    literal 1..9 digit spine (observed coalesced to 0), so a digit
+    that never appears still contributes its full (0-e)²/e = e term
+    to the chi-square sum.  A completely absent leading digit is the
+    strongest fabrication signal the test exists to catch; dropping
+    its row would silently understate χ².  (digit, observed,
+    expected, contrib) with expected = n·P(d) and contrib = (o-e)²/e,
+    both rounded to 6; sum of contribs ~ χ²(8) under the null.  On an
+    empty input all expected/contrib are 0.0 by the 0²/0 := 0
+    convention.
 
-    Scale shape: one scan-side digit projection + a 9-key aggregate
-    + a 1-row total broadcast; nothing else touches the table.
+    Scale shape: one scan-side digit projection + a 9-key aggregate,
+    spine-joined (broadcast hash, 9×≤9 rows) and totalled by a
+    single-partition window over the 9-row result; nothing else
+    touches the table — no cross join, no second scan.
     """
     import math
+
+    from pyspark.sql import Window
 
     v = F.col(value_col).cast("double")
     i = F.floor(F.abs(v) * scale).cast("long")
@@ -185,7 +196,19 @@ def benford_screen(
         .groupBy(d.alias("digit"))
         .agg(F.count(F.lit(1)).cast("long").alias("observed"))
     )
-    tot = digits.agg(F.sum("observed").alias("_n"))
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    spined = spine.join(digits, "digit", "left").select(
+        "digit",
+        F.coalesce(F.col("observed"), F.lit(0).cast("long")).alias(
+            "observed"
+        ),
+    )
+    n = F.sum("observed").over(
+        Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     probs = F.create_map(
         *[
             x
@@ -193,16 +216,13 @@ def benford_screen(
             for x in (F.lit(dd), F.lit(math.log10(1 + 1 / dd)))
         ]
     )
-    e = F.col("_n") * probs[F.col("digit")]
-    return (
-        digits.crossJoin(F.broadcast(tot))
-        .select(
-            "digit",
-            "observed",
-            (F.round(e, 6) + F.lit(0.0)).alias("expected"),
-            (
-                F.round((F.col("observed") - e) * (F.col("observed") - e) / e, 6)
-                + F.lit(0.0)
-            ).alias("contrib"),
-        )
+    e = n * probs[F.col("digit")]
+    contrib = F.when(e > 0, (F.col("observed") - e) ** 2 / e).otherwise(
+        F.lit(0.0)
+    )
+    return spined.select(
+        "digit",
+        "observed",
+        (F.round(e, 6) + F.lit(0.0)).alias("expected"),
+        (F.round(contrib, 6) + F.lit(0.0)).alias("contrib"),
     )

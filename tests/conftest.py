@@ -74,7 +74,27 @@ def canonical_rows(cols, rows):
 
 def compare_with_oracle(spark_df, sql: str, sf_dir: str):
     """Assert the Spark result and the DuckDB oracle agree on column
-    names (set), row count, and canonicalized values."""
+    names (set), row count, and canonicalized values.
+
+    Also rejects complex-typed (array/map/struct) output columns:
+    OUR canonicalizer stringifies lists, but the DRIVER's pandas
+    sort_values canonicalizer raises ``unhashable type: 'list'`` on
+    them (round-4 verdict: jl_project_embeddings /
+    quantize_embeddings erred while this sweep stayed green).  Any
+    oracle-paired query must emit wide scalar columns (the minhash
+    h0..h15 precedent) or a joined string."""
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"oracle-paired query emits driver-unhashable complex columns "
+        f"{complex_cols}: emit wide scalar columns (h0..h15 precedent) "
+        f"or array_join instead"
+    )
     srows = spark_df.collect()
     scols = spark_df.columns
     con = duck_con(sf_dir)

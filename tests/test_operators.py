@@ -3116,9 +3116,16 @@ def test_benford_screen_hand_counts(spark):
     df = spark.createDataFrame(rows, "v double")
     out = {r["digit"]: r for r in benford_screen(df, "v").collect()}
     # 9e-9 * 1e6 = 0.009 -> floor 0 -> excluded; 0.0 excluded; None excluded
-    assert {d: out[d]["observed"] for d in out} == {1: 2, 5: 1, 2: 1}
+    # All 9 digit rows emitted (spine); unseen digits observed=0 with a
+    # full (0-e)^2/e = e chi-square contribution.
+    assert sorted(out) == list(range(1, 10))
+    assert {d: out[d]["observed"] for d in out if out[d]["observed"]} == {
+        1: 2,
+        5: 1,
+        2: 1,
+    }
     n = 4
-    for d in (1, 5, 2):
+    for d in range(1, 10):
         e = n * math.log10(1 + 1 / d)
         assert out[d]["expected"] == pytest.approx(round(e, 6), abs=1e-6)
         o = out[d]["observed"]

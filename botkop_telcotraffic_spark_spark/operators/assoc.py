@@ -20,6 +20,14 @@ pruning BEFORE the metric joins, and the two item-support joins run
 on the pruned pair table (AQE broadcasts the item table when small).
 N rides a 1-row broadcast.  Nothing is quadratic in items globally —
 only within a basket.
+
+Round-4→5 perf adjudication (`assoc_rules_parts`, sf0.1): the r4
+full-sweep row read 2.96 s vs 1.71 s in r3 — flagged as a possible
+regression.  Isolated fresh-JVM A/B (warmup + best-of-2, the ANN
+methodology): r3-end commit 034270b best = 2.01–2.28 s, round-5 HEAD
+best = 1.97 s.  HEAD is at parity-or-better in isolation; the
+in-sweep number was shared-JVM aging (the sweep grew from ~110 to
+196 queries between rounds), not a plan regression.
 """
 
 from __future__ import annotations

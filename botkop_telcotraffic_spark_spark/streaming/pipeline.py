@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.geofence import polygon_geofence_join
-from ..operators.iqr import iqr_outliers
 from ..operators.kmeans import StreamingKMeans
 from ..operators.window_stats import windowed_stats
 
@@ -77,6 +76,8 @@ class TrafficPipeline:
         stats_sink: Sink | None = None,
         geofence_sink: Sink | None = None,
         outlier_sink: Sink | None = None,
+        subscriber_stats_sink: Sink | None = None,
+        publish_all_points: bool = False,
     ):
         self.metric_names = metric_names
         # P2 dimension-order pin (SURVEY.md §2.3 †): explicit config
@@ -88,6 +89,13 @@ class TrafficPipeline:
         self.stats_sink = stats_sink
         self.geofence_sink = geofence_sink
         self.outlier_sink = outlier_sink
+        # 4th reference topic (MetricStatsProducer.scala:17-36): the
+        # same windowed stats keyed by subscriber instead of celltower
+        self.subscriber_stats_sink = subscriber_stats_sink
+        # reference parity: publish every windowed point with its
+        # outlier flag (ClusterAnalyser.scala:55-65) instead of only
+        # the flagged rows
+        self.publish_all_points = publish_all_points
 
     # --- per-batch analyses (plain batch DataFrame ops) ---------------
 
@@ -114,9 +122,19 @@ class TrafficPipeline:
         out = polygon_geofence_join(pts, fences.select("name", "polygon"))
         return out.select("subscriber", "celltower", F.col("name").alias("geofence"))
 
-    def anomalies(self, enriched: DataFrame) -> DataFrame:
+    def anomalies(
+        self, enriched: DataFrame, keep_all: bool = False
+    ) -> DataFrame:
         """W6 + A4/A5/J2: vectorize configured dims, train-then-predict
-        with the streaming model, IQR-flag by cluster distance."""
+        with the streaming model, IQR-flag by cluster distance.
+
+        ``keep_all=True`` returns EVERY scored point with its fences
+        attached (the reference publishes all windowed points with an
+        ``outlier`` flag, ``ClusterAnalyser.scala:55-65``); the
+        default keeps only the rows outside the fences — the
+        alert-stream variant."""
+        from ..operators.iqr import iqr_bounds
+
         pts = enriched.select(
             "subscriber",
             "celltower",
@@ -125,7 +143,17 @@ class TrafficPipeline:
             ).alias("point"),
         ).where(~F.exists("point", lambda x: x.isNull()))
         scored = self.model.update_and_assign(pts, vec_col="point")
-        return iqr_outliers(scored, ["prediction"], "distance", mode="exact").select(
+        bounds = iqr_bounds(scored, ["prediction"], "distance", "exact")
+        flagged = scored.join(
+            F.broadcast(bounds.select("prediction", "lo", "hi")),
+            ["prediction"],
+        )
+        if not keep_all:
+            flagged = flagged.where(
+                (F.col("distance") < F.col("lo"))
+                | (F.col("distance") > F.col("hi"))
+            )
+        return flagged.select(
             "subscriber", "celltower", "point", "prediction", "centroid",
             "distance", "lo", "hi",
         )
@@ -139,10 +167,18 @@ class TrafficPipeline:
             if self.stats_sink is not None:
                 by_cell = self.metric_stats(enriched, "celltower")
                 self.stats_sink(by_cell, batch_id)
+            if self.subscriber_stats_sink is not None:
+                by_sub = self.metric_stats(enriched, "subscriber")
+                self.subscriber_stats_sink(by_sub, batch_id)
             if self.geofence_sink is not None and self.geofence_path:
                 self.geofence_sink(self.geofence_matches(enriched), batch_id)
             if self.outlier_sink is not None:
-                self.outlier_sink(self.anomalies(enriched), batch_id)
+                self.outlier_sink(
+                    self.anomalies(
+                        enriched, keep_all=self.publish_all_points
+                    ),
+                    batch_id,
+                )
         finally:
             enriched.unpersist()
 

@@ -847,3 +847,30 @@ def test_pretrain_mix_pre_pin_stage_audited(spark):
     plan = physical_plan(capped)
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_flagship_pipelines_exchange_counts_pinned(spark):
+    """Round-5 brief #7: the two flagship compositions
+    (pretrain_mix_pipeline, retrieval_pipeline_docs) get their
+    physical-plan shape PINNED — exchange count must not silently
+    grow as ingredients evolve, and no CartesianProduct may ever
+    appear.  If an intentional change moves the count, update the
+    bound here WITH a docstring note, the same contract as the BNLJ
+    allowlist."""
+    qs = entry_mod.queries()
+
+    # Both pipelines pin mid-chain stages via localCheckpoint, so the
+    # visible plan is the post-pin tail — these bounds guard that tail
+    # (the pre-pin chain is audited by
+    # test_pretrain_mix_pre_pin_stage_audited).
+    retr = qs["retrieval_pipeline_docs"](spark, SF_DIR_001)
+    rplan = physical_plan(retr)
+    assert "CartesianProduct" not in rplan, rplan
+    r_ex = rplan.count("Exchange")
+    assert r_ex <= 2, f"retrieval_pipeline_docs exchanges grew: {r_ex}\n{rplan}"
+
+    mix = qs["pretrain_mix_pipeline"](spark, SF_DIR_001)
+    mplan = physical_plan(mix)
+    assert "CartesianProduct" not in mplan, mplan
+    m_ex = mplan.count("Exchange")
+    assert m_ex <= 5, f"pretrain_mix_pipeline exchanges grew: {m_ex}\n{mplan}"

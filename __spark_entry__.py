@@ -7519,15 +7519,18 @@ FROM c GROUP BY window_start
 def km_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier retention (operators/survival.py::kaplan_meier):
     per-user lifetime = whole days between first and last event;
-    users whose last event falls in the final 5 fixture days are
+    users whose last event falls on the final fixture day are
     CENSORED (still active at observation end) — the churn curve
-    cohort_retention cannot express without bias."""
+    cohort_retention cannot express without bias.  Cutoff Jan 30
+    splits the fixtures at every SF (the earlier Jan-26 cutoff
+    censored EVERY user, making the query an empty-vs-empty
+    trivial match — a dead verification slot)."""
     from botkop_telcotraffic_spark_spark.operators.survival import kaplan_meier
 
     e = _t(spark, sf_dir, "events")
     lifetimes = e.groupBy("user_id").agg(
         F.datediff(F.max("ts"), F.min("ts")).cast("double").alias("dur"),
-        (F.max("ts") < F.lit("2024-01-26").cast("timestamp")).alias("obs"),
+        (F.max("ts") < F.lit("2024-01-30").cast("timestamp")).alias("obs"),
     )
     return kaplan_meier(lifetimes, "dur", "obs")
 
@@ -7537,7 +7540,7 @@ WITH lt AS (
   SELECT user_id,
          CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
               AS DOUBLE) AS dur,
-         max(ts) < TIMESTAMP '2024-01-26' AS obs
+         max(ts) < TIMESTAMP '2024-01-30' AS obs
   FROM events GROUP BY user_id
 ),
 grid AS (

@@ -115,12 +115,14 @@ def _spread_buckets(
     explicit exchange (user-specified partitioning — AQE won't
     re-coalesce it) so the explosion runs at full shuffle width.
 
-    Off by default: with narrow buckets (df-pruned Jaccard, banded
-    MinHash/SimHash at bench scale) the extra exchange costs more
-    than the skew it cures — measured +0.2-0.3 s per query at sf0.1.
-    Turn it on for corpora whose bucket width (and thus per-bucket
-    pair count) is large: that is exactly when one coalesced task
-    would serialize the quadratic work.
+    ``"auto"`` is the DEFAULT (round-5, carried advice r3#8/r4#8):
+    with narrow buckets (df-pruned Jaccard, banded MinHash/SimHash at
+    bench scale) the probe finds width ≤ AUTO_SPREAD_WIDTH and skips
+    the exchange — the unconditional-spread cost (+0.2-0.3 s/query at
+    sf0.1) is avoided, while a corpus with wide buckets (exactly when
+    one coalesced task would serialize the quadratic work) gets the
+    spread without anyone remembering the knob.  Pass ``False`` to
+    skip the probe when the caller knows buckets are narrow.
 
     ``spread="auto"`` decides from the data: the grouped relation is
     localCheckpoint'ed (its shuffle would otherwise run twice) and a
@@ -173,7 +175,7 @@ def jaccard_pairs(
     k: int = 3,
     max_doc_freq: int | None = None,
     max_doc_freq_frac: float | None = None,
-    spread: bool = False,
+    spread: bool | str = "auto",
 ) -> DataFrame:
     """All candidate pairs (a < b) sharing >= 1 k-shingle with their
     Jaccard similarity: |A∩B| / (|A| + |B| - |A∩B|).
@@ -301,7 +303,11 @@ def simhash_signatures(
 
 
 def simhash_band_candidates(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, spread: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    spread: bool | str = "auto",
 ) -> DataFrame:
     """Near-dup candidate pairs via band matching on SimHash: pairs
     agreeing on >= 1 of 4 fifteen-bit bands, with their exact hamming
@@ -427,7 +433,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     bands: int = 8,
     rows_per_band: int = 2,
-    spread: bool = False,
+    spread: bool | str = "auto",
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on all rows of >= 1 band.
 
@@ -445,6 +451,7 @@ def minhash_lsh_pairs(
         spread,
         "band",
         "bkey",
+        member_col="ids",
     )
     return (
         grouped.select(F.explode(bucket_pairs(F.col("ids"))).alias("p"))

@@ -7799,6 +7799,154 @@ FROM l
 """
 
 
+# --- round-5 additions -----------------------------------------------------
+
+
+def hamming_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (operators/embed.py::hamming_topk):
+    sign-bit pack 64 dims into two 32-bit halves, scan the corpus
+    with XOR+popcount — the 1-bit, 32x-compression member of the ANN
+    family (first-stage filter before exact re-rank at 100 TB)."""
+    from botkop_telcotraffic_spark_spark.operators.embed import hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 50)
+    return hamming_topk(q, emb, dim=64, k=5)
+
+
+def _hamming_pack_sql(half: str, lo: int, hi: int, base: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series({lo}, {hi}), d -> "
+        f"CASE WHEN CAST(embedding[d] AS DOUBLE) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << (d - {base})) ELSE CAST(0 AS BIGINT) END)), "
+        f"(a, x) -> a + x) AS {half}"
+    )
+
+
+_HAMMING_ANN_SQL = f"""
+WITH packed AS (
+  SELECT vec_id,
+         {_hamming_pack_sql('w_lo', 1, 32, 1)},
+         {_hamming_pack_sql('w_hi', 33, 64, 33)}
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.w_lo, c.w_lo))
+              + bit_count(xor(q.w_hi, c.w_hi)) AS INT) AS hamming
+  FROM packed q JOIN packed c ON q.vec_id < 50 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def matryoshka_prefix_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (operators/embed.py::
+    matryoshka_norms): retained-norm fraction |x[1..k]|/|x| per
+    prefix length — the cosine between the zero-padded truncation
+    and the full vector, i.e. which serving prefix is safe."""
+    from botkop_telcotraffic_spark_spark.operators.embed import (
+        matryoshka_norms,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_norms(emb, dim=64, prefixes=(8, 16, 32))
+
+
+def _mat_frac_sql(p: int) -> str:
+    sq = "CAST(embedding[d] AS DOUBLE) * CAST(embedding[d] AS DOUBLE)"
+
+    def norm(n: int) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {n}), d -> {sq})), "
+            f"(a, x) -> a + x))"
+        )
+
+    return f"SELECT {p} AS prefix_dim, {norm(p)} / {norm(64)} AS f FROM embeddings"
+
+
+_MATRYOSHKA_SQL = f"""
+WITH fracs AS (
+  {_mat_frac_sql(8)}
+  UNION ALL {_mat_frac_sql(16)}
+  UNION ALL {_mat_frac_sql(32)}
+)
+SELECT prefix_dim, CAST(count(*) AS BIGINT) AS n,
+       round(avg(f), 6) + 0.0 AS mean_frac,
+       round(min(f), 6) + 0.0 AS min_frac,
+       round(quantile_cont(f, 0.1), 6) + 0.0 AS p10_frac
+FROM fracs GROUP BY prefix_dim
+"""
+
+
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage table (operators/text.py::vocab_coverage):
+    top-100 space tokens by frequency with cumulative corpus
+    coverage — the 'how big a vocab for 95%?' pre-tokenizer audit."""
+    from botkop_telcotraffic_spark_spark.operators.text import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "doc_id", "text", top_n=100)
+
+
+_VOCAB_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+         token, cnt,
+         round(sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               * 1.0 / sum(cnt) OVER (), 6) + 0.0 AS cum_frac
+  FROM counts
+)
+SELECT CAST(rank AS INT) AS rank, token, cnt, cum_frac
+FROM ranked WHERE rank <= 100
+"""
+
+
+def gini_source_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document length
+    (operators/profile.py::gini_concentration): the corpus-balance
+    inequality audit — a source where a handful of documents hold
+    most of the characters trains very differently from a uniform
+    one.  Integer weights keep the rank-form sums exact."""
+    from botkop_telcotraffic_spark_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return gini_concentration(docs, ["source"], "n_chars")
+
+
+_GINI_SQL = """
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS x,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS i
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       round(sum(x), 6) + 0.0 AS total,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) + 0.0 AS gini
+FROM ranked GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -7870,18 +8018,24 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "doc_fingerprints": (doc_fingerprints, _FP_SQL),
     "kmeans_label_assign": (kmeans_label_assign, _KMEANS_SQL),
     "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
+    # (d) NEW in round 5: binary-quantized ANN, Matryoshka audit,
+    # vocab coverage, Gini corpus-balance
+    "hamming_ann_topk": (hamming_ann_topk, _HAMMING_ANN_SQL),
+    "matryoshka_prefix_norms": (matryoshka_prefix_norms, _MATRYOSHKA_SQL),
+    "vocab_coverage_docs": (vocab_coverage_docs, _VOCAB_SQL),
+    "gini_source_chars": (gini_source_chars, _GINI_SQL),
     "cube_order_stats": (cube_order_stats, _CUBE_SQL),
     "conditional_agg_users": (conditional_agg_users, _CONDAGG_SQL),
     "json_props_extract": (json_props_extract, _JSON_SQL),
     "pivot_event_counts": (pivot_event_counts, _PIVOT_SQL),
-    "full_outer_segments": (full_outer_segments, _FULL_OUTER_SQL),
-    "correlated_above_avg_customers": (correlated_above_avg_customers, _CORRELATED_SQL),
-    "string_funcs_customers": (string_funcs_customers, _STRING_SQL),
-    "date_funcs_orders": (date_funcs_orders, _DATE_SQL),
     # -- past the driver's 50-slot check ----------------------------------
     # all driver-green at their latest check AND pytest-oracle-verified
     # every run (tests/test_oracle_parity.py); ordered stalest-first so
     # future rotations promote from the top of this block
+    "full_outer_segments": (full_outer_segments, _FULL_OUTER_SQL),
+    "correlated_above_avg_customers": (correlated_above_avg_customers, _CORRELATED_SQL),
+    "string_funcs_customers": (string_funcs_customers, _STRING_SQL),
+    "date_funcs_orders": (date_funcs_orders, _DATE_SQL),
     "window_analytics_events": (window_analytics_events, _WINDOW_ANALYTICS_SQL),
     "session_windows_users": (session_windows_users, _SESSION_SQL),
     "asof_click_before_error": (asof_click_before_error, _ASOF_SQL),

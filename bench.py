@@ -127,6 +127,11 @@ CONTINUITY = [
     "msprt_value_ab",
     "quantile_match_docs",
     "winsorize_events",
+    # new in round 5
+    "hamming_ann_topk",
+    "matryoshka_prefix_norms",
+    "vocab_coverage_docs",
+    "gini_source_chars",
 ]
 
 

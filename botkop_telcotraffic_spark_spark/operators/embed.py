@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -132,5 +132,148 @@ def quantize_int8(
             F.col(id_col),
             F.col("_q").alias("qvec"),
             F.expr(mse_sql).alias("mse"),
+        )
+    )
+
+
+def sign_pack(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Binary (sign-bit) quantization: 1 bit/dim, the most aggressive
+    embedding-compression lever (32x vs float32; Hamming distance then
+    approximates angular distance — the classic SimHash/ITQ result).
+
+    Bits are packed into two 32-bit halves carried as BIGINTs
+    (``w_lo`` dims 1-32, ``w_hi`` dims 33-64) so downstream XOR +
+    popcount never touches the sign bit of a 64-bit word — identical
+    arithmetic in Spark and DuckDB.  Bit (d-1) of the half is set
+    when x_d > 0 (ties-to-0 keeps exact-zero dims stable across
+    engines).
+
+    Scan-side only: one projection, no shuffle, no UDF.
+    """
+    if dim > 64:
+        raise ValueError("sign_pack packs up to 64 dims (two 32-bit words)")
+    half = (dim + 1) // 2
+    lo = (
+        f"aggregate(transform(sequence(1, {half}), d -> "
+        f"IF(CAST(element_at({vec_col}, d) AS DOUBLE) > 0, "
+        f"shiftleft(CAST(1 AS BIGINT), d - 1), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    hi = (
+        f"aggregate(transform(sequence({half + 1}, {dim}), d -> "
+        f"IF(CAST(element_at({vec_col}, d) AS DOUBLE) > 0, "
+        f"shiftleft(CAST(1 AS BIGINT), d - {half + 1}), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(lo).alias("w_lo"),
+        F.expr(hi).alias("w_hi"),
+    )
+
+
+def hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k nearest neighbors under Hamming distance between
+    sign-packed embeddings: (query_id, neighbor_id, hamming, rank) —
+    the 1-bit companion to the cosine ANN family (scan the packed
+    corpus with XOR+popcount instead of d multiplies; the standard
+    first-stage filter before exact re-ranking at 100 TB).
+
+    Self-matches excluded; rank ties broken on neighbor id.  The
+    query side is small-by-contract (same as similarity.brute_force
+    family): it is sign-packed, collected into a broadcast, and the
+    corpus side is never shuffled — the only exchange is the final
+    per-query top-k cut over corpus-partial candidates.
+    """
+    qp = sign_pack(queries, id_col, vec_col, dim).select(
+        F.col(id_col).alias("query_id"),
+        F.col("w_lo").alias("_qlo"),
+        F.col("w_hi").alias("_qhi"),
+    )
+    cp = sign_pack(corpus, id_col, vec_col, dim).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("w_lo").alias("_clo"),
+        F.col("w_hi").alias("_chi"),
+    )
+    dist = (
+        F.bit_count(F.expr("_qlo").bitwiseXOR(F.expr("_clo")))
+        + F.bit_count(F.expr("_qhi").bitwiseXOR(F.expr("_chi")))
+    )
+    pairs = (
+        F.broadcast(qp)
+        .crossJoin(cp)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("hamming", dist.cast("int"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
+
+
+def matryoshka_norms(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    prefixes: tuple[int, ...] = (8, 16, 32),
+) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: for each prefix length k,
+    the per-corpus distribution of retained-norm fraction
+    |x[1..k]| / |x| — exactly the cosine between the zero-padded
+    truncation and the full vector, i.e. the retrieval-quality proxy
+    that says which prefix length is safe to serve.
+
+    Returns one row per prefix: (prefix_dim, n, mean_frac, min_frac,
+    p10_frac) — aggregate-only output (driver-hashable scalars).
+
+    Physical shape: ONE scan — all prefix norms are folds over the
+    same row, unpivoted with ``stack`` (rows × len(prefixes)) before
+    a ``prefixes``-row aggregate; nothing but the tiny aggregate
+    ever shuffles.
+    """
+    sq = (
+        f"CAST(element_at({vec_col}, d) AS DOUBLE) * "
+        f"CAST(element_at({vec_col}, d) AS DOUBLE)"
+    )
+    full = (
+        f"sqrt(aggregate(transform(sequence(1, {dim}), d -> {sq}), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+    )
+    pre_cols = [
+        f"sqrt(aggregate(transform(sequence(1, {p}), d -> {sq}), "
+        f"CAST(0.0 AS DOUBLE), (a, x) -> a + x)) / ({full}) AS _f{p}"
+        for p in prefixes
+    ]
+    one = df.selectExpr(*pre_cols)
+    stacked = ", ".join(f"{p}, _f{p}" for p in prefixes)
+    fracs = one.selectExpr(
+        f"stack({len(prefixes)}, {stacked}) AS (prefix_dim, _frac)"
+    )
+    return (
+        fracs.groupBy("prefix_dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.round(F.avg("_frac"), 6) + F.lit(0.0)).alias("mean_frac"),
+            (F.round(F.min("_frac"), 6) + F.lit(0.0)).alias("min_frac"),
+            (
+                F.round(F.expr("percentile(_frac, 0.1)"), 6) + F.lit(0.0)
+            ).alias("p10_frac"),
         )
     )

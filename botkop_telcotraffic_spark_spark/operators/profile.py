@@ -226,3 +226,60 @@ def benford_screen(
         (F.round(e, 6) + F.lit(0.0)).alias("expected"),
         (F.round(contrib, 6) + F.lit(0.0)).alias("contrib"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+) -> DataFrame:
+    """Gini coefficient of ``weight_col`` concentration within each
+    group — the standard inequality audit (Gini 1912, public
+    literature) for corpus balance: a source where 1% of documents
+    hold 90% of the tokens trains very differently from a uniform one,
+    and a per-user event Gini near 1 means a handful of heavy hitters
+    dominate the key distribution (shuffle-skew early warning).
+
+    Uses the rank form G = 2·Σ(i·xᵢ) / (n·Σx) − (n+1)/n with xᵢ
+    ascending — every term is a sum over exactly-ranked values, so
+    with integer weights the arithmetic is EXACT until the final
+    division (cross-engine stable at 6 decimals).  Ties rank
+    arbitrarily but Σ(i·xᵢ) is tie-order-invariant within equal x.
+
+    Returns (group_cols..., n, total, gini).
+
+    Scale shape: one keyed shuffle for the per-group rank window +
+    one keyed aggregate.  Ranking is per group (not global); a group
+    is one key's rows — the same distribution any per-key window op
+    carries.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(weight_col).asc(), F.monotonically_increasing_id()
+    )
+    x = F.col(weight_col).cast("double")
+    ranked = df.select(
+        *group_cols, x.alias("_x"), F.row_number().over(w).alias("_i")
+    )
+    return (
+        ranked.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_x").alias("_sx"),
+            F.sum(F.col("_i") * F.col("_x")).alias("_six"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            (F.round(F.col("_sx"), 6) + F.lit(0.0)).alias("total"),
+            (
+                F.round(
+                    F.lit(2.0) * F.col("_six") / (F.col("n") * F.col("_sx"))
+                    - (F.col("n") + F.lit(1.0)) / F.col("n"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("gini"),
+        )
+    )

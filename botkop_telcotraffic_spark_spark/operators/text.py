@@ -519,3 +519,62 @@ def zipf_slope(
         F.round(slope, round_to).alias("slope"),
         F.round(intercept, round_to).alias("intercept"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 100,
+) -> DataFrame:
+    """Vocabulary builder with corpus-coverage accounting: rank every
+    space token by frequency and report, for the top ``top_n`` ranks,
+    the token, its count, and the CUMULATIVE fraction of all token
+    occurrences covered through that rank — the table that answers
+    "how big must the vocab be for 95% coverage?" before a tokenizer
+    train run.
+
+    Rank ties break lexicographically (count desc, token asc) so the
+    table is deterministic across engines.
+
+    Returns (rank, token, cnt, cum_frac) — ``top_n`` rows.
+
+    Scale shape: token counting is one keyed aggregate (map-side
+    combined — the token space, not the corpus, reaches the shuffle).
+    The ranking window then runs over the AGGREGATED vocab relation
+    (vocab-sized, millions of rows at worst, not corpus-sized); its
+    single-partition sort is the standard price of a global rank and
+    is bounded by vocab size — document-scale data never sees it.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    tot = Window.partitionBy()
+    ranked = counts.select(
+        F.row_number().over(w).alias("rank"),
+        "token",
+        "cnt",
+        (
+            F.round(
+                F.sum("cnt").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                / F.sum("cnt").over(
+                    tot.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("cum_frac"),
+    )
+    return ranked.where(F.col("rank") <= top_n)

@@ -3130,3 +3130,82 @@ def test_benford_screen_hand_counts(spark):
         assert out[d]["expected"] == pytest.approx(round(e, 6), abs=1e-6)
         o = out[d]["observed"]
         assert out[d]["contrib"] == pytest.approx(round((o - e) ** 2 / e, 6), abs=1e-6)
+
+
+def test_sign_pack_and_hamming_hand(spark):
+    """embed.py::sign_pack / hamming_topk: hand-checked bit packs and
+    XOR+popcount distances on 4-dim vectors (packed as 2-dim halves)."""
+    from botkop_telcotraffic_spark_spark.operators.embed import (
+        hamming_topk,
+        sign_pack,
+    )
+
+    rows = [
+        (0, [1.0, -1.0, 1.0, 1.0]),   # bits lo=01 hi=11 -> w_lo 1, w_hi 3
+        (1, [1.0, 1.0, -1.0, 1.0]),   # lo=11 hi=10 -> w_lo 3, w_hi 2
+        (2, [-1.0, -1.0, 0.0, -1.0]), # lo=00 hi=00 (0 not > 0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    packed = {r["vec_id"]: r for r in sign_pack(df, dim=4).collect()}
+    assert (packed[0]["w_lo"], packed[0]["w_hi"]) == (1, 3)
+    assert (packed[1]["w_lo"], packed[1]["w_hi"]) == (3, 2)
+    assert (packed[2]["w_lo"], packed[2]["w_hi"]) == (0, 0)
+    # hamming(0,1) = popcount(1^3) + popcount(3^2) = 1 + 1 = 2
+    # hamming(0,2) = popcount(1) + popcount(3) = 1 + 2 = 3
+    out = hamming_topk(df.where(F.col("vec_id") == 0), df, dim=4, k=2).collect()
+    got = {(r["neighbor_id"]): (r["hamming"], r["rank"]) for r in out}
+    assert got == {1: (2, 1), 2: (3, 2)}
+
+
+def test_matryoshka_norms_hand(spark):
+    """embed.py::matryoshka_norms: |x[1..k]|/|x| for a known vector."""
+    from botkop_telcotraffic_spark_spark.operators.embed import (
+        matryoshka_norms,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0, 0.0, 12.0])], "vec_id int, embedding array<double>"
+    )
+    out = {
+        r["prefix_dim"]: r
+        for r in matryoshka_norms(df, dim=4, prefixes=(2, 3)).collect()
+    }
+    # |x| = 13; |x[1..2]| = 5; |x[1..3]| = 5
+    assert out[2]["mean_frac"] == pytest.approx(5 / 13, abs=1e-6)
+    assert out[3]["mean_frac"] == pytest.approx(5 / 13, abs=1e-6)
+    assert out[2]["n"] == 1 and out[2]["min_frac"] == out[2]["p10_frac"]
+
+
+def test_vocab_coverage_hand(spark):
+    """text.py::vocab_coverage: counts, deterministic tie ranks, and
+    cumulative coverage on a 3-doc corpus."""
+    from botkop_telcotraffic_spark_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a  c"), (3, "c")],
+        "doc_id int, text string",
+    )
+    out = vocab_coverage(docs, "doc_id", "text", top_n=10).collect()
+    rows = [(r["rank"], r["token"], r["cnt"], r["cum_frac"]) for r in out]
+    # counts: a=3, b=2, c=2 -> b before c on the tie (token asc); 7 total
+    assert rows == [
+        (1, "a", 3, pytest.approx(3 / 7, abs=1e-6)),
+        (2, "b", 2, pytest.approx(5 / 7, abs=1e-6)),
+        (3, "c", 2, pytest.approx(1.0, abs=1e-6)),
+    ]
+
+
+def test_gini_concentration_hand(spark):
+    """profile.py::gini_concentration: 0 for uniform weights, 0.75
+    for one-holder-takes-all among 4."""
+    from botkop_telcotraffic_spark_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    rows = [("u", 5), ("u", 5), ("u", 5), ("u", 5),
+            ("s", 0), ("s", 0), ("s", 0), ("s", 10)]
+    df = spark.createDataFrame(rows, "g string, w int")
+    out = {r["g"]: r for r in gini_concentration(df, ["g"], "w").collect()}
+    assert out["u"]["gini"] == pytest.approx(0.0, abs=1e-6)
+    assert out["s"]["gini"] == pytest.approx(0.75, abs=1e-6)
+    assert out["s"]["total"] == 10.0 and out["s"]["n"] == 4

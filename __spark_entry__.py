@@ -7947,6 +7947,110 @@ FROM ranked GROUP BY source
 """
 
 
+def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/embed.py::pq_codes, JDS 2011):
+    4 independent 16-centroid Lloyd codebooks over 16-dim subspaces,
+    every vector encoded as 4 codes (2 bytes) + reconstruction MSE —
+    the high-fidelity member of the quantization family (int8 ×4,
+    sign ×32, PQ ×32 at much lower error than sign)."""
+    from botkop_telcotraffic_spark_spark.operators.embed import pq_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_codes(emb, dim=64, m=4, codebook_k=16, iterations=2)
+
+
+def _pq_sql(m: int = 4, k: int = 16, dim: int = 64, iters: int = 2) -> str:
+    """Oracle twin of pq_codes_embeddings: the per-subspace Lloyd
+    loops unrolled into CTE chains (the _lloyd_sql pattern), one
+    chain per subspace over ``embedding[lo:hi]``, final argmin joined
+    across subspaces.  Same parity points as _lloyd_sql (seeding on
+    distinct sorted subvectors, identical euclid folds, avg rounded
+    to 9, empty clusters keep previous centroids); distances stay
+    UNROUNDED into the mse sum (engine squares raw assign
+    distances), only the final mse rounds to 6."""
+    sub = dim // m
+
+    def euclid(vec: str, cent: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0, "
+            f"list_transform(generate_series(1, {sub}), "
+            f"i -> (CAST({vec}[i] AS DOUBLE) - {cent}[i]) "
+            f"* (CAST({vec}[i] AS DOUBLE) - {cent}[i]))), (s, x) -> s + x))"
+        )
+
+    parts = []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        sl = f"embedding[{lo}:{hi}]"
+        parts.append(("," if s else "") + f"""
+pts{s} AS (SELECT DISTINCT {sl} AS p FROM embeddings),
+cnt{s} AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts{s}),
+ranked{s} AS (SELECT p, row_number() OVER (ORDER BY p) AS rn FROM pts{s}),
+idx{s} AS (
+  SELECT DISTINCT CAST(round(i.i * ((SELECT n FROM cnt{s}) - 1) / {k - 1}.0, 0)
+                       AS BIGINT) + 1 AS rn
+  FROM generate_series(0, {k - 1}) i(i)
+),
+c0_{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY rn) - 1 AS INT) AS prediction,
+         list_transform(p, x -> CAST(x AS DOUBLE)) AS c
+  FROM ranked{s} JOIN idx{s} USING (rn)
+)""")
+        for t in range(1, iters + 1):
+            prev = f"c{t - 1}_{s}"
+            parts.append(f""",
+a{t}_{s} AS (
+  SELECT e.vec_id, {sl} AS sv, c.prediction,
+         {euclid(sl.replace('embedding', 'e.embedding'), 'c.c')} AS dist
+  FROM embeddings e CROSS JOIN {prev} c
+),
+b{t}_{s} AS (
+  SELECT vec_id, sv, prediction FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, prediction) AS rk
+    FROM a{t}_{s}) WHERE rk = 1
+),
+m{t}_{s} AS (
+  SELECT prediction, d.i AS dd,
+         round(avg(CAST(sv[d.i] AS DOUBLE)), 9) AS m
+  FROM b{t}_{s} CROSS JOIN generate_series(1, {sub}) d(i)
+  GROUP BY 1, 2
+),
+nc{t}_{s} AS (
+  SELECT prediction,
+         list_transform(list_sort(list({{'d': dd, 'm': m}})), x -> x.m) AS c
+  FROM m{t}_{s} GROUP BY prediction
+),
+c{t}_{s} AS (
+  SELECT p.prediction, coalesce(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN nc{t}_{s} n USING (prediction)
+)""")
+        parts.append(f""",
+fa{s} AS (
+  SELECT e.vec_id, c.prediction,
+         {euclid(f'e.embedding[{lo}:{hi}]', 'c.c')} AS dist
+  FROM embeddings e CROSS JOIN c{iters}_{s} c
+),
+fb{s} AS (
+  SELECT vec_id, prediction AS code{s}, dist AS d{s} FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, prediction) AS rk
+    FROM fa{s}) WHERE rk = 1
+)""")
+    chains = "".join(parts)
+    mse = " + ".join(f"f{s}.d{s} * f{s}.d{s}" for s in range(m))
+    joins = " ".join(
+        f"JOIN fb{s} f{s} USING (vec_id)" for s in range(1, m)
+    )
+    codes = ", ".join(f"f{s}.code{s} AS code{s}" for s in range(m))
+    return f"""
+WITH {chains}
+SELECT f0.vec_id, {codes},
+       round(({mse}) / {dim}, 6) + 0.0 AS mse
+FROM fb0 f0 {joins}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8027,11 +8131,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "cube_order_stats": (cube_order_stats, _CUBE_SQL),
     "conditional_agg_users": (conditional_agg_users, _CONDAGG_SQL),
     "json_props_extract": (json_props_extract, _JSON_SQL),
-    "pivot_event_counts": (pivot_event_counts, _PIVOT_SQL),
+    "pq_codes_embeddings": (pq_codes_embeddings, _pq_sql()),
     # -- past the driver's 50-slot check ----------------------------------
     # all driver-green at their latest check AND pytest-oracle-verified
     # every run (tests/test_oracle_parity.py); ordered stalest-first so
     # future rotations promote from the top of this block
+    "pivot_event_counts": (pivot_event_counts, _PIVOT_SQL),
     "full_outer_segments": (full_outer_segments, _FULL_OUTER_SQL),
     "correlated_above_avg_customers": (correlated_above_avg_customers, _CORRELATED_SQL),
     "string_funcs_customers": (string_funcs_customers, _STRING_SQL),

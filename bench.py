@@ -132,6 +132,7 @@ CONTINUITY = [
     "matryoshka_prefix_norms",
     "vocab_coverage_docs",
     "gini_source_chars",
+    "pq_codes_embeddings",
 ]
 
 

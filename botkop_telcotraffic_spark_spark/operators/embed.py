@@ -277,3 +277,73 @@ def matryoshka_norms(
             ).alias("p10_frac"),
         )
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    codebook_k: int = 16,
+    iterations: int = 2,
+) -> DataFrame:
+    """Product quantization (Jégou-Douze-Schmid 2011, public
+    literature): split each vector into ``m`` subvectors, train an
+    independent ``codebook_k``-centroid codebook per subspace (batch
+    Lloyd, deterministic data-spread seeding —
+    ``kmeans.lloyd_kmeans``), and encode every vector as ``m`` small
+    codes — log2(k)·m bits/vector (8 bytes -> 2 for 64 dims at
+    m=4, k=16) with far lower reconstruction error than scalar
+    quantization at the same budget.
+
+    Returns (id_col, code0..code{m-1}: int, mse: double) where mse is
+    the per-vector mean squared reconstruction error over all dims
+    (sum of per-subspace squared distances / dim, rounded to 6).
+
+    Physical shape: per subspace, codebook training is the lloyd
+    shape (broadcast argmin + one (k·sub_dim)-key aggregate per
+    round; only k×sub_dim centroids reach the driver), and encoding
+    is the broadcast argmin — scan-side, shuffle-free.  The ``m``
+    encodes CHAIN on the same scan (each adds columns; no joins), so
+    the fact table is never shuffled at all.
+
+    Determinism: seeding/update/assign inherit lloyd_kmeans'
+    guarantees per subspace; ties in the argmin resolve to the lowest
+    centroid id (array first-occurrence), matching the oracle's
+    ``ORDER BY dist, prediction``.
+    """
+    from .kmeans import assign, lloyd_kmeans
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    out = df.select(F.col(id_col), F.col(vec_col))
+    sq_dists = []
+    for s in range(m):
+        sub = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
+        cents = lloyd_kmeans(
+            df.select(sub.alias("point")),
+            "point",
+            k=codebook_k,
+            iterations=iterations,
+        )
+        out = (
+            assign(
+                out.withColumn(f"_sub{s}", sub),
+                cents,
+                vec_col=f"_sub{s}",
+            )
+            .withColumnRenamed("prediction", f"code{s}")
+            .withColumnRenamed("distance", f"_dist{s}")
+            .drop("centroid", f"_sub{s}")
+        )
+        sq_dists.append(F.col(f"_dist{s}") * F.col(f"_dist{s}"))
+    mse = sq_dists[0]
+    for t in sq_dists[1:]:
+        mse = mse + t
+    return out.select(
+        F.col(id_col),
+        *[F.col(f"code{s}") for s in range(m)],
+        (F.round(mse / F.lit(float(dim)), 6) + F.lit(0.0)).alias("mse"),
+    )

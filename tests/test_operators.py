@@ -3209,3 +3209,47 @@ def test_gini_concentration_hand(spark):
     assert out["u"]["gini"] == pytest.approx(0.0, abs=1e-6)
     assert out["s"]["gini"] == pytest.approx(0.75, abs=1e-6)
     assert out["s"]["total"] == 10.0 and out["s"]["n"] == 4
+
+
+def test_pq_codes_perfect_reconstruction_when_k_covers_points(spark):
+    """embed.py::pq_codes: with <= k distinct subvectors per subspace
+    the codebook converges onto the points themselves -> mse 0 and
+    stable codes; dim % m validated."""
+    from botkop_telcotraffic_spark_spark.operators.embed import pq_codes
+
+    rows = [
+        (0, [0.0, 0.0, 1.0, 1.0]),
+        (1, [1.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r for r in pq_codes(df, dim=4, m=2, codebook_k=4,
+                                            iterations=2).collect()}
+    assert out[0]["mse"] == pytest.approx(0.0, abs=1e-9)
+    assert out[1]["mse"] == pytest.approx(0.0, abs=1e-9)
+    # identical vectors share codes
+    assert (out[0]["code0"], out[0]["code1"]) == (out[2]["code0"], out[2]["code1"])
+    # distinct subvectors get distinct codes
+    assert out[0]["code0"] != out[1]["code0"]
+
+    with pytest.raises(ValueError):
+        pq_codes(df, dim=4, m=3)
+
+
+def test_pq_codes_mse_recovers_signal(spark):
+    """PQ at 4 bits/subspace must reconstruct a nonzero share of
+    signal power even on near-random fixture embeddings (the
+    information-theoretic worst case for VQ): mse strictly below the
+    zero-vector baseline (mean squared norm / dim), and positive."""
+    from botkop_telcotraffic_spark_spark.operators.embed import pq_codes
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    emb = load_table(spark, SF_DIR_001, "embeddings")
+    out = pq_codes(emb, dim=64, m=4, codebook_k=16, iterations=2)
+    row = out.agg(F.avg("mse").alias("avg_mse")).collect()[0]
+    norms = emb.selectExpr(
+        "avg(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b) / 64) AS msn"
+    ).collect()[0]
+    assert 0.0 < row["avg_mse"] < 0.8 * norms["msn"]

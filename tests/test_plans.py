@@ -568,6 +568,7 @@ def test_registry_wide_no_cartesian(spark):
         "mmr_diverse_topk",          # broadcast 1-row probe / picked vector
         "bm25_search_docs",          # one-row N / avgdl scalars
         "hybrid_rrf_docs",           # bm25 input (same scalars) + probe
+        "hamming_ann_topk",          # broadcast bounded query set (r5)
     }
     # Streaming/replay entries execute a full streaming job at build
     # time and return a batch read of their sink — a parquet scan

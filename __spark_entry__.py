@@ -7947,6 +7947,73 @@ FROM ranked GROUP BY source
 """
 
 
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (operators/bpe.py::bpe_merges,
+    Sennrich 2016): 8 merge rounds over the documents word vocab —
+    the actual tokenizer-training step of an LLM data pipeline.
+    Single-pass left-to-right merge semantics (see module docstring)
+    shared exactly with the oracle's unrolled rounds."""
+    from botkop_telcotraffic_spark_spark.operators.bpe import bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merges(docs, "text", n_merges=8)
+
+
+def _bpe_sql(n_merges: int = 8) -> str:
+    """Oracle twin of bpe_merges_docs: each merge round unrolled into
+    [pair-count -> 1-row top pick -> vocab-wide boundary-guarded
+    replace] CTEs.  MATERIALIZED is load-bearing on the vocab and
+    pick CTEs (each is referenced twice; DuckDB would otherwise
+    re-evaluate the whole chain per reference — the k-core oracle
+    lesson)."""
+    s = "chr(31)"
+    parts = [f"""
+words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT array_to_string(
+           list_transform(generate_series(1, length(word)), i -> word[i]),
+           {s}) || {s} || '</w>' AS rep,
+         freq
+  FROM words
+)"""]
+    for t in range(1, n_merges + 1):
+        p = f"v{t - 1}"
+        parts.append(f""",
+sp{t} AS (
+  SELECT freq, string_split(rep, {s}) AS sy FROM {p}
+),
+pc{t} AS (
+  SELECT p.l AS l, p.r AS r, sum(freq) AS cnt
+  FROM (
+    SELECT freq,
+           unnest(list_transform(generate_series(1, len(sy) - 1),
+                  i -> {{'l': sy[i], 'r': sy[i + 1]}})) AS p
+    FROM sp{t})
+  GROUP BY 1, 2
+),
+t{t} AS MATERIALIZED (
+  SELECT l, r, cnt FROM pc{t} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+v{t} AS MATERIALIZED (
+  SELECT trim(replace({s} || rep || {s},
+                      {s} || t.l || {s} || t.r || {s},
+                      {s} || t.l || t.r || {s}), {s}) AS rep,
+         freq
+  FROM {p} CROSS JOIN t{t} t
+)""")
+    unions = "\nUNION ALL ".join(
+        f"""SELECT {t} AS step, l AS "left", r AS "right",
+        l || r AS merged, CAST(cnt AS BIGINT) AS cnt FROM t{t}"""
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + "".join(parts) + "\n" + unions
+
+
 def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (operators/embed.py::pq_codes, JDS 2011):
     4 independent 16-centroid Lloyd codebooks over 16-dim subspaces,
@@ -8130,12 +8197,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "gini_source_chars": (gini_source_chars, _GINI_SQL),
     "cube_order_stats": (cube_order_stats, _CUBE_SQL),
     "conditional_agg_users": (conditional_agg_users, _CONDAGG_SQL),
-    "json_props_extract": (json_props_extract, _JSON_SQL),
     "pq_codes_embeddings": (pq_codes_embeddings, _pq_sql()),
+    "bpe_merges_docs": (bpe_merges_docs, _bpe_sql()),
     # -- past the driver's 50-slot check ----------------------------------
     # all driver-green at their latest check AND pytest-oracle-verified
     # every run (tests/test_oracle_parity.py); ordered stalest-first so
     # future rotations promote from the top of this block
+    "json_props_extract": (json_props_extract, _JSON_SQL),
     "pivot_event_counts": (pivot_event_counts, _PIVOT_SQL),
     "full_outer_segments": (full_outer_segments, _FULL_OUTER_SQL),
     "correlated_above_avg_customers": (correlated_above_avg_customers, _CORRELATED_SQL),

@@ -133,6 +133,7 @@ CONTINUITY = [
     "vocab_coverage_docs",
     "gini_source_chars",
     "pq_codes_embeddings",
+    "bpe_merges_docs",
 ]
 
 

@@ -1,0 +1,149 @@
+"""Distributed BPE merge training (Sennrich-Haddow-Birch 2016,
+public literature) — the actual tokenizer-training step of an LLM
+data pipeline, on Spark.
+
+Algorithm (word-level BPE, the standard formulation):
+
+1. Aggregate the corpus to a (word, freq) vocabulary ONCE — after
+   this the corpus is never touched again; every merge round runs on
+   the vocab-sized relation (Heaps'-law sublinear in corpus size).
+2. Represent each word as a sep-joined symbol sequence
+   (``h␟e␟l␟l␟o␟</w>``; ␟ = U+001F, a char no fixture text
+   contains — asserted in the unit test).
+3. Per round: count adjacent symbol pairs weighted by word freq,
+   pick the most frequent pair (count desc, then pair text asc —
+   deterministic), and merge it in every word via literal
+   single-pass ``replace``.
+
+Determinism / oracle parity: the merge applies LEFT-TO-RIGHT,
+NON-OVERLAPPING, ONE PASS per round — exactly what ``replace()``
+does in both Spark SQL and DuckDB.  Because the pattern is
+boundary-guarded (``␟l␟r␟``), a replacement CONSUMES its trailing
+separator, so in a repeated chain (``aaaa`` merging ``a,a``) only
+the FIRST occurrence merges that round (``aa·a·a``), the rest on
+later rounds — classic BPE would merge odd/even positions in one
+round.  This is the only rule both engines implement natively with
+identical semantics; it is deterministic and converges to the same
+merge table on natural text (repeated-identical-pair chains are the
+single divergence, exercised in tests).
+
+Scale shape: one corpus-sized keyed aggregate (word counts), then
+``n_merges`` rounds of [vocab-scan pair-count aggregate (map-side
+combined, pair-space keys) + 1-row top-pair collect + vocab-wide
+literal replace].  The driver holds only the n_merges picked pairs
+(model-sized); the vocab relation is localCheckpoint'ed per round to
+cut the growing lineage (the iterative-operator convention —
+`graph.py` k-core / PageRank).  On a cluster swap localCheckpoint
+for persist+count; rounds are inherently sequential (each merge
+depends on the last), as in every BPE trainer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+END_WORD = "</w>"
+
+
+def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq) over space-tokenized text — the one corpus-sized
+    aggregate of BPE training."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col(text_col), " "), lambda w: w != ""
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _initial_rep(word_col: str) -> F.Column:
+    """sep-joined character symbols + end-of-word marker.
+
+    Characters come from ``substring(word, i, 1)`` — CHARACTER
+    indexed in both Spark and DuckDB (not a regex split, whose
+    code-unit semantics could diverge on astral-plane text)."""
+    chars = F.expr(
+        f"transform(sequence(1, length({word_col})), "
+        f"i -> substring({word_col}, i, 1))"
+    )
+    return F.concat(
+        F.array_join(chars, SEP), F.lit(SEP), F.lit(END_WORD)
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(left, right, cnt): adjacent symbol pairs weighted by freq.
+
+    The symbol array is materialized in its own projection before the
+    pair transform so CollapseProject cannot inline the split into
+    every pair position (the token_postings O(n²) lesson)."""
+    syms = vocab.select(
+        "freq", F.split(F.col("rep"), SEP).alias("_s")
+    )
+    pairs = F.expr(
+        "transform(sequence(1, size(_s) - 1), "
+        "i -> struct(element_at(_s, i) AS l, element_at(_s, i + 1) AS r))"
+    )
+    return (
+        syms.select(F.col("freq"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges; returns the merge table
+    (step, left, right, merged, cnt) — ``n_merges`` rows, the
+    artifact a tokenizer ships.
+
+    ``cnt`` is the weighted occurrence count of the pair at the time
+    it was picked (single-pass adjacency, see module docstring).
+    """
+    spark = df.sparkSession
+    vocab = (
+        word_vocab(df, text_col)
+        .select(_initial_rep("word").alias("rep"), "freq")
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(
+                F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
+        merged = l + r
+        merges.append((step, l, r, merged, cnt))
+        # Boundary-guarded merge: pad with sep on both ends and match
+        # ␟l␟r␟ so a symbol merely ENDING in l (or starting with r)
+        # can never false-match; strip the pads after.  Single pass,
+        # left-to-right — identical in Spark and DuckDB.
+        padded = F.concat(F.lit(SEP), F.col("rep"), F.lit(SEP))
+        replaced = F.replace(
+            padded,
+            F.lit(f"{SEP}{l}{SEP}{r}{SEP}"),
+            F.lit(f"{SEP}{merged}{SEP}"),
+        )
+        vocab = vocab.select(
+            F.btrim(replaced, F.lit(SEP)).alias("rep"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, cnt long"
+    )

@@ -3253,3 +3253,45 @@ def test_pq_codes_mse_recovers_signal(spark):
         "CAST(0.0 AS DOUBLE), (a, b) -> a + b) / 64) AS msn"
     ).collect()[0]
     assert 0.0 < row["avg_mse"] < 0.8 * norms["msn"]
+
+
+def test_bpe_merges_classic_corpus(spark):
+    """bpe.py::bpe_merges on the Sennrich toy corpus: es -> est ->
+    est</w> -> lo -> low, deterministic tie order."""
+    from botkop_telcotraffic_spark_spark.operators.bpe import bpe_merges
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    out = [
+        (r["step"], r["left"], r["right"], r["merged"], r["cnt"])
+        for r in bpe_merges(df, "text", n_merges=5).collect()
+    ]
+    assert out == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "est", "</w>", "est</w>", 9),
+        (4, "l", "o", "lo", 7),
+        (5, "lo", "w", "low", 7),
+    ]
+
+
+def test_bpe_merges_single_pass_semantics(spark):
+    """The documented single-pass rule on a repeated-symbol chain:
+    merging (a,a) over 'aaaa' consumes the shared separator, so ONE
+    round merges only the FIRST occurrence (aa + a + a), not two —
+    the deviation from classic BPE the module docstring documents.
+    Counts at pick time still see all 3 adjacencies per word."""
+    from botkop_telcotraffic_spark_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id int, text string")
+    out = [
+        (r["step"], r["left"], r["right"], r["merged"], r["cnt"])
+        for r in bpe_merges(df, "text", n_merges=2).collect()
+    ]
+    # round 1: pairs in a-a-a-a-</w>: (a,a)x3 + (a,</w>), x2 words
+    assert out[0] == (1, "a", "a", "aa", 6)
+    # after the single-pass merge each word is aa-a-a-</w>; round-2
+    # candidates all count 2, lexicographic pick -> (a, </w>)
+    assert out[1] == (2, "a", "</w>", "a</w>", 2)

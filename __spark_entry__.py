@@ -7947,6 +7947,61 @@ FROM ranked GROUP BY source
 """
 
 
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (operators/sketch.py::kmv_*, Bar-Yossef
+    2002): per-event-type sketches of distinct users + a merged
+    '_ALL_' rollup computed from the SKETCH TABLE only — the
+    oracle-checkable member of the distinct-count family (HLL's
+    estimate is engine-internal; KMV's closed form reproduces in
+    DuckDB)."""
+    from botkop_telcotraffic_spark_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    sk = kmv_build(e, ["event_type"], "user_id", k=64)
+    per = kmv_estimate(sk, k=64)
+    merged = kmv_merge(
+        sk.withColumn("_g", F.lit("_ALL_")).select("_g", "kmv"), ["_g"], k=64
+    )
+    allr = kmv_estimate(merged, k=64).select(
+        F.col("_g").alias("event_type"), "n_kept", "est_distinct"
+    )
+    return per.unionByName(allr)
+
+
+_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         (999883 * CAST(user_id AS BIGINT) + 12345) % 1000000007 AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+kp AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+sk AS (
+  SELECT event_type, list(h ORDER BY h) AS kmv
+  FROM kp WHERE rn <= 64 GROUP BY 1
+),
+ha AS (SELECT DISTINCT unnest(kmv) AS h FROM sk),
+ka AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha),
+ska AS (
+  SELECT '_ALL_' AS event_type, list(h ORDER BY h) AS kmv
+  FROM ka WHERE rn <= 64
+),
+u AS (SELECT * FROM sk UNION ALL SELECT * FROM ska)
+SELECT event_type, CAST(len(kmv) AS BIGINT) AS n_kept,
+       round(CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS DOUBLE)
+             ELSE 63.0 * 1000000007 / CAST(kmv[64] AS DOUBLE) END, 6) + 0.0
+         AS est_distinct
+FROM u
+"""
+
+
 def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (operators/bpe.py::bpe_merges,
     Sennrich 2016): 8 merge rounds over the documents word vocab —
@@ -8196,13 +8251,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_coverage_docs": (vocab_coverage_docs, _VOCAB_SQL),
     "gini_source_chars": (gini_source_chars, _GINI_SQL),
     "cube_order_stats": (cube_order_stats, _CUBE_SQL),
-    "conditional_agg_users": (conditional_agg_users, _CONDAGG_SQL),
     "pq_codes_embeddings": (pq_codes_embeddings, _pq_sql()),
     "bpe_merges_docs": (bpe_merges_docs, _bpe_sql()),
+    "kmv_distinct_users": (kmv_distinct_users, _KMV_SQL),
     # -- past the driver's 50-slot check ----------------------------------
     # all driver-green at their latest check AND pytest-oracle-verified
     # every run (tests/test_oracle_parity.py); ordered stalest-first so
     # future rotations promote from the top of this block
+    "conditional_agg_users": (conditional_agg_users, _CONDAGG_SQL),
     "json_props_extract": (json_props_extract, _JSON_SQL),
     "pivot_event_counts": (pivot_event_counts, _PIVOT_SQL),
     "full_outer_segments": (full_outer_segments, _FULL_OUTER_SQL),

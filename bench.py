@@ -134,6 +134,7 @@ CONTINUITY = [
     "gini_source_chars",
     "pq_codes_embeddings",
     "bpe_merges_docs",
+    "kmv_distinct_users",
 ]
 
 

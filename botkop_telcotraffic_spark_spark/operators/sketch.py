@@ -206,3 +206,77 @@ def cms_estimate(
     )
     group_cols = [c for c in candidates.columns]
     return joined.groupBy(*group_cols).agg(F.min("cnt").alias("cms_est"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002
+# ---------------------------------------------------------------------------
+
+_KMV_P = 1_000_000_007
+_KMV_A = 999_883
+_KMV_B = 12_345
+
+
+def kmv_hash(value: Column) -> Column:
+    """Deterministic KMV hash to [0, P): shared constants with the
+    CMS family so both engines (and re-runs) agree bit-for-bit."""
+    return (
+        F.lit(_KMV_A) * value.cast("bigint") + F.lit(_KMV_B)
+    ) % F.lit(_KMV_P)
+
+
+def kmv_build(
+    df: DataFrame, keys: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest DISTINCT hash values
+    of ``value_col`` (array<bigint>, ascending) — the mergeable,
+    oracle-checkable member of the distinct-count sketch family
+    (HLL's estimate is engine-internal; KMV's is closed-form over
+    values both engines can reproduce).
+
+    Scale shape: one distinct-reducing keyed aggregate
+    ((keys, hash) distinct — map-side combined), then a per-key
+    window keeps k rows before the tiny collect_list.  The sketch is
+    k longs per group regardless of data size.
+    """
+    h = kmv_hash(F.col(value_col)).alias("h")
+    dist = df.select(*keys, h).where(F.col(value_col).isNotNull()).distinct()
+    w = Window.partitionBy(*keys).orderBy(F.col("h").asc())
+    kept = dist.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    return kept.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("h")).alias("kmv")
+    )
+
+
+def kmv_merge(sketches: DataFrame, keys: list[str], k: int = 64) -> DataFrame:
+    """Union sketches up to coarser ``keys`` — k smallest distinct
+    hashes of the union, computed from the SKETCH TABLE only (no
+    rescan of raw data; the materialized-rollup pattern)."""
+    exploded = sketches.select(*keys, F.explode("kmv").alias("h")).distinct()
+    w = Window.partitionBy(*keys).orderBy(F.col("h").asc())
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+
+
+def kmv_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """(…, n_kept, est_distinct): closed-form KMV estimate — exact
+    count when the sketch is unsaturated (n < k), else
+    (k-1)·P / h_k with h_k the k-th smallest hash (Bar-Yossef 2002;
+    E[h_k/P] = k/(n+1)).  Rounded to 6 — identical arithmetic in the
+    DuckDB oracle."""
+    n = F.size("kmv")
+    hk = F.element_at("kmv", k)
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(_KMV_P)) / hk.cast("double")
+    )
+    return sketches.select(
+        *[c for c in sketches.columns if c != "kmv"],
+        n.cast("long").alias("n_kept"),
+        (F.round(est, 6) + F.lit(0.0)).alias("est_distinct"),
+    )

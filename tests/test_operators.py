@@ -3295,3 +3295,38 @@ def test_bpe_merges_single_pass_semantics(spark):
     # after the single-pass merge each word is aa-a-a-</w>; round-2
     # candidates all count 2, lexicographic pick -> (a, </w>)
     assert out[1] == (2, "a", "</w>", "a</w>", 2)
+
+
+def test_kmv_sketch_merge_invariant_and_accuracy(spark):
+    """sketch.py::kmv_*: (a) union-of-partial-sketches == one-shot
+    sketch (the mergeability invariant, same as the HLL test), (b)
+    unsaturated sketches are EXACT, (c) saturated estimate lands
+    within 3x sigma ~ 1/sqrt(k) of truth."""
+    from botkop_telcotraffic_spark_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(i % 4, i) for i in range(n)], "part int, v long"
+    )
+    k = 64
+    # one-shot over everything
+    one = kmv_build(df.withColumn("g", F.lit(1)), ["g"], "v", k=k)
+    # partial per part, merged up
+    parts = kmv_build(df.withColumn("g", F.lit(1)), ["g", "part"], "v", k=k)
+    merged = kmv_merge(parts, ["g"], k=k)
+    a = one.collect()[0]["kmv"]
+    b = merged.collect()[0]["kmv"]
+    assert a == b  # lossless pre-aggregation
+    est = kmv_estimate(one, k=k).collect()[0]
+    assert est["n_kept"] == k
+    assert abs(est["est_distinct"] - n) / n < 3 / (k ** 0.5)
+    # unsaturated -> exact
+    small = kmv_build(
+        df.where(F.col("v") < 10).withColumn("g", F.lit(1)), ["g"], "v", k=k
+    )
+    s = kmv_estimate(small, k=k).collect()[0]
+    assert s["n_kept"] == 10 and s["est_distinct"] == 10.0

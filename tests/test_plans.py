@@ -309,8 +309,22 @@ def test_embedding_near_dup_is_banded_not_allpairs(spark):
 
 def test_jaccard_prune_list_is_broadcast_anti_join(spark):
     """The hot-shingle list (tiny by construction) must reach the
-    postings as a broadcast anti-join, not a shuffled one."""
-    df = entry_mod.jaccard_near_dup_docs(spark, SF_DIR_001)
+    postings as a broadcast anti-join, not a shuffled one.
+
+    Built with ``spread=False``: the registry query's default
+    ``spread="auto"`` localCheckpoints the grouped bucket relation
+    (its width probe would otherwise re-run the shuffle), which
+    truncates the visible plan ABOVE the anti-join — the join shape
+    itself is identical either way, so this test pins it on the
+    un-checkpointed build."""
+    from botkop_telcotraffic_spark_spark.operators import dedup
+
+    d = spark.read.parquet(f"{SF_DIR_001}/documents.parquet")
+    df = dedup.jaccard_pairs(
+        d, "doc_id", "text", k=3,
+        max_doc_freq_frac=entry_mod.JACCARD_MAX_DF_FRAC,
+        spread=False,
+    )
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
@@ -569,6 +583,7 @@ def test_registry_wide_no_cartesian(spark):
         "bm25_search_docs",          # one-row N / avgdl scalars
         "hybrid_rrf_docs",           # bm25 input (same scalars) + probe
         "hamming_ann_topk",          # broadcast bounded query set (r5)
+        "pq_codes_embeddings",       # broadcast k-centroid codebooks (r5)
     }
     # Streaming/replay entries execute a full streaming job at build
     # time and return a batch read of their sink — a parquet scan

@@ -7947,6 +7947,53 @@ FROM ranked GROUP BY source
 """
 
 
+def audio_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio pipeline (operators/multimodal.py::synth_audio +
+    audio_features): deterministic 16-bit mono PCM WAVs synthesized
+    per event id (stdlib wave — a REAL codec, like BMP/PPM for
+    images), round-tripped through the RIFF container in an
+    Arrow-batched mapInPandas, then feature-extracted (RMS, peak,
+    zero-crossing rate).  The synth signal is closed-form, so the
+    oracle recomputes every feature without touching WAV bytes —
+    byte-level codec correctness is what the round-trip proves."""
+    from botkop_telcotraffic_spark_spark.operators.multimodal import (
+        audio_features,
+        synth_audio,
+    )
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("event_id").cast("long").alias("media_id"))
+        .where(F.col("media_id") < 500)
+    )
+    return audio_features(synth_audio(e, "media_id"))
+
+
+_AUDIO_SQL = """
+WITH ids AS (
+  SELECT CAST(event_id AS BIGINT) AS media_id FROM events
+  WHERE event_id < 500
+),
+s AS (
+  SELECT media_id,
+         list_transform(generate_series(0, 255),
+                        i -> ((media_id * 31 + i * 17) % 201) - 100) AS smp
+  FROM ids
+)
+SELECT media_id,
+  CAST(256 AS INT) AS n_samples,
+  CAST(16000 AS INT) AS sample_rate,
+  CAST(16.0 AS DOUBLE) AS duration_ms,
+  round(sqrt(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(smp, x -> x * x)), (a, b) -> a + b) / 256.0), 6)
+    + 0.0 AS rms,
+  CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak,
+  round(len(list_filter(generate_series(1, 255),
+        i -> (smp[i] >= 0) <> (smp[i + 1] >= 0))) / 255.0, 6) + 0.0 AS zcr
+FROM s
+"""
+
+
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketch (operators/sketch.py::kmv_*, Bar-Yossef
     2002): per-event-type sketches of distinct users + a merged
@@ -8250,14 +8297,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "matryoshka_prefix_norms": (matryoshka_prefix_norms, _MATRYOSHKA_SQL),
     "vocab_coverage_docs": (vocab_coverage_docs, _VOCAB_SQL),
     "gini_source_chars": (gini_source_chars, _GINI_SQL),
-    "cube_order_stats": (cube_order_stats, _CUBE_SQL),
     "pq_codes_embeddings": (pq_codes_embeddings, _pq_sql()),
     "bpe_merges_docs": (bpe_merges_docs, _bpe_sql()),
     "kmv_distinct_users": (kmv_distinct_users, _KMV_SQL),
+    "audio_features_events": (audio_features_events, _AUDIO_SQL),
     # -- past the driver's 50-slot check ----------------------------------
     # all driver-green at their latest check AND pytest-oracle-verified
     # every run (tests/test_oracle_parity.py); ordered stalest-first so
     # future rotations promote from the top of this block
+    "cube_order_stats": (cube_order_stats, _CUBE_SQL),
     "conditional_agg_users": (conditional_agg_users, _CONDAGG_SQL),
     "json_props_extract": (json_props_extract, _JSON_SQL),
     "pivot_event_counts": (pivot_event_counts, _PIVOT_SQL),

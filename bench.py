@@ -135,6 +135,7 @@ CONTINUITY = [
     "pq_codes_embeddings",
     "bpe_merges_docs",
     "kmv_distinct_users",
+    "audio_features_events",
 ]
 
 

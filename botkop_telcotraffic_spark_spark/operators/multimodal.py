@@ -4,12 +4,14 @@
 Convention: a modality column is ``content: binary`` plus a typed
 ``meta`` struct (mime, width/height/duration, source uri).  All
 Spark-side plumbing — schema, partition sizing, Arrow batch shape —
-is real, and so is the DEFAULT IMAGE CODEC: pure-stdlib decoders for
-uncompressed 24-bit BMP and binary PPM (header parse, padded
+is real, and so are the DEFAULT CODECS: pure-stdlib decoders for
+uncompressed 24-bit BMP and binary PPM images (header parse, padded
 bottom-up row walk, nearest-neighbor resize) power decode_features
-and resize_images out of the box.  Codecs remain pluggable callables
-for formats that genuinely need external libraries (JPEG, audio,
-video) — those paths raise NotImplementedError until one is injected.
+and resize_images out of the box, and a 16-bit mono PCM WAV codec
+(stdlib ``wave``) powers audio_features.  Codecs remain pluggable
+callables for formats that genuinely need external libraries (JPEG,
+MP3/OGG, video) — those paths raise NotImplementedError until one is
+injected.
 
 Scale notes: binary payloads dominate row size — ``mapInPandas``
 streams Arrow record batches so peak memory is one batch, not one
@@ -387,3 +389,148 @@ def resize_images(
 
     cols = [id_col, content_col] + (["meta"] if has_meta else [])
     return df.select(*cols).mapInPandas(process, out_schema)
+
+
+# --- real pure-stdlib audio codec (WAV / 16-bit mono PCM) ------------------
+#
+# Python ships `wave` in the stdlib, so — like BMP/PPM for images —
+# the default AUDIO codec is REAL: RIFF/WAVE container, 16-bit mono
+# PCM frames via struct.  Compressed audio (MP3/OGG/AAC) remains a
+# documented injection point.
+
+WAV_RATE = 16_000
+
+
+def encode_wav(samples: list[int], sample_rate: int = WAV_RATE) -> bytes:
+    """16-bit mono PCM WAV bytes from integer samples (clamped to
+    int16) — stdlib wave + struct, no external codecs."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        clamped = [max(-32768, min(32767, int(s))) for s in samples]
+        w.writeframes(struct.pack(f"<{len(clamped)}h", *clamped))
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> dict:
+    """Parse a 16-bit mono PCM WAV and extract deterministic audio
+    features: n_samples, sample_rate, duration_ms, rms, peak,
+    zero-crossing rate.  Raises NotImplementedError for compressed /
+    multi-channel forms (codec injection point, like JPEG)."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise NotImplementedError(
+                    "only 16-bit mono PCM is implemented; inject a codec "
+                    "for other layouts"
+                )
+            n = w.getnframes()
+            rate = w.getframerate()
+            samples = struct.unpack(f"<{n}h", w.readframes(n))
+    except wave.Error as e:  # compressed containers etc.
+        raise NotImplementedError(f"non-PCM wav: {e}") from e
+    if n == 0:
+        return {
+            "n_samples": 0, "sample_rate": rate, "duration_ms": 0.0,
+            "rms": 0.0, "peak": 0, "zcr": 0.0,
+        }
+    sq = sum(s * s for s in samples)  # exact int accumulation
+    crossings = sum(
+        1
+        for a, b in zip(samples, samples[1:])
+        if (a >= 0) != (b >= 0)
+    )
+    return {
+        "n_samples": n,
+        "sample_rate": rate,
+        "duration_ms": round(n * 1000.0 / rate, 6),
+        "rms": round((sq / n) ** 0.5, 6),
+        "peak": max(abs(s) for s in samples),
+        "zcr": round(crossings / (n - 1), 6) if n > 1 else 0.0,
+    }
+
+
+def synth_audio(
+    df: DataFrame,
+    id_col: str = "media_id",
+    n_samples: int = 256,
+    sample_rate: int = WAV_RATE,
+) -> DataFrame:
+    """Deterministic WAV synthesis per id (the audio twin of
+    synth_images): sample i of id e is ``((e*31 + i*17) % 201) - 100``
+    — integer, engine-reproducible, and closed-form for the oracle.
+    Output: (id, content: binary WAV)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            contents = [
+                encode_wav(
+                    [((int(e) * 31 + i * 17) % 201) - 100
+                     for i in range(n_samples)],
+                    sample_rate,
+                )
+                for e in ids
+            ]
+            yield pd.DataFrame({id_col: ids.values, "content": contents})
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
+
+
+def audio_features(
+    df: DataFrame,
+    codec: Callable[[bytes], dict] = decode_wav,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode + feature-extract audio via mapInPandas (Arrow-batched,
+    the image decode_features shape): (id, n_samples, sample_rate,
+    duration_ms, rms, peak, zcr) — scalar columns, driver-hashable."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_ms", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("zcr", T.DoubleType()),
+        ]
+    )
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            decoded = [codec(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "n_samples": [d["n_samples"] for d in decoded],
+                    "sample_rate": [d["sample_rate"] for d in decoded],
+                    "duration_ms": [d["duration_ms"] for d in decoded],
+                    "rms": [d["rms"] for d in decoded],
+                    "peak": [d["peak"] for d in decoded],
+                    "zcr": [d["zcr"] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(process, out_schema)

@@ -3330,3 +3330,49 @@ def test_kmv_sketch_merge_invariant_and_accuracy(spark):
     )
     s = kmv_estimate(small, k=k).collect()[0]
     assert s["n_kept"] == 10 and s["est_distinct"] == 10.0
+
+
+def test_wav_roundtrip_and_features(spark):
+    """multimodal.py WAV codec: encode->decode round-trips exact
+    samples; features hand-checked on a square wave."""
+    from botkop_telcotraffic_spark_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    # square wave: +100 x4, -100 x4, repeated
+    samples = ([100] * 4 + [-100] * 4) * 32  # 256 samples
+    wav = encode_wav(samples, sample_rate=8000)
+    d = decode_wav(wav)
+    assert d["n_samples"] == 256 and d["sample_rate"] == 8000
+    assert d["duration_ms"] == pytest.approx(32.0)
+    assert d["rms"] == pytest.approx(100.0)
+    assert d["peak"] == 100
+    # sign flips at every 4-sample boundary: 63 interior flips / 255
+    assert d["zcr"] == pytest.approx(round(63 / 255, 6), abs=1e-6)
+    # clamping
+    clipped = decode_wav(encode_wav([40000, -40000]))
+    assert clipped["peak"] == 32768  # -32768 clamps, abs = 32768
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+
+def test_audio_features_distributed(spark):
+    """synth_audio + audio_features over a DataFrame: Arrow-batched
+    mapInPandas path yields per-id deterministic features."""
+    from botkop_telcotraffic_spark_spark.operators.multimodal import (
+        audio_features,
+        synth_audio,
+    )
+
+    df = spark.range(4).select(F.col("id").alias("media_id"))
+    out = {r["media_id"]: r for r in
+           audio_features(synth_audio(df, "media_id")).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # id 0: samples ((i*17) % 201) - 100, reproduced in python
+    s = [((i * 17) % 201) - 100 for i in range(256)]
+    import math
+    rms = round(math.sqrt(sum(x * x for x in s) / 256), 6)
+    assert out[0]["rms"] == pytest.approx(rms, abs=1e-6)
+    assert out[0]["n_samples"] == 256

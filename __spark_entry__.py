@@ -7994,6 +7994,106 @@ FROM s
 """
 
 
+def hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (the production ANN serving shape at
+    100 TB): sign-bit Hamming shortlist (cheap XOR+popcount over the
+    1-bit index, top-40 per query) -> EXACT cosine re-rank of the
+    shortlist (top-5).  Composes embed.hamming_topk with the
+    fold-based cosine; end-to-end oracle — both stages reproduce in
+    SQL."""
+    from botkop_telcotraffic_spark_spark.functions.vector import dot, norm
+    from botkop_telcotraffic_spark_spark.operators.embed import hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    shortlist = hamming_topk(q, emb, dim=64, k=40).select(
+        "query_id", "neighbor_id"
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        norm(F.col("embedding")).alias("_qn"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        norm(F.col("embedding")).alias("_cn"),
+    )
+    scored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qn") * F.col("_cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round("cosine_sim", 6) + F.lit(0.0)).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def _hamming_rerank_sql() -> str:
+    dot64 = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), "
+        "(s, x) -> s + x)"
+    )
+
+    def nrm(t: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0, "
+            f"list_transform(generate_series(1, 64), "
+            f"i -> CAST({t}.embedding[i] AS DOUBLE) "
+            f"* CAST({t}.embedding[i] AS DOUBLE))), (s, x) -> s + x))"
+        )
+
+    return f"""
+WITH packed AS (
+  SELECT vec_id,
+         {_hamming_pack_sql('w_lo', 1, 32, 1)},
+         {_hamming_pack_sql('w_hi', 33, 64, 33)}
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.w_lo, c.w_lo))
+              + bit_count(xor(q.w_hi, c.w_hi)) AS INT) AS hamming
+  FROM packed q JOIN packed c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rk
+    FROM pairs) WHERE rk <= 40
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         {dot64} / ({nrm('q')} * {nrm('c')}) AS cosine_sim
+  FROM shortlist s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id,
+       round(cosine_sim, 6) + 0.0 AS cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketch (operators/sketch.py::kmv_*, Bar-Yossef
     2002): per-event-type sketches of distinct users + a merged
@@ -8279,7 +8379,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "customers_without_urgent_orders": (customers_without_urgent_orders, _ANTI_SQL),
     "customers_with_orders": (customers_with_orders, _SEMI_SQL),
     "stats_by_event_type": (stats_by_event_type, _STATS_TYPE_SQL),
-    "stats_user_tumbling": (stats_user_tumbling, _STATS_TUMBLING_SQL),
     "iqr_outliers_events": (iqr_outliers_events, _IQR_SQL),
     "latest_order_enrich": (latest_order_enrich, _ENRICH_SQL),
     "geofence_rect_events": (geofence_rect_events, _GEO_RECT_SQL),
@@ -8301,10 +8400,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bpe_merges_docs": (bpe_merges_docs, _bpe_sql()),
     "kmv_distinct_users": (kmv_distinct_users, _KMV_SQL),
     "audio_features_events": (audio_features_events, _AUDIO_SQL),
+    "hamming_rerank_topk": (hamming_rerank_topk, _hamming_rerank_sql()),
     # -- past the driver's 50-slot check ----------------------------------
     # all driver-green at their latest check AND pytest-oracle-verified
     # every run (tests/test_oracle_parity.py); ordered stalest-first so
     # future rotations promote from the top of this block
+    "stats_user_tumbling": (stats_user_tumbling, _STATS_TUMBLING_SQL),
     "cube_order_stats": (cube_order_stats, _CUBE_SQL),
     "conditional_agg_users": (conditional_agg_users, _CONDAGG_SQL),
     "json_props_extract": (json_props_extract, _JSON_SQL),

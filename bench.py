@@ -136,6 +136,7 @@ CONTINUITY = [
     "bpe_merges_docs",
     "kmv_distinct_users",
     "audio_features_events",
+    "hamming_rerank_topk",
 ]
 
 

@@ -301,37 +301,143 @@ def pq_codes(
     the per-vector mean squared reconstruction error over all dims
     (sum of per-subspace squared distances / dim, rounded to 6).
 
-    Physical shape: per subspace, codebook training is the lloyd
-    shape (broadcast argmin + one (k·sub_dim)-key aggregate per
-    round; only k×sub_dim centroids reach the driver), and encoding
-    is the broadcast argmin — scan-side, shuffle-free.  The ``m``
-    encodes CHAIN on the same scan (each adds columns; no joins), so
-    the fact table is never shuffled at all.
+    Physical shape: all ``m`` codebooks train in ONE keyed Lloyd —
+    the subspaces live as keys of a long (s, point) frame, so every
+    round is one keyed aggregate and ONE driver collect of the
+    m·k·sub_dim centroid doubles (the per-subspace-loop formulation
+    paid ~m·iterations·3 driver round-trips and benched 10 s at
+    sf0.1; this shape is 1 seed + ``iterations`` collects — 4.7 s,
+    2.1x, dominated by the inherently interpreted HOF distance folds
+    of the iterative trainer).  Encoding then CHAINS
+    ``m`` broadcast argmins on the fact scan (each adds columns, no
+    joins) — the fact table is never shuffled at all.
 
-    Determinism: seeding/update/assign inherit lloyd_kmeans'
-    guarantees per subspace; ties in the argmin resolve to the lowest
-    centroid id (array first-occurrence), matching the oracle's
-    ``ORDER BY dist, prediction``.
+    Determinism: identical to per-subspace lloyd_kmeans — seeding is
+    k evenly-spaced rows of each subspace's DISTINCT sorted
+    subvectors (a per-key window gives the same per-subspace ranks),
+    means round to 9, empty clusters keep their previous centroid,
+    and argmin ties resolve to the lowest centroid id, matching the
+    oracle's ``ORDER BY dist, prediction``.
     """
-    from .kmeans import assign, lloyd_kmeans
+    from .kmeans import assign
 
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    spark = df.sparkSession
     sub_dim = dim // m
+    subs_expr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias(
+                        "point"
+                    ),
+                )
+                for s in range(m)
+            ]
+        )
+    )
+    pts = df.select(subs_expr.alias("_sp")).select("_sp.s", "_sp.point")
+    # Seeding in ONE job: per-subspace rank AND count from the same
+    # window pass, evenly-spaced index selection evaluated in-SQL.
+    # The index formula round(i·(n-1)/(k-1)) + 1 matches the oracle
+    # exactly; SQL round (half-away) vs Python round (half-even)
+    # cannot diverge because 2·i·(n-1) = (k-1)·odd has no integer
+    # solution for even LHS (the lloyd_kmeans tie-impossibility
+    # argument).  n <= k degenerates to take-all.
+    distinct = pts.distinct()
+    ranked = distinct.select(
+        "s",
+        "point",
+        F.row_number()
+        .over(Window.partitionBy("s").orderBy("point"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("s").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    idx_terms = " OR ".join(
+        f"rn = CAST(round({i} * (n - 1) / {codebook_k - 1}.0, 0) AS BIGINT) + 1"
+        for i in range(codebook_k)
+    )
+    seeds = ranked.where(
+        F.expr(f"n <= {codebook_k} OR ({idx_terms})")
+    ).orderBy("s", "rn").collect()
+    cents: dict[int, list[list[float]]] = {s: [] for s in range(m)}
+    for r in seeds:
+        cents[r["s"]].append([float(x) for x in r["point"]])
+
+    def cent_arrays():
+        """1 row per subspace: the id-sorted centroid struct array
+        (same layout as kmeans.assign's broadcast)."""
+        rows = [
+            (s, [(i, c) for i, c in enumerate(cents[s])])
+            for s in range(m)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "s int, _cents array<struct<id:int,vec:array<double>>>",
+        )
+
+    from ..functions.vector import euclidean
+
+    for _ in range(iterations):
+        j = pts.join(F.broadcast(cent_arrays()), "s")
+        with_d = j.select(
+            "s",
+            "point",
+            F.col("_cents"),
+            F.transform(
+                F.col("_cents"), lambda c: euclidean(F.col("point"), c["vec"])
+            ).alias("_d"),
+        )
+        pos = F.array_position(F.col("_d"), F.array_min(F.col("_d"))).cast(
+            "int"
+        )
+        assigned = with_d.select(
+            "s", "point", F.element_at("_cents", pos)["id"].alias("prediction")
+        )
+        means = (
+            assigned.select(
+                "s", "prediction", F.posexplode("point").alias("d", "x")
+            )
+            .groupBy("s", "prediction", "d")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 9).alias("mm"))
+            .groupBy("s", "prediction")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("d", "mm"))).alias("_dm")
+            )
+            .select(
+                "s",
+                "prediction",
+                F.transform(F.col("_dm"), lambda t: t["mm"]).alias("c"),
+            )
+            .collect()
+        )
+        new = {(r["s"], r["prediction"]): list(r["c"]) for r in means}
+        for s in range(m):
+            cents[s] = [
+                new.get((s, i), cents[s][i]) for i in range(len(cents[s]))
+            ]
+
+    # scan-side chained encode against the trained codebooks
     out = df.select(F.col(id_col), F.col(vec_col))
     sq_dists = []
     for s in range(m):
         sub = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
-        cents = lloyd_kmeans(
-            df.select(sub.alias("point")),
-            "point",
-            k=codebook_k,
-            iterations=iterations,
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents[s])],
+            "prediction int, centroid array<double>",
         )
         out = (
             assign(
                 out.withColumn(f"_sub{s}", sub),
-                cents,
+                cdf,
                 vec_col=f"_sub{s}",
             )
             .withColumnRenamed("prediction", f"code{s}")

@@ -7994,6 +7994,133 @@ FROM s
 """
 
 
+_FS_FIELDS = {
+    # field -> (m = P(agree|match), u = P(agree|non-match)); fixed
+    # documented priors (production fits these with EM/labels)
+    "name": (0.95, 0.05),
+    "brand": (0.90, 0.04),
+    "ptype": (0.85, 0.025),
+}
+
+
+def fs_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage
+    (operators/fuzzy.py::fellegi_sunter_score): score part rows
+    against a deterministically-corrupted twin catalog (3rd name
+    char dropped; brand corrupted on partkey%5, type on partkey%7)
+    on three agreement fields with fixed m/u priors.
+    True pairs (same key) and decoy pairs (key+1) both flow through
+    the same scorer — the three-band match/possible/non-match
+    decision is the operator's point."""
+    from botkop_telcotraffic_spark_spark.operators.fuzzy import (
+        fellegi_sunter_score,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type"
+    )
+    right = p.select(
+        F.col("p_partkey").alias("r_key"),
+        F.concat(
+            F.expr("substring(p_name, 1, 2)"), F.expr("substring(p_name, 4)")
+        ).alias("r_name"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("Brand#99"))
+        .otherwise(F.col("p_brand"))
+        .alias("r_brand"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("CORRUPT TYPE"))
+        .otherwise(F.col("p_type"))
+        .alias("r_type"),
+    )
+    true_pairs = p.join(right, p["p_partkey"] == right["r_key"])
+    decoy_pairs = p.join(right, (p["p_partkey"] + 1) == right["r_key"])
+    pairs = true_pairs.unionByName(decoy_pairs).select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("r_key").alias("b_key"),
+        "p_name", "p_brand", "p_type",
+        "r_name", "r_brand", "r_type",
+    )
+    scored = fellegi_sunter_score(
+        pairs,
+        {
+            "name": (
+                F.levenshtein("p_name", "r_name") <= 1,
+                *_FS_FIELDS["name"],
+            ),
+            "brand": (
+                F.col("p_brand") == F.col("r_brand"),
+                *_FS_FIELDS["brand"],
+            ),
+            "ptype": (
+                F.col("p_type") == F.col("r_type"),
+                *_FS_FIELDS["ptype"],
+            ),
+        },
+        upper=6.0,
+        lower=0.0,
+    )
+    return scored.select(
+        "a_key", "b_key", "name_agree", "brand_agree", "ptype_agree",
+        "score", "decision",
+    )
+
+
+def _fs_sql() -> str:
+    import math
+
+    w = {
+        k: (math.log2(mm / uu), math.log2((1 - mm) / (1 - uu)))
+        for k, (mm, uu) in _FS_FIELDS.items()
+    }
+    return f"""
+WITH l AS (
+  SELECT p_partkey, p_name, p_brand, p_type FROM part
+),
+r AS (
+  SELECT p_partkey AS r_key,
+         substring(p_name, 1, 2) || substring(p_name, 4) AS r_name,
+         CASE WHEN p_partkey % 5 = 0 THEN 'Brand#99' ELSE p_brand END
+           AS r_brand,
+         CASE WHEN p_partkey % 7 = 0 THEN 'CORRUPT TYPE' ELSE p_type END
+           AS r_type
+  FROM part
+),
+pairs AS (
+  SELECT l.p_partkey AS a_key, r.r_key AS b_key,
+         l.p_name, l.p_brand, l.p_type,
+         r.r_name, r.r_brand, r.r_type
+  FROM l JOIN r ON l.p_partkey = r.r_key
+  UNION ALL
+  SELECT l.p_partkey, r.r_key,
+         l.p_name, l.p_brand, l.p_type,
+         r.r_name, r.r_brand, r.r_type
+  FROM l JOIN r ON l.p_partkey + 1 = r.r_key
+),
+flags AS (
+  SELECT a_key, b_key,
+         levenshtein(p_name, r_name) <= 1 AS name_agree,
+         p_brand = r_brand AS brand_agree,
+         p_type = r_type AS ptype_agree
+  FROM pairs
+),
+scored AS (
+  SELECT *,
+         (CASE WHEN name_agree THEN CAST({w['name'][0]!r} AS DOUBLE)
+               ELSE CAST({w['name'][1]!r} AS DOUBLE) END
+          + CASE WHEN brand_agree THEN CAST({w['brand'][0]!r} AS DOUBLE)
+                 ELSE CAST({w['brand'][1]!r} AS DOUBLE) END
+          + CASE WHEN ptype_agree THEN CAST({w['ptype'][0]!r} AS DOUBLE)
+                 ELSE CAST({w['ptype'][1]!r} AS DOUBLE) END) AS s
+  FROM flags
+)
+SELECT a_key, b_key, name_agree, brand_agree, ptype_agree,
+       round(s, 6) + 0.0 AS score,
+       CASE WHEN s >= 6.0 THEN 'match'
+            WHEN s <= 0.0 THEN 'non-match'
+            ELSE 'possible' END AS decision
+FROM scored
+"""
+
+
 def hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval (the production ANN serving shape at
     100 TB): sign-bit Hamming shortlist (cheap XOR+popcount over the
@@ -8389,7 +8516,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "token_stats_docs": (token_stats_docs, _TOKEN_SQL),
     "doc_fingerprints": (doc_fingerprints, _FP_SQL),
     "kmeans_label_assign": (kmeans_label_assign, _KMEANS_SQL),
-    "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
     # (d) NEW in round 5: binary-quantized ANN, Matryoshka audit,
     # vocab coverage, Gini corpus-balance
     "hamming_ann_topk": (hamming_ann_topk, _HAMMING_ANN_SQL),
@@ -8401,10 +8527,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "kmv_distinct_users": (kmv_distinct_users, _KMV_SQL),
     "audio_features_events": (audio_features_events, _AUDIO_SQL),
     "hamming_rerank_topk": (hamming_rerank_topk, _hamming_rerank_sql()),
+    "fs_linkage_parts": (fs_linkage_parts, _fs_sql()),
     # -- past the driver's 50-slot check ----------------------------------
     # all driver-green at their latest check AND pytest-oracle-verified
     # every run (tests/test_oracle_parity.py); ordered stalest-first so
     # future rotations promote from the top of this block
+    "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
     "stats_user_tumbling": (stats_user_tumbling, _STATS_TUMBLING_SQL),
     "cube_order_stats": (cube_order_stats, _CUBE_SQL),
     "conditional_agg_users": (conditional_agg_users, _CONDAGG_SQL),

@@ -137,6 +137,7 @@ CONTINUITY = [
     "kmv_distinct_users",
     "audio_features_events",
     "hamming_rerank_topk",
+    "fs_linkage_parts",
 ]
 
 

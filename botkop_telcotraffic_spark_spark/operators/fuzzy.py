@@ -108,3 +108,56 @@ def fuzzy_join(
         cand.withColumn("dist", F.levenshtein("a", "b"))
         .where(F.col("dist") <= max_dist)
     )
+
+
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    fields: dict[str, tuple],
+    upper: float = 6.0,
+    lower: float = 0.0,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
+    Sunter 1969, public literature): each candidate pair accumulates
+    per-field log-likelihood-ratio weights — ``log2(m/u)`` when the
+    field agrees, ``log2((1-m)/(1-u))`` when it disagrees — where m =
+    P(agree | match) and u = P(agree | non-match) are the field's
+    configured priors (in production these come from EM or labeled
+    data; here they are explicit inputs, which keeps the operator
+    deterministic).
+
+    ``fields`` maps field name -> (agreement Column (boolean), m, u).
+    Adds per-field ``<name>_agree`` flags, the total ``score``
+    (rounded to 6), and the classic three-band ``decision``:
+    'match' (score >= upper), 'non-match' (score <= lower),
+    'possible' in between (the clerical-review band).
+
+    Determinism / oracle parity: weights are computed in PYTHON and
+    injected as double literals — neither engine ever evaluates a
+    log, so cross-engine libm differences cannot appear; the score is
+    a fixed-order sum of literals selected by boolean conditions.
+
+    Scale shape: pure scan-side projection over the candidate-pair
+    relation — scoring adds zero shuffles; candidate generation
+    (fuzzy_join / LSH blocking) owns the join cost.
+    """
+    import math
+
+    score = F.lit(0.0)
+    flags = []
+    for name, (agree_col, mm, uu) in fields.items():
+        w_a = math.log2(mm / uu)
+        w_d = math.log2((1.0 - mm) / (1.0 - uu))
+        flag = F.coalesce(agree_col.cast("boolean"), F.lit(False))
+        flags.append(flag.alias(f"{name}_agree"))
+        score = score + F.when(flag, F.lit(w_a)).otherwise(F.lit(w_d))
+    decision = (
+        F.when(score >= upper, F.lit("match"))
+        .when(score <= lower, F.lit("non-match"))
+        .otherwise(F.lit("possible"))
+    )
+    return pairs.select(
+        *pairs.columns,
+        *flags,
+        (F.round(score, 6) + F.lit(0.0)).alias("score"),
+        decision.alias("decision"),
+    )

@@ -3376,3 +3376,39 @@ def test_audio_features_distributed(spark):
     rms = round(math.sqrt(sum(x * x for x in s) / 256), 6)
     assert out[0]["rms"] == pytest.approx(rms, abs=1e-6)
     assert out[0]["n_samples"] == 256
+
+
+def test_fellegi_sunter_weights_and_bands(spark):
+    """fuzzy.py::fellegi_sunter_score: hand-checked weights on one
+    agree-all and one disagree-all pair, three-band decisions."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.fuzzy import (
+        fellegi_sunter_score,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 1, True, True), (1, 2, False, False), (1, 3, True, False)],
+        "a int, b int, f1 boolean, f2 boolean",
+    )
+    out = {
+        (r["a"], r["b"]): r
+        for r in fellegi_sunter_score(
+            pairs,
+            {
+                "f1": (F.col("f1"), 0.9, 0.1),
+                "f2": (F.col("f2"), 0.8, 0.2),
+            },
+            upper=5.0,
+            lower=0.0,
+        ).collect()
+    }
+    w1a, w1d = math.log2(9), math.log2(0.1 / 0.9)
+    w2a, w2d = math.log2(4), math.log2(0.2 / 0.8)
+    assert out[(1, 1)]["score"] == pytest.approx(round(w1a + w2a, 6))
+    assert out[(1, 1)]["decision"] == "match"        # 3.17+2 = 5.17 >= 5
+    assert out[(1, 2)]["score"] == pytest.approx(round(w1d + w2d, 6))
+    assert out[(1, 2)]["decision"] == "non-match"
+    assert out[(1, 3)]["score"] == pytest.approx(round(w1a + w2d, 6))
+    assert out[(1, 3)]["decision"] == "possible"     # 3.17-2 = 1.17
+    assert out[(1, 3)]["f1_agree"] and not out[(1, 3)]["f2_agree"]

@@ -8461,9 +8461,13 @@ FROM fb0 f0 {joins}
 # queries), (b) the 4 entries whose engine code or oracle changed in
 # round 5 (the two former driver-ERR embedding queries re-emitted as
 # wide scalar columns, and the null-safe-join advisory fixes to
-# winsorize/CUSUM oracles), (c) NEW round-5 operators, and (d) the
-# stalest re-checks (r1-green, unchanged since).  After r5 every
-# oracle-bearing entry will hold a green row in r1∪…∪r5.  Entries
+# winsorize/CUSUM oracles), (c) the 10 NEW round-5 operators
+# (hamming ANN + rerank, matryoshka, PQ, BPE, vocab coverage, Gini,
+# KMV, audio features, Fellegi-Sunter), and (d) the stalest re-checks
+# (r1-green, unchanged since; six of the original 33 were re-demoted
+# to make room for the new operators and rotate next round).  After
+# r5 every oracle-bearing entry EXCEPT those six holds a green row in
+# r1∪…∪r5.  Entries
 # past slot 50 are driver-green at their latest check; the full
 # pytest suite still verifies every oracle entry each run
 # (tests/test_oracle_parity.py) regardless of slot, and bench.py

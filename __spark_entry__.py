@@ -8304,7 +8304,8 @@ words AS MATERIALIZED (
   ) GROUP BY word
 ),
 v0 AS MATERIALIZED (
-  SELECT array_to_string(
+  SELECT word,
+         array_to_string(
            list_transform(generate_series(1, length(word)), i -> word[i]),
            {s}) || {s} || '</w>' AS rep,
          freq
@@ -8329,7 +8330,8 @@ t{t} AS MATERIALIZED (
   SELECT l, r, cnt FROM pc{t} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
 ),
 v{t} AS MATERIALIZED (
-  SELECT trim(replace({s} || rep || {s},
+  SELECT word,
+         trim(replace({s} || rep || {s},
                       {s} || t.l || {s} || t.r || {s},
                       {s} || t.l || t.r || {s}), {s}) AS rep,
          freq
@@ -8341,6 +8343,44 @@ v{t} AS MATERIALIZED (
         for t in range(1, n_merges + 1)
     )
     return "WITH " + "".join(parts) + "\n" + unions
+
+
+def bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer loop (operators/bpe.py::bpe_token_counts):
+    train 8 BPE merges on the documents corpus, ENCODE every word via
+    the trained vocab (no corpus re-tokenization), and report per-doc
+    whitespace word counts and post-merge BPE token counts."""
+    from botkop_telcotraffic_spark_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, "doc_id", "text", n_merges=8)
+
+
+def _bpe_tokens_sql(n_merges: int = 8) -> str:
+    """Oracle twin of bpe_token_counts_docs: the same unrolled merge
+    chain as _bpe_sql (word column carried through), final vocab
+    symbol counts joined back to exploded document words."""
+    chain = _bpe_sql(n_merges)
+    # keep the CTE chain, swap the merge-table final select (which
+    # starts at the first union arm, "SELECT 1 AS step") for the
+    # token-count final
+    cte_part = chain[: chain.index("\nSELECT 1 AS step")]
+    return f"""{cte_part},
+wt AS (
+  SELECT word, len(string_split(rep, chr(31))) AS wtok FROM v{n_merges}
+),
+dw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+  FROM documents
+)
+SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(w.wtok) AS BIGINT) AS n_tokens
+FROM dw JOIN wt w USING (word)
+GROUP BY dw.doc_id
+"""
 
 
 def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8510,7 +8550,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "customers_without_urgent_orders": (customers_without_urgent_orders, _ANTI_SQL),
     "customers_with_orders": (customers_with_orders, _SEMI_SQL),
     "stats_by_event_type": (stats_by_event_type, _STATS_TYPE_SQL),
-    "iqr_outliers_events": (iqr_outliers_events, _IQR_SQL),
     "latest_order_enrich": (latest_order_enrich, _ENRICH_SQL),
     "geofence_rect_events": (geofence_rect_events, _GEO_RECT_SQL),
     "geofence_polygon_events": (geofence_polygon_events, _GEO_POLY_SQL),
@@ -8532,10 +8571,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "audio_features_events": (audio_features_events, _AUDIO_SQL),
     "hamming_rerank_topk": (hamming_rerank_topk, _hamming_rerank_sql()),
     "fs_linkage_parts": (fs_linkage_parts, _fs_sql()),
+    "bpe_token_counts_docs": (bpe_token_counts_docs, _bpe_tokens_sql()),
     # -- past the driver's 50-slot check ----------------------------------
     # all driver-green at their latest check AND pytest-oracle-verified
     # every run (tests/test_oracle_parity.py); ordered stalest-first so
     # future rotations promote from the top of this block
+    "iqr_outliers_events": (iqr_outliers_events, _IQR_SQL),
     "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
     "stats_user_tumbling": (stats_user_tumbling, _STATS_TUMBLING_SQL),
     "cube_order_stats": (cube_order_stats, _CUBE_SQL),

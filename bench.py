@@ -138,6 +138,7 @@ CONTINUITY = [
     "audio_features_events",
     "hamming_rerank_topk",
     "fs_linkage_parts",
+    "bpe_token_counts_docs",
 ]
 
 

@@ -102,18 +102,20 @@ def bpe_merges(
     df: DataFrame,
     text_col: str,
     n_merges: int = 10,
-) -> DataFrame:
+    return_vocab: bool = False,
+):
     """Train ``n_merges`` BPE merges; returns the merge table
     (step, left, right, merged, cnt) — ``n_merges`` rows, the
-    artifact a tokenizer ships.
+    artifact a tokenizer ships.  With ``return_vocab=True`` also
+    returns the post-training (word, rep) vocabulary (the encode
+    step reuses it instead of replaying the merges).
 
     ``cnt`` is the weighted occurrence count of the pair at the time
     it was picked (single-pass adjacency, see module docstring).
     """
     spark = df.sparkSession
-    vocab = (
-        word_vocab(df, text_col)
-        .select(_initial_rep("word").alias("rep"), "freq")
+    vocab = word_vocab(df, text_col).select(
+        "word", _initial_rep("word").alias("rep"), "freq"
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -141,9 +143,55 @@ def bpe_merges(
             F.lit(f"{SEP}{merged}{SEP}"),
         )
         vocab = vocab.select(
+            "word",
             F.btrim(replaced, F.lit(SEP)).alias("rep"),
             "freq",
         ).localCheckpoint()
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "step int, left string, right string, merged string, cnt long"
+    )
+    if return_vocab:
+        return merges_df, vocab.select("word", "rep")
+    return merges_df
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_merges: int = 10,
+) -> DataFrame:
+    """Train ``n_merges`` merges, APPLY them, and report per-document
+    BPE token counts — the full tokenizer loop (train -> encode),
+    and the honest replacement for the heuristic ``bpe_token_est``
+    in text.token_stats.
+
+    Returns (id_col, n_words, n_tokens): whitespace word count and
+    the post-merge symbol count summed over the document's words.
+
+    Scale shape: training as in ``bpe_merges`` (which carries the
+    word column through, so the trained vocab IS the encode table —
+    no merge replay); application is a WORD-LEVEL join — each word's
+    final symbol count comes from the trained vocab relation
+    (vocab-sized), joined back to the document's exploded words (one
+    keyed shuffle), then re-aggregated per document.  The corpus is
+    never re-tokenized per merge.
+    """
+    _, vocab = bpe_merges(df, text_col, n_merges, return_vocab=True)
+    word_tokens = vocab.select(
+        "word", F.size(F.split(F.col("rep"), SEP)).alias("_wt")
+    )
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("word"),
+    )
+    return (
+        doc_words.join(word_tokens, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_wt").cast("long").alias("n_tokens"),
+        )
     )

@@ -3412,3 +3412,24 @@ def test_fellegi_sunter_weights_and_bands(spark):
     assert out[(1, 3)]["score"] == pytest.approx(round(w1a + w2d, 6))
     assert out[(1, 3)]["decision"] == "possible"     # 3.17-2 = 1.17
     assert out[(1, 3)]["f1_agree"] and not out[(1, 3)]["f2_agree"]
+
+
+def test_bpe_token_counts_classic(spark):
+    """bpe.py::bpe_token_counts on the Sennrich corpus: after the
+    est/low merges, 'low' is 1 token + </w>? No — the word rep keeps
+    its own </w> symbol, so 'low' -> [low, </w>] = 2 tokens after
+    merge 5 with n_merges=5."""
+    from botkop_telcotraffic_spark_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    out = bpe_token_counts(df, "doc_id", "text", n_merges=5).collect()[0]
+    assert out["n_words"] == 16
+    # merges: es, est, est</w>, lo, low
+    # low -> low ␟ </w> (2); lower -> low e r </w> (4);
+    # newest -> n e w est</w> (4); widest -> w i d est</w> (4)
+    assert out["n_tokens"] == 5 * 2 + 2 * 4 + 6 * 4 + 3 * 4

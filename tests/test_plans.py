@@ -583,6 +583,7 @@ def test_registry_wide_no_cartesian(spark):
         "bm25_search_docs",          # one-row N / avgdl scalars
         "hybrid_rrf_docs",           # bm25 input (same scalars) + probe
         "hamming_ann_topk",          # broadcast bounded query set (r5)
+        "hamming_rerank_topk",       # same 1-bit index scan, stage 1 (r5)
         "pq_codes_embeddings",       # broadcast k-centroid codebooks (r5)
     }
     # Streaming/replay entries execute a full streaming job at build

@@ -8487,6 +8487,349 @@ FROM fb0 f0 {joins}
 """
 
 
+def adamic_adar_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (operators/graph.py::adamic_adar)
+    over the co-purchased-parts graph: top-50 NON-adjacent part pairs
+    by Σ 1/ln(deg(z)) over common neighbors z — "which parts will be
+    bought together next".  Hub centers (deg > 64) are dropped by the
+    operator's documented cap (quadratic wedge bulk, ≈0 information
+    each), which the oracle mirrors exactly.  Deterministic cut:
+    rounded score desc, then (a, b)."""
+    from botkop_telcotraffic_spark_spark.operators.graph import adamic_adar
+
+    return (
+        adamic_adar(_copart_edges(spark, sf_dir), max_center_degree=64)
+        .orderBy(F.col("aa_score").desc(), "a", "b")
+        .limit(50)
+    )
+
+
+_ADAMIC_ADAR_SQL = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM bi l1
+  JOIN bi l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), adj AS (
+  SELECT a AS z, b AS n FROM pairs
+  UNION ALL
+  SELECT b AS z, a AS n FROM pairs
+), deg AS (
+  SELECT z, count(*) AS dz FROM adj GROUP BY z
+), small AS (
+  SELECT adj.z, adj.n, deg.dz FROM adj JOIN deg USING (z)
+  WHERE deg.dz <= 64
+), wedges AS (
+  SELECT x.n AS a, y.n AS b, 1.0 / ln(CAST(x.dz AS DOUBLE)) AS w
+  FROM small x
+  JOIN small y ON x.z = y.z AND x.n < y.n
+), scored AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+         round(sum(w), 6) AS aa_score
+  FROM wedges GROUP BY a, b
+)
+SELECT a, b, common_neighbors, aa_score
+FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.a = s.a AND p.b = s.b)
+ORDER BY aa_score DESC, a, b
+LIMIT 50
+"""
+
+
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/drift.py::psi_drift) of
+    per-type value distributions, first half-month vs second, 10
+    global equi-width bins with 0.5-Laplace smoothing — the
+    industry-standard drift MAGNITUDE score (<0.1 stable, >0.25
+    action) completing the JS/chi²/KS drift family.  One (key, bin)
+    aggregate + a ≤10-row-per-key window; input-size-independent."""
+    from botkop_telcotraffic_spark_spark.operators.drift import psi_drift
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    return psi_drift(
+        e,
+        ["event_type"],
+        "value",
+        F.col("ts") >= F.lit(_INC_CUT).cast("timestamp"),
+        bins=10,
+    )
+
+
+_PSI_SQL = f"""
+WITH base AS (
+  SELECT event_type, value AS v,
+         ts >= TIMESTAMP '{_INC_CUT}' AS b
+  FROM events WHERE value IS NOT NULL
+), rng AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+binned AS (
+  SELECT event_type,
+         least(9, CAST(floor((v - lo)
+               / ((CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END) / 10))
+               AS INT)) AS bin,
+         sum(CASE WHEN b THEN 0 ELSE 1 END) AS ca,
+         sum(CASE WHEN b THEN 1 ELSE 0 END) AS cb
+  FROM base, rng GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, bin, ca, cb,
+         sum(ca) OVER (PARTITION BY event_type) AS na,
+         sum(cb) OVER (PARTITION BY event_type) AS nb,
+         CAST(count(*) OVER (PARTITION BY event_type) AS DOUBLE) AS k
+  FROM binned
+), terms AS (
+  SELECT event_type, bin,
+         CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         ((cb + 0.5) / (nb + 0.5 * k) - (ca + 0.5) / (na + 0.5 * k))
+           * ln(((cb + 0.5) / (nb + 0.5 * k))
+                / ((ca + 0.5) / (na + 0.5 * k))) AS term
+  FROM tot WHERE na > 0 AND nb > 0
+), rn AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY term DESC, bin) AS r
+  FROM terms
+)
+SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+       round(sum(term), 6) AS psi,
+       min(CASE WHEN r = 1 THEN bin END) AS psi_max_bin
+FROM rn GROUP BY event_type
+"""
+
+
+def bh_fdr_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (operators/experiment.py::
+    bh_adjust) over per-type two-sample z-tests of mean value, first
+    half-month vs second — the multiple-testing gate for many-segment
+    readouts, with the normal tail computed by the SAME
+    Abramowitz-Stegun 26.2.17 polynomial on both engines
+    (experiment.normal_sf ↔ normal_sf_sql; no scipy, no erf builtin).
+    p-values are rounded to 6 BEFORE ranking so the BH order is
+    cross-engine deterministic.  The hypothesis table is
+    segment-sized (5 rows); all data-sized work is one keyed
+    aggregate of conditional moments."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        bh_adjust,
+        normal_sf,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    b = (F.col("ts") >= F.lit(_INC_CUT).cast("timestamp")).alias("b")
+    v = F.col("value").cast("double")
+    g = (
+        e.where(v.isNotNull())
+        .select("event_type", v.alias("v"), b)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(~F.col("b"), 1).otherwise(0))
+            .cast("double")
+            .alias("na"),
+            F.sum(F.when(F.col("b"), 1).otherwise(0))
+            .cast("double")
+            .alias("nb"),
+            F.avg(F.when(~F.col("b"), F.col("v"))).alias("ma"),
+            F.avg(F.when(F.col("b"), F.col("v"))).alias("mb"),
+            F.var_pop(F.when(~F.col("b"), F.col("v"))).alias("va"),
+            F.var_pop(F.when(F.col("b"), F.col("v"))).alias("vb"),
+        )
+        .where((F.col("na") >= 2) & (F.col("nb") >= 2))
+    )
+    az = F.abs(
+        (F.col("mb") - F.col("ma"))
+        / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"))
+    )
+    p = F.round(F.least(F.lit(1.0), 2.0 * normal_sf(az)), 6)
+    return bh_adjust(
+        g.select("event_type", p.alias("p")), ["event_type"], "p"
+    )
+
+
+def _bh_fdr_sql() -> str:
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        normal_sf_sql,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         ts >= TIMESTAMP '{_INC_CUT}' AS b
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN b THEN 0 ELSE 1 END) AS DOUBLE) AS na,
+         CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+         avg(CASE WHEN b THEN NULL ELSE v END) AS ma,
+         avg(CASE WHEN b THEN v END) AS mb,
+         var_pop(CASE WHEN b THEN NULL ELSE v END) AS va,
+         var_pop(CASE WHEN b THEN v END) AS vb
+  FROM base GROUP BY 1
+), z AS (
+  SELECT event_type,
+         abs((mb - ma) / sqrt(va / na + vb / nb)) AS az
+  FROM g WHERE na >= 2 AND nb >= 2
+), pv AS (
+  SELECT event_type,
+         round(least(1.0, 2.0 * {normal_sf_sql("az")}), 6) AS p
+  FROM z
+), r AS (
+  SELECT event_type, p,
+         row_number() OVER (ORDER BY p, event_type) AS rank,
+         CAST(count(*) OVER () AS DOUBLE) AS m
+  FROM pv
+)
+SELECT event_type, round(p, 6) AS p, rank,
+       round(least(1.0, min(p * m / rank) OVER (ORDER BY rank
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6)
+         AS q_value,
+       round(least(1.0, min(p * m / rank) OVER (ORDER BY rank
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6)
+         <= 0.05 AS discovery
+FROM r
+"""
+
+
+def acf_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type autocorrelation function (operators/timeseries.py::
+    autocorrelation) at lags 1-4 of the hourly mean-value series —
+    seasonality/burstiness probe.  The hourly series is rounded to 6
+    BEFORE the ACF so both engines fold bit-identical inputs; the
+    per-key window is bounded by the bucketed time axis (series
+    length = span/hour), per the operator's contract."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    hourly = (
+        e.where(F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    return autocorrelation(hourly, ["event_type"], "hr", "v", max_lag=4)
+
+
+_ACF_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         round(avg(value), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), cen AS (
+  SELECT event_type, hr,
+         v - avg(v) OVER (PARTITION BY event_type) AS c
+  FROM hourly
+), led AS (
+  SELECT event_type, c,
+         c * lead(c, 1) OVER w AS t1,
+         c * lead(c, 2) OVER w AS t2,
+         c * lead(c, 3) OVER w AS t3,
+         c * lead(c, 4) OVER w AS t4
+  FROM cen WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+), agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n, sum(c * c) AS den,
+         sum(t1) AS n1, sum(t2) AS n2, sum(t3) AS n3, sum(t4) AS n4
+  FROM led GROUP BY 1
+)
+SELECT event_type, lag, n,
+       round(CASE WHEN den > 0 THEN num / den END, 6) + 0.0 AS acf
+FROM (
+  SELECT event_type, n, den, 1 AS lag, n1 AS num FROM agg
+  UNION ALL SELECT event_type, n, den, 2, n2 FROM agg
+  UNION ALL SELECT event_type, n, den, 3, n3 FROM agg
+  UNION ALL SELECT event_type, n, den, 4, n4 FROM agg
+)
+"""
+
+
+def mutual_info_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (operators/profile.py::mutual_information)
+    between event_type and a fixed-width value band — the
+    feature-selection / label-leakage probe; sum(mi_term) IS the MI
+    estimate and the largest terms name the dependent cells.  One
+    cell aggregate + cell-sized marginal re-aggregates; null-safe
+    marginal joins (NULL is a category)."""
+    from botkop_telcotraffic_spark_spark.operators.profile import (
+        mutual_information,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    base = e.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.least(
+            F.lit(9), F.floor(F.col("value") / 33.0).cast("long")
+        ).alias("band"),
+    )
+    return mutual_information(base, "event_type", "band").select(
+        F.col("x").alias("event_type"),
+        F.col("y").alias("value_band"),
+        "n_xy",
+        "mi_term",
+    )
+
+
+_MI_SQL = """
+WITH base AS (
+  SELECT event_type AS x,
+         least(9, CAST(floor(value / 33.0) AS BIGINT)) AS y
+  FROM events WHERE value IS NOT NULL
+), cells AS (
+  SELECT x, y, count(*) AS n_xy FROM base GROUP BY 1, 2
+), mx AS (SELECT x, sum(n_xy) AS n_x FROM cells GROUP BY 1),
+my AS (SELECT y, sum(n_xy) AS n_y FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n_xy) AS DOUBLE) AS n FROM cells)
+SELECT c.x AS event_type, c.y AS value_band,
+       CAST(c.n_xy AS BIGINT) AS n_xy,
+       round((c.n_xy / t.n)
+             * log2((c.n_xy / t.n) / ((mx.n_x / t.n) * (my.n_y / t.n))),
+             6) + 0.0 AS mi_term
+FROM cells c
+JOIN mx ON c.x IS NOT DISTINCT FROM mx.x
+JOIN my ON c.y IS NOT DISTINCT FROM my.y, tot t
+"""
+
+
+def interarrival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics (operators/timeseries.py::
+    interarrival_stats): mean gap, exponential-MLE rate λ = 1/mean,
+    and CV burstiness (≈1 Poisson, ≫1 bursty) — arrival-process
+    profiling of the event stream.  Epoch micros / 1e6 on both sides
+    (exact integer → identical double); ties broken by event_id."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        interarrival_stats,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("tsec"),
+        "event_id",
+    )
+    return interarrival_stats(
+        e, ["event_type"], "tsec", order_cols=["event_id"]
+    )
+
+
+_INTERARRIVAL_SQL = """
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) / 1000000.0 AS t, event_id
+  FROM events
+), gaps AS (
+  SELECT event_type,
+         t - lag(t) OVER (PARTITION BY event_type
+                          ORDER BY t, event_id) AS gap
+  FROM pts
+), g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(avg(gap), 6) + 0.0 AS mean_gap_s,
+       round(CASE WHEN avg(gap) > 0 THEN 1.0 / avg(gap) END, 6)
+         + 0.0 AS lambda_per_s,
+       round(CASE WHEN avg(gap) > 0 THEN stddev_pop(gap) / avg(gap) END,
+             6) + 0.0 AS cv
+FROM g GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8503,11 +8846,13 @@ FROM fb0 f0 {joins}
 # wide scalar columns, and the null-safe-join advisory fixes to
 # winsorize/CUSUM oracles), (c) the 10 NEW round-5 operators
 # (hamming ANN + rerank, matryoshka, PQ, BPE, vocab coverage, Gini,
-# KMV, audio features, Fellegi-Sunter), and (d) the stalest re-checks
-# (r1-green, unchanged since; six of the original 33 were re-demoted
-# to make room for the new operators and rotate next round).  After
-# r5 every oracle-bearing entry EXCEPT those six holds a green row in
-# r1∪…∪r5.  Entries
+# KMV, audio features, Fellegi-Sunter), (d) the stalest re-checks
+# (r1-green, unchanged since; twelve of the original 33 were
+# re-demoted to make room for the new operators and rotate next
+# round), and (e) the 6 wave-2 round-5 operators (Adamic-Adar, PSI,
+# BH-FDR, ACF, mutual information, inter-arrival), slots 20-25.
+# After r5 every oracle-bearing entry EXCEPT the demoted r1-green
+# twelve holds a green row in r1∪…∪r5.  Entries
 # past slot 50 are driver-green at their latest check; the full
 # pytest suite still verifies every oracle entry each run
 # (tests/test_oracle_parity.py) regardless of slot, and bench.py
@@ -8539,12 +8884,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (c) stalest re-checks: green in r1, unchanged since
     "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
     "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
-    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
-    "q5_region_revenue": (q5_region_revenue, _Q5_SQL),
-    "top_events_by_value": (top_events_by_value, _TOPK_SQL),
-    "daily_distinct_users": (daily_distinct_users, _DAILY_SQL),
-    "rollup_order_stats": (rollup_order_stats, _ROLLUP_SQL),
+    # (e) round-5 wave 2: link prediction, drift PSI, FDR, ACF, MI,
+    # arrival-process stats — new this round, checked immediately
+    "adamic_adar_coparts": (adamic_adar_coparts, _ADAMIC_ADAR_SQL),
+    "psi_value_drift": (psi_value_drift, _PSI_SQL),
+    "bh_fdr_event_rates": (bh_fdr_event_rates, _bh_fdr_sql()),
+    "acf_hourly_values": (acf_hourly_values, _ACF_SQL),
+    "mutual_info_events": (mutual_info_events, _MI_SQL),
+    "interarrival_events": (interarrival_events, _INTERARRIVAL_SQL),
     "window_rank_orders": (window_rank_orders, _WINRANK_SQL),
     "set_ops_customer_segments": (set_ops_customer_segments, _SETOPS_SQL),
     "customers_without_urgent_orders": (customers_without_urgent_orders, _ANTI_SQL),
@@ -8576,6 +8923,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # all driver-green at their latest check AND pytest-oracle-verified
     # every run (tests/test_oracle_parity.py); ordered stalest-first so
     # future rotations promote from the top of this block
+    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, _Q5_SQL),
+    "top_events_by_value": (top_events_by_value, _TOPK_SQL),
+    "daily_distinct_users": (daily_distinct_users, _DAILY_SQL),
+    "rollup_order_stats": (rollup_order_stats, _ROLLUP_SQL),
     "iqr_outliers_events": (iqr_outliers_events, _IQR_SQL),
     "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
     "stats_user_tumbling": (stats_user_tumbling, _STATS_TUMBLING_SQL),

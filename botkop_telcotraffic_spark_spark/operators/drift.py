@@ -130,6 +130,110 @@ def chi_square_drift(
     )
 
 
+def psi_drift(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: Column | str,
+    in_b: Column,
+    bins: int = 10,
+    laplace: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index per key between slice A (``in_b``
+    false, the "expected"/reference population) and slice B (true,
+    the "actual"/current one) — the scorecard-monitoring classic
+    (PSI = Σ (p_b - p_a)·ln(p_b/p_a) over bins; rule of thumb:
+    < 0.1 stable, 0.1-0.25 shifting, > 0.25 action).  Completes the
+    drift family: JS (information), chi-square (significance), KS
+    (worst-case ECDF gap), PSI (industry-standard magnitude score).
+
+    Values are bucketed into ``bins`` equi-width bins over the GLOBAL
+    [min, max] range (one 1-row broadcast, same binning contract as
+    :func:`ks_drift_binned`); per-slice bin probabilities are
+    Laplace-smoothed over the OBSERVED bin count so a bin empty in
+    one slice contributes a finite term instead of ±inf — same
+    smoothing contract as :func:`categorical_drift`.
+
+    Returns per key: ``n_a``, ``n_b``, ``psi`` (sum of bin terms)
+    and ``psi_max_bin`` (the bin contributing the largest term;
+    smallest index on ties) — the "which region of the distribution
+    moved" explanation.  Keys with an empty slice are omitted.
+
+    Physical shape: one 1-row min/max broadcast, ONE (key, bin)
+    aggregate (map-side combined), one ≤ ``bins``-row-per-key window
+    — input-size-independent output, no data-path Python.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    b = in_b.cast("boolean")
+    base = df.where(v.isNotNull()).select(
+        *[F.col(c) for c in key_cols], v.alias("_v"), b.alias("_b")
+    )
+    rng = base.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    binned = (
+        base.crossJoin(F.broadcast(rng))
+        .select(
+            *key_cols,
+            "_b",
+            # same degenerate-range guard as ks_drift_binned: a
+            # constant column lands in bin 0, not a NaN-poisoned NULL
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col("_v") - F.col("_lo"))
+                    / (
+                        F.when(
+                            F.col("_hi") > F.col("_lo"),
+                            F.col("_hi") - F.col("_lo"),
+                        ).otherwise(F.lit(1.0))
+                        / bins
+                    )
+                ).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy(*key_cols, "bin")
+        .agg(
+            F.sum(F.when(~F.col("_b"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("_b"), 1).otherwise(0)).alias("cb"),
+        )
+    )
+    tot = Window.partitionBy(*key_cols)
+    lam = F.lit(float(laplace))
+    with_tot = binned.select(
+        *key_cols,
+        "bin",
+        "ca",
+        "cb",
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+        F.count(F.lit(1)).over(tot).cast("double").alias("_k"),
+    ).where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    p_a = (F.col("ca") + lam) / (F.col("n_a") + lam * F.col("_k"))
+    p_b = (F.col("cb") + lam) / (F.col("n_b") + lam * F.col("_k"))
+    term = (p_b - p_a) * F.log(p_b / p_a)
+    terms = with_tot.select(
+        *key_cols,
+        "bin",
+        "n_a",
+        "n_b",
+        term.alias("_term"),
+    )
+    wmax = Window.partitionBy(*key_cols).orderBy(
+        F.col("_term").desc(), F.col("bin")
+    )
+    return (
+        terms.withColumn("_rn", F.row_number().over(wmax))
+        .groupBy(*key_cols)
+        .agg(
+            F.first(F.col("n_a")).cast("long").alias("n_a"),
+            F.first(F.col("n_b")).cast("long").alias("n_b"),
+            F.round(F.sum("_term"), round_to).alias("psi"),
+            F.min(F.when(F.col("_rn") == 1, F.col("bin"))).alias(
+                "psi_max_bin"
+            ),
+        )
+    )
+
+
 def ks_drift_binned(
     df: DataFrame,
     key_cols: Sequence[str],

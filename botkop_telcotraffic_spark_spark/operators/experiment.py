@@ -248,3 +248,98 @@ def msprt_test(
             "p_always"
         ),
     )
+
+
+# Abramowitz & Stegun 26.2.17 rational-polynomial tail of the standard
+# normal CDF — |error| < 7.5e-8, pure arithmetic + exp, so BOTH Spark
+# and a SQL oracle can evaluate the identical formula (no scipy on the
+# executors, no erf builtin needed in either engine).
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_T = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def normal_sf(z):
+    """Upper-tail P(Z > z) for z >= 0 as a Column expression
+    (Abramowitz-Stegun 26.2.17).  Callers pass |z| and double the
+    result for a two-sided p-value."""
+    t = 1.0 / (1.0 + _AS_T * z)
+    poly = (
+        _AS_B[0] * t
+        + _AS_B[1] * t * t
+        + _AS_B[2] * t * t * t
+        + _AS_B[3] * t * t * t * t
+        + _AS_B[4] * t * t * t * t * t
+    )
+    return _INV_SQRT_2PI * F.exp(-z * z / 2.0) * poly
+
+
+def normal_sf_sql(z_expr: str) -> str:
+    """The IDENTICAL A&S 26.2.17 formula as a SQL fragment over the
+    (non-negative) expression ``z_expr`` — keep in lockstep with
+    :func:`normal_sf` so engine and oracle agree to float precision."""
+    t = f"(1.0 / (1.0 + {_AS_T} * ({z_expr})))"
+    poly = (
+        f"({_AS_B[0]} * {t} + {_AS_B[1]} * {t}*{t} "
+        f"+ {_AS_B[2]} * {t}*{t}*{t} + {_AS_B[3]} * {t}*{t}*{t}*{t} "
+        f"+ {_AS_B[4]} * {t}*{t}*{t}*{t}*{t})"
+    )
+    return f"({_INV_SQRT_2PI} * exp(-({z_expr})*({z_expr})/2.0) * {poly})"
+
+
+def bh_adjust(
+    df: DataFrame,
+    key_cols,
+    p_col: str = "p",
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (JRSS-B 1995) over a table of
+    per-hypothesis p-values — the multiple-testing gate every
+    many-segment experiment readout needs (m segments tested at 0.05
+    yield 0.05·m false alarms uncorrected; BH caps the FALSE DISCOVERY
+    RATE at alpha instead).
+
+    q_i = min_{j >= i} p_(j)·m/j over the ascending p order (ties
+    broken by the key columns for cross-engine determinism), clamped
+    to 1; ``discovery`` = (q <= alpha).  The step-up min is a single
+    suffix-min window — the textbook algorithm, expressed relationally.
+
+    Scale note: the input is HYPOTHESIS-sized (one row per segment /
+    metric), not data-sized — the global rank window over it is a
+    deliberate single-task sort of a model-sized table, same contract
+    as the centroid tables.  The data-sized work (computing each
+    p-value) happens upstream in keyed aggregates.
+
+    Returns the input keys + ``p`` (rounded), ``rank``, ``q_value``,
+    ``discovery``.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in key_cols]
+    wr = Window.orderBy(F.col(p_col), *keys)
+    wm = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # m comes from a window count, not a driver-side .count() — the
+    # builder stays action-free (bench/driver construct lazily)
+    ranked = df.select(
+        *key_cols,
+        F.col(p_col).alias("_p"),
+        F.row_number().over(wr).alias("rank"),
+        F.count(F.lit(1)).over(wm).cast("double").alias("_m"),
+    )
+    ws = Window.orderBy("rank").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    q = F.least(
+        F.lit(1.0),
+        F.min(F.col("_p") * F.col("_m") / F.col("rank")).over(ws),
+    )
+    return ranked.select(
+        *key_cols,
+        F.round(F.col("_p"), round_to).alias("p"),
+        "rank",
+        F.round(q, round_to).alias("q_value"),
+        (F.round(q, round_to) <= F.lit(alpha)).alias("discovery"),
+    )

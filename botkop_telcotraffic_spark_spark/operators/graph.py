@@ -417,6 +417,81 @@ def triangle_counts(
     )
 
 
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_degree: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected graph: for every
+    non-adjacent pair (a, b) sharing >= 1 common neighbor, score
+    AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg(z)) (Adamic & Adar,
+    "Friends and neighbors on the Web", Social Networks 2003) — the
+    classic "which edge appears next" / related-item primitive, and
+    the weighted upgrade of plain common-neighbor counting (a shared
+    hub neighbor is weak evidence; a shared rare neighbor is strong).
+
+    Every candidate pair is generated as a wedge THROUGH a common
+    neighbor z, which yields deg(z)² pairs per center — the same hub
+    blow-up triangle counting dodges with degree orientation.  AA has
+    a cleaner out: a center with deg(z) > ``max_center_degree``
+    contributes at most 1/ln(max_center_degree) ≈ 0.24 per pair
+    (for 64) while generating the quadratic bulk, so hub centers are
+    DROPPED, bounding wedge fan-out at max_center_degree² per node.
+    That makes the score a documented lower bound that keeps exactly
+    the informative terms — the standard production trade (scores of
+    pairs whose ONLY common neighbors are hubs are suppressed
+    entirely, which is the right call for recommendation).  The
+    cut is part of the operator's contract so an oracle can mirror
+    it exactly.
+
+    Physical shape: one undirected-distinct shuffle, one degree
+    aggregate, one keyed join (degree onto adjacency), the wedge
+    self-join keyed on the center, one (a, b) score aggregate, and a
+    left-anti join removing existing edges — all keyed shuffles;
+    fan-out bounded by the degree cap, no cartesian.
+
+    Returns (a, b, common_neighbors, aa_score) with a < b,
+    aa_score rounded to ``round_to``.
+    """
+    s, d = F.col(src), F.col(dst)
+    und = (
+        edges.select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    bi = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("z"), F.col("b").alias("n"))
+    deg = bi.groupBy("z").agg(F.count(F.lit(1)).alias("dz"))
+    adj = bi.join(
+        deg.where(F.col("dz") <= max_center_degree), "z"
+    )
+    x, y = adj.alias("x"), adj.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.z") == F.col("y.z")) & (F.col("x.n") < F.col("y.n")),
+    ).select(
+        F.col("x.n").alias("a"),
+        F.col("y.n").alias("b"),
+        (F.lit(1.0) / F.log(F.col("x.dz").cast("double"))).alias("w"),
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum("w").alias("_aa"),
+    )
+    return (
+        scored.join(und, ["a", "b"], "left_anti")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            F.round(F.col("_aa"), round_to).alias("aa_score"),
+        )
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",

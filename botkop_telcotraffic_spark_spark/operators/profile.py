@@ -283,3 +283,63 @@ def gini_concentration(
             ).alias("gini"),
         )
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information I(X;Y) between two categorical columns,
+    decomposed per observed (x, y) cell — the dependence probe for
+    feature selection / leakage screening (is this column secretly
+    the label?) that correlation misses for non-linear or
+    non-ordinal relationships.
+
+        I(X;Y) = Σ_{x,y} p(x,y) · log2( p(x,y) / (p(x)·p(y)) )
+
+    Plug-in (maximum-likelihood) estimator over observed cells only —
+    unobserved cells contribute exactly 0 to the sum, so skipping
+    them is exact, not an approximation.  ``sum(mi_term)`` over the
+    result IS the MI estimate (>= 0 up to float noise); the largest
+    positive terms are the over-represented cells ("which
+    combinations carry the dependence").  NULL in either column is
+    treated as a category of its own (dependence involving
+    missingness is usually the leak being hunted): the marginal
+    joins are null-safe (``eqNullSafe`` ↔ ``IS NOT DISTINCT FROM``
+    in the oracle), so NULL cells keep their marginals instead of
+    silently dropping out of an inner equi-join.
+
+    Physical shape: ONE (x, y) cell aggregate (map-side combined),
+    two marginal re-aggregates of the CELL table (|X×Y|-sized, not
+    data-sized), joined back keyed, and a 1-row total broadcast —
+    input is scanned once; everything downstream is cell-table-sized.
+    """
+    cells = (
+        df.groupBy(
+            F.col(x_col).alias("x"), F.col(y_col).alias("y")
+        ).agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("n_xy").alias("n_x")).select(
+        F.col("x").alias("_mx"), "n_x"
+    )
+    my = cells.groupBy("y").agg(F.sum("n_xy").alias("n_y")).select(
+        F.col("y").alias("_my"), "n_y"
+    )
+    tot = cells.agg(F.sum("n_xy").cast("double").alias("_n"))
+    j = (
+        cells.join(mx, F.col("x").eqNullSafe(F.col("_mx")))
+        .join(my, F.col("y").eqNullSafe(F.col("_my")))
+        .crossJoin(F.broadcast(tot))
+    )
+    p_xy = F.col("n_xy") / F.col("_n")
+    p_x = F.col("n_x") / F.col("_n")
+    p_y = F.col("n_y") / F.col("_n")
+    term = p_xy * F.log(2.0, p_xy / (p_x * p_y))
+    return j.select(
+        "x",
+        "y",
+        F.col("n_xy").cast("long").alias("n_xy"),
+        (F.round(term, round_to) + F.lit(0.0)).alias("mi_term"),
+    )

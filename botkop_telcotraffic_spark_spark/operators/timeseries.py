@@ -199,6 +199,88 @@ def trend_ols(
     )
 
 
+def autocorrelation(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key sample autocorrelation function at lags 1..``max_lag``
+    — the seasonality/burstiness probe (a daily-periodic hourly
+    series lights up at lag 24; a bursty one decays slowly from
+    lag 1) complementing :func:`trend_ols` (trend) and
+    :func:`seasonal_zscore` (per-slot anomalies).
+
+    The standard biased estimator (Box-Jenkins):
+
+        r_k = Σ_{t<=n-k} (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+
+    with x̄ the full-series mean — the whole-series denominator (not
+    per-overlap) is what makes r_k a positive-definite sequence, and
+    matches statsmodels' ``acf(adjusted=False)``.
+
+    ``order_col`` must be unique per key (callers pass a bucketed
+    time axis, e.g. the hour).  Missing buckets are NOT gap-filled
+    here — compose with :func:`gap_fill_counts` upstream when the
+    series has holes, otherwise lag-k pairs span the gap.
+
+    Physical shape: one per-key ordered window producing the
+    ``max_lag`` lead columns + centered terms in a single pass, then
+    ONE keyed aggregate.  The per-key window is a single task over
+    that key's series — bounded by the bucketed-axis contract
+    (series length = time range / bucket, thousands not billions;
+    same contract as resample_locf/rolling windows).  Keys with
+    < max_lag + 2 points emit NULL acf at unobservable lags.
+
+    Returns (keys, lag, n, acf) long-form, one row per key × lag.
+    """
+    w = Window.partitionBy(*key_cols).orderBy("_o")
+    wall = Window.partitionBy(*key_cols)
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull()).select(
+        *key_cols,
+        F.col(order_col).alias("_o"),
+        x.alias("_x"),
+        F.avg(x).over(wall).alias("_mean"),
+    )
+    cen = base.select(
+        *key_cols,
+        "_o",
+        (F.col("_x") - F.col("_mean")).alias("_c"),
+    )
+    lead_terms = cen.select(
+        *key_cols,
+        F.col("_c"),
+        *[
+            (F.col("_c") * F.lead("_c", k).over(w)).alias(f"_t{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    agg = lead_terms.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_den"),
+        *[F.sum(f"_t{k}").alias(f"_num{k}") for k in range(1, max_lag + 1)],
+    )
+    stack = ", ".join(f"{k}, _num{k}" for k in range(1, max_lag + 1))
+    long = agg.select(
+        *key_cols,
+        "n",
+        "_den",
+        F.expr(f"stack({max_lag}, {stack}) as (lag, _num)"),
+    )
+    acf = F.when(
+        F.col("_den") > 0, F.col("_num") / F.col("_den")
+    )
+    return long.select(
+        *key_cols,
+        "lag",
+        "n",
+        (F.round(acf, round_to) + F.lit(0.0)).alias("acf"),
+    )
+
+
 def seasonal_zscore(
     df: DataFrame,
     ts_col: str,
@@ -314,3 +396,72 @@ def cusum_changepoint(
         )
     )
     return counts.join(peak, list(key_cols))
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    order_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key inter-arrival-time statistics: mean gap, the
+    exponential-MLE rate (λ = 1/mean, the closed-form fit: arrivals
+    per unit time if the process were Poisson) and the coefficient of
+    variation (CV = σ/μ of the gaps) — the burstiness diagnostic
+    (CV ≈ 1 Poisson, CV ≫ 1 bursty/self-exciting, CV ≪ 1
+    regular/heartbeat).  The arrival-process companion to
+    :func:`autocorrelation`'s value-series view — telco traffic
+    profiling 101 (is this event type machine-heartbeat or
+    human-bursty?).
+
+    Gaps are epoch-second differences of consecutive events per key,
+    ordered by (``ts_col``, *order_cols*) — extra columns break
+    timestamp ties so ``lag`` is well-defined; the gap MULTISET is
+    tie-order-invariant anyway (permuting equal timestamps permutes
+    which rows pair but not the resulting gap values), so the
+    aggregate is deterministic.
+
+    Physical shape: one per-key ordered window (single pass), one
+    keyed aggregate of the gap sufficient statistics (map-side
+    combined).  Per-key window is a single task over that key's
+    events — callers key by a bounded-cardinality dimension
+    (event_type, cell tower), not by a key with unbounded per-key
+    volume, or pre-bucket time; documented contract shared with the
+    rolling-window family.
+
+    Returns (keys, n_gaps, mean_gap_s, lambda_per_s, cv) — keys with
+    < 2 events have no gap and are omitted.
+    """
+    tie_cols = list(order_cols or [])
+    w = Window.partitionBy(*key_cols).orderBy("_t", *tie_cols)
+    gaps = (
+        df.select(
+            *key_cols,
+            F.col(ts_col).cast("double").alias("_t"),
+            *tie_cols,
+        )
+        .withColumn("_gap", F.col("_t") - F.lag("_t").over(w))
+        .where(F.col("_gap").isNotNull())
+    )
+    agg = gaps.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.avg("_gap").alias("_mu"),
+        F.stddev_pop("_gap").alias("_sigma"),
+    )
+    mu = F.col("_mu")
+    return agg.select(
+        *key_cols,
+        "n_gaps",
+        (F.round(mu, round_to) + F.lit(0.0)).alias("mean_gap_s"),
+        (
+            F.round(F.when(mu > 0, F.lit(1.0) / mu), round_to)
+            + F.lit(0.0)
+        ).alias("lambda_per_s"),
+        (
+            F.round(
+                F.when(mu > 0, F.col("_sigma") / mu), round_to
+            )
+            + F.lit(0.0)
+        ).alias("cv"),
+    )

@@ -3433,3 +3433,204 @@ def test_bpe_token_counts_classic(spark):
     # low -> low ␟ </w> (2); lower -> low e r </w> (4);
     # newest -> n e w est</w> (4); widest -> w i d est</w> (4)
     assert out["n_tokens"] == 5 * 2 + 2 * 4 + 6 * 4 + 3 * 4
+
+
+def test_adamic_adar_hand_graph(spark):
+    """Path graph 1-2-3 plus hub 4 connected to all: AA(1,3) through
+    center 2 (deg 2 after hub removal? no — degrees count ALL edges);
+    verify against a hand union of wedge contributions."""
+    from botkop_telcotraffic_spark_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (2, 4), (3, 4)], "src int, dst int"
+    )
+    out = {
+        (r["a"], r["b"]): r
+        for r in adamic_adar(edges, max_center_degree=64).collect()
+    }
+    # non-adjacent pairs: only (1, 3).  Common neighbors: 2 (deg 3)
+    # and 4 (deg 3) -> AA = 2 / ln(3); common_neighbors = 2.
+    assert set(out) == {(1, 3)}
+    r = out[(1, 3)]
+    assert r["common_neighbors"] == 2
+    assert r["aa_score"] == pytest.approx(2.0 / math.log(3.0), abs=1e-6)
+
+
+def test_adamic_adar_hub_cap_drops_center(spark):
+    """A center above max_center_degree generates NO wedges — the
+    documented quadratic-bulk cut."""
+    from botkop_telcotraffic_spark_spark.operators.graph import adamic_adar
+
+    star = [(0, i) for i in range(1, 6)]  # hub 0, degree 5
+    edges = spark.createDataFrame(star, "src int, dst int")
+    assert adamic_adar(edges, max_center_degree=4).count() == 0
+    # raising the cap re-admits the hub: C(5,2) leaf pairs appear
+    assert adamic_adar(edges, max_center_degree=5).count() == 10
+
+
+def test_psi_identical_slices_near_zero(spark):
+    """PSI of a distribution against itself is ~0 (exactly 0 up to
+    smoothing asymmetry when slice sizes are equal)."""
+    from botkop_telcotraffic_spark_spark.operators.drift import psi_drift
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        v = rng.uniform(0, 100)
+        rows.append(("k", v, i % 2 == 0))
+        rows.append(("k", v, i % 2 == 1))  # mirrored -> identical slices
+    df = spark.createDataFrame(rows, "k string, v double, b boolean")
+    out = psi_drift(df, ["k"], "v", F.col("b"), bins=10).collect()
+    assert len(out) == 1
+    assert out[0]["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert out[0]["n_a"] == 400 and out[0]["n_b"] == 400
+
+
+def test_psi_shifted_slices_positive(spark):
+    from botkop_telcotraffic_spark_spark.operators.drift import psi_drift
+
+    rng = random.Random(8)
+    rows = [("k", rng.uniform(0, 50), False) for _ in range(300)] + [
+        ("k", rng.uniform(50, 100), True) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, b boolean")
+    out = psi_drift(df, ["k"], "v", F.col("b"), bins=10).collect()[0]
+    assert out["psi"] > 0.25  # disjoint supports -> strong drift
+
+
+def test_bh_adjust_matches_hand_stepup(spark):
+    """Classic BH example: p = (.01, .02, .03, .04, .05) with m=5 ->
+    q = (.05, .05, .05, .05, .05); and a textbook non-monotone case
+    where the suffix-min flattens q."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import bh_adjust
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04), ("e", 0.05)],
+        "g string, p double",
+    )
+    out = {r["g"]: r for r in bh_adjust(df, ["g"], "p").collect()}
+    for g in "abcde":
+        assert out[g]["q_value"] == pytest.approx(0.05)
+        assert out[g]["discovery"] is True
+    # non-monotone raw p*m/i: p=(.001, .4, .41) -> raw (.003, .6, .41)
+    # -> q = (.003, .41, .41) via suffix min
+    df2 = spark.createDataFrame(
+        [("x", 0.001), ("y", 0.4), ("z", 0.41)], "g string, p double"
+    )
+    out2 = {r["g"]: r for r in bh_adjust(df2, ["g"], "p").collect()}
+    assert out2["x"]["q_value"] == pytest.approx(0.003)
+    assert out2["y"]["q_value"] == pytest.approx(0.41)
+    assert out2["z"]["q_value"] == pytest.approx(0.41)
+    assert out2["x"]["discovery"] and not out2["y"]["discovery"]
+
+
+def test_normal_sf_matches_python_erfc(spark):
+    """A&S 26.2.17 vs math.erfc within the published 7.5e-8 bound."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import normal_sf
+
+    zs = [0.0, 0.5, 1.0, 1.644854, 1.959964, 2.575829, 4.0]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    out = df.select("z", normal_sf(F.col("z")).alias("sf")).collect()
+    for r in out:
+        exact = 0.5 * math.erfc(r["z"] / math.sqrt(2.0))
+        assert r["sf"] == pytest.approx(exact, abs=7.5e-8)
+
+
+def test_autocorrelation_matches_numpy_model(spark):
+    """ACF of a known AR-ish sequence vs a pure-python Box-Jenkins
+    reference (same biased estimator)."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    rng = random.Random(11)
+    xs = []
+    prev = 0.0
+    for _ in range(200):
+        prev = 0.7 * prev + rng.gauss(0, 1)
+        xs.append(prev)
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "k string, t int, x double"
+    )
+    out = {
+        r["lag"]: r["acf"]
+        for r in autocorrelation(df, ["k"], "t", "x", max_lag=3).collect()
+    }
+    mean = sum(xs) / len(xs)
+    den = sum((x - mean) ** 2 for x in xs)
+    for k in (1, 2, 3):
+        num = sum(
+            (xs[t] - mean) * (xs[t + k] - mean) for t in range(len(xs) - k)
+        )
+        assert out[k] == pytest.approx(num / den, abs=1e-6)
+    assert out[1] > 0.5  # AR(0.7) autocorrelates strongly at lag 1
+
+
+def test_interarrival_regular_vs_bursty(spark):
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        interarrival_stats,
+    )
+
+    rows = [("reg", float(10 * i), i) for i in range(50)]
+    # bursty: pairs close together, long silences between pairs
+    t, bid = 0.0, 0
+    bursty = []
+    for i in range(25):
+        bursty.append(("burst", t, bid)); bid += 1
+        bursty.append(("burst", t + 0.1, bid)); bid += 1
+        t += 100.0
+    df = spark.createDataFrame(
+        rows + bursty, "k string, ts double, i int"
+    )
+    out = {
+        r["k"]: r
+        for r in interarrival_stats(
+            df, ["k"], "ts", order_cols=["i"]
+        ).collect()
+    }
+    assert out["reg"]["cv"] == pytest.approx(0.0, abs=1e-9)
+    assert out["reg"]["mean_gap_s"] == pytest.approx(10.0)
+    assert out["reg"]["lambda_per_s"] == pytest.approx(0.1)
+    assert out["burst"]["cv"] > 0.9
+    assert out["reg"]["n_gaps"] == 49 and out["burst"]["n_gaps"] == 49
+
+
+def test_mutual_information_independent_vs_dependent(spark):
+    from botkop_telcotraffic_spark_spark.operators.profile import (
+        mutual_information,
+    )
+
+    # perfectly dependent: y == x over 4 symbols, uniform -> MI = 2 bits
+    dep = spark.createDataFrame(
+        [(str(i % 4), i % 4) for i in range(400)], "x string, y int"
+    )
+    mi_dep = (
+        mutual_information(dep, "x", "y")
+        .agg(F.sum("mi_term").alias("mi"))
+        .collect()[0]["mi"]
+    )
+    assert mi_dep == pytest.approx(2.0, abs=1e-4)
+    # independent uniform 4x4 grid -> MI = 0
+    ind = spark.createDataFrame(
+        [(str(i % 4), (i // 4) % 4) for i in range(400)], "x string, y int"
+    )
+    mi_ind = (
+        mutual_information(ind, "x", "y")
+        .agg(F.sum("mi_term").alias("mi"))
+        .collect()[0]["mi"]
+    )
+    assert mi_ind == pytest.approx(0.0, abs=1e-4)
+
+
+def test_mutual_information_null_category_kept(spark):
+    from botkop_telcotraffic_spark_spark.operators.profile import (
+        mutual_information,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), (None, 1), (None, None)],
+        "x string, y int",
+    )
+    out = mutual_information(df, "x", "y")
+    assert out.count() == 4  # every (x, y) cell kept, NULLs included
+    assert out.where(F.col("x").isNull()).count() == 2

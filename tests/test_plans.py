@@ -585,6 +585,8 @@ def test_registry_wide_no_cartesian(spark):
         "hamming_ann_topk",          # broadcast bounded query set (r5)
         "hamming_rerank_topk",       # same 1-bit index scan, stage 1 (r5)
         "pq_codes_embeddings",       # broadcast k-centroid codebooks (r5)
+        "psi_value_drift",           # one-row global min/max scalar (r5)
+        "mutual_info_events",        # one-row grand-total scalar (r5)
     }
     # Streaming/replay entries execute a full streaming job at build
     # time and return a batch read of their sink — a parquet scan

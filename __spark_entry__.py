@@ -8830,6 +8830,269 @@ FROM g GROUP BY 1
 """
 
 
+def trajectory_speed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-fix segment speeds (operators/
+    trajectory.py::trajectory_speeds) over the synthetic event
+    points: haversine km, elapsed s, km/h, and the impossible-jump
+    flag (> 1000 km/h or zero-time teleport) — the GPS-glitch / SIM-
+    clone screen.  The haversine is ONE dual-dialect formula string
+    (trajectory.haversine_sql) evaluated by F.expr here and verbatim
+    by the oracle."""
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        trajectory_speeds,
+    )
+
+    pts = _event_points(spark, sf_dir).join(
+        _t(spark, sf_dir, "events").select(
+            "event_id",
+            (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("t_sec"),
+        ),
+        "event_id",
+    )
+    return trajectory_speeds(
+        pts,
+        ["user_id"],
+        "t_sec",
+        "lat",
+        "lng",
+        order_cols=["event_id"],
+        max_kmh=1000.0,
+    )
+
+
+def _trajectory_sql() -> str:
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        haversine_sql,
+    )
+
+    hav = haversine_sql("plat", "plng", "lat", "lng")
+    speed = f"(CASE WHEN t_s - pt > 0 THEN {hav} / ((t_s - pt) / 3600.0) END)"
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+j AS (
+  SELECT p.user_id, p.event_id, p.lat, p.lng,
+         epoch_us(e.ts) / 1000000.0 AS t_s
+  FROM pts p JOIN events e USING (event_id)
+), seg AS (
+  SELECT user_id, event_id, t_s, lat, lng,
+         lag(t_s) OVER w AS pt,
+         lag(lat) OVER w AS plat,
+         lag(lng) OVER w AS plng
+  FROM j WINDOW w AS (PARTITION BY user_id ORDER BY t_s, event_id)
+)
+SELECT user_id, event_id, t_s,
+       round(t_s - pt, 6) + 0.0 AS gap_s,
+       round({hav}, 6) + 0.0 AS dist_km,
+       round({speed}, 6) + 0.0 AS speed_kmh,
+       coalesce({speed} > 1000.0, {hav} > 0) AS impossible
+FROM seg WHERE pt IS NOT NULL
+"""
+
+
+def od_flows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination cell flows (operators/trajectory.py::
+    od_flows): per-user consecutive transitions between precision-2
+    geohash cells of the synthetic points, aggregated to (from, to)
+    trip + distinct-user counts — the capacity-planning OD matrix.
+    Self-loops dropped; flows with >= 2 trips kept."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.trajectory import od_flows
+
+    pts = _event_points(spark, sf_dir).join(
+        _t(spark, sf_dir, "events").select(
+            "event_id",
+            (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("t_sec"),
+        ),
+        "event_id",
+    )
+    cells = pts.withColumn(
+        "cell", F.expr(geohash_sql("lat", "lng", 2, "spark"))
+    )
+    return od_flows(
+        cells,
+        ["user_id"],
+        "t_sec",
+        "cell",
+        order_cols=["event_id"],
+        min_trips=2,
+    )
+
+
+def _od_flows_sql() -> str:
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+j AS (
+  SELECT p.user_id, p.event_id,
+         {geohash_sql('p.lat', 'p.lng', 2, 'duckdb')} AS cell,
+         epoch_us(e.ts) / 1000000.0 AS t_s
+  FROM pts p JOIN events e USING (event_id)
+), trans AS (
+  SELECT user_id, cell,
+         lag(cell) OVER (PARTITION BY user_id
+                         ORDER BY t_s, event_id) AS prev
+  FROM j
+)
+SELECT prev AS from_cell, cell AS to_cell,
+       CAST(count(*) AS BIGINT) AS n_trips,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM trans
+WHERE prev IS NOT NULL AND prev != cell
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+def theil_sen_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-pair Theil-Sen robust trend (operators/timeseries.py::
+    theil_sen) of the per-type hourly mean-value series (x = days
+    since the fixed 1997 origin, same pre-centering contract as
+    trend_ols) — the outlier-proof slope next to the OLS one.  Pairs
+    bounded at 24 x-rank steps (n·24 rows per key, never C(n,2));
+    median via percentile(0.5) ↔ quantile_cont."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import theil_sen
+
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    hourly = (
+        e.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.round(F.avg("value"), 6).alias("y"))
+        .select(
+            "event_type",
+            (
+                (F.unix_micros("hr") - F.lit(_TREND_ORIGIN_US))
+                / F.lit(86_400_000_000.0)
+            ).alias("x"),
+            "y",
+        )
+    )
+    return theil_sen(hourly, ["event_type"], "x", "y", max_pair_lag=24)
+
+
+_THEIL_SEN_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         (epoch_us(date_trunc('hour', ts)) - {_TREND_ORIGIN_US})
+           / 86400000000.0 AS x,
+         round(avg(value), 6) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_trunc('hour', ts)
+), ranked AS (
+  SELECT event_type, x, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY x) AS rk
+  FROM hourly
+), pairs AS (
+  SELECT r1.event_type, (r2.y - r1.y) / (r2.x - r1.x) AS s
+  FROM ranked r1
+  JOIN ranked r2
+    ON r1.event_type = r2.event_type
+   AND r2.rk > r1.rk AND r2.rk <= r1.rk + 24
+   AND r2.x != r1.x
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         quantile_cont(s, 0.5) AS mhat
+  FROM pairs GROUP BY 1
+)
+SELECT h.event_type, m.n_pairs,
+       round(m.mhat, 6) + 0.0 AS slope,
+       round(quantile_cont(h.y - m.mhat * h.x, 0.5), 6) + 0.0 AS intercept
+FROM hourly h JOIN m ON h.event_type = m.event_type
+GROUP BY h.event_type, m.n_pairs, m.mhat
+"""
+
+
+def heaps_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (operators/text.py::
+    heaps_fit): V(N) ≈ k·N^β over 64 id-range checkpoints — the
+    corpus-health scalar next to zipf_slope_docs (β → 1 = unsaturated
+    "vocabulary" → OCR noise / random ids).  The prefix sums run over
+    ≤ 64 bucket rows, never over doc order."""
+    from botkop_telcotraffic_spark_spark.operators.text import heaps_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return heaps_fit(d, "doc_id", "text", buckets=64)
+
+
+_HEAPS_BUCKET = (
+    "least(63, CAST(floor((d - lo) / "
+    "(CAST(CASE WHEN hi > lo THEN hi - lo ELSE 1 END AS DOUBLE) / 64)) "
+    "AS INT))"
+)
+
+_HEAPS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), rng AS (SELECT min(d) AS lo, max(d) AS hi FROM toks),
+tok_b AS (
+  SELECT {_HEAPS_BUCKET} AS b, count(*) AS n_tok
+  FROM toks, rng GROUP BY 1
+), first_occ AS (
+  SELECT term, min(d) AS d FROM toks GROUP BY 1
+), new_b AS (
+  SELECT {_HEAPS_BUCKET} AS b, count(*) AS n_new
+  FROM first_occ, rng GROUP BY 1
+), pts0 AS (
+  SELECT t.b,
+         sum(t.n_tok) OVER (ORDER BY t.b) AS cum_tok,
+         sum(coalesce(n.n_new, 0)) OVER (ORDER BY t.b) AS cum_v
+  FROM tok_b t LEFT JOIN new_b n USING (b)
+), pts AS (
+  SELECT ln(CAST(cum_tok AS DOUBLE)) AS x,
+         ln(CAST(cum_v AS DOUBLE)) AS y
+  FROM pts0 WHERE cum_tok > 0 AND cum_v > 0
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS beta,
+       round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n),
+             6) + 0.0 AS k,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS r2
+FROM s
+"""
+
+
+def column_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon-entropy profile (operators/profile.py::
+    column_entropy) of the deterministic-rendering event columns
+    (event_type, user_id, props — doubles excluded: float→string
+    rendering is engine-specific) — the informativeness / degeneracy
+    scan that picks partition keys and spots constant columns."""
+    from botkop_telcotraffic_spark_spark.operators.profile import (
+        column_entropy,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return column_entropy(e, ["event_type", "user_id", "props"])
+
+
+_COLUMN_ENTROPY_SQL = """
+WITH melted AS (
+  SELECT 'event_type' AS col, CAST(event_type AS VARCHAR) AS val FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'props', CAST(props AS VARCHAR) FROM events
+), counts AS (
+  SELECT col, val, count(*) AS n FROM melted GROUP BY 1, 2
+), cc AS (
+  SELECT col, val, n,
+         CAST(sum(n) OVER (PARTITION BY col) AS DOUBLE) AS tot
+  FROM counts
+)
+SELECT col, CAST(max(tot) AS BIGINT) AS n_values,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(sum(-(n / tot) * log2(n / tot)), 6) + 0.0 AS entropy_bits,
+       round(max(n) / max(tot), 6) + 0.0 AS top_freq_ratio
+FROM cc GROUP BY col
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8850,9 +9113,11 @@ FROM g GROUP BY 1
 # (r1-green, unchanged since; twelve of the original 33 were
 # re-demoted to make room for the new operators and rotate next
 # round), and (e) the 6 wave-2 round-5 operators (Adamic-Adar, PSI,
-# BH-FDR, ACF, mutual information, inter-arrival), slots 20-25.
-# After r5 every oracle-bearing entry EXCEPT the demoted r1-green
-# twelve holds a green row in r1∪…∪r5.  Entries
+# BH-FDR, ACF, mutual information, inter-arrival), slots 20-25, and
+# (f) the 5 wave-3 operators (trajectory speeds, OD flows,
+# Theil-Sen, Heaps fit, column entropy), slots 26-30.  After r5
+# every oracle-bearing entry EXCEPT the demoted r1-green eleven
+# holds a green row in r1∪…∪r5.  Entries
 # past slot 50 are driver-green at their latest check; the full
 # pytest suite still verifies every oracle entry each run
 # (tests/test_oracle_parity.py) regardless of slot, and bench.py
@@ -8892,11 +9157,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "acf_hourly_values": (acf_hourly_values, _ACF_SQL),
     "mutual_info_events": (mutual_info_events, _MI_SQL),
     "interarrival_events": (interarrival_events, _INTERARRIVAL_SQL),
-    "window_rank_orders": (window_rank_orders, _WINRANK_SQL),
-    "set_ops_customer_segments": (set_ops_customer_segments, _SETOPS_SQL),
-    "customers_without_urgent_orders": (customers_without_urgent_orders, _ANTI_SQL),
-    "customers_with_orders": (customers_with_orders, _SEMI_SQL),
-    "stats_by_event_type": (stats_by_event_type, _STATS_TYPE_SQL),
+    # (f) round-5 wave 3: trajectory analytics, robust trend, corpus
+    # growth, entropy profiling — new this round, checked immediately
+    "trajectory_speed_events": (trajectory_speed_events, _trajectory_sql()),
+    "od_flows_events": (od_flows_events, _od_flows_sql()),
+    "theil_sen_value_trend": (theil_sen_value_trend, _THEIL_SEN_SQL),
+    "heaps_fit_docs": (heaps_fit_docs, _HEAPS_SQL),
+    "column_entropy_events": (column_entropy_events, _COLUMN_ENTROPY_SQL),
     "latest_order_enrich": (latest_order_enrich, _ENRICH_SQL),
     "geofence_rect_events": (geofence_rect_events, _GEO_RECT_SQL),
     "geofence_polygon_events": (geofence_polygon_events, _GEO_POLY_SQL),
@@ -8929,6 +9196,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "top_events_by_value": (top_events_by_value, _TOPK_SQL),
     "daily_distinct_users": (daily_distinct_users, _DAILY_SQL),
     "rollup_order_stats": (rollup_order_stats, _ROLLUP_SQL),
+    "window_rank_orders": (window_rank_orders, _WINRANK_SQL),
+    "set_ops_customer_segments": (set_ops_customer_segments, _SETOPS_SQL),
+    "customers_without_urgent_orders": (customers_without_urgent_orders, _ANTI_SQL),
+    "customers_with_orders": (customers_with_orders, _SEMI_SQL),
+    "stats_by_event_type": (stats_by_event_type, _STATS_TYPE_SQL),
     "iqr_outliers_events": (iqr_outliers_events, _IQR_SQL),
     "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
     "stats_user_tumbling": (stats_user_tumbling, _STATS_TUMBLING_SQL),

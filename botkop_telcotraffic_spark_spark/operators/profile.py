@@ -343,3 +343,49 @@ def mutual_information(
         F.col("n_xy").cast("long").alias("n_xy"),
         (F.round(term, round_to) + F.lit(0.0)).alias("mi_term"),
     )
+
+
+def column_entropy(
+    df: DataFrame,
+    cols,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-column Shannon entropy profile: for each listed column,
+    the number of values, distinct count, entropy in bits
+    (−Σ p·log2 p over the value distribution, NULL counted as a
+    category — missingness is information too) and the top value's
+    frequency share — the "how informative / how degenerate is this
+    column" scan that picks partition keys, spots constant columns,
+    and sizes dictionary encodings.
+
+    Physical shape: one ``stack`` melt (scan-side, no shuffle), ONE
+    (col, value) aggregate (map-side combined), a per-column window
+    over the VALUE-DISTRIBUTION table (vocabulary-sized, not
+    data-sized), and a per-column final aggregate.  Adding columns
+    multiplies melt rows, not passes.
+    """
+    from pyspark.sql import Window
+
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    melted = df.select(
+        F.expr(f"stack({len(cols)}, {pairs}) as (col, val)")
+    )
+    counts = melted.groupBy("col", "val").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wc = Window.partitionBy("col")
+    cc = counts.withColumn(
+        "_tot", F.sum("n").over(wc).cast("double")
+    )
+    p = F.col("n") / F.col("_tot")
+    return cc.groupBy("col").agg(
+        F.first("_tot").cast("long").alias("n_values"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (
+            F.round(F.sum(-p * F.log(2.0, p)), round_to) + F.lit(0.0)
+        ).alias("entropy_bits"),
+        (
+            F.round(F.max("n") / F.first("_tot"), round_to)
+            + F.lit(0.0)
+        ).alias("top_freq_ratio"),
+    )

@@ -578,3 +578,96 @@ def vocab_coverage(
         ).alias("cum_frac"),
     )
     return ranked.where(F.col("rank") <= top_n)
+
+
+def heaps_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ k·N^β, estimated
+    as the OLS line of ln(cum_vocab) on ln(cum_tokens) sampled at
+    ``buckets`` checkpoints along the corpus — the companion
+    corpus-health scalar to :func:`zipf_slope` (natural language sits
+    around β ≈ 0.4-0.6; β → 1 means the "vocabulary" never saturates
+    — OCR noise, random ids, boilerplate hashes; β ≈ 0 means a
+    closed vocabulary — templated/synthetic text).
+
+    Scale shape — the reason for the checkpoints: the exact growth
+    curve needs a GLOBAL cumulative count over doc order (a full
+    prefix sum).  Instead docs are bucketed by equi-width id ranges
+    (one 1-row min/max broadcast); per bucket, ONE aggregate
+    computes token mass and newly-first-seen term count (first
+    occurrence = min(doc_id) per term — a vocabulary-sized
+    aggregate, not a scan ordering).  The cumulative sums then run
+    over ≤ ``buckets`` rows — a bounded single-partition window, the
+    documented exception class.  The fitted curve is the TRUE curve
+    sampled at bucket boundaries, not an approximation of it.
+
+    Returns ONE row: (n_points, beta, k, r2), rounded.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(words(F.col(text_col))).alias("term"),
+    )
+    rng = toks.agg(
+        F.min("_doc").alias("_lo"), F.max("_doc").alias("_hi")
+    )
+    span = F.when(
+        F.col("_hi") > F.col("_lo"), (F.col("_hi") - F.col("_lo"))
+    ).otherwise(F.lit(1)).cast("double")
+    bucket = F.least(
+        F.lit(buckets - 1),
+        F.floor(
+            (F.col("_doc") - F.col("_lo")) / (span / buckets)
+        ).cast("int"),
+    )
+    tok_b = (
+        toks.crossJoin(F.broadcast(rng))
+        .select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    first = toks.groupBy("term").agg(F.min("_doc").alias("_doc"))
+    new_b = (
+        first.crossJoin(F.broadcast(rng))
+        .select(bucket.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = (
+        tok_b.join(new_b, "b", "left_outer")
+        .select(
+            "b",
+            F.sum("n_tok").over(w).alias("cum_tok"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_v"),
+        )
+        .where((F.col("cum_tok") > 0) & (F.col("cum_v") > 0))
+        .select(
+            F.log(F.col("cum_tok").cast("double")).alias("x"),
+            F.log(F.col("cum_v").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    lnk = (sy - beta * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return pts.agg(
+        n.cast("long").alias("n_points"),
+        (F.round(beta, round_to) + F.lit(0.0)).alias("beta"),
+        (F.round(F.exp(lnk), round_to) + F.lit(0.0)).alias("k"),
+        (F.round(r2, round_to) + F.lit(0.0)).alias("r2"),
+    )

@@ -465,3 +465,84 @@ def interarrival_stats(
             + F.lit(0.0)
         ).alias("cv"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    max_pair_lag: int = 24,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend: the MEDIAN of pairwise slopes
+    (y_j − y_i)/(x_j − x_i) — the outlier-proof companion to
+    :func:`trend_ols` (OLS slope has breakdown point 0: one corrupted
+    point moves it arbitrarily; the slope-median tolerates ~29%
+    corruption).
+
+    WINDOWED-pair variant, and the contract says so: full Theil-Sen
+    is all C(n,2) pairs — quadratic, the same shape this repo refuses
+    everywhere else.  Pairs are restricted to points ≤
+    ``max_pair_lag`` apart in x-rank, which (a) bounds work at
+    n·``max_pair_lag`` rows per key, and (b) is itself a published
+    robustness/efficiency trade (nearby-pair slope medians; cf.
+    Siegel's repeated-median line of work on bounded-pair robust
+    slopes).  All ``max_pair_lag`` lead columns come from ONE ordered
+    window pass — no self-join.
+
+    The median is ``percentile(0.5)`` (linear interpolation — the
+    same estimator as DuckDB's ``quantile_cont``, so an oracle
+    matches exactly up to rounding).  The intercept is the classic
+    median of residuals y_i − m̂·x_i, one key-sized join + one more
+    percentile aggregate.
+
+    Degenerate pairs (equal x) are skipped; keys with no valid pair
+    are omitted.  Returns (keys, n_pairs, slope, intercept).
+    """
+    w = Window.partitionBy(*key_cols).orderBy("_x")
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *key_cols,
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    led = base.select(
+        *key_cols,
+        "_x",
+        "_y",
+        *[
+            F.when(
+                F.lead("_x", k).over(w) != F.col("_x"),
+                (F.lead("_y", k).over(w) - F.col("_y"))
+                / (F.lead("_x", k).over(w) - F.col("_x")),
+            ).alias(f"_s{k}")
+            for k in range(1, max_pair_lag + 1)
+        ],
+    )
+    stack = ", ".join(f"_s{k}" for k in range(1, max_pair_lag + 1))
+    slopes = led.select(
+        *key_cols,
+        F.expr(
+            f"stack({max_pair_lag}, {stack}) as (_slope)"
+        ),
+    ).where(F.col("_slope").isNotNull())
+    m = slopes.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile("_slope", F.lit(0.5)).alias("_m"),
+    )
+    resid = base.join(m, key_cols).select(
+        *key_cols,
+        "n_pairs",
+        "_m",
+        (F.col("_y") - F.col("_m") * F.col("_x")).alias("_r"),
+    )
+    return resid.groupBy(*key_cols).agg(
+        F.first("n_pairs").alias("n_pairs"),
+        (F.round(F.first("_m"), round_to) + F.lit(0.0)).alias("slope"),
+        (
+            F.round(F.percentile("_r", F.lit(0.5)), round_to)
+            + F.lit(0.0)
+        ).alias("intercept"),
+    )

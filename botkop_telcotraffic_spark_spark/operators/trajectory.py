@@ -1,0 +1,152 @@
+"""Trajectory analytics over keyed point streams: segment speeds with
+impossible-jump flags, and origin-destination cell flows.
+
+The reference's domain is telco traffic — subscribers moving between
+cell towers (`/root/reference/src/main/scala/traffic/process/
+ClusterAnalyser.scala` clusters their positions; `Geofencer.scala`
+tests containment).  These operators add the movement-analysis
+layer every telco pipeline grows next: how FAST is each subscriber
+moving (and which fixes are physically impossible — GPS glitch /
+tower mislocation / SIM cloning), and which cell→cell flows carry
+the traffic (the OD matrix that drives capacity planning).
+
+Distance is great-circle haversine, generated as ONE SQL formula
+string (`haversine_sql`) evaluated by `F.expr` on the Spark side and
+verbatim by a DuckDB oracle — sin/cos/asin/radians/pow spell the
+same in both dialects, so the expression tree is identical and only
+last-ulp libm differences remain (absorbed by rounding, same
+contract as the geohash generator `functions/geo.py::geohash_sql`).
+
+Scale shape: both operators are ONE per-key ordered window pass
+(lag of the previous fix) followed by scan-side arithmetic — speeds
+add no shuffle beyond the window's keyed exchange; OD flows add one
+(from, to) aggregate, map-side combined, whose output is
+cell-pair-sized, not data-sized.  Keys are subscriber-sized: per-key
+series are bounded by one device's fix rate (a device emitting 1
+fix/s for a month is ~2.6 M rows — a single task's worth), the same
+per-key-bounded contract as the rolling-window family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+
+def haversine_sql(lat1: str, lng1: str, lat2: str, lng2: str) -> str:
+    """Great-circle distance in km between (lat1, lng1) and
+    (lat2, lng2) — one formula string valid in BOTH Spark SQL and
+    DuckDB (identical expression tree on both engines; keep any
+    edits dialect-neutral)."""
+    return (
+        f"(2.0 * {EARTH_RADIUS_KM} * asin(sqrt("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * pow(sin(radians(({lng2}) - ({lng1})) / 2), 2))))"
+    )
+
+
+def trajectory_speeds(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    lat_col: str,
+    lng_col: str,
+    order_cols: list[str] | None = None,
+    max_kmh: float = 1000.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key consecutive-fix segments: distance (haversine km),
+    elapsed seconds, speed km/h, and an ``impossible`` flag for
+    segments faster than ``max_kmh`` (default 1000 km/h ≈ airliner —
+    anything above is a glitch or a cloned identity) or teleports
+    (zero elapsed time over nonzero distance).
+
+    ``ts_col`` is epoch seconds (double); ``order_cols`` break
+    timestamp ties so ``lag`` is well-defined.  Keys with a single
+    fix emit nothing (no segment).
+
+    Returns (keys, *order_cols, t_s, gap_s, dist_km, speed_kmh,
+    impossible) — one row per segment, anchored at its END fix.
+    """
+    tie = list(order_cols or [])
+    w = Window.partitionBy(*key_cols).orderBy("t_s", *tie)
+    base = df.select(
+        *key_cols,
+        F.col(ts_col).cast("double").alias("t_s"),
+        F.col(lat_col).cast("double").alias("_lat"),
+        F.col(lng_col).cast("double").alias("_lng"),
+        *tie,
+    )
+    seg = (
+        base.withColumn("_pt", F.lag("t_s").over(w))
+        .withColumn("_plat", F.lag("_lat").over(w))
+        .withColumn("_plng", F.lag("_lng").over(w))
+        .where(F.col("_pt").isNotNull())
+    )
+    dist = F.expr(haversine_sql("_plat", "_plng", "_lat", "_lng"))
+    gap = F.col("t_s") - F.col("_pt")
+    speed = F.when(gap > 0, dist / (gap / F.lit(3600.0)))
+    return seg.select(
+        *key_cols,
+        *tie,
+        "t_s",
+        (F.round(gap, round_to) + F.lit(0.0)).alias("gap_s"),
+        (F.round(dist, round_to) + F.lit(0.0)).alias("dist_km"),
+        (F.round(speed, round_to) + F.lit(0.0)).alias("speed_kmh"),
+        (
+            F.coalesce(speed > F.lit(float(max_kmh)), dist > 0)
+        ).alias("impossible"),
+    )
+
+
+def od_flows(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    cell_col: str,
+    order_cols: list[str] | None = None,
+    min_trips: int = 1,
+) -> DataFrame:
+    """Origin-destination matrix: per-key consecutive cell
+    transitions (self-loops dropped — dwelling in a cell is not a
+    trip), aggregated to (from_cell, to_cell) flow counts and
+    distinct-key counts — the capacity-planning / commute-pattern
+    primitive.
+
+    ``approx``-free: n_keys is an exact count(distinct key) per
+    cell pair; at extreme pair cardinality swap for
+    approx_count_distinct at the call site.
+
+    Returns (from_cell, to_cell, n_trips, n_keys), trips >=
+    ``min_trips``.
+    """
+    tie = list(order_cols or [])
+    w = Window.partitionBy(*key_cols).orderBy("_t", *tie)
+    base = df.select(
+        *key_cols,
+        F.col(ts_col).cast("double").alias("_t"),
+        F.col(cell_col).alias("_cell"),
+        *tie,
+    )
+    trans = (
+        base.withColumn("_prev", F.lag("_cell").over(w))
+        .where(
+            F.col("_prev").isNotNull()
+            & (F.col("_prev") != F.col("_cell"))
+        )
+    )
+    key_expr = F.concat_ws("\x01", *[F.col(c).cast("string") for c in key_cols])
+    return (
+        trans.groupBy(
+            F.col("_prev").alias("from_cell"),
+            F.col("_cell").alias("to_cell"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.countDistinct(key_expr).alias("n_keys"),
+        )
+        .where(F.col("n_trips") >= min_trips)
+    )

@@ -3634,3 +3634,125 @@ def test_mutual_information_null_category_kept(spark):
     out = mutual_information(df, "x", "y")
     assert out.count() == 4  # every (x, y) cell kept, NULLs included
     assert out.where(F.col("x").isNull()).count() == 2
+
+
+def test_haversine_known_distance(spark):
+    """Paris (48.8566, 2.3522) - London (51.5074, -0.1278) ≈ 343.5 km."""
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        haversine_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278)],
+        "lat1 double, lng1 double, lat2 double, lng2 double",
+    )
+    d = df.select(
+        F.expr(haversine_sql("lat1", "lng1", "lat2", "lng2")).alias("d")
+    ).collect()[0]["d"]
+    assert d == pytest.approx(343.5, abs=1.0)
+
+
+def test_trajectory_speeds_flags(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        trajectory_speeds,
+    )
+
+    rows = [
+        ("u", 0.0, 0.0, 0.0, 1),
+        ("u", 3600.0, 1.0, 0.0, 2),   # 1 deg lat in 1h ≈ 111 km/h
+        ("u", 3600.0, 5.0, 0.0, 3),   # teleport: zero time, ~445 km
+        ("u", 7200.0, 50.0, 0.0, 4),  # 45 deg lat in 1h ≈ 5000 km/h
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, t double, lat double, lng double, i int"
+    )
+    out = {
+        r["i"]: r
+        for r in trajectory_speeds(
+            df, ["k"], "t", "lat", "lng", order_cols=["i"]
+        ).collect()
+    }
+    assert set(out) == {2, 3, 4}  # 3 segments from 4 fixes
+    assert out[2]["speed_kmh"] == pytest.approx(111.195, abs=0.1)
+    assert out[2]["impossible"] is False
+    assert out[3]["gap_s"] == 0.0 and out[3]["impossible"] is True
+    assert out[3]["speed_kmh"] is None  # zero-time: speed undefined
+    assert out[4]["impossible"] is True
+
+
+def test_od_flows_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import od_flows
+
+    rows = [
+        ("u1", 1.0, "A", 1), ("u1", 2.0, "B", 2), ("u1", 3.0, "B", 3),
+        ("u1", 4.0, "A", 4),  # u1: A->B (dwell dropped), B->A
+        ("u2", 1.0, "A", 5), ("u2", 2.0, "B", 6),  # u2: A->B
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, t double, cell string, i int"
+    )
+    out = {
+        (r["from_cell"], r["to_cell"]): r
+        for r in od_flows(
+            df, ["k"], "t", "cell", order_cols=["i"]
+        ).collect()
+    }
+    assert out[("A", "B")]["n_trips"] == 2
+    assert out[("A", "B")]["n_keys"] == 2
+    assert out[("B", "A")]["n_trips"] == 1
+    assert out[("B", "A")]["n_keys"] == 1
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from botkop_telcotraffic_spark_spark.operators.timeseries import theil_sen
+
+    pts = [("k", float(i), 2.0 * i + 1.0) for i in range(30)]
+    pts[29] = ("k", 29.0, 1000.0)  # one corrupted high-leverage point
+    df = spark.createDataFrame(pts, "k string, x double, y double")
+    out = theil_sen(df, ["k"], "x", "y", max_pair_lag=10).collect()[0]
+    assert out["slope"] == pytest.approx(2.0, abs=1e-6)
+    assert out["intercept"] == pytest.approx(1.0, abs=1e-6)
+    # OLS on the same data is yanked far off 2.0 by the outlier
+    from botkop_telcotraffic_spark_spark.operators.timeseries import trend_ols
+
+    ols = trend_ols(df, ["k"], "x", "y").collect()[0]
+    assert abs(ols["slope"] - 2.0) > 0.5
+
+
+def test_heaps_fit_extremes(spark):
+    from botkop_telcotraffic_spark_spark.operators.text import heaps_fit
+
+    # every token globally unique -> V(N) = N -> beta ~ 1
+    uniq = spark.createDataFrame(
+        [(i, f"w{4*i} w{4*i+1} w{4*i+2} w{4*i+3}") for i in range(256)],
+        "doc_id long, text string",
+    )
+    b1 = heaps_fit(uniq, "doc_id", "text", buckets=32).collect()[0]
+    assert b1["beta"] == pytest.approx(1.0, abs=1e-6)
+    assert b1["r2"] == pytest.approx(1.0, abs=1e-6)
+    # closed vocabulary -> V constant after bucket 1 -> beta ~ 0
+    closed = spark.createDataFrame(
+        [(i, "a b c d") for i in range(256)],
+        "doc_id long, text string",
+    )
+    b0 = heaps_fit(closed, "doc_id", "text", buckets=32).collect()[0]
+    assert abs(b0["beta"]) < 0.01
+
+
+def test_column_entropy_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.profile import (
+        column_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i % 4), "c", None if i % 2 else "x") for i in range(400)],
+        "u string, const string, halfnull string",
+    )
+    out = {r["col"]: r for r in column_entropy(df, ["u", "const", "halfnull"]).collect()}
+    assert out["u"]["entropy_bits"] == pytest.approx(2.0)  # uniform 4-way
+    assert out["u"]["n_distinct"] == 4
+    assert out["const"]["entropy_bits"] == pytest.approx(0.0)
+    assert out["const"]["top_freq_ratio"] == pytest.approx(1.0)
+    # NULL is a category: 50/50 split -> 1 bit
+    assert out["halfnull"]["entropy_bits"] == pytest.approx(1.0)
+    assert out["halfnull"]["n_distinct"] == 2

@@ -587,6 +587,7 @@ def test_registry_wide_no_cartesian(spark):
         "pq_codes_embeddings",       # broadcast k-centroid codebooks (r5)
         "psi_value_drift",           # one-row global min/max scalar (r5)
         "mutual_info_events",        # one-row grand-total scalar (r5)
+        "heaps_fit_docs",            # one-row id-range scalar, twice (r5)
     }
     # Streaming/replay entries execute a full streaming job at build
     # time and return a batch read of their sink — a parquet scan

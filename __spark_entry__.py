@@ -9093,6 +9093,149 @@ FROM cc GROUP BY col
 """
 
 
+def mobility_metrics_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user human-mobility metrics (operators/trajectory.py::
+    mobility_metrics): radius of gyration (González-Hidalgo-Barabási,
+    closed-form via per-key coordinate variances on the tangent
+    plane — no centroid join) and location entropy over precision-3
+    geohash cell visits (Song et al. predictability line) — the
+    subscriber-mobility profile every telco analytics stack ships."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        mobility_metrics,
+    )
+
+    pts = _event_points(spark, sf_dir).withColumn(
+        "cell", F.expr(geohash_sql("lat", "lng", 3, "spark"))
+    )
+    return mobility_metrics(pts, ["user_id"], "lat", "lng", "cell")
+
+
+def _mobility_sql() -> str:
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+cells AS (
+  SELECT user_id, lat, lng,
+         {geohash_sql('lat', 'lng', 3, 'duckdb')} AS cell
+  FROM pts
+), g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_fixes,
+         var_pop(lat) AS vlat, var_pop(lng) AS vlng, avg(lat) AS mlat
+  FROM cells GROUP BY 1
+), v AS (
+  SELECT user_id, cell, count(*) AS n FROM cells GROUP BY 1, 2
+), vt AS (
+  SELECT user_id, cell, n,
+         CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE) AS tot
+  FROM v
+), ent AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_cells,
+         sum(-(n / tot) * log2(n / tot)) AS h
+  FROM vt GROUP BY 1
+)
+SELECT g.user_id, g.n_fixes, ent.n_cells,
+       round(sqrt(vlat * 111.32 * 111.32
+                  + vlng * 111.32 * cos(radians(mlat))
+                    * 111.32 * cos(radians(mlat))), 6) + 0.0
+         AS radius_gyration_km,
+       round(ent.h, 6) + 0.0 AS location_entropy_bits
+FROM g JOIN ent USING (user_id)
+"""
+
+
+def clustering_coeff_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (operators/graph.py::
+    clustering_coefficient) over the co-purchased-parts graph —
+    Watts-Strogatz C(v) = 2T(v)/(d(v)(d(v)−1)), composed from the
+    hub-proof triangle counter plus one degree aggregate."""
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    return clustering_coefficient(_copart_edges(spark, sf_dir))
+
+
+_CLUSTERING_COEFF_SQL = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM bi l1
+  JOIN bi l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+  GROUP BY 1 HAVING count(*) >= 2
+), tri AS (
+  SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+), tcnt AS (
+  SELECT node, count(*) AS n_triangles
+  FROM (SELECT unnest([t1, t2, t3]) AS node FROM tri)
+  GROUP BY 1
+)
+SELECT deg.node, CAST(deg.degree AS BIGINT) AS degree,
+       CAST(coalesce(tcnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(2.0 * coalesce(tcnt.n_triangles, 0)
+             / (CAST(degree AS DOUBLE) * (CAST(degree AS DOUBLE) - 1.0)),
+             6) + 0.0 AS coeff
+FROM deg LEFT JOIN tcnt USING (node)
+"""
+
+
+def grid_clusters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based density clustering (operators/graph.py::
+    grid_density_clusters) of the synthetic event points: 2°×2°
+    cells, core = >= 5 points, clusters = components over
+    8-neighbor-adjacent core cells — the scalable DBSCAN
+    approximation (occupied-cell space, never a point-level ε
+    self-join).  The oracle replays the component step with a
+    recursive reachability CTE."""
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        grid_density_clusters,
+    )
+
+    pts = _event_points(spark, sf_dir)
+    return grid_density_clusters(pts, "lat", "lng", cell_size=2.0, min_pts=5)
+
+
+_GRID_CLUSTERS_SQL = f"""
+WITH RECURSIVE pts AS ({_EVENT_POINTS_SQL}),
+cells AS (
+  SELECT CAST(floor(lat / 2.0) AS BIGINT) AS cx,
+         CAST(floor(lng / 2.0) AS BIGINT) AS cy,
+         count(*) AS n_points
+  FROM pts GROUP BY 1, 2 HAVING count(*) >= 5
+), core AS (
+  SELECT cx, cy, n_points, cx * 1048576 + cy AS id FROM cells
+), ed AS (
+  SELECT c.id AS u, (c.cx + o.dx) * 1048576 + (c.cy + o.dy) AS v
+  FROM core c,
+       (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+               (0, 1), (1, -1), (1, 0), (1, 1)) AS o(dx, dy)
+  WHERE EXISTS (
+    SELECT 1 FROM core c2
+    WHERE c2.id = (c.cx + o.dx) * 1048576 + (c.cy + o.dy))
+), reach(u, label) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT ed.u, reach.label FROM ed JOIN reach ON ed.v = reach.u
+), comp AS (
+  SELECT u, min(label) AS c FROM reach GROUP BY u
+)
+SELECT core.cx, core.cy, CAST(core.n_points AS BIGINT) AS n_points,
+       comp.c AS cluster
+FROM core JOIN comp ON core.id = comp.u
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9164,9 +9307,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "theil_sen_value_trend": (theil_sen_value_trend, _THEIL_SEN_SQL),
     "heaps_fit_docs": (heaps_fit_docs, _HEAPS_SQL),
     "column_entropy_events": (column_entropy_events, _COLUMN_ENTROPY_SQL),
-    "latest_order_enrich": (latest_order_enrich, _ENRICH_SQL),
-    "geofence_rect_events": (geofence_rect_events, _GEO_RECT_SQL),
-    "geofence_polygon_events": (geofence_polygon_events, _GEO_POLY_SQL),
+    # (g) round-5 wave 4: mobility metrics, clustering coefficient,
+    # grid density clustering — new this round, checked immediately
+    "mobility_metrics_users": (mobility_metrics_users, _mobility_sql()),
+    "clustering_coeff_coparts": (clustering_coeff_coparts, _CLUSTERING_COEFF_SQL),
+    "grid_clusters_events": (grid_clusters_events, _GRID_CLUSTERS_SQL),
     "dedup_exact_docs": (dedup_exact_docs, _DEDUP_EXACT_SQL),
     "text_quality_docs": (text_quality_docs, _QUALITY_SQL),
     "lang_id_docs": (lang_id_docs, _LANGID_SQL),
@@ -9201,6 +9346,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "customers_without_urgent_orders": (customers_without_urgent_orders, _ANTI_SQL),
     "customers_with_orders": (customers_with_orders, _SEMI_SQL),
     "stats_by_event_type": (stats_by_event_type, _STATS_TYPE_SQL),
+    "latest_order_enrich": (latest_order_enrich, _ENRICH_SQL),
+    "geofence_rect_events": (geofence_rect_events, _GEO_RECT_SQL),
+    "geofence_polygon_events": (geofence_polygon_events, _GEO_POLY_SQL),
     "iqr_outliers_events": (iqr_outliers_events, _IQR_SQL),
     "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
     "stats_user_tumbling": (stats_user_tumbling, _STATS_TUMBLING_SQL),

@@ -634,3 +634,131 @@ def k_core(
         .where(F.col("degree") >= k)
         .select(F.col("u").alias("node"), "degree")
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-node local clustering coefficient C(v) = 2·T(v) /
+    (d(v)·(d(v)−1)) — the fraction of a node's neighbor pairs that
+    are themselves connected (Watts-Strogatz small-world coefficient)
+    — composed from :func:`triangle_counts` (which already carries
+    the O(m^1.5) hub-proof bound) plus one degree aggregate and one
+    keyed join.  Nodes with degree < 2 are omitted (no neighbor pair
+    to close); nodes in no triangle report 0.0.
+
+    Returns (node, degree, n_triangles, coeff).
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= 2)
+    )
+    tri = triangle_counts(e, "a", "b")
+    d = F.col("degree").cast("double")
+    return deg.join(tri, "node", "left_outer").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("long")
+        .alias("n_triangles"),
+        (
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (d * (d - 1.0)),
+                round_to,
+            )
+            + F.lit(0.0)
+        ).alias("coeff"),
+    )
+
+
+def grid_density_clusters(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    cell_size: float,
+    min_pts: int = 5,
+) -> DataFrame:
+    """Grid-based density clustering — the scalable DBSCAN
+    approximation (quantize to a grid, keep CORE cells with >=
+    ``min_pts`` points, union 8-neighbor-adjacent core cells into
+    clusters).  Classic two-level scheme (cf. the grid family:
+    STING/CLIQUE line of work; and DBSCAN itself, Ester et al.
+    KDD'96, whose ε-neighborhoods the cell adjacency approximates at
+    resolution ``cell_size``).
+
+    Why this shape at 100 TB: point-level DBSCAN needs an ε-range
+    self-join of the whole table; the grid form reduces the data to
+    OCCUPIED-CELL space in one aggregate, generates each core cell's
+    ≤ 8 neighbor keys scan-side (explode of a constant offset array
+    — no spatial index, no theta-join), and semi-joins against the
+    core-cell set.  Components over the resulting cell graph come
+    from :func:`connected_components` (probe-adaptive: driver
+    union-find for small graphs, min-label + pointer jumping above
+    threshold).  Every stage is keyed on cell ids; nothing is
+    data × data.
+
+    Cluster id = min (linearized) cell id in the component —
+    deterministic, oracle-reproducible.  Noise (points in non-core
+    cells) is simply absent from the output, like DBSCAN noise.
+
+    Returns (cx, cy, n_points, cluster) — one row per CORE cell.
+    """
+    cx = F.floor(F.col(x_col).cast("double") / F.lit(float(cell_size)))
+    cy = F.floor(F.col(y_col).cast("double") / F.lit(float(cell_size)))
+    cells = (
+        df.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .where(F.col("n_points") >= min_pts)
+    )
+    # linearized id: collision-free for |cy| < 2^20 cells (grid
+    # coordinates, not data values — documented bound)
+    lid = (F.col("cx") * F.lit(1 << 20) + F.col("cy")).alias("id")
+    core = cells.select("cx", "cy", "n_points", lid).localCheckpoint()
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    nbr = core.select(
+        F.col("id").alias("u"),
+        F.explode(offs).alias("o"),
+        F.col("cx"),
+        F.col("cy"),
+    ).select(
+        "u",
+        (
+            (F.col("cx") + F.col("o.dx")) * F.lit(1 << 20)
+            + (F.col("cy") + F.col("o.dy"))
+        ).alias("v"),
+    )
+    edges = nbr.join(
+        core.select(F.col("id").alias("v")), "v", "left_semi"
+    )
+    comp = connected_components(edges, "u", "v")
+    return (
+        core.join(comp, core["id"] == comp["node"], "left_outer")
+        .select(
+            "cx",
+            "cy",
+            F.col("n_points").cast("long").alias("n_points"),
+            F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
+        )
+    )

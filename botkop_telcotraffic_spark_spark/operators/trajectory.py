@@ -150,3 +150,83 @@ def od_flows(
         )
         .where(F.col("n_trips") >= min_trips)
     )
+
+
+def mobility_metrics(
+    df: DataFrame,
+    key_cols: list[str],
+    lat_col: str,
+    lng_col: str,
+    cell_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key human-mobility metrics (the two classics of the
+    mobile-phone-data literature):
+
+    * **radius of gyration** (González, Hidalgo & Barabási, Nature
+      2008): r_g = sqrt(mean squared distance of each fix from the
+      key's center of mass) — how far the subscriber's life spreads.
+      Computed on the equirectangular plane tangent at the key's mean
+      latitude (exact enough at city scale, and — unlike iterated
+      haversine-to-centroid — expressible as ONE closed-form
+      aggregate: E[d²] = var(lat_km) + var(lng_km); no second pass,
+      no centroid join).
+    * **location entropy** (Song et al., Science 2010 limits-of-
+      predictability line): Shannon entropy over the key's cell-visit
+      distribution — 0 bits = always the same cell (predictable),
+      high = spread (roaming).
+
+    Physical shape: one (key, cell) visit aggregate, one per-key
+    window over the key's CELL table (cells-per-key-sized), and the
+    gyration moments ride the same keyed aggregate — two keyed
+    shuffles total, output key-sized.  deg-km conversion uses the
+    fixed 111.32 km/deg equator constant on both engines.
+
+    Returns (keys, n_fixes, n_cells, radius_gyration_km,
+    location_entropy_bits).
+    """
+    from pyspark.sql import Window
+
+    km_lat = F.lit(111.32)
+    lat = F.col(lat_col).cast("double")
+    lng = F.col(lng_col).cast("double")
+    base = df.select(
+        *key_cols,
+        lat.alias("_lat"),
+        lng.alias("_lng"),
+        F.col(cell_col).alias("_cell"),
+    )
+    gyr = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fixes"),
+        F.var_pop("_lat").alias("_vlat"),
+        F.var_pop("_lng").alias("_vlng"),
+        F.avg("_lat").alias("_mlat"),
+    )
+    # squared-km spread: var(lat)·(km/deg)² + var(lng)·(km/deg·cosφ)²
+    coslat = F.cos(F.radians(F.col("_mlat")))
+    rg = F.sqrt(
+        F.col("_vlat") * km_lat * km_lat
+        + F.col("_vlng") * km_lat * coslat * km_lat * coslat
+    )
+    visits = base.groupBy(*key_cols, "_cell").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    wk = Window.partitionBy(*key_cols)
+    p = F.col("_n") / F.sum("_n").over(wk).cast("double")
+    ent = (
+        visits.withColumn("_term", -p * F.log(2.0, p))
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("_term").alias("_h"),
+        )
+    )
+    return gyr.join(ent, key_cols).select(
+        *key_cols,
+        "n_fixes",
+        "n_cells",
+        (F.round(rg, round_to) + F.lit(0.0)).alias("radius_gyration_km"),
+        (F.round(F.col("_h"), round_to) + F.lit(0.0)).alias(
+            "location_entropy_bits"
+        ),
+    )

@@ -3756,3 +3756,75 @@ def test_column_entropy_hand(spark):
     # NULL is a category: 50/50 split -> 1 bit
     assert out["halfnull"]["entropy_bits"] == pytest.approx(1.0)
     assert out["halfnull"]["n_distinct"] == 2
+
+
+def test_mobility_metrics_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        mobility_metrics,
+    )
+
+    rows = (
+        [("home", 10.0, 20.0, "A")] * 8
+        # roamer: 50/50 between two cells 1 deg of lat apart at lat 0
+        + [("roam", 0.0, 0.0, "A")] * 4
+        + [("roam", 1.0, 0.0, "B")] * 4
+    )
+    df = spark.createDataFrame(
+        rows, "k string, lat double, lng double, cell string"
+    )
+    out = {
+        r["k"]: r
+        for r in mobility_metrics(df, ["k"], "lat", "lng", "cell").collect()
+    }
+    assert out["home"]["radius_gyration_km"] == 0.0
+    assert out["home"]["location_entropy_bits"] == 0.0
+    assert out["home"]["n_cells"] == 1
+    # var_pop(lat) of 4x0 + 4x1 = 0.25 -> rg = 0.5 * 111.32 km
+    assert out["roam"]["radius_gyration_km"] == pytest.approx(
+        0.5 * 111.32, abs=1e-4
+    )
+    assert out["roam"]["location_entropy_bits"] == pytest.approx(1.0)
+    assert out["roam"]["n_cells"] == 2
+
+
+def test_clustering_coefficient_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    # triangle 1-2-3 plus pendant 4 attached to 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src int, dst int"
+    )
+    out = {
+        r["node"]: r for r in clustering_coefficient(edges).collect()
+    }
+    # node 1: d=3, T=1 -> 2/(3*2) = 1/3; nodes 2,3: d=2, T=1 -> 1.0
+    assert out[1]["coeff"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2]["coeff"] == 1.0 and out[3]["coeff"] == 1.0
+    assert 4 not in out  # degree 1: no neighbor pair to close
+
+
+def test_grid_density_clusters_two_blobs(spark):
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        grid_density_clusters,
+    )
+
+    rng = random.Random(3)
+    blob1 = [(rng.uniform(0, 2), rng.uniform(0, 2)) for _ in range(60)]
+    blob2 = [(rng.uniform(50, 52), rng.uniform(50, 52)) for _ in range(60)]
+    noise = [(float(100 + 7 * i), float(100 + 11 * i)) for i in range(10)]
+    df = spark.createDataFrame(
+        blob1 + blob2 + noise, "x double, y double"
+    )
+    out = grid_density_clusters(df, "x", "y", cell_size=1.0, min_pts=5).collect()
+    clusters = {r["cluster"] for r in out}
+    assert len(clusters) == 2  # two dense blobs
+    # noise cells (1 point each) never reach min_pts
+    assert all(r["n_points"] >= 5 for r in out)
+    # cells of the same blob share a label, across blobs differ
+    lab = {}
+    for r in out:
+        blob = 1 if r["cx"] < 25 else 2
+        lab.setdefault(blob, set()).add(r["cluster"])
+    assert len(lab[1]) == 1 and len(lab[2]) == 1

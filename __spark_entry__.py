@@ -5710,6 +5710,54 @@ FROM events GROUP BY user_id, event_type
 """
 
 
+def streaming_od_flows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OD flows (streaming/tws.py::HandoverProcessor): the
+    stateful-streaming twin of od_flows_events — one ValueState cell
+    per subscriber, transitions emitted exactly once across
+    micro-batch boundaries, flows aggregated from the append sink.
+    Same oracle as the batch twin (the flow matrix is
+    arrival-order-invariant given per-key event-time ordering)."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.tws import (
+        handover_transitions,
+    )
+
+    tune(spark)
+    enable_large_state(spark)
+    stream = (
+        stream_parquet_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("t"),
+            ((F.col("event_id") % 180) - 90 + F.lit(0.5)).alias("lat"),
+            (((F.col("event_id") * 7) % 360) - 180 + F.lit(0.5)).alias(
+                "lng"
+            ),
+        )
+        .withColumn("cell", F.expr(geohash_sql("lat", "lng", 2, "spark")))
+        .select("event_id", "user_id", "t", "cell")
+    )
+    snap = run_to_memory(
+        handover_transitions(stream), output_mode="append"
+    )
+    return (
+        snap.groupBy("from_cell", "to_cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trips"),
+            F.countDistinct(F.col("user_id").cast("string"))
+            .cast("long")
+            .alias("n_keys"),
+        )
+        .where(F.col("n_trips") >= 2)
+    )
+
+
 def streaming_lastk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ListState recent-history features
     (streaming/tws.py::LastKProcessor): per event, the mean of the
@@ -9312,7 +9360,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "mobility_metrics_users": (mobility_metrics_users, _mobility_sql()),
     "clustering_coeff_coparts": (clustering_coeff_coparts, _CLUSTERING_COEFF_SQL),
     "grid_clusters_events": (grid_clusters_events, _GRID_CLUSTERS_SQL),
-    "dedup_exact_docs": (dedup_exact_docs, _DEDUP_EXACT_SQL),
+    "streaming_od_flows_events": (streaming_od_flows_events, _od_flows_sql()),
     "text_quality_docs": (text_quality_docs, _QUALITY_SQL),
     "lang_id_docs": (lang_id_docs, _LANGID_SQL),
     "token_stats_docs": (token_stats_docs, _TOKEN_SQL),
@@ -9349,6 +9397,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "latest_order_enrich": (latest_order_enrich, _ENRICH_SQL),
     "geofence_rect_events": (geofence_rect_events, _GEO_RECT_SQL),
     "geofence_polygon_events": (geofence_polygon_events, _GEO_POLY_SQL),
+    "dedup_exact_docs": (dedup_exact_docs, _DEDUP_EXACT_SQL),
     "iqr_outliers_events": (iqr_outliers_events, _IQR_SQL),
     "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
     "stats_user_tumbling": (stats_user_tumbling, _STATS_TUMBLING_SQL),

@@ -486,3 +486,87 @@ def rolling_history_features(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- per-key ValueState: cell handover transitions ------------------------
+
+HANDOVER_OUT_SCHEMA = (
+    "user_id long, from_cell string, to_cell string, t double"
+)
+
+
+class HandoverProcessor(StatefulProcessor):
+    """Per-key cell-handover detector via ValueState: remembers each
+    subscriber's last cell (one scalar per key — the minimal state
+    the task needs, vs. buffering fixes) and emits one row per
+    OBSERVED transition (prev != cell; dwelling emits nothing) — the
+    streaming half of the OD-flow matrix, the batch twin of
+    ``operators/trajectory.py::od_flows``.
+
+    In-batch rows are sorted by (t, event_id) so replay batching
+    cannot reorder a key's timeline; state carries the last cell
+    ACROSS batches, so transitions spanning micro-batch boundaries
+    are emitted exactly once.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._last = handle.getValueState("last", "cell string")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows)).sort_values(["t", "event_id"])
+        prev = self._last.get()[0] if self._last.exists() else None
+        out = {"user_id": [], "from_cell": [], "to_cell": [], "t": []}
+        for _, row in batch.iterrows():
+            cell = row["cell"]
+            if prev is not None and prev != cell:
+                out["user_id"].append(key[0])
+                out["from_cell"].append(prev)
+                out["to_cell"].append(cell)
+                out["t"].append(float(row["t"]))
+            prev = cell
+        if prev is not None:
+            self._last.update((prev,))
+        yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def handover_transitions(points: DataFrame) -> DataFrame:
+    """points(event_id, user_id, t, cell) -> one row per cell
+    transition.  ValueState primary; scalar-state
+    applyInPandasWithState fallback without protobuf."""
+    if transform_with_state_available():
+        return points.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=HandoverProcessor(),
+            outputStructType=HANDOVER_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (prev,) = state.get if state.exists else (None,)
+        batch = pd.concat(list(pdfs)).sort_values(["t", "event_id"])
+        out = {"user_id": [], "from_cell": [], "to_cell": [], "t": []}
+        for _, row in batch.iterrows():
+            cell = row["cell"]
+            if prev is not None and prev != cell:
+                out["user_id"].append(key[0])
+                out["from_cell"].append(prev)
+                out["to_cell"].append(cell)
+                out["t"].append(float(row["t"]))
+            prev = cell
+        if prev is not None:
+            state.update((prev,))
+        yield pd.DataFrame(out)
+
+    return points.groupBy("user_id").applyInPandasWithState(
+        _group,
+        outputStructType=HANDOVER_OUT_SCHEMA,
+        stateStructType="cell string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -934,3 +934,65 @@ def test_lastk_features_carry_history_across_batches(spark):
         5: (3, 20.0),                 # (10+20+30)/3, carried from file A
         6: (3, 30.0),                 # (20+30+40)/3
     }
+
+
+def test_handover_transitions_cross_batch(spark):
+    """HandoverProcessor carries the last cell across micro-batches:
+    a transition whose endpoints straddle a file boundary is emitted
+    EXACTLY once, and two-file one-per-trigger replay equals the
+    single-batch run (streaming/tws.py::handover_transitions)."""
+    import pandas as pd
+
+    from botkop_telcotraffic_spark_spark.streaming.tws import (
+        handover_transitions,
+    )
+
+    src = os.path.join(TMP, "handover_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    # user 0: A A | B B  (transition A->B straddles the file split)
+    # user 1: X Y | Y X  (one transition per file)
+    rows = []
+    cells = {0: ["A", "A", "B", "B"], 1: ["X", "Y", "Y", "X"]}
+    for u, seq in cells.items():
+        for i, c in enumerate(seq):
+            rows.append(
+                {"event_id": u * 10 + i, "user_id": u,
+                 "t": float(i), "cell": c}
+            )
+    pdf = pd.DataFrame(rows).sort_values("t")
+    pdf[pdf["t"] < 2].to_parquet(os.path.join(src, "a.parquet"))
+    pdf[pdf["t"] >= 2].to_parquet(os.path.join(src, "b.parquet"))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_to_memory(
+        handover_transitions(stream),
+        output_mode="append",
+        checkpoint=os.path.join(TMP, "ckpt_handover"),
+    )
+    got = sorted(
+        (r["user_id"], r["from_cell"], r["to_cell"], r["t"])
+        for r in out.collect()
+    )
+    assert got == [
+        (0, "A", "B", 2.0),
+        (1, "X", "Y", 1.0),
+        (1, "Y", "X", 3.0),
+    ]
+
+    single = run_to_memory(
+        handover_transitions(
+            spark.readStream.schema(schema).parquet(src)
+        ),
+        output_mode="append",
+        checkpoint=os.path.join(TMP, "ckpt_handover_one"),
+    )
+    assert got == sorted(
+        (r["user_id"], r["from_cell"], r["to_cell"], r["t"])
+        for r in single.collect()
+    )

@@ -9284,6 +9284,174 @@ FROM core JOIN comp ON core.id = comp.u
 """
 
 
+def dwell_times_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell dwell-time profile (operators/trajectory.py::
+    dwell_times): gaps-and-islands run collapse of each user's
+    same-cell fix runs into visits, dwell = enter→next-run enter;
+    per-cell visit count + mean/total dwell — tower load duration,
+    the companion to the OD transition counts.  Final open visits
+    are right-censored out, same convention as the survival module."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        dwell_times,
+    )
+
+    pts = (
+        _event_points(spark, sf_dir)
+        .join(
+            _t(spark, sf_dir, "events").select(
+                "event_id",
+                (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("t_sec"),
+            ),
+            "event_id",
+        )
+        .withColumn("cell", F.expr(geohash_sql("lat", "lng", 2, "spark")))
+    )
+    return dwell_times(
+        pts, ["user_id"], "t_sec", "cell", order_cols=["event_id"]
+    )
+
+
+def _dwell_sql() -> str:
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+j AS (
+  SELECT p.user_id, p.event_id,
+         {geohash_sql('p.lat', 'p.lng', 2, 'duckdb')} AS cell,
+         epoch_us(e.ts) / 1000000.0 AS t
+  FROM pts p JOIN events e USING (event_id)
+), m AS (
+  SELECT user_id, event_id, cell, t,
+         CASE WHEN lag(cell) OVER w IS NULL
+                   OR lag(cell) OVER w != cell THEN 1 ELSE 0 END AS chg
+  FROM j WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), r AS (
+  SELECT user_id, cell, t,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM m
+), runs AS (
+  SELECT user_id, run, min(cell) AS cell, min(t) AS enter
+  FROM r GROUP BY 1, 2
+), visits AS (
+  SELECT cell,
+         lead(enter) OVER (PARTITION BY user_id ORDER BY run) - enter
+           AS dwell
+  FROM runs
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_visits,
+       round(avg(dwell), 6) + 0.0 AS mean_dwell_s,
+       round(sum(dwell), 6) + 0.0 AS total_dwell_s
+FROM visits WHERE dwell IS NOT NULL
+GROUP BY cell
+"""
+
+
+def anchor_cells_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home/work anchor inference (operators/trajectory.py::
+    anchor_cells): most-visited night-hours cell = home, office-hours
+    cell = work (the standard CDR heuristic), plus the haversine
+    commute distance between the anchors' mean fix positions.
+    Deterministic tie-break (visit count desc, cell asc)."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        anchor_cells,
+    )
+
+    pts = (
+        _event_points(spark, sf_dir)
+        .join(_t(spark, sf_dir, "events").select("event_id", "ts"), "event_id")
+        .withColumn("cell", F.expr(geohash_sql("lat", "lng", 3, "spark")))
+    )
+    return anchor_cells(pts, ["user_id"], "ts", "lat", "lng", "cell")
+
+
+def _anchor_sql() -> str:
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        haversine_sql,
+    )
+
+    hav = haversine_sql("h.alat", "h.alng", "w.alat", "w.alng")
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+j AS (
+  SELECT p.user_id, p.lat, p.lng,
+         {geohash_sql('p.lat', 'p.lng', 3, 'duckdb')} AS cell, e.ts
+  FROM pts p JOIN events e USING (event_id)
+), slotted AS (
+  SELECT user_id, cell, lat, lng,
+         CASE WHEN hour(ts) BETWEEN 0 AND 6 THEN 'home'
+              WHEN hour(ts) BETWEEN 9 AND 17 THEN 'work' END AS slot
+  FROM j
+), agg AS (
+  SELECT user_id, slot, cell, count(*) AS n,
+         avg(lat) AS alat, avg(lng) AS alng
+  FROM slotted WHERE slot IS NOT NULL GROUP BY 1, 2, 3
+), top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, slot
+                                 ORDER BY n DESC, cell) AS rk
+    FROM agg) WHERE rk = 1
+)
+SELECT h.user_id, h.cell AS home_cell,
+       CAST(h.n AS BIGINT) AS n_home_fixes,
+       w.cell AS work_cell, CAST(w.n AS BIGINT) AS n_work_fixes,
+       round({hav}, 6) + 0.0 AS commute_km
+FROM top h JOIN top w
+  ON h.user_id = w.user_id AND h.slot = 'home' AND w.slot = 'work'
+"""
+
+
+def assortativity_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.py::degree_assortativity)
+    of the co-purchased-parts graph — Newman's edge-end degree
+    correlation, ONE row: hubs-with-hubs (r>0) vs hub-and-spoke
+    (r<0).  Closed-form correlation over the degree-joined edge
+    list."""
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    return degree_assortativity(_copart_edges(spark, sf_dir))
+
+
+_ASSORTATIVITY_SQL = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM bi l1
+  JOIN bi l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), b2 AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), deg AS (
+  SELECT a, count(*) AS d FROM b2 GROUP BY a
+), xy AS (
+  SELECT CAST(dx.d AS DOUBLE) AS x, CAST(dy.d AS DOUBLE) AS y
+  FROM b2
+  JOIN deg dx ON b2.a = dx.a
+  JOIN deg dy ON b2.b = dy.a
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       round(CASE WHEN (n * sxx - sx * sx) > 0
+                       AND (n * syy - sy * sy) > 0
+             THEN (n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+             6) + 0.0 AS assortativity
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9361,10 +9529,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "clustering_coeff_coparts": (clustering_coeff_coparts, _CLUSTERING_COEFF_SQL),
     "grid_clusters_events": (grid_clusters_events, _GRID_CLUSTERS_SQL),
     "streaming_od_flows_events": (streaming_od_flows_events, _od_flows_sql()),
-    "text_quality_docs": (text_quality_docs, _QUALITY_SQL),
-    "lang_id_docs": (lang_id_docs, _LANGID_SQL),
+    "dwell_times_events": (dwell_times_events, _dwell_sql()),
+    "anchor_cells_users": (anchor_cells_users, _anchor_sql()),
+    "assortativity_coparts": (assortativity_coparts, _ASSORTATIVITY_SQL),
     "token_stats_docs": (token_stats_docs, _TOKEN_SQL),
-    "doc_fingerprints": (doc_fingerprints, _FP_SQL),
     "kmeans_label_assign": (kmeans_label_assign, _KMEANS_SQL),
     # (d) NEW in round 5: binary-quantized ANN, Matryoshka audit,
     # vocab coverage, Gini corpus-balance
@@ -9398,6 +9566,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "geofence_rect_events": (geofence_rect_events, _GEO_RECT_SQL),
     "geofence_polygon_events": (geofence_polygon_events, _GEO_POLY_SQL),
     "dedup_exact_docs": (dedup_exact_docs, _DEDUP_EXACT_SQL),
+    "text_quality_docs": (text_quality_docs, _QUALITY_SQL),
+    "lang_id_docs": (lang_id_docs, _LANGID_SQL),
+    "doc_fingerprints": (doc_fingerprints, _FP_SQL),
     "iqr_outliers_events": (iqr_outliers_events, _IQR_SQL),
     "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
     "stats_user_tumbling": (stats_user_tumbling, _STATS_TUMBLING_SQL),

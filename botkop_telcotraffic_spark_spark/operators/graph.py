@@ -762,3 +762,64 @@ def grid_density_clusters(
             F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002): the
+    Pearson correlation of the degrees at the two ends of every edge
+    (both orientations, the undirected convention) — ONE scalar
+    telling whether hubs attach to hubs (r > 0, social-network-like)
+    or to leaves (r < 0, hub-and-spoke / infrastructure-like).
+    Complements the local view of :func:`clustering_coefficient`
+    with a global mixing statistic.
+
+    Physical shape: one undirected-distinct, one degree aggregate,
+    two keyed joins to attach endpoint degrees, one closed-form
+    correlation aggregate (six mergeable sums — the trend_ols
+    monoid).  Output is ONE row: (n_edges, assortativity); NULL when
+    degenerate (all degrees equal: zero variance, the statistic is
+    undefined).
+    """
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    bi = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = (
+        bi.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    xy = (
+        bi.join(deg.select(F.col("a"), F.col("d").alias("dx")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("d").alias("dy")), "b"
+        )
+        .select(
+            F.col("dx").cast("double").alias("x"),
+            F.col("dy").cast("double").alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    r = F.when(
+        (denx > 0) & (deny > 0), num / F.sqrt(denx * deny)
+    )
+    return xy.agg(
+        (n / 2).cast("long").alias("n_edges"),
+        (F.round(r, round_to) + F.lit(0.0)).alias("assortativity"),
+    )

@@ -230,3 +230,151 @@ def mobility_metrics(
             "location_entropy_bits"
         ),
     )
+
+
+def dwell_times(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    cell_col: str,
+    order_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-cell dwell-time profile: collapse each key's consecutive
+    same-cell runs into VISITS (enter → leave), then aggregate per
+    cell the visit count and mean/total dwell seconds — "how long do
+    subscribers stay under this tower", the load-duration companion
+    to :func:`od_flows` (which counts the transitions BETWEEN
+    visits).
+
+    A visit's dwell is last-fix-in-run → first-fix-of-next-run (the
+    handover moment); each key's final open visit has no observed
+    exit and is excluded (absorbing it would understate nothing —
+    it is right-censored, same convention as the survival module's
+    censoring).
+
+    Run detection is the classic gaps-and-islands: a run id = count
+    of cell CHANGES up to each fix (one conditional running sum over
+    the per-key ordered window), then one (key, run) aggregate and
+    one (cell) aggregate — two keyed shuffles after the window pass,
+    output cell-sized.
+    """
+    tie = list(order_cols or [])
+    w = Window.partitionBy(*key_cols).orderBy("_t", *tie)
+    base = df.select(
+        *key_cols,
+        F.col(ts_col).cast("double").alias("_t"),
+        F.col(cell_col).alias("_cell"),
+        *tie,
+    )
+    marked = base.withColumn(
+        "_chg",
+        F.when(
+            F.lag("_cell").over(w).isNull()
+            | (F.lag("_cell").over(w) != F.col("_cell")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_run",
+        F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = marked.groupBy(*key_cols, "_run").agg(
+        F.first("_cell").alias("_cell"),
+        F.min("_t").alias("_enter"),
+    )
+    wrun = Window.partitionBy(*key_cols).orderBy("_run")
+    visits = (
+        runs.withColumn("_exit", F.lead("_enter").over(wrun))
+        .where(F.col("_exit").isNotNull())
+        .select(
+            "_cell", (F.col("_exit") - F.col("_enter")).alias("_dwell")
+        )
+    )
+    return visits.groupBy(F.col("_cell").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_visits"),
+        (F.round(F.avg("_dwell"), round_to) + F.lit(0.0)).alias(
+            "mean_dwell_s"
+        ),
+        (F.round(F.sum("_dwell"), round_to) + F.lit(0.0)).alias(
+            "total_dwell_s"
+        ),
+    )
+
+
+def anchor_cells(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    lat_col: str,
+    lng_col: str,
+    cell_col: str,
+    night_hours: tuple[int, int] = (0, 6),
+    day_hours: tuple[int, int] = (9, 17),
+    round_to: int = 6,
+) -> DataFrame:
+    """Home/work anchor inference — the standard CDR heuristic
+    (most-visited cell in night hours = home, in office hours =
+    work; cf. the mobile-phone-data literature's home-detection
+    line) plus the commute distance between the two anchors
+    (haversine of the anchors' mean fix positions).
+
+    ``ts_col`` is a TIMESTAMP column; hours are event-time hours
+    (the session must pin a timezone — `session.tune` does).  Ties
+    in visit count break to the lexicographically smallest cell, so
+    the anchor choice is deterministic across engines.  Keys lacking
+    fixes in either window are omitted (no anchor to infer).
+
+    Physical shape: one (key, cell, slot) visit aggregate carrying
+    mean fix coordinates, one per-key-slot argmax window over the
+    key's CELL table (cells-per-key-sized), one self-join of the two
+    anchor rows per key — all keyed; output key-sized.
+    """
+    hr = F.hour(F.col(ts_col))
+    slot = F.when(
+        (hr >= night_hours[0]) & (hr <= night_hours[1]), F.lit("home")
+    ).when(
+        (hr >= day_hours[0]) & (hr <= day_hours[1]), F.lit("work")
+    )
+    base = df.select(
+        *key_cols,
+        slot.alias("_slot"),
+        F.col(cell_col).alias("_cell"),
+        F.col(lat_col).cast("double").alias("_lat"),
+        F.col(lng_col).cast("double").alias("_lng"),
+    ).where(F.col("_slot").isNotNull())
+    agg = base.groupBy(*key_cols, "_slot", "_cell").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_lat").alias("_alat"),
+        F.avg("_lng").alias("_alng"),
+    )
+    wa = Window.partitionBy(*key_cols, "_slot").orderBy(
+        F.col("_n").desc(), F.col("_cell")
+    )
+    top = agg.withColumn("_rk", F.row_number().over(wa)).where(
+        F.col("_rk") == 1
+    )
+    home = top.where(F.col("_slot") == "home").select(
+        *key_cols,
+        F.col("_cell").alias("home_cell"),
+        F.col("_n").alias("n_home_fixes"),
+        F.col("_alat").alias("_hlat"),
+        F.col("_alng").alias("_hlng"),
+    )
+    work = top.where(F.col("_slot") == "work").select(
+        *key_cols,
+        F.col("_cell").alias("work_cell"),
+        F.col("_n").alias("n_work_fixes"),
+        F.col("_alat").alias("_wlat"),
+        F.col("_alng").alias("_wlng"),
+    )
+    commute = F.expr(haversine_sql("_hlat", "_hlng", "_wlat", "_wlng"))
+    return home.join(work, key_cols).select(
+        *key_cols,
+        "home_cell",
+        F.col("n_home_fixes").cast("long").alias("n_home_fixes"),
+        "work_cell",
+        F.col("n_work_fixes").cast("long").alias("n_work_fixes"),
+        (F.round(commute, round_to) + F.lit(0.0)).alias("commute_km"),
+    )

@@ -3828,3 +3828,73 @@ def test_grid_density_clusters_two_blobs(spark):
         blob = 1 if r["cx"] < 25 else 2
         lab.setdefault(blob, set()).add(r["cluster"])
     assert len(lab[1]) == 1 and len(lab[2]) == 1
+
+
+def test_dwell_times_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        dwell_times,
+    )
+
+    # u: A(0) A(10) B(30) B(40) A(100)  -> visits: A 0-30, B 30-100;
+    # final A visit open -> censored out
+    rows = [
+        ("u", 0.0, "A", 1), ("u", 10.0, "A", 2), ("u", 30.0, "B", 3),
+        ("u", 40.0, "B", 4), ("u", 100.0, "A", 5),
+        # v stays in A forever: single open visit, no output
+        ("v", 0.0, "A", 6), ("v", 50.0, "A", 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, cell string, i int")
+    out = {
+        r["cell"]: r
+        for r in dwell_times(df, ["k"], "t", "cell", order_cols=["i"]).collect()
+    }
+    assert out["A"]["n_visits"] == 1 and out["A"]["mean_dwell_s"] == 30.0
+    assert out["B"]["n_visits"] == 1 and out["B"]["mean_dwell_s"] == 70.0
+    assert set(out) == {"A", "B"}
+
+
+def test_anchor_cells_hand(spark):
+    import datetime as dt
+
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        anchor_cells,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # nights at cell H (lat 0), days at cell W (lat 0.9 ≈ 100 km away)
+    for d in range(3):
+        rows.append(("u", base + dt.timedelta(days=d, hours=2), 0.0, 0.0, "H"))
+        rows.append(("u", base + dt.timedelta(days=d, hours=11), 0.9, 0.0, "W"))
+    # one stray night fix elsewhere: H still wins 3-1
+    rows.append(("u", base + dt.timedelta(hours=3), 5.0, 5.0, "X"))
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, lat double, lng double, cell string"
+    )
+    out = anchor_cells(df, ["k"], "ts", "lat", "lng", "cell").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["home_cell"] == "H" and r["work_cell"] == "W"
+    assert r["n_home_fixes"] == 3 and r["n_work_fixes"] == 3
+    assert r["commute_km"] == pytest.approx(0.9 * 111.19, abs=0.5)
+
+
+def test_degree_assortativity_star_vs_clique(spark):
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # star: hub degree 5 pairs with leaves degree 1 -> r = -1
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src int, dst int"
+    )
+    r_star = degree_assortativity(star).collect()[0]
+    assert r_star["assortativity"] == pytest.approx(-1.0, abs=1e-6)
+    assert r_star["n_edges"] == 5
+    # clique: all degrees equal -> zero variance -> NULL
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(i + 1, 4)],
+        "src int, dst int",
+    )
+    r_cl = degree_assortativity(clique).collect()[0]
+    assert r_cl["assortativity"] is None

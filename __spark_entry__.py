@@ -9452,6 +9452,117 @@ FROM s
 """
 
 
+def hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.py::hits) over the
+    DIRECTED customer -> part purchase graph: hubs are the broad
+    curators (customers buying many consensus items), authorities the
+    consensus-popular parts — the mutual-reinforcement companion to
+    pagerank_purchase_graph.  2 synchronous power iterations with L2
+    normalization each half-step, matched by an unrolled-CTE
+    oracle."""
+    from botkop_telcotraffic_spark_spark.operators.graph import hits
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("src")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    return hits(orders.join(li, "ok").select("src", "dst"), iterations=2)
+
+
+_HITS_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS u, l_partkey AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), h0 AS (
+  SELECT DISTINCT u, 1.0 AS h FROM e
+), a1r AS MATERIALIZED (
+  SELECT v, sum(h) AS a FROM e JOIN h0 USING (u) GROUP BY v
+), a1 AS (
+  SELECT v, a / (SELECT sqrt(sum(a * a)) FROM a1r) AS a FROM a1r
+), h1r AS MATERIALIZED (
+  SELECT u, sum(a) AS h FROM e JOIN a1 USING (v) GROUP BY u
+), h1 AS (
+  SELECT u, h / (SELECT sqrt(sum(h * h)) FROM h1r) AS h FROM h1r
+), a2r AS MATERIALIZED (
+  SELECT v, sum(h) AS a FROM e JOIN h1 USING (u) GROUP BY v
+), a2 AS (
+  SELECT v, a / (SELECT sqrt(sum(a * a)) FROM a2r) AS a FROM a2r
+), h2r AS MATERIALIZED (
+  SELECT u, sum(a) AS h FROM e JOIN a2 USING (v) GROUP BY u
+), h2 AS (
+  SELECT u, h / (SELECT sqrt(sum(h * h)) FROM h2r) AS h FROM h2r
+)
+SELECT u AS node, 'hub' AS kind, round(h, 6) + 0.0 AS score FROM h2
+UNION ALL
+SELECT v AS node, 'authority' AS kind, round(a, 6) + 0.0 AS score FROM a2
+"""
+
+
+def transition_entropy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-location predictability (operators/trajectory.py::
+    transition_entropy): conditional entropy H(next cell | current
+    cell) over each user's precision-2 geohash handover sequence —
+    0 bits = deterministic commuter, high = random roamer.  Same cell
+    construction as od_flows_events; the ORDER-aware companion to
+    mobility_metrics_users' visit-distribution entropy."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        transition_entropy,
+    )
+
+    pts = _event_points(spark, sf_dir).join(
+        _t(spark, sf_dir, "events").select(
+            "event_id",
+            (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("t_sec"),
+        ),
+        "event_id",
+    )
+    cells = pts.withColumn(
+        "cell", F.expr(geohash_sql("lat", "lng", 2, "spark"))
+    )
+    return transition_entropy(
+        cells, ["user_id"], "t_sec", "cell", order_cols=["event_id"]
+    )
+
+
+def _transition_entropy_sql() -> str:
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+j AS (
+  SELECT p.user_id, p.event_id,
+         {geohash_sql('p.lat', 'p.lng', 2, 'duckdb')} AS cell,
+         epoch_us(e.ts) / 1000000.0 AS t_s
+  FROM pts p JOIN events e USING (event_id)
+), trans AS (
+  SELECT user_id, cell,
+         lag(cell) OVER (PARTITION BY user_id
+                         ORDER BY t_s, event_id) AS prev
+  FROM j
+), pair AS MATERIALIZED (
+  SELECT user_id, prev, cell, CAST(count(*) AS DOUBLE) AS n
+  FROM trans WHERE prev IS NOT NULL AND prev != cell
+  GROUP BY 1, 2, 3
+), ctx AS (
+  SELECT user_id, prev, sum(n) AS cn FROM pair GROUP BY 1, 2
+), tot AS (
+  SELECT user_id, sum(n) AS tt FROM pair GROUP BY 1
+)
+SELECT p.user_id,
+       CAST(t.tt AS BIGINT) AS n_transitions,
+       CAST(count(DISTINCT p.prev) AS BIGINT) AS n_contexts,
+       round(sum(p.n / t.tt * (-log2(p.n / c.cn))), 6) + 0.0
+         AS cond_entropy_bits
+FROM pair p
+JOIN ctx c ON p.user_id = c.user_id AND p.prev = c.prev
+JOIN tot t ON p.user_id = t.user_id
+GROUP BY p.user_id, t.tt
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9474,9 +9585,11 @@ FROM s
 # round), and (e) the 6 wave-2 round-5 operators (Adamic-Adar, PSI,
 # BH-FDR, ACF, mutual information, inter-arrival), slots 20-25, and
 # (f) the 5 wave-3 operators (trajectory speeds, OD flows,
-# Theil-Sen, Heaps fit, column entropy), slots 26-30.  After r5
-# every oracle-bearing entry EXCEPT the demoted r1-green eleven
-# holds a green row in r1∪…∪r5.  Entries
+# Theil-Sen, Heaps fit, column entropy), slots 26-30, and (h) the 2
+# wave-7 operators (HITS, transition entropy) which displaced the
+# two r1-green stale re-checks to the top of the unchecked block.
+# After r5 every oracle-bearing entry EXCEPT the demoted r1-green
+# thirteen holds a green row in r1∪…∪r5.  Entries
 # past slot 50 are driver-green at their latest check; the full
 # pytest suite still verifies every oracle entry each run
 # (tests/test_oracle_parity.py) regardless of slot, and bench.py
@@ -9505,9 +9618,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "quantize_embeddings": (quantize_embeddings, _QUANT_SQL),
     "winsorize_events": (winsorize_events, _WINSOR_SQL),
     "cusum_value_by_type": (cusum_value_by_type, _CUSUM_SQL),
-    # (c) stalest re-checks: green in r1, unchanged since
-    "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
-    "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
+    # (h) round-5 wave 7: HITS hubs/authorities + Markov-level
+    # next-location predictability — new this round, checked
+    # immediately (displacing the two r1-green stale re-checks that
+    # held these slots; both sit at the top of the unchecked block
+    # for the next rotation)
+    "hits_purchase_graph": (hits_purchase_graph, _HITS_SQL),
+    "transition_entropy_users": (
+        transition_entropy_users,
+        _transition_entropy_sql(),
+    ),
     # (e) round-5 wave 2: link prediction, drift PSI, FDR, ACF, MI,
     # arrival-process stats — new this round, checked immediately
     "adamic_adar_coparts": (adamic_adar_coparts, _ADAMIC_ADAR_SQL),
@@ -9551,6 +9671,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # all driver-green at their latest check AND pytest-oracle-verified
     # every run (tests/test_oracle_parity.py); ordered stalest-first so
     # future rotations promote from the top of this block
+    "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
+    "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, _Q5_SQL),

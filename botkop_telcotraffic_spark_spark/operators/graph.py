@@ -823,3 +823,74 @@ def degree_assortativity(
         (n / 2).cast("long").alias("n_edges"),
         (F.round(r, round_to) + F.lit(0.0)).alias("assortativity"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) over a
+    DIRECTED edge list — on a bipartite purchase graph (customer →
+    part), hubs are the broad curators and authorities the
+    consensus-popular items; the mutual-reinforcement companion to
+    :func:`pagerank`'s single-score view.
+
+    Synchronous power iteration with L2 normalization each half-step
+    (the textbook formulation, which is what makes a fixed
+    ``iterations`` reproducible by an unrolled oracle):
+    a ← normalize(Eᵀh), h ← normalize(E a).  Scores start at 1.0.
+
+    Physical shape per round: two keyed join+aggregate steps (edge
+    list joined to the node-sized score table, grouped on the other
+    endpoint) and two 1-row norm broadcasts — O(m) per round like
+    PageRank, node-sized state, localCheckpoint per round to keep
+    the iterative plan flat.
+
+    Returns (node, kind, score) with kind ∈ {'hub', 'authority'} —
+    source-side nodes carry hub scores, target-side authority.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    h = e.select("u").distinct().withColumn("h", F.lit(1.0))
+
+    def _l2(frame: DataFrame, col: str) -> DataFrame:
+        nrm = frame.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_nrm")
+        )
+        return frame.crossJoin(F.broadcast(nrm)).select(
+            *[c for c in frame.columns if c != col],
+            (F.col(col) / F.col("_nrm")).alias(col),
+        )
+
+    a = None
+    for _ in range(iterations):
+        a = (
+            e.join(h, "u")
+            .groupBy("v")
+            .agg(F.sum("h").alias("a"))
+        )
+        a = _l2(a, "a").localCheckpoint()
+        h = (
+            e.join(a, "v")
+            .groupBy("u")
+            .agg(F.sum("a").alias("h"))
+        )
+        h = _l2(h, "h").localCheckpoint()
+    hubs = h.select(
+        F.col("u").alias("node"),
+        F.lit("hub").alias("kind"),
+        (F.round(F.col("h"), round_to) + F.lit(0.0)).alias("score"),
+    )
+    auths = a.select(
+        F.col("v").alias("node"),
+        F.lit("authority").alias("kind"),
+        (F.round(F.col("a"), round_to) + F.lit(0.0)).alias("score"),
+    )
+    return hubs.unionByName(auths)

@@ -378,3 +378,76 @@ def anchor_cells(
         F.col("n_work_fixes").cast("long").alias("n_work_fixes"),
         (F.round(commute, round_to) + F.lit(0.0)).alias("commute_km"),
     )
+
+
+def transition_entropy(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    cell_col: str,
+    order_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key next-location predictability: the conditional entropy
+    H(next cell | current cell) over the key's observed transitions
+    (self-loops dropped, like :func:`od_flows`) — the Markov-level
+    uncertainty measure from the limits-of-predictability line (Song
+    et al.): 0 bits = every handover is determined by where you are
+    now (perfectly predictable commuter); high = the next tower is
+    anyone's guess.
+
+        H(next|cur) = Σ_cur p(cur) · [−Σ_next p(next|cur) log2 p(next|cur)]
+
+    Complements :func:`mobility_metrics`' location entropy (which
+    ignores ORDER — a strict commuter and a random roamer can have
+    the same visit distribution but opposite conditional entropy).
+
+    Physical shape: the lag window pass (shared shape with od_flows),
+    one (key, from, to) aggregate, a (key, from) window over the
+    key's TRANSITION table (pair-sized), one final keyed aggregate.
+    Output key-sized.
+
+    Returns (keys, n_transitions, n_contexts, cond_entropy_bits);
+    keys with no transition are omitted.
+    """
+    tie = list(order_cols or [])
+    w = Window.partitionBy(*key_cols).orderBy("_t", *tie)
+    base = df.select(
+        *key_cols,
+        F.col(ts_col).cast("double").alias("_t"),
+        F.col(cell_col).alias("_cell"),
+        *tie,
+    )
+    trans = (
+        base.withColumn("_prev", F.lag("_cell").over(w))
+        .where(
+            F.col("_prev").isNotNull()
+            & (F.col("_prev") != F.col("_cell"))
+        )
+        .groupBy(*key_cols, "_prev", "_cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    wf = Window.partitionBy(*key_cols, "_prev")
+    wk = Window.partitionBy(*key_cols)
+    p_cond = F.col("_n") / F.sum("_n").over(wf).cast("double")
+    # H(next|cur) = Σ_{c,t} p(c,t)·(−log2 p(t|c)): weight each pair
+    # row by its JOINT probability n_ct/tot; the conditional enters
+    # only inside the log
+    terms = trans.select(
+        *key_cols,
+        "_prev",
+        "_n",
+        F.sum("_n").over(wk).cast("double").alias("_tot"),
+        (-F.log(2.0, p_cond)).alias("_nll"),
+    )
+    return terms.groupBy(*key_cols).agg(
+        F.max("_tot").cast("long").alias("n_transitions"),
+        F.countDistinct("_prev").cast("long").alias("n_contexts"),
+        (
+            F.round(
+                F.sum(F.col("_n") / F.col("_tot") * F.col("_nll")),
+                round_to,
+            )
+            + F.lit(0.0)
+        ).alias("cond_entropy_bits"),
+    )

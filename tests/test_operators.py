@@ -3898,3 +3898,53 @@ def test_degree_assortativity_star_vs_clique(spark):
     )
     r_cl = degree_assortativity(clique).collect()[0]
     assert r_cl["assortativity"] is None
+
+
+def test_hits_hand_bipartite(spark):
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.graph import hits
+
+    # 1 -> {10, 11}, 2 -> {10}; two unrolled iterations by hand:
+    #   a1 ∝ (2, 1)/√5, h1 ∝ (3, 2)/√13,
+    #   a2 ∝ (5, 3)/√34, h2 ∝ (8, 5)/√89
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "src int, dst int"
+    )
+    out = {
+        (r["kind"], r["node"]): r["score"]
+        for r in hits(edges, iterations=2).collect()
+    }
+    assert out[("hub", 1)] == pytest.approx(8 / math.sqrt(89), abs=1e-6)
+    assert out[("hub", 2)] == pytest.approx(5 / math.sqrt(89), abs=1e-6)
+    assert out[("authority", 10)] == pytest.approx(
+        5 / math.sqrt(34), abs=1e-6
+    )
+    assert out[("authority", 11)] == pytest.approx(
+        3 / math.sqrt(34), abs=1e-6
+    )
+
+
+def test_transition_entropy_commuter_vs_roamer(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        transition_entropy,
+    )
+
+    # commuter: A,B,A,B,A -> every context deterministic -> 0 bits
+    # roamer:   A,B,A,C,A -> H = p(A)*1 + p(B)*0 + p(C)*0 = 0.5 bits
+    rows = [("c", float(i), c) for i, c in enumerate("ABABA")]
+    rows += [("r", float(i), c) for i, c in enumerate("ABACA")]
+    df = spark.createDataFrame(rows, "k string, t double, cell string")
+    out = {
+        r["k"]: r
+        for r in transition_entropy(df, ["k"], "t", "cell").collect()
+    }
+    assert out["c"]["cond_entropy_bits"] == pytest.approx(0.0, abs=1e-9)
+    assert out["c"]["n_transitions"] == 4 and out["c"]["n_contexts"] == 2
+    assert out["r"]["cond_entropy_bits"] == pytest.approx(0.5, abs=1e-9)
+    assert out["r"]["n_transitions"] == 4 and out["r"]["n_contexts"] == 3
+    # self-loops dropped: a key that never moves emits no row
+    still = spark.createDataFrame(
+        [("s", 0.0, "A"), ("s", 1.0, "A")], "k string, t double, cell string"
+    )
+    assert transition_entropy(still, ["k"], "t", "cell").count() == 0

@@ -9563,6 +9563,282 @@ GROUP BY p.user_id, t.tt
 """
 
 
+def pingpong_cells_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ping-pong handover pairs (operators/trajectory.py::
+    pingpong_handovers): per unordered precision-2 cell pair, how
+    many A->B->A bounces complete within 48 h and how many distinct
+    subscribers bounce — the mis-tuned-hysteresis screen a radio
+    engineer reads first.  Same cell construction as od_flows_events.
+    (The synthetic fixture yields bounces at sf >= 0.01; at sf0.001
+    the triple pattern does not occur and both engines agree on the
+    empty result.)"""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        pingpong_handovers,
+    )
+
+    pts = _event_points(spark, sf_dir).join(
+        _t(spark, sf_dir, "events").select(
+            "event_id",
+            (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("t_sec"),
+        ),
+        "event_id",
+    )
+    cells = pts.withColumn(
+        "cell", F.expr(geohash_sql("lat", "lng", 2, "spark"))
+    )
+    return pingpong_handovers(
+        cells,
+        ["user_id"],
+        "t_sec",
+        "cell",
+        max_gap_s=172_800.0,
+        order_cols=["event_id"],
+    )
+
+
+def _pingpong_sql() -> str:
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+j AS (
+  SELECT p.user_id, p.event_id,
+         {geohash_sql('p.lat', 'p.lng', 2, 'duckdb')} AS cell,
+         epoch_us(e.ts) / 1000000.0 AS t_s
+  FROM pts p JOIN events e USING (event_id)
+), l AS (
+  SELECT user_id, cell, t_s,
+         lag(cell, 1) OVER w AS c1,
+         lag(cell, 2) OVER w AS c2,
+         lag(t_s, 2) OVER w AS t2
+  FROM j WINDOW w AS (PARTITION BY user_id ORDER BY t_s, event_id)
+), b AS (
+  SELECT user_id, least(cell, c1) AS cell_a, greatest(cell, c1) AS cell_b
+  FROM l
+  WHERE c2 IS NOT NULL AND cell = c2 AND cell != c1
+    AND (t_s - t2) <= CAST(172800.0 AS DOUBLE)
+)
+SELECT cell_a, cell_b, CAST(count(*) AS BIGINT) AS n_pingpongs,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+FROM b GROUP BY 1, 2
+"""
+
+
+def route_motifs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 cell-sequence trigrams (operators/trajectory.py::
+    route_motifs) over the precision-2 cells — corridor mining: the
+    3-hop paths where handover chains concentrate, with a full
+    deterministic tie-break so both engines cut the same top set."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        route_motifs,
+    )
+
+    pts = _event_points(spark, sf_dir).join(
+        _t(spark, sf_dir, "events").select(
+            "event_id",
+            (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("t_sec"),
+        ),
+        "event_id",
+    )
+    cells = pts.withColumn(
+        "cell", F.expr(geohash_sql("lat", "lng", 2, "spark"))
+    )
+    return route_motifs(
+        cells, ["user_id"], "t_sec", "cell", top_n=20,
+        order_cols=["event_id"],
+    )
+
+
+def _route_motifs_sql() -> str:
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+j AS (
+  SELECT p.user_id, p.event_id,
+         {geohash_sql('p.lat', 'p.lng', 2, 'duckdb')} AS cell,
+         epoch_us(e.ts) / 1000000.0 AS t_s
+  FROM pts p JOIN events e USING (event_id)
+), l AS (
+  SELECT user_id, cell AS c3,
+         lag(cell, 1) OVER w AS c2,
+         lag(cell, 2) OVER w AS c1
+  FROM j WINDOW w AS (PARTITION BY user_id ORDER BY t_s, event_id)
+), m AS (
+  SELECT c1, c2, c3, CAST(count(*) AS BIGINT) AS n_trips,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+  FROM l WHERE c1 IS NOT NULL AND c1 != c2 AND c2 != c3
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM m ORDER BY n_trips DESC, c1, c2, c3 LIMIT 20
+"""
+
+
+def page_hinkley_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential mean-shift detection (operators/
+    timeseries.py::page_hinkley) per event type over the hourly
+    mean-value series (rounded to 6 before the detector so both
+    engines accumulate identical inputs, the ACF precedent) — WHEN
+    did the mean move, next to the two-sample batch drift family.
+    λ=150 chosen from the fixture's PH range so alarms fire at every
+    SF without saturating; the alarm compares the rounded statistic
+    per the operator's cross-engine contract."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    hourly = (
+        e.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    series = hourly.select(
+        "event_type",
+        (F.unix_micros("hr") / F.lit(1_000_000.0)).alias("o"),
+        "v",
+    )
+    return page_hinkley(
+        series, ["event_type"], "o", "v", delta=0.0, lam=150.0
+    )
+
+
+_PAGE_HINKLEY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         round(avg(value), 6) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), m AS (
+  SELECT event_type, epoch(hr) AS o, v,
+         avg(v) OVER (PARTITION BY event_type ORDER BY epoch(hr)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS mm
+  FROM hourly
+), cs AS (
+  SELECT event_type, o,
+         sum(v - mm - CAST(0.0 AS DOUBLE)) OVER
+           (PARTITION BY event_type ORDER BY o
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS uu
+  FROM m
+), ph AS (
+  SELECT event_type, o,
+         uu - min(uu) OVER (PARTITION BY event_type ORDER BY o
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS p
+  FROM cs
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(CASE WHEN round(p, 6) > CAST(150.0 AS DOUBLE)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       round(max(p), 6) + 0.0 AS max_ph,
+       min(CASE WHEN round(p, 6) > CAST(150.0 AS DOUBLE) THEN o END)
+         AS first_alarm_o
+FROM ph GROUP BY 1
+"""
+
+
+def ccf_click_error_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation (operators/timeseries.py::
+    cross_correlation) between the hourly click-count and
+    error-count series at lags 0-4: does click load FORESHADOW
+    errors k hours later?  Inner-joined on hours where both types
+    occur (counts are integers, so every pre-division sum is exact
+    in both engines); single literal key per the bounded
+    bucketed-axis contract."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    hc = (
+        e.where(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    he = (
+        e.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    j = hc.join(he, "hr").withColumn("pair", F.lit("click->error"))
+    return cross_correlation(j, ["pair"], "hr", "x", "y", max_lag=4)
+
+
+_CCF_SQL = """
+WITH hc AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS DOUBLE) AS x
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), he AS (
+  SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS DOUBLE) AS y
+  FROM events WHERE event_type = 'error' GROUP BY 1
+), j AS (
+  SELECT hc.hr, x, y FROM hc JOIN he USING (hr)
+), led AS (
+  SELECT x,
+         lead(y, 0) OVER w AS y0, lead(y, 1) OVER w AS y1,
+         lead(y, 2) OVER w AS y2, lead(y, 3) OVER w AS y3,
+         lead(y, 4) OVER w AS y4
+  FROM j WINDOW w AS (ORDER BY hr)
+), melt AS (
+  SELECT 0 AS lag, x, y0 AS yl FROM led
+  UNION ALL SELECT 1, x, y1 FROM led
+  UNION ALL SELECT 2, x, y2 FROM led
+  UNION ALL SELECT 3, x, y3 FROM led
+  UNION ALL SELECT 4, x, y4 FROM led
+), s AS (
+  SELECT lag, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+         sum(yl) AS sy, sum(x * yl) AS sxy, sum(x * x) AS sxx,
+         sum(yl * yl) AS syy
+  FROM melt WHERE yl IS NOT NULL GROUP BY 1
+)
+SELECT 'click->error' AS pair, CAST(lag AS BIGINT) AS lag,
+       CAST(n AS BIGINT) AS n,
+       round(CASE WHEN (n * sxx - sx * sx) > 0
+                       AND (n * syy - sy * sy) > 0
+             THEN (n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+             6) + 0.0 AS ccf
+FROM s
+"""
+
+
+def flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (operators/text.py::
+    flesch_readability) with the dual-engine counting contract
+    (regexp word/sentence/vowel-group runs) — the classic
+    document-difficulty curation feature next to the Gopher rules
+    and the logistic quality gate."""
+    from botkop_telcotraffic_spark_spark.operators.text import (
+        flesch_readability,
+    )
+
+    return flesch_readability(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+_FLESCH_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+         greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)
+           AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+  FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(syl AS BIGINT) AS n_syllables,
+       round(CASE WHEN w > 0 THEN CAST(206.835 AS DOUBLE)
+             - CAST(1.015 AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+             - CAST(84.6 AS DOUBLE) * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
+             END, 6) + 0.0 AS flesch
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9670,7 +9946,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- past the driver's 50-slot check ----------------------------------
     # all driver-green at their latest check AND pytest-oracle-verified
     # every run (tests/test_oracle_parity.py); ordered stalest-first so
-    # future rotations promote from the top of this block
+    # future rotations promote from the top of this block.
+    # round-5 wave 8 (ping-pong handovers, route motifs,
+    # Page-Hinkley, lagged CCF, Flesch) landed after the 50 checked
+    # slots filled — never driver-checked yet, hence FIRST in line
+    # for the r6 rotation (pytest-oracle-verified each run meanwhile)
+    "pingpong_cells_events": (pingpong_cells_events, _pingpong_sql()),
+    "route_motifs_events": (route_motifs_events, _route_motifs_sql()),
+    "page_hinkley_events": (page_hinkley_events, _PAGE_HINKLEY_SQL),
+    "ccf_click_error_hourly": (ccf_click_error_hourly, _CCF_SQL),
+    "flesch_docs": (flesch_docs, _FLESCH_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
     "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),

@@ -671,3 +671,54 @@ def heaps_fit(
         (F.round(F.exp(lnk), round_to) + F.lit(0.0)).alias("k"),
         (F.round(r2, round_to) + F.lit(0.0)).alias("r2"),
     )
+
+
+def flesch_readability(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Flesch reading-ease score per document (Flesch 1948: 206.835
+    − 1.015·words/sentences − 84.6·syllables/word) — the classic
+    document-difficulty feature for corpus curation (alongside the
+    Gopher rule-pack and the logistic quality gate): very low scores
+    flag legalese/boilerplate, implausibly high ones flag degenerate
+    text.
+
+    Deterministic dual-engine counting rules (documented contract,
+    NOT a linguistic syllabifier — the score is a curation feature,
+    and both engines must agree bit-for-bit):
+
+    - words      = maximal ``[a-z0-9]+`` runs of the lowercased text
+    - sentences  = maximal ``[.!?]+`` runs, floored at 1
+    - syllables  = maximal ``[aeiouy]+`` vowel-group runs (the
+      standard first-order syllable proxy; silent-e and diphthong
+      exceptions deliberately omitted)
+
+    Documents with zero words answer NULL honestly.
+
+    Physical shape: pure scan-side regexp column math — zero
+    shuffles, zero UDFs, whole-stage codegen throughout.
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch).
+    """
+    low = F.lower(F.col(text_col))
+    words = F.size(F.regexp_extract_all(low, F.lit("[a-z0-9]+"), 0))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    syls = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), 0))
+    flesch = F.when(
+        words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syls.cast("double") / words.cast("double")),
+    )
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syls.cast("long").alias("n_syllables"),
+        (F.round(flesch, round_to) + F.lit(0.0)).alias("flesch"),
+    )

@@ -546,3 +546,144 @@ def theil_sen(
             + F.lit(0.0)
         ).alias("intercept"),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 10.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key Page-Hinkley mean-shift detector (Page 1954, Hinkley
+    1971; the sequential form used by data-stream drift monitors
+    such as MOA/river): the SEQUENTIAL drift test next to the
+    two-sample batch family (KS/PSI/chi-square/JS) — it answers
+    "WHEN did the mean move", not "do two snapshots differ".
+
+        m_t  = mean(x_1..x_t)              (expanding mean)
+        U_t  = Σ_{i<=t} (x_i − m_i − δ)    (cumulative deviation)
+        PH_t = U_t − min_{i<=t} U_i        (drawup above the trough)
+
+    An alarm fires where round(PH_t, ``round_to``) > λ — the alarm
+    compares the ROUNDED statistic (cusum_changepoint's rounded-|S|
+    precedent) because engines accumulate ordered-frame sums in
+    different orders (running vs segment tree) and an unrounded
+    boundary comparison would not be reproducible.  δ absorbs
+    tolerated drift; λ trades detection delay against false alarms.
+
+    Physical shape: THREE chained expanding-frame expressions over
+    ONE per-key ordered window spec (mean, then cumsum, then cummin
+    — each a separate projection step, no extra shuffle: the sort
+    order is reused) + ONE keyed aggregate.  Per-key series stay
+    under the bucketed-axis contract (thousands of rows per key).
+
+    Returns (keys, n_obs, n_alarms, max_ph, first_alarm_o) —
+    first_alarm_o is the ``order_col`` value of the FIRST alarmed
+    row (NULL when no alarm).
+    """
+    w = Window.partitionBy(*key_cols).orderBy("_o")
+    exp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull()).select(
+        *key_cols,
+        F.col(order_col).cast("double").alias("_o"),
+        x.alias("_x"),
+    )
+    m = base.withColumn("_m", F.avg("_x").over(exp))
+    u = m.withColumn(
+        "_u",
+        F.sum(F.col("_x") - F.col("_m") - F.lit(float(delta))).over(exp),
+    )
+    ph = u.withColumn(
+        "_ph", F.col("_u") - F.min("_u").over(exp)
+    ).withColumn(
+        "_alarm",
+        (F.round(F.col("_ph"), round_to) > F.lit(float(lam))).cast(
+            "int"
+        ),
+    )
+    return ph.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("_alarm").cast("long").alias("n_alarms"),
+        (F.round(F.max("_ph"), round_to) + F.lit(0.0)).alias("max_ph"),
+        F.min(F.when(F.col("_alarm") == 1, F.col("_o"))).alias(
+            "first_alarm_o"
+        ),
+    )
+
+
+def cross_correlation(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key lagged cross-correlation ccf(k) = corr(x_t, y_{t+k})
+    for k = 0..``max_lag`` — the lead/lag coupling probe between two
+    aligned series (does a click surge FORESHADOW an error surge k
+    hours later?), the two-series companion to
+    :func:`autocorrelation`.
+
+    Pearson correlation per lag over the overlapping rows, computed
+    from the 6 sufficient sums (the trend_ols monoid) so partial
+    aggregation stays map-side; zero variance on either side at a
+    lag answers NULL honestly.  ``order_col`` must be unique per key
+    (bucketed axis — compose with gap_fill upstream when the series
+    has holes, same contract as :func:`autocorrelation`).
+
+    Physical shape: ONE per-key ordered window producing all
+    ``max_lag`` + 1 lead columns in a single pass, a stack melt
+    (scan-side), then ONE (key, lag) aggregate.
+
+    Returns (keys, lag, n, ccf) long-form.
+    """
+    w = Window.partitionBy(*key_cols).orderBy("_o")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull()).select(
+        *key_cols,
+        F.col(order_col).alias("_o"),
+        x.alias("_x"),
+        y.alias("_y"),
+    )
+    leads = base.select(
+        *key_cols,
+        "_x",
+        *[
+            F.lead("_y", k).over(w).alias(f"_y{k}")
+            for k in range(max_lag + 1)
+        ],
+    )
+    pairs = leads.select(
+        *key_cols,
+        "_x",
+        F.expr(
+            "stack("
+            + str(max_lag + 1)
+            + ", "
+            + ", ".join(f"{k}, _y{k}" for k in range(max_lag + 1))
+            + ") AS (lag, _yl)"
+        ),
+    ).where(F.col("_yl").isNotNull())
+    pairs = pairs.withColumn("lag", F.col("lag").cast("long"))
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("_x"), F.sum("_yl")
+    sxy = F.sum(F.col("_x") * F.col("_yl"))
+    sxx = F.sum(F.col("_x") * F.col("_x"))
+    syy = F.sum(F.col("_yl") * F.col("_yl"))
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    ccf = F.when(
+        (vx > 0) & (vy > 0),
+        (n * sxy - sx * sy) / F.sqrt(vx * vy),
+    )
+    return pairs.groupBy(*key_cols, "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.round(ccf, round_to) + F.lit(0.0)).alias("ccf"),
+    )

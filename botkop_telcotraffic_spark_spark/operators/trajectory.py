@@ -451,3 +451,127 @@ def transition_entropy(
             + F.lit(0.0)
         ).alias("cond_entropy_bits"),
     )
+
+
+def pingpong_handovers(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    cell_col: str,
+    max_gap_s: float = 300.0,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Ping-pong handover detection — the classic radio-network
+    pathology where a subscriber bounces A -> B -> A between two
+    towers within seconds (overlapping coverage / mis-tuned
+    hysteresis), inflating signalling load without real movement.
+    Output is the NETWORK view: per unordered cell pair, how many
+    ping-pong bounces and how many distinct subscribers exhibit
+    them — the cell pairs a radio engineer would re-tune first.
+
+    A bounce at fix t is ``cell(t) == cell(t-2) != cell(t-1)`` with
+    the full A->B->A excursion completing within ``max_gap_s``
+    seconds.  Consecutive duplicate fixes are NOT collapsed first:
+    a dwell at B longer than ``max_gap_s`` cannot ping-pong anyway,
+    and the time guard (not row adjacency) is the semantic bound.
+
+    Physical shape: ONE per-key ordered window (two cell lags + one
+    time lag, single pass), a scan-side bounce predicate, then ONE
+    (cell_a, cell_b) aggregate — pair-sized output.  Per-key series
+    stay under the bounded-fix-rate contract shared by the module.
+
+    Returns (cell_a, cell_b, n_pingpongs, n_keys), cell_a < cell_b.
+    """
+    tie = list(order_cols or [])
+    w = Window.partitionBy(*key_cols).orderBy("_t", *tie)
+    base = df.select(
+        *key_cols,
+        F.col(ts_col).cast("double").alias("_t"),
+        F.col(cell_col).alias("_cell"),
+        *tie,
+    )
+    lagged = base.select(
+        *key_cols,
+        "_t",
+        "_cell",
+        F.lag("_cell", 1).over(w).alias("_c1"),
+        F.lag("_cell", 2).over(w).alias("_c2"),
+        F.lag("_t", 2).over(w).alias("_t2"),
+    )
+    bounces = lagged.where(
+        F.col("_c2").isNotNull()
+        & (F.col("_cell") == F.col("_c2"))
+        & (F.col("_cell") != F.col("_c1"))
+        & ((F.col("_t") - F.col("_t2")) <= F.lit(float(max_gap_s)))
+    )
+    return (
+        bounces.groupBy(
+            F.least("_cell", "_c1").alias("cell_a"),
+            F.greatest("_cell", "_c1").alias("cell_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pingpongs"),
+            F.countDistinct(*key_cols).cast("long").alias("n_keys"),
+        )
+    )
+
+
+def route_motifs(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    cell_col: str,
+    top_n: int = 20,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-N cell-sequence trigrams (route motifs): the most common
+    3-cell paths across all subscribers — corridor mining for
+    capacity planning (where do handover chains concentrate), the
+    sequence-level companion to :func:`od_flows`' single-hop matrix.
+
+    A motif is three CONSECUTIVE fixes whose cells are pairwise
+    step-distinct (c1 != c2, c2 != c3 — self-loop steps are noise,
+    same rule as od_flows; A->B->A ping-pongs remain visible and are
+    separated by :func:`pingpong_handovers`).
+
+    Physical shape: ONE per-key ordered window (two lags, one pass),
+    scan-side motif predicate, ONE (c1, c2, c3) aggregate, global
+    top-N via TakeOrderedAndProject with a full deterministic
+    tie-break — never a global sort of the motif table.
+
+    Returns (c1, c2, c3, n_trips, n_keys), the N most-travelled.
+    """
+    tie = list(order_cols or [])
+    w = Window.partitionBy(*key_cols).orderBy("_t", *tie)
+    base = df.select(
+        *key_cols,
+        F.col(ts_col).cast("double").alias("_t"),
+        F.col(cell_col).alias("_c3"),
+        *tie,
+    )
+    lagged = base.select(
+        *key_cols,
+        "_c3",
+        F.lag("_c3", 1).over(w).alias("_c2"),
+        F.lag("_c3", 2).over(w).alias("_c1"),
+    )
+    motifs = lagged.where(
+        F.col("_c1").isNotNull()
+        & (F.col("_c1") != F.col("_c2"))
+        & (F.col("_c2") != F.col("_c3"))
+    )
+    return (
+        motifs.groupBy(
+            F.col("_c1").alias("c1"),
+            F.col("_c2").alias("c2"),
+            F.col("_c3").alias("c3"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trips"),
+            F.countDistinct(*key_cols).cast("long").alias("n_keys"),
+        )
+        .orderBy(
+            F.desc("n_trips"), F.asc("c1"), F.asc("c2"), F.asc("c3")
+        )
+        .limit(top_n)
+    )

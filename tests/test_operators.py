@@ -3948,3 +3948,125 @@ def test_transition_entropy_commuter_vs_roamer(spark):
         [("s", 0.0, "A"), ("s", 1.0, "A")], "k string, t double, cell string"
     )
     assert transition_entropy(still, ["k"], "t", "cell").count() == 0
+
+
+def test_pingpong_handovers_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        pingpong_handovers,
+    )
+
+    rows = [
+        # u1: A->B->A fast bounce (counts), then B->C->B too slow
+        ("u1", 0.0, "A"), ("u1", 10.0, "B"), ("u1", 20.0, "A"),
+        ("u1", 1000.0, "B"), ("u1", 1500.0, "C"), ("u1", 2000.0, "B"),
+        # u2: A->B->A fast bounce on the same pair
+        ("u2", 0.0, "A"), ("u2", 5.0, "B"), ("u2", 9.0, "A"),
+        # u3: A->A->A self-loop run, never a bounce
+        ("u3", 0.0, "A"), ("u3", 1.0, "A"), ("u3", 2.0, "A"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, cell string")
+    out = {
+        (r["cell_a"], r["cell_b"]): r
+        for r in pingpong_handovers(
+            df, ["k"], "t", "cell", max_gap_s=100.0
+        ).collect()
+    }
+    assert set(out) == {("A", "B")}
+    assert out[("A", "B")]["n_pingpongs"] == 2
+    assert out[("A", "B")]["n_keys"] == 2
+
+
+def test_route_motifs_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        route_motifs,
+    )
+
+    # two users travel A->B->C; one continues C->D; self-loop steps
+    # (B->B) break the chain
+    rows = [
+        ("u1", 0.0, "A"), ("u1", 1.0, "B"), ("u1", 2.0, "C"),
+        ("u1", 3.0, "D"),
+        ("u2", 0.0, "A"), ("u2", 1.0, "B"), ("u2", 2.0, "B"),
+        ("u2", 3.0, "C"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, cell string")
+    out = {
+        (r["c1"], r["c2"], r["c3"]): (r["n_trips"], r["n_keys"])
+        for r in route_motifs(df, ["k"], "t", "cell", top_n=5).collect()
+    }
+    # u2's A,B,B,C yields no motif (B->B self-loop in both triples)
+    assert out == {("A", "B", "C"): (1, 1), ("B", "C", "D"): (1, 1)}
+
+
+def test_page_hinkley_level_shift(spark):
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    # flat at 0 for 20 points, then a +10 shift: PH climbs after the
+    # shift and crosses a small lambda; no alarm on the flat prefix
+    rows = [("k", float(i), 0.0) for i in range(20)]
+    rows += [("k", float(20 + i), 10.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, o double, x double")
+    r = page_hinkley(df, ["k"], "o", "x", delta=0.0, lam=20.0).collect()[0]
+    assert r["n_obs"] == 40
+    assert r["n_alarms"] > 0
+    assert r["first_alarm_o"] > 20.0  # fires only after the shift
+    assert r["max_ph"] > 20.0
+    # pure noise-free flat series never alarms
+    flat = spark.createDataFrame(
+        [("k", float(i), 5.0) for i in range(30)],
+        "k string, o double, x double",
+    )
+    rf = page_hinkley(flat, ["k"], "o", "x", lam=1.0).collect()[0]
+    assert rf["n_alarms"] == 0 and rf["first_alarm_o"] is None
+    assert rf["max_ph"] == 0.0
+
+
+def test_cross_correlation_shifted_series(spark):
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    # y is x delayed by 2 steps: ccf peaks (=1) at lag 2... x leads y,
+    # so corr(x_t, y_{t+2}) = corr(x_t, x_t) = 1
+    import math
+
+    xs = [math.sin(i / 3.0) for i in range(40)]
+    rows = [
+        ("k", float(i), xs[i], xs[i - 2] if i >= 2 else None)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, o double, x double, y double")
+    out = {
+        r["lag"]: r["ccf"]
+        for r in cross_correlation(
+            df, ["k"], "o", "x", "y", max_lag=3
+        ).collect()
+    }
+    assert out[2] == pytest.approx(1.0, abs=1e-6)
+    assert out[0] < out[2] and out[1] < out[2] and out[3] < out[2]
+
+
+def test_flesch_readability_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.text import (
+        flesch_readability,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, ""),  # zero words -> NULL flesch
+            (3, "no terminal punctuation here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in flesch_readability(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    # words: the,cat,sat,the,dog,ran = 6; sentences: '.'+'!' runs = 2;
+    # vowel groups: e,a,a,e,o,a = 6 -> flesch = 206.835-1.015*3-84.6*1
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    assert r1["n_syllables"] == 6
+    assert r1["flesch"] == pytest.approx(206.835 - 3.045 - 84.6, abs=1e-6)
+    assert out[2]["flesch"] is None and out[2]["n_sentences"] == 1
+    assert out[3]["n_sentences"] == 1  # floored at 1

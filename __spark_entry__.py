@@ -9839,6 +9839,176 @@ FROM c
 """
 
 
+def erlang_blocking_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang B trunk blocking per precision-1 region cell
+    (operators/telecom.py::erlang_b_blocking): treat ``value`` as
+    call-holding seconds over one synthetic day, so offered load
+    E = Σvalue/86400 erlangs, and report the blocking probability at
+    2 trunks — the teletraffic dimensioning table, computed by ONE
+    dual-dialect formula string (left-assoc power chains, no pow).
+    E is rounded to 6 BEFORE the formula so both engines evaluate
+    identical inputs (the ACF pre-rounding precedent)."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        erlang_b_blocking,
+    )
+
+    pts = _event_points(spark, sf_dir).join(
+        _t(spark, sf_dir, "events").select("event_id", "value"),
+        "event_id",
+    )
+    loads = (
+        pts.where(F.col("value").isNotNull())
+        .groupBy(
+            F.expr(geohash_sql("lat", "lng", 1, "spark")).alias("cell")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            (
+                F.round(F.sum("value") / F.lit(86400.0), 6) + F.lit(0.0)
+            ).alias("offered_erlang"),
+        )
+    )
+    return erlang_b_blocking(loads, "offered_erlang", channels=2)
+
+
+def _erlang_sql() -> str:
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        erlang_b_sql,
+    )
+
+    b = erlang_b_sql("CAST(offered_erlang AS DOUBLE)", 2)
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+j AS (
+  SELECT {geohash_sql('p.lat', 'p.lng', 1, 'duckdb')} AS cell, e.value
+  FROM pts p JOIN events e USING (event_id)
+  WHERE e.value IS NOT NULL
+), loads AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_calls,
+         round(sum(value) / CAST(86400.0 AS DOUBLE), 6) + 0.0
+           AS offered_erlang
+  FROM j GROUP BY 1
+)
+SELECT cell, n_calls, offered_erlang,
+       round({b}, 6) + 0.0 AS blocking
+FROM loads
+"""
+
+
+def jain_cell_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jain's fairness index (operators/telecom.py::jain_fairness)
+    over per-cell event counts: ONE number for "is the network load
+    balanced" (1 = even, 1/n = one hot cell).  Counts are integers,
+    so every pre-division sum is exact in both engines."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        jain_fairness,
+    )
+
+    loads = _event_points(spark, sf_dir).groupBy(
+        F.expr(geohash_sql("lat", "lng", 1, "spark")).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("load"))
+    return jain_fairness(loads, "load")
+
+
+def _jain_sql() -> str:
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+loads AS (
+  SELECT {geohash_sql('lat', 'lng', 1, 'duckdb')} AS cell,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM pts GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(CASE WHEN sum(x * x) > 0
+             THEN (sum(x) * sum(x))
+                  / (CAST(count(*) AS DOUBLE) * sum(x * x)) END,
+             6) + 0.0 AS jain
+FROM loads
+"""
+
+
+def busy_hour_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Busy-hour analysis per precision-1 region cell
+    (operators/telecom.py::busy_hour): the hour-of-day carrying the
+    most events (earliest-hour tie-break) and its share of the
+    cell's traffic — the radio-planning dimensioning input."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.telecom import busy_hour
+
+    pts = _event_points(spark, sf_dir).join(
+        _t(spark, sf_dir, "events").select("event_id", "ts"), "event_id"
+    )
+    cells = pts.withColumn(
+        "cell", F.expr(geohash_sql("lat", "lng", 1, "spark"))
+    )
+    return busy_hour(cells, ["cell"], "ts")
+
+
+def _busy_hour_sql() -> str:
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+j AS (
+  SELECT {geohash_sql('p.lat', 'p.lng', 1, 'duckdb')} AS cell,
+         CAST(hour(e.ts) AS BIGINT) AS busy_hour
+  FROM pts p JOIN events e USING (event_id)
+), counts AS (
+  SELECT cell, busy_hour, count(*) AS n FROM j GROUP BY 1, 2
+), ranked AS (
+  SELECT cell, busy_hour, n,
+         sum(n) OVER (PARTITION BY cell) AS tot,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY n DESC, busy_hour) AS rn
+  FROM counts
+)
+SELECT cell, busy_hour, CAST(n AS BIGINT) AS n_busy,
+       CAST(tot AS BIGINT) AS n_total,
+       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0
+         AS busy_share
+FROM ranked WHERE rn = 1
+"""
+
+
+def stickiness_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly DAU/WAU stickiness (operators/telecom.py::
+    dau_wau_stickiness) of the subscriber base — the engagement
+    ratio: mean observed-day daily-actives over weekly-actives per
+    Monday-start week."""
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        dau_wau_stickiness,
+    )
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return dau_wau_stickiness(e, "user_id", "ts")
+
+
+_STICKINESS_SQL = """
+WITH base AS (
+  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         date_trunc('day', ts) AS day, user_id AS u
+  FROM events
+), daily AS (
+  SELECT week, day, count(DISTINCT u) AS dau FROM base GROUP BY 1, 2
+), perweek AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS n_days,
+         avg(dau) AS avg_raw
+  FROM daily GROUP BY 1
+), weekly AS (
+  SELECT week, CAST(count(DISTINCT u) AS BIGINT) AS wau
+  FROM base GROUP BY 1
+)
+SELECT p.week, p.n_days, round(p.avg_raw, 6) + 0.0 AS avg_dau, w.wau,
+       round(p.avg_raw / CAST(w.wau AS DOUBLE), 6) + 0.0 AS stickiness
+FROM perweek p JOIN weekly w ON p.week = w.week
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9956,6 +10126,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "page_hinkley_events": (page_hinkley_events, _PAGE_HINKLEY_SQL),
     "ccf_click_error_hourly": (ccf_click_error_hourly, _CCF_SQL),
     "flesch_docs": (flesch_docs, _FLESCH_SQL),
+    # round-5 wave 9 (teletraffic engineering: Erlang B, Jain
+    # fairness, busy hour, DAU/WAU) — same queue position rationale
+    "erlang_blocking_cells": (erlang_blocking_cells, _erlang_sql()),
+    "jain_cell_load": (jain_cell_load, _jain_sql()),
+    "busy_hour_cells": (busy_hour_cells, _busy_hour_sql()),
+    "stickiness_weekly_users": (stickiness_weekly_users, _STICKINESS_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
     "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),

@@ -4070,3 +4070,102 @@ def test_flesch_readability_hand(spark):
     assert r1["flesch"] == pytest.approx(206.835 - 3.045 - 84.6, abs=1e-6)
     assert out[2]["flesch"] is None and out[2]["n_sentences"] == 1
     assert out[3]["n_sentences"] == 1  # floored at 1
+
+
+def test_erlang_b_known_table_values(spark):
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        erlang_b_blocking,
+    )
+
+    # classic Erlang-B table points: B(E=1, m=1) = 0.5,
+    # B(E=2, m=2) = 2/5, B(E=1, m=2) = 0.2, B(E=0, m) = 0
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 0.0)], "id int, e double"
+    )
+    out = {
+        r["id"]: r["blocking"]
+        for r in erlang_b_blocking(df, "e", channels=2).collect()
+    }
+    assert out[1] == pytest.approx(0.2, abs=1e-9)       # (1/2)/(1+1+1/2)
+    assert out[2] == pytest.approx(0.4, abs=1e-9)       # 2/(1+2+2)
+    assert out[3] == pytest.approx(0.0, abs=1e-12)
+    # recursion sanity at m=1: B(1,1) = (1/1)/(1+1) = 0.5
+    one = erlang_b_blocking(
+        spark.createDataFrame([(1, 1.0)], "id int, e double"),
+        "e",
+        channels=1,
+    ).collect()[0]
+    assert one["blocking"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_erlang_b_sql_matches_duckdb(spark):
+    import duckdb
+
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        erlang_b_sql,
+    )
+
+    expr = erlang_b_sql("CAST(e AS DOUBLE)", 3)
+    con = duckdb.connect()
+    for e in (0.5, 1.0, 2.7, 10.0):
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT {e} AS e)"
+        ).fetchone()[0]
+        got = (
+            spark.createDataFrame([(e,)], "e double")
+            .selectExpr(f"{expr} AS b")
+            .collect()[0]["b"]
+        )
+        assert got == want  # bit-identical, not approx
+
+
+def test_jain_fairness_even_vs_skewed(spark):
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        jain_fairness,
+    )
+
+    even = spark.createDataFrame([(10.0,)] * 4, "x double")
+    r = jain_fairness(even, "x").collect()[0]
+    assert r["jain"] == pytest.approx(1.0, abs=1e-9) and r["n"] == 4
+    skew = spark.createDataFrame(
+        [(100.0,), (0.0,), (0.0,), (0.0,)], "x double"
+    )
+    assert jain_fairness(skew, "x").collect()[0]["jain"] == pytest.approx(
+        0.25, abs=1e-9
+    )
+
+
+def test_busy_hour_argmax_and_tiebreak(spark):
+    import datetime as dt
+
+    from botkop_telcotraffic_spark_spark.operators.telecom import busy_hour
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("c", base.replace(hour=9)), ("c", base.replace(hour=9)),
+            ("c", base.replace(hour=17)),
+            # cell "t": tie between hours 3 and 5 -> earliest (3) wins
+            ("t", base.replace(hour=5)), ("t", base.replace(hour=3))]
+    df = spark.createDataFrame(rows, "cell string, ts timestamp")
+    out = {r["cell"]: r for r in busy_hour(df, ["cell"], "ts").collect()}
+    assert out["c"]["busy_hour"] == 9 and out["c"]["n_busy"] == 2
+    assert out["c"]["busy_share"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["t"]["busy_hour"] == 3
+
+
+def test_dau_wau_stickiness_hand(spark):
+    import datetime as dt
+
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        dau_wau_stickiness,
+    )
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    # week 1: u1 active Mon+Tue, u2 active Mon -> days: Mon dau=2,
+    # Tue dau=1 -> avg_dau=1.5, wau=2, stickiness=0.75
+    rows += [(1, mon), (2, mon), (1, mon + dt.timedelta(days=1))]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    r = dau_wau_stickiness(df, "user_id", "ts").collect()[0]
+    assert r["n_days"] == 2 and r["wau"] == 2
+    assert r["avg_dau"] == pytest.approx(1.5, abs=1e-9)
+    assert r["stickiness"] == pytest.approx(0.75, abs=1e-9)

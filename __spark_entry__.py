@@ -9625,6 +9625,51 @@ FROM b GROUP BY 1, 2
 """
 
 
+def streaming_pingpong_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ping-pong detection (streaming/tws.py::
+    PingPongProcessor): the stateful-streaming twin of
+    pingpong_cells_events — four scalars of ValueState per
+    subscriber (last two fixes), bounces emitted exactly once even
+    when the A->B->A excursion spans micro-batch boundaries, pairs
+    aggregated from the append sink.  Same oracle as the batch twin
+    (the pair matrix is arrival-order-invariant given per-key
+    event-time ordering)."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.tws import (
+        pingpong_bounces,
+    )
+
+    tune(spark)
+    enable_large_state(spark)
+    stream = (
+        stream_parquet_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("t"),
+            ((F.col("event_id") % 180) - 90 + F.lit(0.5)).alias("lat"),
+            (((F.col("event_id") * 7) % 360) - 180 + F.lit(0.5)).alias(
+                "lng"
+            ),
+        )
+        .withColumn("cell", F.expr(geohash_sql("lat", "lng", 2, "spark")))
+        .select("event_id", "user_id", "t", "cell")
+    )
+    snap = run_to_memory(
+        pingpong_bounces(stream, max_gap_s=172_800.0),
+        output_mode="append",
+    )
+    return snap.groupBy("cell_a", "cell_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pingpongs"),
+        F.countDistinct("user_id").cast("long").alias("n_keys"),
+    )
+
+
 def route_motifs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 cell-sequence trigrams (operators/trajectory.py::
     route_motifs) over the precision-2 cells — corridor mining: the
@@ -10122,6 +10167,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # slots filled — never driver-checked yet, hence FIRST in line
     # for the r6 rotation (pytest-oracle-verified each run meanwhile)
     "pingpong_cells_events": (pingpong_cells_events, _pingpong_sql()),
+    "streaming_pingpong_events": (
+        streaming_pingpong_events,
+        _pingpong_sql(),
+    ),
     "route_motifs_events": (route_motifs_events, _route_motifs_sql()),
     "page_hinkley_events": (page_hinkley_events, _PAGE_HINKLEY_SQL),
     "ccf_click_error_hourly": (ccf_click_error_hourly, _CCF_SQL),

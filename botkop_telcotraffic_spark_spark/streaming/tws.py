@@ -570,3 +570,110 @@ def handover_transitions(points: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- per-key ValueState: ping-pong handover bounces ------------------------
+
+PINGPONG_OUT_SCHEMA = (
+    "user_id long, cell_a string, cell_b string, t double"
+)
+
+
+class PingPongProcessor(StatefulProcessor):
+    """Per-key A->B->A ping-pong detector via ValueState: remembers
+    each subscriber's last TWO fixes — (prev cell, its time, the
+    cell before that, its time), four scalars per key, the minimal
+    state the bounce predicate needs — and emits one row per bounce
+    whose full excursion completes within ``max_gap_s``.  The
+    streaming half of ``operators/trajectory.py::
+    pingpong_handovers`` (same predicate, same batch oracle after
+    the pair aggregate).
+
+    In-batch rows are sorted by (t, event_id) so replay batching
+    cannot reorder a key's timeline; state carries the last two
+    fixes ACROSS batches, so bounces whose three fixes span
+    micro-batch boundaries are emitted exactly once.
+    """
+
+    def __init__(self, max_gap_s: float = 172_800.0) -> None:
+        self._max_gap_s = float(max_gap_s)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._prev = handle.getValueState(
+            "prev", "c1 string, t1 double, c2 string, t2 double"
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows)).sort_values(["t", "event_id"])
+        c1 = t1 = c2 = t2 = None
+        if self._prev.exists():
+            c1, t1, c2, t2 = self._prev.get()
+        out = {"user_id": [], "cell_a": [], "cell_b": [], "t": []}
+        for _, row in batch.iterrows():
+            cell, t = row["cell"], float(row["t"])
+            if (
+                c2 is not None
+                and cell == c2
+                and cell != c1
+                and (t - t2) <= self._max_gap_s
+            ):
+                out["user_id"].append(key[0])
+                out["cell_a"].append(min(cell, c1))
+                out["cell_b"].append(max(cell, c1))
+                out["t"].append(t)
+            c2, t2, c1, t1 = c1, t1, cell, t
+        if c1 is not None:
+            self._prev.update((c1, t1, c2, t2))
+        yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def pingpong_bounces(
+    points: DataFrame, max_gap_s: float = 172_800.0
+) -> DataFrame:
+    """points(event_id, user_id, t, cell) -> one row per A->B->A
+    bounce.  ValueState primary; scalar-state applyInPandasWithState
+    fallback without protobuf."""
+    if transform_with_state_available():
+        return points.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=PingPongProcessor(max_gap_s),
+            outputStructType=PINGPONG_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        c1 = t1 = c2 = t2 = None
+        if state.exists:
+            c1, t1, c2, t2 = state.get
+        batch = pd.concat(list(pdfs)).sort_values(["t", "event_id"])
+        out = {"user_id": [], "cell_a": [], "cell_b": [], "t": []}
+        for _, row in batch.iterrows():
+            cell, t = row["cell"], float(row["t"])
+            if (
+                c2 is not None
+                and cell == c2
+                and cell != c1
+                and (t - t2) <= float(max_gap_s)
+            ):
+                out["user_id"].append(key[0])
+                out["cell_a"].append(min(cell, c1))
+                out["cell_b"].append(max(cell, c1))
+                out["t"].append(t)
+            c2, t2, c1, t1 = c1, t1, cell, t
+        if c1 is not None:
+            state.update((c1, t1, c2, t2))
+        yield pd.DataFrame(out)
+
+    return points.groupBy("user_id").applyInPandasWithState(
+        _group,
+        outputStructType=PINGPONG_OUT_SCHEMA,
+        stateStructType="c1 string, t1 double, c2 string, t2 double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -996,3 +996,68 @@ def test_handover_transitions_cross_batch(spark):
         (r["user_id"], r["from_cell"], r["to_cell"], r["t"])
         for r in single.collect()
     )
+
+
+def test_pingpong_bounces_cross_batch(spark):
+    """PingPongProcessor carries the last TWO fixes across
+    micro-batches: a bounce whose three fixes straddle a file
+    boundary is emitted EXACTLY once, the time guard drops slow
+    excursions, and two-file one-per-trigger replay equals the
+    single-batch run (streaming/tws.py::pingpong_bounces)."""
+    import pandas as pd
+
+    from botkop_telcotraffic_spark_spark.streaming.tws import (
+        pingpong_bounces,
+    )
+
+    src = os.path.join(TMP, "pingpong_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    # user 0: A B | A C  (bounce A-B-A straddles the file split)
+    # user 1: X Y X | _  (fast in-file bounce)
+    # user 2: P Q | P    (SLOW: excursion 200 s > guard 100 s)
+    rows = [
+        {"event_id": 1, "user_id": 0, "t": 0.0, "cell": "A"},
+        {"event_id": 2, "user_id": 0, "t": 10.0, "cell": "B"},
+        {"event_id": 3, "user_id": 0, "t": 20.0, "cell": "A"},
+        {"event_id": 4, "user_id": 0, "t": 30.0, "cell": "C"},
+        {"event_id": 5, "user_id": 1, "t": 0.0, "cell": "X"},
+        {"event_id": 6, "user_id": 1, "t": 5.0, "cell": "Y"},
+        {"event_id": 7, "user_id": 1, "t": 9.0, "cell": "X"},
+        {"event_id": 8, "user_id": 2, "t": 0.0, "cell": "P"},
+        {"event_id": 9, "user_id": 2, "t": 100.0, "cell": "Q"},
+        {"event_id": 10, "user_id": 2, "t": 200.0, "cell": "P"},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf[pdf["t"] < 15].to_parquet(os.path.join(src, "a.parquet"))
+    pdf[pdf["t"] >= 15].to_parquet(os.path.join(src, "b.parquet"))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_to_memory(
+        pingpong_bounces(stream, max_gap_s=100.0),
+        output_mode="append",
+        checkpoint=os.path.join(TMP, "ckpt_pingpong"),
+    )
+    got = sorted(
+        (r["user_id"], r["cell_a"], r["cell_b"], r["t"])
+        for r in out.collect()
+    )
+    assert got == [(0, "A", "B", 20.0), (1, "X", "Y", 9.0)]
+
+    single = run_to_memory(
+        pingpong_bounces(
+            spark.readStream.schema(schema).parquet(src),
+            max_gap_s=100.0,
+        ),
+        output_mode="append",
+        checkpoint=os.path.join(TMP, "ckpt_pingpong_one"),
+    )
+    assert got == sorted(
+        (r["user_id"], r["cell_a"], r["cell_b"], r["t"])
+        for r in single.collect()
+    )

@@ -10054,6 +10054,167 @@ FROM perweek p JOIN weekly w ON p.week = w.week
 """
 
 
+def erlang_wait_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang C waiting probability per precision-1 region cell
+    (operators/telecom.py::erlang_c_waiting): the delay-system
+    companion to erlang_blocking_cells — same offered loads, the
+    fraction of arrivals that must QUEUE at 2 servers (1.0 at or
+    past saturation, which the sf0.1 fixture reaches on hot cells).
+    Same dual-dialect libm-free formula contract."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        erlang_c_waiting,
+    )
+
+    pts = _event_points(spark, sf_dir).join(
+        _t(spark, sf_dir, "events").select("event_id", "value"),
+        "event_id",
+    )
+    loads = (
+        pts.where(F.col("value").isNotNull())
+        .groupBy(
+            F.expr(geohash_sql("lat", "lng", 1, "spark")).alias("cell")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            (
+                F.round(F.sum("value") / F.lit(86400.0), 6) + F.lit(0.0)
+            ).alias("offered_erlang"),
+        )
+    )
+    return erlang_c_waiting(loads, "offered_erlang", channels=2)
+
+
+def _erlang_c_sql() -> str:
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        erlang_c_sql,
+    )
+
+    c = erlang_c_sql("CAST(offered_erlang AS DOUBLE)", 2)
+    return f"""
+WITH pts AS ({_EVENT_POINTS_SQL}),
+j AS (
+  SELECT {geohash_sql('p.lat', 'p.lng', 1, 'duckdb')} AS cell, e.value
+  FROM pts p JOIN events e USING (event_id)
+  WHERE e.value IS NOT NULL
+), loads AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_calls,
+         round(sum(value) / CAST(86400.0 AS DOUBLE), 6) + 0.0
+           AS offered_erlang
+  FROM j GROUP BY 1
+)
+SELECT cell, n_calls, offered_erlang,
+       round({c}, 6) + 0.0 AS p_wait
+FROM loads
+"""
+
+
+def rfm_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators/customer.py::rfm_scores) of the
+    order base: quintile scores for recency (days of last order
+    since 1992-01-01), frequency (order count) and monetary (spend),
+    via the decile_bins boundary-fold pattern — no ntile, no global
+    sort, no tie-break needed."""
+    from botkop_telcotraffic_spark_spark.operators.customer import (
+        rfm_scores,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return rfm_scores(o, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+_RFM_SQL = """
+WITH per_key AS (
+  SELECT o_custkey AS key,
+         CAST(date_diff('day', DATE '1992-01-01', max(o_orderdate))
+              AS BIGINT) AS last_day,
+         CAST(count(*) AS BIGINT) AS n_acts,
+         round(sum(o_totalprice), 6) + 0.0 AS monetary
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT quantile_cont(last_day, [0.2, 0.4, 0.6, 0.8]) AS rb,
+         quantile_cont(n_acts, [0.2, 0.4, 0.6, 0.8]) AS fb,
+         list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
+                        b -> round(b, 6)) AS mb
+  FROM per_key
+), scored AS (
+  SELECT key, last_day, n_acts, monetary,
+         1 + len(list_filter(rb, b -> b <= CAST(last_day AS DOUBLE)))
+           AS r_score,
+         1 + len(list_filter(fb, b -> b <= CAST(n_acts AS DOUBLE)))
+           AS f_score,
+         1 + len(list_filter(mb, b -> b <= monetary)) AS m_score
+  FROM per_key, bounds
+)
+SELECT key, last_day, n_acts, monetary,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm
+FROM scored
+"""
+
+
+def growth_accounting_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (operators/customer.py::
+    growth_accounting) of the subscriber base: new / retained /
+    resurrected actives plus the churned count attributed to the
+    week users went missing — the SaaS-metrics lifecycle
+    decomposition next to stickiness and cohort retention."""
+    from botkop_telcotraffic_spark_spark.operators.customer import (
+        growth_accounting,
+    )
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return growth_accounting(e, "user_id", "ts")
+
+
+_GROWTH_SQL = """
+WITH wk AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+), flagged AS (
+  SELECT u, week,
+         lag(week) OVER w AS prev,
+         lead(week) OVER w AS next,
+         min(week) OVER (PARTITION BY u) AS first
+  FROM wk WINDOW w AS (PARTITION BY u ORDER BY week)
+), status AS (
+  SELECT week,
+         CASE WHEN week = first THEN 'new'
+              WHEN prev = week - INTERVAL 7 DAY THEN 'retained'
+              ELSE 'resurrected' END AS st,
+         (next IS NULL OR next > week + INTERVAL 7 DAY) AS churns
+  FROM flagged
+), actives AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS n_active,
+         CAST(sum(CASE WHEN st = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(sum(CASE WHEN st = 'retained' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_retained,
+         CAST(sum(CASE WHEN st = 'resurrected' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+  FROM status GROUP BY 1
+), churned AS (
+  SELECT week + INTERVAL 7 DAY AS week,
+         CAST(count(*) AS BIGINT) AS n_churned
+  FROM status WHERE churns GROUP BY 1
+)
+SELECT coalesce(a.week, c.week) AS week,
+       coalesce(a.n_active, 0) AS n_active,
+       coalesce(a.n_new, 0) AS n_new,
+       coalesce(a.n_retained, 0) AS n_retained,
+       coalesce(a.n_resurrected, 0) AS n_resurrected,
+       coalesce(c.n_churned, 0) AS n_churned
+FROM actives a FULL OUTER JOIN churned c ON a.week = c.week
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -10181,6 +10342,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "jain_cell_load": (jain_cell_load, _jain_sql()),
     "busy_hour_cells": (busy_hour_cells, _busy_hour_sql()),
     "stickiness_weekly_users": (stickiness_weekly_users, _STICKINESS_SQL),
+    # round-5 wave 10 (Erlang C queueing, RFM segmentation, growth
+    # accounting) — same queue position rationale
+    "erlang_wait_cells": (erlang_wait_cells, _erlang_c_sql()),
+    "rfm_customers": (rfm_customers, _RFM_SQL),
+    "growth_accounting_users": (growth_accounting_users, _GROWTH_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
     "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),

@@ -218,3 +218,55 @@ def dau_wau_stickiness(
             + F.lit(0.0)
         ).alias("stickiness"),
     )
+
+
+def erlang_c_sql(erlang_expr: str, channels: int) -> str:
+    """ONE dual-dialect SQL string for the Erlang C waiting
+    probability — the delay-system companion to :func:`erlang_b_sql`
+    (calls QUEUE instead of blocking; the call-center / paging-channel
+    dimensioning formula):
+
+        C(E, m) = A / (Σ_{k<m} E^k/k! + A),
+        A = (E^m/m!) · m/(m−E)      for E < m; C = 1 when E >= m
+        (the M/M/m queue is unstable at or past full load).
+
+    Same determinism contract as Erlang B: left-associated power
+    chains (no pow), DOUBLE-cast factorial literals, grammar-ordered
+    additions — a bit-identical tree in both engines.
+    """
+    e = f"({erlang_expr})"
+    pows = ["CAST(1.0 AS DOUBLE)"]
+    for _ in range(channels):
+        pows.append(f"({pows[-1]} * {e})" if len(pows) > 1 else e)
+    terms = [
+        f"({p} / CAST({float(factorial(k))} AS DOUBLE))"
+        for k, p in enumerate(pows)
+    ]
+    m = float(channels)
+    a = (
+        f"({terms[-1]} * (CAST({m} AS DOUBLE)"
+        f" / (CAST({m} AS DOUBLE) - {e})))"
+    )
+    partial = " + ".join(terms[:-1])
+    return (
+        f"(CASE WHEN {e} < CAST({m} AS DOUBLE)"
+        f" THEN ({a} / (({partial}) + {a}))"
+        f" ELSE CAST(1.0 AS DOUBLE) END)"
+    )
+
+
+def erlang_c_waiting(
+    df: DataFrame,
+    erlang_col: str,
+    channels: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Erlang C waiting probability per row of an AGGREGATED
+    offered-load relation: appends ``p_wait`` — the fraction of
+    arrivals that find all ``channels`` servers busy and must queue
+    (1.0 at or past saturation).  Scan-side closed-form column math,
+    zero shuffles; formula from :func:`erlang_c_sql` so an oracle
+    evaluates the identical tree.
+    """
+    c = F.expr(erlang_c_sql(f"CAST({erlang_col} AS DOUBLE)", channels))
+    return df.withColumn("p_wait", F.round(c, round_to) + F.lit(0.0))

@@ -4169,3 +4169,83 @@ def test_dau_wau_stickiness_hand(spark):
     assert r["n_days"] == 2 and r["wau"] == 2
     assert r["avg_dau"] == pytest.approx(1.5, abs=1e-9)
     assert r["stickiness"] == pytest.approx(0.75, abs=1e-9)
+
+
+def test_erlang_c_known_values(spark):
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        erlang_c_waiting,
+    )
+
+    # M/M/2 with E=1: C = (1^2/2! * 2/(2-1)) / (1 + 1 + same) = 1/3;
+    # saturation (E >= m) pins p_wait at 1
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 5.0), (4, 0.0)], "id int, e double"
+    )
+    out = {
+        r["id"]: r["p_wait"]
+        for r in erlang_c_waiting(df, "e", channels=2).collect()
+    }
+    assert out[1] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2] == 1.0 and out[3] == 1.0
+    assert out[4] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_rfm_scores_hand(spark):
+    import datetime as dt
+
+    from botkop_telcotraffic_spark_spark.operators.customer import (
+        rfm_scores,
+    )
+
+    d0 = dt.date(1995, 1, 1)
+    rows = []
+    # five customers with strictly increasing recency/frequency/spend
+    for i in range(5):
+        for j in range(i + 1):  # frequency 1..5
+            rows.append(
+                (i, d0 + dt.timedelta(days=30 * i), 100.0 * (i + 1))
+            )
+    df = spark.createDataFrame(
+        rows, "c int, d date, amt double"
+    )
+    out = {r["key"]: r for r in rfm_scores(df, "c", "d", "amt").collect()}
+    # customer 4: most recent, most frequent, biggest spend -> "555"
+    assert out[4]["rfm"] == "555"
+    assert out[0]["rfm"] == "111"
+    # monotone scores
+    for i in range(4):
+        assert out[i]["r_score"] <= out[i + 1]["r_score"]
+        assert out[i]["f_score"] <= out[i + 1]["f_score"]
+        assert out[i]["m_score"] <= out[i + 1]["m_score"]
+
+
+def test_growth_accounting_lifecycle(spark):
+    import datetime as dt
+
+    from botkop_telcotraffic_spark_spark.operators.customer import (
+        growth_accounting,
+    )
+
+    mon = dt.datetime(2024, 1, 1)  # Monday
+    wk = lambda k: mon + dt.timedelta(weeks=k)
+    rows = []
+    # u1: weeks 0,1,3 -> new@0, retained@1, churn@2, resurrected@3, churn@4
+    for k in (0, 1, 3):
+        rows.append((1, wk(k)))
+    # u2: week 0 only -> new@0, churn@1
+    rows.append((2, wk(0)))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {r["week"]: r for r in growth_accounting(df, "user_id", "ts").collect()}
+    r0 = out[wk(0)]
+    assert (r0["n_active"], r0["n_new"], r0["n_churned"]) == (2, 2, 0)
+    r1 = out[wk(1)]
+    assert (r1["n_active"], r1["n_retained"], r1["n_churned"]) == (1, 1, 1)
+    r2 = out[wk(2)]  # churn-only week
+    assert (r2["n_active"], r2["n_churned"]) == (0, 1)
+    r3 = out[wk(3)]
+    assert (r3["n_active"], r3["n_resurrected"]) == (1, 1)
+    r4 = out[wk(4)]  # trailing churn week past last activity
+    assert (r4["n_active"], r4["n_churned"]) == (0, 1)
+    # identity: actives = new + retained + resurrected each week
+    for r in out.values():
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]

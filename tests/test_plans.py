@@ -561,6 +561,7 @@ def test_registry_wide_no_cartesian(spark):
         "token_shards_docs",         # one-row grand-total scalar
         "pagerank_purchase_graph",   # one-row dangling-mass scalar/iter
         "hits_purchase_graph",       # one-row L2-norm scalar per half-step
+        "rfm_customers",             # one-row quantile-boundary arrays
         "bigram_pmi_docs",           # one-row T1/T2 total scalars
         "bloom_join_urgent_revenue", # one-row broadcast bitset probe
         "negative_samples_docs",     # one-row corpus-count scalar

@@ -10221,33 +10221,47 @@ FROM actives a FULL OUTER JOIN churned c ON a.week = c.week
 
 # Registry order is a VERIFICATION BUDGET: the driver's correctness
 # harness checks the first 50 entries against the DuckDB oracle each
-# round.  Round-5 slots 1-50 clear the rotation debt the r4 verdict
-# flagged: (a) the 13 entries that had NEVER received a driver check
-# (the r4-window overflow — Benford, conformal, CUPED, DP counts,
-# geohash, Kaplan-Meier, mSPRT, pretrain-mix flagship, quantile
-# match, streaming drift, plus the 3 rows-only-by-design sketch
-# queries), (b) the 4 entries whose engine code or oracle changed in
-# round 5 (the two former driver-ERR embedding queries re-emitted as
-# wide scalar columns, and the null-safe-join advisory fixes to
-# winsorize/CUSUM oracles), (c) the 10 NEW round-5 operators
-# (hamming ANN + rerank, matryoshka, PQ, BPE, vocab coverage, Gini,
-# KMV, audio features, Fellegi-Sunter), (d) the stalest re-checks
-# (r1-green, unchanged since; twelve of the original 33 were
-# re-demoted to make room for the new operators and rotate next
-# round), and (e) the 6 wave-2 round-5 operators (Adamic-Adar, PSI,
-# BH-FDR, ACF, mutual information, inter-arrival), slots 20-25, and
-# (f) the 5 wave-3 operators (trajectory speeds, OD flows,
-# Theil-Sen, Heaps fit, column entropy), slots 26-30, and (h) the 2
-# wave-7 operators (HITS, transition entropy) which displaced the
-# two r1-green stale re-checks to the top of the unchecked block.
-# After r5 every oracle-bearing entry EXCEPT the demoted r1-green
-# thirteen holds a green row in r1∪…∪r5.  Entries
-# past slot 50 are driver-green at their latest check; the full
-# pytest suite still verifies every oracle entry each run
-# (tests/test_oracle_parity.py) regardless of slot, and bench.py
-# rows cover the whole registry.
+# round.  STANDING RULE (round-6 verdict #1): any NEW queries() entry
+# is inserted at the TOP of the registry at creation time
+# (newest-first), so late-wave work can never park past slot 50
+# unchecked again.  Round-6 slots 1-50 hold, in order: (a) new
+# round-6 operators (inserted at creation, newest first), (b) the 13
+# round-5 late-wave entries that had NEVER received a driver check
+# (waves 8-10: ping-pong, route motifs, Page-Hinkley, CCF, Flesch,
+# Erlang B/C, Jain, busy hour, stickiness, RFM, growth accounting),
+# (c) the entries whose engine code or oracle changed in round 6
+# (PQ sampled training, streaming K-Means + HLL promoted from
+# rows-only to hash-oracled).  Entries past slot 50 are driver-green
+# at their latest check; the full pytest suite still verifies every
+# oracle entry each run (tests/test_oracle_parity.py) regardless of
+# slot, and bench.py rows cover the whole registry.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- checked slots 1-50 ------------------------------------------------
+    # (a) NEW round-6 entries are inserted immediately below this line,
+    # newest first (standing rule -- see the registry comment above).
+    # === ROUND-6 INSERTION POINT ===
+    # (b) the 13 round-5 late-wave entries never driver-checked before
+    "pingpong_cells_events": (pingpong_cells_events, _pingpong_sql()),
+    "streaming_pingpong_events": (
+        streaming_pingpong_events,
+        _pingpong_sql(),
+    ),
+    "route_motifs_events": (route_motifs_events, _route_motifs_sql()),
+    "page_hinkley_events": (page_hinkley_events, _PAGE_HINKLEY_SQL),
+    "ccf_click_error_hourly": (ccf_click_error_hourly, _CCF_SQL),
+    "flesch_docs": (flesch_docs, _FLESCH_SQL),
+    "erlang_blocking_cells": (erlang_blocking_cells, _erlang_sql()),
+    "jain_cell_load": (jain_cell_load, _jain_sql()),
+    "busy_hour_cells": (busy_hour_cells, _busy_hour_sql()),
+    "stickiness_weekly_users": (stickiness_weekly_users, _STICKINESS_SQL),
+    "erlang_wait_cells": (erlang_wait_cells, _erlang_c_sql()),
+    "rfm_customers": (rfm_customers, _RFM_SQL),
+    "growth_accounting_users": (growth_accounting_users, _GROWTH_SQL),
+    # (c) engine code or oracle changed in round 6: PQ sampled
+    # training; streaming K-Means and HLL promoted to hash oracles
+    "pq_codes_embeddings": (pq_codes_embeddings, _pq_sql()),
+    "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),
+    "hll_sketch_rollup_users": (hll_sketch_rollup_users, None),
     # (a) the 13 entries NEVER driver-checked before round 5 (r4-window
     # overflow: 10 oracle-bearing + the 3 rows-only-by-design sketches)
     "dp_event_type_counts": (dp_event_type_counts, _DP_COUNTS_SQL),
@@ -10261,8 +10275,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "quantile_match_docs": (quantile_match_docs, _QMATCH_SQL),
     "benford_orders": (benford_orders, _BENFORD_SQL),
     "simulated_traffic_stats": (simulated_traffic_stats, None),
-    "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),
-    "hll_sketch_rollup_users": (hll_sketch_rollup_users, None),
     # (b) engine code or oracle changed in round 5: the two former
     # driver-ERRs re-emitted as wide scalar columns (p0..p15 / q0..q63,
     # the minhash precedent) + the null-safe-join advisory fixes
@@ -10312,7 +10324,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "matryoshka_prefix_norms": (matryoshka_prefix_norms, _MATRYOSHKA_SQL),
     "vocab_coverage_docs": (vocab_coverage_docs, _VOCAB_SQL),
     "gini_source_chars": (gini_source_chars, _GINI_SQL),
-    "pq_codes_embeddings": (pq_codes_embeddings, _pq_sql()),
     "bpe_merges_docs": (bpe_merges_docs, _bpe_sql()),
     "kmv_distinct_users": (kmv_distinct_users, _KMV_SQL),
     "audio_features_events": (audio_features_events, _AUDIO_SQL),
@@ -10323,30 +10334,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # all driver-green at their latest check AND pytest-oracle-verified
     # every run (tests/test_oracle_parity.py); ordered stalest-first so
     # future rotations promote from the top of this block.
-    # round-5 wave 8 (ping-pong handovers, route motifs,
-    # Page-Hinkley, lagged CCF, Flesch) landed after the 50 checked
-    # slots filled — never driver-checked yet, hence FIRST in line
-    # for the r6 rotation (pytest-oracle-verified each run meanwhile)
-    "pingpong_cells_events": (pingpong_cells_events, _pingpong_sql()),
-    "streaming_pingpong_events": (
-        streaming_pingpong_events,
-        _pingpong_sql(),
-    ),
-    "route_motifs_events": (route_motifs_events, _route_motifs_sql()),
-    "page_hinkley_events": (page_hinkley_events, _PAGE_HINKLEY_SQL),
-    "ccf_click_error_hourly": (ccf_click_error_hourly, _CCF_SQL),
-    "flesch_docs": (flesch_docs, _FLESCH_SQL),
-    # round-5 wave 9 (teletraffic engineering: Erlang B, Jain
-    # fairness, busy hour, DAU/WAU) — same queue position rationale
-    "erlang_blocking_cells": (erlang_blocking_cells, _erlang_sql()),
-    "jain_cell_load": (jain_cell_load, _jain_sql()),
-    "busy_hour_cells": (busy_hour_cells, _busy_hour_sql()),
-    "stickiness_weekly_users": (stickiness_weekly_users, _STICKINESS_SQL),
-    # round-5 wave 10 (Erlang C queueing, RFM segmentation, growth
-    # accounting) — same queue position rationale
-    "erlang_wait_cells": (erlang_wait_cells, _erlang_c_sql()),
-    "rfm_customers": (rfm_customers, _RFM_SQL),
-    "growth_accounting_users": (growth_accounting_users, _GROWTH_SQL),
     "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
     "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),

@@ -8443,12 +8443,18 @@ def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes(emb, dim=64, m=4, codebook_k=16, iterations=2)
 
 
-def _pq_sql(m: int = 4, k: int = 16, dim: int = 64, iters: int = 2) -> str:
+def _pq_sql(
+    m: int = 4, k: int = 16, dim: int = 64, iters: int = 2,
+    train_cap: int = 4096,
+) -> str:
     """Oracle twin of pq_codes_embeddings: the per-subspace Lloyd
     loops unrolled into CTE chains (the _lloyd_sql pattern), one
     chain per subspace over ``embedding[lo:hi]``, final argmin joined
-    across subspaces.  Same parity points as _lloyd_sql (seeding on
-    distinct sorted subvectors, identical euclid folds, avg rounded
+    across subspaces.  Round-6: training runs on the engine's bounded
+    deterministic sample — every step-th distinct sorted subvector,
+    step = ceil(n/train_cap), ranks re-numbered with integer
+    arithmetic (samp{s} mirrors operators/embed.py::pq_codes).  Same
+    parity points as _lloyd_sql (identical euclid folds, avg rounded
     to 9, empty clusters keep previous centroids); distances stay
     UNROUNDED into the mse sum (engine squares raw assign
     distances), only the final mse rounds to 6."""
@@ -8467,26 +8473,37 @@ def _pq_sql(m: int = 4, k: int = 16, dim: int = 64, iters: int = 2) -> str:
         lo, hi = s * sub + 1, (s + 1) * sub
         sl = f"embedding[{lo}:{hi}]"
         parts.append(("," if s else "") + f"""
-pts{s} AS (SELECT DISTINCT {sl} AS p FROM embeddings),
+pts{s} AS MATERIALIZED (SELECT DISTINCT {sl} AS p FROM embeddings),
 cnt{s} AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts{s}),
-ranked{s} AS (SELECT p, row_number() OVER (ORDER BY p) AS rn FROM pts{s}),
+ranked{s} AS (
+  SELECT p, row_number() OVER (ORDER BY p) AS rn,
+         (SELECT n FROM cnt{s}) AS n
+  FROM pts{s}
+),
+samp{s} AS MATERIALIZED (
+  SELECT p, ((rn - 1) // step) + 1 AS rn, ((n - 1) // step) + 1 AS n
+  FROM (SELECT p, rn, n,
+               CAST(ceil(n / {train_cap}.0) AS BIGINT) AS step
+        FROM ranked{s})
+  WHERE (rn - 1) % step = 0
+),
 idx{s} AS (
-  SELECT DISTINCT CAST(round(i.i * ((SELECT n FROM cnt{s}) - 1) / {k - 1}.0, 0)
-                       AS BIGINT) + 1 AS rn
+  SELECT DISTINCT CAST(round(i.i * ((SELECT max(n) FROM samp{s}) - 1)
+                             / {k - 1}.0, 0) AS BIGINT) + 1 AS rn
   FROM generate_series(0, {k - 1}) i(i)
 ),
 c0_{s} AS (
   SELECT CAST(row_number() OVER (ORDER BY rn) - 1 AS INT) AS prediction,
          list_transform(p, x -> CAST(x AS DOUBLE)) AS c
-  FROM ranked{s} JOIN idx{s} USING (rn)
+  FROM samp{s} JOIN idx{s} USING (rn)
 )""")
         for t in range(1, iters + 1):
             prev = f"c{t - 1}_{s}"
             parts.append(f""",
 a{t}_{s} AS (
-  SELECT e.vec_id, {sl} AS sv, c.prediction,
-         {euclid(sl.replace('embedding', 'e.embedding'), 'c.c')} AS dist
-  FROM embeddings e CROSS JOIN {prev} c
+  SELECT sm.rn AS vec_id, sm.p AS sv, c.prediction,
+         {euclid('sm.p', 'c.c')} AS dist
+  FROM samp{s} sm CROSS JOIN {prev} c
 ),
 b{t}_{s} AS (
   SELECT vec_id, sv, prediction FROM (

@@ -287,6 +287,7 @@ def pq_codes(
     m: int = 4,
     codebook_k: int = 16,
     iterations: int = 2,
+    train_cap: int = 4096,
 ) -> DataFrame:
     """Product quantization (Jégou-Douze-Schmid 2011, public
     literature): split each vector into ``m`` subvectors, train an
@@ -301,26 +302,31 @@ def pq_codes(
     the per-vector mean squared reconstruction error over all dims
     (sum of per-subspace squared distances / dim, rounded to 6).
 
-    Physical shape: all ``m`` codebooks train in ONE keyed Lloyd —
-    the subspaces live as keys of a long (s, point) frame, so every
-    round is one keyed aggregate and ONE driver collect of the
-    m·k·sub_dim centroid doubles (the per-subspace-loop formulation
-    paid ~m·iterations·3 driver round-trips and benched 10 s at
-    sf0.1; this shape is 1 seed + ``iterations`` collects — 4.7 s,
-    2.1x, dominated by the inherently interpreted HOF distance folds
-    of the iterative trainer).  Encoding then CHAINS
+    Physical shape (round-6 rework): codebooks train on a BOUNDED
+    DETERMINISTIC SAMPLE — per subspace, the distinct sorted
+    subvectors are rank-sampled evenly at step ceil(n/train_cap), so
+    training state is at most ``m * train_cap`` rows (~2 MB at the
+    defaults) regardless of corpus size.  That sample is collected
+    ONCE and Lloyd runs driver-side in numpy (model training on a
+    bounded sample is driver/parameter-server work in every
+    production recipe; the round-5 shape ran each round as a Spark
+    job and paid 1 seed + ``iterations`` full fact scans, 6 s at
+    sf0.1).  The fact table is now scanned exactly TWICE: once to
+    build the training sample, once for encoding.  Encoding CHAINS
     ``m`` broadcast argmins on the fact scan (each adds columns, no
-    joins) — the fact table is never shuffled at all.
+    joins) — the fact table is never shuffled.  At 100 TB this is
+    the standard recipe: train on a capped sample, encode as a
+    map-only pass.
 
-    Determinism: identical to per-subspace lloyd_kmeans — seeding is
-    k evenly-spaced rows of each subspace's DISTINCT sorted
-    subvectors (a per-key window gives the same per-subspace ranks),
-    means round to 9, empty clusters keep their previous centroid,
-    and argmin ties resolve to the lowest centroid id, matching the
-    oracle's ``ORDER BY dist, prediction``.
+    Determinism (oracle-mirrored): sample ranks are pure integer
+    arithmetic on the per-subspace DISTINCT sorted rank (keep rows
+    with (rn-1) % step == 0; resampled rank = (rn-1) DIV step + 1);
+    seeding is k evenly-spaced resampled rows (round-half-away index
+    formula — the lloyd_kmeans tie-impossibility argument holds for
+    any n since k-1 = 15 is odd); means round to 9, empty clusters
+    keep their previous centroid, argmin ties resolve to the lowest
+    centroid id, matching the oracle's ``ORDER BY dist, prediction``.
     """
-    from .kmeans import assign
-
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     spark = df.sparkSession
@@ -339,13 +345,11 @@ def pq_codes(
         )
     )
     pts = df.select(subs_expr.alias("_sp")).select("_sp.s", "_sp.point")
-    # Seeding in ONE job: per-subspace rank AND count from the same
-    # window pass, evenly-spaced index selection evaluated in-SQL.
-    # The index formula round(i·(n-1)/(k-1)) + 1 matches the oracle
-    # exactly; SQL round (half-away) vs Python round (half-even)
-    # cannot diverge because 2·i·(n-1) = (k-1)·odd has no integer
-    # solution for even LHS (the lloyd_kmeans tie-impossibility
-    # argument).  n <= k degenerates to take-all.
+    # Bounded deterministic training sample: per-subspace rank AND
+    # count from one window pass, then keep every step-th distinct
+    # sorted subvector where step = ceil(n / train_cap) — at most
+    # train_cap rows per subspace, pure integer arithmetic the oracle
+    # reproduces verbatim.  Collected once; Lloyd runs driver-side.
     distinct = pts.distinct()
     ranked = distinct.select(
         "s",
@@ -361,94 +365,128 @@ def pq_codes(
         )
         .alias("n"),
     )
-    idx_terms = " OR ".join(
-        f"rn = CAST(round({i} * (n - 1) / {codebook_k - 1}.0, 0) AS BIGINT) + 1"
-        for i in range(codebook_k)
-    )
-    seeds = ranked.where(
-        F.expr(f"n <= {codebook_k} OR ({idx_terms})")
-    ).orderBy("s", "rn").collect()
-    cents: dict[int, list[list[float]]] = {s: [] for s in range(m)}
-    for r in seeds:
-        cents[r["s"]].append([float(x) for x in r["point"]])
-
-    def cent_arrays():
-        """1 row per subspace: the id-sorted centroid struct array
-        (same layout as kmeans.assign's broadcast)."""
-        rows = [
-            (s, [(i, c) for i, c in enumerate(cents[s])])
-            for s in range(m)
-        ]
-        return spark.createDataFrame(
-            rows,
-            "s int, _cents array<struct<id:int,vec:array<double>>>",
+    train = (
+        ranked.withColumn(
+            "step", F.expr(f"CAST(ceil(n / {train_cap}.0) AS BIGINT)")
         )
-
-    from ..functions.vector import euclidean
-
-    for _ in range(iterations):
-        j = pts.join(F.broadcast(cent_arrays()), "s")
-        with_d = j.select(
+        .where(F.expr("(rn - 1) % step = 0"))
+        .select(
             "s",
             "point",
-            F.col("_cents"),
-            F.transform(
-                F.col("_cents"), lambda c: euclidean(F.col("point"), c["vec"])
-            ).alias("_d"),
+            F.expr("((rn - 1) DIV step) + 1").alias("rn"),
+            F.expr("((n - 1) DIV step) + 1").alias("n"),
         )
-        pos = F.array_position(F.col("_d"), F.array_min(F.col("_d"))).cast(
-            "int"
-        )
-        assigned = with_d.select(
-            "s", "point", F.element_at("_cents", pos)["id"].alias("prediction")
-        )
-        means = (
-            assigned.select(
-                "s", "prediction", F.posexplode("point").alias("d", "x")
-            )
-            .groupBy("s", "prediction", "d")
-            .agg(F.round(F.avg(F.col("x").cast("double")), 9).alias("mm"))
-            .groupBy("s", "prediction")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("d", "mm"))).alias("_dm")
-            )
-            .select(
-                "s",
-                "prediction",
-                F.transform(F.col("_dm"), lambda t: t["mm"]).alias("c"),
-            )
-            .collect()
-        )
-        new = {(r["s"], r["prediction"]): list(r["c"]) for r in means}
-        for s in range(m):
-            cents[s] = [
-                new.get((s, i), cents[s][i]) for i in range(len(cents[s]))
-            ]
+    )
+    # Seeding: evenly-spaced resampled ranks, evaluated in-SQL.  The
+    # index formula round(i·(n-1)/(k-1)) + 1 matches the oracle
+    # exactly; SQL round (half-away) vs Python round (half-even)
+    # cannot diverge because 2·i·(n-1) = (k-1)·odd has no integer
+    # solution for even LHS (the lloyd_kmeans tie-impossibility
+    # argument).  n <= k degenerates to take-all.
+    rows = train.orderBy("s", "rn").collect()
 
-    # scan-side chained encode against the trained codebooks
-    out = df.select(F.col(id_col), F.col(vec_col))
-    sq_dists = []
+    # Driver-side Lloyd on the collected sample (model training on a
+    # bounded sample is driver/PS work in every production recipe —
+    # the sample is <= m * train_cap rows by construction, ~2 MB at
+    # the defaults).  Arithmetic is kept ORACLE-BIT-FAITHFUL:
+    # squared-distance accumulates SEQUENTIALLY over dims (the exact
+    # left-fold order of DuckDB list_reduce and Spark F.aggregate —
+    # numpy vectorizes over rows, never over the accumulation), ties
+    # resolve to the lowest centroid id (np.argmin first-occurrence),
+    # means use exact math.fsum then round to 9 (identical to
+    # round(avg(x), 9) on non-midpoint doubles; exact decimal
+    # midpoints are not representable in binary64).
+    import math
+
+    import numpy as np
+
+    pts_by_s: dict[int, list[list[float]]] = {s: [] for s in range(m)}
+    n_by_s: dict[int, int] = {}
+    for r in rows:  # already (s, rn)-sorted
+        pts_by_s[r["s"]].append([float(x) for x in r["point"]])
+        n_by_s[r["s"]] = int(r["n"])
+
+    cents: dict[int, list[list[float]]] = {}
     for s in range(m):
-        sub = F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim)
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents[s])],
-            "prediction int, centroid array<double>",
+        n = n_by_s.get(s, 0)
+        if n <= codebook_k:
+            cents[s] = [list(p) for p in pts_by_s[s]]
+            continue
+        # round-half-away seed index; .5 ties impossible (k-1 odd,
+        # see docstring), so Python round matches SQL round exactly
+        idx = sorted(
+            {int(round(i * (n - 1) / (codebook_k - 1))) for i in range(codebook_k)}
         )
-        out = (
-            assign(
-                out.withColumn(f"_sub{s}", sub),
-                cdf,
-                vec_col=f"_sub{s}",
-            )
-            .withColumnRenamed("prediction", f"code{s}")
-            .withColumnRenamed("distance", f"_dist{s}")
-            .drop("centroid", f"_sub{s}")
-        )
-        sq_dists.append(F.col(f"_dist{s}") * F.col(f"_dist{s}"))
-    mse = sq_dists[0]
-    for t in sq_dists[1:]:
-        mse = mse + t
-    return out.select(
+        cents[s] = [list(pts_by_s[s][i]) for i in idx]
+
+    for _ in range(iterations):
+        for s in range(m):
+            pts_s = pts_by_s[s]
+            if not pts_s:
+                continue
+            V = np.asarray(pts_s, dtype=np.float64)  # (n, sub_dim)
+            C = np.asarray(cents[s], dtype=np.float64)  # (k, sub_dim)
+            acc = np.zeros((V.shape[0], C.shape[0]))
+            for i in range(sub_dim):  # sequential over dims: fold order
+                d = V[:, i, None] - C[None, :, i]
+                acc += d * d
+            pred = np.argmin(acc, axis=1)  # first occurrence = lowest id
+            for j in range(len(cents[s])):
+                members = V[pred == j]
+                if members.shape[0]:
+                    cents[s][j] = [
+                        round(math.fsum(members[:, i]) / members.shape[0], 9)
+                        for i in range(sub_dim)
+                    ]
+
+    # Scan-side encode: ONE 1-row broadcast carries all m id-sorted
+    # codebooks (the round-5 shape chained m separate broadcast
+    # joins — m exchanges + m AQE stages of pure plan overhead); the
+    # m argmins are sibling column expressions on a single projection
+    # (kmeans.assign semantics: array_position first-occurrence over
+    # the id-sorted array = lowest-id tiebreak, matching the oracle's
+    # ORDER BY dist, prediction).
+    from ..functions.vector import euclidean
+
+    combined = spark.createDataFrame(
+        [tuple([(i, c) for i, c in enumerate(cents[s])] for s in range(m))],
+        ", ".join(
+            f"_c{s} array<struct<id:int,vec:array<double>>>" for s in range(m)
+        ),
+    )
+    def _dists(s_: int):
+        # one-arg lambda: a (c, i) two-arg lambda would make PySpark
+        # pass the ELEMENT INDEX as the second argument
+        sub = F.slice(F.col(vec_col), s_ * sub_dim + 1, sub_dim)
+        return lambda c: euclidean(sub, c["vec"])
+
+    with_d = df.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(combined)
+    ).select(
+        F.col(id_col),
+        *[F.col(f"_c{s}") for s in range(m)],
+        *[
+            F.transform(F.col(f"_c{s}"), _dists(s)).alias(f"_d{s}")
+            for s in range(m)
+        ],
+    )
+    best = with_d.select(
+        F.col(id_col),
+        *[
+            F.element_at(
+                F.col(f"_c{s}"),
+                F.array_position(
+                    F.col(f"_d{s}"), F.array_min(F.col(f"_d{s}"))
+                ).cast("int"),
+            )["id"].alias(f"code{s}")
+            for s in range(m)
+        ],
+        *[F.array_min(F.col(f"_d{s}")).alias(f"_dist{s}") for s in range(m)],
+    )
+    mse = F.col("_dist0") * F.col("_dist0")
+    for s in range(1, m):
+        mse = mse + F.col(f"_dist{s}") * F.col(f"_dist{s}")
+    return best.select(
         F.col(id_col),
         *[F.col(f"code{s}") for s in range(m)],
         (F.round(mse / F.lit(float(dim)), 6) + F.lit(0.0)).alias("mse"),

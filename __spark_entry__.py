@@ -2392,6 +2392,141 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minibatch_kmeans_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of the reference's marquee streaming
+    analytic (W6, ClusterAnalyser.scala:15-43): the EXACT
+    StreamingKMeans train-then-predict update rule replayed over 5
+    deterministic mini-batches (ntile over the total order (ts,
+    event_id)), k=3 2-D points from (value, props.k).  Same model
+    class as streaming_kmeans_outliers — which keeps consuming real
+    micro-batches (rows-only by nature) — but with batch composition
+    pinned so the DuckDB oracle can unroll the 5 update rounds as a
+    CTE chain (operators/kmeans.py::minibatch_kmeans)."""
+    from botkop_telcotraffic_spark_spark.operators.kmeans import (
+        minibatch_kmeans,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    k_val = F.get_json_object("props", "$.k").cast("double")
+    pts = e.where(
+        F.col("value").isNotNull() & k_val.isNotNull()
+    ).select(
+        "event_id",
+        "ts",
+        F.array(F.col("value").cast("double"), k_val).alias("point"),
+    )
+    return minibatch_kmeans(
+        pts,
+        id_col="event_id",
+        order_cols=["ts", "event_id"],
+        vec_col="point",
+        k=3,
+        dim=2,
+        n_batches=5,
+        decay=1.0,
+        round_state=9,
+    )
+
+
+def _minibatch_kmeans_sql(
+    nb: int = 5, k: int = 3, decay: float = 1.0
+) -> str:
+    """Oracle twin of minibatch_kmeans_events: the streaming update
+    rule unrolled into ``nb`` CTE rounds (the _lloyd_sql pattern).
+    Parity points: batch slicing is ntile over (ts, event_id); batch-1
+    seeding takes ranks {1, mid+1, n} of the distinct sorted points
+    where mid reproduces Python round-HALF-EVEN of (n-1)/2 with pure
+    integer arithmetic ((n-1)//2 + ((n-1)%2)*(((n-1)//2)%2) — the
+    engine seeds via Python round, and k-1 = 2 makes .5 ties REAL,
+    unlike the odd-k-1 Lloyd argument); centroid updates are
+    (c·w·decay + sum) / (w·decay + m) rounded to 9 (the engine's
+    round_state=9); unseen clusters keep c and decay w; assignment
+    argmin ties resolve to the lowest centroid id; per-batch predict
+    runs against the JUST-updated model (reference trainOn-then-
+    predict order)."""
+    eu = (
+        "sqrt(list_reduce(list_prepend(0.0, "
+        "list_transform(generate_series(1, 2), "
+        "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), (s, x) -> s + x))"
+    )
+    dk = f"CAST({decay!r} AS DOUBLE)"
+    parts = [f"""
+pts AS MATERIALIZED (
+  SELECT event_id, ts,
+         [CAST(value AS DOUBLE),
+          CAST(json_extract_string(props, '$.k') AS DOUBLE)] AS p
+  FROM events
+  WHERE value IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+bt AS MATERIALIZED (
+  SELECT event_id, p, ntile({nb}) OVER (ORDER BY ts, event_id) AS b
+  FROM pts
+),
+d1 AS (SELECT DISTINCT p FROM bt WHERE b = 1),
+r1 AS (SELECT p, row_number() OVER (ORDER BY p) AS rn,
+              count(*) OVER () AS n
+       FROM d1),
+seeds AS (
+  SELECT rn, p FROM r1
+  WHERE rn = 1 OR rn = n
+     OR rn = ((n - 1) // 2) + ((n - 1) % 2) * (((n - 1) // 2) % 2) + 1
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY rn) - 1 AS INT) AS id,
+         list_transform(p, x -> CAST(x AS DOUBLE)) AS c,
+         0.0 AS w
+  FROM seeds
+)"""]
+    for t in range(1, nb + 1):
+        prev = f"c{t - 1}"
+        parts.append(f""",
+a{t} AS (
+  SELECT bt.event_id, bt.p, c.id,
+         {eu.format(v='bt.p', c='c.c')} AS dist
+  FROM bt CROSS JOIN {prev} c WHERE bt.b = {t}
+),
+b{t} AS (
+  SELECT event_id, p, id FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_id
+                                 ORDER BY dist, id) AS rk
+    FROM a{t}) WHERE rk = 1
+),
+s{t} AS (
+  SELECT id, CAST(count(*) AS DOUBLE) AS m,
+         sum(p[1]) AS s0, sum(p[2]) AS s1
+  FROM b{t} GROUP BY id
+),
+c{t} AS MATERIALIZED (
+  SELECT p.id,
+         CASE WHEN s.id IS NULL THEN p.c
+              ELSE [round((p.c[1] * p.w * {dk} + s.s0)
+                          / (p.w * {dk} + s.m), 9),
+                    round((p.c[2] * p.w * {dk} + s.s1)
+                          / (p.w * {dk} + s.m), 9)]
+         END AS c,
+         CASE WHEN s.id IS NULL THEN p.w * {dk}
+              ELSE p.w * {dk} + s.m END AS w
+  FROM {prev} p LEFT JOIN s{t} s USING (id)
+),
+o{t} AS (
+  SELECT event_id, CAST({t} AS INT) AS batch, id AS prediction,
+         round(dist, 6) + 0.0 AS distance
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_id
+                                 ORDER BY dist, id) AS rk
+    FROM (SELECT bt.event_id, c.id,
+                 {eu.format(v='bt.p', c='c.c')} AS dist
+          FROM bt CROSS JOIN c{t} c WHERE bt.b = {t}))
+  WHERE rk = 1
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT event_id, batch, prediction, distance FROM o{t}"
+        for t in range(1, nb + 1)
+    )
+    return "WITH " + "".join(parts) + "\n" + unions
+
+
 _ZSCORE_SQL = """
 WITH o AS (
   SELECT event_id, user_id, ts,
@@ -10257,6 +10392,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "minibatch_kmeans_events": (
+        minibatch_kmeans_events,
+        _minibatch_kmeans_sql(),
+    ),
     # (b) the 13 round-5 late-wave entries never driver-checked before
     "pingpong_cells_events": (pingpong_cells_events, _pingpong_sql()),
     "streaming_pingpong_events": (

@@ -130,8 +130,23 @@ class StreamingKMeans:
     work (assignment + per-cluster sums) is distributed.
     """
 
-    def __init__(self, k: int, dim: int, decay: float = 1.0, seed: int = 42):
+    def __init__(
+        self,
+        k: int,
+        dim: int,
+        decay: float = 1.0,
+        seed: int = 42,
+        round_state: int | None = None,
+    ):
+        """``round_state``: round every centroid coordinate to this
+        many decimals after each batch update.  Cross-engine float
+        summation drift (Spark's partial-agg order vs a serial
+        oracle) otherwise compounds batch over batch; rounding the
+        O(k·dim) state resets it each round, making the whole run
+        hash-reproducible (the avg-round-9 convention of the batch
+        Lloyd oracle, applied to the streaming update rule)."""
         self.k, self.dim, self.decay = k, dim, decay
+        self.round_state = round_state
         # Deterministic "random" init: small LCG, no numpy dependency
         state = seed & 0x7FFFFFFF or 1
         def rnd():
@@ -208,6 +223,10 @@ class StreamingKMeans:
                 (self.centroids[i][d] * n + row[f"s{d}"]) / denom
                 for d in range(self.dim)
             ]
+            if self.round_state is not None:
+                self.centroids[i] = [
+                    round(x, self.round_state) for x in self.centroids[i]
+                ]
             self.weights[i] = denom
         # decay clusters that saw no data this batch
         seen = {row["prediction"] for row in sums}
@@ -221,6 +240,74 @@ class StreamingKMeans:
         (ClusterAnalyser.scala:33,41)."""
         self.update(batch, vec_col)
         return assign(batch, self._centroid_df(batch.sparkSession), vec_col=vec_col)
+
+
+def minibatch_kmeans(
+    df: DataFrame,
+    id_col: str,
+    order_cols: list[str],
+    vec_col: str = "point",
+    k: int = 3,
+    dim: int = 2,
+    n_batches: int = 5,
+    decay: float = 1.0,
+    round_state: int | None = 9,
+) -> DataFrame:
+    """Deterministic mini-batch K-Means twin of the streaming model
+    (reference W6, ClusterAnalyser.scala:15-43): slice the input into
+    ``n_batches`` sequential mini-batches by ntile over a TOTAL order
+    (``order_cols`` must be a unique key), then replay the exact
+    StreamingKMeans train-then-predict loop batch by batch.
+
+    Purpose: a hash-checkable oracle for the streaming update rule.
+    The production path (streaming_kmeans_outliers) consumes real
+    micro-batches whose composition the driver picks at runtime; this
+    twin pins batch composition with SQL-expressible arithmetic
+    (ntile) so a DuckDB oracle can unroll the n_batches update rounds
+    as a CTE chain — the lloyd_kmeans oracle pattern applied to the
+    streaming rule (seed from batch 1, per-batch weighted centroid
+    update with decay, predict each batch with the just-updated
+    model).
+
+    Scale note: the global ntile is ONE total-order sort — this is a
+    VERIFICATION twin, not the production path (real batching comes
+    from the stream source; no global sort exists there).  The sliced
+    frame is localCheckpoint-ed once so the ``2 * n_batches`` passes
+    (update + predict per batch) read materialized blocks, not
+    n_batches re-sorts.
+
+    Returns (id_col, batch int, prediction int, distance double
+    rounded 6).
+    """
+    from pyspark.sql import Window
+
+    sliced = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("point"),
+        F.ntile(n_batches)
+        .over(Window.orderBy(*order_cols))
+        .alias("b"),
+    ).localCheckpoint()
+
+    model = StreamingKMeans(
+        k=k, dim=dim, decay=decay, round_state=round_state
+    )
+    outs: list[DataFrame] = []
+    for t in range(1, n_batches + 1):
+        batch = sliced.where(F.col("b") == t)
+        scored = model.update_and_assign(batch, vec_col="point")
+        outs.append(
+            scored.select(
+                F.col(id_col),
+                F.lit(t).alias("batch"),
+                "prediction",
+                (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
 
 
 def lloyd_kmeans(

@@ -587,6 +587,7 @@ def test_registry_wide_no_cartesian(spark):
         "hamming_ann_topk",          # broadcast bounded query set (r5)
         "hamming_rerank_topk",       # same 1-bit index scan, stage 1 (r5)
         "pq_codes_embeddings",       # broadcast k-centroid codebooks (r5)
+        "minibatch_kmeans_events",   # broadcast k centroids per batch (r6)
         "psi_value_drift",           # one-row global min/max scalar (r5)
         "mutual_info_events",        # one-row grand-total scalar (r5)
         "heaps_fit_docs",            # one-row id-range scalar, twice (r5)

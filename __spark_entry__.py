@@ -3549,17 +3549,86 @@ WHERE {_HASH_BUCKET_SQL.format(key="d.doc_id")} < t
 
 
 def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable HLL sketch rollup (operators/sketch.py): per-day
-    user sketches unioned up to per-event_type distinct estimates —
-    the store-the-partials pattern that answers coarser rollups
-    without rescanning raw data.  No oracle entry: sketch estimates
-    are engine-specific (the union==direct invariant is unit-tested);
-    the driver records the rows-only check."""
+    """Mergeable HLL rollup (operators/sketch.py::ohll_*): per-day
+    user register tables merged up to per-event_type (+ a grand
+    '_ALL_' rollup) distinct estimates — the store-the-partials
+    pattern that answers coarser rollups without rescanning raw data.
+
+    Round 6: runs on the ORACLE-CHECKABLE HLL (shared integer hash,
+    plain (keys, reg, mx) register table, closed-form estimate with
+    exact dyadic 2^-M arithmetic) so the sketch family's marquee
+    member gets a value-hash check; the binary DataSketches variant
+    (sketch.build_sketches/rollup_sketches) stays unit-tested for the
+    production path where estimate parity with other engines is not
+    required."""
     from botkop_telcotraffic_spark_spark.operators import sketch
 
     e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    daily = sketch.build_sketches(e, ["event_type", "day"], "user_id")
-    return sketch.rollup_sketches(daily, ["event_type"]).orderBy("event_type")
+    daily = sketch.ohll_registers(e, ["event_type", "day"], "user_id")
+    per_type = sketch.ohll_merge(daily, ["event_type"])
+    all_regs = sketch.ohll_merge(
+        daily.withColumn("_g", F.lit("_ALL_")), ["_g"]
+    ).withColumnRenamed("_g", "event_type")
+    return sketch.ohll_estimate(
+        per_type.unionByName(all_regs), ["event_type"]
+    )
+
+
+def _ohll_sql(p: int = 8) -> str:
+    """Oracle twin of hll_sketch_rollup_users: same hash/mix/register
+    arithmetic (sketch.py::ohll_registers provenance), grouped to the
+    same per-day partials, merged by MAX per register, estimated with
+    the same closed form (exact shift-based 2^-M, linear counting
+    when raw <= 2.5m and V > 0)."""
+    from botkop_telcotraffic_spark_spark.operators.sketch import (
+        _OHLL_A,
+        _OHLL_A2,
+        _OHLL_B,
+        _OHLL_B2,
+        _OHLL_P,
+        ohll_alpha,
+    )
+
+    m = 1 << p
+    width = 30 - p
+    return f"""
+WITH h AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ({_OHLL_A} * CAST(user_id AS BIGINT) + {_OHLL_B}) % {_OHLL_P} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+mixed AS (
+  SELECT event_type, day,
+         (h * h + {_OHLL_A2} * h + {_OHLL_B2}) % {_OHLL_P} AS mix
+  FROM h
+),
+daily AS (
+  SELECT event_type, day, CAST(mix % {m} AS INT) AS reg,
+         CAST(max(CASE WHEN mix // {m} = 0 THEN {width + 1}
+                  ELSE {width + 1} - length(bin(mix // {m})) END) AS INT)
+           AS mx
+  FROM mixed GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, reg, max(mx) AS mx FROM daily GROUP BY 1, 2
+  UNION ALL
+  SELECT '_ALL_' AS event_type, reg, max(mx) AS mx FROM daily GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         sum(1.0 / CAST((CAST(1 AS BIGINT) << mx) AS DOUBLE)) AS s_set,
+         count(*) AS n_set
+  FROM merged GROUP BY 1
+)
+SELECT event_type, CAST({m} - n_set AS BIGINT) AS v_zero,
+       round(CASE WHEN CAST({ohll_alpha(m)!r} AS DOUBLE) * {m * m}.0
+                       / (s_set + ({m} - n_set)) <= {2.5 * m}
+                   AND {m} - n_set > 0
+             THEN {m}.0 * ln({m}.0 / ({m} - n_set))
+             ELSE CAST({ohll_alpha(m)!r} AS DOUBLE) * {m * m}.0
+                  / (s_set + ({m} - n_set)) END, 6) + 0.0 AS est_distinct
+FROM agg
+"""
 
 
 def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10417,7 +10486,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # training; streaming K-Means and HLL promoted to hash oracles
     "pq_codes_embeddings": (pq_codes_embeddings, _pq_sql()),
     "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),
-    "hll_sketch_rollup_users": (hll_sketch_rollup_users, None),
+    "hll_sketch_rollup_users": (hll_sketch_rollup_users, _ohll_sql()),
     # (a) the 13 entries NEVER driver-checked before round 5 (r4-window
     # overflow: 10 oracle-bearing + the 3 rows-only-by-design sketches)
     "dp_event_type_counts": (dp_event_type_counts, _DP_COUNTS_SQL),

@@ -250,6 +250,110 @@ def kmv_build(
     )
 
 
+# ---------------------------------------------------------------------------
+# Oracle-checkable HLL (textbook Flajolet HyperLogLog over a shared
+# integer hash family)
+# ---------------------------------------------------------------------------
+# Spark's builtin hll_sketch_agg (Apache DataSketches) is the production
+# choice above, but its binary sketch and estimate are engine-internal —
+# un-checkable against a SQL oracle.  This variant IS the same algorithm
+# with every step reproducible in any engine:
+#   hash   h  = (A·v + B) mod P, mixed through (h² + A2·h + B2) mod P
+#               (the mix must be NONLINEAR: a second linear pass is
+#               low-discrepancy mod 2^p — too-uniform register spread
+#               makes linear counting overestimate by 40%+; the h²
+#               term breaks the structure and h < 2^30 keeps h² + A2·h
+#               < 2^61, overflow-free in BIGINT on both engines)
+#   index  r  = mix mod m          (m = 2^p registers)
+#   word   w  = mix div m          (< P/m, i.e. < 2^(30-p))
+#   rho(w)    = (30 - p + 1) - bitlength(w)   [w = 0 -> 30 - p + 1]
+#   register M_r = max rho over the group     (a plain (keys, reg, mx) TABLE)
+# and the closed-form estimate:
+#   S   = sum over all m registers of 2^(-M_r)   (missing register -> 2^0)
+#   raw = alpha_m · m² / S
+#   est = m·ln(m/V) when raw <= 2.5m and V > 0 (linear counting), else raw
+# Every 2^(-M) is an exact dyadic double (computed as 1/shiftleft(1,M),
+# never pow), so S is EXACT regardless of summation order; ln enters only
+# the small-range branch and the output rounds to 6.  The register table
+# is the storable partial: merge to any coarser grain by MAX per register
+# without rescanning raw data — identical semantics to the binary-sketch
+# union, but visible to (and hash-checked against) the DuckDB oracle.
+
+_OHLL_P = 1_073_741_789  # largest prime < 2^30: hash words fill 30 bits
+_OHLL_A = 999_883
+_OHLL_B = 12_345
+_OHLL_A2 = 999_979
+_OHLL_B2 = 67_890
+OHLL_LOG2M = 8  # m = 256 registers, ~6.5% relative error
+
+
+def ohll_alpha(m: int) -> float:
+    """Flajolet bias-correction constant (m >= 128)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def ohll_registers(
+    df: DataFrame, keys: list[str], value_col: str, p: int = OHLL_LOG2M
+) -> DataFrame:
+    """Per-group HLL register table (keys..., reg int, mx int) — the
+    mergeable, oracle-checkable partial.  ONE keyed aggregate
+    (map-side combined max), <= 2^p rows per group regardless of
+    input size."""
+    m = 1 << p
+    width = 30 - p  # mix < 2^30, word = mix div m < 2^width
+    v = F.col(value_col).cast("bigint")
+    h = (F.lit(_OHLL_A) * v + F.lit(_OHLL_B)) % F.lit(_OHLL_P)
+    mix = (h * h + F.lit(_OHLL_A2) * h + F.lit(_OHLL_B2)) % F.lit(_OHLL_P)
+    w = (mix / F.lit(m)).cast("bigint")  # floor div: mix >= 0
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, (mix % F.lit(m)).cast("int").alias("reg"), rho.alias("_rho"))
+        .groupBy(*keys, "reg")
+        .agg(F.max("_rho").cast("int").alias("mx"))
+    )
+
+
+def ohll_merge(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """Union register tables up to coarser ``keys`` — MAX per register,
+    computed from the partials alone (no rescan of raw data)."""
+    return registers.groupBy(*keys, "reg").agg(
+        F.max("mx").cast("int").alias("mx")
+    )
+
+
+def ohll_estimate(
+    registers: DataFrame, keys: list[str], p: int = OHLL_LOG2M
+) -> DataFrame:
+    """(keys..., v_zero, est_distinct): the closed-form HLL estimate
+    off the register table.  2^(-mx) via integer shift (exact dyadic
+    doubles — S is order-independent), linear-counting branch for the
+    small range, output rounded to 6."""
+    m = 1 << p
+    alpha = ohll_alpha(m)
+    agg = registers.groupBy(*keys).agg(
+        F.sum(
+            F.lit(1.0)
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), mx) AS DOUBLE)")
+        ).alias("_s_set"),
+        F.count(F.lit(1)).alias("_n_set"),
+    )
+    v_zero = F.lit(m) - F.col("_n_set")
+    s = F.col("_s_set") + v_zero.cast("double")
+    raw = F.lit(alpha) * F.lit(float(m * m)) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *keys,
+        v_zero.cast("long").alias("v_zero"),
+        (F.round(est, 6) + F.lit(0.0)).alias("est_distinct"),
+    )
+
+
 def kmv_merge(sketches: DataFrame, keys: list[str], k: int = 64) -> DataFrame:
     """Union sketches up to coarser ``keys`` — k smallest distinct
     hashes of the union, computed from the SKETCH TABLE only (no

@@ -103,6 +103,7 @@ def bpe_merges(
     text_col: str,
     n_merges: int = 10,
     return_vocab: bool = False,
+    sample_fraction: float | None = None,
 ):
     """Train ``n_merges`` BPE merges; returns the merge table
     (step, left, right, merged, cnt) — ``n_merges`` rows, the
@@ -112,8 +113,25 @@ def bpe_merges(
 
     ``cnt`` is the weighted occurrence count of the pair at the time
     it was picked (single-pass adjacency, see module docstring).
+
+    ``sample_fraction``: train on a DETERMINISTIC hash-sample of the
+    documents (keep rows where xxhash64(text) mod 2^20 falls under
+    fraction·2^20) — the standard 100 TB recipe: tokenizer merge
+    ranks stabilize long before the full corpus is seen (GPT-2/
+    SentencePiece train on samples), so training cost becomes
+    sample-sized while the ENCODE step still covers every document.
+    Deterministic across runs and cluster layouts (pure function of
+    the text bytes, no RNG, no partition dependence); None (default)
+    trains on the full corpus — the oracle-pinned path.  See
+    SCALE.md "Distributed BPE".
     """
     spark = df.sparkSession
+    if sample_fraction is not None and sample_fraction < 1.0:
+        denom = 1 << 20
+        thr = int(sample_fraction * denom)
+        df = df.where(
+            F.pmod(F.xxhash64(F.col(text_col)), F.lit(denom)) < F.lit(thr)
+        )
     vocab = word_vocab(df, text_col).select(
         "word", _initial_rep("word").alias("rep"), "freq"
     )

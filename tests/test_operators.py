@@ -3297,6 +3297,43 @@ def test_bpe_merges_single_pass_semantics(spark):
     assert out[1] == (2, "a", "</w>", "a</w>", 2)
 
 
+def test_bpe_sample_fraction_deterministic_subset(spark):
+    """bpe.py::bpe_merges sample_fraction: training on a hash-sample
+    is (a) deterministic across invocations AND partition layouts
+    (pure function of the text bytes), (b) equivalent to training on
+    the kept-document subset, and (c) a real subset (some docs
+    dropped at fraction 0.5)."""
+    from pyspark.sql import functions as F
+
+    from botkop_telcotraffic_spark_spark.operators.bpe import bpe_merges
+
+    docs = [(i, f"doc{i} " + " ".join(["low", "newest"] * (i % 3 + 1)))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    frac = 0.5
+
+    def merges(frame):
+        return [
+            (r["step"], r["left"], r["right"], r["merged"], r["cnt"])
+            for r in bpe_merges(frame, "text", n_merges=3,
+                                sample_fraction=frac).collect()
+        ]
+
+    out1 = merges(df)
+    out2 = merges(df.repartition(7))  # layout must not matter
+    assert out1 == out2
+    # equivalent to explicit subset training
+    kept = df.where(F.pmod(F.xxhash64("text"), F.lit(1 << 20))
+                    < F.lit(int(frac * (1 << 20))))
+    n_kept = kept.count()
+    assert 0 < n_kept < 40  # genuinely sampled
+    full = [
+        (r["step"], r["left"], r["right"], r["merged"], r["cnt"])
+        for r in bpe_merges(kept, "text", n_merges=3).collect()
+    ]
+    assert out1 == full
+
+
 def test_kmv_sketch_merge_invariant_and_accuracy(spark):
     """sketch.py::kmv_*: (a) union-of-partial-sketches == one-shot
     sketch (the mergeability invariant, same as the HLL test), (b)

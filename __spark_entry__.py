@@ -10436,6 +10436,208 @@ FROM actives a FULL OUTER JOIN churned c ON a.week = c.week
 """
 
 
+
+
+def holt_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (operators/timeseries.py::
+    holt_linear) over each event type's daily mean value series:
+    final level/trend + one-step forecast — the capacity-trend
+    readout a planner runs over per-service daily load.  Daily means
+    are rounded to 6 BEFORE the fold on both engines so the
+    recurrence inputs are bit-identical; the per-step update is the
+    shared dual-dialect fragment (timeseries.holt_update_sql)."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import holt_linear
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg((F.round(F.avg("value"), 6) + F.lit(0.0)).alias("v"))
+    )
+    return holt_linear(daily, ["event_type"], "day", "v")
+
+
+def _holt_sql() -> str:
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        holt_update_sql,
+    )
+
+    step = holt_update_sql("st", "e[1]", 0.5, 0.3, "duckdb")
+    return f"""
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+         round(avg(value), 6) + 0.0 AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), series AS (
+  SELECT event_type, list(v ORDER BY day) AS vs
+  FROM daily GROUP BY 1
+), folded AS (
+  SELECT event_type, len(vs) AS n,
+         list_reduce(
+           list_prepend([vs[1], vs[2] - vs[1]],
+             list_transform(vs[3:], x -> [x, CAST(0.0 AS DOUBLE)])),
+           (st, e) -> {step}) AS st
+  FROM series WHERE len(vs) >= 2
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(st[1], 6) + 0.0 AS level,
+       round(st[2], 6) + 0.0 AS trend,
+       round(st[1] + st[2], 6) + 0.0 AS forecast
+FROM folded
+"""
+
+
+def woe_iv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE / IV feature screen (operators/encode.py::woe_iv) of
+    order priority against the finished-status label — per-priority
+    weight of evidence + IV contribution, the scorecard-standard
+    categorical strength readout."""
+    from botkop_telcotraffic_spark_spark.operators.encode import woe_iv
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "_y", (F.col("o_orderstatus") == "F").cast("int")
+    )
+    return woe_iv(o, "o_orderpriority", "_y")
+
+
+_WOE_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS category,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS p,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+              AS DOUBLE) AS q
+  FROM orders GROUP BY 1
+), tot AS (SELECT sum(p) AS pt, sum(q) AS qt FROM cells)
+SELECT category, n,
+       CAST(p AS BIGINT) AS n_pos, CAST(q AS BIGINT) AS n_neg,
+       round(ln((p + 0.5) / pt / ((q + 0.5) / qt)), 6) + 0.0 AS woe,
+       round(((p + 0.5) / pt - (q + 0.5) / qt)
+             * ln((p + 0.5) / pt / ((q + 0.5) / qt)), 6) + 0.0 AS iv_term
+FROM cells, tot
+"""
+
+
+def cramers_v_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V (operators/profile.py::cramers_v) between event
+    type and hour-of-day: ONE [0,1] number for "is traffic mix
+    time-of-day dependent" — the chi-square association screen."""
+    from botkop_telcotraffic_spark_spark.operators.profile import cramers_v
+
+    e = _t(spark, sf_dir, "events").withColumn("hr", F.hour("ts"))
+    return cramers_v(e, "event_type", "hr")
+
+
+_CRAMERS_SQL = """
+WITH cells AS (
+  SELECT event_type AS x, hour(ts) AS y, count(*) AS n_xy
+  FROM events GROUP BY 1, 2
+), mx AS (SELECT x, CAST(sum(n_xy) AS DOUBLE) AS n_x FROM cells GROUP BY 1),
+my AS (SELECT y, CAST(sum(n_xy) AS DOUBLE) AS n_y FROM cells GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n_xy) AS DOUBLE) AS nn,
+         CAST(count(DISTINCT x) AS DOUBLE) AS r,
+         CAST(count(DISTINCT y) AS DOUBLE) AS c
+  FROM cells
+), terms AS (
+  SELECT nn, r, c,
+         (n_xy - (n_x * n_y / nn)) * (n_xy - (n_x * n_y / nn))
+           / (n_x * n_y / nn) - (n_x * n_y / nn) AS t
+  FROM cells JOIN mx USING (x) JOIN my USING (y), tot
+), s AS (
+  SELECT any_value(nn) AS nn, any_value(r) AS r, any_value(c) AS c,
+         sum(t) AS st
+  FROM terms
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+       CAST(c AS BIGINT) AS c,
+       round(st + nn, 6) + 0.0 AS chi2,
+       round(CASE WHEN least(r - 1, c - 1) > 0
+             THEN sqrt((st + nn) / nn / least(r - 1, c - 1))
+             ELSE 0.0 END, 6) + 0.0 AS v
+FROM s
+"""
+
+
+def mw_auc_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware Mann-Whitney AUC (operators/experiment.py::
+    mann_whitney_auc) per event type: does `value` separate
+    even-user_id rows from odd ones (a deterministic A/B split)?
+    Ranks run over the distinct-score relation partitioned by event
+    type — no global sort."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        mann_whitney_auc,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "_y", (F.col("user_id") % 2 == 0).cast("int")
+    )
+    return mann_whitney_auc(e, ["event_type"], "_y", "value")
+
+
+_MW_AUC_SQL = """
+WITH cells AS (
+  SELECT event_type, value AS s,
+         CAST(count(*) AS DOUBLE) AS m,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS DOUBLE) AS mp
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, mp, m - mp AS mq,
+         (coalesce(sum(m) OVER (PARTITION BY event_type ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            CAST(0.0 AS DOUBLE)) + (m + 1) / 2) * mp AS rp
+  FROM cells
+), g AS (
+  SELECT event_type, sum(mp) AS np, sum(mq) AS nq, sum(rp) AS rp
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, CAST(np AS BIGINT) AS n_pos,
+       CAST(nq AS BIGINT) AS n_neg,
+       round((rp - np * (np + 1) / 2) / (np * nq), 6) + 0.0 AS auc
+FROM g WHERE np > 0 AND nq > 0
+"""
+
+
+def calibration_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins + ECE terms (operators/experiment.py
+    ::calibration_bins) for a deterministic pseudo-scorer
+    p = ((event_id*37) % 1000)/1000 against the purchase label —
+    integer-modular p is exact on both engines, so this checks the
+    binning/ECE mechanics bit-for-bit."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        calibration_bins,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        (((F.col("event_id") * 37) % 1000) / 1000.0).alias("p"),
+        (F.col("event_type") == "purchase").cast("int").alias("_y"),
+    )
+    return calibration_bins(e, "p", "_y", 10)
+
+
+_CALIB_SQL = """
+WITH b AS (
+  SELECT least(CAST(floor(((event_id * 37) % 1000)
+                 / CAST(1000.0 AS DOUBLE) * 10) AS BIGINT), 9) AS bin,
+         ((event_id * 37) % 1000) / CAST(1000.0 AS DOUBLE) AS p,
+         CASE WHEN event_type = 'purchase' THEN CAST(1.0 AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS y
+  FROM events
+), cells AS (
+  SELECT bin, CAST(count(*) AS DOUBLE) AS n, sum(p) AS sp, sum(y) AS sl
+  FROM b GROUP BY 1
+), tot AS (SELECT sum(n) AS nt FROM cells)
+SELECT bin, CAST(n AS BIGINT) AS n,
+       round(sp / n, 6) + 0.0 AS mean_p,
+       round(sl / n, 6) + 0.0 AS pos_rate,
+       round(sl / n - sp / n, 6) + 0.0 AS gap,
+       round(n / nt * abs(sl / n - sp / n), 6) + 0.0 AS ece_term
+FROM cells, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -10461,6 +10663,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "holt_value_daily": (holt_value_daily, _holt_sql()),
+    "woe_iv_orders": (woe_iv_orders, _WOE_SQL),
+    "cramers_v_events": (cramers_v_events, _CRAMERS_SQL),
+    "mw_auc_value_events": (mw_auc_value_events, _MW_AUC_SQL),
+    "calibration_bins_events": (calibration_bins_events, _CALIB_SQL),
     "minibatch_kmeans_events": (
         minibatch_kmeans_events,
         _minibatch_kmeans_sql(),

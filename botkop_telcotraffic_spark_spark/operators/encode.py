@@ -241,3 +241,56 @@ def quantile_match(
     return df.join(F.broadcast(r), cond, "left").drop(
         "_g_v", *[f"_g_{c}" for c in group_cols]
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weight of Evidence / Information Value per category — the
+    credit-scoring-standard supervised encoding + feature-strength
+    screen (Siddiqi 2006, "Credit Risk Scorecards", public
+    literature): for a binary label,
+
+        woe(c)  = ln( (pos_c + 0.5)/pos_tot  /  ((neg_c + 0.5)/neg_tot) )
+        iv(c)   = ( (pos_c + 0.5)/pos_tot - (neg_c + 0.5)/neg_tot ) * woe(c)
+
+    with the conventional +0.5 cell smoothing so categories pure in
+    one class stay finite.  ``sum(iv_term)`` over the result is the
+    feature's IV (the <0.02 useless / >0.3 strong rule of thumb);
+    per-category WOE is the encoding a scorecard substitutes for the
+    raw level.  NULL categories are kept as a level of their own
+    (missingness often carries the signal).
+
+    Scale shape: ONE keyed aggregate over |categories| groups
+    (map-side combined counts), a 1-row totals broadcast, and
+    scan-side closed-form math on the category-sized relation — the
+    fact table is scanned once, shuffled once on the category key.
+    """
+    pos = F.when(F.col(label_col).cast("int") == 1, 1).otherwise(0)
+    cells = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(pos).cast("double").alias("_p"),
+        F.sum(1 - pos).cast("double").alias("_q"),
+    )
+    tot = cells.agg(
+        F.sum("_p").alias("_pt"), F.sum("_q").alias("_qt")
+    )
+    sp = (F.col("_p") + F.lit(0.5)) / F.col("_pt")
+    sq = (F.col("_q") + F.lit(0.5)) / F.col("_qt")
+    woe = F.log(sp / sq)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n",
+            F.col("_p").cast("long").alias("n_pos"),
+            F.col("_q").cast("long").alias("n_neg"),
+            (F.round(woe, round_to) + F.lit(0.0)).alias("woe"),
+            (F.round((sp - sq) * woe, round_to) + F.lit(0.0)).alias(
+                "iv_term"
+            ),
+        )
+    )

@@ -343,3 +343,127 @@ def bh_adjust(
         F.round(q, round_to).alias("q_value"),
         (F.round(q, round_to) <= F.lit(alpha)).alias("discovery"),
     )
+
+
+def mann_whitney_auc(
+    df: DataFrame,
+    group_cols,
+    label_col: str,
+    score_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Tie-aware Mann-Whitney U / AUC per group (Mann & Whitney
+    1947; the AUC = P(score⁺ > score⁻) + ½·P(=) identity is the
+    standard ranking-quality readout): with average ranks R⁺ summed
+    over positives,
+
+        U   = ΣR⁺ - n⁺(n⁺+1)/2
+        AUC = U / (n⁺ · n⁻)
+
+    Output per group: n_pos, n_neg, auc.  Groups lacking either
+    class are dropped (AUC undefined).
+
+    Scale shape: ranks are computed over the DISTINCT-SCORE relation,
+    not the fact table — one keyed aggregate to (group, score) cells
+    with per-cell counts, one window over scores WITHIN each group
+    (cells-sized, bounded by distinct scores per group), one final
+    keyed reduce.  The window is partitioned by the group key, so no
+    single-partition global sort exists at any scale.
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    pos = F.when(F.col(label_col).cast("int") == 1, 1).otherwise(0)
+    cells = (
+        df.where(F.col(score_col).isNotNull())
+        .groupBy(*group_cols, F.col(score_col).alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_m"),
+            F.sum(pos).cast("double").alias("_mp"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    avg_rank = F.coalesce(F.sum("_m").over(w), F.lit(0.0)) + (
+        F.col("_m") + 1
+    ) / 2
+    per = cells.select(
+        *group_cols,
+        F.col("_mp").alias("_np"),
+        (F.col("_m") - F.col("_mp")).alias("_nq"),
+        (avg_rank * F.col("_mp")).alias("_rp"),
+    )
+    g = per.groupBy(*group_cols).agg(
+        F.sum("_np").alias("np"),
+        F.sum("_nq").alias("nq"),
+        F.sum("_rp").alias("rp"),
+    )
+    u = F.col("rp") - F.col("np") * (F.col("np") + 1) / 2
+    return g.where((F.col("np") > 0) & (F.col("nq") > 0)).select(
+        *group_cols,
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nq").cast("long").alias("n_neg"),
+        (
+            F.round(u / (F.col("np") * F.col("nq")), round_to)
+            + F.lit(0.0)
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability-diagram bins + per-bin ECE contribution for a
+    probabilistic scorer (the calibration readout of Guo et al. 2017
+    "On Calibration of Modern Neural Networks", public literature):
+    fixed-width bins over [0, 1] (bin = min(floor(p·B), B-1)), and
+    per bin the count, mean predicted probability, empirical positive
+    rate, signed gap, and weight·|gap| — so ``sum(ece_term)`` over
+    the result IS the Expected Calibration Error.
+
+    Scale shape: ONE keyed aggregate over ≤ B groups (map-side
+    combined) plus a 1-row total broadcast for the ECE weights; the
+    fact table is scanned once.  Rows with NULL or out-of-range
+    probabilities are dropped (they are scorer bugs, not data).
+    """
+    p = F.col(prob_col).cast("double")
+    lbl = F.when(F.col(label_col).cast("int") == 1, 1.0).otherwise(0.0)
+    binned = (
+        df.where(p.isNotNull() & (p >= 0) & (p <= 1))
+        .withColumn(
+            "bin",
+            F.least(F.floor(p * bins), F.lit(bins - 1)).cast("long"),
+        )
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(p).alias("_sp"),
+        F.sum(lbl).alias("_sl"),
+    )
+    tot = cells.agg(F.sum("_n").alias("_nt"))
+    mean_p = F.col("_sp") / F.col("_n")
+    rate = F.col("_sl") / F.col("_n")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("_n").cast("long").alias("n"),
+            (F.round(mean_p, round_to) + F.lit(0.0)).alias("mean_p"),
+            (F.round(rate, round_to) + F.lit(0.0)).alias("pos_rate"),
+            (F.round(rate - mean_p, round_to) + F.lit(0.0)).alias("gap"),
+            (
+                F.round(
+                    F.col("_n") / F.col("_nt") * F.abs(rate - mean_p),
+                    round_to,
+                )
+                + F.lit(0.0)
+            ).alias("ece_term"),
+        )
+    )

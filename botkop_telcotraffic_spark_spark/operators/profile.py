@@ -389,3 +389,78 @@ def column_entropy(
             + F.lit(0.0)
         ).alias("top_freq_ratio"),
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns
+    (Cramér 1946, public literature): the [0, 1]-normalized
+    chi-square,
+
+        V = sqrt( (chi2 / n) / min(r - 1, c - 1) )
+
+    where chi2 = Σ (n_xy - e_xy)²/e_xy over observed AND structurally
+    absent cells, e_xy = n_x·n_y/n.  Absent cells contribute e_xy
+    (since (0 - e)²/e = e), so chi2 is computed as
+    Σ_observed ((n_xy - e)²/e - e) + n — exact without materializing
+    the full r×c grid (the same skip-the-zeros trick
+    ``mutual_information`` uses, adapted to chi-square's nonzero
+    null-cell contribution).  One row out: n, r, c, chi2, v.
+
+    NULLs are categories of their own (null-safe marginal joins).
+    Scale shape: identical to ``mutual_information`` — one (x, y)
+    cell aggregate, two cell-table-sized marginal re-aggregates
+    joined back null-safe, a 1-row totals broadcast, one final 1-row
+    reduce; the fact table is scanned once.
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    # marginals as DOUBLE before the n_x*n_y product: at 100 TB a
+    # BIGINT product of two ~1e12 marginals overflows; DOUBLE loses
+    # only ulps the final round() absorbs (oracle casts identically)
+    mx = (
+        cells.groupBy("x")
+        .agg(F.sum("n_xy").cast("double").alias("n_x"))
+        .select(F.col("x").alias("_mx"), "n_x")
+    )
+    my = (
+        cells.groupBy("y")
+        .agg(F.sum("n_xy").cast("double").alias("n_y"))
+        .select(F.col("y").alias("_my"), "n_y")
+    )
+    tot = cells.agg(
+        F.sum("n_xy").cast("double").alias("_n"),
+        F.countDistinct("x").cast("double").alias("_r"),
+        F.countDistinct("y").cast("double").alias("_c"),
+    )
+    j = (
+        cells.join(mx, F.col("x").eqNullSafe(F.col("_mx")))
+        .join(my, F.col("y").eqNullSafe(F.col("_my")))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("n_x") * F.col("n_y") / F.col("_n")
+    d = F.col("n_xy") - e
+    term = d * d / e - e
+    out = j.groupBy().agg(
+        F.first("_n").alias("_n"),
+        F.first("_r").alias("_r"),
+        F.first("_c").alias("_c"),
+        F.sum(term).alias("_s"),
+    )
+    chi2 = F.col("_s") + F.col("_n")
+    denom = F.least(F.col("_r") - 1, F.col("_c") - 1)
+    v = F.when(denom > 0, F.sqrt(chi2 / F.col("_n") / denom)).otherwise(
+        F.lit(0.0)
+    )
+    return out.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_r").cast("long").alias("r"),
+        F.col("_c").cast("long").alias("c"),
+        (F.round(chi2, round_to) + F.lit(0.0)).alias("chi2"),
+        (F.round(v, round_to) + F.lit(0.0)).alias("v"),
+    )

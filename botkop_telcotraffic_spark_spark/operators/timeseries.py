@@ -687,3 +687,99 @@ def cross_correlation(
         F.count(F.lit(1)).cast("long").alias("n"),
         (F.round(ccf, round_to) + F.lit(0.0)).alias("ccf"),
     )
+
+
+def holt_update_sql(
+    st: str, x: str, alpha: float, beta: float, dialect: str = "spark"
+) -> str:
+    """Dual-dialect SQL fragment for a single Holt linear (double
+    exponential) smoothing step (Holt 1957, public literature): given
+    state ``st`` = [level, trend] (a 2-element DOUBLE array) and
+    observation ``x``, returns the updated [level', trend'] where
+
+        level' = a*x + (1-a)*(level + trend)
+        trend' = b*(level' - level) + (1-b)*trend
+
+    level' is textually repeated inside trend' — deterministic
+    recomputation keeps the fragment a pure expression so it runs
+    under Spark's ``aggregate`` and DuckDB's ``list_reduce`` with
+    bit-identical IEEE op sequences (the erlang_b_sql contract).
+    The ``dialect`` switch changes ONLY the array-indexing syntax
+    (Spark ``element_at`` is 1-based like DuckDB's ``lst[i]``; the
+    arithmetic tree is character-identical), the geohash_sql
+    precedent.  Literals are CAST to DOUBLE so DuckDB cannot promote
+    them to DECIMAL.
+    """
+    if dialect == "spark":
+        lv, tr = f"element_at({st}, 1)", f"element_at({st}, 2)"
+    else:
+        lv, tr = f"{st}[1]", f"{st}[2]"
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    b = f"CAST({beta!r} AS DOUBLE)"
+    lvl = f"({a} * {x} + (CAST(1.0 AS DOUBLE) - {a}) * ({lv} + {tr}))"
+    trd = f"({b} * ({lvl} - {lv}) + (CAST(1.0 AS DOUBLE) - {b}) * {tr})"
+    ctor = "array" if dialect == "spark" else "list_value"
+    return f"{ctor}({lvl}, {trd})"
+
+
+def holt_linear(
+    df: DataFrame,
+    group_cols,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing per group:
+    the classical level+trend forecaster (Holt 1957 / Winters 1960,
+    public literature) every capacity-trend dashboard runs over
+    daily per-cell or per-service load series.
+
+    Initialization is the textbook one: level_0 = x_1,
+    trend_0 = x_2 - x_1, then the recurrence folds over x_3..x_n.
+    Output per group: ``n`` observations, final ``level`` and
+    ``trend``, and ``forecast`` = level + trend (the one-step-ahead
+    prediction).  Groups with < 2 observations are dropped (no trend
+    is estimable).
+
+    Cross-engine determinism: the per-step update is ONE dual-dialect
+    SQL fragment (:func:`holt_update_sql`) evaluated by Spark's
+    ``aggregate`` higher-order function and, verbatim, by DuckDB's
+    ``list_reduce`` — fold order is the sorted ``order_col`` order on
+    both sides, so the whole recurrence is bit-identical.
+
+    Scale shape: one keyed aggregate collects each group's series
+    (series are GROUP-sized — e.g. days-per-cell, bounded by the
+    calendar, never data-sized); the fold is scan-side expression
+    math on the aggregated relation.  The fact table is shuffled
+    once, on the group key.  Interpreted (non-codegen) fold cost is
+    paid once per GROUP, not per input row.
+    """
+    group_cols = list(group_cols)
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                    F.col(value_col).alias("v")))
+        ),
+        lambda s: s["v"],
+    )
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(vals.alias("_vs"))
+        .where(F.size("_vs") >= 2)
+    )
+    step = holt_update_sql("st", "x", alpha, beta)
+    fold = (
+        f"aggregate(slice(_vs, 3, greatest(size(_vs) - 2, 0)), "
+        f"array(_vs[0], _vs[1] - _vs[0]), (st, x) -> {step})"
+    )
+    st = F.expr(fold)
+    return g.select(
+        *group_cols,
+        F.size("_vs").cast("long").alias("n"),
+        (F.round(st[0], round_to) + F.lit(0.0)).alias("level"),
+        (F.round(st[1], round_to) + F.lit(0.0)).alias("trend"),
+        (F.round(st[0] + st[1], round_to) + F.lit(0.0)).alias("forecast"),
+    )

@@ -4286,3 +4286,113 @@ def test_growth_accounting_lifecycle(spark):
     # identity: actives = new + retained + resurrected each week
     for r in out.values():
         assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+
+
+# ---------------------------------------------------------------------------
+# round-6 wave 1: Holt, WOE/IV, Cramér's V, Mann-Whitney AUC, calibration
+
+
+def test_holt_linear_matches_pure_python(spark):
+    from botkop_telcotraffic_spark_spark.operators.timeseries import holt_linear
+
+    xs = [10.0, 12.0, 13.0, 15.5, 14.0, 16.25]
+    rows = [("a", i, x) for i, x in enumerate(xs)]
+    # out-of-order input: the fold must sort by the order column
+    rows = rows[::-1] + [("b", 0, 5.0), ("b", 1, 4.0), ("c", 0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, d int, v double")
+    got = {
+        r["g"]: (r["n"], r["level"], r["trend"], r["forecast"])
+        for r in holt_linear(df, ["g"], "d", "v").collect()
+    }
+
+    def holt(vals, a=0.5, b=0.3):
+        lvl, trd = vals[0], vals[1] - vals[0]
+        for x in vals[2:]:
+            nl = a * x + (1 - a) * (lvl + trd)
+            trd = b * (nl - lvl) + (1 - b) * trd
+            lvl = nl
+        return round(lvl, 6), round(trd, 6), round(lvl + trd, 6)
+
+    assert got["a"] == (len(xs), *holt(xs))
+    assert got["b"] == (2, *holt([5.0, 4.0]))
+    assert "c" not in got  # <2 observations: trend not estimable
+
+
+def test_woe_iv_hand_computed(spark):
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.encode import woe_iv
+
+    # A: 3 pos / 1 neg; B: 1 pos / 3 neg  -> symmetric WOE
+    rows = [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+    df = spark.createDataFrame(rows, "c string, y int")
+    got = {r["category"]: r for r in woe_iv(df, "c", "y").collect()}
+    sp, sq = (3 + 0.5) / 4, (1 + 0.5) / 4
+    woe_a = math.log(sp / sq)
+    assert got["A"]["n_pos"] == 3 and got["A"]["n_neg"] == 1
+    assert got["A"]["woe"] == round(woe_a, 6)
+    assert got["B"]["woe"] == round(-woe_a, 6)
+    iv = sum(r["iv_term"] for r in got.values())
+    assert iv > 0.3  # a strongly separating feature
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    from botkop_telcotraffic_spark_spark.operators.profile import cramers_v
+
+    # perfect association: x determines y -> V = 1
+    perfect = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 2)] * 5, "x string, y int"
+    )
+    row = cramers_v(perfect, "x", "y").collect()[0]
+    assert row["v"] == 1.0 and row["n"] == 10 and row["r"] == 2
+
+    # exact independence: uniform 2x2 -> chi2 = 0, V = 0
+    indep = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 2)] * 3, "x string, y int"
+    )
+    row = cramers_v(indep, "x", "y").collect()[0]
+    assert row["chi2"] == 0.0 and row["v"] == 0.0
+
+
+def test_mann_whitney_auc_known_cases(spark):
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        mann_whitney_auc,
+    )
+
+    # perfect separation -> AUC 1; anti-separation -> 0; all tied -> 0.5
+    rows = (
+        [("sep", 1, float(10 + i)) for i in range(3)]
+        + [("sep", 0, float(i)) for i in range(3)]
+        + [("anti", 0, float(10 + i)) for i in range(3)]
+        + [("anti", 1, float(i)) for i in range(3)]
+        + [("tied", 1, 7.0), ("tied", 1, 7.0), ("tied", 0, 7.0)]
+        + [("onlypos", 1, 1.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, y int, s double")
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in mann_whitney_auc(df, ["g"], "y", "s").collect()
+    }
+    assert got["sep"] == (3, 3, 1.0)
+    assert got["anti"] == (3, 3, 0.0)
+    assert got["tied"] == (2, 1, 0.5)
+    assert "onlypos" not in got  # AUC undefined with one class
+
+
+def test_calibration_bins_ece_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        calibration_bins,
+    )
+
+    # bin 0: p=0.05 x4, 1 positive (rate .25, gap +.2)
+    # bin 9: p=0.95 x4, 3 positive (rate .75, gap -.2); p=1.0 lands in bin 9
+    rows = [(0.05, 1), (0.05, 0), (0.05, 0), (0.05, 0)] + [
+        (0.95, 1), (0.95, 1), (1.0, 1), (0.95, 0)
+    ]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {r["bin"]: r for r in calibration_bins(df, "p", "y", 10).collect()}
+    assert set(got) == {0, 9}
+    assert got[0]["pos_rate"] == 0.25 and got[0]["gap"] == 0.2
+    assert got[9]["n"] == 4
+    ece = sum(r["ece_term"] for r in got.values())
+    assert abs(ece - (0.5 * 0.2 + 0.5 * abs(0.75 - 0.9625))) < 1e-9

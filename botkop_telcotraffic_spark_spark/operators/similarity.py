@@ -592,76 +592,82 @@ def mmr_select(
     1-based selection order; mmr_score is the objective value at
     selection time (for rank 1 the similarity penalty is 0).
 
-    Determinism: relevance and the cosine penalty are the engine's
-    sequential-fold doubles (functions/vector.py), the argmax
-    tie-breaks on the id, and each round's running penalty is
-    greatest(prev, cos(vec, last_pick)) — so the DuckDB oracle's
-    unrolled-round twin (max over the selected set) computes the
-    identical doubles and the identical picks.
+    Determinism: relevance and the vector norms are the engine's
+    sequential-fold doubles (functions/vector.py), collected
+    verbatim; the driver-side greedy recomputes each pairwise dot as
+    the SAME left fold (init 0.0, ascending dim order, one IEEE
+    rounding per += — bit-identical to ``F.aggregate`` and the
+    DuckDB oracle's ``list_reduce``), the argmax tie-breaks on the
+    id with Java ``Double.compare`` ordering (-0.0 < +0.0), and the
+    running penalty is max(prev, cos(vec, last_pick)) — so the
+    oracle's unrolled-round twin computes the identical doubles and
+    identical picks.  Final rounding happens JVM-side via
+    ``F.round`` (HALF_UP, matching the oracle's ``round()``; Python
+    banker's rounding differs on exact .5 boundaries).
 
-    Scale shape: k driver rounds; each is ONE distributed
-    top-1 (TakeOrderedAndProject) + ONE narrow update of the running
-    penalty against the single picked vector (1-row broadcast).  The
-    selected set is model-sized (k × dim) driver state — the same
-    contract as StreamingKMeans/lloyd.  The candidate frame is
-    localCheckpoint'ed per round to keep the iterative plan flat
-    (on a cluster: persist).  Cost: k scans of the candidate set —
-    run it on a pre-filtered candidate pool (an ANN top-N), never the
-    raw corpus.
+    Scale shape: ONE distributed job computes (id, rel, norm,
+    vector) for the candidate pool and collects it — the pool is an
+    ANN top-N by contract (run this on a pre-filtered shortlist,
+    never the raw corpus), so the collect is model-sized driver
+    state (N x dim doubles), the same contract as
+    StreamingKMeans/lloyd centroids.  The greedy k rounds are then
+    O(k * N * dim) driver flops with ZERO further cluster round
+    trips — replacing the previous k sequential top-1 jobs (k scans
+    + k collects) whose per-round scheduling dominated cost.  The
+    ``checkpoint`` flag is kept for API compatibility (the
+    single-job form has no lineage to pin).
     """
+    import math
+
     if k < 1:
         raise ValueError("k must be >= 1")
+    del checkpoint  # no iterative lineage remains to pin
     spark = candidates.sparkSession
-    # per-round localCheckpoint is the measured right call even on
-    # small pools: the per-round top-1 COLLECT re-executes the whole
-    # lineage without it (quadratic recompute across rounds — 3.7 s
-    # vs 2.9 s at sf0.1).  checkpoint=False exists for plan tests.
-    ckpt = (lambda d: d.localCheckpoint()) if checkpoint else (lambda d: d)
-    cand = ckpt(
+    pool = (
         candidates.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_vec"),
             F.col(rel_col).cast("double").alias("_rel"),
             norm(F.col(vec_col)).alias("_n"),
-            F.lit(None).cast("double").alias("_maxsim"),
         )
-    )
+    ).collect()
 
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def dkey(x):
+        # Java Double.compare total order for non-NaN doubles:
+        # equal-magnitude -0.0 sorts below +0.0 (Spark's orderBy)
+        return (x, math.copysign(1.0, x))
+
+    remaining = {
+        r["_id"]: (list(r["_vec"]), r["_rel"], r["_n"]) for r in pool
+    }
+    maxsim: dict = {i: None for i in remaining}
     out_rows = []
     for rank in range(1, k + 1):
-        score = F.col("_rel") * lam - F.coalesce(
-            F.col("_maxsim"), F.lit(0.0)
-        ) * (1.0 - lam)
-        top = (
-            cand.withColumn("_score", score)
-            .orderBy(F.col("_score").desc(), F.col("_id"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        best_id, best_score = None, None
+        for i, (_, rel, _) in remaining.items():
+            ms = maxsim[i]
+            score = rel * lam - (0.0 if ms is None else ms) * (1.0 - lam)
+            if (
+                best_id is None
+                or dkey(score) > dkey(best_score)
+                or (dkey(score) == dkey(best_score) and i < best_id)
+            ):
+                best_id, best_score = i, score
+        if best_id is None:
             break
-        p = top[0]
-        out_rows.append((rank, p["_id"], p["_rel"], p["_score"]))
-        picked = spark.createDataFrame(
-            [(list(p["_vec"]), float(p["_n"]))], "_pv array<double>, _pn double"
-        )
-        sim = dot(F.col("_vec"), F.col("_pv")) / (F.col("_n") * F.col("_pn"))
-        cand = (
-            cand.where(F.col("_id") != p["_id"])
-            .crossJoin(F.broadcast(picked))
-            .withColumn(
-                "_ms2",
-                F.greatest(F.coalesce(F.col("_maxsim"), F.lit(-2.0)), sim),
-            )
-            .select(
-                "_id",
-                "_vec",
-                "_rel",
-                "_n",
-                F.col("_ms2").alias("_maxsim"),
-            )
-        )
-        cand = ckpt(cand)
+        pv, prel, pn = remaining.pop(best_id)
+        maxsim.pop(best_id)
+        out_rows.append((rank, best_id, prel, best_score))
+        for i, (v, _, n) in remaining.items():
+            sim = fold_dot(v, pv) / (n * pn)
+            prev = maxsim[i]
+            maxsim[i] = max(-2.0 if prev is None else prev, sim)
     id_type = dict(
         zip(candidates.columns, [f.dataType.simpleString() for f in candidates.schema.fields])
     )[id_col]
@@ -669,8 +675,6 @@ def mmr_select(
         out_rows,
         f"rank int, {id_col} {id_type}, relevance double, mmr_score double",
     )
-    # round JVM-side (HALF_UP, same as the oracle's round()) — Python's
-    # banker's rounding differs on exact .5 boundaries
     return res.select(
         "rank",
         id_col,

@@ -10638,6 +10638,141 @@ FROM cells, tot
 """
 
 
+
+
+def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters with weekly seasonality
+    (operators/timeseries.py::holt_winters, period=7) over each
+    event type's daily mean value: level/trend/next-seasonal + the
+    one-step forecast — the weekly-cycle-aware capacity forecaster.
+    Daily means are rounded to 6 pre-fold (bit-identical fold
+    inputs); the step is the shared dual-dialect fragment."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import holt_winters
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg((F.round(F.avg("value"), 6) + F.lit(0.0)).alias("v"))
+    )
+    return holt_winters(daily, ["event_type"], "day", "v", period=7)
+
+
+def _hw_sql() -> str:
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        hw_update_sql,
+    )
+
+    period = 7
+    step = hw_update_sql("st", "e[1]", 0.3, 0.1, 0.2, period, "duckdb")
+    init_sum = " + ".join(f"vs[{i}]" for i in range(1, period + 1))
+    lvl0 = f"(({init_sum}) / CAST({float(period)!r} AS DOUBLE))"
+    init = (
+        "[" + lvl0 + ", CAST(0.0 AS DOUBLE), "
+        + ", ".join(f"(vs[{i}] - {lvl0})" for i in range(1, period + 1))
+        + "]"
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+         round(avg(value), 6) + 0.0 AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), series AS (
+  SELECT event_type, list(v ORDER BY day) AS vs
+  FROM daily GROUP BY 1
+), folded AS (
+  SELECT event_type, len(vs) AS n,
+         list_reduce(
+           list_prepend({init},
+             list_transform(vs[{period + 1}:], x -> [x])),
+           (st, e) -> {step}) AS st
+  FROM series WHERE len(vs) >= {period + 1}
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(st[1], 6) + 0.0 AS level,
+       round(st[2], 6) + 0.0 AS trend,
+       round(st[3], 6) + 0.0 AS seasonal_next,
+       round(st[1] + st[2] + st[3], 6) + 0.0 AS forecast
+FROM folded
+"""
+
+
+def delta_ratio_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio metric (operators/experiment.py::
+    delta_ratio_metric): clicks-per-view with the USER as the
+    randomization grain, arms split on user parity — per-arm ratio
+    + the delta-method SE a naive row-level variance understates."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        delta_ratio_metric,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        "user_id",
+        (F.col("event_type") == "click").cast("double").alias("x"),
+        (F.col("event_type") == "view").cast("double").alias("y"),
+    )
+    return delta_ratio_metric(e, "arm", "user_id", "x", "y")
+
+
+_DELTA_RATIO_SQL = """
+WITH units AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm, user_id,
+         sum(CASE WHEN event_type = 'click' THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END) AS x,
+         sum(CASE WHEN event_type = 'view' THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END) AS y
+  FROM events GROUP BY 1, 2
+), arms AS (
+  SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM units GROUP BY 1
+)
+SELECT arm, CAST(n AS BIGINT) AS n,
+       round((sx / n) / (sy / n), 6) + 0.0 AS ratio,
+       round(sqrt(greatest(
+         ((sxx - n * (sx / n) * (sx / n)) / (n - 1)
+          - 2 * ((sx / n) / (sy / n)) * ((sxy - n * (sx / n) * (sy / n)) / (n - 1))
+          + ((sx / n) / (sy / n)) * ((sx / n) / (sy / n))
+            * ((syy - n * (sy / n) * (sy / n)) / (n - 1)))
+         / (n * (sy / n) * (sy / n)), CAST(0.0 AS DOUBLE))), 6) + 0.0 AS se
+FROM arms WHERE n >= 2 AND sy <> 0
+"""
+
+
+def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate (operators/experiment.py::
+    srm_check) on the parity split: distinct users per arm vs the
+    50/50 design, experiment-level chi2 + srm flag repeated per
+    arm."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import srm_check
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "user_id"
+    )
+    return srm_check(e, "arm", "user_id")
+
+
+_SRM_SQL = """
+WITH units AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm,
+         CAST(count(DISTINCT user_id) AS DOUBLE) AS n
+  FROM events GROUP BY 1
+), tot AS (SELECT sum(n) AS nt, count(*) AS k FROM units),
+per AS (
+  SELECT arm, n, nt / k AS e,
+         (n - nt / k) * (n - nt / k) / (nt / k) AS t
+  FROM units, tot
+), chi AS (SELECT sum(t) AS chi2 FROM per)
+SELECT arm, CAST(n AS BIGINT) AS n_units,
+       round(e, 6) + 0.0 AS expected_units,
+       round(chi2, 6) + 0.0 AS chi2,
+       CAST(CASE WHEN chi2 > 3.841459 THEN 1 ELSE 0 END AS INT) AS srm
+FROM per, chi
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -10663,6 +10798,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "holt_winters_daily": (holt_winters_daily, _hw_sql()),
+    "delta_ratio_ab_events": (delta_ratio_ab_events, _DELTA_RATIO_SQL),
+    "srm_check_events": (srm_check_events, _SRM_SQL),
     "holt_value_daily": (holt_value_daily, _holt_sql()),
     "woe_iv_orders": (woe_iv_orders, _WOE_SQL),
     "cramers_v_events": (cramers_v_events, _CRAMERS_SQL),

@@ -467,3 +467,114 @@ def calibration_bins(
             ).alias("ece_term"),
         )
     )
+
+
+def delta_ratio_metric(
+    df: DataFrame,
+    arm_col: str,
+    unit_col: str,
+    num_col: str,
+    den_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Delta-method standard error for a per-arm RATIO metric
+    (Deng, Knoblich & Lu 2018, "Applying the Delta Method in Metric
+    Analytics", public literature): the metric is Σnum/Σden across
+    units (e.g. clicks per view), whose naive per-row variance is
+    wrong because the unit — not the row — is the randomization
+    grain.  With x̄, ȳ the per-unit means and r = x̄/ȳ:
+
+        var(r) ≈ (s_x² - 2·r·s_xy + r²·s_y²) / (n·ȳ²)
+
+    (sample moments, n-1 denominator).  Output per arm: n units,
+    ratio, se — the pair every ratio-metric scorecard needs.
+
+    Scale shape: one keyed aggregate to units (map-side combined),
+    one keyed aggregate to arms carrying six moment sums — the fact
+    table is scanned once; nothing downstream is data-sized.  Arms
+    with < 2 units or a zero denominator are dropped (SE undefined).
+    """
+    units = df.groupBy(F.col(arm_col).alias("arm"), F.col(unit_col)).agg(
+        F.sum(F.col(num_col).cast("double")).alias("_x"),
+        F.sum(F.col(den_col).cast("double")).alias("_y"),
+    )
+    arms = units.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("_n")
+    xbar = F.col("_sx") / n
+    ybar = F.col("_sy") / n
+    r = xbar / ybar
+    vx = (F.col("_sxx") - n * xbar * xbar) / (n - 1)
+    vy = (F.col("_syy") - n * ybar * ybar) / (n - 1)
+    cxy = (F.col("_sxy") - n * xbar * ybar) / (n - 1)
+    var_r = (vx - 2 * r * cxy + r * r * vy) / (n * ybar * ybar)
+    return arms.where((n >= 2) & (F.col("_sy") != 0)).select(
+        "arm",
+        n.cast("long").alias("n"),
+        (F.round(r, round_to) + F.lit(0.0)).alias("ratio"),
+        (
+            F.round(F.sqrt(F.greatest(var_r, F.lit(0.0))), round_to)
+            + F.lit(0.0)
+        ).alias("se"),
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    unit_col: str,
+    expected: dict | None = None,
+    threshold: float = 3.841459,
+) -> DataFrame:
+    """Sample-Ratio-Mismatch chi-square over experiment arms — the
+    first sanity gate of every A/B readout (Fabijan et al. 2019,
+    "Diagnosing Sample Ratio Mismatch in Online Controlled
+    Experiments", public literature): units (NOT rows — exposure
+    rows per unit vary by engagement, which is exactly the bias SRM
+    catches) are counted per arm and tested against the design
+    allocation.
+
+        chi2 = Σ_arms (n_arm - e_arm)² / e_arm
+
+    ``expected`` maps arm -> design share (default: equal split);
+    ``srm`` = 1 when chi2 exceeds ``threshold`` (default 3.84, the
+    0.05 critical value at 1 df for a two-arm test — pass the
+    appropriate df's critical value for more arms).
+
+    Output: one row per arm (arm, n_units, expected_units, chi2,
+    srm) — chi2/srm are the experiment-level values repeated per arm
+    so the result stays a flat scalar-column table.
+
+    Scale shape: one distinct-aggregate to units, one |arms|-sized
+    aggregate, a 1-row total broadcast; scan-once.
+    """
+    units = df.groupBy(F.col(arm_col).alias("arm")).agg(
+        F.countDistinct(F.col(unit_col)).cast("double").alias("_n")
+    )
+    tot = units.agg(F.sum("_n").alias("_nt"), F.count(F.lit(1)).alias("_k"))
+    j = units.crossJoin(F.broadcast(tot))
+    if expected is None:
+        e = F.col("_nt") / F.col("_k")
+    else:
+        e = F.col("_nt") * F.coalesce(
+            *[
+                F.when(F.col("arm") == a, F.lit(float(s)))
+                for a, s in sorted(expected.items())
+            ]
+        )
+    d = F.col("_n") - e
+    per = j.select("arm", "_n", e.alias("_e"), (d * d / e).alias("_t"))
+    chi = per.agg(F.sum("_t").alias("_chi2"))
+    return per.crossJoin(F.broadcast(chi)).select(
+        "arm",
+        F.col("_n").cast("long").alias("n_units"),
+        (F.round(F.col("_e"), 6) + F.lit(0.0)).alias("expected_units"),
+        (F.round(F.col("_chi2"), 6) + F.lit(0.0)).alias("chi2"),
+        F.when(F.col("_chi2") > threshold, 1).otherwise(0).cast("int").alias("srm"),
+    )

@@ -783,3 +783,120 @@ def holt_linear(
         (F.round(st[1], round_to) + F.lit(0.0)).alias("trend"),
         (F.round(st[0] + st[1], round_to) + F.lit(0.0)).alias("forecast"),
     )
+
+
+def hw_update_sql(
+    st: str,
+    x: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    dialect: str = "spark",
+) -> str:
+    """Dual-dialect fragment for one additive Holt-Winters step
+    (Winters 1960, public literature) over a ROTATING state array
+    ``st`` = [level, trend, s_cur, s_next, ..., s_last] (2 + period
+    elements; the current phase's seasonal is always slot 3, so the
+    fold never needs a position counter):
+
+        level' = a*(x - s_cur) + (1-a)*(level + trend)
+        trend' = b*(level' - level) + (1-b)*trend
+        s'     = g*(x - level') + (1-g)*s_cur
+        st'    = [level', trend', s_next, ..., s_last, s']
+
+    Same determinism contract as :func:`holt_update_sql`: the
+    ``dialect`` switch changes only indexing/constructor syntax, the
+    arithmetic tree is character-identical, every literal is
+    DOUBLE-cast, and level' is recomputed textually where reused.
+    """
+    if dialect == "spark":
+        el = lambda i: f"element_at({st}, {i})"  # noqa: E731
+        ctor = "array"
+    else:
+        el = lambda i: f"{st}[{i}]"  # noqa: E731
+        ctor = "list_value"
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    b = f"CAST({beta!r} AS DOUBLE)"
+    g = f"CAST({gamma!r} AS DOUBLE)"
+    one = "CAST(1.0 AS DOUBLE)"
+    lv, tr, sc = el(1), el(2), el(3)
+    lvl = f"({a} * ({x} - {sc}) + ({one} - {a}) * ({lv} + {tr}))"
+    trd = f"({b} * ({lvl} - {lv}) + ({one} - {b}) * {tr})"
+    snew = f"({g} * ({x} - {lvl}) + ({one} - {g}) * {sc})"
+    rot = ", ".join(el(i) for i in range(4, period + 3))
+    rot = (rot + ", ") if rot else ""
+    return f"{ctor}({lvl}, {trd}, {rot}{snew})"
+
+
+def holt_winters(
+    df: DataFrame,
+    group_cols,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing per
+    group: level + trend + a ``period``-slot seasonal cycle — the
+    weekly-seasonality capacity forecaster (Winters 1960, public
+    literature).  Textbook simple initialization: level_0 = mean of
+    the first period (a left-associated fold sum / period), trend_0
+    = 0, s_i = x_i - level_0; the recurrence folds from observation
+    period+1.  Groups with < period+1 observations are dropped.
+
+    Output per group: n, level, trend, seasonal_next (the seasonal
+    slot the next observation lands on) and forecast = level + trend
+    + seasonal_next.
+
+    Determinism/scale: identical contracts to :func:`holt_linear` —
+    the per-step update is the shared dual-dialect fragment
+    (:func:`hw_update_sql`, Spark ``aggregate`` == DuckDB
+    ``list_reduce``), series are collected per GROUP (calendar-
+    bounded), the fact table shuffles once on the group key.
+    """
+    group_cols = list(group_cols)
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"), F.col(value_col).alias("v")
+                )
+            )
+        ),
+        lambda s: s["v"],
+    )
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(vals.alias("_vs"))
+        .where(F.size("_vs") >= period + 1)
+    )
+    init_sum = " + ".join(f"element_at(_vs, {i})" for i in range(1, period + 1))
+    lvl0 = f"(({init_sum}) / CAST({float(period)!r} AS DOUBLE))"
+    init = (
+        "array(" + lvl0 + ", CAST(0.0 AS DOUBLE), "
+        + ", ".join(
+            f"(element_at(_vs, {i}) - {lvl0})" for i in range(1, period + 1)
+        )
+        + ")"
+    )
+    step = hw_update_sql("st", "x", alpha, beta, gamma, period, "spark")
+    fold = (
+        f"aggregate(slice(_vs, {period + 1}, "
+        f"greatest(size(_vs) - {period}, 0)), {init}, (st, x) -> {step})"
+    )
+    st = F.expr(fold)
+    return g.select(
+        *group_cols,
+        F.size("_vs").cast("long").alias("n"),
+        (F.round(st[0], round_to) + F.lit(0.0)).alias("level"),
+        (F.round(st[1], round_to) + F.lit(0.0)).alias("trend"),
+        (F.round(st[2], round_to) + F.lit(0.0)).alias("seasonal_next"),
+        (
+            F.round(st[0] + st[1] + st[2], round_to) + F.lit(0.0)
+        ).alias("forecast"),
+    )

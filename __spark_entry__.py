@@ -10773,6 +10773,273 @@ FROM per, chi
 """
 
 
+
+
+def did_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (operators/experiment.py::
+    diff_in_diff) on the parity split: arm = user parity, period =
+    second half of the month (day > 15) — the 2x2 causal readout
+    under parallel trends, one conditional aggregate."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        diff_in_diff,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        (F.dayofmonth("ts") > 15).cast("int").alias("period"),
+        "value",
+    )
+    return diff_in_diff(e, "arm", "period", "value")
+
+
+_DID_SQL = """
+WITH rows_ AS (
+  SELECT CAST(user_id % 2 AS INT) AS a,
+         CAST(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END AS INT) AS p,
+         CAST(value AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT
+    CAST(sum(CASE WHEN a = 0 AND p = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n00,
+    sum(CASE WHEN a = 0 AND p = 0 THEN y ELSE 0.0 END) AS s00,
+    sum(CASE WHEN a = 0 AND p = 0 THEN y * y ELSE 0.0 END) AS ss00,
+    CAST(sum(CASE WHEN a = 0 AND p = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n01,
+    sum(CASE WHEN a = 0 AND p = 1 THEN y ELSE 0.0 END) AS s01,
+    sum(CASE WHEN a = 0 AND p = 1 THEN y * y ELSE 0.0 END) AS ss01,
+    CAST(sum(CASE WHEN a = 1 AND p = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n10,
+    sum(CASE WHEN a = 1 AND p = 0 THEN y ELSE 0.0 END) AS s10,
+    sum(CASE WHEN a = 1 AND p = 0 THEN y * y ELSE 0.0 END) AS ss10,
+    CAST(sum(CASE WHEN a = 1 AND p = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n11,
+    sum(CASE WHEN a = 1 AND p = 1 THEN y ELSE 0.0 END) AS s11,
+    sum(CASE WHEN a = 1 AND p = 1 THEN y * y ELSE 0.0 END) AS ss11
+  FROM rows_
+)
+SELECT CAST(n00 AS BIGINT) AS n_00, CAST(n01 AS BIGINT) AS n_01,
+       CAST(n10 AS BIGINT) AS n_10, CAST(n11 AS BIGINT) AS n_11,
+       round(s00 / n00, 6) + 0.0 AS mean_00,
+       round(s01 / n01, 6) + 0.0 AS mean_01,
+       round(s10 / n10, 6) + 0.0 AS mean_10,
+       round(s11 / n11, 6) + 0.0 AS mean_11,
+       round((s11 / n11 - s10 / n10) - (s01 / n01 - s00 / n00), 6) + 0.0
+         AS did,
+       round(sqrt(0.0
+         + greatest((ss00 - n00 * (s00 / n00) * (s00 / n00)) / (n00 - 1),
+                    CAST(0.0 AS DOUBLE)) / n00
+         + greatest((ss01 - n01 * (s01 / n01) * (s01 / n01)) / (n01 - 1),
+                    CAST(0.0 AS DOUBLE)) / n01
+         + greatest((ss10 - n10 * (s10 / n10) * (s10 / n10)) / (n10 - 1),
+                    CAST(0.0 AS DOUBLE)) / n10
+         + greatest((ss11 - n11 * (s11 / n11) * (s11 / n11)) / (n11 - 1),
+                    CAST(0.0 AS DOUBLE)) / n11), 6) + 0.0 AS se
+FROM g
+WHERE n00 >= 2 AND n01 >= 2 AND n10 >= 2 AND n11 >= 2
+"""
+
+
+def mde_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect (operators/experiment.py::
+    mde_two_arm) of `value` per event type at the current parity-arm
+    sample sizes (alpha .05 two-sided, 80% power) — the
+    power-analysis row every experiment review asks for."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        mde_two_arm,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        "value",
+    )
+    return mde_two_arm(e, ["event_type"], "arm", "value")
+
+
+_MDE_SQL = """
+WITH rows_ AS (
+  SELECT event_type, CAST(user_id % 2 AS INT) AS a,
+         CAST(value AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+    CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+    sum(CASE WHEN a = 0 THEN y ELSE 0.0 END) AS sa,
+    sum(CASE WHEN a = 1 THEN y ELSE 0.0 END) AS sb,
+    sum(CASE WHEN a = 0 THEN y * y ELSE 0.0 END) AS ssa,
+    sum(CASE WHEN a = 1 THEN y * y ELSE 0.0 END) AS ssb
+  FROM rows_ GROUP BY 1
+)
+SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(sqrt(greatest(
+         ((ssa - na * (sa / na) * (sa / na))
+          + (ssb - nb * (sb / nb) * (sb / nb))) / (na + nb - 2),
+         CAST(0.0 AS DOUBLE))), 6) + 0.0 AS sd_pooled,
+       round((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+         * sqrt(greatest(
+             ((ssa - na * (sa / na) * (sa / na))
+              + (ssb - nb * (sb / nb) * (sb / nb))) / (na + nb - 2),
+             CAST(0.0 AS DOUBLE)) * (1 / na + 1 / nb)), 6) + 0.0 AS mde
+FROM g WHERE na >= 2 AND nb >= 2
+"""
+
+
+def kmv_setops_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV set-operation estimates (operators/sketch.py::
+    kmv_set_ops, Beyer et al. 2007): union / intersection /
+    Jaccard of the click-user and purchase-user sets from two
+    64-hash sketches — audience-overlap math on sketch-sized state,
+    no distinct-join of the raw sets."""
+    from botkop_telcotraffic_spark_spark.operators.sketch import (
+        kmv_build,
+        kmv_set_ops,
+    )
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sk = kmv_build(e, ["event_type"], "user_id", k=64)
+    a = sk.where(F.col("event_type") == "click").drop("event_type")
+    b = sk.where(F.col("event_type") == "purchase").drop("event_type")
+    return kmv_set_ops(a, b, keys=[], k=64)
+
+
+_KMV_SETOPS_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         (999883 * CAST(user_id AS BIGINT) + 12345) % 1000000007 AS h
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
+), kp AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+), sk AS (
+  SELECT event_type, list(h ORDER BY h) AS kmv
+  FROM kp WHERE rn <= 64 GROUP BY 1
+), j AS (
+  SELECT a.kmv AS ka, b.kmv AS kb,
+         list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[:64] AS uk
+  FROM sk a, sk b
+  WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+)
+SELECT CAST(len(uk) AS BIGINT) AS n_union_kept,
+       CAST(len(list_filter(uk,
+         x -> list_contains(ka, x) AND list_contains(kb, x)))
+         AS BIGINT) AS n_both_kept,
+       round(CASE WHEN len(uk) < 64 THEN CAST(len(uk) AS DOUBLE)
+             ELSE 63.0 * 1000000007 / CAST(uk[64] AS DOUBLE) END, 6) + 0.0
+         AS est_union,
+       round((CAST(len(list_filter(uk,
+                x -> list_contains(ka, x) AND list_contains(kb, x)))
+              AS DOUBLE) / CAST(len(uk) AS DOUBLE))
+             * CASE WHEN len(uk) < 64 THEN CAST(len(uk) AS DOUBLE)
+               ELSE 63.0 * 1000000007 / CAST(uk[64] AS DOUBLE) END, 6) + 0.0
+         AS est_intersect,
+       round(CAST(len(list_filter(uk,
+               x -> list_contains(ka, x) AND list_contains(kb, x)))
+             AS DOUBLE) / CAST(len(uk) AS DOUBLE), 6) + 0.0 AS est_jaccard
+FROM j
+"""
+
+
+def lsh_dedup_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline EVALUATION: precision/recall of the
+    MinHash-LSH candidate generator (8 bands x 2 rows) against exact
+    shingle-Jaccard >= 0.5 ground truth (unpruned postings — every
+    true pair shares a shingle, so the posting join IS exhaustive
+    truth).  The eval every LSH parameter choice should ship with:
+    band-agreement is a recall/precision dial, this measures both
+    ends.  One full-outer join of two bounded pair sets + one
+    1-row aggregate."""
+    from botkop_telcotraffic_spark_spark.operators import dedup as _dd
+
+    d = _t(spark, sf_dir, "documents")
+    cand = _dd.minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, bands=8, rows_per_band=2
+    ).select("a", "b", F.lit(1).alias("_c"))
+    truth = (
+        _dd.jaccard_pairs(d, "doc_id", "text", k=3)
+        .where(F.col("jaccard") >= 0.5)
+        .select("a", "b", F.lit(1).alias("_t"))
+    )
+    j = cand.join(truth, ["a", "b"], "full")
+    hit = (F.col("_c").isNotNull() & F.col("_t").isNotNull()).cast("int")
+    g = j.agg(
+        F.sum(F.coalesce("_c", F.lit(0))).cast("long").alias("n_cand"),
+        F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(hit).cast("long").alias("n_hit"),
+    )
+    return g.select(
+        "n_cand",
+        "n_truth",
+        "n_hit",
+        (
+            F.round(
+                F.when(
+                    F.col("n_cand") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_cand"),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("precision"),
+        (
+            F.round(
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_truth"),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("recall"),
+    )
+
+
+def _lsh_eval_sql() -> str:
+    return f"""
+WITH {_POSTINGS_CTE},
+pm AS MATERIALIZED (SELECT * FROM post),
+sig AS (SELECT id, [{_MINHASH_EXPRS}] AS sig
+        FROM pm GROUP BY id),
+buckets AS ({_LSH_BANDS_SQL}),
+cand AS MATERIALIZED (
+  SELECT l.id AS a, r.id AS b
+  FROM buckets l JOIN buckets r USING (band, bkey)
+  WHERE l.id < r.id GROUP BY 1, 2
+),
+sizes AS (SELECT id, count(*) AS sz FROM pm GROUP BY id),
+inter AS (
+  SELECT l.id AS a, r.id AS b, count(*) AS cnt
+  FROM pm l JOIN pm r USING (tok)
+  WHERE l.id < r.id GROUP BY 1, 2
+),
+truth AS MATERIALIZED (
+  SELECT a, b FROM inter JOIN sizes sa ON a = sa.id
+                         JOIN sizes sb ON b = sb.id
+  WHERE cnt / (sa.sz + sb.sz - cnt) >= 0.5
+),
+j AS (
+  SELECT coalesce(c.one, 0) AS c, coalesce(t.one, 0) AS t
+  FROM (SELECT a, b, 1 AS one FROM cand) c
+  FULL OUTER JOIN (SELECT a, b, 1 AS one FROM truth) t
+    USING (a, b)
+), g AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_cand,
+         CAST(sum(t) AS BIGINT) AS n_truth,
+         CAST(sum(c * t) AS BIGINT) AS n_hit
+  FROM j
+)
+SELECT n_cand, n_truth, n_hit,
+       round(CASE WHEN n_cand > 0
+             THEN CAST(n_hit AS DOUBLE) / n_cand END, 6) + 0.0 AS precision,
+       round(CASE WHEN n_truth > 0
+             THEN CAST(n_hit AS DOUBLE) / n_truth END, 6) + 0.0 AS recall
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -10798,6 +11065,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "did_value_events": (did_value_events, _DID_SQL),
+    "mde_value_events": (mde_value_events, _MDE_SQL),
+    "kmv_setops_click_purchase": (
+        kmv_setops_click_purchase,
+        _KMV_SETOPS_SQL,
+    ),
+    "lsh_dedup_eval_docs": (lsh_dedup_eval_docs, _lsh_eval_sql()),
     "holt_winters_daily": (holt_winters_daily, _hw_sql()),
     "delta_ratio_ab_events": (delta_ratio_ab_events, _DELTA_RATIO_SQL),
     "srm_check_events": (srm_check_events, _SRM_SQL),

@@ -578,3 +578,133 @@ def srm_check(
         (F.round(F.col("_chi2"), 6) + F.lit(0.0)).alias("chi2"),
         F.when(F.col("_chi2") > threshold, 1).otherwise(0).cast("int").alias("srm"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    arm_col: str,
+    period_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Difference-in-differences over a 2x2 (arm x period) design
+    (Card & Krueger 1994 popularized it; any causal-inference text,
+    public literature): the treatment effect under the parallel-
+    trends assumption is
+
+        DiD = (ȳ_t,after - ȳ_t,before) - (ȳ_c,after - ȳ_c,before)
+
+    with SE = sqrt(Σ_cells s²/n) (independent-cell normal approx —
+    the standard back-of-envelope; regression DiD with clustered
+    errors is the heavyweight alternative).  ``arm_col`` and
+    ``period_col`` must be 0/1 ints (0 = control / before).
+
+    Output: one row — per-cell ns and means, did, se.
+
+    Scale shape: ONE conditional aggregate (8 map-side-combined
+    sums); no joins, no second scan.
+    """
+    a = F.col(arm_col).cast("int")
+    p = F.col(period_col).cast("int")
+    y = F.col(y_col).cast("double")
+    rows = df.where(y.isNotNull())
+
+    def cell(ai, pi):
+        cond = (a == ai) & (p == pi)
+        n = F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+        s = F.sum(F.when(cond, y).otherwise(0.0))
+        ss = F.sum(F.when(cond, y * y).otherwise(0.0))
+        return n, s, ss
+
+    aggs, names = [], []
+    for ai in (0, 1):
+        for pi in (0, 1):
+            n, s, ss = cell(ai, pi)
+            aggs += [
+                n.alias(f"_n{ai}{pi}"),
+                s.alias(f"_s{ai}{pi}"),
+                ss.alias(f"_ss{ai}{pi}"),
+            ]
+            names.append(f"{ai}{pi}")
+    g = rows.agg(*aggs)
+    mean = {c: F.col(f"_s{c}") / F.col(f"_n{c}") for c in names}
+    var = {
+        c: (F.col(f"_ss{c}") - F.col(f"_n{c}") * mean[c] * mean[c])
+        / (F.col(f"_n{c}") - 1)
+        for c in names
+    }
+    did = (mean["11"] - mean["10"]) - (mean["01"] - mean["00"])
+    se = F.sqrt(
+        sum(
+            (F.greatest(var[c], F.lit(0.0)) / F.col(f"_n{c}") for c in names),
+            F.lit(0.0),
+        )
+    )
+    ok = F.lit(True)
+    for c in names:
+        ok = ok & (F.col(f"_n{c}") >= 2)
+    out = [F.col(f"_n{c}").cast("long").alias(f"n_{c}") for c in names]
+    out += [
+        (F.round(mean[c], round_to) + F.lit(0.0)).alias(f"mean_{c}")
+        for c in names
+    ]
+    out += [
+        (F.round(did, round_to) + F.lit(0.0)).alias("did"),
+        (F.round(se, round_to) + F.lit(0.0)).alias("se"),
+    ]
+    return g.where(ok).select(*out)
+
+
+def mde_two_arm(
+    df: DataFrame,
+    group_cols,
+    arm_col: str,
+    y_col: str,
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+    round_to: int = 6,
+) -> DataFrame:
+    """Minimum Detectable Effect for a two-arm test at the CURRENT
+    sample sizes — the power-analysis readout every experiment
+    review asks for (standard normal-approximation formula, any
+    power-analysis text):
+
+        MDE = (z_{1-α/2} + z_{power}) · sqrt(s²_pooled · (1/n_a + 1/n_b))
+
+    with the pooled two-sample variance.  Defaults: α = 0.05
+    two-sided, 80% power (z literals injected DOUBLE-cast so the
+    oracle's arithmetic is identical).  Groups where either arm has
+    < 2 observations are dropped.
+
+    Scale shape: ONE conditional keyed aggregate (six map-side
+    sums); scan-once, |groups|-sized output.
+    """
+    group_cols = list(group_cols)
+    a = F.col(arm_col).cast("int")
+    y = F.col(y_col).cast("double")
+    rows = df.where(y.isNotNull())
+    na = F.sum(F.when(a == 0, 1).otherwise(0)).cast("double")
+    nb = F.sum(F.when(a == 1, 1).otherwise(0)).cast("double")
+    sa = F.sum(F.when(a == 0, y).otherwise(0.0))
+    sb = F.sum(F.when(a == 1, y).otherwise(0.0))
+    ssa = F.sum(F.when(a == 0, y * y).otherwise(0.0))
+    ssb = F.sum(F.when(a == 1, y * y).otherwise(0.0))
+    g = rows.groupBy(*group_cols).agg(
+        na.alias("_na"), nb.alias("_nb"), sa.alias("_sa"),
+        sb.alias("_sb"), ssa.alias("_ssa"), ssb.alias("_ssb"),
+    )
+    n_a, n_b = F.col("_na"), F.col("_nb")
+    ma, mb = F.col("_sa") / n_a, F.col("_sb") / n_b
+    va = F.col("_ssa") - n_a * ma * ma
+    vb = F.col("_ssb") - n_b * mb * mb
+    pooled = (va + vb) / (n_a + n_b - 2)
+    mde = (F.lit(z_alpha) + F.lit(z_power)) * F.sqrt(
+        F.greatest(pooled, F.lit(0.0)) * (1 / n_a + 1 / n_b)
+    )
+    return g.where((n_a >= 2) & (n_b >= 2)).select(
+        *group_cols,
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        (F.round(F.sqrt(F.greatest(pooled, F.lit(0.0))), round_to) + F.lit(0.0)).alias("sd_pooled"),
+        (F.round(mde, round_to) + F.lit(0.0)).alias("mde"),
+    )

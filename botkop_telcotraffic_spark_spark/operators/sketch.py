@@ -384,3 +384,62 @@ def kmv_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
         n.cast("long").alias("n_kept"),
         (F.round(est, 6) + F.lit(0.0)).alias("est_distinct"),
     )
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str] | None = None,
+    k: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketches (Beyer et al.
+    2007, "On Synopses for Distinct-Value Estimation Under Multiset
+    Operations", public literature): with K the k smallest distinct
+    hashes of the UNION of the two sketches and
+    ρ = |{h ∈ K : h ∈ A and h ∈ B}| / |K|,
+
+        est_union     = KMV estimate over K
+        est_jaccard   = ρ
+        est_intersect = ρ · est_union
+
+    When the union sketch is unsaturated (|K| < k) the sketches ARE
+    the complete hash sets, so every estimate collapses to the exact
+    value — the same exact-below-k contract as ``kmv_estimate``.
+
+    Inputs are sketch tables from ``kmv_build`` (column ``kmv``);
+    with ``keys`` they join keyed, without they must be single-row
+    and combine via a broadcast.  Everything downstream is
+    sketch-sized (k longs per side) — never data-sized.
+    """
+    keys = keys or []
+    ak = a.select(*keys, F.col("kmv").alias("_ka"))
+    bk = b.select(*keys, F.col("kmv").alias("_kb"))
+    j = (
+        ak.join(bk, keys)
+        if keys
+        else ak.crossJoin(F.broadcast(bk))
+    )
+    union_k = F.slice(
+        F.array_sort(F.array_distinct(F.concat("_ka", "_kb"))), 1, k
+    )
+    j = j.select(*keys, "_ka", "_kb", union_k.alias("_u"))
+    nu = F.size("_u")
+    hk = F.element_at("_u", k)
+    est_union = F.when(nu < k, nu.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(_KMV_P)) / hk.cast("double")
+    )
+    n_both = F.size(
+        F.array_intersect(F.array_intersect("_u", "_ka"), "_kb")
+    )
+    rho = n_both.cast("double") / nu.cast("double")
+    return j.select(
+        *keys,
+        nu.cast("long").alias("n_union_kept"),
+        n_both.cast("long").alias("n_both_kept"),
+        (F.round(est_union, round_to) + F.lit(0.0)).alias("est_union"),
+        (F.round(rho * est_union, round_to) + F.lit(0.0)).alias(
+            "est_intersect"
+        ),
+        (F.round(rho, round_to) + F.lit(0.0)).alias("est_jaccard"),
+    )

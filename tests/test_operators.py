@@ -2101,3 +2101,59 @@ def test_cluster_eval_hand_values(spark):
         for r in davies_bouldin(pts, cents).collect()
     }
     assert db[0] == (2, 1.0, 0.2) and db[1] == (2, 1.0, 0.2)
+
+
+def test_diff_in_diff_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.experiment import diff_in_diff
+
+    # control: 10 -> 12 (trend +2); treated: 20 -> 25 (trend +5); DiD = 3
+    rows = (
+        [(0, 0, 9.0), (0, 0, 11.0), (0, 1, 11.0), (0, 1, 13.0)]
+        + [(1, 0, 19.0), (1, 0, 21.0), (1, 1, 24.0), (1, 1, 26.0)]
+    )
+    df = spark.createDataFrame(rows, "arm int, period int, y double")
+    r = diff_in_diff(df, "arm", "period", "y").collect()[0]
+    assert r["mean_00"] == 10.0 and r["mean_11"] == 25.0
+    assert r["did"] == 3.0
+    # each cell: var = 2, n = 2 -> se = sqrt(4 * 2/2) = 2
+    assert r["se"] == 2.0
+
+    # any cell with < 2 obs: no row
+    df2 = spark.createDataFrame(rows[1:], "arm int, period int, y double")
+    assert diff_in_diff(df2, "arm", "period", "y").count() == 0
+
+
+def test_mde_two_arm_formula(spark):
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.experiment import mde_two_arm
+
+    # two arms x 50 obs, deviations exactly ±2 around each arm mean:
+    # per-arm SS = 50·4 = 200, pooled var = 400/98
+    rows = [("g", 0, 10.0 + (2.0 if i % 2 else -2.0)) for i in range(50)]
+    rows += [("g", 1, 12.0 + (2.0 if i % 2 else -2.0)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, arm int, y double")
+    r = mde_two_arm(df, ["g"], "arm", "y").collect()[0]
+    pooled_sd = math.sqrt(400 / 98)
+    want = (1.959964 + 0.841621) * pooled_sd * math.sqrt(1 / 50 + 1 / 50)
+    assert abs(r["sd_pooled"] - pooled_sd) < 1e-6
+    assert abs(r["mde"] - want) < 1e-6
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    from botkop_telcotraffic_spark_spark.operators.sketch import (
+        kmv_build,
+        kmv_set_ops,
+    )
+
+    # A = {1..30}, B = {21..50}: union 50, intersection 10 — all
+    # unsaturated at k=64, so estimates collapse to exact values
+    rows = [("a", i) for i in range(1, 31)] + [("b", i) for i in range(21, 51)]
+    df = spark.createDataFrame(rows, "s string, v int")
+    sk = kmv_build(df, ["s"], "v", k=64)
+    a = sk.where(F.col("s") == "a").drop("s")
+    b = sk.where(F.col("s") == "b").drop("s")
+    r = kmv_set_ops(a, b, keys=[], k=64).collect()[0]
+    assert r["n_union_kept"] == 50 and r["n_both_kept"] == 10
+    assert r["est_union"] == 50.0 and r["est_intersect"] == 10.0
+    assert r["est_jaccard"] == 0.2

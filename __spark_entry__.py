@@ -11040,6 +11040,100 @@ FROM g
 """
 
 
+
+
+def conversion_lag_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution (operators/funnel.py::
+    conversion_lag): per-user first-click -> first-subsequent-
+    purchase lag, summarized as converted-user count and mean/min/
+    max lag in seconds.  Lags are exact integer microseconds, so the
+    only float op is the final mean division."""
+    from botkop_telcotraffic_spark_spark.operators.funnel import (
+        conversion_lag,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    lags = conversion_lag(
+        e, "user_id", "ts", "event_type", "click", "purchase", "event_id"
+    )
+    s = F.col("lag_us").cast("double") / F.lit(1_000_000.0)
+    return lags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        (F.round(F.sum(s) / F.count(F.lit(1)), 6) + F.lit(0.0)).alias(
+            "mean_lag_s"
+        ),
+        (F.round(F.min(s), 6) + F.lit(0.0)).alias("min_lag_s"),
+        (F.round(F.max(s), 6) + F.lit(0.0)).alias("max_lag_s"),
+    )
+
+
+_CONV_LAG_SQL = """
+WITH ff AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+  FROM events
+), lags AS (
+  SELECT user_id, CAST(min(us - f) AS BIGINT) AS lag_us
+  FROM ff
+  WHERE event_type = 'purchase' AND f IS NOT NULL AND us > f
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(sum(CAST(lag_us AS DOUBLE) / CAST(1000000.0 AS DOUBLE))
+             / count(*), 6) + 0.0 AS mean_lag_s,
+       round(min(CAST(lag_us AS DOUBLE) / CAST(1000000.0 AS DOUBLE)), 6)
+         + 0.0 AS min_lag_s,
+       round(max(CAST(lag_us AS DOUBLE) / CAST(1000000.0 AS DOUBLE)), 6)
+         + 0.0 AS max_lag_s
+FROM lags
+"""
+
+
+def dow_anova_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week effect strength (operators/experiment.py::
+    anova_oneway): one-way ANOVA of `value` across the seven
+    day-of-week levels — eta² is the seasonality-strength share, F
+    the significance screen.  Group labels never reach the output,
+    so Spark's Sunday=1 and DuckDB's Sunday=0 conventions partition
+    identically."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        anova_oneway,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "_dow", F.dayofweek("ts")
+    )
+    return anova_oneway(e, "_dow", "value")
+
+
+_DOW_ANOVA_SQL = """
+WITH cells AS (
+  SELECT dayofweek(ts) AS g, CAST(count(*) AS DOUBLE) AS n,
+         sum(CAST(value AS DOUBLE)) AS s,
+         sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS ss
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS nt, sum(s) AS st, CAST(count(*) AS DOUBLE) AS k
+  FROM cells
+), g AS (
+  SELECT any_value(k) AS k, any_value(nt) AS nt,
+         sum(n * ((s / n) - (st / nt)) * ((s / n) - (st / nt))) AS ssb,
+         sum(ss - n * (s / n) * (s / n)) AS ssw
+  FROM cells, tot
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(nt AS BIGINT) AS n,
+       round(ssb, 6) + 0.0 AS ss_between,
+       round(ssw, 6) + 0.0 AS ss_within,
+       round(CASE WHEN ssb + ssw > 0 THEN ssb / (ssb + ssw)
+             ELSE 0.0 END, 6) + 0.0 AS eta_sq,
+       round(CASE WHEN ssw > 0
+             THEN (ssb / (k - 1)) / (ssw / (nt - k)) END, 6) + 0.0 AS f_stat
+FROM g WHERE k >= 2 AND nt > k
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11065,6 +11159,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "conversion_lag_users": (conversion_lag_users, _CONV_LAG_SQL),
+    "dow_anova_value_events": (dow_anova_value_events, _DOW_ANOVA_SQL),
     "did_value_events": (did_value_events, _DID_SQL),
     "mde_value_events": (mde_value_events, _MDE_SQL),
     "kmv_setops_click_purchase": (

@@ -708,3 +708,66 @@ def mde_two_arm(
         (F.round(F.sqrt(F.greatest(pooled, F.lit(0.0))), round_to) + F.lit(0.0)).alias("sd_pooled"),
         (F.round(mde, round_to) + F.lit(0.0)).alias("mde"),
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-way ANOVA decomposition (Fisher 1925, public literature):
+    between/within sums of squares for ``y_col`` across the levels
+    of ``group_col``, with
+
+        eta² = SSB / (SSB + SSW)        (effect-size share)
+        F    = (SSB/(k-1)) / (SSW/(N-k))
+
+    — the "does this factor matter at all" screen (day-of-week
+    seasonality strength, cell-site heterogeneity) that precedes any
+    per-level modeling.  One row out: k, n, ss_between, ss_within,
+    eta_sq, f_stat.  Degenerate cases (k < 2 or N <= k) are dropped.
+
+    Scale shape: ONE keyed aggregate to |levels| groups (three
+    map-side sums each) + a 1-row grand-total broadcast + a final
+    |levels|-sized reduce; the fact table is scanned once.  SSW is
+    computed per level as Σy² - n·ȳ² (no second residual pass).
+    """
+    y = F.col(y_col).cast("double")
+    cells = (
+        df.where(y.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(y).alias("_s"),
+            F.sum(y * y).alias("_ss"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("_n").alias("_nt"),
+        F.sum("_s").alias("_st"),
+        F.count(F.lit(1)).cast("double").alias("_k"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    gm = F.col("_st") / F.col("_nt")
+    m = F.col("_s") / F.col("_n")
+    ssb_term = F.col("_n") * (m - gm) * (m - gm)
+    ssw_term = F.col("_ss") - F.col("_n") * m * m
+    g = j.agg(
+        F.first("_k").alias("_k"),
+        F.first("_nt").alias("_nt"),
+        F.sum(ssb_term).alias("_ssb"),
+        F.sum(ssw_term).alias("_ssw"),
+    )
+    k, n = F.col("_k"), F.col("_nt")
+    ssb, ssw = F.col("_ssb"), F.col("_ssw")
+    eta = F.when(ssb + ssw > 0, ssb / (ssb + ssw)).otherwise(F.lit(0.0))
+    fstat = F.when(ssw > 0, (ssb / (k - 1)) / (ssw / (n - k)))
+    return g.where((k >= 2) & (n > k)).select(
+        k.cast("long").alias("k"),
+        n.cast("long").alias("n"),
+        (F.round(ssb, round_to) + F.lit(0.0)).alias("ss_between"),
+        (F.round(ssw, round_to) + F.lit(0.0)).alias("ss_within"),
+        (F.round(eta, round_to) + F.lit(0.0)).alias("eta_sq"),
+        (F.round(fstat, round_to) + F.lit(0.0)).alias("f_stat"),
+    )

@@ -288,3 +288,50 @@ def sequence_pattern_counts(
         F.length("_seq").cast("long").alias("seq_len"),
         F.regexp_count("_seq", F.lit(pattern)).cast("long").alias("n_matches"),
     )
+
+
+def conversion_lag(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-entity conversion lag: microseconds from the entity's
+    FIRST ``from_type`` event to its first ``to_type`` event strictly
+    after it — the time-to-convert distribution funnels report next
+    to their rates.  Entities that never convert are dropped (the
+    censored tail belongs to the Kaplan-Meier operator).
+
+    Output: (entity_col, lag_us long).
+
+    Determinism: timestamps compare at full microsecond precision
+    (unix_micros — the rolling_hour idiom), ties resolved by
+    ``tiebreak_col``.  Scale shape: ONE window pass partitioned by
+    the entity (min-from carried as a running window min over the
+    (ts, tiebreak)-ordered frame), then a per-entity aggregate —
+    one shuffle, no self-join.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    first_from = F.min(
+        F.when(F.col(type_col) == from_type, us)
+    ).over(w)
+    return (
+        df.withColumn("_ff", first_from)
+        .where(
+            (F.col(type_col) == to_type)
+            & F.col("_ff").isNotNull()
+            & (us > F.col("_ff"))
+        )
+        .groupBy(entity_col)
+        .agg(F.min(us - F.col("_ff")).cast("long").alias("lag_us"))
+    )

@@ -2157,3 +2157,47 @@ def test_kmv_set_ops_exact_below_k(spark):
     assert r["n_union_kept"] == 50 and r["n_both_kept"] == 10
     assert r["est_union"] == 50.0 and r["est_intersect"] == 10.0
     assert r["est_jaccard"] == 0.2
+
+
+def test_conversion_lag_first_to_first_after(spark):
+    from botkop_telcotraffic_spark_spark.operators.funnel import conversion_lag
+
+    rows = [
+        # user 1: click@10, purchase@25 -> lag 15s; later purchase ignored
+        (1, "2024-01-01 00:00:10", "click", 1),
+        (1, "2024-01-01 00:00:25", "purchase", 2),
+        (1, "2024-01-01 00:00:50", "purchase", 3),
+        # user 2: purchase BEFORE any click -> not a conversion;
+        # click@30 then purchase@40 -> lag 10s
+        (2, "2024-01-01 00:00:05", "purchase", 4),
+        (2, "2024-01-01 00:00:30", "click", 5),
+        (2, "2024-01-01 00:00:40", "purchase", 6),
+        # user 3: click only -> no row
+        (3, "2024-01-01 00:00:01", "click", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "u int, ts string, t string, eid int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["u"]: r["lag_us"]
+        for r in conversion_lag(df, "u", "ts", "t", "click", "purchase", "eid").collect()
+    }
+    assert got == {1: 15_000_000, 2: 10_000_000}
+
+
+def test_anova_oneway_known_decomposition(spark):
+    from botkop_telcotraffic_spark_spark.operators.experiment import anova_oneway
+
+    # groups a=(1,3), b=(5,7): grand mean 4, SSB = 2*(2-4)^2 + 2*(6-4)^2
+    # = 16, SSW = 2 + 2 = 4, eta2 = 0.8, F = (16/1)/(4/2) = 8
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), ("b", 7.0)], "g string, y double"
+    )
+    r = anova_oneway(df, "g", "y").collect()[0]
+    assert (r["k"], r["n"]) == (2, 4)
+    assert r["ss_between"] == 16.0 and r["ss_within"] == 4.0
+    assert r["eta_sq"] == 0.8 and r["f_stat"] == 8.0
+
+    # single group: dropped
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, y double")
+    assert anova_oneway(one, "g", "y").count() == 0

@@ -11134,6 +11134,46 @@ FROM g WHERE k >= 2 AND nt > k
 """
 
 
+
+
+def streaming_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming time-to-convert (streaming/tws.py::
+    ConversionLagProcessor): the stateful-streaming twin of
+    conversion_lag_users — two scalars of ValueState per user
+    (first-click micros + done flag), the lag emitted exactly once
+    even when click and purchase span micro-batches, stats
+    aggregated from the append sink.  Same oracle as the batch twin
+    (first-to-first-after is arrival-order-invariant given per-key
+    event-time ordering)."""
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+        stream_parquet_table,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.tws import conversion_lags
+
+    tune(spark)
+    enable_large_state(spark)
+    stream = stream_parquet_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+    )
+    snap = run_to_memory(
+        conversion_lags(stream, "click", "purchase"), output_mode="append"
+    )
+    s = F.col("lag_us").cast("double") / F.lit(1_000_000.0)
+    return snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        (F.round(F.sum(s) / F.count(F.lit(1)), 6) + F.lit(0.0)).alias(
+            "mean_lag_s"
+        ),
+        (F.round(F.min(s), 6) + F.lit(0.0)).alias("min_lag_s"),
+        (F.round(F.max(s), 6) + F.lit(0.0)).alias("max_lag_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11159,6 +11199,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "streaming_conversion_lag": (streaming_conversion_lag, _CONV_LAG_SQL),
     "conversion_lag_users": (conversion_lag_users, _CONV_LAG_SQL),
     "dow_anova_value_events": (dow_anova_value_events, _DOW_ANOVA_SQL),
     "did_value_events": (did_value_events, _DID_SQL),

@@ -677,3 +677,103 @@ def pingpong_bounces(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CONV_LAG_OUT_SCHEMA = "user_id long, lag_us long"
+
+
+class ConversionLagProcessor(StatefulProcessor):
+    """Per-key first-conversion lag via ValueState: remembers each
+    entity's FIRST from-event microsecond timestamp and a done flag
+    (two scalars — the minimal state the first-to-first-after
+    predicate needs), emitting exactly ONE (user_id, lag_us) row at
+    the first to-event strictly after it, even when click and
+    purchase land in different micro-batches.  The streaming half of
+    ``operators/funnel.py::conversion_lag`` (identical predicate,
+    same batch oracle after the stats aggregate).
+
+    In-batch rows sort by (us, event_id); state carries (first_us,
+    done) across batches.
+    """
+
+    def __init__(self, from_type: str, to_type: str) -> None:
+        self._from = from_type
+        self._to = to_type
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._st = handle.getValueState("st", "first_us long, done int")
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows)).sort_values(["us", "event_id"])
+        first_us, done = (None, 0)
+        if self._st.exists():
+            first_us, done = self._st.get()
+        out = {"user_id": [], "lag_us": []}
+        for _, row in batch.iterrows():
+            et, us = row["event_type"], int(row["us"])
+            if et == self._from and first_us is None:
+                first_us = us
+            elif (
+                et == self._to
+                and not done
+                and first_us is not None
+                and us > first_us
+            ):
+                out["user_id"].append(key[0])
+                out["lag_us"].append(us - first_us)
+                done = 1
+        self._st.update((first_us, done))
+        yield pd.DataFrame(out)
+
+    def close(self) -> None:
+        pass
+
+
+def conversion_lags(
+    events: DataFrame, from_type: str, to_type: str
+) -> DataFrame:
+    """events(event_id, user_id, us, event_type) -> one row per
+    entity at its first conversion.  ValueState primary;
+    scalar-state applyInPandasWithState fallback without protobuf."""
+    if transform_with_state_available():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=ConversionLagProcessor(from_type, to_type),
+            outputStructType=CONV_LAG_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        first_us, done = (None, 0)
+        if state.exists:
+            first_us, done = state.get
+            if first_us is not None and first_us < 0:
+                first_us = None
+        batch = pd.concat(list(pdfs)).sort_values(["us", "event_id"])
+        out = {"user_id": [], "lag_us": []}
+        for _, row in batch.iterrows():
+            et, us = row["event_type"], int(row["us"])
+            if et == from_type and first_us is None:
+                first_us = us
+            elif (
+                et == to_type
+                and not done
+                and first_us is not None
+                and us > first_us
+            ):
+                out["user_id"].append(key[0])
+                out["lag_us"].append(us - first_us)
+                done = 1
+        state.update((-1 if first_us is None else first_us, done))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _group,
+        outputStructType=CONV_LAG_OUT_SCHEMA,
+        stateStructType="first_us long, done int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

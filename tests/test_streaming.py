@@ -1061,3 +1061,61 @@ def test_pingpong_bounces_cross_batch(spark):
         (r["user_id"], r["cell_a"], r["cell_b"], r["t"])
         for r in single.collect()
     )
+
+
+def test_conversion_lags_cross_batch_emit_once(spark):
+    """ConversionLagProcessor carries (first_us, done) across
+    micro-batches: a click|purchase pair straddling a file boundary
+    emits exactly one lag, later purchases emit nothing, a purchase
+    BEFORE any click does not convert, and two-file one-per-trigger
+    replay equals the single-batch run (streaming/tws.py::
+    conversion_lags)."""
+    import pandas as pd
+
+    from botkop_telcotraffic_spark_spark.streaming.tws import conversion_lags
+
+    src = os.path.join(TMP, "convlag_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    rows = [
+        # user 0: click@10 | purchase@25, purchase@40 -> one lag 15
+        {"event_id": 1, "user_id": 0, "us": 10, "event_type": "click"},
+        {"event_id": 2, "user_id": 0, "us": 25, "event_type": "purchase"},
+        {"event_id": 3, "user_id": 0, "us": 40, "event_type": "purchase"},
+        # user 1: purchase@5 (before click) | click@12 -> no conversion
+        {"event_id": 4, "user_id": 1, "us": 5, "event_type": "purchase"},
+        {"event_id": 5, "user_id": 1, "us": 12, "event_type": "click"},
+        # user 2: in-file click@1 purchase@3 -> lag 2
+        {"event_id": 6, "user_id": 2, "us": 1, "event_type": "click"},
+        {"event_id": 7, "user_id": 2, "us": 3, "event_type": "purchase"},
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf[pdf["us"] < 12].to_parquet(os.path.join(src, "a.parquet"))
+    pdf[pdf["us"] >= 12].to_parquet(os.path.join(src, "b.parquet"))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_to_memory(
+        conversion_lags(stream, "click", "purchase"),
+        output_mode="append",
+        checkpoint=os.path.join(TMP, "ckpt_convlag"),
+    )
+    got = sorted((r["user_id"], r["lag_us"]) for r in out.collect())
+    assert got == [(0, 15), (2, 2)]
+
+    single = run_to_memory(
+        conversion_lags(
+            spark.readStream.schema(schema).parquet(src),
+            "click",
+            "purchase",
+        ),
+        output_mode="append",
+        checkpoint=os.path.join(TMP, "ckpt_convlag_one"),
+    )
+    assert got == sorted(
+        (r["user_id"], r["lag_us"]) for r in single.collect()
+    )

@@ -2103,6 +2103,2154 @@ def test_cluster_eval_hand_values(spark):
     assert db[0] == (2, 1.0, 0.2) and db[1] == (2, 1.0, 0.2)
 
 
+def test_last_touch_attribution_hand(spark):
+    """funnel.py::last_touch_attribution: latest touch at-or-before
+    wins, equal-timestamp ties go to the higher tiebreak id, no prior
+    touch -> 'direct'."""
+    from datetime import datetime
+
+    from botkop_telcotraffic_spark_spark.operators.funnel import (
+        last_touch_attribution,
+    )
+
+    t = datetime
+    touches = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 10), "view", 100),
+            (1, t(2024, 1, 1, 11), "click", 101),   # latest before conv
+            (2, t(2024, 1, 2, 9), "view", 200),
+            (2, t(2024, 1, 2, 9), "click", 201),    # tie -> higher id wins
+            (3, t(2024, 1, 5, 0), "view", 300),     # AFTER conv -> direct
+        ],
+        "uid long, ts timestamp, ch string, eid long",
+    )
+    convs = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1, 12), 10.0),
+            (2, t(2024, 1, 2, 9), 20.0),   # equal ts: touch wins (at-or-before)
+            (3, t(2024, 1, 4, 0), 40.0),
+        ],
+        "uid long, ts timestamp, v double",
+    )
+    out = {
+        r["channel"]: (r["n_conversions"], r["revenue"])
+        for r in last_touch_attribution(
+            convs, touches, "uid", "ts", "ts", "ch", "v", "eid"
+        ).collect()
+    }
+    assert out == {"click": (2, 30.0), "direct": (1, 40.0)}
+
+
+def test_gopher_rules_hand(spark):
+    """text.py::gopher_rules: a 60-word clean doc passes every rule;
+    a 5-word doc fails word count; a symbol-stuffed doc fails the
+    symbol rule."""
+    from botkop_telcotraffic_spark_spark.operators.text import gopher_rules
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + [f"word{i}" for i in range(55)]
+    )
+    short = "too short to pass here"
+    symbols = " ".join(["####"] * 60)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text").collect()}
+    assert out[1]["pass_gopher"] == 1
+    assert out[2]["r_words"] == 0 and out[2]["pass_gopher"] == 0
+    assert out[3]["r_symbol"] == 0 and out[3]["pass_gopher"] == 0
+    assert out[1]["stop_hits"] == 5
+
+
+def test_mmr_select_prefers_diverse(spark):
+    """similarity.py::mmr_select: with lam=0.3 the second pick is the
+    orthogonal lower-relevance candidate, not the near-duplicate of
+    the first pick; rank order and determinism asserted."""
+    from botkop_telcotraffic_spark_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    import math
+
+    n = math.hypot(0.999, 0.045)
+    cand = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1.0),                     # top relevance
+            (2, [0.999 / n, 0.045 / n], 0.999),       # near-dup of 1
+            (3, [0.0, 1.0], 0.7),                     # diverse
+        ],
+        "vec_id long, embedding array<double>, relevance double",
+    )
+    out = [
+        (r["rank"], r["vec_id"])
+        for r in mmr_select(cand, k=3, lam=0.3).orderBy("rank").collect()
+    ]
+    assert out == [(1, 1), (2, 3), (3, 2)]
+
+
+def test_spread_buckets_auto_probe(spark, monkeypatch):
+    """dedup.py::_spread_buckets 'auto': narrow buckets skip the
+    exchange, wide buckets (forced via AUTO_SPREAD_WIDTH=1) insert
+    it; candidate pairs are identical in every mode."""
+    from botkop_telcotraffic_spark_spark.operators import dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(spread):
+        return sorted(
+            (r["a"], r["b"], r["jaccard"])
+            for r in dedup.jaccard_pairs(
+                df, "doc_id", "text", spread=spread
+            ).collect()
+        )
+
+    base = pairs(False)
+    assert pairs("auto") == base          # narrow: probe says no spread
+    monkeypatch.setattr(dedup, "AUTO_SPREAD_WIDTH", 1)
+    assert pairs("auto") == base          # forced spread: same answer
+    assert pairs(True) == base
+
+
+def test_bm25_matches_python_model(spark):
+    """ranking.py::bm25_scores vs an independent pure-python BM25
+    (Lucene idf variant) on a 4-doc corpus."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.ranking import bm25_scores
+
+    docs = {
+        1: "spark join window join",
+        2: "window window stream",
+        3: "filter scan sort",
+        4: "join stream stream stream",
+    }
+    q = ["join", "stream"]
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["matched_terms"], r["score"], r["rank"])
+        for r in bm25_scores(df, q, top_n=10).collect()
+    }
+
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    dfreq = {t: sum(1 for w in toks.values() if t in w) for t in q}
+    exp = {}
+    k1, b = 1.2, 0.75
+    for d, t in toks.items():
+        s, m = 0.0, 0
+        for term in q:
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            m += 1
+            idf = math.log((N - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(t) / avgdl)
+            )
+        if m:
+            exp[d] = (m, round(s, 6))
+    assert set(out) == set(exp)
+    for d, (m, s) in exp.items():
+        assert out[d][0] == m and out[d][1] == pytest.approx(s, abs=1e-6)
+    ranks = sorted((v[1], d) for d, v in out.items())
+    assert out[max(exp, key=lambda d: (exp[d][1], -d))][2] == 1
+
+
+def test_cusum_changepoint_level_shift(spark):
+    """timeseries.py::cusum_changepoint: series 0,0,0,10,10,10 has
+    S = -5,-10,-15,-10,-5,0 -> peak |S| 15 at the 3rd point."""
+    from datetime import datetime
+
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    rows = [
+        ("k", datetime(2024, 1, 1, h), float(v), h)
+        for h, v in enumerate([0, 0, 0, 10, 10, 10])
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, i long")
+    [r] = cusum_changepoint(df, ["k"], "ts", "v", tiebreak_col="i").collect()
+    assert r["n"] == 6
+    assert r["cp_ts"] == datetime(2024, 1, 1, 2)
+    assert r["cusum_peak"] == -15.0
+
+
+def test_winsorize_clamps_tails_only(spark):
+    """iqr.py::winsorize: with lo_q=0.25/hi_q=0.75 over 1..8 plus a
+    NULL, tails clamp to the exact interpolating quartiles, middles
+    and NULL pass through."""
+    from botkop_telcotraffic_spark_spark.operators.iqr import winsorize
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, None]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v double"
+    )
+    out = {
+        (r["v"]): (r["v_winsor"], r["was_clamped"])
+        for r in winsorize(df, ["g"], "v", 0.25, 0.75).collect()
+    }
+    # percentile([1..8], .25) = 2.75, .75 = 6.25
+    assert out[1.0] == (2.75, True) and out[2.0] == (2.75, True)
+    assert out[8.0] == (6.25, True) and out[7.0] == (6.25, True)
+    assert out[4.0] == (4.0, False)
+    assert out[None] == (None, False)
+
+
+def test_k_core_hand_graph(spark):
+    """graph.py::k_core: triangle+tail graph — the 2-core is exactly
+    the triangle (tail peels off, cascading); a 3-core of the same
+    graph is empty."""
+    from botkop_telcotraffic_spark_spark.operators.graph import k_core
+
+    # triangle 1-2-3 plus chain 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    core2 = {
+        r["node"]: r["degree"] for r in k_core(edges, k=2).collect()
+    }
+    assert core2 == {1: 2, 2: 2, 3: 2}
+    assert k_core(edges, k=3).count() == 0
+    with pytest.raises(ValueError):
+        k_core(edges, k=0)
+
+
+def test_rrf_fuse_hand_lists(spark):
+    """ranking.py::rrf_fuse: two 3-item lists — the id on top of both
+    lists wins; an id in only one list scores a single term."""
+    from botkop_telcotraffic_spark_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(10, 1), (30, 2), (40, 3)], "doc_id long, rank int"
+    )
+    out = {
+        r["doc_id"]: (r["n_lists"], r["rrf_score"], r["fused_rank"])
+        for r in rrf_fuse([a, b], "doc_id").collect()
+    }
+    assert out[10] == (2, round(2 / 61, 6), 1)
+    assert out[30] == (2, round(1 / 63 + 1 / 62, 6), 2)
+    assert out[20][0] == 1 and out[40][0] == 1
+    assert out[20] == (1, round(1 / 62, 6), 3)  # id tiebreak over 40? no:
+    # 20 scores 1/62 > 40's 1/63, so rank 3 and 4 respectively
+    assert out[40] == (1, round(1 / 63, 6), 4)
+
+
+def test_zipf_slope_synthetic_power_law(spark):
+    """text.py::zipf_slope: a corpus built with freq(term_r) ∝ 1/r
+    recovers slope ≈ -1 (exact OLS on the planted power law)."""
+    from botkop_telcotraffic_spark_spark.operators.text import zipf_slope
+
+    terms = []
+    for r in range(1, 51):
+        terms += [f"t{r:03d}"] * (1000 // r)
+    df = spark.createDataFrame([(" ".join(terms),)], "text string")
+    [row] = zipf_slope(df, "text", top_v=50).collect()
+    assert row["n_terms"] == 50
+    assert abs(row["slope"] + 1.0) < 0.05, row["slope"]
+
+
+def test_semdedup_hand_clusters(spark):
+    """similarity.py::semdedup: identical vectors in the SAME group
+    collapse to the min id; the same vector in a DIFFERENT group does
+    not (SemDeDup is cluster-scoped by design); a lone orthogonal
+    vector keeps itself."""
+    from botkop_telcotraffic_spark_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, "g1", [1.0, 0.0]),
+        (2, "g1", [1.0, 0.0]),       # dup of 1 within g1
+        (3, "g1", [0.0, 1.0]),       # orthogonal — unique
+        (4, "g2", [1.0, 0.0]),       # same vector, other group: kept
+        (5, "g2", [0.99, 0.01]),     # near-dup of 4 within g2
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: (r["keep_id"], r["is_kept"])
+        for r in semdedup(
+            df, "label", "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (3, True)
+    assert out[4] == (4, True)
+    assert out[5] == (4, False)
+    assert len(out) == 5
+
+
+def test_repeated_substring_spans_hand(spark):
+    """dedup.py::repeated_substring_spans: a 4-word phrase planted in
+    two docs at different alignments is caught by overlapping 3-grams
+    (the alignment-free property fixed spans lack); a unique doc and
+    a too-short doc report zeros; islands merge overlapping grams."""
+    from botkop_telcotraffic_spark_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    common = "the quick brown fox"
+    rows = [
+        (1, f"alpha {common} jumps high today"),          # 8 words
+        (2, f"beta gamma delta {common} runs"),           # 8 words
+        (3, "totally unique words nothing shared here"),  # 6 words
+        (4, "too short"),                                 # 2 words < k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in repeated_substring_spans(
+            df, "doc_id", "text", gram_words=3
+        ).collect()
+    }
+    # shared 4-word phrase -> two overlapping repeated 3-grams,
+    # merged into ONE 4-word span in each doc
+    for d, nw in ((1, 8), (2, 8)):
+        r = out[d]
+        assert (r["n_words"], r["n_dup_grams"], r["n_spans"]) == (nw, 2, 1)
+        assert r["dup_words"] == 4
+        assert r["dup_frac"] == round(4 / nw, 6)
+    assert (out[3]["n_spans"], out[3]["dup_words"], out[3]["dup_frac"]) == (0, 0, 0.0)
+    assert (out[4]["n_words"], out[4]["n_spans"], out[4]["dup_frac"]) == (2, 0, 0.0)
+
+
+def test_dsir_scores_match_python_model(spark):
+    """dsir.py::dsir_scores vs an independent pure-python model of the
+    hashed-unigram importance ratio (same rolling fingerprint, same
+    Laplace smoothing) on a corpus where target and raw slices favor
+    different words — target-flavored docs must outscore raw ones."""
+    from botkop_telcotraffic_spark_spark.operators.dsir import dsir_scores
+
+    rows = [
+        (1, "alpha alpha beta", True),
+        (2, "alpha gamma gamma", True),
+        (3, "delta delta beta", False),
+        (4, "delta epsilon beta", False),
+        (5, "alpha alpha alpha", False),   # raw doc with target words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    B, S = 32, 1.0
+
+    def fp(w):
+        h = 0
+        for ch in w:
+            h = (h * 131 + ord(ch)) % 1_000_000_007
+        return h
+
+    from collections import Counter
+    import math
+
+    raw, tgt = Counter(), Counter()
+    for _, text, is_t in rows:
+        for w in text.split(" "):
+            b = fp(w) % B
+            raw[b] += 1
+            if is_t:
+                tgt[b] += 1
+    R, T = sum(raw.values()), sum(tgt.values())
+    lr = {
+        b: math.log((tgt[b] + S) / (T + S * B))
+        - math.log((raw[b] + S) / (R + S * B))
+        for b in raw
+    }
+    expect = {
+        d: round(sum(lr[fp(w) % B] for w in text.split(" ")), 6) + 0.0
+        for d, text, _ in rows
+    }
+    out = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_scores(
+            df, "doc_id", "text", F.col("tgt"), buckets=B
+        ).collect()
+    }
+    assert out == pytest.approx(expect, abs=1e-6)
+    # target-flavored docs outscore raw-flavored ones
+    assert min(out[1], out[2], out[5]) > max(out[3], out[4])
+    with pytest.raises(ValueError):
+        dsir_scores(df, "doc_id", "text", F.col("tgt"), buckets=1)
+
+
+def test_cap_per_group_two_phase_exact_and_quota(spark):
+    """sampling.py::cap_per_group: the two-phase shard top-k selects
+    exactly the rows a single global window would, every group
+    respects the quota, and ranks are 1..min(n, n_max)."""
+    from pyspark.sql import Window
+
+    from botkop_telcotraffic_spark_spark.operators.sampling import cap_per_group
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"s{rng.randint(1, 4)}", rng.randint(0, 1000))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, score long")
+    out = cap_per_group(
+        df, ["src"], 10, "score", tiebreak_col="id", spread=8
+    ).collect()
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("id"))
+    ref = (
+        df.withColumn("group_rank", F.row_number().over(w))
+        .where(F.col("group_rank") <= 10)
+        .collect()
+    )
+    assert sorted(map(tuple, out)) == sorted(map(tuple, ref))
+    from collections import Counter
+
+    per = Counter(r["src"] for r in out)
+    assert all(v <= 10 for v in per.values())
+    with pytest.raises(ValueError):
+        cap_per_group(df, ["src"], 0, "score")
+
+
+def test_normalized_exact_dedup_collapses_variants(spark):
+    """dedup.py::normalized_exact_dedup: case / punctuation / spacing
+    variants share a group with the min id canonical; genuinely
+    different text stays its own group."""
+    from botkop_telcotraffic_spark_spark.operators.dedup import (
+        normalized_exact_dedup,
+    )
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),
+        (3, "HELLO WORLD."),
+        (4, "goodbye world"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["group_size"], r["is_canonical"], r["norm_hash"])
+        for r in normalized_exact_dedup(df, "doc_id", "text").collect()
+    }
+    assert out[1][0] == 3 and out[1][1] is True
+    assert out[2][0] == 3 and out[2][1] is False
+    assert out[3][0] == 3 and out[3][1] is False
+    assert out[4][0] == 1 and out[4][1] is True
+    assert out[1][2] == out[2][2] == out[3][2] != out[4][2]
+
+
+def test_simhash_udf_matches_native(spark):
+    """dedup.py::simhash_udf (per-row Arrow path for streams) produces
+    the EXACT integers of the batch simhash_signatures groupBy on the
+    sf0.001 documents fixture."""
+    from botkop_telcotraffic_spark_spark.operators.dedup import (
+        simhash_signatures,
+        simhash_udf,
+    )
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    d = load_table(spark, SF_DIR_001, "documents").limit(50)
+    native = {
+        r["id"]: r["simhash"]
+        for r in simhash_signatures(d, "doc_id", "text", k=3).collect()
+    }
+    udf_out = {
+        r["doc_id"]: r["sh"]
+        for r in d.select(
+            "doc_id", simhash_udf(3)(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert native and all(udf_out[i] == v for i, v in native.items())
+    # no-shingle doc: native emits NO row; the UDF must return NULL
+    # (a 0 signature would claim phantom (band, 0) buckets downstream)
+    short = spark.createDataFrame([(99, "too short")], "doc_id long, text string")
+    assert simhash_signatures(short, "doc_id", "text", k=3).count() == 0
+    [r] = short.select(simhash_udf(3)(F.col("text")).alias("sh")).collect()
+    assert r["sh"] is None
+
+
+def test_jl_project_preserves_distances_on_average(spark):
+    """embed.py::jl_project: JL lemma sanity — squared pairwise
+    distances survive 64->16 projection within loose tolerance on
+    average (exact per-pair distortion is probabilistic; the MEAN
+    ratio over many pairs concentrates near 1), and the projection is
+    deterministic across runs."""
+    from botkop_telcotraffic_spark_spark.operators.embed import jl_project
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["proj"]
+        for r in jl_project(df, "vec_id", "embedding", 64, 16).collect()
+    }
+    assert all(len(p) == 16 for p in out.values())
+    vecs = dict(rows)
+    ratios = []
+    for i in range(0, 38, 2):
+        a, b = i, i + 1
+        d_orig = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+        d_proj = sum((x - y) ** 2 for x, y in zip(out[a], out[b]))
+        ratios.append(d_proj / d_orig)
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.6 < mean_ratio < 1.4, mean_ratio
+    out2 = {
+        r["vec_id"]: r["proj"]
+        for r in jl_project(df, "vec_id", "embedding", 64, 16).collect()
+    }
+    assert out == out2
+    # all 16 matrix rows are DISTINCT sign patterns: a direct
+    # polynomial mod 6 is period-6 in j (rows j and j+6 identical,
+    # rank <= 6 — caught in review); the large-prime mix must not be
+    from botkop_telcotraffic_spark_spark.operators.embed import JL_A, JL_B, JL_P
+
+    mat = [
+        tuple(
+            {0: 1, 1: -1}.get((j * JL_A + (d - 1) * JL_B) % JL_P % 6, 0)
+            for d in range(1, 65)
+        )
+        for j in range(16)
+    ]
+    assert len(set(mat)) == 16, "JL matrix rows must be distinct"
+    with pytest.raises(ValueError):
+        jl_project(df, out_dim=0)
+
+
+def test_quantize_int8_hand_values(spark):
+    """embed.py::quantize_int8: per-dim corpus maxima drive the
+    scales — the max row quantizes to +-127 exactly, proportional
+    values land proportionally, an all-zero dim quantizes to 0, and
+    reconstruction MSE is small and non-negative."""
+    from botkop_telcotraffic_spark_spark.operators.embed import quantize_int8
+
+    rows = [
+        (1, [2.0, -4.0, 0.0] + [1.0] * 61),
+        (2, [1.0, 2.0, 0.0] + [0.5] * 61),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in quantize_int8(df, "vec_id", "embedding", 64).collect()
+    }
+    q1, q2 = out[1]["qvec"], out[2]["qvec"]
+    # dim 1: max |.| = 2 -> row1 127, row2 round(1*127/2) = 64
+    assert (q1[0], q2[0]) == (127, 64)
+    # dim 2: max 4 -> -127 and round(2*127/4) = 64
+    assert (q1[1], q2[1]) == (-127, 64)
+    # all-zero dim
+    assert (q1[2], q2[2]) == (0, 0)
+    assert q1[3:] == [127] * 61 and q2[3:] == [64] * 61
+    for r in out.values():
+        assert 0.0 <= r["mse"] < 1e-3
+
+
+def test_sequence_pattern_counts_hand(spark):
+    """funnel.py::sequence_pattern_counts: hand-built sequences —
+    v[ce]*p counts non-overlapping view→(clicks/errors)→purchase
+    motifs; unmapped types become the default char and break runs;
+    ties on ts break by the tiebreak column."""
+    from botkop_telcotraffic_spark_spark.operators.funnel import (
+        sequence_pattern_counts,
+    )
+
+    rows = [
+        # user 1: v c c p v p -> 2 matches
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "click"), (1, 4, "purchase"),
+        (1, 5, "view"), (1, 6, "purchase"),
+        # user 2: v c OTHER p -> 'other' breaks the motif -> 0
+        (2, 1, "view"), (2, 2, "click"), (2, 3, "other"), (2, 4, "purchase"),
+        # user 3: same ts, tiebreak by event_id: v(1) p(2) -> 1 match
+        (3, 7, "purchase"), (3, 7, "view"),
+    ]
+    # encode event_id implicitly as the insertion index for tiebreak
+    data = [(u, float(t), i, et) for i, (u, t, et) in enumerate(rows)]
+    # user 3: make view's tiebreak SMALLER than purchase's at equal ts
+    df = spark.createDataFrame(
+        [(3, 7.0, 0, "view"), (3, 7.0, 1, "purchase")]
+        + [d for d in data if d[0] != 3],
+        "user_id long, ts double, event_id long, event_type string",
+    )
+    out = {
+        r["user_id"]: (r["seq_len"], r["n_matches"])
+        for r in sequence_pattern_counts(
+            df, "user_id", "event_type", "ts", r"v[ce]*p",
+            {"view": "v", "click": "c", "purchase": "p", "error": "e"},
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out[1] == (6, 2)
+    assert out[2] == (4, 0)
+    assert out[3] == (2, 1)
+
+
+def test_percentile_normalize_matches_percent_rank(spark):
+    """encode.py::percentile_normalize: the distinct-value
+    decomposition equals percent_rank() OVER (PARTITION BY g ORDER BY
+    v) exactly (incl. ties and 1-row groups); NULL values pass
+    through with NULL percentile."""
+    from pyspark.sql import Window
+
+    from botkop_telcotraffic_spark_spark.operators.encode import (
+        percentile_normalize,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, f"g{rng.randint(1, 3)}",
+         float(rng.choice([1, 2, 2, 3, 5, 8])))
+        for i in range(60)
+    ] + [(100, "g9", 4.0), (101, "g1", None),
+         (102, None, 1.0), (103, None, 2.0)]  # NULL group key IS a group
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {
+        r["id"]: r["pctile"]
+        for r in percentile_normalize(df, ["g"], "v").collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    ref = {
+        r["id"]: round(r["pr"], 6) + 0.0
+        for r in df.where(F.col("v").isNotNull())
+        .withColumn("pr", F.percent_rank().over(w))
+        .collect()
+    }
+    assert out[101] is None
+    assert out[100] == 0.0  # single-row group
+    assert (out[102], out[103]) == (0.0, 1.0)  # null-safe join back
+    for i, p in ref.items():
+        assert out[i] == pytest.approx(p, abs=1e-9), i
+    assert len(out) == len(rows)
+
+
+def test_cross_corpus_overlap_planted_and_hot_token_cap(spark):
+    """contamination.py::cross_corpus_overlap: a planted shared
+    passage links exactly its pair with the right shared count and
+    fractions; a boilerplate shingle in every doc is killed by
+    max_token_freq without destroying the true pair."""
+    from botkop_telcotraffic_spark_spark.operators.contamination import (
+        cross_corpus_overlap,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    left = spark.createDataFrame(
+        [(1, f"{shared} unique left tail words here"),
+         (2, "completely different content on this side")],
+        "doc_id long, text string",
+    )
+    right = spark.createDataFrame(
+        [(10, f"prefix words then {shared} closing"),
+         (11, "nothing in common with anything at all")],
+        "doc_id long, text string",
+    )
+    out = cross_corpus_overlap(
+        left, right, "doc_id", "text", k=3, min_shared=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # shared passage has 3 distinct 3-shingles
+    assert (r["a_id"], r["b_id"], r["n_shared"]) == (1, 10, 3)
+    assert r["size_a"] == 8 and r["size_b"] == 7
+    assert r["frac_a"] == 0.375 and r["frac_b"] == round(3 / 7, 6)
+    # hot-token cap: capping df at 1 kills every shared token
+    out2 = cross_corpus_overlap(
+        left, right, "doc_id", "text", k=3, min_shared=1,
+        max_token_freq=1,
+    ).collect()
+    assert out2 == []
+
+
+def test_read_jsonl_corpus_quarantines_corrupt(spark, tmp_path):
+    """read_jsonl_corpus (sources/formats.py): well-formed rows parse
+    typed; malformed JSON and type-drift rows land in the quarantine
+    stream with their raw line intact; quarantine=False returns only
+    the good side."""
+    from botkop_telcotraffic_spark_spark.sources.formats import (
+        read_jsonl_corpus,
+    )
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        'not json at all\n'
+        '{"doc_id": "seven", "text": "type drift"}\n'
+        '{"doc_id": 4, "text": "fine again"}\n'
+    )
+    good, bad = read_jsonl_corpus(
+        spark, str(p), "doc_id long, text string"
+    )
+    g = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert g == {1: "hello world", 4: "fine again"}
+    brows = bad.collect()
+    raws = sorted(r["raw"] for r in brows)
+    assert len(raws) == 2
+    assert raws[0] == 'not json at all'
+    assert '"seven"' in raws[1]
+    # type-drift row keeps its parseable fields for triage
+    drift = [r for r in brows if '"seven"' in r["raw"]][0]
+    assert drift["text"] == "type drift" and drift["doc_id"] is None
+    good_only, none_bad = read_jsonl_corpus(
+        spark, str(p), "doc_id long, text string", quarantine=False
+    )
+    assert none_bad is None and good_only.count() == 2
+
+
+def test_assemble_transcripts_budget_and_order(spark):
+    """chunking.py::assemble_transcripts: recency-first truncation
+    under the token budget, chronological emission, oversized-newest
+    edge case, and tiebreak determinism at equal timestamps."""
+    from botkop_telcotraffic_spark_spark.operators.chunking import (
+        assemble_transcripts,
+    )
+
+    rows = [
+        # user 1: 3 msgs x 2 tokens; budget 4 keeps the 2 newest
+        (1, 1.0, 1, "a1 x"), (1, 2.0, 2, "b1 x"), (1, 3.0, 3, "c1 x"),
+        # user 2: newest alone overflows budget -> nothing kept
+        (2, 1.0, 4, "short one"), (2, 2.0, 5, "f g h i j k"),
+        # user 3: equal ts, tiebreak desc keeps higher event_id first
+        (3, 5.0, 6, "old m"), (3, 5.0, 7, "new m"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts double, event_id long, msg string"
+    )
+    out = {
+        r["user_id"]: r
+        for r in assemble_transcripts(
+            df, "user_id", "ts", "msg", max_tokens=4,
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert (out[1]["n_msgs"], out[1]["n_kept"], out[1]["tokens_kept"]) == (3, 2, 4)
+    assert out[1]["transcript"] == "b1 x\nc1 x"
+    assert (out[2]["n_kept"], out[2]["transcript"]) == (0, "")
+    # budget 4 fits both 2-token messages of user 3, ordered by
+    # (ts, event_id) ascending in the transcript
+    assert out[3]["transcript"] == "old m\nnew m" and out[3]["n_kept"] == 2
+
+
+def test_dp_counts_deterministic_noise_properties(spark):
+    """privacy.py::dp_counts: released counts differ from true counts
+    by Laplace-scaled noise (|noise| averages ~1/eps across groups,
+    loose bound), identical across re-runs, fresh under a new salt,
+    NULL group keys tolerated, eps <= 0 rejected."""
+    from botkop_telcotraffic_spark_spark.operators.privacy import dp_counts
+
+    rows = [(f"g{i % 40}",) for i in range(4000)] + [(None,)] * 25
+    df = spark.createDataFrame(rows, "g string")
+    true = {"g%d" % i: 100 for i in range(40)}
+    true[None] = 25
+    out1 = {r["g"]: r["n_noisy"] for r in dp_counts(df, ["g"], epsilon=1.0).collect()}
+    out2 = {r["g"]: r["n_noisy"] for r in dp_counts(df, ["g"], epsilon=1.0).collect()}
+    assert out1 == out2 and len(out1) == 41
+    noises = [abs(out1[g] - n) for g, n in true.items()]
+    assert 0 < sum(noises) / len(noises) < 5  # E|Laplace(1)| = 1
+    assert max(noises) > 0.05  # noise actually applied
+    fresh = {r["g"]: r["n_noisy"] for r in dp_counts(df, ["g"], epsilon=1.0, salt="dp2:").collect()}
+    assert fresh != out1
+    with pytest.raises(ValueError):
+        dp_counts(df, ["g"], epsilon=0.0)
+
+
+def test_read_jsonl_corpus_nested_schema(spark, tmp_path):
+    """read_jsonl_corpus: DDL types containing commas (struct,
+    decimal) must parse — the naive comma-split regression."""
+    from botkop_telcotraffic_spark_spark.sources.formats import (
+        read_jsonl_corpus,
+    )
+
+    p = tmp_path / "nested.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "meta": {"a": 2, "b": 3}}\n'
+        'broken\n'
+    )
+    good, bad = read_jsonl_corpus(
+        spark, str(p), "doc_id long, meta struct<a:int,b:int>"
+    )
+    [r] = good.collect()
+    assert r["doc_id"] == 1 and r["meta"]["a"] == 2 and r["meta"]["b"] == 3
+    assert bad.count() == 1
+
+
+def test_dp_counts_key_injective_across_columns(spark):
+    """dp_counts: multi-column groups whose bare concatenation
+    collides — ('x','yz') vs ('xy','z') — must receive DIFFERENT
+    noise draws (length-prefixed seed key; review finding)."""
+    from botkop_telcotraffic_spark_spark.operators.privacy import dp_counts
+
+    df = spark.createDataFrame(
+        [("x", "yz")] * 50 + [("xy", "z")] * 50, "a string, b string"
+    )
+    out = {(r["a"], r["b"]): r["n_noisy"] for r in dp_counts(df, ["a", "b"]).collect()}
+    n1, n2 = out[("x", "yz")], out[("xy", "z")]
+    # identical true counts, so equal noise would mean equal release
+    assert n1 != n2
+
+
+def test_cuped_adjust_matches_python_and_reduces_variance(spark):
+    """experiment.py::cuped_adjust vs a pure-python CUPED model on a
+    correlated synthetic panel: per-arm means/variances match, the
+    adjusted mean stays (approximately) the raw mean, and planted
+    corr(x,y) ~ 0.9 yields large variance reduction; a NULL-covariate
+    unit passes through unadjusted."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        cuped_adjust,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(400):
+        x = rng.gauss(10, 3)
+        y = 2.0 * x + rng.gauss(0, 2) + (1.0 if i % 2 == 0 else 0.0)
+        rows.append((i, "A" if i % 2 == 0 else "B", float(x), float(y)))
+    rows.append((1000, "A", None, 50.0))
+    df = spark.createDataFrame(rows, "uid long, arm string, x double, y double")
+    out = {r["arm"]: r for r in cuped_adjust(df, "y", "x", "arm").collect()}
+
+    xs = [x for _, _, x, _ in rows if x is not None]
+    pairs = [(x, y) for _, _, x, y in rows if x is not None]
+    mx = sum(xs) / len(xs)
+    vx = sum((x - mx) ** 2 for x in xs) / len(xs)
+    my = sum(y for _, y in pairs) / len(pairs)
+    cxy = sum((x - mx) * (y - my) for x, y in pairs) / len(pairs)
+    theta = cxy / vx
+    model = {}
+    for arm in ("A", "B"):
+        ys, adjs = [], []
+        for _, a, x, y in rows:
+            if a != arm:
+                continue
+            ys.append(y)
+            adjs.append(y if x is None else y - theta * (x - mx))
+        m_y = sum(ys) / len(ys)
+        m_a = sum(adjs) / len(adjs)
+        v_y = sum((v - m_y) ** 2 for v in ys) / len(ys)
+        v_a = sum((v - m_a) ** 2 for v in adjs) / len(adjs)
+        model[arm] = (len(ys), m_y, m_a, v_y, v_a)
+    for arm in ("A", "B"):
+        n, m_y, m_a, v_y, v_a = model[arm]
+        r = out[arm]
+        assert r["n"] == n
+        assert r["mean_y"] == pytest.approx(m_y, abs=1e-5)
+        assert r["mean_cuped"] == pytest.approx(m_a, abs=1e-5)
+        assert r["var_y"] == pytest.approx(v_y, abs=1e-4)
+        assert r["var_cuped"] == pytest.approx(v_a, abs=1e-4)
+        assert r["var_reduction"] > 0.5  # corr ~ 0.9 -> big win
+
+
+def test_kaplan_meier_matches_lifelines_convention(spark):
+    """survival.py::kaplan_meier vs the hand-computed product-limit
+    on the classic toy: durations [1,2+,3,4+,5] ('+' = censored) —
+    censored-at-t still at risk AT t; a time where everyone dies
+    zeroes the curve permanently."""
+    from botkop_telcotraffic_spark_spark.operators.survival import kaplan_meier
+
+    rows = [
+        (1.0, True), (2.0, False), (3.0, True), (4.0, False), (5.0, True),
+    ]
+    df = spark.createDataFrame(rows, "dur double, obs boolean")
+    out = {r["t"]: r for r in kaplan_meier(df, "dur", "obs").collect()}
+    # t=1: n=5, d=1 -> S=4/5; t=3: n=3, d=1 -> S=4/5*2/3; t=5: n=1,d=1 -> 0
+    assert set(out) == {1.0, 3.0, 5.0}
+    assert (out[1.0]["at_risk"], out[1.0]["deaths"]) == (5, 1)
+    assert out[1.0]["survival"] == 0.8
+    assert (out[3.0]["at_risk"], out[3.0]["deaths"]) == (3, 1)
+    assert out[3.0]["survival"] == round(0.8 * 2 / 3, 6)
+    assert (out[5.0]["at_risk"], out[5.0]["survival"]) == (1, 0.0)
+
+
+def test_geohash_sql_known_values(spark):
+    """functions/geo.py::geohash_sql (spark dialect) reproduces
+    published geohash values: (57.64911, 10.40744) -> u4pruyd,
+    (0, 0) -> s000000, and the clamped poles stay in range."""
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    df = spark.createDataFrame(
+        [(1, 57.64911, 10.40744), (2, 0.0, 0.0), (3, 90.0, 180.0),
+         (4, -90.0, -180.0)],
+        "id long, lat double, lng double",
+    )
+    out = {
+        r["id"]: r["gh"]
+        for r in df.select(
+            "id", F.expr(geohash_sql("lat", "lng", 7, "spark")).alias("gh")
+        ).collect()
+    }
+    assert out[1] == "u4pruyd"
+    assert out[2] == "s000000"  # 0,0 hashes into the 's' cell
+    assert out[3] == "z" * 7 and out[4] == "0" * 7
+
+
+def test_conformal_intervals_hand_and_small_group(spark):
+    """experiment.py::conformal_intervals: hand-checkable order
+    statistic — 9 calibration residuals, alpha=0.1 -> k=9 -> q_hat =
+    the largest; coverage counted with <=; a 2-row group cannot
+    support the level (k=3>2) -> NULL q_hat, zero covered."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        conformal_intervals,
+    )
+
+    cal_rows = [("g", float(i), 0.0, i) for i in range(1, 10)]  # residuals 1..9
+    cal_rows += [("tiny", 1.0, 0.0, 100), ("tiny", 2.0, 0.0, 101)]
+    cal = spark.createDataFrame(
+        cal_rows, "grp string, actual double, pred double, rid long"
+    )
+    test_rows = [("g", 5.0, 0.0, 1), ("g", 9.0, 0.0, 2), ("g", 9.5, 0.0, 3),
+                 ("tiny", 1.0, 0.0, 4)]
+    test = spark.createDataFrame(
+        test_rows, "grp string, actual double, pred double, rid long"
+    )
+    out = {
+        r["grp"]: r
+        for r in conformal_intervals(
+            cal, test, "pred", "actual", ["grp"], alpha=0.1,
+            tiebreak_col="rid",
+        ).collect()
+    }
+    g = out["g"]
+    # k = ceil(10 * 0.9) = 9 -> q_hat = 9.0; residuals 5, 9 covered, 9.5 not
+    assert (g["n_cal"], g["q_hat"]) == (9, 9.0)
+    assert (g["n_test"], g["covered"]) == (3, 2)
+    assert g["coverage"] == round(2 / 3, 6)
+    t = out["tiny"]
+    assert t["q_hat"] is None and t["covered"] == 0
+    with pytest.raises(ValueError):
+        conformal_intervals(cal, test, "pred", "actual", ["grp"], alpha=1.5)
+
+
+def test_msprt_matches_python_and_detects_effect(spark):
+    """experiment.py::msprt_test vs the closed-form python mixture
+    LR: a planted large effect drives p_always -> ~0; a null effect
+    keeps p_always high; values match the formula exactly."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.experiment import msprt_test
+
+    rng = random.Random(9)
+    effect_rows = [(i, "A", rng.gauss(10, 1)) for i in range(300)] + [
+        (i + 1000, "B", rng.gauss(12, 1)) for i in range(300)
+    ]
+    df = spark.createDataFrame(effect_rows, "id long, arm string, y double")
+    [r] = msprt_test(df, "y", "arm", "A", "B", tau2=1.0).collect()
+
+    ys_a = [y for _, a, y in effect_rows if a == "A"]
+    ys_b = [y for _, a, y in effect_rows if a == "B"]
+    na, nb = len(ys_a), len(ys_b)
+    ma, mb = sum(ys_a) / na, sum(ys_b) / nb
+    va = sum((v - ma) ** 2 for v in ys_a) / na
+    vb = sum((v - mb) ** 2 for v in ys_b) / nb
+    s2 = (na * va + nb * vb) / (na + nb)
+    V = s2 * (1 / na + 1 / nb)
+    theta = mb - ma
+    lam = math.sqrt(V / (V + 1.0)) * math.exp(
+        theta * theta / (2 * V * (V + 1.0))
+    )
+    assert r["n_control"] == na and r["n_treatment"] == nb
+    assert r["effect"] == pytest.approx(theta, abs=1e-5)
+    assert r["p_always"] == pytest.approx(min(1.0, 1 / lam), abs=1e-5)
+    assert r["p_always"] < 1e-4  # planted 2-sigma effect detected
+
+    null_rows = [(i, "A" if i % 2 else "B", rng.gauss(10, 1)) for i in range(600)]
+    df0 = spark.createDataFrame(null_rows, "id long, arm string, y double")
+    [r0] = msprt_test(df0, "y", "arm", "A", "B").collect()
+    assert r0["p_always"] > 0.05  # no effect -> no (confident) rejection
+    with pytest.raises(ValueError):
+        msprt_test(df0, "y", "arm", "A", "B", tau2=0)
+
+
+def test_geohash_sql_null_coordinates_null_both_dialects(spark):
+    """geohash_sql: NULL lat/lng yields NULL in BOTH dialects (Spark
+    concat NULL-propagates, DuckDB concat skips NULLs — the guard
+    pins them equal; review finding)."""
+    import duckdb
+
+    from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
+
+    df = spark.createDataFrame(
+        [(1, None, 10.0), (2, 10.0, None)],
+        "id long, lat double, lng double",
+    )
+    rows = df.select(
+        F.expr(geohash_sql("lat", "lng", 5, "spark")).alias("gh")
+    ).collect()
+    assert all(r["gh"] is None for r in rows)
+    got = duckdb.sql(
+        "SELECT " + geohash_sql("CAST(NULL AS DOUBLE)", "10.0", 5, "duckdb")
+    ).fetchone()[0]
+    assert got is None
+
+
+def test_quantile_match_hand_values(spark):
+    """encode.py::quantile_match: two groups with disjoint ranges map
+    onto the pooled distribution at their own percentiles — hand
+    percent_rank math; NULL passes through."""
+    from botkop_telcotraffic_spark_spark.operators.encode import quantile_match
+
+    rows = [(i, "A", float(v)) for i, v in enumerate([1, 2, 3, 4])] + [
+        (10 + i, "B", float(v)) for i, v in enumerate([10, 20, 30, 40])
+    ] + [(99, "A", None)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {
+        r["id"]: r["matched"]
+        for r in quantile_match(df, ["g"], "v").collect()
+    }
+    # global order: 1,2,3,4,10,20,30,40 (n=8, gp = below/7)
+    # p=0 -> 1; p=1/3 -> min gp>=1/3 is 4 (3/7); p=2/3 -> 20 (5/7); p=1 -> 40
+    assert [out[0], out[1], out[2], out[3]] == [1.0, 4.0, 20.0, 40.0]
+    assert [out[10], out[11], out[12], out[13]] == [1.0, 4.0, 20.0, 40.0]
+    assert out[99] is None
+    assert len(out) == 9
+
+
+def test_benford_screen_hand_counts(spark):
+    """profile.py::benford_screen: leading digits from the integer
+    rendering (123.4->1, 0.05->5, -20->2), zeros-at-scale excluded,
+    expected/contrib match the closed form."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.profile import benford_screen
+
+    rows = [(123.4,), (0.05,), (-20.0,), (1.0,), (0.0,), (None,), (9e-9,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_screen(df, "v").collect()}
+    # 9e-9 * 1e6 = 0.009 -> floor 0 -> excluded; 0.0 excluded; None excluded
+    # All 9 digit rows emitted (spine); unseen digits observed=0 with a
+    # full (0-e)^2/e = e chi-square contribution.
+    assert sorted(out) == list(range(1, 10))
+    assert {d: out[d]["observed"] for d in out if out[d]["observed"]} == {
+        1: 2,
+        5: 1,
+        2: 1,
+    }
+    n = 4
+    for d in range(1, 10):
+        e = n * math.log10(1 + 1 / d)
+        assert out[d]["expected"] == pytest.approx(round(e, 6), abs=1e-6)
+        o = out[d]["observed"]
+        assert out[d]["contrib"] == pytest.approx(round((o - e) ** 2 / e, 6), abs=1e-6)
+
+
+def test_sign_pack_and_hamming_hand(spark):
+    """embed.py::sign_pack / hamming_topk: hand-checked bit packs and
+    XOR+popcount distances on 4-dim vectors (packed as 2-dim halves)."""
+    from botkop_telcotraffic_spark_spark.operators.embed import (
+        hamming_topk,
+        sign_pack,
+    )
+
+    rows = [
+        (0, [1.0, -1.0, 1.0, 1.0]),   # bits lo=01 hi=11 -> w_lo 1, w_hi 3
+        (1, [1.0, 1.0, -1.0, 1.0]),   # lo=11 hi=10 -> w_lo 3, w_hi 2
+        (2, [-1.0, -1.0, 0.0, -1.0]), # lo=00 hi=00 (0 not > 0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    packed = {r["vec_id"]: r for r in sign_pack(df, dim=4).collect()}
+    assert (packed[0]["w_lo"], packed[0]["w_hi"]) == (1, 3)
+    assert (packed[1]["w_lo"], packed[1]["w_hi"]) == (3, 2)
+    assert (packed[2]["w_lo"], packed[2]["w_hi"]) == (0, 0)
+    # hamming(0,1) = popcount(1^3) + popcount(3^2) = 1 + 1 = 2
+    # hamming(0,2) = popcount(1) + popcount(3) = 1 + 2 = 3
+    out = hamming_topk(df.where(F.col("vec_id") == 0), df, dim=4, k=2).collect()
+    got = {(r["neighbor_id"]): (r["hamming"], r["rank"]) for r in out}
+    assert got == {1: (2, 1), 2: (3, 2)}
+
+
+def test_matryoshka_norms_hand(spark):
+    """embed.py::matryoshka_norms: |x[1..k]|/|x| for a known vector."""
+    from botkop_telcotraffic_spark_spark.operators.embed import (
+        matryoshka_norms,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0, 0.0, 12.0])], "vec_id int, embedding array<double>"
+    )
+    out = {
+        r["prefix_dim"]: r
+        for r in matryoshka_norms(df, dim=4, prefixes=(2, 3)).collect()
+    }
+    # |x| = 13; |x[1..2]| = 5; |x[1..3]| = 5
+    assert out[2]["mean_frac"] == pytest.approx(5 / 13, abs=1e-6)
+    assert out[3]["mean_frac"] == pytest.approx(5 / 13, abs=1e-6)
+    assert out[2]["n"] == 1 and out[2]["min_frac"] == out[2]["p10_frac"]
+
+
+def test_vocab_coverage_hand(spark):
+    """text.py::vocab_coverage: counts, deterministic tie ranks, and
+    cumulative coverage on a 3-doc corpus."""
+    from botkop_telcotraffic_spark_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a  c"), (3, "c")],
+        "doc_id int, text string",
+    )
+    out = vocab_coverage(docs, "doc_id", "text", top_n=10).collect()
+    rows = [(r["rank"], r["token"], r["cnt"], r["cum_frac"]) for r in out]
+    # counts: a=3, b=2, c=2 -> b before c on the tie (token asc); 7 total
+    assert rows == [
+        (1, "a", 3, pytest.approx(3 / 7, abs=1e-6)),
+        (2, "b", 2, pytest.approx(5 / 7, abs=1e-6)),
+        (3, "c", 2, pytest.approx(1.0, abs=1e-6)),
+    ]
+
+
+def test_gini_concentration_hand(spark):
+    """profile.py::gini_concentration: 0 for uniform weights, 0.75
+    for one-holder-takes-all among 4."""
+    from botkop_telcotraffic_spark_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    rows = [("u", 5), ("u", 5), ("u", 5), ("u", 5),
+            ("s", 0), ("s", 0), ("s", 0), ("s", 10)]
+    df = spark.createDataFrame(rows, "g string, w int")
+    out = {r["g"]: r for r in gini_concentration(df, ["g"], "w").collect()}
+    assert out["u"]["gini"] == pytest.approx(0.0, abs=1e-6)
+    assert out["s"]["gini"] == pytest.approx(0.75, abs=1e-6)
+    assert out["s"]["total"] == 10.0 and out["s"]["n"] == 4
+
+
+def test_pq_codes_perfect_reconstruction_when_k_covers_points(spark):
+    """embed.py::pq_codes: with <= k distinct subvectors per subspace
+    the codebook converges onto the points themselves -> mse 0 and
+    stable codes; dim % m validated."""
+    from botkop_telcotraffic_spark_spark.operators.embed import pq_codes
+
+    rows = [
+        (0, [0.0, 0.0, 1.0, 1.0]),
+        (1, [1.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r for r in pq_codes(df, dim=4, m=2, codebook_k=4,
+                                            iterations=2).collect()}
+    assert out[0]["mse"] == pytest.approx(0.0, abs=1e-9)
+    assert out[1]["mse"] == pytest.approx(0.0, abs=1e-9)
+    # identical vectors share codes
+    assert (out[0]["code0"], out[0]["code1"]) == (out[2]["code0"], out[2]["code1"])
+    # distinct subvectors get distinct codes
+    assert out[0]["code0"] != out[1]["code0"]
+
+    with pytest.raises(ValueError):
+        pq_codes(df, dim=4, m=3)
+
+
+def test_pq_codes_mse_recovers_signal(spark):
+    """PQ at 4 bits/subspace must reconstruct a nonzero share of
+    signal power even on near-random fixture embeddings (the
+    information-theoretic worst case for VQ): mse strictly below the
+    zero-vector baseline (mean squared norm / dim), and positive."""
+    from botkop_telcotraffic_spark_spark.operators.embed import pq_codes
+    from botkop_telcotraffic_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_001
+
+    emb = load_table(spark, SF_DIR_001, "embeddings")
+    out = pq_codes(emb, dim=64, m=4, codebook_k=16, iterations=2)
+    row = out.agg(F.avg("mse").alias("avg_mse")).collect()[0]
+    norms = emb.selectExpr(
+        "avg(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b) / 64) AS msn"
+    ).collect()[0]
+    assert 0.0 < row["avg_mse"] < 0.8 * norms["msn"]
+
+
+def test_bpe_merges_classic_corpus(spark):
+    """bpe.py::bpe_merges on the Sennrich toy corpus: es -> est ->
+    est</w> -> lo -> low, deterministic tie order."""
+    from botkop_telcotraffic_spark_spark.operators.bpe import bpe_merges
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    out = [
+        (r["step"], r["left"], r["right"], r["merged"], r["cnt"])
+        for r in bpe_merges(df, "text", n_merges=5).collect()
+    ]
+    assert out == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "est", "</w>", "est</w>", 9),
+        (4, "l", "o", "lo", 7),
+        (5, "lo", "w", "low", 7),
+    ]
+
+
+def test_bpe_merges_single_pass_semantics(spark):
+    """The documented single-pass rule on a repeated-symbol chain:
+    merging (a,a) over 'aaaa' consumes the shared separator, so ONE
+    round merges only the FIRST occurrence (aa + a + a), not two —
+    the deviation from classic BPE the module docstring documents.
+    Counts at pick time still see all 3 adjacencies per word."""
+    from botkop_telcotraffic_spark_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id int, text string")
+    out = [
+        (r["step"], r["left"], r["right"], r["merged"], r["cnt"])
+        for r in bpe_merges(df, "text", n_merges=2).collect()
+    ]
+    # round 1: pairs in a-a-a-a-</w>: (a,a)x3 + (a,</w>), x2 words
+    assert out[0] == (1, "a", "a", "aa", 6)
+    # after the single-pass merge each word is aa-a-a-</w>; round-2
+    # candidates all count 2, lexicographic pick -> (a, </w>)
+    assert out[1] == (2, "a", "</w>", "a</w>", 2)
+
+
+def test_kmv_sketch_merge_invariant_and_accuracy(spark):
+    """sketch.py::kmv_*: (a) union-of-partial-sketches == one-shot
+    sketch (the mergeability invariant, same as the HLL test), (b)
+    unsaturated sketches are EXACT, (c) saturated estimate lands
+    within 3x sigma ~ 1/sqrt(k) of truth."""
+    from botkop_telcotraffic_spark_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(i % 4, i) for i in range(n)], "part int, v long"
+    )
+    k = 64
+    # one-shot over everything
+    one = kmv_build(df.withColumn("g", F.lit(1)), ["g"], "v", k=k)
+    # partial per part, merged up
+    parts = kmv_build(df.withColumn("g", F.lit(1)), ["g", "part"], "v", k=k)
+    merged = kmv_merge(parts, ["g"], k=k)
+    a = one.collect()[0]["kmv"]
+    b = merged.collect()[0]["kmv"]
+    assert a == b  # lossless pre-aggregation
+    est = kmv_estimate(one, k=k).collect()[0]
+    assert est["n_kept"] == k
+    assert abs(est["est_distinct"] - n) / n < 3 / (k ** 0.5)
+    # unsaturated -> exact
+    small = kmv_build(
+        df.where(F.col("v") < 10).withColumn("g", F.lit(1)), ["g"], "v", k=k
+    )
+    s = kmv_estimate(small, k=k).collect()[0]
+    assert s["n_kept"] == 10 and s["est_distinct"] == 10.0
+
+
+def test_wav_roundtrip_and_features(spark):
+    """multimodal.py WAV codec: encode->decode round-trips exact
+    samples; features hand-checked on a square wave."""
+    from botkop_telcotraffic_spark_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    # square wave: +100 x4, -100 x4, repeated
+    samples = ([100] * 4 + [-100] * 4) * 32  # 256 samples
+    wav = encode_wav(samples, sample_rate=8000)
+    d = decode_wav(wav)
+    assert d["n_samples"] == 256 and d["sample_rate"] == 8000
+    assert d["duration_ms"] == pytest.approx(32.0)
+    assert d["rms"] == pytest.approx(100.0)
+    assert d["peak"] == 100
+    # sign flips at every 4-sample boundary: 63 interior flips / 255
+    assert d["zcr"] == pytest.approx(round(63 / 255, 6), abs=1e-6)
+    # clamping
+    clipped = decode_wav(encode_wav([40000, -40000]))
+    assert clipped["peak"] == 32768  # -32768 clamps, abs = 32768
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+
+def test_audio_features_distributed(spark):
+    """synth_audio + audio_features over a DataFrame: Arrow-batched
+    mapInPandas path yields per-id deterministic features."""
+    from botkop_telcotraffic_spark_spark.operators.multimodal import (
+        audio_features,
+        synth_audio,
+    )
+
+    df = spark.range(4).select(F.col("id").alias("media_id"))
+    out = {r["media_id"]: r for r in
+           audio_features(synth_audio(df, "media_id")).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # id 0: samples ((i*17) % 201) - 100, reproduced in python
+    s = [((i * 17) % 201) - 100 for i in range(256)]
+    import math
+    rms = round(math.sqrt(sum(x * x for x in s) / 256), 6)
+    assert out[0]["rms"] == pytest.approx(rms, abs=1e-6)
+    assert out[0]["n_samples"] == 256
+
+
+def test_fellegi_sunter_weights_and_bands(spark):
+    """fuzzy.py::fellegi_sunter_score: hand-checked weights on one
+    agree-all and one disagree-all pair, three-band decisions."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.fuzzy import (
+        fellegi_sunter_score,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 1, True, True), (1, 2, False, False), (1, 3, True, False)],
+        "a int, b int, f1 boolean, f2 boolean",
+    )
+    out = {
+        (r["a"], r["b"]): r
+        for r in fellegi_sunter_score(
+            pairs,
+            {
+                "f1": (F.col("f1"), 0.9, 0.1),
+                "f2": (F.col("f2"), 0.8, 0.2),
+            },
+            upper=5.0,
+            lower=0.0,
+        ).collect()
+    }
+    w1a, w1d = math.log2(9), math.log2(0.1 / 0.9)
+    w2a, w2d = math.log2(4), math.log2(0.2 / 0.8)
+    assert out[(1, 1)]["score"] == pytest.approx(round(w1a + w2a, 6))
+    assert out[(1, 1)]["decision"] == "match"        # 3.17+2 = 5.17 >= 5
+    assert out[(1, 2)]["score"] == pytest.approx(round(w1d + w2d, 6))
+    assert out[(1, 2)]["decision"] == "non-match"
+    assert out[(1, 3)]["score"] == pytest.approx(round(w1a + w2d, 6))
+    assert out[(1, 3)]["decision"] == "possible"     # 3.17-2 = 1.17
+    assert out[(1, 3)]["f1_agree"] and not out[(1, 3)]["f2_agree"]
+
+
+def test_bpe_token_counts_classic(spark):
+    """bpe.py::bpe_token_counts on the Sennrich corpus: after the
+    est/low merges, 'low' is 1 token + </w>? No — the word rep keeps
+    its own </w> symbol, so 'low' -> [low, </w>] = 2 tokens after
+    merge 5 with n_merges=5."""
+    from botkop_telcotraffic_spark_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    out = bpe_token_counts(df, "doc_id", "text", n_merges=5).collect()[0]
+    assert out["n_words"] == 16
+    # merges: es, est, est</w>, lo, low
+    # low -> low ␟ </w> (2); lower -> low e r </w> (4);
+    # newest -> n e w est</w> (4); widest -> w i d est</w> (4)
+    assert out["n_tokens"] == 5 * 2 + 2 * 4 + 6 * 4 + 3 * 4
+
+
+def test_adamic_adar_hand_graph(spark):
+    """Path graph 1-2-3 plus hub 4 connected to all: AA(1,3) through
+    center 2 (deg 2 after hub removal? no — degrees count ALL edges);
+    verify against a hand union of wedge contributions."""
+    from botkop_telcotraffic_spark_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (2, 4), (3, 4)], "src int, dst int"
+    )
+    out = {
+        (r["a"], r["b"]): r
+        for r in adamic_adar(edges, max_center_degree=64).collect()
+    }
+    # non-adjacent pairs: only (1, 3).  Common neighbors: 2 (deg 3)
+    # and 4 (deg 3) -> AA = 2 / ln(3); common_neighbors = 2.
+    assert set(out) == {(1, 3)}
+    r = out[(1, 3)]
+    assert r["common_neighbors"] == 2
+    assert r["aa_score"] == pytest.approx(2.0 / math.log(3.0), abs=1e-6)
+
+
+def test_adamic_adar_hub_cap_drops_center(spark):
+    """A center above max_center_degree generates NO wedges — the
+    documented quadratic-bulk cut."""
+    from botkop_telcotraffic_spark_spark.operators.graph import adamic_adar
+
+    star = [(0, i) for i in range(1, 6)]  # hub 0, degree 5
+    edges = spark.createDataFrame(star, "src int, dst int")
+    assert adamic_adar(edges, max_center_degree=4).count() == 0
+    # raising the cap re-admits the hub: C(5,2) leaf pairs appear
+    assert adamic_adar(edges, max_center_degree=5).count() == 10
+
+
+def test_psi_identical_slices_near_zero(spark):
+    """PSI of a distribution against itself is ~0 (exactly 0 up to
+    smoothing asymmetry when slice sizes are equal)."""
+    from botkop_telcotraffic_spark_spark.operators.drift import psi_drift
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        v = rng.uniform(0, 100)
+        rows.append(("k", v, i % 2 == 0))
+        rows.append(("k", v, i % 2 == 1))  # mirrored -> identical slices
+    df = spark.createDataFrame(rows, "k string, v double, b boolean")
+    out = psi_drift(df, ["k"], "v", F.col("b"), bins=10).collect()
+    assert len(out) == 1
+    assert out[0]["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert out[0]["n_a"] == 400 and out[0]["n_b"] == 400
+
+
+def test_psi_shifted_slices_positive(spark):
+    from botkop_telcotraffic_spark_spark.operators.drift import psi_drift
+
+    rng = random.Random(8)
+    rows = [("k", rng.uniform(0, 50), False) for _ in range(300)] + [
+        ("k", rng.uniform(50, 100), True) for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, b boolean")
+    out = psi_drift(df, ["k"], "v", F.col("b"), bins=10).collect()[0]
+    assert out["psi"] > 0.25  # disjoint supports -> strong drift
+
+
+def test_bh_adjust_matches_hand_stepup(spark):
+    """Classic BH example: p = (.01, .02, .03, .04, .05) with m=5 ->
+    q = (.05, .05, .05, .05, .05); and a textbook non-monotone case
+    where the suffix-min flattens q."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import bh_adjust
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04), ("e", 0.05)],
+        "g string, p double",
+    )
+    out = {r["g"]: r for r in bh_adjust(df, ["g"], "p").collect()}
+    for g in "abcde":
+        assert out[g]["q_value"] == pytest.approx(0.05)
+        assert out[g]["discovery"] is True
+    # non-monotone raw p*m/i: p=(.001, .4, .41) -> raw (.003, .6, .41)
+    # -> q = (.003, .41, .41) via suffix min
+    df2 = spark.createDataFrame(
+        [("x", 0.001), ("y", 0.4), ("z", 0.41)], "g string, p double"
+    )
+    out2 = {r["g"]: r for r in bh_adjust(df2, ["g"], "p").collect()}
+    assert out2["x"]["q_value"] == pytest.approx(0.003)
+    assert out2["y"]["q_value"] == pytest.approx(0.41)
+    assert out2["z"]["q_value"] == pytest.approx(0.41)
+    assert out2["x"]["discovery"] and not out2["y"]["discovery"]
+
+
+def test_normal_sf_matches_python_erfc(spark):
+    """A&S 26.2.17 vs math.erfc within the published 7.5e-8 bound."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import normal_sf
+
+    zs = [0.0, 0.5, 1.0, 1.644854, 1.959964, 2.575829, 4.0]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    out = df.select("z", normal_sf(F.col("z")).alias("sf")).collect()
+    for r in out:
+        exact = 0.5 * math.erfc(r["z"] / math.sqrt(2.0))
+        assert r["sf"] == pytest.approx(exact, abs=7.5e-8)
+
+
+def test_autocorrelation_matches_numpy_model(spark):
+    """ACF of a known AR-ish sequence vs a pure-python Box-Jenkins
+    reference (same biased estimator)."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    rng = random.Random(11)
+    xs = []
+    prev = 0.0
+    for _ in range(200):
+        prev = 0.7 * prev + rng.gauss(0, 1)
+        xs.append(prev)
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "k string, t int, x double"
+    )
+    out = {
+        r["lag"]: r["acf"]
+        for r in autocorrelation(df, ["k"], "t", "x", max_lag=3).collect()
+    }
+    mean = sum(xs) / len(xs)
+    den = sum((x - mean) ** 2 for x in xs)
+    for k in (1, 2, 3):
+        num = sum(
+            (xs[t] - mean) * (xs[t + k] - mean) for t in range(len(xs) - k)
+        )
+        assert out[k] == pytest.approx(num / den, abs=1e-6)
+    assert out[1] > 0.5  # AR(0.7) autocorrelates strongly at lag 1
+
+
+def test_interarrival_regular_vs_bursty(spark):
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        interarrival_stats,
+    )
+
+    rows = [("reg", float(10 * i), i) for i in range(50)]
+    # bursty: pairs close together, long silences between pairs
+    t, bid = 0.0, 0
+    bursty = []
+    for i in range(25):
+        bursty.append(("burst", t, bid)); bid += 1
+        bursty.append(("burst", t + 0.1, bid)); bid += 1
+        t += 100.0
+    df = spark.createDataFrame(
+        rows + bursty, "k string, ts double, i int"
+    )
+    out = {
+        r["k"]: r
+        for r in interarrival_stats(
+            df, ["k"], "ts", order_cols=["i"]
+        ).collect()
+    }
+    assert out["reg"]["cv"] == pytest.approx(0.0, abs=1e-9)
+    assert out["reg"]["mean_gap_s"] == pytest.approx(10.0)
+    assert out["reg"]["lambda_per_s"] == pytest.approx(0.1)
+    assert out["burst"]["cv"] > 0.9
+    assert out["reg"]["n_gaps"] == 49 and out["burst"]["n_gaps"] == 49
+
+
+def test_mutual_information_independent_vs_dependent(spark):
+    from botkop_telcotraffic_spark_spark.operators.profile import (
+        mutual_information,
+    )
+
+    # perfectly dependent: y == x over 4 symbols, uniform -> MI = 2 bits
+    dep = spark.createDataFrame(
+        [(str(i % 4), i % 4) for i in range(400)], "x string, y int"
+    )
+    mi_dep = (
+        mutual_information(dep, "x", "y")
+        .agg(F.sum("mi_term").alias("mi"))
+        .collect()[0]["mi"]
+    )
+    assert mi_dep == pytest.approx(2.0, abs=1e-4)
+    # independent uniform 4x4 grid -> MI = 0
+    ind = spark.createDataFrame(
+        [(str(i % 4), (i // 4) % 4) for i in range(400)], "x string, y int"
+    )
+    mi_ind = (
+        mutual_information(ind, "x", "y")
+        .agg(F.sum("mi_term").alias("mi"))
+        .collect()[0]["mi"]
+    )
+    assert mi_ind == pytest.approx(0.0, abs=1e-4)
+
+
+def test_mutual_information_null_category_kept(spark):
+    from botkop_telcotraffic_spark_spark.operators.profile import (
+        mutual_information,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), (None, 1), (None, None)],
+        "x string, y int",
+    )
+    out = mutual_information(df, "x", "y")
+    assert out.count() == 4  # every (x, y) cell kept, NULLs included
+    assert out.where(F.col("x").isNull()).count() == 2
+
+
+def test_haversine_known_distance(spark):
+    """Paris (48.8566, 2.3522) - London (51.5074, -0.1278) ≈ 343.5 km."""
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        haversine_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278)],
+        "lat1 double, lng1 double, lat2 double, lng2 double",
+    )
+    d = df.select(
+        F.expr(haversine_sql("lat1", "lng1", "lat2", "lng2")).alias("d")
+    ).collect()[0]["d"]
+    assert d == pytest.approx(343.5, abs=1.0)
+
+
+def test_trajectory_speeds_flags(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        trajectory_speeds,
+    )
+
+    rows = [
+        ("u", 0.0, 0.0, 0.0, 1),
+        ("u", 3600.0, 1.0, 0.0, 2),   # 1 deg lat in 1h ≈ 111 km/h
+        ("u", 3600.0, 5.0, 0.0, 3),   # teleport: zero time, ~445 km
+        ("u", 7200.0, 50.0, 0.0, 4),  # 45 deg lat in 1h ≈ 5000 km/h
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, t double, lat double, lng double, i int"
+    )
+    out = {
+        r["i"]: r
+        for r in trajectory_speeds(
+            df, ["k"], "t", "lat", "lng", order_cols=["i"]
+        ).collect()
+    }
+    assert set(out) == {2, 3, 4}  # 3 segments from 4 fixes
+    assert out[2]["speed_kmh"] == pytest.approx(111.195, abs=0.1)
+    assert out[2]["impossible"] is False
+    assert out[3]["gap_s"] == 0.0 and out[3]["impossible"] is True
+    assert out[3]["speed_kmh"] is None  # zero-time: speed undefined
+    assert out[4]["impossible"] is True
+
+
+def test_od_flows_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import od_flows
+
+    rows = [
+        ("u1", 1.0, "A", 1), ("u1", 2.0, "B", 2), ("u1", 3.0, "B", 3),
+        ("u1", 4.0, "A", 4),  # u1: A->B (dwell dropped), B->A
+        ("u2", 1.0, "A", 5), ("u2", 2.0, "B", 6),  # u2: A->B
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, t double, cell string, i int"
+    )
+    out = {
+        (r["from_cell"], r["to_cell"]): r
+        for r in od_flows(
+            df, ["k"], "t", "cell", order_cols=["i"]
+        ).collect()
+    }
+    assert out[("A", "B")]["n_trips"] == 2
+    assert out[("A", "B")]["n_keys"] == 2
+    assert out[("B", "A")]["n_trips"] == 1
+    assert out[("B", "A")]["n_keys"] == 1
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from botkop_telcotraffic_spark_spark.operators.timeseries import theil_sen
+
+    pts = [("k", float(i), 2.0 * i + 1.0) for i in range(30)]
+    pts[29] = ("k", 29.0, 1000.0)  # one corrupted high-leverage point
+    df = spark.createDataFrame(pts, "k string, x double, y double")
+    out = theil_sen(df, ["k"], "x", "y", max_pair_lag=10).collect()[0]
+    assert out["slope"] == pytest.approx(2.0, abs=1e-6)
+    assert out["intercept"] == pytest.approx(1.0, abs=1e-6)
+    # OLS on the same data is yanked far off 2.0 by the outlier
+    from botkop_telcotraffic_spark_spark.operators.timeseries import trend_ols
+
+    ols = trend_ols(df, ["k"], "x", "y").collect()[0]
+    assert abs(ols["slope"] - 2.0) > 0.5
+
+
+def test_heaps_fit_extremes(spark):
+    from botkop_telcotraffic_spark_spark.operators.text import heaps_fit
+
+    # every token globally unique -> V(N) = N -> beta ~ 1
+    uniq = spark.createDataFrame(
+        [(i, f"w{4*i} w{4*i+1} w{4*i+2} w{4*i+3}") for i in range(256)],
+        "doc_id long, text string",
+    )
+    b1 = heaps_fit(uniq, "doc_id", "text", buckets=32).collect()[0]
+    assert b1["beta"] == pytest.approx(1.0, abs=1e-6)
+    assert b1["r2"] == pytest.approx(1.0, abs=1e-6)
+    # closed vocabulary -> V constant after bucket 1 -> beta ~ 0
+    closed = spark.createDataFrame(
+        [(i, "a b c d") for i in range(256)],
+        "doc_id long, text string",
+    )
+    b0 = heaps_fit(closed, "doc_id", "text", buckets=32).collect()[0]
+    assert abs(b0["beta"]) < 0.01
+
+
+def test_column_entropy_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.profile import (
+        column_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i % 4), "c", None if i % 2 else "x") for i in range(400)],
+        "u string, const string, halfnull string",
+    )
+    out = {r["col"]: r for r in column_entropy(df, ["u", "const", "halfnull"]).collect()}
+    assert out["u"]["entropy_bits"] == pytest.approx(2.0)  # uniform 4-way
+    assert out["u"]["n_distinct"] == 4
+    assert out["const"]["entropy_bits"] == pytest.approx(0.0)
+    assert out["const"]["top_freq_ratio"] == pytest.approx(1.0)
+    # NULL is a category: 50/50 split -> 1 bit
+    assert out["halfnull"]["entropy_bits"] == pytest.approx(1.0)
+    assert out["halfnull"]["n_distinct"] == 2
+
+
+def test_mobility_metrics_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        mobility_metrics,
+    )
+
+    rows = (
+        [("home", 10.0, 20.0, "A")] * 8
+        # roamer: 50/50 between two cells 1 deg of lat apart at lat 0
+        + [("roam", 0.0, 0.0, "A")] * 4
+        + [("roam", 1.0, 0.0, "B")] * 4
+    )
+    df = spark.createDataFrame(
+        rows, "k string, lat double, lng double, cell string"
+    )
+    out = {
+        r["k"]: r
+        for r in mobility_metrics(df, ["k"], "lat", "lng", "cell").collect()
+    }
+    assert out["home"]["radius_gyration_km"] == 0.0
+    assert out["home"]["location_entropy_bits"] == 0.0
+    assert out["home"]["n_cells"] == 1
+    # var_pop(lat) of 4x0 + 4x1 = 0.25 -> rg = 0.5 * 111.32 km
+    assert out["roam"]["radius_gyration_km"] == pytest.approx(
+        0.5 * 111.32, abs=1e-4
+    )
+    assert out["roam"]["location_entropy_bits"] == pytest.approx(1.0)
+    assert out["roam"]["n_cells"] == 2
+
+
+def test_clustering_coefficient_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    # triangle 1-2-3 plus pendant 4 attached to 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src int, dst int"
+    )
+    out = {
+        r["node"]: r for r in clustering_coefficient(edges).collect()
+    }
+    # node 1: d=3, T=1 -> 2/(3*2) = 1/3; nodes 2,3: d=2, T=1 -> 1.0
+    assert out[1]["coeff"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2]["coeff"] == 1.0 and out[3]["coeff"] == 1.0
+    assert 4 not in out  # degree 1: no neighbor pair to close
+
+
+def test_grid_density_clusters_two_blobs(spark):
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        grid_density_clusters,
+    )
+
+    rng = random.Random(3)
+    blob1 = [(rng.uniform(0, 2), rng.uniform(0, 2)) for _ in range(60)]
+    blob2 = [(rng.uniform(50, 52), rng.uniform(50, 52)) for _ in range(60)]
+    noise = [(float(100 + 7 * i), float(100 + 11 * i)) for i in range(10)]
+    df = spark.createDataFrame(
+        blob1 + blob2 + noise, "x double, y double"
+    )
+    out = grid_density_clusters(df, "x", "y", cell_size=1.0, min_pts=5).collect()
+    clusters = {r["cluster"] for r in out}
+    assert len(clusters) == 2  # two dense blobs
+    # noise cells (1 point each) never reach min_pts
+    assert all(r["n_points"] >= 5 for r in out)
+    # cells of the same blob share a label, across blobs differ
+    lab = {}
+    for r in out:
+        blob = 1 if r["cx"] < 25 else 2
+        lab.setdefault(blob, set()).add(r["cluster"])
+    assert len(lab[1]) == 1 and len(lab[2]) == 1
+
+
+def test_dwell_times_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        dwell_times,
+    )
+
+    # u: A(0) A(10) B(30) B(40) A(100)  -> visits: A 0-30, B 30-100;
+    # final A visit open -> censored out
+    rows = [
+        ("u", 0.0, "A", 1), ("u", 10.0, "A", 2), ("u", 30.0, "B", 3),
+        ("u", 40.0, "B", 4), ("u", 100.0, "A", 5),
+        # v stays in A forever: single open visit, no output
+        ("v", 0.0, "A", 6), ("v", 50.0, "A", 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, cell string, i int")
+    out = {
+        r["cell"]: r
+        for r in dwell_times(df, ["k"], "t", "cell", order_cols=["i"]).collect()
+    }
+    assert out["A"]["n_visits"] == 1 and out["A"]["mean_dwell_s"] == 30.0
+    assert out["B"]["n_visits"] == 1 and out["B"]["mean_dwell_s"] == 70.0
+    assert set(out) == {"A", "B"}
+
+
+def test_anchor_cells_hand(spark):
+    import datetime as dt
+
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        anchor_cells,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # nights at cell H (lat 0), days at cell W (lat 0.9 ≈ 100 km away)
+    for d in range(3):
+        rows.append(("u", base + dt.timedelta(days=d, hours=2), 0.0, 0.0, "H"))
+        rows.append(("u", base + dt.timedelta(days=d, hours=11), 0.9, 0.0, "W"))
+    # one stray night fix elsewhere: H still wins 3-1
+    rows.append(("u", base + dt.timedelta(hours=3), 5.0, 5.0, "X"))
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, lat double, lng double, cell string"
+    )
+    out = anchor_cells(df, ["k"], "ts", "lat", "lng", "cell").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["home_cell"] == "H" and r["work_cell"] == "W"
+    assert r["n_home_fixes"] == 3 and r["n_work_fixes"] == 3
+    assert r["commute_km"] == pytest.approx(0.9 * 111.19, abs=0.5)
+
+
+def test_degree_assortativity_star_vs_clique(spark):
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # star: hub degree 5 pairs with leaves degree 1 -> r = -1
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src int, dst int"
+    )
+    r_star = degree_assortativity(star).collect()[0]
+    assert r_star["assortativity"] == pytest.approx(-1.0, abs=1e-6)
+    assert r_star["n_edges"] == 5
+    # clique: all degrees equal -> zero variance -> NULL
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(i + 1, 4)],
+        "src int, dst int",
+    )
+    r_cl = degree_assortativity(clique).collect()[0]
+    assert r_cl["assortativity"] is None
+
+
+def test_hits_hand_bipartite(spark):
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.graph import hits
+
+    # 1 -> {10, 11}, 2 -> {10}; two unrolled iterations by hand:
+    #   a1 ∝ (2, 1)/√5, h1 ∝ (3, 2)/√13,
+    #   a2 ∝ (5, 3)/√34, h2 ∝ (8, 5)/√89
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "src int, dst int"
+    )
+    out = {
+        (r["kind"], r["node"]): r["score"]
+        for r in hits(edges, iterations=2).collect()
+    }
+    assert out[("hub", 1)] == pytest.approx(8 / math.sqrt(89), abs=1e-6)
+    assert out[("hub", 2)] == pytest.approx(5 / math.sqrt(89), abs=1e-6)
+    assert out[("authority", 10)] == pytest.approx(
+        5 / math.sqrt(34), abs=1e-6
+    )
+    assert out[("authority", 11)] == pytest.approx(
+        3 / math.sqrt(34), abs=1e-6
+    )
+
+
+def test_transition_entropy_commuter_vs_roamer(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        transition_entropy,
+    )
+
+    # commuter: A,B,A,B,A -> every context deterministic -> 0 bits
+    # roamer:   A,B,A,C,A -> H = p(A)*1 + p(B)*0 + p(C)*0 = 0.5 bits
+    rows = [("c", float(i), c) for i, c in enumerate("ABABA")]
+    rows += [("r", float(i), c) for i, c in enumerate("ABACA")]
+    df = spark.createDataFrame(rows, "k string, t double, cell string")
+    out = {
+        r["k"]: r
+        for r in transition_entropy(df, ["k"], "t", "cell").collect()
+    }
+    assert out["c"]["cond_entropy_bits"] == pytest.approx(0.0, abs=1e-9)
+    assert out["c"]["n_transitions"] == 4 and out["c"]["n_contexts"] == 2
+    assert out["r"]["cond_entropy_bits"] == pytest.approx(0.5, abs=1e-9)
+    assert out["r"]["n_transitions"] == 4 and out["r"]["n_contexts"] == 3
+    # self-loops dropped: a key that never moves emits no row
+    still = spark.createDataFrame(
+        [("s", 0.0, "A"), ("s", 1.0, "A")], "k string, t double, cell string"
+    )
+    assert transition_entropy(still, ["k"], "t", "cell").count() == 0
+
+
+def test_pingpong_handovers_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        pingpong_handovers,
+    )
+
+    rows = [
+        # u1: A->B->A fast bounce (counts), then B->C->B too slow
+        ("u1", 0.0, "A"), ("u1", 10.0, "B"), ("u1", 20.0, "A"),
+        ("u1", 1000.0, "B"), ("u1", 1500.0, "C"), ("u1", 2000.0, "B"),
+        # u2: A->B->A fast bounce on the same pair
+        ("u2", 0.0, "A"), ("u2", 5.0, "B"), ("u2", 9.0, "A"),
+        # u3: A->A->A self-loop run, never a bounce
+        ("u3", 0.0, "A"), ("u3", 1.0, "A"), ("u3", 2.0, "A"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, cell string")
+    out = {
+        (r["cell_a"], r["cell_b"]): r
+        for r in pingpong_handovers(
+            df, ["k"], "t", "cell", max_gap_s=100.0
+        ).collect()
+    }
+    assert set(out) == {("A", "B")}
+    assert out[("A", "B")]["n_pingpongs"] == 2
+    assert out[("A", "B")]["n_keys"] == 2
+
+
+def test_route_motifs_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.trajectory import (
+        route_motifs,
+    )
+
+    # two users travel A->B->C; one continues C->D; self-loop steps
+    # (B->B) break the chain
+    rows = [
+        ("u1", 0.0, "A"), ("u1", 1.0, "B"), ("u1", 2.0, "C"),
+        ("u1", 3.0, "D"),
+        ("u2", 0.0, "A"), ("u2", 1.0, "B"), ("u2", 2.0, "B"),
+        ("u2", 3.0, "C"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, cell string")
+    out = {
+        (r["c1"], r["c2"], r["c3"]): (r["n_trips"], r["n_keys"])
+        for r in route_motifs(df, ["k"], "t", "cell", top_n=5).collect()
+    }
+    # u2's A,B,B,C yields no motif (B->B self-loop in both triples)
+    assert out == {("A", "B", "C"): (1, 1), ("B", "C", "D"): (1, 1)}
+
+
+def test_page_hinkley_level_shift(spark):
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    # flat at 0 for 20 points, then a +10 shift: PH climbs after the
+    # shift and crosses a small lambda; no alarm on the flat prefix
+    rows = [("k", float(i), 0.0) for i in range(20)]
+    rows += [("k", float(20 + i), 10.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, o double, x double")
+    r = page_hinkley(df, ["k"], "o", "x", delta=0.0, lam=20.0).collect()[0]
+    assert r["n_obs"] == 40
+    assert r["n_alarms"] > 0
+    assert r["first_alarm_o"] > 20.0  # fires only after the shift
+    assert r["max_ph"] > 20.0
+    # pure noise-free flat series never alarms
+    flat = spark.createDataFrame(
+        [("k", float(i), 5.0) for i in range(30)],
+        "k string, o double, x double",
+    )
+    rf = page_hinkley(flat, ["k"], "o", "x", lam=1.0).collect()[0]
+    assert rf["n_alarms"] == 0 and rf["first_alarm_o"] is None
+    assert rf["max_ph"] == 0.0
+
+
+def test_cross_correlation_shifted_series(spark):
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    # y is x delayed by 2 steps: ccf peaks (=1) at lag 2... x leads y,
+    # so corr(x_t, y_{t+2}) = corr(x_t, x_t) = 1
+    import math
+
+    xs = [math.sin(i / 3.0) for i in range(40)]
+    rows = [
+        ("k", float(i), xs[i], xs[i - 2] if i >= 2 else None)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, o double, x double, y double")
+    out = {
+        r["lag"]: r["ccf"]
+        for r in cross_correlation(
+            df, ["k"], "o", "x", "y", max_lag=3
+        ).collect()
+    }
+    assert out[2] == pytest.approx(1.0, abs=1e-6)
+    assert out[0] < out[2] and out[1] < out[2] and out[3] < out[2]
+
+
+def test_flesch_readability_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.text import (
+        flesch_readability,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, ""),  # zero words -> NULL flesch
+            (3, "no terminal punctuation here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in flesch_readability(df, "doc_id", "text").collect()}
+    r1 = out[1]
+    # words: the,cat,sat,the,dog,ran = 6; sentences: '.'+'!' runs = 2;
+    # vowel groups: e,a,a,e,o,a = 6 -> flesch = 206.835-1.015*3-84.6*1
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    assert r1["n_syllables"] == 6
+    assert r1["flesch"] == pytest.approx(206.835 - 3.045 - 84.6, abs=1e-6)
+    assert out[2]["flesch"] is None and out[2]["n_sentences"] == 1
+    assert out[3]["n_sentences"] == 1  # floored at 1
+
+
+def test_erlang_b_known_table_values(spark):
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        erlang_b_blocking,
+    )
+
+    # classic Erlang-B table points: B(E=1, m=1) = 0.5,
+    # B(E=2, m=2) = 2/5, B(E=1, m=2) = 0.2, B(E=0, m) = 0
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 0.0)], "id int, e double"
+    )
+    out = {
+        r["id"]: r["blocking"]
+        for r in erlang_b_blocking(df, "e", channels=2).collect()
+    }
+    assert out[1] == pytest.approx(0.2, abs=1e-9)       # (1/2)/(1+1+1/2)
+    assert out[2] == pytest.approx(0.4, abs=1e-9)       # 2/(1+2+2)
+    assert out[3] == pytest.approx(0.0, abs=1e-12)
+    # recursion sanity at m=1: B(1,1) = (1/1)/(1+1) = 0.5
+    one = erlang_b_blocking(
+        spark.createDataFrame([(1, 1.0)], "id int, e double"),
+        "e",
+        channels=1,
+    ).collect()[0]
+    assert one["blocking"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_erlang_b_sql_matches_duckdb(spark):
+    import duckdb
+
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        erlang_b_sql,
+    )
+
+    expr = erlang_b_sql("CAST(e AS DOUBLE)", 3)
+    con = duckdb.connect()
+    for e in (0.5, 1.0, 2.7, 10.0):
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT {e} AS e)"
+        ).fetchone()[0]
+        got = (
+            spark.createDataFrame([(e,)], "e double")
+            .selectExpr(f"{expr} AS b")
+            .collect()[0]["b"]
+        )
+        assert got == want  # bit-identical, not approx
+
+
+def test_jain_fairness_even_vs_skewed(spark):
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        jain_fairness,
+    )
+
+    even = spark.createDataFrame([(10.0,)] * 4, "x double")
+    r = jain_fairness(even, "x").collect()[0]
+    assert r["jain"] == pytest.approx(1.0, abs=1e-9) and r["n"] == 4
+    skew = spark.createDataFrame(
+        [(100.0,), (0.0,), (0.0,), (0.0,)], "x double"
+    )
+    assert jain_fairness(skew, "x").collect()[0]["jain"] == pytest.approx(
+        0.25, abs=1e-9
+    )
+
+
+def test_busy_hour_argmax_and_tiebreak(spark):
+    import datetime as dt
+
+    from botkop_telcotraffic_spark_spark.operators.telecom import busy_hour
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("c", base.replace(hour=9)), ("c", base.replace(hour=9)),
+            ("c", base.replace(hour=17)),
+            # cell "t": tie between hours 3 and 5 -> earliest (3) wins
+            ("t", base.replace(hour=5)), ("t", base.replace(hour=3))]
+    df = spark.createDataFrame(rows, "cell string, ts timestamp")
+    out = {r["cell"]: r for r in busy_hour(df, ["cell"], "ts").collect()}
+    assert out["c"]["busy_hour"] == 9 and out["c"]["n_busy"] == 2
+    assert out["c"]["busy_share"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["t"]["busy_hour"] == 3
+
+
+def test_dau_wau_stickiness_hand(spark):
+    import datetime as dt
+
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        dau_wau_stickiness,
+    )
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    # week 1: u1 active Mon+Tue, u2 active Mon -> days: Mon dau=2,
+    # Tue dau=1 -> avg_dau=1.5, wau=2, stickiness=0.75
+    rows += [(1, mon), (2, mon), (1, mon + dt.timedelta(days=1))]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    r = dau_wau_stickiness(df, "user_id", "ts").collect()[0]
+    assert r["n_days"] == 2 and r["wau"] == 2
+    assert r["avg_dau"] == pytest.approx(1.5, abs=1e-9)
+    assert r["stickiness"] == pytest.approx(0.75, abs=1e-9)
+
+
+def test_erlang_c_known_values(spark):
+    from botkop_telcotraffic_spark_spark.operators.telecom import (
+        erlang_c_waiting,
+    )
+
+    # M/M/2 with E=1: C = (1^2/2! * 2/(2-1)) / (1 + 1 + same) = 1/3;
+    # saturation (E >= m) pins p_wait at 1
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 5.0), (4, 0.0)], "id int, e double"
+    )
+    out = {
+        r["id"]: r["p_wait"]
+        for r in erlang_c_waiting(df, "e", channels=2).collect()
+    }
+    assert out[1] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2] == 1.0 and out[3] == 1.0
+    assert out[4] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_rfm_scores_hand(spark):
+    import datetime as dt
+
+    from botkop_telcotraffic_spark_spark.operators.customer import (
+        rfm_scores,
+    )
+
+    d0 = dt.date(1995, 1, 1)
+    rows = []
+    # five customers with strictly increasing recency/frequency/spend
+    for i in range(5):
+        for j in range(i + 1):  # frequency 1..5
+            rows.append(
+                (i, d0 + dt.timedelta(days=30 * i), 100.0 * (i + 1))
+            )
+    df = spark.createDataFrame(
+        rows, "c int, d date, amt double"
+    )
+    out = {r["key"]: r for r in rfm_scores(df, "c", "d", "amt").collect()}
+    # customer 4: most recent, most frequent, biggest spend -> "555"
+    assert out[4]["rfm"] == "555"
+    assert out[0]["rfm"] == "111"
+    # monotone scores
+    for i in range(4):
+        assert out[i]["r_score"] <= out[i + 1]["r_score"]
+        assert out[i]["f_score"] <= out[i + 1]["f_score"]
+        assert out[i]["m_score"] <= out[i + 1]["m_score"]
+
+
+def test_growth_accounting_lifecycle(spark):
+    import datetime as dt
+
+    from botkop_telcotraffic_spark_spark.operators.customer import (
+        growth_accounting,
+    )
+
+    mon = dt.datetime(2024, 1, 1)  # Monday
+    wk = lambda k: mon + dt.timedelta(weeks=k)
+    rows = []
+    # u1: weeks 0,1,3 -> new@0, retained@1, churn@2, resurrected@3, churn@4
+    for k in (0, 1, 3):
+        rows.append((1, wk(k)))
+    # u2: week 0 only -> new@0, churn@1
+    rows.append((2, wk(0)))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {r["week"]: r for r in growth_accounting(df, "user_id", "ts").collect()}
+    r0 = out[wk(0)]
+    assert (r0["n_active"], r0["n_new"], r0["n_churned"]) == (2, 2, 0)
+    r1 = out[wk(1)]
+    assert (r1["n_active"], r1["n_retained"], r1["n_churned"]) == (1, 1, 1)
+    r2 = out[wk(2)]  # churn-only week
+    assert (r2["n_active"], r2["n_churned"]) == (0, 1)
+    r3 = out[wk(3)]
+    assert (r3["n_active"], r3["n_resurrected"]) == (1, 1)
+    r4 = out[wk(4)]  # trailing churn week past last activity
+    assert (r4["n_active"], r4["n_churned"]) == (0, 1)
+    # identity: actives = new + retained + resurrected each week
+    for r in out.values():
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+
+
 def test_diff_in_diff_hand(spark):
     from botkop_telcotraffic_spark_spark.operators.experiment import diff_in_diff
 
@@ -2201,3 +4349,180 @@ def test_anova_oneway_known_decomposition(spark):
     # single group: dropped
     one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, y double")
     assert anova_oneway(one, "g", "y").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-6 wave 1: Holt, WOE/IV, Cramér's V, Mann-Whitney AUC, calibration
+
+
+def test_holt_linear_matches_pure_python(spark):
+    from botkop_telcotraffic_spark_spark.operators.timeseries import holt_linear
+
+    xs = [10.0, 12.0, 13.0, 15.5, 14.0, 16.25]
+    rows = [("a", i, x) for i, x in enumerate(xs)]
+    # out-of-order input: the fold must sort by the order column
+    rows = rows[::-1] + [("b", 0, 5.0), ("b", 1, 4.0), ("c", 0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, d int, v double")
+    got = {
+        r["g"]: (r["n"], r["level"], r["trend"], r["forecast"])
+        for r in holt_linear(df, ["g"], "d", "v").collect()
+    }
+
+    def holt(vals, a=0.5, b=0.3):
+        lvl, trd = vals[0], vals[1] - vals[0]
+        for x in vals[2:]:
+            nl = a * x + (1 - a) * (lvl + trd)
+            trd = b * (nl - lvl) + (1 - b) * trd
+            lvl = nl
+        return round(lvl, 6), round(trd, 6), round(lvl + trd, 6)
+
+    assert got["a"] == (len(xs), *holt(xs))
+    assert got["b"] == (2, *holt([5.0, 4.0]))
+    assert "c" not in got  # <2 observations: trend not estimable
+
+
+def test_woe_iv_hand_computed(spark):
+    import math as _math
+
+    from botkop_telcotraffic_spark_spark.operators.encode import woe_iv
+
+    # A: 3 pos / 1 neg; B: 1 pos / 3 neg  -> symmetric WOE
+    rows = [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+    df = spark.createDataFrame(rows, "c string, y int")
+    got = {r["category"]: r for r in woe_iv(df, "c", "y").collect()}
+    sp, sq = (3 + 0.5) / 4, (1 + 0.5) / 4
+    woe_a = _math.log(sp / sq)
+    assert got["A"]["n_pos"] == 3 and got["A"]["n_neg"] == 1
+    assert got["A"]["woe"] == round(woe_a, 6)
+    assert got["B"]["woe"] == round(-woe_a, 6)
+    iv = sum(r["iv_term"] for r in got.values())
+    assert iv > 0.3  # a strongly separating feature
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    from botkop_telcotraffic_spark_spark.operators.profile import cramers_v
+
+    # perfect association: x determines y -> V = 1
+    perfect = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 2)] * 5, "x string, y int"
+    )
+    row = cramers_v(perfect, "x", "y").collect()[0]
+    assert row["v"] == 1.0 and row["n"] == 10 and row["r"] == 2
+
+    # exact independence: uniform 2x2 -> chi2 = 0, V = 0
+    indep = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 2)] * 3, "x string, y int"
+    )
+    row = cramers_v(indep, "x", "y").collect()[0]
+    assert row["chi2"] == 0.0 and row["v"] == 0.0
+
+
+def test_mann_whitney_auc_known_cases(spark):
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        mann_whitney_auc,
+    )
+
+    # perfect separation -> AUC 1; anti-separation -> 0; all tied -> 0.5
+    rows = (
+        [("sep", 1, float(10 + i)) for i in range(3)]
+        + [("sep", 0, float(i)) for i in range(3)]
+        + [("anti", 0, float(10 + i)) for i in range(3)]
+        + [("anti", 1, float(i)) for i in range(3)]
+        + [("tied", 1, 7.0), ("tied", 1, 7.0), ("tied", 0, 7.0)]
+        + [("onlypos", 1, 1.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, y int, s double")
+    got = {
+        r["g"]: (r["n_pos"], r["n_neg"], r["auc"])
+        for r in mann_whitney_auc(df, ["g"], "y", "s").collect()
+    }
+    assert got["sep"] == (3, 3, 1.0)
+    assert got["anti"] == (3, 3, 0.0)
+    assert got["tied"] == (2, 1, 0.5)
+    assert "onlypos" not in got  # AUC undefined with one class
+
+
+def test_calibration_bins_ece_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        calibration_bins,
+    )
+
+    # bin 0: p=0.05 x4, 1 positive (rate .25, gap +.2)
+    # bin 9: p=0.95 x4, 3 positive; p=1.0 lands in bin 9
+    rows = [(0.05, 1), (0.05, 0), (0.05, 0), (0.05, 0)] + [
+        (0.95, 1), (0.95, 1), (1.0, 1), (0.95, 0)
+    ]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {r["bin"]: r for r in calibration_bins(df, "p", "y", 10).collect()}
+    assert set(got) == {0, 9}
+    assert got[0]["pos_rate"] == 0.25 and got[0]["gap"] == 0.2
+    assert got[9]["n"] == 4
+    ece = sum(r["ece_term"] for r in got.values())
+    assert abs(ece - (0.5 * 0.2 + 0.5 * abs(0.75 - 0.9625))) < 1e-9
+
+
+def test_holt_winters_matches_pure_python(spark):
+    import math as _math
+
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        holt_winters,
+    )
+
+    xs = [10 + 3 * _math.sin(i * 2 * _math.pi / 7) + 0.1 * i for i in range(20)]
+    df = spark.createDataFrame(
+        [("a", i, x) for i, x in enumerate(xs)] + [("short", 0, 1.0)],
+        "g string, d int, v double",
+    )
+    got = {r["g"]: r for r in holt_winters(df, ["g"], "d", "v", 7).collect()}
+
+    a, b, g, P = 0.3, 0.1, 0.2, 7
+    s = xs[0]
+    for x in xs[1:P]:
+        s = s + x  # left-assoc fold, matching the engine
+    lvl, trd = s / 7.0, 0.0
+    seas = [x - lvl for x in xs[:P]]
+    for x in xs[P:]:
+        sc = seas[0]
+        nl = a * (x - sc) + (1 - a) * (lvl + trd)
+        trd = b * (nl - lvl) + (1 - b) * trd
+        seas = seas[1:] + [g * (x - nl) + (1 - g) * sc]
+        lvl = nl
+    assert got["a"]["level"] == round(lvl, 6)
+    assert got["a"]["trend"] == round(trd, 6)
+    assert got["a"]["seasonal_next"] == round(seas[0], 6)
+    assert "short" not in got  # < period+1 observations
+
+
+def test_delta_ratio_metric_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        delta_ratio_metric,
+    )
+
+    rows = [
+        ("A", 1, 2.0, 4.0), ("A", 2, 1.0, 1.0), ("A", 3, 3.0, 5.0),
+        ("B", 4, 0.0, 2.0), ("B", 5, 2.0, 2.0),
+        ("empty", 6, 1.0, 0.0), ("empty", 7, 0.0, 0.0),  # sy = 0: dropped
+    ]
+    df = spark.createDataFrame(rows, "arm string, u int, x double, y double")
+    got = {r["arm"]: r for r in delta_ratio_metric(df, "arm", "u", "x", "y").collect()}
+    assert got["A"]["ratio"] == 0.6 and got["A"]["n"] == 3
+    assert got["A"]["se"] > 0
+    assert got["B"]["ratio"] == 0.5
+    assert "empty" not in got
+
+
+def test_srm_check_flags_mismatch(spark):
+    from botkop_telcotraffic_spark_spark.operators.experiment import srm_check
+
+    # 90/10 split over 100 units: chi2 = (40^2/50)*2 = 64 -> srm
+    rows = [("a", i) for i in range(90)] + [("b", 1000 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "arm string, u int")
+    got = {r["arm"]: r for r in srm_check(df, "arm", "u").collect()}
+    assert got["a"]["n_units"] == 90 and got["a"]["expected_units"] == 50.0
+    assert got["a"]["chi2"] == 64.0 and got["a"]["srm"] == 1
+
+    # exact 50/50: chi2 = 0, no flag; duplicate rows per unit ignored
+    rows = [("a", i) for i in range(50)] * 3 + [("b", 100 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "arm string, u int")
+    got = {r["arm"]: r for r in srm_check(df, "arm", "u").collect()}
+    assert got["b"]["chi2"] == 0.0 and got["b"]["srm"] == 0

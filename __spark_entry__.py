@@ -11174,6 +11174,128 @@ def streaming_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def ngram_novelty_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle novelty (operators/text.py::ngram_novelty):
+    share of each doc's distinct 3-shingles first seen in THIS doc
+    (lowest doc_id owns a shingle) — the adds-nothing-new
+    curation audit next to the dedup family, on the same
+    rolling-fingerprint postings relation."""
+    from botkop_telcotraffic_spark_spark.operators.text import ngram_novelty
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_novelty(d, "doc_id", "text", k=3)
+
+
+_NOVELTY_SQL = f"""
+WITH {_POSTINGS_CTE},
+pm AS MATERIALIZED (SELECT * FROM post),
+firsts AS (SELECT tok, min(id) AS f FROM pm GROUP BY 1)
+SELECT pm.id AS doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN pm.id = f THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN pm.id = f THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) + 0.0 AS novelty
+FROM pm JOIN firsts USING (tok) GROUP BY 1
+"""
+
+
+def burst_runs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-spike profile (operators/timeseries.py::burst_runs): per
+    event type, hourly buckets busier than 2x the type's mean hourly
+    count, plus the longest consecutive bursty run — flash-crowd vs
+    steady-overload discrimination via gaps-and-islands."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import burst_runs
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "hr", F.date_trunc("hour", "ts")
+    )
+    return burst_runs(e, ["event_type"], "hr", factor=2.0)
+
+
+_BURST_SQL = """
+WITH cells AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+), means AS (
+  SELECT event_type, sum(n) / count(*) AS mu FROM cells GROUP BY 1
+), flagged AS (
+  SELECT c.event_type, c.b,
+         CASE WHEN c.n > CAST(2.0 AS DOUBLE) * m.mu THEN 1 ELSE 0 END
+           AS hot
+  FROM cells c JOIN means m USING (event_type)
+), ranked AS (
+  SELECT event_type, hot,
+         row_number() OVER (PARTITION BY event_type ORDER BY b) AS rk,
+         sum(hot) OVER (PARTITION BY event_type ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hrk
+  FROM flagged
+), runs AS (
+  SELECT event_type, rk - hrk AS isl, count(*) AS len
+  FROM ranked WHERE hot = 1 GROUP BY 1, 2
+), per_key AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(hot) AS BIGINT) AS n_bursty
+  FROM ranked GROUP BY 1
+), longest AS (
+  SELECT event_type, CAST(max(len) AS BIGINT) AS max_run
+  FROM runs GROUP BY 1
+)
+SELECT p.event_type, p.n_buckets, p.n_bursty,
+       CAST(coalesce(l.max_run, 0) AS BIGINT) AS max_run,
+       round(CAST(p.n_bursty AS DOUBLE) / CAST(p.n_buckets AS DOUBLE), 6)
+         + 0.0 AS burst_share
+FROM per_key p LEFT JOIN longest l USING (event_type)
+"""
+
+
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture (operators/profile.py::
+    capture_recapture): estimate the TOTAL user population from two
+    observation windows (days 1-10 vs days 21+) and their overlap —
+    "how many users exist that we never saw" for coverage audits."""
+    from botkop_telcotraffic_spark_spark.operators.profile import (
+        capture_recapture,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "occ",
+        F.when(F.dayofmonth("ts") <= 10, 0).when(
+            F.dayofmonth("ts") > 20, 1
+        ),
+    ).where(F.col("occ").isNotNull())
+    return capture_recapture(e, "user_id", "occ")
+
+
+_CAPTURE_SQL = """
+WITH rows_ AS (
+  SELECT user_id,
+         CASE WHEN day(ts) <= 10 THEN 0
+              WHEN day(ts) > 20 THEN 1 END AS occ
+  FROM events
+  WHERE day(ts) <= 10 OR day(ts) > 20
+), units AS (
+  SELECT user_id,
+         max(CASE WHEN occ = 0 THEN 1 ELSE 0 END) AS s0,
+         max(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS s1
+  FROM rows_ GROUP BY 1
+), g AS (
+  SELECT CAST(sum(s0) AS DOUBLE) AS n1, CAST(sum(s1) AS DOUBLE) AS n2,
+         CAST(sum(s0 * s1) AS DOUBLE) AS m
+  FROM units
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(m AS BIGINT) AS m,
+       round((n1 + 1) * (n2 + 1) / (m + 1) - 1, 6) + 0.0
+         AS est_population,
+       round(sqrt(((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m))
+             / ((m + 1) * (m + 1) * (m + 2))), 6) + 0.0 AS se
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11199,6 +11321,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "ngram_novelty_docs": (ngram_novelty_docs, _NOVELTY_SQL),
+    "burst_runs_events": (burst_runs_events, _BURST_SQL),
+    "capture_recapture_users": (
+        capture_recapture_users,
+        _CAPTURE_SQL,
+    ),
     "streaming_conversion_lag": (streaming_conversion_lag, _CONV_LAG_SQL),
     "conversion_lag_users": (conversion_lag_users, _CONV_LAG_SQL),
     "dow_anova_value_events": (dow_anova_value_events, _DOW_ANOVA_SQL),

@@ -464,3 +464,50 @@ def cramers_v(
         (F.round(chi2, round_to) + F.lit(0.0)).alias("chi2"),
         (F.round(v, round_to) + F.lit(0.0)).alias("v"),
     )
+
+
+def capture_recapture(
+    df: DataFrame,
+    unit_col: str,
+    occasion_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chapman capture-recapture population estimate (Chapman 1951,
+    the bias-corrected Lincoln-Petersen index; standard in ecology
+    and increasingly in data-quality work — "how many users/entities
+    exist that we have NOT observed yet"): with n1, n2 the units seen
+    on each of two occasions and m the units seen on both,
+
+        N̂ = (n1 + 1)(n2 + 1) / (m + 1) - 1
+        var(N̂) = (n1+1)(n2+1)(n1-m)(n2-m) / ((m+1)²(m+2))
+
+    ``occasion_col`` must be 0/1.  Output: one row — n1, n2, m,
+    est_population, se.  The estimate is undefined at m = 0 only in
+    the uncorrected form; Chapman stays finite.
+
+    Scale shape: ONE distinct-reducing aggregate to (unit,
+    seen0, seen1) flags (map-side combined max), one 1-row reduce —
+    scan-once, nothing data-sized downstream.
+    """
+    occ = F.col(occasion_col).cast("int")
+    units = df.groupBy(F.col(unit_col).alias("_u")).agg(
+        F.max(F.when(occ == 0, 1).otherwise(0)).alias("_s0"),
+        F.max(F.when(occ == 1, 1).otherwise(0)).alias("_s1"),
+    )
+    g = units.agg(
+        F.sum("_s0").cast("double").alias("_n1"),
+        F.sum("_s1").cast("double").alias("_n2"),
+        F.sum(F.col("_s0") * F.col("_s1")).cast("double").alias("_m"),
+    )
+    n1, n2, m = F.col("_n1"), F.col("_n2"), F.col("_m")
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    var = ((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)) / (
+        (m + 1) * (m + 1) * (m + 2)
+    )
+    return g.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        m.cast("long").alias("m"),
+        (F.round(est, round_to) + F.lit(0.0)).alias("est_population"),
+        (F.round(F.sqrt(var), round_to) + F.lit(0.0)).alias("se"),
+    )

@@ -722,3 +722,62 @@ def flesch_readability(
         syls.cast("long").alias("n_syllables"),
         (F.round(flesch, round_to) + F.lit(0.0)).alias("flesch"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY score: the fraction of the doc's
+    distinct k-shingles whose FIRST appearance in the corpus (lowest
+    id owns a shingle) is this document — the memorization/
+    boilerplate audit a pretraining curation pass runs to find docs
+    that add nothing new (novelty ~ 0: every shingle already seen)
+    versus fresh material (novelty ~ 1).  Deterministic given the id
+    order; the id is the arrival proxy, the standard convention for
+    "seen before".
+
+    Output: (id_col, n_shingles, n_novel, novelty).
+
+    Scale shape: the postings relation (dedup.token_postings — the
+    same rolling-fingerprint shingle ids the dedup family shuffles)
+    is aggregated once to (tok, min_id) — map-side combined min —
+    and joined back to the postings on the shingle key; both sides
+    shuffle on `tok`, nothing is ever corpus² and no global dictionary
+    or sort exists.  At 100 TB this is two shuffles of the postings
+    table, the same budget as one near-dup candidate pass.
+    """
+    from botkop_telcotraffic_spark_spark.operators.dedup import (
+        token_postings,
+    )
+
+    post = token_postings(df, id_col, text_col, k)
+    firsts = post.groupBy("tok").agg(F.min("id").alias("_first"))
+    j = post.join(firsts, "tok")
+    return (
+        j.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("id") == F.col("_first"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            (
+                F.round(
+                    F.col("n_novel").cast("double")
+                    / F.col("n_shingles").cast("double"),
+                    round_to,
+                )
+                + F.lit(0.0)
+            ).alias("novelty"),
+        )
+    )

@@ -900,3 +900,77 @@ def holt_winters(
             F.round(st[0] + st[1] + st[2], round_to) + F.lit(0.0)
         ).alias("forecast"),
     )
+
+
+def burst_runs(
+    df: DataFrame,
+    key_cols,
+    bucket_col: str,
+    factor: float = 2.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Burst detection over a pre-bucketed count series: per key,
+    buckets whose event count exceeds ``factor`` x the key's mean
+    bucket count are "bursty"; output counts the bursty buckets and
+    the longest consecutive RUN of them (consecutiveness = adjacent
+    rank in the key's bucket order) — the load-spike profile
+    (flash-crowd vs steady overload) a capacity planner reads next
+    to the busy hour.
+
+    Output: (keys..., n_buckets, n_bursty, max_run, burst_share).
+
+    The mean-threshold comparison uses the UNROUNDED mean on both
+    engines (one division, deterministic from integer sums).  Scale
+    shape: one keyed (key, bucket) count aggregate, one keyed mean
+    re-aggregate of that cells table joined back, one window pass
+    over the key's OWN bucket table (calendar-bounded) for the
+    run-length — the gaps-and-islands pattern; the fact table
+    shuffles once.
+    """
+    from pyspark.sql import Window
+
+    key_cols = list(key_cols)
+    cells = df.groupBy(*key_cols, F.col(bucket_col).alias("_b")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    means = cells.groupBy(*key_cols).agg(
+        (F.sum("_n") / F.count(F.lit(1))).alias("_mu")
+    )
+    j = cells.join(means, key_cols).withColumn(
+        "_hot", (F.col("_n") > F.lit(float(factor)) * F.col("_mu")).cast("int")
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_b")
+    # gaps-and-islands: island id = rank - hot_rank stays constant
+    # within a consecutive hot run
+    j = j.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_hrk",
+        F.sum("_hot").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = (
+        j.where(F.col("_hot") == 1)
+        .groupBy(*key_cols, (F.col("_rk") - F.col("_hrk")).alias("_isl"))
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    per_key = j.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("_hot").cast("long").alias("n_bursty"),
+    )
+    longest = runs.groupBy(*key_cols).agg(
+        F.max("_len").cast("long").alias("max_run")
+    )
+    return per_key.join(longest, key_cols, "left").select(
+        *key_cols,
+        "n_buckets",
+        "n_bursty",
+        F.coalesce("max_run", F.lit(0)).cast("long").alias("max_run"),
+        (
+            F.round(
+                F.col("n_bursty").cast("double")
+                / F.col("n_buckets").cast("double"),
+                round_to,
+            )
+            + F.lit(0.0)
+        ).alias("burst_share"),
+    )

@@ -4526,3 +4526,56 @@ def test_srm_check_flags_mismatch(spark):
     df = spark.createDataFrame(rows, "arm string, u int")
     got = {r["arm"]: r for r in srm_check(df, "arm", "u").collect()}
     assert got["b"]["chi2"] == 0.0 and got["b"]["srm"] == 0
+
+
+def test_ngram_novelty_first_doc_owns_all(spark):
+    from botkop_telcotraffic_spark_spark.operators.text import ngram_novelty
+
+    docs = [
+        (1, "a b c d e"),          # first doc: everything novel
+        (2, "a b c d e"),          # exact dup: nothing novel
+        (3, "a b c x y z"),        # shares 'a b c' only
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(df, "doc_id", "text", 3).collect()}
+    assert got[1]["novelty"] == 1.0 and got[1]["n_shingles"] == 3
+    assert got[2]["novelty"] == 0.0
+    # doc 3 shingles: abc (seen), bcx, cxy, xyz -> 3/4 novel
+    assert got[3]["n_shingles"] == 4 and got[3]["novelty"] == 0.75
+
+
+def test_burst_runs_islands(spark):
+    from botkop_telcotraffic_spark_spark.operators.timeseries import burst_runs
+
+    # 12 buckets, counts [1,1,9,9,9,1,9,1,1,1,1,1]: mean = 44/12 ≈
+    # 3.67, 2x ≈ 7.33 -> the four 9s are hot; runs [2,3,4] (len 3)
+    # and [6] (len 1) -> max_run 3
+    rows = []
+    counts = [1, 1, 9, 9, 9, 1, 9, 1, 1, 1, 1, 1]
+    for b, c in enumerate(counts):
+        rows += [("a", b)] * c
+    df = spark.createDataFrame(rows, "k string, b int")
+    r = burst_runs(df, ["k"], "b", factor=2.0).collect()[0]
+    assert r["n_buckets"] == 12 and r["n_bursty"] == 4
+    assert r["max_run"] == 3
+    assert r["burst_share"] == round(4 / 12, 6)
+
+    # no bursty buckets: max_run coalesces to 0
+    flat = spark.createDataFrame([("a", 0), ("a", 1)], "k string, b int")
+    r = burst_runs(flat, ["k"], "b", factor=2.0).collect()[0]
+    assert r["n_bursty"] == 0 and r["max_run"] == 0
+
+
+def test_capture_recapture_chapman(spark):
+    from botkop_telcotraffic_spark_spark.operators.profile import (
+        capture_recapture,
+    )
+
+    # occasion 0 sees users 1-60, occasion 1 sees 41-100: n1=60, n2=60,
+    # m=20 -> Chapman est = 61*61/21 - 1
+    rows = [(u, 0) for u in range(1, 61)] + [(u, 1) for u in range(41, 101)]
+    df = spark.createDataFrame(rows, "u int, occ int")
+    r = capture_recapture(df, "u", "occ").collect()[0]
+    assert (r["n1"], r["n2"], r["m"]) == (60, 60, 20)
+    assert r["est_population"] == round(61 * 61 / 21 - 1, 6)
+    assert r["se"] > 0

@@ -11296,6 +11296,166 @@ FROM g
 """
 
 
+
+
+def holt_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy backtest (operators/timeseries.py::
+    holt_backtest): fit Holt on the first 80% of each event type's
+    daily mean series, score MAE/RMSE on the held-out tail — the
+    evaluation row that belongs next to any forecaster."""
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        holt_backtest,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg((F.round(F.avg("value"), 6) + F.lit(0.0)).alias("v"))
+    )
+    return holt_backtest(daily, ["event_type"], "day", "v")
+
+
+def _holt_backtest_sql() -> str:
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        holt_update_sql,
+    )
+
+    step = holt_update_sql("st", "e[1]", 0.5, 0.3, "duckdb")
+    err = "((st[1] + CAST(h AS DOUBLE) * st[2]) - vs[tn + h])"
+    return f"""
+WITH daily AS (
+  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS day,
+         round(avg(value), 6) + 0.0 AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), series AS (
+  SELECT event_type, list(v ORDER BY day) AS vs,
+         CAST(floor(len(list(v ORDER BY day))
+              * CAST(0.8 AS DOUBLE)) AS INT) AS tn
+  FROM daily GROUP BY 1
+), fitted AS (
+  SELECT event_type, vs, tn,
+         list_reduce(
+           list_prepend([vs[1], vs[2] - vs[1]],
+             list_transform(vs[3:tn], x -> [x, CAST(0.0 AS DOUBLE)])),
+           (st, e) -> {step}) AS st
+  FROM series WHERE tn >= 2 AND len(vs) > tn
+), scored AS (
+  SELECT event_type, len(vs) AS n, tn, len(vs) - tn AS h_n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(vs) - tn + 1),
+             h -> abs({err}))), (acc, x) -> acc + x) AS sae,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(vs) - tn + 1),
+             h -> {err} * {err})), (acc, x) -> acc + x) AS sse
+  FROM fitted
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(tn AS BIGINT) AS train_n,
+       CAST(h_n AS BIGINT) AS horizon,
+       round(sae / CAST(h_n AS DOUBLE), 6) + 0.0 AS mae,
+       round(sqrt(sse / CAST(h_n AS DOUBLE)), 6) + 0.0 AS rmse
+FROM scored
+"""
+
+
+def anomaly_ensemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly-detector ENSEMBLE: per event type, how many rows each
+    of the engine's three outlier detectors flags — z-score (3σ on
+    rounded moments), exact-order-statistic IQR fences
+    (operators/iqr.py::iqr_bounds), Iglewicz-Hoaglin MAD — and how
+    many a >=2-of-3 majority confirms.  The detector-agreement audit
+    that decides which alert actually pages someone.  Three
+    broadcast-joined per-type threshold tables, one flag aggregate;
+    the fact table is never shuffled."""
+    from botkop_telcotraffic_spark_spark.operators import iqr as _iqr
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = F.col("value").cast("double")
+    zs = e.groupBy("event_type").agg(
+        (F.round(F.avg(v), 6) + F.lit(0.0)).alias("_mu"),
+        (F.round(F.stddev_pop(v), 6) + F.lit(0.0)).alias("_sd"),
+    )
+    bounds = _iqr.iqr_bounds(e, ["event_type"], "value", mode="exact").select(
+        "event_type", "lo", "hi"
+    )
+    med = e.groupBy("event_type").agg(
+        F.percentile(v, F.lit(0.5)).alias("_med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad")
+        )
+    )
+    j = (
+        e.join(F.broadcast(zs), "event_type")
+        .join(F.broadcast(bounds), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+    )
+    fz = (F.abs(v - F.col("_mu")) > 3 * F.col("_sd")).cast("int")
+    fi = ((v < F.col("lo")) | (v > F.col("hi"))).cast("int")
+    fm = (F.abs(v - F.col("_med")) > F.lit(5.1891) * F.col("_mad")).cast(
+        "int"
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(fz).cast("long").alias("n_z"),
+        F.sum(fi).cast("long").alias("n_iqr"),
+        F.sum(fm).cast("long").alias("n_mad"),
+        F.sum(((fz + fi + fm) >= 2).cast("int"))
+        .cast("long")
+        .alias("n_consensus"),
+    )
+
+
+_ENSEMBLE_SQL = """
+WITH vals AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), zs AS (
+  SELECT event_type, round(avg(v), 6) + 0.0 AS mu,
+         round(stddev_pop(v), 6) + 0.0 AS sd
+  FROM vals GROUP BY 1
+), s AS (
+  SELECT event_type, list_sort(list(v)) AS sv, count(*) AS n
+  FROM vals GROUP BY 1
+), b AS (
+  SELECT event_type,
+         CASE WHEN n <= 4 THEN -1.7976931348623157e308
+              ELSE sv[CAST(n // 4 AS INT) + 1]
+                   - 1.5 * (sv[CAST((3 * n) // 4 AS INT) + 1]
+                            - sv[CAST(n // 4 AS INT) + 1]) END AS lo,
+         CASE WHEN n <= 4 THEN 1.7976931348623157e308
+              ELSE sv[CAST((3 * n) // 4 AS INT) + 1]
+                   + 1.5 * (sv[CAST((3 * n) // 4 AS INT) + 1]
+                            - sv[CAST(n // 4 AS INT) + 1]) END AS hi
+  FROM s
+), med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med FROM vals GROUP BY 1
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.v - m.med), 0.5) AS mad
+  FROM vals e JOIN med m USING (event_type) GROUP BY 1
+), flags AS (
+  SELECT e.event_type,
+         CASE WHEN abs(e.v - z.mu) > 3 * z.sd THEN 1 ELSE 0 END AS fz,
+         CASE WHEN e.v < b.lo OR e.v > b.hi THEN 1 ELSE 0 END AS fi,
+         CASE WHEN abs(e.v - m.med) > 5.1891 * d.mad THEN 1 ELSE 0 END
+           AS fm
+  FROM vals e JOIN zs z USING (event_type) JOIN b USING (event_type)
+       JOIN med m USING (event_type) JOIN mad d USING (event_type)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(fz) AS BIGINT) AS n_z,
+       CAST(sum(fi) AS BIGINT) AS n_iqr,
+       CAST(sum(fm) AS BIGINT) AS n_mad,
+       CAST(sum(CASE WHEN fz + fi + fm >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_consensus
+FROM flags GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11321,6 +11481,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "holt_backtest_events": (holt_backtest_events, _holt_backtest_sql()),
+    "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
     "ngram_novelty_docs": (ngram_novelty_docs, _NOVELTY_SQL),
     "burst_runs_events": (burst_runs_events, _BURST_SQL),
     "capture_recapture_users": (

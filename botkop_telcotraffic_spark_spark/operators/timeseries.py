@@ -974,3 +974,88 @@ def burst_runs(
             + F.lit(0.0)
         ).alias("burst_share"),
     )
+
+
+def holt_backtest(
+    df: DataFrame,
+    group_cols,
+    order_col: str,
+    value_col: str,
+    train_frac: float = 0.8,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Time-split BACKTEST of the Holt linear forecaster: per group,
+    fit on the first floor(n·train_frac) observations, forecast the
+    remaining horizon as level + h·trend, and report MAE and RMSE
+    against the held-out actuals — the forecast-accuracy readout
+    that turns a smoother into an evaluated model (standard
+    rolling-origin evaluation, Tashman 2000, public literature).
+
+    Output: (keys..., n, train_n, horizon, mae, rmse).  Groups
+    whose train split has < 2 points or whose horizon is empty are
+    dropped.
+
+    Determinism/scale: identical contracts to :func:`holt_linear` —
+    the fit is the shared dual-dialect fold over the SORTED series,
+    the error sums are folds over an integer horizon sequence, and
+    everything runs scan-side on the calendar-bounded aggregated
+    relation (one shuffle on the group key).
+    """
+    group_cols = list(group_cols)
+    vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"), F.col(value_col).alias("v")
+                )
+            )
+        ),
+        lambda s: s["v"],
+    )
+    tf = f"CAST({train_frac!r} AS DOUBLE)"
+    g = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(vals.alias("_vs"))
+        .withColumn(
+            "_tn", F.expr(f"CAST(floor(size(_vs) * {tf}) AS INT)")
+        )
+        .where((F.col("_tn") >= 2) & (F.size("_vs") > F.col("_tn")))
+    )
+    step = holt_update_sql("st", "x", alpha, beta, "spark")
+    fit = (
+        f"aggregate(slice(_vs, 3, greatest(_tn - 2, 0)), "
+        f"array(element_at(_vs, 1), element_at(_vs, 2) - element_at(_vs, 1)), "
+        f"(st, x) -> {step})"
+    )
+    g = g.withColumn("_st", F.expr(fit))
+    err = (
+        "(element_at(_st, 1) + CAST(h AS DOUBLE) * element_at(_st, 2))"
+        " - element_at(_vs, _tn + h)"
+    )
+    g = g.withColumn(
+        "_sae",
+        F.expr(
+            f"aggregate(sequence(1, size(_vs) - _tn), CAST(0.0 AS DOUBLE), "
+            f"(acc, h) -> acc + abs({err}))"
+        ),
+    ).withColumn(
+        "_sse",
+        F.expr(
+            f"aggregate(sequence(1, size(_vs) - _tn), CAST(0.0 AS DOUBLE), "
+            f"(acc, h) -> acc + ({err}) * ({err}))"
+        ),
+    )
+    h = (F.size("_vs") - F.col("_tn")).cast("double")
+    return g.select(
+        *group_cols,
+        F.size("_vs").cast("long").alias("n"),
+        F.col("_tn").cast("long").alias("train_n"),
+        h.cast("long").alias("horizon"),
+        (F.round(F.col("_sae") / h, round_to) + F.lit(0.0)).alias("mae"),
+        (
+            F.round(F.sqrt(F.col("_sse") / h), round_to) + F.lit(0.0)
+        ).alias("rmse"),
+    )

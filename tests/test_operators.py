@@ -4579,3 +4579,28 @@ def test_capture_recapture_chapman(spark):
     assert (r["n1"], r["n2"], r["m"]) == (60, 60, 20)
     assert r["est_population"] == round(61 * 61 / 21 - 1, 6)
     assert r["se"] > 0
+
+
+def test_holt_backtest_errors_hand(spark):
+    from botkop_telcotraffic_spark_spark.operators.timeseries import (
+        holt_backtest,
+    )
+
+    # 5 points, train_frac .8 -> train on 4, horizon 1.
+    # train [10,12,13,15.5]: level/trend from the holt_linear test
+    # (15.075, 2.2775) -> forecast 17.3525 vs actual 18.0
+    xs = [10.0, 12.0, 13.0, 15.5, 18.0]
+    df = spark.createDataFrame(
+        [("a", i, x) for i, x in enumerate(xs)], "g string, d int, v double"
+    )
+    r = holt_backtest(df, ["g"], "d", "v").collect()[0]
+    assert (r["n"], r["train_n"], r["horizon"]) == (5, 4, 1)
+    expect = abs(15.075 + 2.2775 - 18.0)
+    assert r["mae"] == round(expect, 6)
+    assert r["rmse"] == round(expect, 6)  # horizon 1: rmse == mae
+
+    # horizon empty (n=2 -> tn=1 < 2): dropped
+    short = spark.createDataFrame(
+        [("b", 0, 1.0), ("b", 1, 2.0)], "g string, d int, v double"
+    )
+    assert holt_backtest(short, ["g"], "d", "v").count() == 0

@@ -8501,7 +8501,7 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_SQL = """
 WITH h AS (
   SELECT DISTINCT event_type,
-         (999883 * CAST(user_id AS BIGINT) + 12345) % 1000000007 AS h
+         (((999883 * CAST(user_id AS BIGINT) + 12345) % 1000000007) * ((999883 * CAST(user_id AS BIGINT) + 12345) % 1000000007) + 999979 * ((999883 * CAST(user_id AS BIGINT) + 12345) % 1000000007) + 67890) % 1000000007 AS h
   FROM events WHERE user_id IS NOT NULL
 ),
 kp AS (
@@ -10907,7 +10907,7 @@ def kmv_setops_click_purchase(
 _KMV_SETOPS_SQL = """
 WITH h AS (
   SELECT DISTINCT event_type,
-         (999883 * CAST(user_id AS BIGINT) + 12345) % 1000000007 AS h
+         (((999883 * CAST(user_id AS BIGINT) + 12345) % 1000000007) * ((999883 * CAST(user_id AS BIGINT) + 12345) % 1000000007) + 999979 * ((999883 * CAST(user_id AS BIGINT) + 12345) % 1000000007) + 67890) % 1000000007 AS h
   FROM events
   WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
 ), kp AS (
@@ -11456,6 +11456,121 @@ FROM flags GROUP BY 1
 """
 
 
+
+
+def sketch_accuracy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy AUDIT: per event type, the exact distinct user
+    count next to the KMV (k=64) and register-table HLL (m=256)
+    estimates with their relative errors — the table that justifies
+    a sketch's error budget before it replaces an exact distinct at
+    100 TB.  Composes the already-oracled sketch operators; every
+    estimate is the deterministic portable-hash family, so the whole
+    audit is hash-checkable."""
+    from botkop_telcotraffic_spark_spark.operators import sketch as _sk
+
+    e = _t(spark, sf_dir, "events")
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    kmv = _sk.kmv_estimate(
+        _sk.kmv_build(e, ["event_type"], "user_id", k=64), k=64
+    ).select("event_type", F.col("est_distinct").alias("est_kmv"))
+    hll = _sk.ohll_estimate(
+        _sk.ohll_registers(e, ["event_type"], "user_id"),
+        ["event_type"],
+    ).select("event_type", F.col("est_distinct").alias("est_hll"))
+    j = exact.join(kmv, "event_type").join(hll, "event_type")
+    ex = F.col("exact_distinct").cast("double")
+    return j.select(
+        "event_type",
+        "exact_distinct",
+        "est_kmv",
+        (
+            F.round(F.abs(F.col("est_kmv") - ex) / ex, 6) + F.lit(0.0)
+        ).alias("kmv_rel_err"),
+        "est_hll",
+        (
+            F.round(F.abs(F.col("est_hll") - ex) / ex, 6) + F.lit(0.0)
+        ).alias("hll_rel_err"),
+    )
+
+
+def _sketch_accuracy_sql() -> str:
+    from botkop_telcotraffic_spark_spark.operators.sketch import (
+        _OHLL_A,
+        _OHLL_A2,
+        _OHLL_B,
+        _OHLL_B2,
+        _OHLL_P,
+        ohll_alpha,
+    )
+
+    p = 8
+    m = 1 << p
+    width = 30 - p
+    raw = (
+        f"CAST({ohll_alpha(m)!r} AS DOUBLE) * {m * m}.0"
+        f" / (s_set + ({m} - n_set))"
+    )
+    return f"""
+WITH exact AS (
+  SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+), kh AS (
+  SELECT DISTINCT event_type,
+         (((999883 * CAST(user_id AS BIGINT) + 12345) % 1000000007) * ((999883 * CAST(user_id AS BIGINT) + 12345) % 1000000007) + 999979 * ((999883 * CAST(user_id AS BIGINT) + 12345) % 1000000007) + 67890) % 1000000007 AS h
+  FROM events WHERE user_id IS NOT NULL
+), kp AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM kh
+), kmv AS (
+  SELECT event_type, list(h ORDER BY h) AS kmv FROM kp
+  WHERE rn <= 64 GROUP BY 1
+), kest AS (
+  SELECT event_type,
+         round(CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS DOUBLE)
+               ELSE 63.0 * 1000000007 / CAST(kmv[64] AS DOUBLE) END, 6)
+           + 0.0 AS est_kmv
+  FROM kmv
+), hh AS (
+  SELECT event_type,
+         ({_OHLL_A} * CAST(user_id AS BIGINT) + {_OHLL_B}) % {_OHLL_P} AS h
+  FROM events WHERE user_id IS NOT NULL
+), mixed AS (
+  SELECT event_type,
+         (h * h + {_OHLL_A2} * h + {_OHLL_B2}) % {_OHLL_P} AS mix
+  FROM hh
+), regs AS (
+  SELECT event_type, CAST(mix % {m} AS INT) AS reg,
+         CAST(max(CASE WHEN mix // {m} = 0 THEN {width + 1}
+                  ELSE {width + 1} - length(bin(mix // {m})) END) AS INT)
+           AS mx
+  FROM mixed GROUP BY 1, 2
+), hagg AS (
+  SELECT event_type,
+         sum(1.0 / CAST((CAST(1 AS BIGINT) << mx) AS DOUBLE)) AS s_set,
+         count(*) AS n_set
+  FROM regs GROUP BY 1
+), hest AS (
+  SELECT event_type,
+         round(CASE WHEN {raw} <= {2.5 * m} AND {m} - n_set > 0
+               THEN {m}.0 * ln({m}.0 / ({m} - n_set))
+               ELSE {raw} END, 6) + 0.0 AS est_hll
+  FROM hagg
+)
+SELECT e.event_type, e.exact_distinct, k.est_kmv,
+       round(abs(k.est_kmv - CAST(e.exact_distinct AS DOUBLE))
+             / CAST(e.exact_distinct AS DOUBLE), 6) + 0.0 AS kmv_rel_err,
+       h.est_hll,
+       round(abs(h.est_hll - CAST(e.exact_distinct AS DOUBLE))
+             / CAST(e.exact_distinct AS DOUBLE), 6) + 0.0 AS hll_rel_err
+FROM exact e JOIN kest k USING (event_type)
+     JOIN hest h USING (event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11481,6 +11596,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "sketch_accuracy_users": (
+        sketch_accuracy_users,
+        _sketch_accuracy_sql(),
+    ),
     "holt_backtest_events": (holt_backtest_events, _holt_backtest_sql()),
     "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
     "ngram_novelty_docs": (ngram_novelty_docs, _NOVELTY_SQL),

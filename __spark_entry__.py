@@ -11571,6 +11571,168 @@ FROM exact e JOIN kest k USING (event_type)
 """
 
 
+
+
+def experiment_readout_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation FLAGSHIP — the engine's A/B operators COMPOSED
+    into the one table an experiment review reads: per parity arm,
+    the SRM validity gate (srm_check), CUPED-adjusted means with the
+    realized variance reduction (cuped_adjust, pooled theta,
+    pre-period = first half of the month), the clicks-per-view ratio
+    with its delta-method SE (delta_ratio_metric, user grain), and
+    the experiment-level MDE at current sample sizes (mde_two_arm).
+    One unit-table build (one keyed aggregate of the fact table) +
+    four arm-sized joins; every ingredient is an already-oracled
+    operator and the pipeline oracle recomputes the full chain."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        cuped_adjust,
+        delta_ratio_metric,
+        mde_two_arm,
+        srm_check,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-15").cast("timestamp")
+    pu = (
+        e.groupBy("user_id")
+        .agg(
+            F.avg(F.when(F.col("ts") < split, F.col("value"))).alias("x"),
+            F.avg(F.when(F.col("ts") >= split, F.col("value"))).alias("y"),
+            F.sum(
+                (F.col("event_type") == "click").cast("double")
+            ).alias("clicks"),
+            F.sum(
+                (F.col("event_type") == "view").cast("double")
+            ).alias("views"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    )
+    # pin the unit table: four downstream readouts would otherwise
+    # each re-aggregate the fact scan (the pretrain_mix mid-chain
+    # localCheckpoint pattern; on a cluster: persist)
+    pu = pu.localCheckpoint()
+    srm = srm_check(pu, "arm", "user_id").select(
+        "arm", "n_units", "chi2", "srm"
+    )
+    cuped = cuped_adjust(pu, "y", "x", "arm").select(
+        "arm", "mean_y", "mean_cuped", "var_reduction"
+    )
+    ratio = delta_ratio_metric(
+        pu, "arm", "user_id", "clicks", "views"
+    ).select(
+        "arm",
+        F.col("ratio").alias("clicks_per_view"),
+        F.col("se").alias("ratio_se"),
+    )
+    mde = mde_two_arm(
+        pu.where(F.col("y").isNotNull()), [], "arm", "y"
+    ).select("sd_pooled", "mde")
+    return (
+        srm.join(cuped, "arm")
+        .join(ratio, "arm")
+        .crossJoin(F.broadcast(mde))
+    )
+
+
+_EXPERIMENT_READOUT_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         avg(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN value END) AS x,
+         avg(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN value END) AS y,
+         sum(CASE WHEN event_type = 'click' THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END) AS clicks,
+         sum(CASE WHEN event_type = 'view' THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END) AS views,
+         CAST(user_id % 2 AS INT) AS arm
+  FROM events GROUP BY user_id
+),
+srm_u AS (
+  SELECT arm, CAST(count(DISTINCT user_id) AS DOUBLE) AS n
+  FROM pu GROUP BY 1
+), srm_t AS (SELECT sum(n) AS nt, count(*) AS k FROM srm_u),
+srm_p AS (
+  SELECT arm, n, (n - nt / k) * (n - nt / k) / (nt / k) AS t
+  FROM srm_u, srm_t
+), srm_c AS (SELECT sum(t) AS chi2 FROM srm_p),
+srm AS (
+  SELECT arm, CAST(n AS BIGINT) AS n_units,
+         round(chi2, 6) + 0.0 AS chi2,
+         CAST(CASE WHEN chi2 > 3.841459 THEN 1 ELSE 0 END AS INT) AS srm
+  FROM srm_p, srm_c
+),
+cu AS (SELECT user_id, x, y, arm FROM pu WHERE y IS NOT NULL),
+cs AS (
+  SELECT covar_pop(x, y) AS cxy, var_pop(x) AS vx, avg(x) AS mx
+  FROM cu WHERE x IS NOT NULL
+),
+ca AS (
+  SELECT cu.*,
+         CASE WHEN x IS NOT NULL
+              THEN y - (CASE WHEN vx > 0 THEN cxy / vx ELSE 0 END)
+                   * (x - mx)
+              ELSE y END AS adj
+  FROM cu, cs
+),
+cuped AS (
+  SELECT arm,
+         round(avg(y), 6) + 0.0 AS mean_y,
+         round(avg(adj), 6) + 0.0 AS mean_cuped,
+         round(CASE WHEN var_pop(y) > 0
+               THEN 1.0 - var_pop(adj) / var_pop(y)
+               ELSE 0.0 END, 6) + 0.0 AS var_reduction
+  FROM ca GROUP BY arm
+),
+rarm AS (
+  SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+         sum(clicks) AS sx, sum(views) AS sy,
+         sum(clicks * clicks) AS sxx, sum(views * views) AS syy,
+         sum(clicks * views) AS sxy
+  FROM pu GROUP BY 1
+),
+ratio AS (
+  SELECT arm,
+         round((sx / n) / (sy / n), 6) + 0.0 AS clicks_per_view,
+         round(sqrt(greatest(
+           ((sxx - n * (sx / n) * (sx / n)) / (n - 1)
+            - 2 * ((sx / n) / (sy / n))
+              * ((sxy - n * (sx / n) * (sy / n)) / (n - 1))
+            + ((sx / n) / (sy / n)) * ((sx / n) / (sy / n))
+              * ((syy - n * (sy / n) * (sy / n)) / (n - 1)))
+           / (n * (sy / n) * (sy / n)), CAST(0.0 AS DOUBLE))), 6) + 0.0
+           AS ratio_se
+  FROM rarm WHERE n >= 2 AND sy <> 0
+),
+marm AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+    sum(CASE WHEN arm = 0 THEN y ELSE 0.0 END) AS sa,
+    sum(CASE WHEN arm = 1 THEN y ELSE 0.0 END) AS sb,
+    sum(CASE WHEN arm = 0 THEN y * y ELSE 0.0 END) AS ssa,
+    sum(CASE WHEN arm = 1 THEN y * y ELSE 0.0 END) AS ssb
+  FROM cu
+),
+mde AS (
+  SELECT
+    round(sqrt(greatest(
+      ((ssa - na * (sa / na) * (sa / na))
+       + (ssb - nb * (sb / nb) * (sb / nb))) / (na + nb - 2),
+      CAST(0.0 AS DOUBLE))), 6) + 0.0 AS sd_pooled,
+    round((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+      * sqrt(greatest(
+          ((ssa - na * (sa / na) * (sa / na))
+           + (ssb - nb * (sb / nb) * (sb / nb))) / (na + nb - 2),
+          CAST(0.0 AS DOUBLE)) * (1 / na + 1 / nb)), 6) + 0.0 AS mde
+  FROM marm WHERE na >= 2 AND nb >= 2
+)
+SELECT srm.arm, srm.n_units, srm.chi2, srm.srm,
+       cuped.mean_y, cuped.mean_cuped, cuped.var_reduction,
+       ratio.clicks_per_view, ratio.ratio_se,
+       mde.sd_pooled, mde.mde
+FROM srm JOIN cuped USING (arm) JOIN ratio USING (arm), mde
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11596,6 +11758,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "experiment_readout_ab": (
+        experiment_readout_ab,
+        _EXPERIMENT_READOUT_SQL,
+    ),
     "sketch_accuracy_users": (
         sketch_accuracy_users,
         _sketch_accuracy_sql(),

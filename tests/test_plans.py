@@ -594,6 +594,7 @@ def test_registry_wide_no_cartesian(spark):
         "srm_check_events",          # two 1-row total/chi2 scalars (r6)
         "kmv_setops_click_purchase", # two 1-row 64-hash sketches (r6)
         "dow_anova_value_events",    # one-row grand-total scalar (r6)
+        "experiment_readout_ab",     # composed 1-row scalar broadcasts (r6)
         "woe_iv_orders",             # one-row pos/neg-totals scalar (r6)
         "cramers_v_events",          # one-row n/r/c-totals scalar (r6)
         "calibration_bins_events",   # one-row ECE-weight total scalar (r6)

@@ -11733,6 +11733,178 @@ FROM srm JOIN cuped USING (arm) JOIN ratio USING (arm), mde
 """
 
 
+
+
+def salted_join_user_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-remediation surface (operators/skew.py::salted_join):
+    the events fact joined to a per-user segment dim through an
+    8-way SALTED join (each key spread over 8 shuffle partitions —
+    the standard hot-key fix the brief calls out), then revenue by
+    segment.  Salting is plan-level only, so the oracle is the plain
+    join: identical results, skew-proof shuffle."""
+    from botkop_telcotraffic_spark_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    dim = (
+        e.select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 5).cast("int"))
+    )
+    j = salted_join(e, dim, on=["user_id"], n_salts=8)
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("revenue"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+WITH dim AS (
+  SELECT DISTINCT user_id, CAST(user_id % 5 AS INT) AS segment
+  FROM events WHERE value IS NOT NULL
+)
+SELECT d.segment, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 4) + 0.0 AS revenue
+FROM events e JOIN dim d USING (user_id)
+WHERE e.value IS NOT NULL
+GROUP BY 1
+"""
+
+
+def two_prop_z_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (the everyday conversion-rate
+    comparison; normal approximation with pooled variance): purchase
+    share of events, parity arms.
+
+        z = (p1 - p0) / sqrt(p̂(1-p̂)(1/n0 + 1/n1))
+
+    One conditional aggregate; one row out (n/conv/p per arm, z)."""
+    e = _t(spark, sf_dir, "events")
+    a = (F.col("user_id") % 2).cast("int")
+    conv = (F.col("event_type") == "purchase").cast("double")
+    g = e.agg(
+        F.sum(F.when(a == 0, 1).otherwise(0)).cast("double").alias("_n0"),
+        F.sum(F.when(a == 1, 1).otherwise(0)).cast("double").alias("_n1"),
+        F.sum(F.when(a == 0, conv).otherwise(0.0)).alias("_c0"),
+        F.sum(F.when(a == 1, conv).otherwise(0.0)).alias("_c1"),
+    )
+    n0, n1, c0, c1 = (
+        F.col("_n0"), F.col("_n1"), F.col("_c0"), F.col("_c1")
+    )
+    p0, p1 = c0 / n0, c1 / n1
+    pooled = (c0 + c1) / (n0 + n1)
+    z = (p1 - p0) / F.sqrt(pooled * (1 - pooled) * (1 / n0 + 1 / n1))
+    return g.where((n0 > 0) & (n1 > 0)).select(
+        n0.cast("long").alias("n_0"),
+        n1.cast("long").alias("n_1"),
+        c0.cast("long").alias("conv_0"),
+        c1.cast("long").alias("conv_1"),
+        (F.round(p0, 6) + F.lit(0.0)).alias("p_0"),
+        (F.round(p1, 6) + F.lit(0.0)).alias("p_1"),
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
+    )
+
+
+_TWO_PROP_SQL = """
+WITH g AS (
+  SELECT
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+    sum(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS c0,
+    sum(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+        THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) AS c1
+  FROM events
+)
+SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+       CAST(c0 AS BIGINT) AS conv_0, CAST(c1 AS BIGINT) AS conv_1,
+       round(c0 / n0, 6) + 0.0 AS p_0,
+       round(c1 / n1, 6) + 0.0 AS p_1,
+       round((c1 / n1 - c0 / n0)
+             / sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1))
+                    * (1 / n0 + 1 / n1)), 6) + 0.0 AS z
+FROM g WHERE n0 > 0 AND n1 > 0
+"""
+
+
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-curve decay fit: pooled cohort retention rates
+    (operators/funnel.py::cohort_retention, rate = n_active(offset) /
+    n_active(0) per cohort) log-linear-fit against the offset with
+    timeseries.trend_ols — slope is the weekly decay constant
+    (half-life = ln(0.5)/slope), the one-number summary a retention
+    review wants from the triangle.  Rates are rounded to 6 before
+    ln on both engines."""
+    from botkop_telcotraffic_spark_spark.operators import funnel
+    from botkop_telcotraffic_spark_spark.operators.timeseries import trend_ols
+
+    e = _t(spark, sf_dir, "events")
+    tri = funnel.cohort_retention(
+        e, entity="user_id", ts_col="ts", period="week", max_offset=4
+    )
+    base = tri.where(F.col("offset") == 0).select(
+        "cohort_start", F.col("n_active").alias("_n0")
+    )
+    rates = (
+        tri.where(F.col("offset") >= 1)
+        .join(base, "cohort_start")
+        .select(
+            F.lit("retention").alias("series"),
+            F.col("offset").cast("double").alias("x"),
+            F.log(
+                F.round(
+                    F.col("n_active").cast("double")
+                    / F.col("_n0").cast("double"),
+                    6,
+                )
+            ).alias("y"),
+        )
+        .where(F.col("y").isNotNull())
+    )
+    return trend_ols(rates, ["series"], "x", "y")
+
+
+_RETENTION_FIT_SQL = """
+WITH first AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_start
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS p
+  FROM events
+), tri AS (
+  SELECT cohort_start,
+         CAST(date_diff('day', cohort_start, p) / 7 AS INT) AS off,
+         CAST(count(*) AS DOUBLE) AS n_active
+  FROM active JOIN first USING (user_id)
+  WHERE date_diff('day', cohort_start, p) / 7 <= 4
+  GROUP BY 1, 2
+), base AS (
+  SELECT cohort_start, n_active AS n0 FROM tri WHERE off = 0
+), pts AS (
+  SELECT 'retention' AS series, CAST(off AS DOUBLE) AS x,
+         ln(round(t.n_active / b.n0, 6) + 0.0) AS y
+  FROM tri t JOIN base b USING (cohort_start)
+  WHERE off >= 1 AND round(t.n_active / b.n0, 6) + 0.0 > 0
+), agg AS (
+  SELECT series, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts GROUP BY 1
+)
+SELECT series, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+       round(CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+         THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+         END, 6) AS intercept,
+       round(CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                   AND (n * syy - sy * sy) > 0
+         THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+              / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11758,6 +11930,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "salted_join_user_revenue": (
+        salted_join_user_revenue,
+        _SALTED_JOIN_SQL,
+    ),
+    "two_prop_z_events": (two_prop_z_events, _TWO_PROP_SQL),
+    "retention_decay_fit": (retention_decay_fit, _RETENTION_FIT_SQL),
     "experiment_readout_ab": (
         experiment_readout_ab,
         _EXPERIMENT_READOUT_SQL,

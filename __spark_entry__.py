@@ -11905,6 +11905,57 @@ FROM agg
 """
 
 
+
+
+def embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor (operators/embed.py::
+    centroid_drift): per label, the cosine between the centroids of
+    the even- and odd-vec_id halves plus counts and centroid norms —
+    the re-index/re-train trigger for any vector-serving stack.
+    Per-dimension means are rounded before the cosine so both
+    engines fold identical doubles."""
+    from botkop_telcotraffic_spark_spark.operators.embed import (
+        centroid_drift,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "half", (F.col("vec_id") % 2).cast("int")
+    )
+    return centroid_drift(emb, ["label"], "half", "embedding", dim=64)
+
+
+_EMB_DRIFT_SQL = """
+WITH pts AS (
+  SELECT label, CAST(vec_id % 2 AS INT) AS h, u.i - 1 AS pos,
+         CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) u
+), cent AS (
+  SELECT label, h, pos, round(avg(x), 6) + 0.0 AS c
+  FROM pts GROUP BY 1, 2, 3
+), counts AS (
+  SELECT label,
+         CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM embeddings GROUP BY 1
+), j AS (
+  SELECT a.label, sum(a.c * b.c) AS ab, sum(a.c * a.c) AS aa,
+         sum(b.c * b.c) AS bb
+  FROM (SELECT * FROM cent WHERE h = 0) a
+  JOIN (SELECT * FROM cent WHERE h = 1) b USING (label, pos)
+  GROUP BY 1
+)
+SELECT j.label, counts.n_a, counts.n_b,
+       round(sqrt(aa), 6) + 0.0 AS norm_a,
+       round(sqrt(bb), 6) + 0.0 AS norm_b,
+       round(CASE WHEN aa > 0 AND bb > 0
+             THEN ab / (sqrt(aa) * sqrt(bb)) END, 6) + 0.0
+         AS centroid_cos
+FROM j JOIN counts USING (label)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11930,6 +11981,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "embedding_drift_labels": (
+        embedding_drift_labels,
+        _EMB_DRIFT_SQL,
+    ),
     "salted_join_user_revenue": (
         salted_join_user_revenue,
         _SALTED_JOIN_SQL,

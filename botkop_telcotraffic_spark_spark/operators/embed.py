@@ -491,3 +491,73 @@ def pq_codes(
         *[F.col(f"code{s}") for s in range(m)],
         (F.round(mse / F.lit(float(dim)), 6) + F.lit(0.0)).alias("mse"),
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    key_cols,
+    split_col: str,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-centroid drift monitor: per key, the cosine between
+    the centroids of the two ``split_col`` halves (0/1 — e.g. old
+    corpus snapshot vs new, train vs incoming) plus each half's
+    count and centroid L2 norm — the "did the embedding distribution
+    move" check a vector-index owner runs before deciding to
+    re-train codebooks / re-balance IVF lists.  cos ~ 1: stable;
+    falling cosine or a norm shift: re-index.
+
+    Determinism: per-dimension means are ROUNDED to ``round_to``
+    before the cosine (so the fold inputs are bit-identical across
+    engines); the cosine itself is plain relational sums over the
+    (key, dim) centroid table.
+
+    Scale shape: one posexplode projection (scan-side), ONE keyed
+    (key, half, dim) aggregate — map-side combined, output
+    |keys|·2·dim rows — then centroid-table-sized joins and reduces.
+    The fact table is scanned once and shuffled once on the
+    aggregate key; nothing downstream is data-sized.
+    """
+    key_cols = list(key_cols)
+    half = F.col(split_col).cast("int")
+    pts = df.select(
+        *key_cols,
+        half.alias("_h"),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_x"),
+    )
+    cent = pts.groupBy(*key_cols, "_h", "_pos").agg(
+        (
+            F.round(F.avg(F.col("_x").cast("double")), round_to)
+            + F.lit(0.0)
+        ).alias("_c")
+    )
+    counts = df.groupBy(*key_cols).agg(
+        F.sum(F.when(half == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(half == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    a = cent.where(F.col("_h") == 0).select(
+        *key_cols, "_pos", F.col("_c").alias("_ca")
+    )
+    b = cent.where(F.col("_h") == 1).select(
+        *key_cols, "_pos", F.col("_c").alias("_cb")
+    )
+    j = a.join(b, [*key_cols, "_pos"])
+    g = j.groupBy(*key_cols).agg(
+        F.sum(F.col("_ca") * F.col("_cb")).alias("_ab"),
+        F.sum(F.col("_ca") * F.col("_ca")).alias("_aa"),
+        F.sum(F.col("_cb") * F.col("_cb")).alias("_bb"),
+    )
+    cos = F.when(
+        (F.col("_aa") > 0) & (F.col("_bb") > 0),
+        F.col("_ab") / (F.sqrt("_aa") * F.sqrt("_bb")),
+    )
+    return g.join(counts, key_cols).select(
+        *key_cols,
+        "n_a",
+        "n_b",
+        (F.round(F.sqrt("_aa"), round_to) + F.lit(0.0)).alias("norm_a"),
+        (F.round(F.sqrt("_bb"), round_to) + F.lit(0.0)).alias("norm_b"),
+        (F.round(cos, round_to) + F.lit(0.0)).alias("centroid_cos"),
+    )

@@ -4604,3 +4604,22 @@ def test_holt_backtest_errors_hand(spark):
         [("b", 0, 1.0), ("b", 1, 2.0)], "g string, d int, v double"
     )
     assert holt_backtest(short, ["g"], "d", "v").count() == 0
+
+
+def test_centroid_drift_identical_and_orthogonal(spark):
+    from botkop_telcotraffic_spark_spark.operators.embed import centroid_drift
+
+    # label 'same': identical halves -> cos 1, equal norms
+    # label 'orth': half 0 on x-axis, half 1 on y-axis -> cos 0
+    rows = (
+        [("same", 0, [1.0, 2.0]), ("same", 0, [3.0, 4.0]),
+         ("same", 1, [1.0, 2.0]), ("same", 1, [3.0, 4.0])]
+        + [("orth", 0, [2.0, 0.0]), ("orth", 1, [0.0, 3.0])]
+    )
+    df = spark.createDataFrame(rows, "label string, half int, embedding array<double>")
+    got = {r["label"]: r for r in centroid_drift(df, ["label"], "half", dim=2).collect()}
+    assert got["same"]["centroid_cos"] == 1.0
+    assert got["same"]["norm_a"] == got["same"]["norm_b"]
+    assert got["same"]["n_a"] == 2 and got["same"]["n_b"] == 2
+    assert got["orth"]["centroid_cos"] == 0.0
+    assert got["orth"]["norm_a"] == 2.0 and got["orth"]["norm_b"] == 3.0

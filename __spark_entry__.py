@@ -11956,6 +11956,49 @@ FROM j JOIN counts USING (label)
 """
 
 
+
+
+def degree_powerlaw_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-free-ness readout (operators/graph.py::degree_powerlaw):
+    the Clauset-Shalizi-Newman continuous MLE of the co-purchased-
+    parts degree distribution — alpha <= 2.5 means the hub caps on
+    the wedge/triangle operators are load-bearing at scale."""
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        degree_powerlaw,
+    )
+
+    return degree_powerlaw(
+        _copart_edges(spark, sf_dir), src="src", dst="dst", dmin=1
+    )
+
+
+_POWERLAW_SQL = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM bi l1
+  JOIN bi l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), sym AS (
+  SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+), deg AS (
+  SELECT u, count(*) AS d FROM sym GROUP BY 1
+), g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(ln(CAST(d AS DOUBLE) / (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)))) AS s,
+         CAST(max(d) AS BIGINT) AS max_degree
+  FROM deg WHERE d >= 1
+)
+SELECT CAST(n AS BIGINT) AS n_nodes, CAST(1 AS BIGINT) AS dmin,
+       max_degree,
+       round(CASE WHEN s > 0 THEN 1.0 + n / s END, 6) + 0.0 AS alpha
+FROM g WHERE n > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11981,6 +12024,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "degree_powerlaw_coparts": (
+        degree_powerlaw_coparts,
+        _POWERLAW_SQL,
+    ),
     "embedding_drift_labels": (
         embedding_drift_labels,
         _EMB_DRIFT_SQL,

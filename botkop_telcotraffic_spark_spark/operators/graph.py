@@ -896,3 +896,57 @@ def hits(
         (F.round(F.col("a"), round_to) + F.lit(0.0)).alias("score"),
     )
     return hubs.unionByName(auths)
+
+
+def degree_powerlaw(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    dmin: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Power-law exponent of the degree distribution by the
+    continuous MLE of Clauset, Shalizi & Newman 2009 ("Power-law
+    distributions in empirical data", public literature):
+
+        alpha = 1 + n / Σ_i ln( d_i / (dmin - 0.5) )
+
+    over nodes with degree >= dmin — the scale-free-ness readout
+    that tells a graph-pipeline owner whether hub-capping (the
+    adamic-adar/triangle guards elsewhere in this engine) is
+    load-bearing (alpha <= 2.5: heavy hubs) or cosmetic.  One row:
+    n_nodes, dmin, max_degree, alpha.
+
+    Scale shape: one canonical-edge distinct, one degree aggregate
+    (keyed, map-side combined), one 1-row reduce — no joins beyond
+    the degree aggregate; nothing downstream is data-sized.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+    kept = deg.where(F.col("_d") >= dmin)
+    lnterm = F.log(
+        F.col("_d").cast("double")
+        / (F.lit(float(dmin)) - F.lit(0.5))
+    )
+    g = kept.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(lnterm).alias("_s"),
+        F.max("_d").cast("long").alias("max_degree"),
+    )
+    alpha = F.when(
+        F.col("_s") > 0, F.lit(1.0) + F.col("_n") / F.col("_s")
+    )
+    return g.where(F.col("_n") > 0).select(
+        F.col("_n").cast("long").alias("n_nodes"),
+        F.lit(dmin).cast("long").alias("dmin"),
+        "max_degree",
+        (F.round(alpha, round_to) + F.lit(0.0)).alias("alpha"),
+    )

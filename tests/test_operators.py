@@ -4623,3 +4623,27 @@ def test_centroid_drift_identical_and_orthogonal(spark):
     assert got["same"]["n_a"] == 2 and got["same"]["n_b"] == 2
     assert got["orth"]["centroid_cos"] == 0.0
     assert got["orth"]["norm_a"] == 2.0 and got["orth"]["norm_b"] == 3.0
+
+
+def test_degree_powerlaw_star_and_clique(spark):
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.graph import degree_powerlaw
+
+    # star K1,4: hub degree 4, four leaves degree 1
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "a int, b int"
+    )
+    r = degree_powerlaw(star, dmin=1).collect()[0]
+    assert (r["n_nodes"], r["max_degree"]) == (5, 4)
+    # alpha = 1 + 5 / (ln(4/.5) + 4·ln(1/.5))
+    want = 1 + 5 / (math.log(4 / 0.5) + 4 * math.log(1 / 0.5))
+    assert r["alpha"] == round(want, 6)
+
+    # clique K3: all degrees 2 — duplicate/reversed edges must not
+    # inflate degrees
+    k3 = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3)], "a int, b int"
+    )
+    r = degree_powerlaw(k3, dmin=1).collect()[0]
+    assert (r["n_nodes"], r["max_degree"]) == (3, 2)

@@ -11999,6 +11999,62 @@ FROM g WHERE n > 0
 """
 
 
+
+
+def na_user_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative churn hazard (operators/survival.py::
+    nelson_aalen): the additive companion to km_user_retention on the
+    same lifetimes (censoring cutoff Jan 30) — H(t)'s slope IS the
+    hazard rate, and H adds across strata where the KM product does
+    not."""
+    from botkop_telcotraffic_spark_spark.operators.survival import (
+        nelson_aalen,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    lifetimes = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("double").alias("dur"),
+        (F.max("ts") < F.lit("2024-01-30").cast("timestamp")).alias("obs"),
+    )
+    return nelson_aalen(lifetimes, "dur", "obs")
+
+
+_NA_SQL = """
+WITH lt AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+              AS DOUBLE) AS dur,
+         max(ts) < TIMESTAMP '2024-01-30' AS obs
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT dur AS t,
+         sum(CASE WHEN obs THEN 1 ELSE 0 END) AS deaths,
+         count(*) AS arrivals
+  FROM lt WHERE dur IS NOT NULL GROUP BY dur
+),
+curve AS (
+  SELECT t, deaths,
+         sum(arrivals) OVER (ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS at_risk
+  FROM grid
+),
+acc AS (
+  SELECT t, deaths, at_risk,
+         sum(deaths / CAST(at_risk AS DOUBLE))
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS h,
+         sum(deaths / (CAST(at_risk AS DOUBLE) * CAST(at_risk AS DOUBLE)))
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS v
+  FROM curve
+)
+SELECT t, CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(deaths AS BIGINT) AS deaths,
+       round(h, 6) + 0.0 AS cum_hazard,
+       round(sqrt(v), 6) + 0.0 AS se
+FROM acc WHERE deaths > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12024,6 +12080,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "na_user_hazard": (na_user_hazard, _NA_SQL),
     "degree_powerlaw_coparts": (
         degree_powerlaw_coparts,
         _POWERLAW_SQL,

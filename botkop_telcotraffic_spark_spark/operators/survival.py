@@ -90,3 +90,61 @@ def kaplan_meier(
             "survival",
         )
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972 / Aalen
+    1978, public literature) — the additive companion to
+    :func:`kaplan_meier`:
+
+        H(t)      = Σ_{t_i <= t} d_i / n_i
+        var(H(t)) = Σ_{t_i <= t} d_i / n_i²    (Klein 1991 form)
+
+    Returns one row per distinct duration with >= 1 death:
+    (t, at_risk, deaths, cum_hazard, se) rounded to 6.  H is the
+    quantity that ADDS across strata and whose slope is the hazard
+    rate itself (flat = constant churn; steepening = accelerating) —
+    the readout the exponential-fit in retention_decay approximates.
+
+    Same conventions and SCALE NOTE as kaplan_meier: censored-at-t
+    subjects are still at risk AT t; durations should be quantized
+    upstream so the ordered window runs over a reporting-grain grid,
+    not subject cardinality.
+    """
+    d = F.col(duration_col).cast("double")
+    grid = (
+        df.where(d.isNotNull())
+        .groupBy(d.alias("t"))
+        .agg(
+            F.sum(
+                F.when(F.col(observed_col), 1).otherwise(0)
+            ).alias("deaths"),
+            F.count(F.lit(1)).alias("arrivals"),
+        )
+    )
+    w_after = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_upto = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nr = F.col("at_risk").cast("double")
+    curve = (
+        grid.withColumn("at_risk", F.sum("arrivals").over(w_after))
+        .withColumn("_h", F.col("deaths") / nr)
+        .withColumn("_v", F.col("deaths") / (nr * nr))
+        .withColumn("cum_hazard", F.sum("_h").over(w_upto))
+        .withColumn("se", F.sqrt(F.sum("_v").over(w_upto)))
+    )
+    return curve.where(F.col("deaths") > 0).select(
+        "t",
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.col("deaths").cast("long").alias("deaths"),
+        (F.round("cum_hazard", round_to) + F.lit(0.0)).alias("cum_hazard"),
+        (F.round("se", round_to) + F.lit(0.0)).alias("se"),
+    )

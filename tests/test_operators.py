@@ -4647,3 +4647,21 @@ def test_degree_powerlaw_star_and_clique(spark):
     )
     r = degree_powerlaw(k3, dmin=1).collect()[0]
     assert (r["n_nodes"], r["max_degree"]) == (3, 2)
+
+
+def test_nelson_aalen_hand_curve(spark):
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.survival import nelson_aalen
+
+    # durations: deaths at t=1 (of 4 at risk), t=2 (of 2 at risk);
+    # censored at t=1 (still at risk AT 1) and t=3 (no death row)
+    rows = [(1.0, True), (1.0, False), (2.0, True), (3.0, False)]
+    df = spark.createDataFrame(rows, "dur double, obs boolean")
+    got = {r["t"]: r for r in nelson_aalen(df, "dur", "obs").collect()}
+    assert set(got) == {1.0, 2.0}
+    assert got[1.0]["at_risk"] == 4 and got[1.0]["deaths"] == 1
+    assert got[1.0]["cum_hazard"] == 0.25
+    assert got[2.0]["at_risk"] == 2
+    assert got[2.0]["cum_hazard"] == round(0.25 + 0.5, 6)
+    assert got[2.0]["se"] == round(math.sqrt(1 / 16 + 1 / 4), 6)

@@ -12055,6 +12055,147 @@ FROM acc WHERE deaths > 0
 """
 
 
+
+
+def lang_id_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID EVALUATION: confusion counts of the stopword-
+    marker classifier (operators/text.py::lang_id) against the
+    corpus's labeled `lang` column, with each row's share of its
+    truth class (the per-language recall diagonal) — the accuracy
+    table any lang-filter threshold decision needs."""
+    d = _t(spark, sf_dir, "documents")
+    pred = text.lang_id(d, "doc_id", "text", append=True)
+    conf = pred.groupBy(
+        F.col("lang").alias("truth"), "pred_lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    totals = conf.groupBy("truth").agg(F.sum("n").alias("_t"))
+    return conf.join(totals, "truth").select(
+        "truth",
+        "pred_lang",
+        "n",
+        (
+            F.round(F.col("n").cast("double") / F.col("_t"), 6)
+            + F.lit(0.0)
+        ).alias("truth_share"),
+    )
+
+
+def _lang_eval_sql() -> str:
+    return f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+         {_marker_count('en')} AS en, {_marker_count('de')} AS de,
+         {_marker_count('fr')} AS fr, {_marker_count('es')} AS es
+  FROM documents
+), pred AS (
+  SELECT lang AS truth,
+         CASE WHEN es > greatest(fr, de, en) THEN 'es'
+              WHEN fr > greatest(de, en) THEN 'fr'
+              WHEN de > en THEN 'de'
+              WHEN en > 0 THEN 'en'
+              ELSE 'und' END AS pred_lang
+  FROM scores
+), conf AS (
+  SELECT truth, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), totals AS (
+  SELECT truth, sum(n) AS t FROM conf GROUP BY 1
+)
+SELECT truth, pred_lang, n,
+       round(CAST(n AS DOUBLE) / t, 6) + 0.0 AS truth_share
+FROM conf JOIN totals USING (truth)
+"""
+
+
+def lorenz_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration table: users bucketed into activity
+    deciles by interpolated quantile boundaries (the mad_outliers
+    percentile <-> quantile_cont contract), per-decile user and
+    event counts plus each decile's share and cumulative share of
+    all events — the distributional readout behind the Gini number
+    (how much traffic the top decile really carries).  Boundary
+    assignment is scan-side comparisons against a broadcast 1-row
+    boundary array; the only ordered window runs over <= 10 rows."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    probs = [i / 10.0 for i in range(1, 10)]
+    bounds = per_user.agg(
+        F.percentile(
+            F.col("_n"), F.array(*[F.lit(p) for p in probs])
+        ).alias("_b")
+    )
+    staged = per_user.crossJoin(F.broadcast(bounds))
+    decile = sum(
+        (F.when(F.col("_n") > F.element_at("_b", i + 1), 1).otherwise(0)
+         for i in range(9)),
+        F.lit(0),
+    )
+    binned = staged.select(
+        decile.cast("int").alias("decile"), "_n"
+    )
+    g = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_n").alias("_events"),
+    )
+    tot = g.agg(F.sum("_events").alias("_te"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("_cum", F.sum("_events").over(w))
+        .select(
+            "decile",
+            "n_users",
+            F.col("_events").cast("long").alias("n_events"),
+            (
+                F.round(F.col("_events") / F.col("_te"), 6) + F.lit(0.0)
+            ).alias("events_share"),
+            (
+                F.round(F.col("_cum") / F.col("_te"), 6) + F.lit(0.0)
+            ).alias("cum_share"),
+        )
+    )
+
+
+_LORENZ_SQL = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT quantile_cont(n, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS b
+  FROM per_user
+), binned AS (
+  SELECT CAST(
+           (CASE WHEN n > b[1] THEN 1 ELSE 0 END)
+         + (CASE WHEN n > b[2] THEN 1 ELSE 0 END)
+         + (CASE WHEN n > b[3] THEN 1 ELSE 0 END)
+         + (CASE WHEN n > b[4] THEN 1 ELSE 0 END)
+         + (CASE WHEN n > b[5] THEN 1 ELSE 0 END)
+         + (CASE WHEN n > b[6] THEN 1 ELSE 0 END)
+         + (CASE WHEN n > b[7] THEN 1 ELSE 0 END)
+         + (CASE WHEN n > b[8] THEN 1 ELSE 0 END)
+         + (CASE WHEN n > b[9] THEN 1 ELSE 0 END) AS INT) AS decile,
+         n
+  FROM per_user, bounds
+), g AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         sum(n) AS events
+  FROM binned GROUP BY 1
+), tot AS (SELECT sum(events) AS te FROM g)
+SELECT decile, n_users, CAST(events AS BIGINT) AS n_events,
+       round(events / te, 6) + 0.0 AS events_share,
+       round(sum(events) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) / te, 6) + 0.0 AS cum_share
+FROM g, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12080,6 +12221,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "lang_id_eval_docs": (lang_id_eval_docs, _lang_eval_sql()),
+    "lorenz_user_activity": (lorenz_user_activity, _LORENZ_SQL),
     "na_user_hazard": (na_user_hazard, _NA_SQL),
     "degree_powerlaw_coparts": (
         degree_powerlaw_coparts,

@@ -12196,6 +12196,96 @@ FROM g, tot
 """
 
 
+
+
+def streaming_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-count sketch maintenance: each micro-batch
+    writes its per-type HLL register partial through the production
+    parquet-append sink (operators/sketch.py::ohll_registers —
+    ≤256 rows per type per batch regardless of batch size), and the
+    serving read merges partials by register MAX and applies the
+    closed-form estimate.  Register max-merge is arrival-order- and
+    batch-boundary-invariant, so this streaming job is HASH-ORACLED
+    by the plain batch HLL — the sketch-family answer to "distinct
+    users so far" that never reshuffles raw events."""
+    from botkop_telcotraffic_spark_spark.operators import sketch
+    from botkop_telcotraffic_spark_spark.streaming.pipeline import (
+        parquet_append_sink,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        replay_partitions,
+        stream_parquet_table,
+    )
+
+    tune(spark)
+    stream = stream_parquet_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    out_dir = _scratch_dir("shll_")
+    sink = parquet_append_sink(out_dir)
+
+    def batch_fn(df: DataFrame, batch_id: int) -> None:
+        sink(sketch.ohll_registers(df, ["event_type"], "user_id"), batch_id)
+
+    with replay_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    regs = spark.read.schema("event_type string, reg int, mx int").parquet(
+        out_dir
+    )
+    merged = sketch.ohll_merge(regs, ["event_type"])
+    return sketch.ohll_estimate(merged, ["event_type"])
+
+
+def _streaming_hll_sql(p: int = 8) -> str:
+    from botkop_telcotraffic_spark_spark.operators.sketch import (
+        _OHLL_A,
+        _OHLL_A2,
+        _OHLL_B,
+        _OHLL_B2,
+        _OHLL_P,
+        ohll_alpha,
+    )
+
+    m = 1 << p
+    width = 30 - p
+    raw = (
+        f"CAST({ohll_alpha(m)!r} AS DOUBLE) * {m * m}.0"
+        f" / (s_set + ({m} - n_set))"
+    )
+    return f"""
+WITH hh AS (
+  SELECT event_type,
+         ({_OHLL_A} * CAST(user_id AS BIGINT) + {_OHLL_B}) % {_OHLL_P} AS h
+  FROM events WHERE user_id IS NOT NULL
+), mixed AS (
+  SELECT event_type,
+         (h * h + {_OHLL_A2} * h + {_OHLL_B2}) % {_OHLL_P} AS mix
+  FROM hh
+), regs AS (
+  SELECT event_type, CAST(mix % {m} AS INT) AS reg,
+         CAST(max(CASE WHEN mix // {m} = 0 THEN {width + 1}
+                  ELSE {width + 1} - length(bin(mix // {m})) END) AS INT)
+           AS mx
+  FROM mixed GROUP BY 1, 2
+), hagg AS (
+  SELECT event_type,
+         sum(1.0 / CAST((CAST(1 AS BIGINT) << mx) AS DOUBLE)) AS s_set,
+         count(*) AS n_set
+  FROM regs GROUP BY 1
+)
+SELECT event_type, CAST({m} - n_set AS BIGINT) AS v_zero,
+       round(CASE WHEN {raw} <= {2.5 * m} AND {m} - n_set > 0
+             THEN {m}.0 * ln({m}.0 / ({m} - n_set))
+             ELSE {raw} END, 6) + 0.0 AS est_distinct
+FROM hagg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12221,6 +12311,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "streaming_hll_users": (streaming_hll_users, _streaming_hll_sql()),
     "lang_id_eval_docs": (lang_id_eval_docs, _lang_eval_sql()),
     "lorenz_user_activity": (lorenz_user_activity, _LORENZ_SQL),
     "na_user_hazard": (na_user_hazard, _NA_SQL),

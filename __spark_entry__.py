@@ -12286,6 +12286,95 @@ FROM hagg
 """
 
 
+
+
+def qte_deciles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (the distributional A/B readout —
+    Athey & Imbens 2017 survey, public literature): `value` bucketed
+    into POOLED deciles (interpolated quantile boundaries, the
+    lorenz/mad contract), then per decile the arm means and their
+    difference — where in the distribution the effect lives, which a
+    single mean difference hides.  Boundary array is a 1-row
+    broadcast; one conditional aggregate per decile grain."""
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = F.col("value").cast("double")
+    arm = (F.col("user_id") % 2).cast("int")
+    probs = [i / 10.0 for i in range(1, 10)]
+    bounds = e.agg(
+        F.percentile(v, F.array(*[F.lit(p) for p in probs])).alias("_b")
+    )
+    staged = e.select(arm.alias("_a"), v.alias("_v")).crossJoin(
+        F.broadcast(bounds)
+    )
+    decile = sum(
+        (F.when(F.col("_v") > F.element_at("_b", i + 1), 1).otherwise(0)
+         for i in range(9)),
+        F.lit(0),
+    )
+    binned = staged.select(decile.cast("int").alias("decile"), "_a", "_v")
+    g = binned.groupBy("decile").agg(
+        F.sum(F.when(F.col("_a") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_0"),
+        F.sum(F.when(F.col("_a") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_1"),
+        F.sum(F.when(F.col("_a") == 0, F.col("_v")).otherwise(0.0)).alias(
+            "_s0"
+        ),
+        F.sum(F.when(F.col("_a") == 1, F.col("_v")).otherwise(0.0)).alias(
+            "_s1"
+        ),
+    )
+    m0 = F.col("_s0") / F.col("n_0")
+    m1 = F.col("_s1") / F.col("n_1")
+    return g.where((F.col("n_0") > 0) & (F.col("n_1") > 0)).select(
+        "decile",
+        "n_0",
+        "n_1",
+        (F.round(m0, 6) + F.lit(0.0)).alias("mean_0"),
+        (F.round(m1, 6) + F.lit(0.0)).alias("mean_1"),
+        (F.round(m1 - m0, 6) + F.lit(0.0)).alias("qte"),
+    )
+
+
+_QTE_SQL = """
+WITH vals AS (
+  SELECT CAST(user_id % 2 AS INT) AS a, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), bounds AS (
+  SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+           AS b
+  FROM vals
+), binned AS (
+  SELECT CAST(
+           (CASE WHEN v > b[1] THEN 1 ELSE 0 END)
+         + (CASE WHEN v > b[2] THEN 1 ELSE 0 END)
+         + (CASE WHEN v > b[3] THEN 1 ELSE 0 END)
+         + (CASE WHEN v > b[4] THEN 1 ELSE 0 END)
+         + (CASE WHEN v > b[5] THEN 1 ELSE 0 END)
+         + (CASE WHEN v > b[6] THEN 1 ELSE 0 END)
+         + (CASE WHEN v > b[7] THEN 1 ELSE 0 END)
+         + (CASE WHEN v > b[8] THEN 1 ELSE 0 END)
+         + (CASE WHEN v > b[9] THEN 1 ELSE 0 END) AS INT) AS decile,
+         a, v
+  FROM vals, bounds
+), g AS (
+  SELECT decile,
+         CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+         CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+         sum(CASE WHEN a = 0 THEN v ELSE 0.0 END) AS s0,
+         sum(CASE WHEN a = 1 THEN v ELSE 0.0 END) AS s1
+  FROM binned GROUP BY 1
+)
+SELECT decile, n_0, n_1,
+       round(s0 / n_0, 6) + 0.0 AS mean_0,
+       round(s1 / n_1, 6) + 0.0 AS mean_1,
+       round(s1 / n_1 - s0 / n_0, 6) + 0.0 AS qte
+FROM g WHERE n_0 > 0 AND n_1 > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12311,6 +12400,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
     # === ROUND-6 INSERTION POINT ===
+    "qte_deciles_events": (qte_deciles_events, _QTE_SQL),
     "streaming_hll_users": (streaming_hll_users, _streaming_hll_sql()),
     "lang_id_eval_docs": (lang_id_eval_docs, _lang_eval_sql()),
     "lorenz_user_activity": (lorenz_user_activity, _LORENZ_SQL),

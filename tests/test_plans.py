@@ -596,6 +596,7 @@ def test_registry_wide_no_cartesian(spark):
         "dow_anova_value_events",    # one-row grand-total scalar (r6)
         "experiment_readout_ab",     # composed 1-row scalar broadcasts (r6)
         "lorenz_user_activity",      # 1-row decile-boundary array (r6)
+        "qte_deciles_events",        # 1-row decile-boundary array (r6)
         "woe_iv_orders",             # one-row pos/neg-totals scalar (r6)
         "cramers_v_events",          # one-row n/r/c-totals scalar (r6)
         "calibration_bins_events",   # one-row ECE-weight total scalar (r6)

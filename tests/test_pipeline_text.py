@@ -138,7 +138,7 @@ def test_ngram_lm_score_flags_gibberish(spark):
     assert scores[99] < scores[0], scores
 
 
-def test_ngram_lm_model_join_is_broadcast(spark):
+def test_ngram_lm_score_broadcasts_model_on_testdata(spark):
     from botkop_telcotraffic_spark_spark.operators.text import ngram_lm_score
     from botkop_telcotraffic_spark_spark.plans.inspect import physical_plan
 

@@ -36,58 +36,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# FROZEN comparable set: TPC-H heads, the reference's hot-path stats
-# family, the dedup/ANN/text families, and the standing heavy tail.
-# Do NOT append to this list — full per-query history lives in
-# BENCH_LOCAL.json.  39 names, serialized block ~1.3 KB (< 1800
-# asserted by tests/test_bench_contract.py::test_comparable_block_fits_tail).
-COMPARABLE = [
-    # TPC-H heads
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q13_customer_distribution",
-    "q18_large_volume_customers",
-    "q21_sole_failing_supplier",
-    # reference hot-path stats / telco operators
-    "stats_user_sliding",
-    "rollup_multires_stats",
-    "iqr_outliers_events",
-    "latest_order_enrich",
-    "geofence_polygon_events",
-    "window_analytics_events",
-    "session_windows_users",
-    "rolling_hour_user_stats",
-    # dedup family
-    "dedup_exact_docs",
-    "jaccard_near_dup_docs",
-    "minhash_lsh_candidates",
-    "simhash_near_dup_candidates",
-    "embedding_near_dup",
-    "semdedup_embeddings",
-    "normalized_dedup_docs",
-    # ANN / embedding family
-    "ann_cosine_topk",
-    "ann_cosine_topk_blocked",
-    "ann_ivf_topk",
-    "hamming_ann_topk",
-    "hamming_rerank_topk",
-    "kmeans_label_assign",
-    # text family
-    "tfidf_top_terms",
-    "token_budget_docs",
-    "bm25_search_docs",
-    # standing heavy tail (the round-5 slowest five + friends)
-    "pq_codes_embeddings",
-    "retrieval_pipeline_docs",
-    "streaming_idle_sessions",
-    "pretrain_mix_pipeline",
-    "kcore_purchase_graph",
-    "mmr_diverse_topk",
-    "bpe_merges_docs",
-]
+# The FROZEN comparable set and the high-variance list live in the
+# checked-in manifest (round-6 verdict #8): bench_manifest.json.
+# COMPARABLE must NEVER grow (its serialized block must fit the
+# driver's tail — asserted by tests/test_bench_contract.py); queries
+# in HIGH_VARIANCE get their warm timing as the MEDIAN OF 5 runs
+# instead of best-of-2, because their committed round-6 evidence
+# (cold/warm ratio > 2x in BENCH_LOCAL_r06.json, or local-vs-driver
+# warm disagreement > 1.5x) shows run noise a 1.5x regression gate
+# must not mistake for a real slowdown (round-6 verdict #1).
+_MANIFEST = json.load(
+    open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_manifest.json"))
+)
+COMPARABLE: list[str] = _MANIFEST["comparable"]
+HIGH_VARIANCE: set[str] = set(_MANIFEST["high_variance"])
 
 
 def main() -> None:
@@ -121,7 +83,13 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in headline:
         cold[name] = round(run(name), 3)  # untimed warmup (codegen+JIT)
-        timings[name] = round(min(run(name), run(name)), 3)
+        if name in HIGH_VARIANCE:
+            # median-of-5: noise-robust steady-state estimate for the
+            # queries the round-6 evidence flagged as high-variance
+            samples = sorted(run(name) for _ in range(5))
+            timings[name] = round(samples[2], 3)
+        else:
+            timings[name] = round(min(run(name), run(name)), 3)
 
     total = round(sum(timings.values()), 3)
     # Full timings (warm + cold, every registry entry) — the durable
@@ -138,6 +106,8 @@ def main() -> None:
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "runs_per_query": 3,
+                "runs_per_query_high_variance": 6,
+                "high_variance": sorted(HIGH_VARIANCE),
                 "queries": timings,
                 "cold": cold,
             },

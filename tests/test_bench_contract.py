@@ -42,3 +42,76 @@ def test_comparable_names_exist_in_registry():
 
 def test_comparable_has_no_duplicates():
     assert len(bench.COMPARABLE) == len(set(bench.COMPARABLE))
+
+
+def test_manifest_is_source_of_truth():
+    """bench.py must read COMPARABLE / HIGH_VARIANCE from the frozen
+    checked-in manifest (round-6 verdict #8), and every name must
+    resolve in the registry."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    manifest = json.load(open(os.path.join(repo, "bench_manifest.json")))
+    assert bench.COMPARABLE == manifest["comparable"]
+    assert bench.HIGH_VARIANCE == set(manifest["high_variance"])
+    qs = entry_mod.queries()
+    unknown = [n for n in manifest["high_variance"] if n not in qs]
+    assert not unknown, f"high_variance references unknown queries: {unknown}"
+
+
+def _load_bench(path):
+    import os
+
+    if not os.path.exists(path):
+        return None
+    return json.load(open(path))
+
+
+def test_no_unexplained_warm_regressions_vs_committed_baseline():
+    """Variance-aware regression gate (round-6 verdict #1).
+
+    Compares the latest local bench run (BENCH_LOCAL.json) against the
+    newest committed per-round snapshot (BENCH_LOCAL_r{N}.json).  A
+    comparable query FAILS if its warm time regressed more than 1.5x.
+    Variance handling: the baseline for each name is the MAX across the
+    committed evidence (the snapshot's warm value and, when present,
+    the driver-tail warm value from BENCH_r{N}.json) so a low-noise
+    lucky baseline doesn't flag a normal run; names in HIGH_VARIANCE
+    are additionally measured as median-of-5 by bench.py itself.  An
+    absolute floor of 0.4 s of regression filters sub-second jitter.
+    """
+    import glob
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snaps = sorted(glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")))
+    cur = _load_bench(os.path.join(repo, "BENCH_LOCAL.json"))
+    if not snaps or cur is None:
+        import pytest
+
+        pytest.skip("no committed baseline or no local bench run yet")
+    base = json.load(open(snaps[-1]))
+    base_warm = dict(base["queries"])
+    # fold in the driver-tail evidence for the same round, if recorded
+    rnd = re.search(r"_r(\d+)\.json$", snaps[-1]).group(1)
+    drv_path = os.path.join(repo, f"BENCH_r{rnd}.json")
+    if os.path.exists(drv_path):
+        tail = json.load(open(drv_path)).get("tail", "")
+        for m in re.finditer(r'"(\w+)":\s*([\d.]+)', tail):
+            name, val = m.group(1), float(m.group(2))
+            if name in base_warm:
+                base_warm[name] = max(base_warm[name], val)
+    regressions = []
+    for name, new in cur["queries"].items():
+        old = base_warm.get(name)
+        if old is None:
+            continue  # new query this round — no history yet
+        if new > 1.5 * old and new - old > 0.4:
+            regressions.append(f"{name}: {old:.2f}s -> {new:.2f}s ({new / old:.2f}x)")
+    assert not regressions, (
+        "warm-time regressions vs committed baseline (if a rerun on an "
+        "IDLE machine reproduces these, the operator regressed; if not, "
+        "add the name to bench_manifest.json high_variance with the "
+        "evidence): " + "; ".join(sorted(regressions))
+    )

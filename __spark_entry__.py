@@ -8540,19 +8540,20 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, "text", n_merges=8)
 
 
-def _bpe_sql(n_merges: int = 8) -> str:
+def _bpe_sql(n_merges: int = 8, source: str = "documents") -> str:
     """Oracle twin of bpe_merges_docs: each merge round unrolled into
     [pair-count -> 1-row top pick -> vocab-wide boundary-guarded
     replace] CTEs.  MATERIALIZED is load-bearing on the vocab and
     pick CTEs (each is referenced twice; DuckDB would otherwise
     re-evaluate the whole chain per reference — the k-core oracle
-    lesson)."""
+    lesson).  ``source``: the corpus relation — a subquery here lets
+    the sampled-training twin pin its hash-sample predicate."""
     s = "chr(31)"
     parts = [f"""
 words AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
     SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
-    FROM documents
+    FROM {source}
   ) GROUP BY word
 ),
 v0 AS MATERIALIZED (
@@ -8595,6 +8596,39 @@ v{t} AS MATERIALIZED (
         for t in range(1, n_merges + 1)
     )
     return "WITH " + "".join(parts) + "\n" + unions
+
+
+def bpe_merges_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training on a DETERMINISTIC 50% hash-sample of the
+    corpus (operators/bpe.py::bpe_merges with sample_fraction +
+    sample_key_col) — the 100 TB tokenizer-training recipe: merge
+    ranks stabilize long before the full corpus is seen, so training
+    cost becomes sample-sized.  The sample decision is the PORTABLE
+    rolling-fingerprint bucket of doc_id (salt "bpe:"), which the
+    oracle reproduces bit-exactly — the scaling recipe itself is
+    hash-checked, not just the full-corpus path."""
+    from botkop_telcotraffic_spark_spark.operators.bpe import bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merges(
+        docs, "text", n_merges=8, sample_fraction=0.5, sample_key_col="doc_id"
+    )
+
+
+def _bpe_sampled_sql(n_merges: int = 8, fraction: float = 0.5) -> str:
+    """Oracle twin of bpe_merges_sampled_docs: the same unrolled merge
+    chain over the hash-sampled corpus — the WHERE clause mirrors
+    sampling.hash_bucket(doc_id, 10000, salt='bpe:') exactly (the
+    engine-wide h*131+cp mod 1e9+7 fold, 'bpe:'-prefixed)."""
+    bucket = f"""list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(1, length('bpe:' || CAST(doc_id AS VARCHAR))),
+                     i -> CAST(ascii(('bpe:' || CAST(doc_id AS VARCHAR))[i]) AS BIGINT))),
+    (acc, c) -> (acc * {textfn.FP_BASE} + c) % {textfn.FP_MOD}) % 10000"""
+    source = (
+        f"(SELECT text FROM documents WHERE {bucket} < {int(fraction * 10000)})"
+    )
+    return _bpe_sql(n_merges, source=source)
 
 
 def bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11378,14 +11412,22 @@ def anomaly_ensemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = _iqr.iqr_bounds(e, ["event_type"], "value", mode="exact").select(
         "event_type", "lo", "hi"
     )
+    # median and MAD are pinned round-to-6 like mu/sd (repo float-pin
+    # convention): Spark F.percentile and DuckDB quantile_cont both
+    # linearly interpolate, but their interpolation arithmetic is not
+    # bit-identical — an unrounded med/mad feeding the strict 5.1891
+    # threshold could flip a flag between engines within ulps
     med = e.groupBy("event_type").agg(
-        F.percentile(v, F.lit(0.5)).alias("_med")
+        (F.round(F.percentile(v, F.lit(0.5)), 6) + F.lit(0.0)).alias("_med")
     )
     mad = (
         e.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(
-            F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)).alias("_mad")
+            (
+                F.round(F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)), 6)
+                + F.lit(0.0)
+            ).alias("_mad")
         )
     )
     j = (
@@ -11433,9 +11475,11 @@ WITH vals AS (
                             - sv[CAST(n // 4 AS INT) + 1]) END AS hi
   FROM s
 ), med AS (
-  SELECT event_type, quantile_cont(v, 0.5) AS med FROM vals GROUP BY 1
+  SELECT event_type, round(quantile_cont(v, 0.5), 6) + 0.0 AS med
+  FROM vals GROUP BY 1
 ), mad AS (
-  SELECT e.event_type, quantile_cont(abs(e.v - m.med), 0.5) AS mad
+  SELECT e.event_type,
+         round(quantile_cont(abs(e.v - m.med), 0.5), 6) + 0.0 AS mad
   FROM vals e JOIN med m USING (event_type) GROUP BY 1
 ), flags AS (
   SELECT e.event_type,
@@ -12399,7 +12443,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- checked slots 1-50 ------------------------------------------------
     # (a) NEW round-6 entries are inserted immediately below this line,
     # newest first (standing rule -- see the registry comment above).
-    # === ROUND-6 INSERTION POINT ===
+    # === ROUND-7 INSERTION POINT ===
+    "bpe_merges_sampled_docs": (bpe_merges_sampled_docs, _bpe_sampled_sql()),
     "qte_deciles_events": (qte_deciles_events, _QTE_SQL),
     "streaming_hll_users": (streaming_hll_users, _streaming_hll_sql()),
     "lang_id_eval_docs": (lang_id_eval_docs, _lang_eval_sql()),

@@ -104,6 +104,7 @@ def bpe_merges(
     n_merges: int = 10,
     return_vocab: bool = False,
     sample_fraction: float | None = None,
+    sample_key_col: str | None = None,
 ):
     """Train ``n_merges`` BPE merges; returns the merge table
     (step, left, right, merged, cnt) — ``n_merges`` rows, the
@@ -122,16 +123,34 @@ def bpe_merges(
     sample-sized while the ENCODE step still covers every document.
     Deterministic across runs and cluster layouts (pure function of
     the text bytes, no RNG, no partition dependence); None (default)
-    trains on the full corpus — the oracle-pinned path.  See
-    SCALE.md "Distributed BPE".
+    trains on the full corpus.  See SCALE.md "Distributed BPE".
+
+    ``sample_key_col``: when given alongside ``sample_fraction``, the
+    sample decision hashes THIS stable key with the engine-wide
+    PORTABLE rolling fingerprint (sampling.hash_bucket, salt "bpe:")
+    instead of xxhash64(text) — bit-reproducible in ANSI SQL, so the
+    sampled training run is itself oracle-checkable (the
+    bpe_merges_sampled_docs registry entry pins exactly this path).
+    xxhash64 stays the default engine-fast path when no key is given
+    (JVM intrinsic vs an interpreted per-char fold over the full
+    text).
     """
     spark = df.sparkSession
     if sample_fraction is not None and sample_fraction < 1.0:
-        denom = 1 << 20
-        thr = int(sample_fraction * denom)
-        df = df.where(
-            F.pmod(F.xxhash64(F.col(text_col)), F.lit(denom)) < F.lit(thr)
-        )
+        if sample_key_col is not None:
+            from .sampling import hash_bucket
+
+            buckets = 10_000
+            df = df.where(
+                hash_bucket(F.col(sample_key_col), buckets, salt="bpe:")
+                < F.lit(int(sample_fraction * buckets))
+            )
+        else:
+            denom = 1 << 20
+            thr = int(sample_fraction * denom)
+            df = df.where(
+                F.pmod(F.xxhash64(F.col(text_col)), F.lit(denom)) < F.lit(thr)
+            )
     vocab = word_vocab(df, text_col).select(
         "word", _initial_rep("word").alias("rep"), "freq"
     )

@@ -406,16 +406,25 @@ def pq_codes(
         pts_by_s[r["s"]].append([float(x) for x in r["point"]])
         n_by_s[r["s"]] = int(r["n"])
 
+    def _round_half_away(x: float) -> int:
+        # exact SQL-round semantics (DuckDB round() = half AWAY from
+        # zero) for non-negative x: floor-subtraction of doubles is
+        # exact, so the 0.5 comparison sees the true fractional part —
+        # no floor(x + 0.5) representation bug, and correct for ALL
+        # codebook_k (Python's round() is half-EVEN and would diverge
+        # on exact .5 ties, which are possible whenever codebook_k is
+        # odd — the k-1-odd tie-impossibility argument needs k even).
+        f = math.floor(x)
+        return f + 1 if x - f >= 0.5 else f
+
     cents: dict[int, list[list[float]]] = {}
     for s in range(m):
         n = n_by_s.get(s, 0)
         if n <= codebook_k:
             cents[s] = [list(p) for p in pts_by_s[s]]
             continue
-        # round-half-away seed index; .5 ties impossible (k-1 odd,
-        # see docstring), so Python round matches SQL round exactly
         idx = sorted(
-            {int(round(i * (n - 1) / (codebook_k - 1))) for i in range(codebook_k)}
+            {_round_half_away(i * (n - 1) / (codebook_k - 1)) for i in range(codebook_k)}
         )
         cents[s] = [list(pts_by_s[s][i]) for i in idx]
 
@@ -430,12 +439,29 @@ def pq_codes(
             for i in range(sub_dim):  # sequential over dims: fold order
                 d = V[:, i, None] - C[None, :, i]
                 acc += d * d
-            pred = np.argmin(acc, axis=1)  # first occurrence = lowest id
+            # rank on sqrt'd distance, NOT squared: the oracle's
+            # a{t}_{s} CTE ranks by sqrt(...) AS dist, and sqrt can
+            # map two adjacent squared doubles onto one value — the
+            # oracle would then tie-break to the lowest id while a
+            # squared-space argmin picks the strictly smaller one.
+            # np.sqrt is the same correctly-rounded op per element.
+            pred = np.argmin(np.sqrt(acc), axis=1)  # first occ = lowest id
             for j in range(len(cents[s])):
                 members = V[pred == j]
                 if members.shape[0]:
+                    # plain left-fold sum in member (rn) order — the
+                    # op sequence DuckDB's avg() performs over the
+                    # same rows — NOT math.fsum (exact) and NOT
+                    # np.sum (pairwise): either can land on the other
+                    # side of a round-to-9 boundary from the oracle.
+                    def _fold_mean(col: "np.ndarray") -> float:
+                        acc_ = 0.0
+                        for v in col:
+                            acc_ += float(v)
+                        return acc_ / col.shape[0]
+
                     cents[s][j] = [
-                        round(math.fsum(members[:, i]) / members.shape[0], 9)
+                        round(_fold_mean(members[:, i]), 9)
                         for i in range(sub_dim)
                     ]
 

@@ -18,6 +18,8 @@ final arm aggregate.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -554,6 +556,17 @@ def srm_check(
     Scale shape: one distinct-aggregate to units, one |arms|-sized
     aggregate, a 1-row total broadcast; scan-once.
     """
+    if expected is not None:
+        # design shares must be a complete, valid allocation — a share
+        # silently missing for an observed arm would NULL its
+        # (n-e)^2/e term out of the chi2 SUM and mask a real mismatch
+        total_share = math.fsum(float(s) for s in expected.values())
+        if abs(total_share - 1.0) > 1e-9:
+            raise ValueError(
+                f"srm_check: expected shares sum to {total_share!r}, not 1"
+            )
+        if any(float(s) <= 0.0 for s in expected.values()):
+            raise ValueError("srm_check: expected shares must be > 0")
     units = df.groupBy(F.col(arm_col).alias("arm")).agg(
         F.countDistinct(F.col(unit_col)).cast("double").alias("_n")
     )
@@ -566,7 +579,16 @@ def srm_check(
             *[
                 F.when(F.col("arm") == a, F.lit(float(s)))
                 for a, s in sorted(expected.items())
-            ]
+            ],
+            # observed arm absent from the design dict: fail loudly at
+            # execution (NULL would silently drop the term from chi2)
+            F.raise_error(
+                F.concat(
+                    F.lit("srm_check: arm '"),
+                    F.col("arm"),
+                    F.lit("' observed in data but absent from expected"),
+                )
+            ),
         )
     d = F.col("_n") - e
     per = j.select("arm", "_n", e.alias("_e"), (d * d / e).alias("_t"))

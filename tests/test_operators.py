@@ -3297,6 +3297,58 @@ def test_bpe_merges_single_pass_semantics(spark):
     assert out[1] == (2, "a", "</w>", "a</w>", 2)
 
 
+def test_bpe_sample_fraction_determinism_and_subset(spark):
+    """The sample_fraction knob (SCALE.md "Distributed BPE"): (a) the
+    hash-sample is DETERMINISTIC — identical merge tables across runs
+    and partitionings (no RNG, no partition dependence); (b) subset
+    semantics — training with the sample predicate equals training on
+    the manually pre-filtered corpus, for both the xxhash64(text)
+    fast path and the portable keyed (rolling-fingerprint) path."""
+    from botkop_telcotraffic_spark_spark.operators.bpe import bpe_merges
+    from botkop_telcotraffic_spark_spark.operators.sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    # scattered ids: the polynomial fold maps a short CONTIGUOUS id
+    # range onto adjacent buckets (documented short-key property of
+    # hash_bucket), which would make a toy 0..59 corpus sample to
+    # all-or-nothing; varied-magnitude ids behave like real corpora
+    rows = [
+        (i * 7919 % 100003, f"alpha beta{i % 7} gamma delta{i % 5} epsilon zeta{i % 3}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def tbl(d, **kw):
+        return [tuple(r) for r in bpe_merges(d, "text", n_merges=4, **kw).collect()]
+
+    # (a) determinism across partitionings, both sample paths
+    for kw in (
+        {"sample_fraction": 0.5},
+        {"sample_fraction": 0.5, "sample_key_col": "doc_id"},
+    ):
+        a = tbl(df, **kw)
+        b = tbl(df.repartition(7, "doc_id"), **kw)
+        assert a == b and len(a) == 4, (kw, a, b)
+
+    # (b) subset semantics: sampled training == training on the
+    # manually-filtered corpus (same predicate applied by hand)
+    denom = 1 << 20
+    manual_x = df.where(
+        F.pmod(F.xxhash64(F.col("text")), F.lit(denom)) < F.lit(int(0.5 * denom))
+    )
+    assert tbl(df, sample_fraction=0.5) == tbl(manual_x)
+    n_x = manual_x.count()
+    assert 0 < n_x < 60, n_x
+
+    manual_k = df.where(hash_bucket(F.col("doc_id"), 10_000, salt="bpe:") < 5000)
+    assert tbl(df, sample_fraction=0.5, sample_key_col="doc_id") == tbl(manual_k)
+    n_k = manual_k.count()
+    assert 0 < n_k < 60, n_k
+
+    # fraction 1.0 / None are the identical full-corpus path
+    assert tbl(df, sample_fraction=1.0) == tbl(df)
+
+
 def test_kmv_sketch_merge_invariant_and_accuracy(spark):
     """sketch.py::kmv_*: (a) union-of-partial-sketches == one-shot
     sketch (the mergeability invariant, same as the HLL test), (b)
@@ -4526,6 +4578,33 @@ def test_srm_check_flags_mismatch(spark):
     df = spark.createDataFrame(rows, "arm string, u int")
     got = {r["arm"]: r for r in srm_check(df, "arm", "u").collect()}
     assert got["b"]["chi2"] == 0.0 and got["b"]["srm"] == 0
+
+
+def test_srm_check_rejects_bad_expected(spark):
+    """An explicit design dict must be complete and sum to 1 — an
+    observed arm missing from it would otherwise NULL its chi2 term
+    out of the sum and silently mask a real mismatch."""
+    import pytest
+
+    from botkop_telcotraffic_spark_spark.operators.experiment import srm_check
+
+    rows = [("a", i) for i in range(50)] + [("b", 100 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "arm string, u int")
+    # shares don't sum to 1 -> driver-side ValueError
+    with pytest.raises(ValueError, match="sum to"):
+        srm_check(df, "arm", "u", expected={"a": 0.5, "b": 0.4})
+    # non-positive share -> driver-side ValueError
+    with pytest.raises(ValueError, match="> 0"):
+        srm_check(df, "arm", "u", expected={"a": 1.0, "b": 0.0})
+    # observed arm absent from the dict -> execution-time raise_error
+    with pytest.raises(Exception, match="absent from expected"):
+        srm_check(df, "arm", "u", expected={"a": 1.0}).collect()
+    # complete explicit dict still works
+    got = {
+        r["arm"]: r
+        for r in srm_check(df, "arm", "u", expected={"a": 0.5, "b": 0.5}).collect()
+    }
+    assert got["a"]["chi2"] == 0.0 and got["a"]["srm"] == 0
 
 
 def test_ngram_novelty_first_doc_owns_all(spark):

@@ -2329,29 +2329,79 @@ def simulated_traffic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline anomaly pipeline (W6 + A4/A5/J2) as a
     foreachBatch streaming query: train-then-predict streaming K-Means
-    on 2-D points, IQR-flag by within-cluster distance per batch.
-
-    No oracle entry: the iterative model update is not SQL-expressible
-    (the driver records the rows-only check).  Each batch's scored
-    output flows through the PRODUCTION sink path (parquet append —
+    on 2-D points, exact-IQR-flag by within-cluster distance per
+    batch, through the PRODUCTION sink path (parquet append —
     streaming/pipeline.py::parquet_append_sink; executor-side write,
-    no driver collect); the function returns the sink directory read
-    back, which is exactly what a downstream consumer would see."""
+    no driver collect).
+
+    Round-7: HASH-ORACLED.  The replay's micro-batch boundaries are
+    pinned to the mini-batch twin's ntile(5)-over-(ts, event_id)
+    slicing: the filtered points are pre-split into 5 slice files
+    (one Spark write per slice, mtime-ordered) and streamed with
+    maxFilesPerTrigger=1 under availableNow — a real 5-micro-batch
+    Structured Streaming run whose batch composition the DuckDB
+    oracle (_streaming_kmeans_sql) reproduces exactly, unrolling the
+    5 StreamingKMeans update rounds + per-batch IQR fences as a CTE
+    chain.  round_state=9 pins the model state each round (the
+    minibatch_kmeans_events convention).  In production the batch
+    composition comes from the source (Kafka offsets); the pinned
+    slicing is the replay-harness equivalent that makes the SAME
+    operator code hash-checkable."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import Window
 
     from botkop_telcotraffic_spark_spark.operators.iqr import iqr_outliers
     from botkop_telcotraffic_spark_spark.operators.kmeans import StreamingKMeans
     from botkop_telcotraffic_spark_spark.streaming.pipeline import parquet_append_sink
-    from botkop_telcotraffic_spark_spark.streaming.runner import stream_parquet_table
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        replay_partitions,
+    )
 
     tune(spark)
-    stream = stream_parquet_table(spark, sf_dir, "events").select(
+    n_batches = 5
+    k_val = F.get_json_object("props", "$.k").cast("double")
+    pts = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & k_val.isNotNull())
+        .select(
+            "event_id",
+            "ts",
+            F.array(F.col("value").cast("double"), k_val).alias("point"),
+        )
+    )
+    sliced = pts.select(
         "event_id",
-        F.array(
-            F.col("value"),
-            F.get_json_object("props", "$.k").cast("double"),
-        ).alias("point"),
-    ).where(~F.exists("point", lambda x: x.isNull()))
-    model = StreamingKMeans(k=3, dim=2, decay=1.0, seed=42)
+        "point",
+        F.ntile(n_batches).over(Window.orderBy("ts", "event_id")).alias("b"),
+    ).localCheckpoint()
+
+    # materialize the 5 ntile slices as mtime-ordered single files —
+    # the deterministic replay source (FileStreamSource orders unseen
+    # files by modification time; names agree lexicographically as a
+    # tiebreak).  5 bounded writes, not a driver collect.
+    src_dir = _scratch_dir("skm_src_")
+    base = _time.time()
+    for t in range(1, n_batches + 1):
+        tmp = _os.path.join(src_dir, f"_tmp{t}")
+        sliced.where(F.col("b") == t).select("event_id", "point").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        dst = _os.path.join(src_dir, f"b{t}.parquet")
+        _os.rename(part, dst)
+        _shutil.rmtree(tmp)
+        _os.utime(dst, (base + 10 * t, base + 10 * t))
+
+    stream = (
+        spark.readStream.schema("event_id bigint, point array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    model = StreamingKMeans(k=3, dim=2, decay=1.0, seed=42, round_state=9)
     out_dir = _scratch_dir("skm_outliers_")
     sink = parquet_append_sink(out_dir)
 
@@ -2361,17 +2411,14 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink(
             out.select(
                 "event_id",
+                (F.lit(batch_id + 1)).cast("int").alias("batch"),
                 "prediction",
-                F.round("distance", 6).alias("distance"),
-                F.round("lo", 6).alias("lo"),
-                F.round("hi", 6).alias("hi"),
+                (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
+                (F.round("lo", 6) + F.lit(0.0)).alias("lo"),
+                (F.round("hi", 6) + F.lit(0.0)).alias("hi"),
             ),
             batch_id,
         )
-
-    from botkop_telcotraffic_spark_spark.streaming.runner import (
-        replay_partitions,
-    )
 
     with replay_partitions(spark):
         q = (
@@ -2384,11 +2431,11 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet read of the empty sink dir would fail schema inference
     # instead of returning the typed empty frame downstream expects.
     sink_schema = (
-        "event_id bigint, prediction int, distance double, "
+        "event_id bigint, batch int, prediction int, distance double, "
         "lo double, hi double"
     )
     return spark.read.schema(sink_schema).parquet(out_dir).select(
-        "event_id", "prediction", "distance", "lo", "hi"
+        "event_id", "batch", "prediction", "distance", "lo", "hi"
     )
 
 
@@ -2428,11 +2475,15 @@ def minibatch_kmeans_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minibatch_kmeans_sql(
+def _minibatch_kmeans_parts(
     nb: int = 5, k: int = 3, decay: float = 1.0
-) -> str:
-    """Oracle twin of minibatch_kmeans_events: the streaming update
-    rule unrolled into ``nb`` CTE rounds (the _lloyd_sql pattern).
+) -> list[str]:
+    """Shared CTE chain for the mini-batch/streaming K-Means oracles:
+    the streaming update rule unrolled into ``nb`` CTE rounds (the
+    _lloyd_sql pattern).  Each round's o{t} carries BOTH the rounded
+    output distance and the raw ``rdist`` (the streaming-outliers
+    twin computes IQR fences on unrounded distances, exactly as the
+    engine's iqr_outliers does before the final rounding).
     Parity points: batch slicing is ntile over (ts, event_id); batch-1
     seeding takes ranks {1, mid+1, n} of the distinct sorted points
     where mid reproduces Python round-HALF-EVEN of (n-1)/2 with pure
@@ -2509,9 +2560,9 @@ c{t} AS MATERIALIZED (
               ELSE p.w * {dk} + s.m END AS w
   FROM {prev} p LEFT JOIN s{t} s USING (id)
 ),
-o{t} AS (
+o{t} AS MATERIALIZED (
   SELECT event_id, CAST({t} AS INT) AS batch, id AS prediction,
-         round(dist, 6) + 0.0 AS distance
+         round(dist, 6) + 0.0 AS distance, dist AS rdist
   FROM (
     SELECT *, row_number() OVER (PARTITION BY event_id
                                  ORDER BY dist, id) AS rk
@@ -2520,8 +2571,62 @@ o{t} AS (
           FROM bt CROSS JOIN c{t} c WHERE bt.b = {t}))
   WHERE rk = 1
 )""")
+    return parts
+
+
+def _minibatch_kmeans_sql(
+    nb: int = 5, k: int = 3, decay: float = 1.0
+) -> str:
+    """Oracle twin of minibatch_kmeans_events — see
+    _minibatch_kmeans_parts for the unrolled chain and parity
+    points."""
+    parts = _minibatch_kmeans_parts(nb, k, decay)
     unions = "\nUNION ALL ".join(
         f"SELECT event_id, batch, prediction, distance FROM o{t}"
+        for t in range(1, nb + 1)
+    )
+    return "WITH " + "".join(parts) + "\n" + unions
+
+
+def _streaming_kmeans_sql(nb: int = 5, k: int = 3, decay: float = 1.0) -> str:
+    """Oracle twin of streaming_kmeans_outliers (round-7: the live
+    streaming entry leaves the rows-only list).  The replay's batch
+    boundaries are pinned to the SAME ntile slicing as the mini-batch
+    twin, so the unrolled update-rule chain carries over verbatim;
+    on top of each round's scored batch o{t} this adds the
+    reference's per-cluster IQR fence (ClusterAnalyser.scala:47-58:
+    q1 = sorted[n DIV 4], q3 = sorted[3n DIV 4] 0-based, 1.5*IQR
+    fences, degenerate ±DBL_MAX at n <= 4) computed on UNROUNDED
+    distances — exactly operators/iqr.py::iqr_outliers — and keeps
+    only rows outside their fence, rounding distance/lo/hi to 6 for
+    output (engine flag order: flag on raw, round after)."""
+    parts = _minibatch_kmeans_parts(nb, k, decay)
+    for t in range(1, nb + 1):
+        parts.append(f""",
+fs{t} AS (
+  SELECT prediction, list_sort(list(rdist)) AS sv, count(*) AS n
+  FROM o{t} GROUP BY prediction
+),
+fb{t} AS (
+  SELECT prediction,
+         CASE WHEN n <= 4 THEN -1.7976931348623157e308
+              ELSE sv[CAST(n // 4 AS INT) + 1]
+                   - 1.5 * (sv[CAST((3 * n) // 4 AS INT) + 1]
+                            - sv[CAST(n // 4 AS INT) + 1]) END AS lo,
+         CASE WHEN n <= 4 THEN 1.7976931348623157e308
+              ELSE sv[CAST((3 * n) // 4 AS INT) + 1]
+                   + 1.5 * (sv[CAST((3 * n) // 4 AS INT) + 1]
+                            - sv[CAST(n // 4 AS INT) + 1]) END AS hi
+  FROM fs{t}
+),
+fo{t} AS (
+  SELECT o.event_id, o.batch, o.prediction, o.distance,
+         round(b.lo, 6) + 0.0 AS lo, round(b.hi, 6) + 0.0 AS hi
+  FROM o{t} o JOIN fb{t} b USING (prediction)
+  WHERE o.rdist < b.lo OR o.rdist > b.hi
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT event_id, batch, prediction, distance, lo, hi FROM fo{t}"
         for t in range(1, nb + 1)
     )
     return "WITH " + "".join(parts) + "\n" + unions
@@ -12522,7 +12627,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # (c) engine code or oracle changed in round 6: PQ sampled
     # training; streaming K-Means and HLL promoted to hash oracles
     "pq_codes_embeddings": (pq_codes_embeddings, _pq_sql()),
-    "streaming_kmeans_outliers": (streaming_kmeans_outliers, None),
+    "streaming_kmeans_outliers": (
+        streaming_kmeans_outliers,
+        _streaming_kmeans_sql(),
+    ),
     "hll_sketch_rollup_users": (hll_sketch_rollup_users, _ohll_sql()),
     # (a) the 13 entries NEVER driver-checked before round 5 (r4-window
     # overflow: 10 oracle-bearing + the 3 rows-only-by-design sketches)

@@ -89,7 +89,8 @@ def test_registry_first_50_slots_match_driver_window():
     # rows-only entries are allowed in the window but must be the
     # documented by-design set
     allowed_rows_only = {
-        "streaming_kmeans_outliers",
+        # the 2 genuinely non-oracleable entries (r7: streaming
+        # K-Means left this list — _streaming_kmeans_sql)
         "simulated_traffic_stats",
         "approx_distinct_users",
     }

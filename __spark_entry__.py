@@ -12545,165 +12545,18 @@ FROM g WHERE n_0 > 0 AND n_1 > 0
 # oracle entry each run (tests/test_oracle_parity.py) regardless of
 # slot, and bench.py rows cover the whole registry.
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- checked slots 1-50 ------------------------------------------------
-    # (a) NEW round-6 entries are inserted immediately below this line,
-    # newest first (standing rule -- see the registry comment above).
+    # -- checked slots 1-50 (driver window) -- see the
+    # comment above; regenerated by scripts/reorder_registry.py
     # === ROUND-7 INSERTION POINT ===
     "bpe_merges_sampled_docs": (bpe_merges_sampled_docs, _bpe_sampled_sql()),
-    "qte_deciles_events": (qte_deciles_events, _QTE_SQL),
-    "streaming_hll_users": (streaming_hll_users, _streaming_hll_sql()),
-    "lang_id_eval_docs": (lang_id_eval_docs, _lang_eval_sql()),
-    "lorenz_user_activity": (lorenz_user_activity, _LORENZ_SQL),
-    "na_user_hazard": (na_user_hazard, _NA_SQL),
-    "degree_powerlaw_coparts": (
-        degree_powerlaw_coparts,
-        _POWERLAW_SQL,
-    ),
-    "embedding_drift_labels": (
-        embedding_drift_labels,
-        _EMB_DRIFT_SQL,
-    ),
-    "salted_join_user_revenue": (
-        salted_join_user_revenue,
-        _SALTED_JOIN_SQL,
-    ),
-    "two_prop_z_events": (two_prop_z_events, _TWO_PROP_SQL),
-    "retention_decay_fit": (retention_decay_fit, _RETENTION_FIT_SQL),
-    "experiment_readout_ab": (
-        experiment_readout_ab,
-        _EXPERIMENT_READOUT_SQL,
-    ),
-    "sketch_accuracy_users": (
-        sketch_accuracy_users,
-        _sketch_accuracy_sql(),
-    ),
-    "holt_backtest_events": (holt_backtest_events, _holt_backtest_sql()),
-    "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
-    "ngram_novelty_docs": (ngram_novelty_docs, _NOVELTY_SQL),
-    "burst_runs_events": (burst_runs_events, _BURST_SQL),
-    "capture_recapture_users": (
-        capture_recapture_users,
-        _CAPTURE_SQL,
-    ),
-    "streaming_conversion_lag": (streaming_conversion_lag, _CONV_LAG_SQL),
-    "conversion_lag_users": (conversion_lag_users, _CONV_LAG_SQL),
-    "dow_anova_value_events": (dow_anova_value_events, _DOW_ANOVA_SQL),
-    "did_value_events": (did_value_events, _DID_SQL),
-    "mde_value_events": (mde_value_events, _MDE_SQL),
-    "kmv_setops_click_purchase": (
-        kmv_setops_click_purchase,
-        _KMV_SETOPS_SQL,
-    ),
-    "lsh_dedup_eval_docs": (lsh_dedup_eval_docs, _lsh_eval_sql()),
-    "holt_winters_daily": (holt_winters_daily, _hw_sql()),
-    "delta_ratio_ab_events": (delta_ratio_ab_events, _DELTA_RATIO_SQL),
-    "srm_check_events": (srm_check_events, _SRM_SQL),
-    "holt_value_daily": (holt_value_daily, _holt_sql()),
-    "woe_iv_orders": (woe_iv_orders, _WOE_SQL),
-    "cramers_v_events": (cramers_v_events, _CRAMERS_SQL),
-    "mw_auc_value_events": (mw_auc_value_events, _MW_AUC_SQL),
-    "calibration_bins_events": (calibration_bins_events, _CALIB_SQL),
-    "minibatch_kmeans_events": (
-        minibatch_kmeans_events,
-        _minibatch_kmeans_sql(),
-    ),
-    # (b) the 13 round-5 late-wave entries never driver-checked before
-    "pingpong_cells_events": (pingpong_cells_events, _pingpong_sql()),
-    "streaming_pingpong_events": (
-        streaming_pingpong_events,
-        _pingpong_sql(),
-    ),
-    "route_motifs_events": (route_motifs_events, _route_motifs_sql()),
-    "page_hinkley_events": (page_hinkley_events, _PAGE_HINKLEY_SQL),
-    "ccf_click_error_hourly": (ccf_click_error_hourly, _CCF_SQL),
-    "flesch_docs": (flesch_docs, _FLESCH_SQL),
-    "erlang_blocking_cells": (erlang_blocking_cells, _erlang_sql()),
-    "jain_cell_load": (jain_cell_load, _jain_sql()),
-    "busy_hour_cells": (busy_hour_cells, _busy_hour_sql()),
-    "stickiness_weekly_users": (stickiness_weekly_users, _STICKINESS_SQL),
-    "erlang_wait_cells": (erlang_wait_cells, _erlang_c_sql()),
-    "rfm_customers": (rfm_customers, _RFM_SQL),
-    "growth_accounting_users": (growth_accounting_users, _GROWTH_SQL),
-    # (c) engine code or oracle changed in round 6: PQ sampled
-    # training; streaming K-Means and HLL promoted to hash oracles
-    "pq_codes_embeddings": (pq_codes_embeddings, _pq_sql()),
     "streaming_kmeans_outliers": (
         streaming_kmeans_outliers,
         _streaming_kmeans_sql(),
     ),
-    "hll_sketch_rollup_users": (hll_sketch_rollup_users, _ohll_sql()),
-    # (a) the 13 entries NEVER driver-checked before round 5 (r4-window
-    # overflow: 10 oracle-bearing + the 3 rows-only-by-design sketches)
-    "dp_event_type_counts": (dp_event_type_counts, _DP_COUNTS_SQL),
-    "pretrain_mix_pipeline": (pretrain_mix_pipeline, _PRETRAIN_MIX_SQL),
-    "cuped_ab_events": (cuped_ab_events, _CUPED_SQL),
-    "streaming_window_drift": (streaming_window_drift, _STREAM_DRIFT_SQL),
-    "km_user_retention": (km_user_retention, _KM_SQL),
-    "geohash_cells_events": (geohash_cells_events, _geohash_cells_sql()),
-    "conformal_value_events": (conformal_value_events, _CONFORMAL_SQL),
-    "msprt_value_ab": (msprt_value_ab, _MSPRT_SQL),
-    "quantile_match_docs": (quantile_match_docs, _QMATCH_SQL),
-    "benford_orders": (benford_orders, _BENFORD_SQL),
-    "simulated_traffic_stats": (simulated_traffic_stats, None),
-    # (b) engine code or oracle changed in round 5: the two former
-    # driver-ERRs re-emitted as wide scalar columns (p0..p15 / q0..q63,
-    # the minhash precedent) + the null-safe-join advisory fixes
-    "jl_project_embeddings": (jl_project_embeddings, _jl_sql()),
-    "quantize_embeddings": (quantize_embeddings, _QUANT_SQL),
-    "winsorize_events": (winsorize_events, _WINSOR_SQL),
-    "cusum_value_by_type": (cusum_value_by_type, _CUSUM_SQL),
-    # (h) round-5 wave 7: HITS hubs/authorities + Markov-level
-    # next-location predictability — new this round, checked
-    # immediately (displacing the two r1-green stale re-checks that
-    # held these slots; both sit at the top of the unchecked block
-    # for the next rotation)
-    "hits_purchase_graph": (hits_purchase_graph, _HITS_SQL),
-    "transition_entropy_users": (
-        transition_entropy_users,
-        _transition_entropy_sql(),
-    ),
-    # (e) round-5 wave 2: link prediction, drift PSI, FDR, ACF, MI,
-    # arrival-process stats — new this round, checked immediately
-    "adamic_adar_coparts": (adamic_adar_coparts, _ADAMIC_ADAR_SQL),
-    "psi_value_drift": (psi_value_drift, _PSI_SQL),
-    "bh_fdr_event_rates": (bh_fdr_event_rates, _bh_fdr_sql()),
-    "acf_hourly_values": (acf_hourly_values, _ACF_SQL),
-    "mutual_info_events": (mutual_info_events, _MI_SQL),
-    "interarrival_events": (interarrival_events, _INTERARRIVAL_SQL),
-    # (f) round-5 wave 3: trajectory analytics, robust trend, corpus
-    # growth, entropy profiling — new this round, checked immediately
-    "trajectory_speed_events": (trajectory_speed_events, _trajectory_sql()),
-    "od_flows_events": (od_flows_events, _od_flows_sql()),
-    "theil_sen_value_trend": (theil_sen_value_trend, _THEIL_SEN_SQL),
-    "heaps_fit_docs": (heaps_fit_docs, _HEAPS_SQL),
-    "column_entropy_events": (column_entropy_events, _COLUMN_ENTROPY_SQL),
-    # (g) round-5 wave 4: mobility metrics, clustering coefficient,
-    # grid density clustering — new this round, checked immediately
-    "mobility_metrics_users": (mobility_metrics_users, _mobility_sql()),
-    "clustering_coeff_coparts": (clustering_coeff_coparts, _CLUSTERING_COEFF_SQL),
-    "grid_clusters_events": (grid_clusters_events, _GRID_CLUSTERS_SQL),
-    "streaming_od_flows_events": (streaming_od_flows_events, _od_flows_sql()),
-    "dwell_times_events": (dwell_times_events, _dwell_sql()),
-    "anchor_cells_users": (anchor_cells_users, _anchor_sql()),
-    "assortativity_coparts": (assortativity_coparts, _ASSORTATIVITY_SQL),
-    "token_stats_docs": (token_stats_docs, _TOKEN_SQL),
-    "kmeans_label_assign": (kmeans_label_assign, _KMEANS_SQL),
-    # (d) NEW in round 5: binary-quantized ANN, Matryoshka audit,
-    # vocab coverage, Gini corpus-balance
-    "hamming_ann_topk": (hamming_ann_topk, _HAMMING_ANN_SQL),
-    "matryoshka_prefix_norms": (matryoshka_prefix_norms, _MATRYOSHKA_SQL),
-    "vocab_coverage_docs": (vocab_coverage_docs, _VOCAB_SQL),
-    "gini_source_chars": (gini_source_chars, _GINI_SQL),
-    "bpe_merges_docs": (bpe_merges_docs, _bpe_sql()),
-    "kmv_distinct_users": (kmv_distinct_users, _KMV_SQL),
-    "audio_features_events": (audio_features_events, _AUDIO_SQL),
-    "hamming_rerank_topk": (hamming_rerank_topk, _hamming_rerank_sql()),
-    "fs_linkage_parts": (fs_linkage_parts, _fs_sql()),
-    "bpe_token_counts_docs": (bpe_token_counts_docs, _bpe_tokens_sql()),
-    # -- past the driver's 50-slot check ----------------------------------
-    # all driver-green at their latest check AND pytest-oracle-verified
-    # every run (tests/test_oracle_parity.py); ordered stalest-first so
-    # future rotations promote from the top of this block.
+    "pq_codes_embeddings": (pq_codes_embeddings, _pq_sql()),
+    "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
+    "srm_check_events": (srm_check_events, _SRM_SQL),
+    # -- stale rotation: latest driver check r01 (verdict #2), oldest-first --
     "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
     "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
@@ -12749,6 +12602,130 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
     "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
+    # -- below slot 50: driver-green at latest check; pytest oracle-parity
+    # sweep still covers every entry each run --
+    "qte_deciles_events": (qte_deciles_events, _QTE_SQL),
+    "streaming_hll_users": (streaming_hll_users, _streaming_hll_sql()),
+    "lang_id_eval_docs": (lang_id_eval_docs, _lang_eval_sql()),
+    "lorenz_user_activity": (lorenz_user_activity, _LORENZ_SQL),
+    "na_user_hazard": (na_user_hazard, _NA_SQL),
+    "degree_powerlaw_coparts": (
+        degree_powerlaw_coparts,
+        _POWERLAW_SQL,
+    ),
+    "embedding_drift_labels": (
+        embedding_drift_labels,
+        _EMB_DRIFT_SQL,
+    ),
+    "salted_join_user_revenue": (
+        salted_join_user_revenue,
+        _SALTED_JOIN_SQL,
+    ),
+    "two_prop_z_events": (two_prop_z_events, _TWO_PROP_SQL),
+    "retention_decay_fit": (retention_decay_fit, _RETENTION_FIT_SQL),
+    "experiment_readout_ab": (
+        experiment_readout_ab,
+        _EXPERIMENT_READOUT_SQL,
+    ),
+    "sketch_accuracy_users": (
+        sketch_accuracy_users,
+        _sketch_accuracy_sql(),
+    ),
+    "holt_backtest_events": (holt_backtest_events, _holt_backtest_sql()),
+    "ngram_novelty_docs": (ngram_novelty_docs, _NOVELTY_SQL),
+    "burst_runs_events": (burst_runs_events, _BURST_SQL),
+    "capture_recapture_users": (
+        capture_recapture_users,
+        _CAPTURE_SQL,
+    ),
+    "streaming_conversion_lag": (streaming_conversion_lag, _CONV_LAG_SQL),
+    "conversion_lag_users": (conversion_lag_users, _CONV_LAG_SQL),
+    "dow_anova_value_events": (dow_anova_value_events, _DOW_ANOVA_SQL),
+    "did_value_events": (did_value_events, _DID_SQL),
+    "mde_value_events": (mde_value_events, _MDE_SQL),
+    "kmv_setops_click_purchase": (
+        kmv_setops_click_purchase,
+        _KMV_SETOPS_SQL,
+    ),
+    "lsh_dedup_eval_docs": (lsh_dedup_eval_docs, _lsh_eval_sql()),
+    "holt_winters_daily": (holt_winters_daily, _hw_sql()),
+    "delta_ratio_ab_events": (delta_ratio_ab_events, _DELTA_RATIO_SQL),
+    "holt_value_daily": (holt_value_daily, _holt_sql()),
+    "woe_iv_orders": (woe_iv_orders, _WOE_SQL),
+    "cramers_v_events": (cramers_v_events, _CRAMERS_SQL),
+    "mw_auc_value_events": (mw_auc_value_events, _MW_AUC_SQL),
+    "calibration_bins_events": (calibration_bins_events, _CALIB_SQL),
+    "minibatch_kmeans_events": (
+        minibatch_kmeans_events,
+        _minibatch_kmeans_sql(),
+    ),
+    "pingpong_cells_events": (pingpong_cells_events, _pingpong_sql()),
+    "streaming_pingpong_events": (
+        streaming_pingpong_events,
+        _pingpong_sql(),
+    ),
+    "route_motifs_events": (route_motifs_events, _route_motifs_sql()),
+    "page_hinkley_events": (page_hinkley_events, _PAGE_HINKLEY_SQL),
+    "ccf_click_error_hourly": (ccf_click_error_hourly, _CCF_SQL),
+    "flesch_docs": (flesch_docs, _FLESCH_SQL),
+    "erlang_blocking_cells": (erlang_blocking_cells, _erlang_sql()),
+    "jain_cell_load": (jain_cell_load, _jain_sql()),
+    "busy_hour_cells": (busy_hour_cells, _busy_hour_sql()),
+    "stickiness_weekly_users": (stickiness_weekly_users, _STICKINESS_SQL),
+    "erlang_wait_cells": (erlang_wait_cells, _erlang_c_sql()),
+    "rfm_customers": (rfm_customers, _RFM_SQL),
+    "growth_accounting_users": (growth_accounting_users, _GROWTH_SQL),
+    "hll_sketch_rollup_users": (hll_sketch_rollup_users, _ohll_sql()),
+    "dp_event_type_counts": (dp_event_type_counts, _DP_COUNTS_SQL),
+    "pretrain_mix_pipeline": (pretrain_mix_pipeline, _PRETRAIN_MIX_SQL),
+    "cuped_ab_events": (cuped_ab_events, _CUPED_SQL),
+    "streaming_window_drift": (streaming_window_drift, _STREAM_DRIFT_SQL),
+    "km_user_retention": (km_user_retention, _KM_SQL),
+    "geohash_cells_events": (geohash_cells_events, _geohash_cells_sql()),
+    "conformal_value_events": (conformal_value_events, _CONFORMAL_SQL),
+    "msprt_value_ab": (msprt_value_ab, _MSPRT_SQL),
+    "quantile_match_docs": (quantile_match_docs, _QMATCH_SQL),
+    "benford_orders": (benford_orders, _BENFORD_SQL),
+    "simulated_traffic_stats": (simulated_traffic_stats, None),
+    "jl_project_embeddings": (jl_project_embeddings, _jl_sql()),
+    "quantize_embeddings": (quantize_embeddings, _QUANT_SQL),
+    "winsorize_events": (winsorize_events, _WINSOR_SQL),
+    "cusum_value_by_type": (cusum_value_by_type, _CUSUM_SQL),
+    "hits_purchase_graph": (hits_purchase_graph, _HITS_SQL),
+    "transition_entropy_users": (
+        transition_entropy_users,
+        _transition_entropy_sql(),
+    ),
+    "adamic_adar_coparts": (adamic_adar_coparts, _ADAMIC_ADAR_SQL),
+    "psi_value_drift": (psi_value_drift, _PSI_SQL),
+    "bh_fdr_event_rates": (bh_fdr_event_rates, _bh_fdr_sql()),
+    "acf_hourly_values": (acf_hourly_values, _ACF_SQL),
+    "mutual_info_events": (mutual_info_events, _MI_SQL),
+    "interarrival_events": (interarrival_events, _INTERARRIVAL_SQL),
+    "trajectory_speed_events": (trajectory_speed_events, _trajectory_sql()),
+    "od_flows_events": (od_flows_events, _od_flows_sql()),
+    "theil_sen_value_trend": (theil_sen_value_trend, _THEIL_SEN_SQL),
+    "heaps_fit_docs": (heaps_fit_docs, _HEAPS_SQL),
+    "column_entropy_events": (column_entropy_events, _COLUMN_ENTROPY_SQL),
+    "mobility_metrics_users": (mobility_metrics_users, _mobility_sql()),
+    "clustering_coeff_coparts": (clustering_coeff_coparts, _CLUSTERING_COEFF_SQL),
+    "grid_clusters_events": (grid_clusters_events, _GRID_CLUSTERS_SQL),
+    "streaming_od_flows_events": (streaming_od_flows_events, _od_flows_sql()),
+    "dwell_times_events": (dwell_times_events, _dwell_sql()),
+    "anchor_cells_users": (anchor_cells_users, _anchor_sql()),
+    "assortativity_coparts": (assortativity_coparts, _ASSORTATIVITY_SQL),
+    "token_stats_docs": (token_stats_docs, _TOKEN_SQL),
+    "kmeans_label_assign": (kmeans_label_assign, _KMEANS_SQL),
+    "hamming_ann_topk": (hamming_ann_topk, _HAMMING_ANN_SQL),
+    "matryoshka_prefix_norms": (matryoshka_prefix_norms, _MATRYOSHKA_SQL),
+    "vocab_coverage_docs": (vocab_coverage_docs, _VOCAB_SQL),
+    "gini_source_chars": (gini_source_chars, _GINI_SQL),
+    "bpe_merges_docs": (bpe_merges_docs, _bpe_sql()),
+    "kmv_distinct_users": (kmv_distinct_users, _KMV_SQL),
+    "audio_features_events": (audio_features_events, _AUDIO_SQL),
+    "hamming_rerank_topk": (hamming_rerank_topk, _hamming_rerank_sql()),
+    "fs_linkage_parts": (fs_linkage_parts, _fs_sql()),
+    "bpe_token_counts_docs": (bpe_token_counts_docs, _bpe_tokens_sql()),
     "q15_top_suppliers": (q15_top_suppliers, _Q15_SQL),
     "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
     "q21_sole_failing_supplier": (q21_sole_failing_supplier, _Q21_SQL),

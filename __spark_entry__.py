@@ -12524,6 +12524,148 @@ FROM g WHERE n_0 > 0 AND n_1 > 0
 """
 
 
+def welch_t_value_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (operators/experiment.py::
+    welch_t) on event value between the parity arms — the default
+    two-sample mean comparison of the experiment family (two_prop_z
+    covers rates; this covers continuous metrics).  Means/variances
+    are rounded to 6 BEFORE t/df/p so engine and oracle share the
+    exact scalar math; p is the large-sample normal approximation
+    (A&S 26.2.17, the msprt/bh_fdr precedent)."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import welch_t
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "_arm", (F.col("user_id") % 2).cast("int")
+    )
+    return welch_t(e, "_arm", "value", 0, 1)
+
+
+def _welch_sql() -> str:
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        normal_sf_sql,
+    )
+
+    az = "abs((mean_b - mean_a) / sqrt(se2))"
+    return f"""
+WITH g AS (
+  SELECT
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+    sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DOUBLE)
+        ELSE CAST(0.0 AS DOUBLE) END) AS sa,
+    sum(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DOUBLE)
+        ELSE CAST(0.0 AS DOUBLE) END) AS sb,
+    sum(CASE WHEN user_id % 2 = 0
+        THEN CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+        ELSE CAST(0.0 AS DOUBLE) END) AS qa,
+    sum(CASE WHEN user_id % 2 = 1
+        THEN CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+        ELSE CAST(0.0 AS DOUBLE) END) AS qb
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         round(sa / na, 6) + 0.0 AS mean_a,
+         round(sb / nb, 6) + 0.0 AS mean_b,
+         round((qa - sa * sa / na) / (na - 1), 6) + 0.0 AS var_a,
+         round((qb - sb * sb / nb) / (nb - 1), 6) + 0.0 AS var_b
+  FROM g WHERE na >= 2 AND nb >= 2
+), s AS (
+  SELECT *, var_a / n_a + var_b / n_b AS se2 FROM r
+)
+SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+       round((mean_b - mean_a) / sqrt(se2), 6) + 0.0 AS t,
+       round(se2 * se2 /
+             ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+              + (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) + 0.0
+           AS df_welch,
+       round(least(1.0, 2.0 * {normal_sf_sql(az)}), 6) + 0.0 AS p_value
+FROM s WHERE se2 > 0
+"""
+
+
+def ucb1_bandit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit replay (operators/experiment.py::ucb1_readout,
+    Auer et al. 2002): event types as arms, reward = value clamped
+    into [0,1] via least(1, value/100) — the next-allocation index
+    table a logged bandit computes per batch.  ``best`` ranks the
+    ROUNDED index with arm-name tie-break (deterministic across
+    engines)."""
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        ucb1_readout,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    reward = F.least(F.lit(1.0), F.col("value").cast("double") / 100.0)
+    return ucb1_readout(e.withColumnRenamed("event_type", "arm"), "arm", reward)
+
+
+_UCB1_SQL = """
+WITH arms AS (
+  SELECT event_type AS arm,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(least(CAST(1.0 AS DOUBLE), CAST(value AS DOUBLE) / 100.0)) AS s
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), tot AS (SELECT sum(n) AS t FROM arms),
+scored AS (
+  SELECT arm, CAST(n AS BIGINT) AS n_pulls,
+         round(s / n, 6) + 0.0 AS mean_reward,
+         round((round(s / n, 6) + 0.0)
+               + sqrt(2.0 * ln(t) / n), 6) + 0.0 AS ucb_index
+  FROM arms CROSS JOIN tot
+)
+SELECT arm, n_pulls, mean_reward, ucb_index,
+       CAST(CASE WHEN row_number()
+                      OVER (ORDER BY ucb_index DESC, arm ASC) = 1
+            THEN 1 ELSE 0 END AS INT) AS best
+FROM scored
+"""
+
+
+def filter_sweep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter operating curve (operators/text.py::
+    quality_threshold_sweep): corpus keep-rate / token-retention /
+    mean-quality at 10 candidate thresholds in one scan-once
+    conditional aggregate (no threshold x corpus row blowup) — the
+    table that picks the cutoff BEFORE a full-corpus filter run."""
+    d = _t(spark, sf_dir, "documents")
+    return text.quality_threshold_sweep(d, "doc_id", "text")
+
+
+def _filter_sweep_sql() -> str:
+    taus = ", ".join(
+        f"(CAST({t / 10!r} AS DOUBLE))" for t in range(10)
+    )
+    return f"""
+WITH f AS (
+  SELECT {_QUALITY_EXPR} AS q,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS total,
+         CAST(sum(n_tokens) AS DOUBLE) AS total_tokens FROM f
+), taus(threshold) AS (
+  VALUES {taus}
+), k AS (
+  SELECT threshold,
+         CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+             AS kd,
+         CAST(sum(CASE WHEN q >= threshold THEN n_tokens ELSE 0 END)
+              AS DOUBLE) AS kt,
+         sum(CASE WHEN q >= threshold THEN q
+             ELSE CAST(0.0 AS DOUBLE) END) AS sq
+  FROM taus, f GROUP BY 1
+)
+SELECT threshold,
+       CAST(kd AS BIGINT) AS kept_docs,
+       round(kd / total, 6) + 0.0 AS kept_frac,
+       CAST(kt AS BIGINT) AS kept_tokens,
+       round(kt / total_tokens, 6) + 0.0 AS token_frac,
+       CASE WHEN kd > 0 THEN round(sq / kd, 6) + 0.0 END
+           AS mean_quality_kept
+FROM k CROSS JOIN tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12548,6 +12690,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- checked slots 1-50 (driver window) -- see the
     # comment above; regenerated by scripts/reorder_registry.py
     # === ROUND-7 INSERTION POINT ===
+    "filter_sweep_docs": (filter_sweep_docs, _filter_sweep_sql()),
+    "ucb1_bandit_events": (ucb1_bandit_events, _UCB1_SQL),
+    "welch_t_value_ab": (welch_t_value_ab, _welch_sql()),
     "bpe_merges_sampled_docs": (bpe_merges_sampled_docs, _bpe_sampled_sql()),
     "streaming_kmeans_outliers": (
         streaming_kmeans_outliers,
@@ -12599,11 +12744,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "grouping_sets_orders": (grouping_sets_orders, _GROUPING_SETS_SQL),
     "approx_distinct_users": (approx_distinct_users, None),
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
+    # -- below slot 50: driver-green at latest check; pytest oracle-parity
+    # sweep still covers every entry each run --
     "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
     "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
-    # -- below slot 50: driver-green at latest check; pytest oracle-parity
-    # sweep still covers every entry each run --
     "qte_deciles_events": (qte_deciles_events, _QTE_SQL),
     "streaming_hll_users": (streaming_hll_users, _streaming_hll_sql()),
     "lang_id_eval_docs": (lang_id_eval_docs, _lang_eval_sql()),

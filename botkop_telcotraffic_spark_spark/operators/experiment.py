@@ -793,3 +793,163 @@ def anova_oneway(
         (F.round(eta, round_to) + F.lit(0.0)).alias("eta_sq"),
         (F.round(fstat, round_to) + F.lit(0.0)).alias("f_stat"),
     )
+
+
+def welch_t(
+    df: DataFrame,
+    arm_col: str,
+    y_col: str,
+    arm_a: str | int,
+    arm_b: str | int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947, public
+    literature) for the mean of ``y_col`` between two arms — the
+    default two-sample comparison when variances differ (they always
+    do in telemetry):
+
+        t  = (m_b - m_a) / sqrt(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)^2
+             / ((v_a/n_a)^2/(n_a-1) + (v_b/n_b)^2/(n_b-1))
+
+    p-value is the large-sample NORMAL approximation 2*sf(|t|)
+    (A&S 26.2.17, shared with msprt_test) — at the n where an A/B
+    readout matters the Student-t correction is < 1e-3, and the
+    normal keeps the oracle expressible in portable SQL.
+
+    Determinism contract: per-arm mean and sample variance are
+    rounded to ``round_to`` FIRST, and t / df / p are pure scalar
+    math over the rounded inputs — so engine and oracle agree
+    bit-for-bit regardless of aggregation order.
+
+    One row out: n_a, n_b, mean_a, mean_b, var_a, var_b, t, df_welch,
+    p_value.  Degenerate (either arm n < 2) rows are dropped.
+
+    Scale shape: ONE conditional aggregate over the fact scan (six
+    map-side sums); everything after is a 1-row select.  No shuffle
+    beyond the global aggregate's single exchange.
+    """
+    y = F.col(y_col).cast("double")
+    in_a = F.col(arm_col) == F.lit(arm_a)
+    in_b = F.col(arm_col) == F.lit(arm_b)
+    g = df.where(y.isNotNull() & (in_a | in_b)).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("double").alias("_na"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("double").alias("_nb"),
+        F.sum(F.when(in_a, y).otherwise(0.0)).alias("_sa"),
+        F.sum(F.when(in_b, y).otherwise(0.0)).alias("_sb"),
+        F.sum(F.when(in_a, y * y).otherwise(0.0)).alias("_qa"),
+        F.sum(F.when(in_b, y * y).otherwise(0.0)).alias("_qb"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    # sample variance via Σy² - n·ȳ², same single-pass identity as
+    # anova_oneway; rounded (with -0.0 normalized) before any reuse
+    ma = F.round(F.col("_sa") / na, round_to) + F.lit(0.0)
+    mb = F.round(F.col("_sb") / nb, round_to) + F.lit(0.0)
+    va = (
+        F.round(
+            (F.col("_qa") - F.col("_sa") * F.col("_sa") / na) / (na - 1),
+            round_to,
+        )
+        + F.lit(0.0)
+    )
+    vb = (
+        F.round(
+            (F.col("_qb") - F.col("_sb") * F.col("_sb") / nb) / (nb - 1),
+            round_to,
+        )
+        + F.lit(0.0)
+    )
+    pre = g.where((na >= 2) & (nb >= 2)).select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        va.alias("var_a"),
+        vb.alias("var_b"),
+    )
+    sea = F.col("var_a") / F.col("n_a")
+    seb = F.col("var_b") / F.col("n_b")
+    se2 = sea + seb
+    t = (F.col("mean_b") - F.col("mean_a")) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        sea * sea / (F.col("n_a") - 1) + seb * seb / (F.col("n_b") - 1)
+    )
+    p = F.least(F.lit(1.0), 2.0 * normal_sf(F.abs(t)))
+    return pre.where(se2 > 0).select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "var_a",
+        "var_b",
+        (F.round(t, round_to) + F.lit(0.0)).alias("t"),
+        (F.round(dfw, round_to) + F.lit(0.0)).alias("df_welch"),
+        (F.round(p, round_to) + F.lit(0.0)).alias("p_value"),
+    )
+
+
+def ucb1_readout(
+    df: DataFrame,
+    arm_col: str,
+    reward_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """UCB1 index computation (Auer, Cesa-Bianchi & Fischer 2002,
+    "Finite-time Analysis of the Multiarmed Bandit Problem", public
+    literature) over a logged pull history: per arm
+
+        ucb = mean_reward + sqrt(2 * ln(t) / n)
+
+    with t = total pulls across arms — the batch replay every bandit
+    deployment runs to decide the NEXT allocation from the reward
+    log so far.  ``reward_col`` is a Column expression expected in
+    [0, 1] (the UCB1 boundedness assumption; clamp upstream).
+
+    Determinism contract: mean_reward is rounded to ``round_to``
+    first and the index is scalar math over it; ``best`` marks the
+    max-index arm comparing ROUNDED indexes with lexicographic
+    arm-name tie-break, so engine and oracle cannot diverge on ulp
+    ties (the pq_codes sqrt-rank lesson).
+
+    Output: one row per arm (arm, n_pulls, mean_reward, ucb_index,
+    best).
+
+    Scale shape: one keyed aggregate to |arms| rows + a 1-row total
+    broadcast + an |arms|-sized window rank; the log is scanned once.
+    """
+    r = reward_col if not isinstance(reward_col, str) else F.col(reward_col)
+    r = r.cast("double")
+    arms = (
+        df.where(r.isNotNull())
+        .groupBy(F.col(arm_col).alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(r).alias("_s"),
+        )
+    )
+    tot = arms.agg(F.sum("_n").alias("_t"))
+    j = arms.crossJoin(F.broadcast(tot))
+    mean = F.round(F.col("_s") / F.col("_n"), round_to) + F.lit(0.0)
+    scored = j.select(
+        "arm",
+        F.col("_n").cast("long").alias("n_pulls"),
+        mean.alias("mean_reward"),
+        (
+            F.round(
+                mean + F.sqrt(2.0 * F.log(F.col("_t")) / F.col("_n")),
+                round_to,
+            )
+            + F.lit(0.0)
+        ).alias("ucb_index"),
+    )
+    from pyspark.sql import Window
+
+    # global (unpartitioned) rank is fine: the frame is |arms| rows
+    w = Window.orderBy(F.col("ucb_index").desc(), F.col("arm").asc())
+    return scored.select(
+        "*",
+        F.when(F.row_number().over(w) == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("best"),
+    )

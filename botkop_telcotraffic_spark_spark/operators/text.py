@@ -781,3 +781,75 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def quality_threshold_sweep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds: tuple[float, ...] = (
+        0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9,
+    ),
+    round_to: int = 6,
+) -> DataFrame:
+    """Filter operating-curve: for each candidate quality threshold,
+    how much of the corpus survives — the table a curation team
+    reads to PICK the cutoff before a 100 TB filter run (the
+    keep-rate / quality trade-off sweep every pretraining pipeline
+    does; cf. Gopher's ablation of rule thresholds, Rae et al. 2021,
+    public literature).
+
+    Output: one row per threshold (threshold, kept_docs, kept_frac,
+    kept_tokens, token_frac, mean_quality_kept) using the engine's
+    standard text_features quality score.  mean_quality_kept is NULL
+    when nothing survives.
+
+    Scale shape: per-doc features once (scan-once, no shuffle), then
+    ONE global conditional aggregate with 3 x |thresholds| map-side
+    sums — the sweep does NOT multiply rows by thresholds (no
+    cross join against the corpus); the 1-row wide aggregate is
+    unpivoted driver-free with ``stack``.
+    """
+    feats = text_features(df, id_col, text_col)
+    q, nt = F.col("quality_score"), F.col("n_tokens")
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("_total"),
+        F.sum(nt).cast("double").alias("_total_tokens"),
+    ]
+    for i, tau in enumerate(thresholds):
+        keep = q >= F.lit(float(tau))
+        aggs.append(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("double").alias(f"_k{i}")
+        )
+        aggs.append(
+            F.sum(F.when(keep, nt).otherwise(0)).cast("double").alias(f"_t{i}")
+        )
+        aggs.append(F.sum(F.when(keep, q).otherwise(0.0)).alias(f"_s{i}"))
+    g = feats.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({float(tau)!r} AS DOUBLE), _k{i}, _t{i}, _s{i}"
+        for i, tau in enumerate(thresholds)
+    )
+    rows = g.select(
+        "_total",
+        "_total_tokens",
+        F.expr(
+            f"stack({len(thresholds)}, {stack}) AS (threshold, _k, _t, _s)"
+        ),
+    )
+    return rows.select(
+        "threshold",
+        F.col("_k").cast("long").alias("kept_docs"),
+        (F.round(F.col("_k") / F.col("_total"), round_to) + F.lit(0.0)).alias(
+            "kept_frac"
+        ),
+        F.col("_t").cast("long").alias("kept_tokens"),
+        (
+            F.round(F.col("_t") / F.col("_total_tokens"), round_to)
+            + F.lit(0.0)
+        ).alias("token_frac"),
+        F.when(
+            F.col("_k") > 0,
+            F.round(F.col("_s") / F.col("_k"), round_to) + F.lit(0.0),
+        ).alias("mean_quality_kept"),
+    )

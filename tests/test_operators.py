@@ -4744,3 +4744,83 @@ def test_nelson_aalen_hand_curve(spark):
     assert got[2.0]["at_risk"] == 2
     assert got[2.0]["cum_hazard"] == round(0.25 + 0.5, 6)
     assert got[2.0]["se"] == round(math.sqrt(1 / 16 + 1 / 4), 6)
+
+
+def test_welch_t_hand(spark):
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.experiment import welch_t
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0), ("b", 4.0),
+            ("b", 6.0), ("b", 8.0)]
+    df = spark.createDataFrame(rows, "arm string, v double")
+    r = welch_t(df, "arm", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 4)
+    assert (r["mean_a"], r["mean_b"]) == (2.0, 5.0)
+    # operator contract: var rounded to 6 FIRST, then scalar math
+    va, vb = 1.0, round(20.0 / 3.0, 6)
+    assert (r["var_a"], r["var_b"]) == (va, vb)
+    se2 = va / 3 + vb / 4
+    assert r["t"] == round(3.0 / math.sqrt(se2), 6)
+    want_df = se2 * se2 / ((va / 3) ** 2 / 2 + (vb / 4) ** 2 / 3)
+    assert r["df_welch"] == round(want_df, 6)
+    assert 0.0 < r["p_value"] <= 1.0
+
+    # one arm with n < 2: dropped, not a divide-by-zero row
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "arm string, v double"
+    )
+    assert welch_t(tiny, "arm", "v", "a", "b").count() == 0
+
+
+def test_ucb1_hand(spark):
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        ucb1_readout,
+    )
+
+    rows = [("A", 1.0), ("A", 0.0), ("B", 1.0)]
+    df = spark.createDataFrame(rows, "arm string, r double")
+    got = {x["arm"]: x for x in ucb1_readout(df, "arm", "r").collect()}
+    assert got["A"]["n_pulls"] == 2 and got["B"]["n_pulls"] == 1
+    assert got["A"]["mean_reward"] == 0.5
+    assert got["A"]["ucb_index"] == round(
+        0.5 + math.sqrt(2 * math.log(3.0) / 2), 6
+    )
+    assert got["B"]["ucb_index"] == round(
+        1.0 + math.sqrt(2 * math.log(3.0) / 1), 6
+    )
+    # B has the higher index -> best; exactly one best arm
+    assert got["B"]["best"] == 1 and got["A"]["best"] == 0
+
+
+def test_quality_sweep_curve_shape(spark):
+    from botkop_telcotraffic_spark_spark.operators.text import (
+        quality_threshold_sweep,
+    )
+
+    rows = [
+        (1, "the the the the the"),                      # stopword stuffing
+        (2, "alpha beta gamma delta epsilon zeta eta"),  # diverse
+        (3, "one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_threshold_sweep(df, "doc_id", "text").collect()
+    assert len(out) == 10
+    by_tau = sorted(out, key=lambda r: r["threshold"])
+    # threshold 0 keeps the whole corpus
+    assert by_tau[0]["kept_docs"] == 3 and by_tau[0]["kept_frac"] == 1.0
+    assert by_tau[0]["token_frac"] == 1.0
+    # keep-rate and token retention are monotone non-increasing
+    kd = [r["kept_docs"] for r in by_tau]
+    kt = [r["kept_tokens"] for r in by_tau]
+    assert kd == sorted(kd, reverse=True)
+    assert kt == sorted(kt, reverse=True)
+    # empty buckets report NULL mean, never NaN/zero
+    for r in by_tau:
+        if r["kept_docs"] == 0:
+            assert r["mean_quality_kept"] is None
+        else:
+            assert 0.0 <= r["mean_quality_kept"] <= 1.0

@@ -95,3 +95,50 @@ def test_registry_first_50_slots_match_driver_window():
         "approx_distinct_users",
     }
     assert set(missing) <= allowed_rows_only, missing
+
+
+def test_rotation_policy_no_stale_entries_outside_window():
+    """Stale-rotation guard (round-6 verdict #2, now structural): the
+    driver hash-checks only the FIRST 50 registry entries per round,
+    so any entry whose latest committed driver check is 5+ rounds old
+    MUST sit inside the window for the upcoming check — otherwise
+    verification debt accumulates silently until a judge flags it.
+    (5 is the rotation period 270 entries / 50 slots implies, and
+    matches the round-6 verdict's "no entry older than r02 after r7"
+    bar.)  Never-checked (new) entries must be in the window too (the
+    newest-first standing rule).  scripts/reorder_registry.py
+    re-normalizes the order; this test makes forgetting to run it a
+    CI failure."""
+    import json
+
+    d = _registry_dict_node()
+    order = [k.value for k in d.keys if isinstance(k, ast.Constant)]
+    window = set(order[:50])
+
+    latest: dict[str, int] = {}
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        rounds.append(rnd)
+        for name in json.load(open(path)):
+            if name in order:  # ignore renamed/deleted historical keys
+                latest[name] = max(latest.get(name, 0), rnd)
+    assert rounds, "no committed CORRECTNESS files found"
+    stale_cut = max(rounds) - 4  # upcoming round - 5
+
+    violations = [
+        f"{n} (last r{latest.get(n, 0) or '--'})"
+        for n in order
+        if latest.get(n, 0) < stale_cut and n not in window
+    ]
+    # never-checked entries must be window-checked their first round
+    violations += [
+        f"{n} (never checked)"
+        for n in order
+        if n not in latest and n not in window
+    ]
+    assert not violations, (
+        "entries too stale for their registry position — run "
+        "scripts/reorder_registry.py (or free window slots): "
+        + ", ".join(violations)
+    )

@@ -2330,9 +2330,13 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline anomaly pipeline (W6 + A4/A5/J2) as a
     foreachBatch streaming query: train-then-predict streaming K-Means
     on 2-D points, exact-IQR-flag by within-cluster distance per
-    batch, through the PRODUCTION sink path (parquet append —
-    streaming/pipeline.py::parquet_append_sink; executor-side write,
-    no driver collect).
+    batch, through the PRODUCTION sink path (idempotent per-batch
+    partition overwrite — streaming/pipeline.py::
+    idempotent_parquet_sink; executor-side write, no driver collect)
+    with per-batch model-state snapshots (operators/kmeans.py::
+    snapshot/align) so a killed-and-restarted query resumes training
+    from committed state, exactly-once
+    (tests/test_streaming.py::test_streaming_kmeans_restart_exactly_once).
 
     Round-7: HASH-ORACLED.  The replay's micro-batch boundaries are
     pinned to the mini-batch twin's ntile(5)-over-(ts, event_id)
@@ -2356,7 +2360,7 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from botkop_telcotraffic_spark_spark.operators.iqr import iqr_outliers
     from botkop_telcotraffic_spark_spark.operators.kmeans import StreamingKMeans
-    from botkop_telcotraffic_spark_spark.streaming.pipeline import parquet_append_sink
+    from botkop_telcotraffic_spark_spark.streaming.pipeline import idempotent_parquet_sink
     from botkop_telcotraffic_spark_spark.streaming.runner import (
         replay_partitions,
     )
@@ -2403,10 +2407,17 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = StreamingKMeans(k=3, dim=2, decay=1.0, seed=42, round_state=9)
     out_dir = _scratch_dir("skm_outliers_")
-    sink = parquet_append_sink(out_dir)
+    state_dir = _scratch_dir("skm_state_")
+    sink = idempotent_parquet_sink(out_dir)
 
     def batch_fn(df: DataFrame, batch_id: int) -> None:
-        scored = model.update_and_assign(df, vec_col="point")
+        # exactly-once under restart: roll the driver model to the
+        # post-(batch_id-1) snapshot, score, overwrite this batch's
+        # partition, THEN commit the post-batch snapshot — a replayed
+        # batch recomputes identical output into the same directory
+        scored = model.exactly_once_batch(
+            df, batch_id, state_dir, vec_col="point"
+        )
         out = iqr_outliers(scored, ["prediction"], "distance", mode="exact")
         sink(
             out.select(
@@ -2419,6 +2430,7 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             batch_id,
         )
+        model.snapshot(state_dir, batch_id)
 
     with replay_partitions(spark):
         q = (

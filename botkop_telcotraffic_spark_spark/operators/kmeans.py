@@ -147,6 +147,7 @@ class StreamingKMeans:
         Lloyd oracle, applied to the streaming update rule)."""
         self.k, self.dim, self.decay = k, dim, decay
         self.round_state = round_state
+        self._seed = seed
         # Deterministic "random" init: small LCG, no numpy dependency
         state = seed & 0x7FFFFFFF or 1
         def rnd():
@@ -240,6 +241,82 @@ class StreamingKMeans:
         (ClusterAnalyser.scala:33,41)."""
         self.update(batch, vec_col)
         return assign(batch, self._centroid_df(batch.sparkSession), vec_col=vec_col)
+
+    # -- restart fault tolerance -------------------------------------
+    #
+    # Structured Streaming checkpoints SOURCE offsets, not this
+    # driver-held model: after a crash, foreachBatch re-delivers the
+    # uncommitted batch to a process whose model is back at __init__.
+    # These two methods close that gap with the standard foreachBatch
+    # state-versioning pattern: snapshot the O(k*dim) post-update
+    # state per batch_id, and on every batch entry roll the model to
+    # exactly the post-(batch_id - 1) state — a replayed batch then
+    # recomputes the identical update, and a fresh process resumes as
+    # if never killed.  Snapshots are tiny JSON files written
+    # atomically (tmp + os.replace); at 10^3 batches this is a few
+    # hundred KB — prune old ids outside the engine if it matters.
+
+    _cursor: int | None = None
+
+    def _state_path(self, state_dir: str, batch_id: int) -> str:
+        import os
+
+        return os.path.join(state_dir, f"b{batch_id}.json")
+
+    def snapshot(self, state_dir: str, batch_id: int) -> None:
+        """Atomically persist post-``batch_id`` model state.  Call as
+        the LAST step of the foreachBatch body (after the sink write:
+        a crash in between replays the batch against the prior
+        snapshot, and an idempotent sink absorbs the rewrite)."""
+        import json as _json
+        import os
+
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = self._state_path(state_dir, batch_id) + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(
+                {"centroids": self.centroids, "weights": self.weights}, fh
+            )
+        os.replace(tmp, self._state_path(state_dir, batch_id))
+        self._cursor = batch_id
+
+    def align(self, state_dir: str, batch_id: int) -> None:
+        """Roll the model to the exact post-(``batch_id`` - 1) state
+        before processing ``batch_id``.  No-op when this process just
+        completed batch_id - 1 (the common sequential case); otherwise
+        load the snapshot (restart/replay), or reset to the pristine
+        __init__ state when no prior snapshot exists (first batch)."""
+        import json as _json
+        import os
+
+        if self._cursor == batch_id - 1:
+            return
+        path = self._state_path(state_dir, batch_id - 1)
+        if os.path.exists(path):
+            with open(path) as fh:
+                st = _json.load(fh)
+            self.centroids = [[float(x) for x in c] for c in st["centroids"]]
+            self.weights = [float(w) for w in st["weights"]]
+        else:
+            # nothing committed yet: replay of the very first batch
+            fresh = StreamingKMeans(
+                self.k, self.dim, self.decay, self._seed, self.round_state
+            )
+            self.centroids, self.weights = fresh.centroids, fresh.weights
+        self._cursor = batch_id - 1
+
+    def exactly_once_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        state_dir: str,
+        vec_col: str = "point",
+    ) -> DataFrame:
+        """align -> train-then-predict, for use inside foreachBatch.
+        Pair with an idempotent per-batch sink and call
+        :meth:`snapshot` after the sink write."""
+        self.align(state_dir, batch_id)
+        return self.update_and_assign(batch, vec_col)
 
 
 def minibatch_kmeans(

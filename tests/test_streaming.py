@@ -1368,3 +1368,102 @@ def test_streaming_hll_restart_exactly_once(spark):
         ).collect()
     }
     assert est == batch_est and set(est) == {"click", "error", "view"}
+
+
+def test_streaming_kmeans_restart_exactly_once(spark):
+    """Driver-held StreamingKMeans across a KILLED query (the marquee
+    W6 gap the ValueState twins don't cover: Structured Streaming
+    checkpoints source offsets, NOT a driver-held model).  The model
+    snapshots its O(k*dim) state per batch_id and align() rolls to
+    the post-(batch_id-1) snapshot on entry, while the scored output
+    flows through the idempotent per-batch-partition sink — so a
+    restarted query (fresh model instance, same checkpoint) continues
+    training from the committed state and the accumulated table is
+    byte-identical to an uninterrupted run.  A re-delivered batch
+    (crash between sink write and offset commit) rewrites its own
+    partition with identical rows instead of appending duplicates."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from botkop_telcotraffic_spark_spark.operators.kmeans import StreamingKMeans
+    from botkop_telcotraffic_spark_spark.streaming.pipeline import (
+        idempotent_parquet_sink,
+    )
+
+    src = os.path.join(TMP, "skm_chaos_src")
+    names = ["out", "ckpt", "state", "out_ref", "ckpt_ref", "state_ref"]
+    dirs = {n: os.path.join(TMP, f"skm_chaos_{n}") for n in names}
+    shutil.rmtree(src, ignore_errors=True)
+    for d in dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+
+    b1 = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4],
+         "point": [[0.0, 0.1], [0.2, 0.0], [10.0, 9.9], [9.8, 10.1]]}
+    )
+    b2 = pd.DataFrame(
+        {"event_id": [5, 6, 7],
+         "point": [[0.1, 0.2], [10.2, 10.0], [5.0, 5.0]]}
+    )
+    b1.to_parquet(os.path.join(src, "a.parquet"))
+    schema = "event_id bigint, point array<double>"
+
+    def run(model, out, ckpt, state, max_one_file=False):
+        sink = idempotent_parquet_sink(out)
+
+        def batch_fn(df, batch_id):
+            scored = model.exactly_once_batch(df, batch_id, state)
+            sink(scored.select("event_id", "prediction", "distance"),
+                 batch_id)
+            model.snapshot(state, batch_id)
+
+        reader = spark.readStream.schema(schema)
+        if max_one_file:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        q = (
+            reader.parquet(src)
+            .writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def table(path):
+        return sorted(
+            (r["event_id"], r["prediction"], r["distance"], r["_batch_id"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    mk = lambda: StreamingKMeans(k=2, dim=2, decay=1.0, seed=7)
+    run(mk(), dirs["out"], dirs["ckpt"], dirs["state"])   # run 1, "killed"
+    got1 = table(dirs["out"])
+    assert {g[3] for g in got1} == {0}
+
+    b2.to_parquet(os.path.join(src, "b.parquet"))
+    # restart: FRESH model instance (new process), same checkpoint —
+    # align() must restore batch-0 state from the snapshot
+    m2 = mk()
+    run(m2, dirs["out"], dirs["ckpt"], dirs["state"])
+    got2 = table(dirs["out"])
+    assert [g for g in got2 if g[3] == 0] == got1  # batch 0 untouched
+
+    # uninterrupted reference over the same two files
+    run(mk(), dirs["out_ref"], dirs["ckpt_ref"], dirs["state_ref"],
+        max_one_file=True)
+    assert got2 == table(dirs["out_ref"])
+
+    # re-delivery: replay batch 1 against the SAME model instance (as
+    # after a crash between sink write and offset commit) — align
+    # rolls the model back, the partition is rewritten in place, the
+    # table and the committed snapshot are byte-identical
+    snap = open(os.path.join(dirs["state"], "b1.json")).read()
+    replay = spark.read.schema(schema).parquet(os.path.join(src, "b.parquet"))
+    sink = idempotent_parquet_sink(dirs["out"])
+    scored = m2.exactly_once_batch(replay, 1, dirs["state"])
+    sink(scored.select("event_id", "prediction", "distance"), 1)
+    m2.snapshot(dirs["state"], 1)
+    assert table(dirs["out"]) == got2
+    assert open(os.path.join(dirs["state"], "b1.json")).read() == snap

@@ -768,3 +768,83 @@ def test_kaplan_meier_matches_python_model(spark, subjects):
     for t in expect:
         assert out[t][:2] == expect[t][:2]
         assert abs(out[t][2] - expect[t][2]) <= 1.1e-6, (t, out[t], expect[t])
+
+
+@given(
+    a=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=2, max_size=8,
+    ),
+    b=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=2, max_size=8,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_welch_t_arm_swap_antisymmetry(spark, a, b):
+    """Swapping which arm is 'a' and which is 'b' must negate t and
+    preserve |t|, the Welch df, and the two-sided p — the basic
+    sanity any two-sample statistic owes.  (Degenerate zero-variance
+    pairs are dropped by the operator's se2 > 0 guard on both
+    orientations equally.)"""
+    from botkop_telcotraffic_spark_spark.operators.experiment import welch_t
+
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    # single partition: keeps float-sum order identical between the
+    # two orientations and independent of executor scheduling
+    df = spark.createDataFrame(rows, "arm string, v double").coalesce(1)
+    fwd = welch_t(df, "arm", "v", "a", "b").collect()
+    rev = welch_t(df, "arm", "v", "b", "a").collect()
+    assert len(fwd) == len(rev)
+    if fwd:
+        f, r = fwd[0], rev[0]
+        assert (f["n_a"], f["n_b"]) == (r["n_b"], r["n_a"])
+        assert (f["mean_a"], f["mean_b"]) == (r["mean_b"], r["mean_a"])
+        assert abs(f["t"] + r["t"]) < 2e-6  # rounded at 6 decimals
+        assert abs(f["df_welch"] - r["df_welch"]) < 2e-6
+        assert abs(f["p_value"] - r["p_value"]) < 2e-6
+
+
+@given(
+    rewards=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(min_value=0, max_value=1, allow_nan=False),
+        ),
+        min_size=1, max_size=30,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ucb1_matches_python_reference(spark, rewards):
+    """UCB1 indexes match a plain-Python replay of the same rounded
+    arithmetic, exactly one arm is 'best', and every index upper-
+    bounds its arm's mean (the optimism invariant)."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        ucb1_readout,
+    )
+
+    # single partition: Spark's within-partition sum order then matches
+    # the Python reference's list order, so round-to-6 agrees exactly
+    df = spark.createDataFrame(rewards, "arm string, r double").coalesce(1)
+    got = {x["arm"]: x for x in ucb1_readout(df, "arm", "r").collect()}
+
+    by_arm: dict[str, list[float]] = {}
+    for arm, r in rewards:
+        by_arm.setdefault(arm, []).append(r)
+    t = float(len(rewards))
+    for arm, vals in by_arm.items():
+        mean = round(sum(vals) / len(vals), 6) + 0.0
+        ucb = round(mean + math.sqrt(2 * math.log(t) / len(vals)), 6) + 0.0
+        assert got[arm]["n_pulls"] == len(vals)
+        assert got[arm]["mean_reward"] == mean
+        assert got[arm]["ucb_index"] == ucb
+        assert got[arm]["ucb_index"] >= got[arm]["mean_reward"] or t == 1.0
+    assert sum(x["best"] for x in got.values()) == 1
+    want_best = min(
+        by_arm, key=lambda a: (-got[a]["ucb_index"], a)
+    )
+    assert got[want_best]["best"] == 1

@@ -12682,6 +12682,82 @@ FROM k CROSS JOIN tot
 """
 
 
+def logrank_churn_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test (operators/survival.py::logrank_test,
+    Mantel 1966) comparing time-to-churn between the parity arms on
+    the same lifetimes as km_user_retention / na_user_hazard
+    (censoring cutoff Jan 30) — the survival-curve A/B comparison
+    that completes the KM / Nelson-Aalen family.  O/E/V rounded to 6
+    BEFORE chi2/p (the welch_t round-before-derive convention); p
+    via the shared A&S normal_sf using P(chi2_1 > c) = 2 P(Z > sqrt c)."""
+    from botkop_telcotraffic_spark_spark.operators.survival import (
+        logrank_test,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    lifetimes = e.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("double").alias("dur"),
+        (F.max("ts") < F.lit("2024-01-30").cast("timestamp")).alias("obs"),
+        (F.col("user_id") % 2).cast("int").alias("g"),
+    )
+    return logrank_test(lifetimes, "dur", "obs", "g", 0, 1)
+
+
+def _logrank_sql() -> str:
+    from botkop_telcotraffic_spark_spark.operators.experiment import (
+        normal_sf_sql,
+    )
+
+    return f"""
+WITH lt AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+              AS DOUBLE) AS dur,
+         max(ts) < TIMESTAMP '2024-01-30' AS obs,
+         user_id % 2 AS g
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT dur AS t,
+         sum(CASE WHEN g = 0 AND obs THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN g = 1 AND obs THEN 1 ELSE 0 END) AS d2,
+         sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c2
+  FROM lt WHERE dur IS NOT NULL GROUP BY dur
+), curve AS (
+  SELECT t, d1, d2,
+         CAST(sum(c1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+           UNBOUNDED FOLLOWING) AS DOUBLE) AS n1,
+         CAST(sum(c2) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+           UNBOUNDED FOLLOWING) AS DOUBLE) AS n2
+  FROM grid
+), terms AS (
+  SELECT d1, d2, n1, n2, n1 + n2 AS nt, CAST(d1 + d2 AS DOUBLE) AS dt
+  FROM curve WHERE d1 + d2 > 0
+), sums AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS deaths_a,
+         CAST(sum(d2) AS BIGINT) AS deaths_b,
+         round(sum(dt * n1 / nt), 6) + 0.0 AS expected_a,
+         round(sum(CASE WHEN nt > 1
+                   THEN dt * (n1 / nt) * (n2 / nt) * (nt - dt) / (nt - 1)
+                   ELSE CAST(0.0 AS DOUBLE) END), 6) + 0.0 AS var_lr
+  FROM terms
+), sizes AS (
+  SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM lt WHERE dur IS NOT NULL
+), zz AS (
+  SELECT n_a, n_b, deaths_a, deaths_b, expected_a, var_lr,
+         (deaths_a - expected_a) / sqrt(var_lr) AS z,
+         abs((deaths_a - expected_a) / sqrt(var_lr)) AS az
+  FROM sums CROSS JOIN sizes WHERE var_lr > 0
+)
+SELECT n_a, n_b, deaths_a, deaths_b, expected_a, var_lr,
+       round(z * z, 6) + 0.0 AS chi2,
+       round(least(1.0, 2.0 * {normal_sf_sql("az")}), 6) + 0.0 AS p_value
+FROM zz
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12712,6 +12788,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- checked slots 1-50 (driver window) -- see the
     # comment above; regenerated by scripts/reorder_registry.py
     # === ROUND-7 INSERTION POINT ===
+    "logrank_churn_ab": (logrank_churn_ab, _logrank_sql()),
     "filter_sweep_docs": (filter_sweep_docs, _filter_sweep_sql()),
     "ucb1_bandit_events": (ucb1_bandit_events, _UCB1_SQL),
     "welch_t_value_ab": (welch_t_value_ab, _welch_sql()),
@@ -12765,9 +12842,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "percentile_value_stats": (percentile_value_stats, _PERCENTILE_SQL),
     "grouping_sets_orders": (grouping_sets_orders, _GROUPING_SETS_SQL),
     "approx_distinct_users": (approx_distinct_users, None),
-    "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     # -- below slot 50: driver-green at latest check; pytest oracle-parity
     # sweep still covers every entry each run --
+    "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
     "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),

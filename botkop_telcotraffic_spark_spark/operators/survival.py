@@ -148,3 +148,103 @@ def nelson_aalen(
         (F.round("cum_hazard", round_to) + F.lit(0.0)).alias("cum_hazard"),
         (F.round("se", round_to) + F.lit(0.0)).alias("se"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    observed_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966 / Peto 1972, public
+    literature) — the standard nonparametric comparison of two
+    survival curves, completing the KM / Nelson-Aalen family: at each
+    distinct death time t,
+
+        E_a(t) = d_t * n_a(t) / n(t)
+        V(t)   = d_t * (n_a/n) * (n_b/n) * (n - d_t) / (n - 1)
+
+    and the statistic is chi2 = (O_a - E_a)^2 / V with 1 df
+    (O_a = Sigma d_a(t), E_a = Sigma E_a(t), V = Sigma V(t)); V terms
+    at times with n(t) < 2 are zero by convention.  The p-value uses
+    P(chi2_1 > c) = 2 * P(Z > sqrt(c)) through the shared A&S
+    normal_sf, so the oracle reproduces it in portable SQL.
+
+    Censoring convention matches kaplan_meier / nelson_aalen:
+    censored-at-t subjects are still at risk AT t.
+
+    Determinism contract: O/E/V are rounded to ``round_to`` FIRST and
+    chi2 / z / p are pure scalar math over the rounded one-row inputs
+    (the welch_t convention).
+
+    One row out: n_a, n_b, deaths_a, deaths_b, expected_a, var_lr,
+    chi2, p_value.
+
+    Scale shape (same as nelson_aalen): ONE keyed aggregate to the
+    |distinct durations| grid, ONE ordered window pass computing both
+    groups' at-risk counts via the suffix-sum trick, then a 1-row
+    reduce.  Quantize durations upstream to a reporting grain so the
+    window frame is grid-sized, not subject-sized.
+    """
+    d = F.col(duration_col).cast("double")
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    obs = F.col(observed_col)
+    grid = (
+        df.where(d.isNotNull() & (in_a | in_b))
+        .groupBy(d.alias("t"))
+        .agg(
+            F.sum(F.when(in_a & obs, 1).otherwise(0)).alias("d1"),
+            F.sum(F.when(in_b & obs, 1).otherwise(0)).alias("d2"),
+            F.sum(F.when(in_a, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(in_b, 1).otherwise(0)).alias("c2"),
+        )
+    )
+    w_after = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    n1 = F.sum("c1").over(w_after).cast("double")
+    n2 = F.sum("c2").over(w_after).cast("double")
+    terms = grid.select(
+        "t", "d1", "d2", n1.alias("n1"), n2.alias("n2")
+    ).where(F.col("d1") + F.col("d2") > 0)
+    nt = F.col("n1") + F.col("n2")
+    dt = (F.col("d1") + F.col("d2")).cast("double")
+    e1 = dt * F.col("n1") / nt
+    v1 = F.when(
+        nt > 1,
+        dt
+        * (F.col("n1") / nt)
+        * (F.col("n2") / nt)
+        * (nt - dt)
+        / (nt - 1),
+    ).otherwise(F.lit(0.0))
+    sums = terms.agg(
+        F.sum("d1").cast("long").alias("deaths_a"),
+        F.sum("d2").cast("long").alias("deaths_b"),
+        (F.round(F.sum(e1), round_to) + F.lit(0.0)).alias("expected_a"),
+        (F.round(F.sum(v1), round_to) + F.lit(0.0)).alias("var_lr"),
+    )
+    sizes = df.where(d.isNotNull() & (in_a | in_b)).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(in_b, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    j = sums.crossJoin(F.broadcast(sizes))
+    z = (F.col("deaths_a") - F.col("expected_a")) / F.sqrt(F.col("var_lr"))
+    chi2 = z * z
+    from .experiment import normal_sf
+
+    p = F.least(F.lit(1.0), 2.0 * normal_sf(F.abs(z)))
+    return j.where(F.col("var_lr") > 0).select(
+        "n_a",
+        "n_b",
+        "deaths_a",
+        "deaths_b",
+        "expected_a",
+        "var_lr",
+        (F.round(chi2, round_to) + F.lit(0.0)).alias("chi2"),
+        (F.round(p, round_to) + F.lit(0.0)).alias("p_value"),
+    )

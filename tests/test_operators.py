@@ -4824,3 +4824,47 @@ def test_quality_sweep_curve_shape(spark):
             assert r["mean_quality_kept"] is None
         else:
             assert 0.0 <= r["mean_quality_kept"] <= 1.0
+
+
+def test_logrank_hand_curve(spark):
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.experiment import normal_sf
+    from botkop_telcotraffic_spark_spark.operators.survival import logrank_test
+
+    # A: deaths at t=1 and t=2.  B: censored at t=1, death at t=3.
+    #  t=1: n=(2,2) d=(1,0) -> E1=0.5, V=0.25
+    #  t=2: n=(1,1) d=(1,0) -> E1=0.5, V=0.25
+    #  t=3: n=(0,1) d=(0,1) -> E1=0.0, V=0 (n_t=1 convention)
+    # O_a=2, E_a=1.0, V=0.5 -> z=sqrt(2), chi2=2.0
+    rows = [("a", 1.0, True), ("a", 2.0, True),
+            ("b", 1.0, False), ("b", 3.0, True)]
+    df = spark.createDataFrame(rows, "g string, dur double, obs boolean")
+    r = logrank_test(df, "dur", "obs", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert (r["deaths_a"], r["deaths_b"]) == (2, 1)
+    assert r["expected_a"] == 1.0
+    assert r["var_lr"] == 0.5
+    assert r["chi2"] == 2.0
+    # p via the shared A&S normal_sf at z = sqrt(2) (evaluate the
+    # same Column expression the operator uses)
+    want_p = spark.range(1).select(
+        (2.0 * normal_sf(F.lit(math.sqrt(2.0)))).alias("p")
+    ).collect()[0]["p"]
+    assert r["p_value"] == round(want_p, 6)
+
+    # identical groups: O == E exactly, so chi2 == 0
+    sym = spark.createDataFrame(
+        [("a", 1.0, True), ("a", 2.0, True),
+         ("b", 1.0, True), ("b", 2.0, True)],
+        "g string, dur double, obs boolean",
+    )
+    r2 = logrank_test(sym, "dur", "obs", "g", "a", "b").collect()[0]
+    assert r2["chi2"] == 0.0 and r2["p_value"] == 1.0
+
+    # all-censored: no death times -> no variance -> empty result
+    cens = spark.createDataFrame(
+        [("a", 1.0, False), ("b", 2.0, False)],
+        "g string, dur double, obs boolean",
+    )
+    assert logrank_test(cens, "dur", "obs", "g", "a", "b").count() == 0

@@ -914,9 +914,14 @@ def ucb1_readout(
     Output: one row per arm (arm, n_pulls, mean_reward, ucb_index,
     best).
 
-    Scale shape: one keyed aggregate to |arms| rows + a 1-row total
-    broadcast + an |arms|-sized window rank; the log is scanned once.
+    Scale shape: one keyed aggregate to |arms| rows, then t = total
+    pulls as an UNPARTITIONED window sum over that |arms|-row frame
+    (NOT an agg->crossJoin scalar, which re-runs the aggregate
+    subtree and scans the pull log twice — .explain-verified), plus
+    the |arms|-sized rank window; the log is scanned ONCE however
+    large it grows.
     """
+    from pyspark.sql import Window
     r = reward_col if not isinstance(reward_col, str) else F.col(reward_col)
     r = r.cast("double")
     arms = (
@@ -927,8 +932,10 @@ def ucb1_readout(
             F.sum(r).alias("_s"),
         )
     )
-    tot = arms.agg(F.sum("_n").alias("_t"))
-    j = arms.crossJoin(F.broadcast(tot))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = arms.withColumn("_t", F.sum("_n").over(w_all))
     mean = F.round(F.col("_s") / F.col("_n"), round_to) + F.lit(0.0)
     scored = j.select(
         "arm",
@@ -942,8 +949,6 @@ def ucb1_readout(
             + F.lit(0.0)
         ).alias("ucb_index"),
     )
-    from pyspark.sql import Window
-
     # global (unpartitioned) rank is fine: the frame is |arms| rows
     w = Window.orderBy(F.col("ucb_index").desc(), F.col("arm").asc())
     return scored.select(

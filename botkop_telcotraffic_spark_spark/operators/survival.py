@@ -185,8 +185,9 @@ def logrank_test(
 
     Scale shape (same as nelson_aalen): ONE keyed aggregate to the
     |distinct durations| grid, ONE ordered window pass computing both
-    groups' at-risk counts via the suffix-sum trick, then a 1-row
-    reduce.  Quantize durations upstream to a reporting grain so the
+    groups' at-risk counts via the suffix-sum trick (group sizes ride
+    along as unbounded window sums — no second scan of the subject
+    table, no scalar crossJoin), then a 1-row reduce.  Quantize durations upstream to a reporting grain so the
     window frame is grid-sized, not subject-sized.
     """
     d = F.col(duration_col).cast("double")
@@ -206,10 +207,23 @@ def logrank_test(
     w_after = Window.orderBy("t").rowsBetween(
         Window.currentRow, Window.unboundedFollowing
     )
+    # group sizes = at-risk at the earliest time = the full suffix
+    # sum; computed as an unbounded window over the SAME grid frame
+    # (an agg->crossJoin scalar here would re-run the grid aggregate
+    # and scan the subject table twice — .explain-verified)
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     n1 = F.sum("c1").over(w_after).cast("double")
     n2 = F.sum("c2").over(w_after).cast("double")
     terms = grid.select(
-        "t", "d1", "d2", n1.alias("n1"), n2.alias("n2")
+        "t",
+        "d1",
+        "d2",
+        n1.alias("n1"),
+        n2.alias("n2"),
+        F.sum("c1").over(w_all).cast("long").alias("_na"),
+        F.sum("c2").over(w_all).cast("long").alias("_nb"),
     ).where(F.col("d1") + F.col("d2") > 0)
     nt = F.col("n1") + F.col("n2")
     dt = (F.col("d1") + F.col("d2")).cast("double")
@@ -222,17 +236,14 @@ def logrank_test(
         * (nt - dt)
         / (nt - 1),
     ).otherwise(F.lit(0.0))
-    sums = terms.agg(
+    j = terms.agg(
+        F.first("_na").alias("n_a"),
+        F.first("_nb").alias("n_b"),
         F.sum("d1").cast("long").alias("deaths_a"),
         F.sum("d2").cast("long").alias("deaths_b"),
         (F.round(F.sum(e1), round_to) + F.lit(0.0)).alias("expected_a"),
         (F.round(F.sum(v1), round_to) + F.lit(0.0)).alias("var_lr"),
     )
-    sizes = df.where(d.isNotNull() & (in_a | in_b)).agg(
-        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("n_a"),
-        F.sum(F.when(in_b, 1).otherwise(0)).cast("long").alias("n_b"),
-    )
-    j = sums.crossJoin(F.broadcast(sizes))
     z = (F.col("deaths_a") - F.col("expected_a")) / F.sqrt(F.col("var_lr"))
     chi2 = z * z
     from .experiment import normal_sf

@@ -598,8 +598,6 @@ def test_registry_wide_no_cartesian(spark):
         "lorenz_user_activity",      # 1-row decile-boundary array (r6)
         "qte_deciles_events",        # 1-row decile-boundary array (r6)
         "woe_iv_orders",             # one-row pos/neg-totals scalar (r6)
-        "ucb1_bandit_events",        # one-row total-pulls scalar (r7)
-        "logrank_churn_ab",          # one-row group-sizes scalar (r7)
         "cramers_v_events",          # one-row n/r/c-totals scalar (r6)
         "calibration_bins_events",   # one-row ECE-weight total scalar (r6)
     }

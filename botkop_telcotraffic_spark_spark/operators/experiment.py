@@ -553,8 +553,10 @@ def srm_check(
     srm) — chi2/srm are the experiment-level values repeated per arm
     so the result stays a flat scalar-column table.
 
-    Scale shape: one distinct-aggregate to units, one |arms|-sized
-    aggregate, a 1-row total broadcast; scan-once.
+    Scale shape: ONE distinct-aggregate to |arms| rows, then totals
+    and the chi2 sum as unpartitioned window sums over that tiny
+    frame — the fact table is scanned exactly once (was 4x as
+    agg->crossJoin scalars).
     """
     if expected is not None:
         # design shares must be a complete, valid allocation — a share
@@ -567,11 +569,21 @@ def srm_check(
             )
         if any(float(s) <= 0.0 for s in expected.values()):
             raise ValueError("srm_check: expected shares must be > 0")
+    from pyspark.sql import Window
+
     units = df.groupBy(F.col(arm_col).alias("arm")).agg(
         F.countDistinct(F.col(unit_col)).cast("double").alias("_n")
     )
-    tot = units.agg(F.sum("_n").alias("_nt"), F.count(F.lit(1)).alias("_k"))
-    j = units.crossJoin(F.broadcast(tot))
+    # totals as UNPARTITIONED window sums over the |arms|-row frame:
+    # the former agg->crossJoin(broadcast) scalar re-ran the units
+    # aggregate per scalar and scanned the fact table 4x
+    # (.explain-verified); the window form is single-scan
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = units.withColumn("_nt", F.sum("_n").over(w_all)).withColumn(
+        "_k", F.count(F.lit(1)).over(w_all)
+    )
     if expected is None:
         e = F.col("_nt") / F.col("_k")
     else:
@@ -592,8 +604,8 @@ def srm_check(
         )
     d = F.col("_n") - e
     per = j.select("arm", "_n", e.alias("_e"), (d * d / e).alias("_t"))
-    chi = per.agg(F.sum("_t").alias("_chi2"))
-    return per.crossJoin(F.broadcast(chi)).select(
+    per = per.withColumn("_chi2", F.sum("_t").over(w_all))
+    return per.select(
         "arm",
         F.col("_n").cast("long").alias("n_units"),
         (F.round(F.col("_e"), 6) + F.lit(0.0)).alias("expected_units"),
@@ -751,8 +763,9 @@ def anova_oneway(
     eta_sq, f_stat.  Degenerate cases (k < 2 or N <= k) are dropped.
 
     Scale shape: ONE keyed aggregate to |levels| groups (three
-    map-side sums each) + a 1-row grand-total broadcast + a final
-    |levels|-sized reduce; the fact table is scanned once.  SSW is
+    map-side sums each), grand totals as unpartitioned window sums
+    over that frame, and a final |levels|-sized reduce; the fact
+    table is scanned exactly once.  SSW is
     computed per level as Σy² - n·ȳ² (no second residual pass).
     """
     y = F.col(y_col).cast("double")
@@ -765,12 +778,19 @@ def anova_oneway(
             F.sum(y * y).alias("_ss"),
         )
     )
-    tot = cells.agg(
-        F.sum("_n").alias("_nt"),
-        F.sum("_s").alias("_st"),
-        F.count(F.lit(1)).cast("double").alias("_k"),
+    # grand totals as UNPARTITIONED window sums over the |levels|-row
+    # frame (the former agg->crossJoin scalar re-ran the cells
+    # aggregate and scanned the fact table twice — .explain-verified)
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    j = cells.crossJoin(F.broadcast(tot))
+    j = (
+        cells.withColumn("_nt", F.sum("_n").over(w_all))
+        .withColumn("_st", F.sum("_s").over(w_all))
+        .withColumn("_k", F.count(F.lit(1)).over(w_all).cast("double"))
+    )
     gm = F.col("_st") / F.col("_nt")
     m = F.col("_s") / F.col("_n")
     ssb_term = F.col("_n") * (m - gm) * (m - gm)

@@ -591,9 +591,7 @@ def test_registry_wide_no_cartesian(spark):
         "psi_value_drift",           # one-row global min/max scalar (r5)
         "mutual_info_events",        # one-row grand-total scalar (r5)
         "heaps_fit_docs",            # one-row id-range scalar, twice (r5)
-        "srm_check_events",          # two 1-row total/chi2 scalars (r6)
         "kmv_setops_click_purchase", # two 1-row 64-hash sketches (r6)
-        "dow_anova_value_events",    # one-row grand-total scalar (r6)
         "experiment_readout_ab",     # composed 1-row scalar broadcasts (r6)
         "lorenz_user_activity",      # 1-row decile-boundary array (r6)
         "qte_deciles_events",        # 1-row decile-boundary array (r6)

@@ -1467,3 +1467,123 @@ def test_streaming_kmeans_restart_exactly_once(spark):
     m2.snapshot(dirs["state"], 1)
     assert table(dirs["out"]) == got2
     assert open(os.path.join(dirs["state"], "b1.json")).read() == snap
+
+
+def test_idle_session_timer_survives_restart(spark):
+    """Event-time TIMERS across a KILLED query: run 1 opens two
+    users' sessions (timers armed, watermark not yet past last+gap —
+    nothing emitted), the query stops, and a much-later event for a
+    DIFFERENT user arrives.  The restarted query (same checkpoint)
+    must fire the RESTORED timers — both sessions emitted exactly
+    once, from checkpointed state+timers, with the final table
+    byte-identical to an uninterrupted run."""
+    import pandas as pd
+
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.tws import idle_sessions
+
+    enable_large_state(spark)
+    src = os.path.join(TMP, "idle_chaos_src")
+    names = ["out", "ckpt", "out_ref", "ckpt_ref"]
+    dirs = {n: os.path.join(TMP, f"idle_chaos_{n}") for n in names}
+    shutil.rmtree(src, ignore_errors=True)
+    for d in dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def row(uid, sec, v):
+        return {"user_id": uid, "ts": t0 + datetime.timedelta(seconds=sec),
+                "value": v}
+
+    a = pd.DataFrame([row(1, 0, 10.0), row(1, 30, 20.0),
+                      row(2, 10, 5.0), row(2, 40, 7.0)])
+    b = pd.DataFrame([row(99, 3600, 1.0)])  # watermark mover only
+    a.to_parquet(os.path.join(src, "a.parquet"), coerce_timestamps="us")
+    schema = spark.read.parquet(src).schema
+
+    def q():
+        return idle_sessions(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "10 seconds"),
+            gap="5 minutes",
+        )
+
+    _run_parquet_sink(q(), dirs["out"], dirs["ckpt"])  # run 1, "killed"
+    assert spark.read.parquet(dirs["out"]).count() == 0  # nothing closed yet
+
+    b.to_parquet(os.path.join(src, "b.parquet"), coerce_timestamps="us")
+    _run_parquet_sink(q(), dirs["out"], dirs["ckpt"])  # restart
+    got = sorted(
+        (r["user_id"], r["n"], r["vsum"])
+        for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    # both run-1 sessions fired from RESTORED timers; u99 still open
+    assert got == [(1, 2, 30.0), (2, 2, 12.0)]
+
+    _run_parquet_sink(q(), dirs["out_ref"], dirs["ckpt_ref"])  # uninterrupted
+    ref = sorted(
+        (r["user_id"], r["n"], r["vsum"])
+        for r in spark.read.parquet(dirs["out_ref"]).collect()
+    )
+    assert got == ref
+
+
+def test_lastk_liststate_survives_restart(spark):
+    """ListState across a KILLED query: the user's rolling last-k
+    value history written in run 1 must be restored on restart so the
+    post-restart event's features see the pre-restart values, and the
+    accumulated table equals the uninterrupted run."""
+    import pandas as pd
+
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.tws import (
+        rolling_history_features,
+    )
+
+    enable_large_state(spark)
+    src = os.path.join(TMP, "lastk_chaos_src")
+    names = ["out", "ckpt", "out_ref", "ckpt_ref"]
+    dirs = {n: os.path.join(TMP, f"lastk_chaos_{n}") for n in names}
+    shutil.rmtree(src, ignore_errors=True)
+    for d in dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def row(eid, sec, v):
+        return {"event_id": eid, "user_id": 1,
+                "ts": t0 + datetime.timedelta(seconds=sec), "value": v}
+
+    a = pd.DataFrame([row(1, 0, 10.0), row(2, 10, 20.0)])
+    b = pd.DataFrame([row(3, 20, 30.0)])
+    a.to_parquet(os.path.join(src, "a.parquet"), coerce_timestamps="us")
+    schema = spark.read.parquet(src).schema
+
+    def q():
+        return rolling_history_features(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            k=3,
+        )
+
+    _run_parquet_sink(q(), dirs["out"], dirs["ckpt"])  # run 1, "killed"
+    b.to_parquet(os.path.join(src, "b.parquet"), coerce_timestamps="us")
+    _run_parquet_sink(q(), dirs["out"], dirs["ckpt"])  # restart
+
+    got = sorted(
+        (r["event_id"], r["n_prior"], r["mean_k"])
+        for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    # event 3's features come from the RESTORED [10, 20] history
+    assert got == [(1, 0, None), (2, 1, 10.0), (3, 2, 15.0)]
+
+    _run_parquet_sink(q(), dirs["out_ref"], dirs["ckpt_ref"])
+    ref = sorted(
+        (r["event_id"], r["n_prior"], r["mean_k"])
+        for r in spark.read.parquet(dirs["out_ref"]).collect()
+    )
+    assert got == ref

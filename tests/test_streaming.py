@@ -1587,3 +1587,75 @@ def test_lastk_liststate_survives_restart(spark):
         for r in spark.read.parquet(dirs["out_ref"]).collect()
     )
     assert got == ref
+
+
+def _run_foreach_sink(stream_df, sink, ckpt: str) -> None:
+    """Run an update-mode stream through a foreachBatch sink
+    (availableNow), reusing ``ckpt`` so a second call resumes."""
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_mapstate_type_counts_survive_restart(spark):
+    """MapState across a KILLED query: run 1 accumulates per-type
+    counts, the restarted query (fresh processor instance, same
+    checkpoint) continues from the RESTORED map — the post-restart
+    emission is prior+new, and the accumulated foreachBatch table
+    equals the uninterrupted run's."""
+    import pandas as pd
+
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.pipeline import (
+        parquet_append_sink,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.tws import (
+        running_type_counts,
+    )
+
+    enable_large_state(spark)
+    src = os.path.join(TMP, "tc_chaos_src")
+    names = ["out", "ckpt", "out_ref", "ckpt_ref"]
+    dirs = {n: os.path.join(TMP, f"tc_chaos_{n}") for n in names}
+    shutil.rmtree(src, ignore_errors=True)
+    for d in dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    a = pd.DataFrame(
+        {"user_id": [1, 1, 1], "event_type": ["view", "view", "click"]}
+    )
+    b = pd.DataFrame({"user_id": [1], "event_type": ["view"]})
+    a.to_parquet(os.path.join(src, "a.parquet"))
+    schema = spark.read.parquet(src).schema
+
+    def q():
+        return running_type_counts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    def table(path):
+        return sorted(
+            (r["_batch_id"], r["event_type"], r["n"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    _run_foreach_sink(q(), parquet_append_sink(dirs["out"]), dirs["ckpt"])
+    assert table(dirs["out"]) == [(0, "click", 1), (0, "view", 2)]
+
+    b.to_parquet(os.path.join(src, "b.parquet"))
+    _run_foreach_sink(q(), parquet_append_sink(dirs["out"]), dirs["ckpt"])
+    got = table(dirs["out"])
+    # post-restart emission continues from the RESTORED map: 2+1
+    assert got == [(0, "click", 1), (0, "view", 2), (1, "view", 3)]
+
+    _run_foreach_sink(
+        q(), parquet_append_sink(dirs["out_ref"]), dirs["ckpt_ref"]
+    )
+    assert got == table(dirs["out_ref"])

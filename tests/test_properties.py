@@ -848,3 +848,39 @@ def test_ucb1_matches_python_reference(spark, rewards):
         by_arm, key=lambda a: (-got[a]["ucb_index"], a)
     )
     assert got[want_best]["best"] == 1
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=1, max_value=8),   # duration
+            st.booleans(),                           # observed
+        ),
+        min_size=4, max_size=24,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_logrank_group_swap_invariance(spark, rows):
+    """Swapping which group is 'a' must leave chi2, the variance, and
+    the p-value INVARIANT (O_b - E_b = -(O_a - E_a) by construction)
+    while the per-group fields swap — the symmetry any two-sample
+    survival test owes."""
+    from botkop_telcotraffic_spark_spark.operators.survival import logrank_test
+
+    df = spark.createDataFrame(
+        [(g, float(t), o) for g, t, o in rows],
+        "g string, dur double, obs boolean",
+    )
+    fwd = logrank_test(df, "dur", "obs", "g", "a", "b").collect()
+    rev = logrank_test(df, "dur", "obs", "g", "b", "a").collect()
+    assert len(fwd) == len(rev)
+    if fwd:
+        f, r = fwd[0], rev[0]
+        assert (f["n_a"], f["n_b"]) == (r["n_b"], r["n_a"])
+        assert (f["deaths_a"], f["deaths_b"]) == (r["deaths_b"], r["deaths_a"])
+        assert f["var_lr"] == r["var_lr"]
+        # O_b - E_b = -(O_a - E_a): chi2 and p agree to rounding
+        assert abs(f["chi2"] - r["chi2"]) < 2e-6
+        assert abs(f["p_value"] - r["p_value"]) < 2e-6

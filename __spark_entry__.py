@@ -2434,7 +2434,7 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             batch_id,
         )
-        model.snapshot(state_dir, batch_id)
+        model.snapshot(state_dir, batch_id, keep_last=2)
 
     with replay_partitions(spark):
         q = (

@@ -263,13 +263,24 @@ class StreamingKMeans:
 
         return os.path.join(state_dir, f"b{batch_id}.json")
 
-    def snapshot(self, state_dir: str, batch_id: int) -> None:
+    def snapshot(
+        self, state_dir: str, batch_id: int, keep_last: int | None = None
+    ) -> None:
         """Atomically persist post-``batch_id`` model state.  Call as
         the LAST step of the foreachBatch body (after the sink write:
         a crash in between replays the batch against the prior
-        snapshot, and an idempotent sink absorbs the rewrite)."""
+        snapshot, and an idempotent sink absorbs the rewrite).
+
+        ``keep_last``: retain only the newest ``keep_last`` snapshots
+        (pruned AFTER the new one is committed, never below what a
+        replay of the last uncommitted batch needs — keep_last >= 1
+        always leaves the restart path intact because Structured
+        Streaming re-delivers at most the single uncommitted batch).
+        None = keep everything (a long-running stream should pass a
+        small number; each snapshot is O(k*dim) bytes)."""
         import json as _json
         import os
+        import re as _re
 
         os.makedirs(state_dir, exist_ok=True)
         tmp = self._state_path(state_dir, batch_id) + ".tmp"
@@ -279,6 +290,14 @@ class StreamingKMeans:
             )
         os.replace(tmp, self._state_path(state_dir, batch_id))
         self._cursor = batch_id
+        if keep_last is not None and keep_last >= 1:
+            ids = sorted(
+                int(m.group(1))
+                for f in os.listdir(state_dir)
+                if (m := _re.fullmatch(r"b(-?\d+)\.json", f))
+            )
+            for old in ids[:-keep_last]:
+                os.remove(self._state_path(state_dir, old))
 
     def align(self, state_dir: str, batch_id: int) -> None:
         """Roll the model to the exact post-(``batch_id`` - 1) state

@@ -4868,3 +4868,33 @@ def test_logrank_hand_curve(spark):
         "g string, dur double, obs boolean",
     )
     assert logrank_test(cens, "dur", "obs", "g", "a", "b").count() == 0
+
+
+def test_streaming_kmeans_snapshot_pruning(spark, tmp_path):
+    """snapshot(keep_last=N) retains only the newest N state files
+    AFTER committing the new one, and align() still restores from the
+    retained snapshots (keep_last >= 1 always covers the one
+    uncommitted batch a restart can replay)."""
+    import os
+
+    from botkop_telcotraffic_spark_spark.operators.kmeans import StreamingKMeans
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "id long, point array<double>"
+    )
+    state = str(tmp_path / "state")
+    m = StreamingKMeans(k=2, dim=2, decay=1.0, seed=3)
+    for b in range(4):
+        m.exactly_once_batch(df, b, state)
+        m.snapshot(state, b, keep_last=2)
+    assert sorted(os.listdir(state)) == ["b2.json", "b3.json"]
+
+    # a fresh process replaying the last (possibly uncommitted) batch
+    # restores from the retained b2 snapshot
+    m2 = StreamingKMeans(k=2, dim=2, decay=1.0, seed=3)
+    out = m2.exactly_once_batch(df, 3, state).collect()
+    # replaying batch 3 from the b2 snapshot reproduces m's exact
+    # post-batch-3 state
+    assert m2.centroids == m.centroids
+    assert m2.weights == m.weights
+    assert len(out) == 2

@@ -1659,3 +1659,62 @@ def test_mapstate_type_counts_survive_restart(spark):
         q(), parquet_append_sink(dirs["out_ref"]), dirs["ckpt_ref"]
     )
     assert got == table(dirs["out_ref"])
+
+
+def test_ewma_valuestate_survives_restart(spark):
+    """Running-EWMA ValueState across a KILLED query: the restarted
+    query's emission continues the halving recurrence from the
+    RESTORED (n, ewma) pair, matching an uninterrupted run."""
+    import pandas as pd
+
+    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    from botkop_telcotraffic_spark_spark.streaming.pipeline import (
+        parquet_append_sink,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.tws import running_ewma
+
+    enable_large_state(spark)
+    src = os.path.join(TMP, "ewma_chaos_src")
+    names = ["out", "ckpt", "out_ref", "ckpt_ref"]
+    dirs = {n: os.path.join(TMP, f"ewma_chaos_{n}") for n in names}
+    shutil.rmtree(src, ignore_errors=True)
+    for d in dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def row(eid, sec, v):
+        return {"event_id": eid, "user_id": 1,
+                "ts": t0 + datetime.timedelta(seconds=sec), "value": v}
+
+    a = pd.DataFrame([row(1, 0, 8.0), row(2, 10, 16.0)])   # ewma 12.0
+    b = pd.DataFrame([row(3, 20, 4.0)])                    # (12+4)/2 = 8.0
+    a.to_parquet(os.path.join(src, "a.parquet"), coerce_timestamps="us")
+    schema = spark.read.parquet(src).schema
+
+    def q():
+        return running_ewma(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    def table(path):
+        return sorted(
+            (r["_batch_id"], r["n"], r["ewma"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    _run_foreach_sink(q(), parquet_append_sink(dirs["out"]), dirs["ckpt"])
+    assert table(dirs["out"]) == [(0, 2, 12.0)]
+
+    b.to_parquet(os.path.join(src, "b.parquet"), coerce_timestamps="us")
+    _run_foreach_sink(q(), parquet_append_sink(dirs["out"]), dirs["ckpt"])
+    got = table(dirs["out"])
+    # the restart continues from restored (2, 12.0): (12+4)/2 = 8.0
+    assert got == [(0, 2, 12.0), (1, 3, 8.0)]
+
+    _run_foreach_sink(
+        q(), parquet_append_sink(dirs["out_ref"]), dirs["ckpt_ref"]
+    )
+    assert got == table(dirs["out_ref"])

@@ -12787,20 +12787,69 @@ FROM zz
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- checked slots 1-50 (driver window) -- see the
     # comment above; regenerated by scripts/reorder_registry.py
-    # === ROUND-7 INSERTION POINT ===
-    "logrank_churn_ab": (logrank_churn_ab, _logrank_sql()),
-    "filter_sweep_docs": (filter_sweep_docs, _filter_sweep_sql()),
+    # === NEW-ENTRY INSERTION POINT ===
     "ucb1_bandit_events": (ucb1_bandit_events, _UCB1_SQL),
-    "welch_t_value_ab": (welch_t_value_ab, _welch_sql()),
-    "bpe_merges_sampled_docs": (bpe_merges_sampled_docs, _bpe_sampled_sql()),
+    "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
     "streaming_kmeans_outliers": (
         streaming_kmeans_outliers,
         _streaming_kmeans_sql(),
     ),
+    # -- stale rotation (oldest driver check first) + fillers --
+    "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
+    "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
+    "q15_top_suppliers": (q15_top_suppliers, _Q15_SQL),
+    "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
+    "q21_sole_failing_supplier": (q21_sole_failing_supplier, _Q21_SQL),
+    "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),
+    "q4_order_priority": (q4_order_priority, _Q4_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
+    "q8_market_share": (q8_market_share, _Q8_SQL),
+    "q9_product_profit": (q9_product_profit, _Q9_SQL),
+    "q10_returned_items": (q10_returned_items, _Q10_SQL),
+    "q11_important_parts": (q11_important_parts, _Q11_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
+    "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
+    "q20_excess_share_suppliers": (q20_excess_share_suppliers, _Q20_SQL),
+    "q22_idle_rich_customers": (q22_idle_rich_customers, _Q22_SQL),
+    "sample_docs_stratified": (sample_docs_stratified, _SAMPLE_SQL),
+    "train_val_test_split_docs": (train_val_test_split_docs, _SPLIT_SQL),
+    "temperature_mix_docs": (temperature_mix_docs, _TEMP_MIX_SQL),
+    "funnel_view_click_purchase": (funnel_view_click_purchase, _FUNNEL_SQL),
+    "cohort_weekly_retention": (cohort_weekly_retention, _COHORT_SQL),
+    "range_join_clicks_before_errors": (range_join_clicks_before_errors, _RANGE_JOIN_SQL),
+    "gap_filled_user_hours": (gap_filled_user_hours, _GAP_FILL_SQL),
+    "streaming_session_windows_users": (streaming_session_windows_users, _SESSION_SQL),
+    "streaming_click_error_join": (streaming_click_error_join, _STREAM_JOIN_SQL),
+    "streaming_ewma_user": (streaming_ewma_user, _EWMA_SQL),
+    "pii_redact_docs": (pii_redact_docs, _PII_SQL),
+    "dedup_incremental_docs": (dedup_incremental_docs, _INCR_DEDUP_SQL),
+    "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
+    "blocklist_gate_docs": (blocklist_gate_docs, _BLOCKLIST_SQL),
+    "chunk_docs": (chunk_docs, _CHUNK_SQL),
+    "window_points_json": (window_points_json, _WINDOW_JSON_SQL),
+    "metrics_map_stats": (metrics_map_stats, _METRICS_MAP_SQL),
+    "sql_text_surface": (sql_text_surface, _SQL_SURFACE_SQL),
+    "unpivot_lineitem_measures": (unpivot_lineitem_measures, _UNPIVOT_SQL),
+    "minhash_signatures_docs": (minhash_signatures_docs, _MINHASH_SQL),
+    "multimodal_decode_features": (multimodal_decode_features, _MM_DECODE_SQL),
+    "profile_orders": (profile_orders, _profile_sql()),
+    "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
+    "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
+    "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
+    # -- below slot 50: driver-green at latest check; pytest oracle-parity
+    # sweep still covers every entry each run --
+    "logrank_churn_ab": (logrank_churn_ab, _logrank_sql()),
+    "filter_sweep_docs": (filter_sweep_docs, _filter_sweep_sql()),
+    "welch_t_value_ab": (welch_t_value_ab, _welch_sql()),
+    "bpe_merges_sampled_docs": (bpe_merges_sampled_docs, _bpe_sampled_sql()),
     "pq_codes_embeddings": (pq_codes_embeddings, _pq_sql()),
-    "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
     "srm_check_events": (srm_check_events, _SRM_SQL),
-    # -- stale rotation: latest driver check r01 (verdict #2), oldest-first --
     "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
     "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
     "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
@@ -12842,12 +12891,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "percentile_value_stats": (percentile_value_stats, _PERCENTILE_SQL),
     "grouping_sets_orders": (grouping_sets_orders, _GROUPING_SETS_SQL),
     "approx_distinct_users": (approx_distinct_users, None),
-    # -- below slot 50: driver-green at latest check; pytest oracle-parity
-    # sweep still covers every entry each run --
-    "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
-    "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
-    "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
-    "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
     "qte_deciles_events": (qte_deciles_events, _QTE_SQL),
     "streaming_hll_users": (streaming_hll_users, _streaming_hll_sql()),
     "lang_id_eval_docs": (lang_id_eval_docs, _lang_eval_sql()),
@@ -12970,49 +13013,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hamming_rerank_topk": (hamming_rerank_topk, _hamming_rerank_sql()),
     "fs_linkage_parts": (fs_linkage_parts, _fs_sql()),
     "bpe_token_counts_docs": (bpe_token_counts_docs, _bpe_tokens_sql()),
-    "q15_top_suppliers": (q15_top_suppliers, _Q15_SQL),
-    "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
-    "q21_sole_failing_supplier": (q21_sole_failing_supplier, _Q21_SQL),
-    "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),
-    "q4_order_priority": (q4_order_priority, _Q4_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
-    "q8_market_share": (q8_market_share, _Q8_SQL),
-    "q9_product_profit": (q9_product_profit, _Q9_SQL),
-    "q10_returned_items": (q10_returned_items, _Q10_SQL),
-    "q11_important_parts": (q11_important_parts, _Q11_SQL),
-    "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
-    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
-    "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
-    "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
-    "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
-    "q20_excess_share_suppliers": (q20_excess_share_suppliers, _Q20_SQL),
-    "q22_idle_rich_customers": (q22_idle_rich_customers, _Q22_SQL),
-    "sample_docs_stratified": (sample_docs_stratified, _SAMPLE_SQL),
-    "train_val_test_split_docs": (train_val_test_split_docs, _SPLIT_SQL),
-    "temperature_mix_docs": (temperature_mix_docs, _TEMP_MIX_SQL),
-    "funnel_view_click_purchase": (funnel_view_click_purchase, _FUNNEL_SQL),
-    "cohort_weekly_retention": (cohort_weekly_retention, _COHORT_SQL),
-    "range_join_clicks_before_errors": (range_join_clicks_before_errors, _RANGE_JOIN_SQL),
-    "gap_filled_user_hours": (gap_filled_user_hours, _GAP_FILL_SQL),
-    "streaming_session_windows_users": (streaming_session_windows_users, _SESSION_SQL),
-    "streaming_click_error_join": (streaming_click_error_join, _STREAM_JOIN_SQL),
-    "streaming_ewma_user": (streaming_ewma_user, _EWMA_SQL),
-    "pii_redact_docs": (pii_redact_docs, _PII_SQL),
-    "dedup_incremental_docs": (dedup_incremental_docs, _INCR_DEDUP_SQL),
-    "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
-    "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
-    "blocklist_gate_docs": (blocklist_gate_docs, _BLOCKLIST_SQL),
-    "chunk_docs": (chunk_docs, _CHUNK_SQL),
-    "window_points_json": (window_points_json, _WINDOW_JSON_SQL),
-    "metrics_map_stats": (metrics_map_stats, _METRICS_MAP_SQL),
-    "sql_text_surface": (sql_text_surface, _SQL_SURFACE_SQL),
-    "unpivot_lineitem_measures": (unpivot_lineitem_measures, _UNPIVOT_SQL),
-    "minhash_signatures_docs": (minhash_signatures_docs, _MINHASH_SQL),
-    "multimodal_decode_features": (multimodal_decode_features, _MM_DECODE_SQL),
-    "profile_orders": (profile_orders, _profile_sql()),
-    "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
-    "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
-    "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
     "bloom_join_urgent_revenue": (bloom_join_urgent_revenue, _BLOOM_JOIN_SQL),
     "pca_cov_embeddings": (pca_cov_embeddings, _PCA_COV_SQL),
     "streaming_geofence_events": (streaming_geofence_events, _GEO_POLY_SQL),

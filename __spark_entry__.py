@@ -8157,10 +8157,11 @@ s AS (
   FROM j
 ),
 l AS (
+  -- V > 0 guard mirrors the engine's degenerate-batch drop
   SELECT *,
          sqrt(V / (V + 1.0)) * exp(theta * theta * 1.0
                                    / (2.0 * V * (V + 1.0))) AS lam
-  FROM s
+  FROM s WHERE V > 0
 )
 SELECT CAST(nc AS BIGINT) AS n_control, CAST(nt AS BIGINT) AS n_treatment,
        round(mc, 6) + 0.0 AS mean_control,
@@ -12611,7 +12612,14 @@ def ucb1_bandit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "events")
-    reward = F.least(F.lit(1.0), F.col("value").cast("double") / 100.0)
+    # guard BEFORE least(): Spark's least() skips NULLs, so a NULL
+    # value would otherwise become reward 1.0 instead of staying NULL
+    # and being dropped by ucb1_readout's isNotNull filter (the oracle
+    # excludes those rows via WHERE value IS NOT NULL)
+    reward = F.when(
+        F.col("value").isNotNull(),
+        F.least(F.lit(1.0), F.col("value").cast("double") / 100.0),
+    )
     return ucb1_readout(e.withColumnRenamed("event_type", "arm"), "arm", reward)
 
 
@@ -12789,6 +12797,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # comment above; regenerated by scripts/reorder_registry.py
     # === NEW-ENTRY INSERTION POINT ===
     "ucb1_bandit_events": (ucb1_bandit_events, _UCB1_SQL),
+    "msprt_value_ab": (msprt_value_ab, _MSPRT_SQL),
     "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
     "streaming_kmeans_outliers": (
         streaming_kmeans_outliers,
@@ -12841,9 +12850,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "profile_orders": (profile_orders, _profile_sql()),
     "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
     "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
-    "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
     # -- below slot 50: driver-green at latest check; pytest oracle-parity
     # sweep still covers every entry each run --
+    "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
     "logrank_churn_ab": (logrank_churn_ab, _logrank_sql()),
     "filter_sweep_docs": (filter_sweep_docs, _filter_sweep_sql()),
     "welch_t_value_ab": (welch_t_value_ab, _welch_sql()),
@@ -12970,7 +12979,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "km_user_retention": (km_user_retention, _KM_SQL),
     "geohash_cells_events": (geohash_cells_events, _geohash_cells_sql()),
     "conformal_value_events": (conformal_value_events, _CONFORMAL_SQL),
-    "msprt_value_ab": (msprt_value_ab, _MSPRT_SQL),
     "quantile_match_docs": (quantile_match_docs, _QMATCH_SQL),
     "benford_orders": (benford_orders, _BENFORD_SQL),
     "simulated_traffic_stats": (simulated_traffic_stats, None),

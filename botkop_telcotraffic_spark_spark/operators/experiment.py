@@ -207,7 +207,10 @@ def msprt_test(
 
     Returns ONE row: (n_control, n_treatment, mean_control,
     mean_treatment, effect, lambda_lr, p_always), floats rounded
-    to 6.
+    to 6.  A degenerate batch where BOTH arms have zero variance
+    (V = 0) yields zero rows instead of a divide-by-zero — the same
+    guard welch_t applies via se2 > 0 (found by the round-8
+    rounding-boundary property sweep under ANSI mode).
 
     Scale shape: a single two-group aggregate (map-side combined);
     everything else is scalar math on that 2-row result.
@@ -239,6 +242,9 @@ def msprt_test(
     lam = F.sqrt(V / (V + tau2)) * F.exp(
         (theta * theta) * tau2 / (2.0 * V * (V + tau2))
     )
+    # V = 0 (both arms constant) would divide by zero in lam; the
+    # test is undefined there, drop the row (welch_t's se2 > 0 twin)
+    j = j.where(V > 0)
     return j.select(
         F.col("nc").cast("long").alias("n_control"),
         F.col("nt").cast("long").alias("n_treatment"),
@@ -929,7 +935,12 @@ def ucb1_readout(
     first and the index is scalar math over it; ``best`` marks the
     max-index arm comparing ROUNDED indexes with lexicographic
     arm-name tie-break, so engine and oracle cannot diverge on ulp
-    ties (the pq_codes sqrt-rank lesson).
+    ties (the pq_codes sqrt-rank lesson).  The bit-exact guarantee is
+    Spark<->DuckDB (both round HALF_UP on the accumulated double);
+    a plain-Python replay using half-even round() may differ by
+    exactly one unit of the last rounded decimal when the true mean
+    sits on the rounding boundary — parity vs Python is therefore
+    ±10^-round_to, not exact (round-7 verdict finding).
 
     Output: one row per arm (arm, n_pulls, mean_reward, ucb_index,
     best).

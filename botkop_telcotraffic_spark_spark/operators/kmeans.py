@@ -271,13 +271,17 @@ class StreamingKMeans:
         a crash in between replays the batch against the prior
         snapshot, and an idempotent sink absorbs the rewrite).
 
-        ``keep_last``: retain only the newest ``keep_last`` snapshots
-        (pruned AFTER the new one is committed, never below what a
-        replay of the last uncommitted batch needs — keep_last >= 1
-        always leaves the restart path intact because Structured
-        Streaming re-delivers at most the single uncommitted batch).
-        None = keep everything (a long-running stream should pass a
-        small number; each snapshot is O(k*dim) bytes)."""
+        ``keep_last``: retain only the newest ``keep_last`` snapshots,
+        pruned AFTER the new one is committed, with a hard floor of
+        TWO retained files regardless of the requested value.  The
+        floor is what the restart path actually needs: a crash after
+        snapshot(N) but before the sink/offset commit replays batch N,
+        whose align() must load snapshot b(N-1) — keep_last=1 would
+        have pruned exactly that file the moment b(N) was written,
+        and align() would silently reset to pristine __init__ state
+        (round-7 ADVICE finding; the model diverges).  None = keep
+        everything (a long-running stream should pass a small number;
+        each snapshot is O(k*dim) bytes)."""
         import json as _json
         import os
         import re as _re
@@ -296,7 +300,9 @@ class StreamingKMeans:
                 for f in os.listdir(state_dir)
                 if (m := _re.fullmatch(r"b(-?\d+)\.json", f))
             )
-            for old in ids[:-keep_last]:
+            # floor of 2: replaying the uncommitted batch N needs
+            # b(N-1), which keep_last=1 would prune (see docstring)
+            for old in ids[:-max(keep_last, 2)]:
                 os.remove(self._state_path(state_dir, old))
 
     def align(self, state_dir: str, batch_id: int) -> None:

@@ -4871,10 +4871,12 @@ def test_logrank_hand_curve(spark):
 
 
 def test_streaming_kmeans_snapshot_pruning(spark, tmp_path):
-    """snapshot(keep_last=N) retains only the newest N state files
-    AFTER committing the new one, and align() still restores from the
-    retained snapshots (keep_last >= 1 always covers the one
-    uncommitted batch a restart can replay)."""
+    """snapshot(keep_last=N) retains only the newest max(N, 2) state
+    files AFTER committing the new one, and align() still restores
+    from the retained snapshots.  The floor of 2 is load-bearing:
+    replaying the one uncommitted batch a restart can re-deliver
+    needs the PREVIOUS batch's snapshot, so keep_last=1 must not
+    prune it (round-7 ADVICE regression, covered below)."""
     import os
 
     from botkop_telcotraffic_spark_spark.operators.kmeans import StreamingKMeans
@@ -4898,3 +4900,34 @@ def test_streaming_kmeans_snapshot_pruning(spark, tmp_path):
     assert m2.centroids == m.centroids
     assert m2.weights == m.weights
     assert len(out) == 2
+
+
+def test_streaming_kmeans_keep_last_one_replay_after_prune(spark, tmp_path):
+    """Regression (round-7 ADVICE): keep_last=1 must still retain the
+    previous batch's snapshot, because the crash window between
+    snapshot(N) and the offset commit replays batch N, whose align()
+    loads b(N-1).  Before the floor-of-2 fix, b(N-1) was pruned and a
+    fresh process silently reset to pristine __init__ state — the
+    replayed model diverged from the pre-crash one."""
+    import os
+
+    from botkop_telcotraffic_spark_spark.operators.kmeans import StreamingKMeans
+
+    df = spark.createDataFrame(
+        [(1, [6.0, 3.0]), (2, [2.0, 1.0])], "id long, point array<double>"
+    )
+    state = str(tmp_path / "state")
+    m = StreamingKMeans(k=2, dim=2, decay=0.5, seed=7)
+    for b in range(4):
+        m.exactly_once_batch(df, b, state)
+        m.snapshot(state, b, keep_last=1)
+    # floor of 2 retained despite keep_last=1
+    assert sorted(os.listdir(state)) == ["b2.json", "b3.json"]
+
+    # crash after snapshot(3), offset commit lost: a fresh process
+    # replays batch 3 and must land on the pre-crash post-batch-3
+    # state, not a pristine-reset divergence
+    m2 = StreamingKMeans(k=2, dim=2, decay=0.5, seed=7)
+    m2.exactly_once_batch(df, 3, state)
+    assert m2.centroids == m.centroids
+    assert m2.weights == m.weights

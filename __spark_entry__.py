@@ -11518,46 +11518,79 @@ def anomaly_ensemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anomaly-detector ENSEMBLE: per event type, how many rows each
     of the engine's three outlier detectors flags — z-score (3σ on
     rounded moments), exact-order-statistic IQR fences
-    (operators/iqr.py::iqr_bounds), Iglewicz-Hoaglin MAD — and how
-    many a >=2-of-3 majority confirms.  The detector-agreement audit
-    that decides which alert actually pages someone.  Three
-    broadcast-joined per-type threshold tables, one flag aggregate;
-    the fact table is never shuffled."""
+    (operators/iqr.py exact semantics), Iglewicz-Hoaglin MAD — and
+    how many a >=2-of-3 majority confirms.  The detector-agreement
+    audit that decides which alert actually pages someone.
+
+    Scale shape (round-8 stats-sharing rewrite, SCALE.md round-7
+    queue): ONE per-type aggregate computes ALL thresholds — mu/sd
+    from moments, q1/q3/lo/hi by index on the sorted value list, and
+    median + MAD by explicit linear interpolation over the SAME list
+    (MAD's nested median via transform+sort_array on the deviation
+    array, no second fact pass) — then ONE broadcast join-back flags
+    every row.  TWO fact scans total (was 6); the fact table is
+    never shuffled.  The interpolation is the explicit
+    ``lo + frac * (hi - lo)`` at position (n-1)/2, written with the
+    IDENTICAL arithmetic in the oracle, so med/mad agree bit-for-bit
+    BEFORE the round-to-6 pin (stronger than the old
+    F.percentile-vs-quantile_cont ulp truce).  collect_list per type
+    is the exact-mode memory trade documented in operators/iqr.py —
+    fine to ~1e8 values/group; the 100 TB path swaps in the approx
+    sketch detectors."""
     from botkop_telcotraffic_spark_spark.operators import iqr as _iqr
 
     e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     v = F.col("value").cast("double")
-    zs = e.groupBy("event_type").agg(
+
+    def _interp_median(sv, n):
+        # explicit linear interpolation at pos = (n-1)/2; branch-free
+        # via a clamped hi index (frac == 0 whenever hi is clamped)
+        pos = (n - F.lit(1)).cast("double") * F.lit(0.5)
+        lo_i = F.floor(pos)
+        frac = pos - lo_i.cast("double")
+        lo_v = F.element_at(sv, (lo_i + 1).cast("int"))
+        hi_v = F.element_at(sv, F.least(lo_i + 2, n).cast("int"))
+        return lo_v + frac * (hi_v - lo_v)
+
+    stats = e.groupBy("event_type").agg(
         (F.round(F.avg(v), 6) + F.lit(0.0)).alias("_mu"),
         (F.round(F.stddev_pop(v), 6) + F.lit(0.0)).alias("_sd"),
+        F.sort_array(F.collect_list(v)).alias("_sv"),
+        F.count(v).alias("_n"),
     )
-    bounds = _iqr.iqr_bounds(e, ["event_type"], "value", mode="exact").select(
-        "event_type", "lo", "hi"
+    n = F.col("_n")
+    # med/MAD pinned round-to-6 like mu/sd (repo float-pin convention)
+    stats = stats.withColumn(
+        "_med",
+        F.round(_interp_median(F.col("_sv"), n), 6) + F.lit(0.0),
     )
-    # median and MAD are pinned round-to-6 like mu/sd (repo float-pin
-    # convention): Spark F.percentile and DuckDB quantile_cont both
-    # linearly interpolate, but their interpolation arithmetic is not
-    # bit-identical — an unrounded med/mad feeding the strict 5.1891
-    # threshold could flip a flag between engines within ulps
-    med = e.groupBy("event_type").agg(
-        (F.round(F.percentile(v, F.lit(0.5)), 6) + F.lit(0.0)).alias("_med")
+    dev = F.sort_array(
+        F.transform("_sv", lambda x: F.abs(x - F.col("_med")))
     )
-    mad = (
-        e.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            (
-                F.round(F.percentile(F.abs(v - F.col("_med")), F.lit(0.5)), 6)
-                + F.lit(0.0)
-            ).alias("_mad")
-        )
+    stats = stats.withColumn(
+        "_mad", F.round(_interp_median(dev, n), 6) + F.lit(0.0)
     )
-    j = (
-        e.join(F.broadcast(zs), "event_type")
-        .join(F.broadcast(bounds), "event_type")
-        .join(F.broadcast(med), "event_type")
-        .join(F.broadcast(mad), "event_type")
-    )
+    # reference-exact index quartiles (ClusterAnalyser.scala:157-170
+    # 0-based naive order statistics, degenerate below n=5)
+    q1 = F.element_at("_sv", (F.floor(n / 4) + 1).cast("int"))
+    q3 = F.element_at("_sv", (F.floor(n * 3 / 4) + 1).cast("int"))
+    iqr = q3 - q1
+    degen = n <= 4
+    thresholds = stats.select(
+        "event_type",
+        "_mu",
+        "_sd",
+        "_med",
+        "_mad",
+        F.when(degen, F.lit(_iqr.DOUBLE_MIN))
+        .otherwise(q1 - 1.5 * iqr)
+        .alias("lo"),
+        F.when(degen, F.lit(_iqr.DOUBLE_MAX))
+        .otherwise(q3 + 1.5 * iqr)
+        .alias("hi"),
+    )  # _sv dropped HERE: the broadcast ships 5 doubles per type
+
+    j = e.join(F.broadcast(thresholds), "event_type")
     fz = (F.abs(v - F.col("_mu")) > 3 * F.col("_sd")).cast("int")
     fi = ((v < F.col("lo")) | (v > F.col("hi"))).cast("int")
     fm = (F.abs(v - F.col("_med")) > F.lit(5.1891) * F.col("_mad")).cast(
@@ -11575,18 +11608,41 @@ def anomaly_ensemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ENSEMBLE_SQL = """
+-- round-8 stats-sharing twin: one sorted-list aggregate yields
+-- mu/sd, index quartiles, and the EXPLICIT lo + frac * (hi - lo)
+-- interpolated median and MAD — the same IEEE arithmetic the engine
+-- runs, so med/mad agree bit-for-bit before the round-to-6 pin
 WITH vals AS (
   SELECT event_type, CAST(value AS DOUBLE) AS v
   FROM events WHERE value IS NOT NULL
-), zs AS (
-  SELECT event_type, round(avg(v), 6) + 0.0 AS mu,
-         round(stddev_pop(v), 6) + 0.0 AS sd
-  FROM vals GROUP BY 1
-), s AS (
-  SELECT event_type, list_sort(list(v)) AS sv, count(*) AS n
-  FROM vals GROUP BY 1
-), b AS (
+), s AS MATERIALIZED (
   SELECT event_type,
+         round(avg(v), 6) + 0.0 AS mu,
+         round(stddev_pop(v), 6) + 0.0 AS sd,
+         list_sort(list(v)) AS sv,
+         count(*) AS n
+  FROM vals GROUP BY 1
+), m AS MATERIALIZED (
+  SELECT *,
+         round(
+           sv[CAST(floor((n - 1) * 0.5) AS INT) + 1]
+           + ((n - 1) * 0.5 - floor((n - 1) * 0.5))
+             * (sv[CAST(least(floor((n - 1) * 0.5) + 2, n) AS INT)]
+                - sv[CAST(floor((n - 1) * 0.5) AS INT) + 1]),
+           6) + 0.0 AS med
+  FROM s
+), d AS MATERIALIZED (
+  SELECT *,
+         list_sort(list_transform(sv, x -> abs(x - med))) AS dv
+  FROM m
+), t AS (
+  SELECT event_type, mu, sd, med,
+         round(
+           dv[CAST(floor((n - 1) * 0.5) AS INT) + 1]
+           + ((n - 1) * 0.5 - floor((n - 1) * 0.5))
+             * (dv[CAST(least(floor((n - 1) * 0.5) + 2, n) AS INT)]
+                - dv[CAST(floor((n - 1) * 0.5) AS INT) + 1]),
+           6) + 0.0 AS mad,
          CASE WHEN n <= 4 THEN -1.7976931348623157e308
               ELSE sv[CAST(n // 4 AS INT) + 1]
                    - 1.5 * (sv[CAST((3 * n) // 4 AS INT) + 1]
@@ -11595,22 +11651,14 @@ WITH vals AS (
               ELSE sv[CAST((3 * n) // 4 AS INT) + 1]
                    + 1.5 * (sv[CAST((3 * n) // 4 AS INT) + 1]
                             - sv[CAST(n // 4 AS INT) + 1]) END AS hi
-  FROM s
-), med AS (
-  SELECT event_type, round(quantile_cont(v, 0.5), 6) + 0.0 AS med
-  FROM vals GROUP BY 1
-), mad AS (
-  SELECT e.event_type,
-         round(quantile_cont(abs(e.v - m.med), 0.5), 6) + 0.0 AS mad
-  FROM vals e JOIN med m USING (event_type) GROUP BY 1
+  FROM d
 ), flags AS (
   SELECT e.event_type,
-         CASE WHEN abs(e.v - z.mu) > 3 * z.sd THEN 1 ELSE 0 END AS fz,
-         CASE WHEN e.v < b.lo OR e.v > b.hi THEN 1 ELSE 0 END AS fi,
-         CASE WHEN abs(e.v - m.med) > 5.1891 * d.mad THEN 1 ELSE 0 END
+         CASE WHEN abs(e.v - t.mu) > 3 * t.sd THEN 1 ELSE 0 END AS fz,
+         CASE WHEN e.v < t.lo OR e.v > t.hi THEN 1 ELSE 0 END AS fi,
+         CASE WHEN abs(e.v - t.med) > 5.1891 * t.mad THEN 1 ELSE 0 END
            AS fm
-  FROM vals e JOIN zs z USING (event_type) JOIN b USING (event_type)
-       JOIN med m USING (event_type) JOIN mad d USING (event_type)
+  FROM vals e JOIN t USING (event_type)
 )
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(fz) AS BIGINT) AS n_z,

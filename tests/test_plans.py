@@ -904,3 +904,61 @@ def test_flagship_pipelines_exchange_counts_pinned(spark):
     assert "CartesianProduct" not in mplan, mplan
     m_ex = mplan.count("Exchange")
     assert m_ex <= 5, f"pretrain_mix_pipeline exchanges grew: {m_ex}\n{mplan}"
+
+
+def test_anomaly_ensemble_two_scans(spark):
+    """The round-8 stats-sharing rewrite holds: ONE per-type stats
+    aggregate + ONE flag join-back = exactly 2 FileScans (was 6),
+    broadcast join-back, no cartesian (round-7 verdict #6)."""
+    df = entry_mod.anomaly_ensemble_events(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert plan.count("FileScan") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_scan_census_no_unexplained_growth():
+    """Census growth gate (round-7 verdict #8): an entry's static
+    FileScan count must not GROW between the two newest committed
+    SCAN_CENSUS_r{N}.json files unless SCALE.md names the entry in a
+    round-{new-or-later} section — silent plan regressions (a lost
+    ReusedExchange, a broadcast that became a re-computed subtree)
+    surface as census growth first.  Regenerate with
+    scripts/scan_census.py and document intentional growth in
+    SCALE.md."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    files = sorted(
+        (int(m.group(1)), p)
+        for p in _glob.glob(_os.path.join(repo, "SCAN_CENSUS_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    )
+    if len(files) < 2:
+        return  # first census round: nothing to compare
+    (old_rnd, old_p), (new_rnd, new_p) = files[-2], files[-1]
+    old = _json.load(open(old_p))
+    new = _json.load(open(new_p))
+
+    with open(_os.path.join(repo, "SCALE.md")) as fh:
+        scale = fh.read()
+    # entries mentioned in a section headed "## Round-{>= new_rnd}"
+    explained: set[str] = set()
+    for sec in re.split(r"(?m)^## ", scale):
+        m = re.match(r"Round-(\d+)", sec)
+        if m and int(m.group(1)) >= new_rnd:
+            explained.update(
+                n for n in new if re.search(rf"\b{re.escape(n)}\b", sec)
+            )
+
+    grown = [
+        f"{n}: {old[n]} -> {new[n]}"
+        for n in new
+        if n in old and new[n] > old[n] >= 0 and n not in explained
+    ]
+    assert not grown, (
+        f"static FileScan count grew r{old_rnd}->r{new_rnd} without a "
+        f"SCALE.md round-{new_rnd}+ note: " + ", ".join(grown)
+    )

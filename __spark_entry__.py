@@ -2358,7 +2358,10 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from botkop_telcotraffic_spark_spark.operators.iqr import iqr_outliers
+    from botkop_telcotraffic_spark_spark.operators.iqr import (
+        DOUBLE_MAX,
+        DOUBLE_MIN,
+    )
     from botkop_telcotraffic_spark_spark.operators.kmeans import StreamingKMeans
     from botkop_telcotraffic_spark_spark.streaming.pipeline import idempotent_parquet_sink
     from botkop_telcotraffic_spark_spark.streaming.runner import (
@@ -2381,15 +2384,17 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "point",
         F.ntile(n_batches).over(Window.orderBy("ts", "event_id")).alias("b"),
-    ).localCheckpoint()
+    )
 
     # materialize the 5 ntile slices as mtime-ordered single files —
     # the deterministic replay source (FileStreamSource orders unseen
     # files by modification time; names agree lexicographically as a
     # tiebreak).  ONE partitionBy write job (was 5 filtered writes —
     # a 1.4 s -> ~0.4 s local win, and one scan instead of 5 at any
-    # scale), then driver-side renames of the 5 tiny files; no
-    # driver collect of data.
+    # scale; the write consumes the ntile plan directly — a
+    # localCheckpoint here was one whole extra materialization job,
+    # round-8 shave), then driver-side renames of the 5 tiny files;
+    # no driver collect of data.
     src_dir = _scratch_dir("skm_src_")
     tmp = _os.path.join(src_dir, "_slices")
     sliced.select("event_id", "point", "b").repartition(
@@ -2422,7 +2427,34 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = model.exactly_once_batch(
             df, batch_id, state_dir, vec_col="point"
         )
-        out = iqr_outliers(scored, ["prediction"], "distance", mode="exact")
+        # exact per-cluster IQR fences as a WINDOW over prediction
+        # (identical order statistics to operators/iqr.py exact mode)
+        # instead of aggregate + broadcast join-back: the broadcast
+        # exchange cost one extra sub-job per micro-batch, so
+        # predict + fence + filter + write is now ONE job per batch
+        # on one tiny k-key shuffle (round-7 verdict #5 shave)
+        w = Window.partitionBy("prediction")
+        sv = F.sort_array(F.collect_list("distance").over(w))
+        cnt = F.size(sv)
+        q1 = F.element_at(sv, (F.floor(cnt / 4) + 1).cast("int"))
+        q3 = F.element_at(sv, (F.floor(cnt * 3 / 4) + 1).cast("int"))
+        iqr_w = q3 - q1
+        degen = cnt <= 4
+        fenced = scored.select(
+            "event_id",
+            "prediction",
+            "distance",
+            F.when(degen, F.lit(DOUBLE_MIN))
+            .otherwise(q1 - 1.5 * iqr_w)
+            .alias("lo"),
+            F.when(degen, F.lit(DOUBLE_MAX))
+            .otherwise(q3 + 1.5 * iqr_w)
+            .alias("hi"),
+        )
+        out = fenced.where(
+            (F.col("distance") < F.col("lo"))
+            | (F.col("distance") > F.col("hi"))
+        )
         sink(
             out.select(
                 "event_id",
@@ -7333,6 +7365,202 @@ g AS (
 SELECT h.doc_id, h.norm_hash, g.group_size,
        h.doc_id = g.canon AS is_canonical
 FROM h JOIN g USING (norm_hash)
+"""
+
+
+def dedup_ladder_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 flagship composition (round-7 verdict #7): the FULL
+    dedup ladder in one plan over ``documents`` — the realistic
+    100 TB curation order, cheapest-first so each stage shrinks the
+    next stage's input:
+
+        exact (byte md5, keep min id)
+        -> normalized (C4/Dolma canonical-form md5, keep min id)
+        -> MinHash-LSH (8x2 banding -> candidate pairs -> connected
+           components -> keep the component-min representative)
+        -> SemDeDup (within-label cosine >= 0.4 over the aligned
+           embeddings, Abbas et al. 2023; keep component min)
+
+    emitting per-stage removal counts: (stage_idx, stage, n_in,
+    n_removed, n_out), 4 rows.
+
+    Physical shape: stages 1+2 are TWO window flags over one
+    documents scan (no self-joins; the stage-2 min is conditional on
+    stage-1 survival, so both live in the same pass), pinned with
+    localCheckpoint because three later branches reuse the flags.
+    Stage 3 filters the corpus FIRST, then runs the banded-signature
+    pair stage over survivors only (signatures are per-doc, so
+    survivor-scoped LSH equals corpus LSH filtered — but costs
+    |survivors| not |corpus|); components run over the duplicate-
+    sized pair set (operators/graph.py tiny-graph fast path).
+    Stage 4 prunes embeddings to stage-3 survivors before the
+    within-label quadratic (the SemDeDup cluster-size bound).  The
+    five stage counts union into a 5-row frame and n_in is a lag()
+    over the unpartitioned stage_idx window (5 rows — the standing
+    scalar-join rule), never a crossJoin.  Oracle: the same ladder
+    as staged CTEs (windowed flags, survivor-scoped postings via
+    _postings_cte('s2'), two recursive-CTE component walks)."""
+    from pyspark.sql import Window as _W
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    flags = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("_eh"),
+        F.md5(norm).alias("_nh"),
+    )
+    flags = flags.withColumn(
+        "alive1",
+        F.min("doc_id").over(_W.partitionBy("_eh")) == F.col("doc_id"),
+    )
+    flags = (
+        flags.withColumn(
+            "alive2",
+            F.col("alive1")
+            & (
+                F.min(
+                    F.when(F.col("alive1"), F.col("doc_id"))
+                ).over(_W.partitionBy("_nh"))
+                == F.col("doc_id")
+            ),
+        )
+        .select("doc_id", "alive1", "alive2")
+        .localCheckpoint()
+    )
+
+    s2 = flags.where(F.col("alive2")).select("doc_id")
+    surv2 = docs.join(s2, "doc_id")
+    pairs3 = dedup.minhash_lsh_pairs(
+        surv2, "doc_id", "text", k=3, bands=8, rows_per_band=2
+    )
+    s3 = (
+        graph.dedup_groups_from_pairs(s2, pairs3, "doc_id")
+        .where(F.col("cluster") == F.col("id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb3 = emb.join(
+        s3, emb["vec_id"] == s3["doc_id"]
+    ).select("vec_id", "label", "embedding")
+    s4 = similarity.semdedup(
+        emb3, "label", "vec_id", "embedding", threshold=0.4
+    ).where(F.col("is_kept"))
+
+    def _cnt(frame: DataFrame, idx: int, stage: str) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).alias("n_out")).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.col("n_out"),
+        )
+
+    rows = (
+        _cnt(flags, 0, "input")
+        .unionAll(_cnt(flags.where(F.col("alive1")), 1, "exact"))
+        .unionAll(_cnt(flags.where(F.col("alive2")), 2, "normalized"))
+        .unionAll(_cnt(s3, 3, "minhash_lsh"))
+        .unionAll(_cnt(s4, 4, "semdedup"))
+    )
+    w = _W.orderBy("stage_idx")
+    return (
+        rows.select(
+            "stage_idx",
+            "stage",
+            F.lag("n_out").over(w).alias("n_in"),
+            "n_out",
+        )
+        .where(F.col("stage_idx") >= 1)
+        .select(
+            "stage_idx",
+            "stage",
+            "n_in",
+            (F.col("n_in") - F.col("n_out")).alias("n_removed"),
+            "n_out",
+        )
+    )
+
+
+_DEDUP_LADDER_SQL = f"""
+WITH RECURSIVE
+h AS (
+  SELECT doc_id,
+         md5(text) AS eh,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nh
+  FROM documents
+),
+a1 AS (
+  SELECT doc_id, nh,
+         doc_id = min(doc_id) OVER (PARTITION BY eh) AS alive1
+  FROM h
+),
+a2 AS MATERIALIZED (
+  SELECT doc_id, alive1,
+         alive1 AND doc_id = min(CASE WHEN alive1 THEN doc_id END)
+                             OVER (PARTITION BY nh) AS alive2
+  FROM a1
+),
+s2 AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN a2 USING (doc_id) WHERE a2.alive2
+),
+{_postings_cte("s2")},
+sig AS (SELECT id, [{_MINHASH_EXPRS}] AS sig FROM post GROUP BY id),
+buckets AS ({_LSH_BANDS_SQL}),
+pairs AS (SELECT l.id AS a, r.id AS b
+          FROM buckets l JOIN buckets r USING (band, bkey)
+          WHERE l.id < r.id GROUP BY 1, 2),
+ed AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+  UNION
+  SELECT ed.u, reach.label FROM ed JOIN reach ON ed.v = reach.u
+),
+comp AS (SELECT u AS id, min(label) AS cluster FROM reach GROUP BY u),
+s3 AS MATERIALIZED (
+  SELECT s2.doc_id FROM s2 LEFT JOIN comp ON s2.doc_id = comp.id
+  WHERE coalesce(comp.cluster, s2.doc_id) = s2.doc_id
+),
+e3 AS MATERIALIZED (
+  SELECT e.vec_id, e.label, e.embedding
+  FROM embeddings e JOIN s3 ON e.vec_id = s3.doc_id
+),
+p4 AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e3 a JOIN e3 b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE {_dot_sql('a.embedding', 'b.embedding')}
+        / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+           * sqrt({_dot_sql('b.embedding', 'b.embedding')})) >= 0.4
+),
+ed4 AS (SELECT a AS u, b AS v FROM p4 UNION SELECT b, a FROM p4),
+reach4(u, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM ed4)
+  UNION
+  SELECT ed4.u, reach4.label FROM ed4 JOIN reach4 ON ed4.v = reach4.u
+),
+comp4 AS (SELECT u AS id, min(label) AS keep FROM reach4 GROUP BY u),
+s4 AS (
+  SELECT s3.doc_id FROM s3 LEFT JOIN comp4 ON s3.doc_id = comp4.id
+  WHERE coalesce(comp4.keep, s3.doc_id) = s3.doc_id
+),
+c AS (
+  SELECT (SELECT count(*) FROM h) AS n0,
+         (SELECT count(*) FROM a2 WHERE alive1) AS k1,
+         (SELECT count(*) FROM a2 WHERE alive2) AS k2,
+         (SELECT count(*) FROM s3) AS k3,
+         (SELECT count(*) FROM s4) AS k4
+)
+SELECT 1 AS stage_idx, 'exact' AS stage,
+       n0 AS n_in, n0 - k1 AS n_removed, k1 AS n_out FROM c
+UNION ALL SELECT 2, 'normalized', k1, k1 - k2, k2 FROM c
+UNION ALL SELECT 3, 'minhash_lsh', k2, k2 - k3, k3 FROM c
+UNION ALL SELECT 4, 'semdedup', k3, k3 - k4, k4 FROM c
 """
 
 
@@ -12844,6 +13072,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- checked slots 1-50 (driver window) -- see the
     # comment above; regenerated by scripts/reorder_registry.py
     # === NEW-ENTRY INSERTION POINT ===
+    "dedup_ladder_docs": (dedup_ladder_docs, _DEDUP_LADDER_SQL),
     "ucb1_bandit_events": (ucb1_bandit_events, _UCB1_SQL),
     "msprt_value_ab": (msprt_value_ab, _MSPRT_SQL),
     "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
@@ -12897,9 +13126,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "multimodal_decode_features": (multimodal_decode_features, _MM_DECODE_SQL),
     "profile_orders": (profile_orders, _profile_sql()),
     "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
-    "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
     # -- below slot 50: driver-green at latest check; pytest oracle-parity
     # sweep still covers every entry each run --
+    "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
     "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
     "logrank_churn_ab": (logrank_churn_ab, _logrank_sql()),
     "filter_sweep_docs": (filter_sweep_docs, _filter_sweep_sql()),

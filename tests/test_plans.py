@@ -962,3 +962,28 @@ def test_scan_census_no_unexplained_growth():
         f"static FileScan count grew r{old_rnd}->r{new_rnd} without a "
         f"SCALE.md round-{new_rnd}+ note: " + ", ".join(grown)
     )
+
+
+def test_dedup_ladder_plan_shape(spark):
+    """Round-8 flagship (round-7 verdict #7): the 4-stage dedup
+    ladder's visible plan (post the flags localCheckpoint pin and
+    component collection) must stay join-sane — no cartesian, no
+    BNLJ, and a bounded exchange budget: each of the 5 stage-count
+    branches pays <=2 exchanges (partial+final agg) plus the single
+    union/lag window and the stage-3/4 survivor joins.  If an
+    intentional change moves the count, update the bound WITH a
+    docstring note (the flagship-exchange-count contract)."""
+    df = entry_mod.dedup_ladder_docs(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    ex = plan.count("Exchange")
+    assert ex <= 12, f"dedup_ladder_docs exchanges grew: {ex}\n{plan}"
+    rows = {r["stage"]: r for r in df.collect()}
+    assert list(rows) == ["exact", "normalized", "minhash_lsh", "semdedup"]
+    # conservation: every stage's output feeds the next stage's input
+    assert rows["normalized"]["n_in"] == rows["exact"]["n_out"]
+    assert rows["minhash_lsh"]["n_in"] == rows["normalized"]["n_out"]
+    assert rows["semdedup"]["n_in"] == rows["minhash_lsh"]["n_out"]
+    for r in rows.values():
+        assert r["n_removed"] == r["n_in"] - r["n_out"] >= 0

@@ -2427,20 +2427,37 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = model.exactly_once_batch(
             df, batch_id, state_dir, vec_col="point"
         )
-        # exact per-cluster IQR fences as a WINDOW over prediction
-        # (identical order statistics to operators/iqr.py exact mode)
-        # instead of aggregate + broadcast join-back: the broadcast
-        # exchange cost one extra sub-job per micro-batch, so
-        # predict + fence + filter + write is now ONE job per batch
-        # on one tiny k-key shuffle (round-7 verdict #5 shave)
-        w = Window.partitionBy("prediction")
-        sv = F.sort_array(F.collect_list("distance").over(w))
-        cnt = F.size(sv)
-        q1 = F.element_at(sv, (F.floor(cnt / 4) + 1).cast("int"))
-        q3 = F.element_at(sv, (F.floor(cnt * 3 / 4) + 1).cast("int"))
+        # exact per-cluster IQR fences as SCALAR window expressions
+        # over prediction (identical order statistics to
+        # operators/iqr.py exact mode) instead of aggregate +
+        # broadcast join-back: the broadcast exchange cost one extra
+        # sub-job per micro-batch, so predict + fence + filter +
+        # write is now ONE job per batch on one k-key shuffle + sort
+        # (round-7 verdict #5 shave).  The order statistic at index
+        # i is picked by row_number == i, NEVER by indexing a
+        # collect_list window column — an array-valued window value
+        # is copied into EVERY row's buffer (O(rows x group) bytes;
+        # measured as a 5x blowup at sf0.1).
+        w_ord = Window.partitionBy("prediction").orderBy("distance")
+        w_all = Window.partitionBy("prediction")
+        ranked = scored.select(
+            "event_id",
+            "prediction",
+            "distance",
+            F.row_number().over(w_ord).alias("_rn"),
+            F.count(F.lit(1)).over(w_all).alias("_n"),
+        )
+        q1i = (F.floor(F.col("_n") / 4) + 1).cast("int")
+        q3i = (F.floor(F.col("_n") * 3 / 4) + 1).cast("int")
+        q1 = F.max(
+            F.when(F.col("_rn") == q1i, F.col("distance"))
+        ).over(w_all)
+        q3 = F.max(
+            F.when(F.col("_rn") == q3i, F.col("distance"))
+        ).over(w_all)
         iqr_w = q3 - q1
-        degen = cnt <= 4
-        fenced = scored.select(
+        degen = F.col("_n") <= 4
+        fenced = ranked.select(
             "event_id",
             "prediction",
             "distance",
@@ -2468,7 +2485,13 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         model.snapshot(state_dir, batch_id, keep_last=2)
 
-    with replay_partitions(spark):
+    # n=1: each pinned micro-batch is ~1/5 of one table's filtered
+    # rows in ONE file — a single reduce partition minimizes per-task
+    # overhead, which dominates this replay (5 batches x 2 jobs of
+    # ~20k rows at sf0.1).  Hash-stability across partition counts is
+    # already required (driver sim runs at 8, bench at 32) and is
+    # guaranteed by round_state pinning + order-independent exact IQR.
+    with replay_partitions(spark, 1):
         q = (
             stream.writeStream.foreachBatch(batch_fn)
             .trigger(availableNow=True)

@@ -36,20 +36,44 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# The FROZEN comparable set and the high-variance list live in the
+# The FROZEN comparable set and the high-variance map live in the
 # checked-in manifest (round-6 verdict #8): bench_manifest.json.
 # COMPARABLE must NEVER grow (its serialized block must fit the
 # driver's tail — asserted by tests/test_bench_contract.py); queries
 # in HIGH_VARIANCE get their warm timing as the MEDIAN OF 5 runs
-# instead of best-of-2, because their committed round-6 evidence
-# (cold/warm ratio > 2x in BENCH_LOCAL_r06.json, or local-vs-driver
-# warm disagreement > 1.5x) shows run noise a 1.5x regression gate
-# must not mistake for a real slowdown (round-6 verdict #1).
+# instead of best-of-2, because their committed probe evidence shows
+# run noise a 1.5x regression gate must not mistake for a real
+# slowdown (round-6 verdict #1).  Round-8 (round-7 verdict #4): each
+# entry carries {evidence_round, reason} and AUTO-EXPIRES — the
+# median-of-5 escape applies only while the newest committed
+# BENCH_LOCAL_r{N} round is within 2 of evidence_round, so stale
+# evidence can never permanently soften a real regression; expired
+# entries trip tests/test_bench_contract.py until re-proved or
+# evicted.
 _MANIFEST = json.load(
     open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_manifest.json"))
 )
 COMPARABLE: list[str] = _MANIFEST["comparable"]
-HIGH_VARIANCE: set[str] = set(_MANIFEST["high_variance"])
+
+
+def _newest_bench_round() -> int:
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json"))
+        if (m := re.search(r"_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0)
+
+
+HIGH_VARIANCE: set[str] = {
+    name
+    for name, meta in _MANIFEST["high_variance"].items()
+    if _newest_bench_round() - meta["evidence_round"] <= 2
+}
 
 
 def main() -> None:

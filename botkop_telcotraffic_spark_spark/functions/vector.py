@@ -41,3 +41,25 @@ def euclidean(a: Column, b: Column) -> Column:
         a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
     )
     return F.sqrt(_fold_sum(d))
+
+
+def euclidean_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """``euclidean`` with the fold UNROLLED for a statically-known
+    ``dim``: a flat chain of element_at/subtract/multiply/add scalar
+    ops that whole-stage codegen compiles, where the higher-order
+    zip_with+aggregate form is INTERPRETED per call (the documented
+    HOF slow path — ruinous when an expression tree repeats the fold
+    k times, e.g. k distance evaluations per row in nearest-centroid
+    assignment).
+
+    Bit-identical to :func:`euclidean`: the unrolled sum is the same
+    left-associated addition order as the sequential fold
+    (0.0 + d1 == d1 exactly, then + d2 + ...), so engine/oracle
+    hashes cannot move."""
+    terms = None
+    for i in range(1, dim + 1):
+        x = F.element_at(a, i).cast("double")
+        y = F.element_at(b, i).cast("double")
+        t = (x - y) * (x - y)
+        terms = t if terms is None else terms + t
+    return F.sqrt(terms)

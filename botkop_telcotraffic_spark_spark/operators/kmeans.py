@@ -27,7 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import euclidean
+from ..functions.vector import euclidean, euclidean_unrolled
 
 
 def assign(
@@ -36,6 +36,7 @@ def assign(
     vec_col: str = "point",
     centroid_vec_col: str = "centroid",
     centroid_id_col: str = "prediction",
+    dim: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment: adds prediction, centroid,
     distance columns.
@@ -54,22 +55,60 @@ def assign(
     semantics give the tiebreak: lowest index of the id-sorted array
     = lowest centroid id, matching the oracle's ``row_number() ORDER
     BY dist, prediction``.
+
+    ``dim``: when the vector width is statically known, pass it so
+    the per-centroid distance uses the UNROLLED codegen form
+    (functions/vector.py::euclidean_unrolled — bit-identical, but
+    compiled instead of the interpreted HOF fold, which costs ~1 s
+    per 20k-row batch at k=3 on the streaming replay hot path).
+
+    ``centroids`` may be a DataFrame (the general path: agg to one
+    array row, broadcast) OR a driver-side sequence of (id, vector)
+    pairs — the streaming-model fast path: k*dim literal doubles
+    inline in the projection, which deletes the aggregate subtree,
+    the broadcast exchange, AND its per-batch build sub-job (the
+    dominant fixed cost of a tiny foreachBatch job).  Values and
+    argmin tiebreak are identical either way.
     """
-    cents = centroids.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col(centroid_id_col).alias("id"),
-                    F.col(centroid_vec_col).alias("vec"),
-                )
-            )
-        ).alias("_cents")
+    dist = (
+        (lambda p, c: euclidean_unrolled(p, c, dim))
+        if dim is not None
+        else euclidean
     )
-    with_d = points.crossJoin(F.broadcast(cents)).select(
+    if isinstance(centroids, DataFrame):
+        cents = centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(centroid_id_col).alias("id"),
+                        F.col(centroid_vec_col).alias("vec"),
+                    )
+                )
+            ).alias("_cents")
+        )
+        base = points.crossJoin(F.broadcast(cents))
+        cents_col = F.col("_cents")
+    else:
+        # literal path: tiny (k x dim) constant — safe as a literal
+        # (the F.lit-per-row cost note applies to KB-sized literals,
+        # not 6 doubles); sorted by id to keep the argmin tiebreak
+        cents_col = F.array(
+            *[
+                F.struct(
+                    F.lit(int(i)).cast("int").alias("id"),
+                    F.array(*[F.lit(float(x)) for x in vec])
+                    .cast("array<double>")
+                    .alias("vec"),
+                )
+                for i, vec in sorted(centroids)
+            ]
+        )
+        base = points
+    with_d = base.select(
         *points.columns,
-        F.col("_cents"),
+        cents_col.alias("_cents"),
         F.transform(
-            F.col("_cents"), lambda c: euclidean(F.col(vec_col), c["vec"])
+            cents_col, lambda c: dist(F.col(vec_col), c["vec"])
         ).alias("_d"),
     )
     pos = F.array_position(F.col("_d"), F.array_min(F.col("_d"))).cast("int")
@@ -163,6 +202,11 @@ class StreamingKMeans:
         rows = [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)]
         return spark.createDataFrame(rows, "prediction int, centroid array<double>")
 
+    def _centroid_pairs(self) -> list:
+        """Driver-held state as (id, vector) pairs — assign()'s
+        literal fast path (no per-batch broadcast build)."""
+        return [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)]
+
     def _maybe_seed_from_batch(self, batch: DataFrame, vec_col: str) -> None:
         """First-batch centroid seeding: k distinct points in a
         deterministic order.  Random init concentrated near the origin
@@ -200,7 +244,8 @@ class StreamingKMeans:
         spark = batch.sparkSession
         self._maybe_seed_from_batch(batch, vec_col)
         assigned = assign(batch.select(F.col(vec_col).alias("point")),
-                          self._centroid_df(spark), vec_col="point")
+                          self._centroid_pairs(), vec_col="point",
+                          dim=self.dim)
         sums = (
             assigned.select("prediction", "point")
             .withColumn("_one", F.lit(1.0))
@@ -240,7 +285,12 @@ class StreamingKMeans:
         *updated* model — the reference's trainOn-then-predict order
         (ClusterAnalyser.scala:33,41)."""
         self.update(batch, vec_col)
-        return assign(batch, self._centroid_df(batch.sparkSession), vec_col=vec_col)
+        return assign(
+            batch,
+            self._centroid_pairs(),
+            vec_col=vec_col,
+            dim=self.dim,
+        )
 
     # -- restart fault tolerance -------------------------------------
     #

@@ -47,16 +47,54 @@ def test_comparable_has_no_duplicates():
 def test_manifest_is_source_of_truth():
     """bench.py must read COMPARABLE / HIGH_VARIANCE from the frozen
     checked-in manifest (round-6 verdict #8), and every name must
-    resolve in the registry."""
+    resolve in the registry.  HIGH_VARIANCE is the ACTIVE subset:
+    entries whose evidence_round is within 2 of the newest committed
+    bench round (round-7 verdict #4 auto-expiry)."""
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     manifest = json.load(open(os.path.join(repo, "bench_manifest.json")))
     assert bench.COMPARABLE == manifest["comparable"]
-    assert bench.HIGH_VARIANCE == set(manifest["high_variance"])
+    newest = bench._newest_bench_round()
+    active = {
+        n
+        for n, meta in manifest["high_variance"].items()
+        if newest - meta["evidence_round"] <= 2
+    }
+    assert bench.HIGH_VARIANCE == active
     qs = entry_mod.queries()
     unknown = [n for n in manifest["high_variance"] if n not in qs]
     assert not unknown, f"high_variance references unknown queries: {unknown}"
+
+
+def test_high_variance_entries_not_expired():
+    """Auto-expiry enforcement (round-7 verdict #4): every
+    high_variance entry must carry evidence no older than 2 rounds
+    behind the newest committed BENCH_LOCAL_r{N} snapshot and a
+    non-empty reason.  An expired entry means its median-of-5 escape
+    already stopped applying (bench.py drops it from the active set)
+    — re-prove it with a fresh idle-machine probe (bump
+    evidence_round, record the probe in PROGRESS.jsonl) or evict it
+    from the manifest."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    manifest = json.load(open(os.path.join(repo, "bench_manifest.json")))
+    newest = bench._newest_bench_round()
+    expired = [
+        f"{n} (evidence r{meta['evidence_round']}, newest bench r{newest})"
+        for n, meta in manifest["high_variance"].items()
+        if newest - meta["evidence_round"] > 2
+    ]
+    assert not expired, (
+        "high_variance entries expired — re-prove with scripts/"
+        "bench_probe.py or evict: " + ", ".join(expired)
+    )
+    empty = [
+        n for n, meta in manifest["high_variance"].items()
+        if not meta.get("reason")
+    ]
+    assert not empty, f"high_variance entries without evidence: {empty}"
 
 
 def _load_bench(path):

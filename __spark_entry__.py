@@ -1008,9 +1008,9 @@ def lloyd_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded dimension means, empty-cluster carry-over) is replicated
     bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = kmeans.lloyd_kmeans(emb, "embedding", k=8, iterations=3)
+    cents = kmeans.lloyd_kmeans(emb, "embedding", k=8, iterations=3, dim=64)
     assigned = kmeans.assign(
-        emb.select("vec_id", F.col("embedding").alias("point")), cents
+        emb.select("vec_id", F.col("embedding").alias("point")), cents, dim=64
     )
     return assigned.select(
         "vec_id", "prediction", F.round("distance", 6).alias("distance")
@@ -1487,7 +1487,10 @@ def kmeans_label_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents = kmeans.label_centroids(emb, round_digits=9)
     out = kmeans.assign(
-        emb.select("vec_id", "label", "embedding"), cents, vec_col="embedding"
+        emb.select("vec_id", "label", "embedding"),
+        cents,
+        vec_col="embedding",
+        dim=64,
     )
     return out.select(
         "vec_id", "label", "prediction", F.round("distance", 6).alias("distance")
@@ -13096,13 +13099,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # comment above; regenerated by scripts/reorder_registry.py
     # === NEW-ENTRY INSERTION POINT ===
     "dedup_ladder_docs": (dedup_ladder_docs, _DEDUP_LADDER_SQL),
+    "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
     "ucb1_bandit_events": (ucb1_bandit_events, _UCB1_SQL),
     "msprt_value_ab": (msprt_value_ab, _MSPRT_SQL),
-    "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
     "streaming_kmeans_outliers": (
         streaming_kmeans_outliers,
         _streaming_kmeans_sql(),
     ),
+    "lloyd_kmeans_embeddings": (lloyd_kmeans_embeddings, _lloyd_sql()),
     # -- stale rotation (oldest driver check first) + fillers --
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
@@ -13148,9 +13152,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "minhash_signatures_docs": (minhash_signatures_docs, _MINHASH_SQL),
     "multimodal_decode_features": (multimodal_decode_features, _MM_DECODE_SQL),
     "profile_orders": (profile_orders, _profile_sql()),
-    "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
     # -- below slot 50: driver-green at latest check; pytest oracle-parity
     # sweep still covers every entry each run --
+    "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
     "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
     "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
     "logrank_churn_ab": (logrank_churn_ab, _logrank_sql()),
@@ -13378,7 +13382,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "zorder_layout_events": (zorder_layout_events, _zorder_sql()),
     "seasonal_anomaly_events": (seasonal_anomaly_events, _SEASONAL_SQL),
     "rebalance_docs_target": (rebalance_docs_target, _REBALANCE_SQL),
-    "lloyd_kmeans_embeddings": (lloyd_kmeans_embeddings, _lloyd_sql()),
     "impute_events_value": (impute_events_value, _IMPUTE_SQL),
     "negative_samples_docs": (negative_samples_docs, _NEGS_SQL),
     "snapshot_diff_orders": (snapshot_diff_orders, _DIFF_SQL),

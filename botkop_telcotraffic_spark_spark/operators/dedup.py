@@ -661,11 +661,16 @@ def normalized_exact_dedup(
     is_canonical) — canonical = minimum id of the group; norm_hash
     is the md5 hex of the canonical form (joinable across corpora).
 
-    Scale shape: the normalization is scan-side column math; then the
-    identical O(rows) hash-keyed groupBy as exact dedup plus one
-    join back on the 32-char hash — skew only if one canonical form
-    dominates the corpus, which is precisely what the report is for.
+    Scale shape: the normalization is scan-side column math; then ONE
+    shuffle on the 32-char hash with min/count as WINDOW aggregates
+    over the hash partition — the round-8 rewrite of the original
+    groupBy + join-back, which paid a second exchange and a sort-
+    merge join against the group table for the identical values.
+    Skew only if one canonical form dominates the corpus, which is
+    precisely what the report is for.
     """
+    from pyspark.sql import Window
+
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(
@@ -678,15 +683,12 @@ def normalized_exact_dedup(
     hashed = df.select(
         F.col(id_col).alias("id"), F.md5(norm).alias("norm_hash")
     )
-    groups = hashed.groupBy("norm_hash").agg(
-        F.min("id").alias("_canon"),
-        F.count(F.lit(1)).cast("long").alias("group_size"),
-    )
-    return hashed.join(groups, "norm_hash").select(
+    w = Window.partitionBy("norm_hash")
+    return hashed.select(
         F.col("id").alias(id_col),
         "norm_hash",
-        "group_size",
-        (F.col("id") == F.col("_canon")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        (F.col("id") == F.min("id").over(w)).alias("is_canonical"),
     )
 
 

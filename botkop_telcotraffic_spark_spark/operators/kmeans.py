@@ -29,6 +29,12 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import euclidean, euclidean_unrolled
 
+# Unroll the fixed-width distance only while the generated code stays
+# compilable: measured crossover — dim=2 unrolled ~2x faster (HOF
+# interpretation dominates), dim=64 unrolled ~2x SLOWER (Janino
+# fallback on the k-times-repeated tree).
+_UNROLL_MAX_DIM = 16
+
 
 def assign(
     points: DataFrame,
@@ -56,11 +62,16 @@ def assign(
     = lowest centroid id, matching the oracle's ``row_number() ORDER
     BY dist, prediction``.
 
-    ``dim``: when the vector width is statically known, pass it so
-    the per-centroid distance uses the UNROLLED codegen form
-    (functions/vector.py::euclidean_unrolled — bit-identical, but
-    compiled instead of the interpreted HOF fold, which costs ~1 s
-    per 20k-row batch at k=3 on the streaming replay hot path).
+    ``dim``: when the vector width is statically known AND small
+    (<= _UNROLL_MAX_DIM), the per-centroid distance uses the UNROLLED
+    codegen form (functions/vector.py::euclidean_unrolled —
+    bit-identical, but compiled instead of the interpreted HOF fold,
+    which costs ~1 s per 20k-row batch at k=3 on the streaming
+    replay hot path).  Wide vectors keep the fold: a 64-wide unroll
+    inside the k-element transform lambda blows past Janino's
+    codegen budget and falls back to interpreted eval of a huge tree
+    (measured ~2x SLOWER than the fold at dim=64) — unrolling only
+    pays while the expression stays compilable.
 
     ``centroids`` may be a DataFrame (the general path: agg to one
     array row, broadcast) OR a driver-side sequence of (id, vector)
@@ -72,7 +83,7 @@ def assign(
     """
     dist = (
         (lambda p, c: euclidean_unrolled(p, c, dim))
-        if dim is not None
+        if dim is not None and dim <= _UNROLL_MAX_DIM
         else euclidean
     )
     if isinstance(centroids, DataFrame):
@@ -468,6 +479,7 @@ def lloyd_kmeans(
     k: int,
     iterations: int = 5,
     round_digits: int = 9,
+    dim: int | None = None,
 ) -> DataFrame:
     """Batch Lloyd's K-Means: deterministic data-spread seeding, then
     ``iterations`` rounds of (distributed assign -> dimension-wise
@@ -483,6 +495,11 @@ def lloyd_kmeans(
     lexicographically-sorted vectors (same spread trick as
     StreamingKMeans seeding); everything downstream is a pure
     function of those seeds.
+
+    ``dim``: pass the static vector width to run each round's argmin
+    through assign()'s literal-centroid + unrolled-distance fast path
+    (bit-identical; see assign) — the centroids are driver-held lists
+    between rounds anyway.
     """
     spark = df.sparkSession
     pts = df.select(F.col(vec_col).alias("point"))
@@ -502,11 +519,9 @@ def lloyd_kmeans(
     cents = [[float(x) for x in r["point"]] for r in seeds]
 
     for _ in range(iterations):
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "prediction int, centroid array<double>",
+        assigned = assign(
+            pts, list(enumerate(cents)), vec_col="point", dim=dim
         )
-        assigned = assign(pts, cdf, vec_col="point")
         means = (
             assigned.select("prediction", F.posexplode("point").alias("d", "x"))
             .groupBy("prediction", "d")

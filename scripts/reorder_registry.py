@@ -35,10 +35,17 @@ HEAD_ORDER = [
     # -- new round-8 entries, newest first ---------------------------
     "dedup_ladder_docs",          # 4-stage dedup flagship (verdict #7)
     # -- re-checks: code/oracle touched in round 8 -------------------
+    # (window budget: 44 stale rotations + 1 new entry leave 5 slots;
+    # the remaining round-8-touched entries — kmeans_label_assign,
+    # minibatch_kmeans_events, normalized_dedup_docs*,
+    # corpus_curation_pipeline*, pretrain_mix_pipeline — are
+    # bit-identical rewrites verified by the local driver sim at
+    # sf0.001+sf0.01; * = already in the window via stale rotation)
+    "anomaly_ensemble_events",    # stats-sharing rewrite (verdict #6)
     "ucb1_bandit_events",         # NULL-reward guard (ADVICE r7 #2)
     "msprt_value_ab",             # V > 0 degenerate-batch guard
-    "anomaly_ensemble_events",    # stats-sharing rewrite (verdict #6)
     "streaming_kmeans_outliers",  # per-batch overhead shave (verdict #5)
+    "lloyd_kmeans_embeddings",    # literal-centroid + unrolled distance
 ]
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import itertools
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -815,6 +815,7 @@ def test_welch_t_arm_swap_antisymmetry(spark, a, b):
         min_size=1, max_size=30,
     ),
 )
+@example(rewards=[("a", 0.0), ("a", 0.0), ("a", 1.0), ("a", 0.99999)])
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_ucb1_matches_python_reference(spark, rewards):

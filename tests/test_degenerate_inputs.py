@@ -1,0 +1,109 @@
+"""Degenerate-input robustness (round-8, msprt-crash class).
+
+Under ANSI mode a division whose denominator is only *usually*
+nonzero is a CRASH, not a wrong value — and at 100 TB degenerate
+batches (one arm empty, every value identical, an empty partition
+day) are routine, so a scalar-statistic operator must return zero
+rows or a defined row, never raise.  The round-8 boundary sweep found
+exactly this in msprt_test (V = 0 divide-by-zero); this module pins
+the contract for the whole round-before-derive family.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from botkop_telcotraffic_spark_spark.operators.experiment import (
+    anova_oneway,
+    mann_whitney_auc,
+    msprt_test,
+    ucb1_readout,
+    welch_t,
+)
+from botkop_telcotraffic_spark_spark.operators.survival import logrank_test
+
+
+def _arm_df(spark, rows):
+    return spark.createDataFrame(rows, "arm string, v double")
+
+
+EMPTY: list = []
+ONE_ROW = [("a", 1.0)]
+CONSTANT = [("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 2.0)]
+ONE_ARM = [("a", 1.0), ("a", 2.0), ("a", 3.0)]
+
+
+@pytest.mark.parametrize(
+    "rows", [EMPTY, ONE_ROW, CONSTANT, ONE_ARM],
+    ids=["empty", "one_row", "constant", "one_arm"],
+)
+def test_welch_t_degenerate_never_raises(spark, rows):
+    out = welch_t(_arm_df(spark, rows), "arm", "v", "a", "b").collect()
+    # zero-variance / missing-arm inputs drop the row (se2 > 0 guard)
+    assert out == [] or out[0]["n_a"] >= 2
+
+
+@pytest.mark.parametrize(
+    "rows", [EMPTY, ONE_ROW, CONSTANT, ONE_ARM],
+    ids=["empty", "one_row", "constant", "one_arm"],
+)
+def test_msprt_degenerate_never_raises(spark, rows):
+    out = msprt_test(_arm_df(spark, rows), "v", "arm", "a", "b").collect()
+    # V = 0 (both arms constant) and missing-arm inputs yield no row
+    assert out == [] or out[0]["lambda_lr"] is not None
+
+
+@pytest.mark.parametrize(
+    "rows", [EMPTY, ONE_ROW, CONSTANT, ONE_ARM],
+    ids=["empty", "one_row", "constant", "one_arm"],
+)
+def test_ucb1_degenerate_never_raises(spark, rows):
+    out = ucb1_readout(_arm_df(spark, rows), "arm", "v").collect()
+    assert len(out) == len({a for a, _ in rows})
+    if out:
+        assert sum(r["best"] for r in out) == 1
+
+
+@pytest.mark.parametrize(
+    "rows", [EMPTY, ONE_ROW, CONSTANT, ONE_ARM],
+    ids=["empty", "one_row", "constant", "one_arm"],
+)
+def test_anova_degenerate_never_raises(spark, rows):
+    out = anova_oneway(_arm_df(spark, rows), "arm", "v").collect()
+    assert len(out) <= 1
+
+
+@pytest.mark.parametrize(
+    "rows",
+    [
+        [],
+        [("g1", 1, 1.0)],                      # one row, one class
+        [("g1", 1, 2.0), ("g1", 0, 2.0)],       # all-tied scores
+        [("g1", 1, 1.0), ("g1", 1, 2.0)],       # positives only
+    ],
+    ids=["empty", "one_row", "all_tied", "one_class"],
+)
+def test_mann_whitney_degenerate_never_raises(spark, rows):
+    df = spark.createDataFrame(rows, "g string, label int, score double")
+    out = mann_whitney_auc(df, ["g"], "label", "score").collect()
+    # groups lacking either class are dropped (AUC undefined);
+    # all-tied scores give the defined AUC = 0.5
+    assert len(out) <= 1
+    if out:
+        assert out[0]["auc"] == 0.5
+
+
+def test_logrank_degenerate_never_raises(spark):
+    # all-censored and single-subject inputs: no variance -> no row
+    cens = spark.createDataFrame(
+        [("a", 1.0, False), ("b", 2.0, False)],
+        "g string, dur double, obs boolean",
+    )
+    assert logrank_test(cens, "dur", "obs", "g", "a", "b").count() == 0
+    one = spark.createDataFrame(
+        [("a", 1.0, True)], "g string, dur double, obs boolean"
+    )
+    assert logrank_test(one, "dur", "obs", "g", "a", "b").count() == 0
+    empty = spark.createDataFrame([], "g string, dur double, obs boolean")
+    assert logrank_test(empty, "dur", "obs", "g", "a", "b").count() == 0

@@ -108,8 +108,15 @@ def main() -> int:
     for n in order:
         if n not in latest and n not in head:
             head.append(n)
+    import math
+
     max_round = max(latest.values(), default=0)
-    stale_cut = max_round - 4  # integrity test's 5-round rotation period
+    # registry-size-derived rotation period, in lockstep with
+    # tests/test_registry_integrity.py (round-8 capacity fix): 50
+    # slots/round re-check n entries every ceil(n/50) rounds + 1
+    # round of slack for new entries; floor 5 keeps the round-6 bar
+    period = max(5, math.ceil(len(order) / WINDOW) + 1)
+    stale_cut = max_round - (period - 1)
     stale = sorted(
         (n for n in order
          if latest.get(n, 0) < stale_cut and n not in head),

@@ -100,16 +100,24 @@ def test_registry_first_50_slots_match_driver_window():
 def test_rotation_policy_no_stale_entries_outside_window():
     """Stale-rotation guard (round-6 verdict #2, now structural): the
     driver hash-checks only the FIRST 50 registry entries per round,
-    so any entry whose latest committed driver check is 5+ rounds old
-    MUST sit inside the window for the upcoming check — otherwise
-    verification debt accumulates silently until a judge flags it.
-    (5 is the rotation period 270 entries / 50 slots implies, and
-    matches the round-6 verdict's "no entry older than r02 after r7"
-    bar.)  Never-checked (new) entries must be in the window too (the
-    newest-first standing rule).  scripts/reorder_registry.py
+    so any entry whose latest committed driver check is a full
+    rotation period old MUST sit inside the window for the upcoming
+    check — otherwise verification debt accumulates silently until a
+    judge flags it.
+
+    The period is REGISTRY-SIZE-DERIVED (round-8 capacity fix): 50
+    slots per round can physically re-check n entries only every
+    ceil(n / 50) rounds, plus one round of slack to fund new entries
+    and re-checks — a fixed period of 5 became unsatisfiable the
+    moment the registry passed 250 entries (at 279 entries, round 13
+    would have needed 50 rotations + new entries in 50 slots with
+    zero slack).  At n <= 200 the floor of 5 keeps the original
+    round-6 bar.  Never-checked (new) entries must be in the window
+    too (the newest-first standing rule).  scripts/reorder_registry.py
     re-normalizes the order; this test makes forgetting to run it a
     CI failure."""
     import json
+    import math
 
     d = _registry_dict_node()
     order = [k.value for k in d.keys if isinstance(k, ast.Constant)]
@@ -124,7 +132,8 @@ def test_rotation_policy_no_stale_entries_outside_window():
             if name in order:  # ignore renamed/deleted historical keys
                 latest[name] = max(latest.get(name, 0), rnd)
     assert rounds, "no committed CORRECTNESS files found"
-    stale_cut = max(rounds) - 4  # upcoming round - 5
+    period = max(5, math.ceil(len(order) / 50) + 1)
+    stale_cut = max(rounds) - (period - 1)
 
     violations = [
         f"{n} (last r{latest.get(n, 0) or '--'})"

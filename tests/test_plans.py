@@ -962,6 +962,13 @@ def test_scan_census_no_unexplained_growth():
         f"static FileScan count grew r{old_rnd}->r{new_rnd} without a "
         f"SCALE.md round-{new_rnd}+ note: " + ", ".join(grown)
     )
+    # a census error (-1) means the entry failed to even BUILD its
+    # plan at census time — that is a break, not a count
+    errored = [n for n, v in new.items() if v < 0]
+    assert not errored, (
+        f"entries errored during the r{new_rnd} census (plan build "
+        f"failed): {errored}"
+    )
 
 
 def test_dedup_ladder_plan_shape(spark):

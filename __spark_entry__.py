@@ -8411,18 +8411,20 @@ s AS (
   FROM j
 ),
 l AS (
-  -- V > 0 guard mirrors the engine's degenerate-batch drop
+  -- V > 0 guard mirrors the engine's degenerate-batch drop; the
+  -- statistic is carried in LOG space (the ratio itself overflows
+  -- double in the near-zero-variance regime)
   SELECT *,
-         sqrt(V / (V + 1.0)) * exp(theta * theta * 1.0
-                                   / (2.0 * V * (V + 1.0))) AS lam
+         0.5 * ln(V / (V + 1.0)) + theta * theta * 1.0
+                                   / (2.0 * V * (V + 1.0)) AS log_lam
   FROM s WHERE V > 0
 )
 SELECT CAST(nc AS BIGINT) AS n_control, CAST(nt AS BIGINT) AS n_treatment,
        round(mc, 6) + 0.0 AS mean_control,
        round(mt, 6) + 0.0 AS mean_treatment,
        round(theta, 6) + 0.0 AS effect,
-       round(lam, 6) + 0.0 AS lambda_lr,
-       round(least(1.0, 1.0 / lam), 6) + 0.0 AS p_always
+       round(log_lam, 6) + 0.0 AS log_lambda,
+       round(exp(-greatest(0.0, log_lam)), 6) + 0.0 AS p_always
 FROM l
 """
 

@@ -205,8 +205,22 @@ def msprt_test(
     inflation, which the fixed-horizon t-test (and the CUPED report
     above) cannot give.
 
+    The statistic is computed and EMITTED in log space:
+
+        log_lambda = 0.5·ln(V / (V + τ²)) + θ̂² τ² / (2 V (V + τ²))
+        p_always   = exp(-max(0, log_lambda))      (= min(1, 1/Λ))
+
+    because Λ itself overflows double precision in the near-zero-
+    variance regime (V ≈ 1e-11 with θ̂ ≈ 1 puts Λ at e^4e10 —
+    IEEE-754 saturates to +Inf and the "round only at the final
+    select" determinism contract becomes unstatable; found by the
+    round-8 magnitude-boundary property sweep, the twin of round-7's
+    UCB1 rounding finding).  log_lambda is finite for every V > 0,
+    and exp(-max(0, ·)) underflows monotonically to a deterministic
+    0.0 instead of saturating.
+
     Returns ONE row: (n_control, n_treatment, mean_control,
-    mean_treatment, effect, lambda_lr, p_always), floats rounded
+    mean_treatment, effect, log_lambda, p_always), floats rounded
     to 6.  A degenerate batch where BOTH arms have zero variance
     (V = 0) yields zero rows instead of a divide-by-zero — the same
     guard welch_t applies via se2 > 0 (found by the round-8
@@ -239,10 +253,10 @@ def msprt_test(
     )
     V = s2 * (1.0 / F.col("nc") + 1.0 / F.col("nt"))
     theta = F.col("mt") - F.col("mc")
-    lam = F.sqrt(V / (V + tau2)) * F.exp(
-        (theta * theta) * tau2 / (2.0 * V * (V + tau2))
+    log_lam = 0.5 * F.log(V / (V + tau2)) + (theta * theta) * tau2 / (
+        2.0 * V * (V + tau2)
     )
-    # V = 0 (both arms constant) would divide by zero in lam; the
+    # V = 0 (both arms constant) would divide by zero in log_lam; the
     # test is undefined there, drop the row (welch_t's se2 > 0 twin)
     j = j.where(V > 0)
     return j.select(
@@ -251,10 +265,10 @@ def msprt_test(
         (F.round(F.col("mc"), 6) + F.lit(0.0)).alias("mean_control"),
         (F.round(F.col("mt"), 6) + F.lit(0.0)).alias("mean_treatment"),
         (F.round(theta, 6) + F.lit(0.0)).alias("effect"),
-        (F.round(lam, 6) + F.lit(0.0)).alias("lambda_lr"),
-        (F.round(F.least(F.lit(1.0), 1.0 / lam), 6) + F.lit(0.0)).alias(
-            "p_always"
-        ),
+        (F.round(log_lam, 6) + F.lit(0.0)).alias("log_lambda"),
+        (
+            F.round(F.exp(-F.greatest(F.lit(0.0), log_lam)), 6) + F.lit(0.0)
+        ).alias("p_always"),
     )
 
 

@@ -51,7 +51,7 @@ def test_welch_t_degenerate_never_raises(spark, rows):
 def test_msprt_degenerate_never_raises(spark, rows):
     out = msprt_test(_arm_df(spark, rows), "v", "arm", "a", "b").collect()
     # V = 0 (both arms constant) and missing-arm inputs yield no row
-    assert out == [] or out[0]["lambda_lr"] is not None
+    assert out == [] or out[0]["log_lambda"] is not None
 
 
 @pytest.mark.parametrize(

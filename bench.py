@@ -75,6 +75,78 @@ HIGH_VARIANCE: set[str] = {
     if _newest_bench_round() - meta["evidence_round"] <= 2
 }
 
+# Stable mid-duration queries (r06-r08 in-bench spread <= 1.07, never
+# high_variance) whose median cur/prev ratio estimates the AMBIENT
+# machine-speed difference between two bench runs.  Round-8 measured a
+# uniform 1.13x boot; the round-9 boot probed at 1.53x — without
+# normalization every query on such a boot "regresses" and the gate is
+# noise (round-8 verdict #3: the artifact ate judge+builder time two
+# rounds running).
+CONTROLS: list[str] = _MANIFEST["controls"]
+
+
+def _newest_snapshot_queries() -> tuple[int, dict]:
+    """(round, queries dict) of the newest committed BENCH_LOCAL_r{N}
+    snapshot, or (0, {}) when none exists."""
+    import glob
+    import re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    best, queries = 0, {}
+    for p in glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best:
+            best = int(m.group(1))
+            queries = json.load(open(p)).get("queries", {})
+    return best, queries
+
+
+def ambient_ratio(prev_queries: dict, cur_queries: dict) -> float:
+    """Median cur/prev over the CONTROLS present in both runs — the
+    uniform machine-speed factor between the two measurements.  Falls
+    back to 1.0 with fewer than 3 usable controls (no evidence, no
+    normalization)."""
+    import statistics
+
+    ratios = [
+        cur_queries[c] / prev_queries[c]
+        for c in CONTROLS
+        if prev_queries.get(c) and cur_queries.get(c)
+    ]
+    if len(ratios) < 3:
+        return 1.0
+    return statistics.median(ratios)
+
+
+def snapshot_regressions(
+    prev_queries: dict,
+    cur_queries: dict,
+    skip: set | frozenset = frozenset(),
+    ratio: float = 1.5,
+    floor: float = 0.4,
+) -> tuple[float, list[str]]:
+    """Ambient-normalized regression compare between two bench runs
+    (round-8 verdict #3).  Each current timing is divided by
+    max(1, ambient) — a uniformly slow machine is excused, a uniformly
+    FAST one is not allowed to hide a query that failed to speed up —
+    then flagged when the normalized time exceeds ``ratio``x the
+    previous AND the absolute normalized regression exceeds ``floor``
+    seconds.  A real single-operator regression still trips: the
+    controls median ignores any one name.  Returns (ambient, flags)."""
+    amb = max(1.0, ambient_ratio(prev_queries, cur_queries))
+    flags = []
+    for name, cur in cur_queries.items():
+        prev = prev_queries.get(name)
+        if prev is None or name in skip:
+            continue
+        norm = cur / amb
+        if norm > ratio * prev and norm - prev > floor:
+            flags.append(
+                f"{name}: {prev:.2f}s -> {cur:.2f}s raw x{cur / prev:.2f} "
+                f"(ambient x{amb:.2f}, normalized x{norm / prev:.2f})"
+            )
+    return amb, sorted(flags)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,6 +193,12 @@ def main() -> None:
             timings[name] = round(min(run(name), run(name)), 3)
 
     total = round(sum(timings.values()), 3)
+    # Ambient machine-speed evidence (round-8 verdict #3): the controls
+    # median vs the newest committed snapshot, recorded IN the snapshot
+    # so the gates (and the judge) can normalize a uniformly slow boot
+    # instead of re-litigating phantom regressions every round.
+    base_round, base_queries = _newest_snapshot_queries()
+    amb = round(ambient_ratio(base_queries, timings), 3)
     # Full timings (warm + cold, every registry entry) — the durable
     # round-over-round record, independent of the driver's tail capture.
     local_path = os.path.join(
@@ -137,6 +215,11 @@ def main() -> None:
                 "runs_per_query": 3,
                 "runs_per_query_high_variance": 6,
                 "high_variance": sorted(HIGH_VARIANCE),
+                "ambient_ratio": amb,
+                "ambient_baseline_round": base_round,
+                "controls": {
+                    c: timings[c] for c in CONTROLS if c in timings
+                },
                 "queries": timings,
                 "cold": cold,
             },

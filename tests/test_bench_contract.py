@@ -105,34 +105,52 @@ def _load_bench(path):
     return json.load(open(path))
 
 
-def test_no_unexplained_warm_regressions_vs_committed_baseline():
-    """Variance-aware regression gate (round-6 verdict #1).
-
-    Compares the latest local bench run (BENCH_LOCAL.json) against the
-    newest committed per-round snapshot (BENCH_LOCAL_r{N}.json).  A
-    comparable query FAILS if its warm time regressed more than 1.5x.
-    Variance handling: the baseline for each name is the MAX across the
-    committed evidence (the snapshot's warm value and, when present,
-    the driver-tail warm value from BENCH_r{N}.json) so a low-noise
-    lucky baseline doesn't flag a normal run; names in HIGH_VARIANCE
-    are additionally measured as median-of-5 by bench.py itself.  An
-    absolute floor of 0.4 s of regression filters sub-second jitter.
-    """
+def _snapshot_rounds(repo):
+    """Sorted [(round, path)] of committed BENCH_LOCAL_r{N} snapshots."""
     import glob
     import os
     import re
 
+    out = []
+    for p in glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def test_no_unexplained_warm_regressions_vs_committed_baseline():
+    """Variance-aware regression gate (round-6 verdict #1; ambient
+    normalization round-8 verdict #3).
+
+    Compares the latest local bench run (BENCH_LOCAL.json) against the
+    newest committed per-round snapshot (BENCH_LOCAL_r{N}.json).  A
+    query FAILS if its AMBIENT-NORMALIZED warm time regressed more
+    than 1.5x AND more than 0.4 s — ambient is the controls-median
+    speed ratio between the two runs (bench.snapshot_regressions), so
+    a uniformly slower boot (r08: 1.13x, r09: 1.5x) no longer flags
+    phantom regressions, while a single-operator regression still
+    trips because the controls median ignores any one name.
+    Variance handling: the baseline for each name is the MAX across
+    the committed evidence (the snapshot's warm value and, when
+    present, the driver-tail warm value from BENCH_r{N}.json); names
+    in HIGH_VARIANCE are additionally measured as median-of-5 by
+    bench.py itself.
+    """
+    import os
+    import re
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    snaps = sorted(glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")))
+    snaps = _snapshot_rounds(repo)
     cur = _load_bench(os.path.join(repo, "BENCH_LOCAL.json"))
     if not snaps or cur is None:
         import pytest
 
         pytest.skip("no committed baseline or no local bench run yet")
-    base = json.load(open(snaps[-1]))
+    rnd, snap_path = snaps[-1]
+    base = json.load(open(snap_path))
     base_warm = dict(base["queries"])
     # fold in the driver-tail evidence for the same round, if recorded
-    rnd = re.search(r"_r(\d+)\.json$", snaps[-1]).group(1)
     drv_path = os.path.join(repo, f"BENCH_r{rnd}.json")
     if os.path.exists(drv_path):
         tail = json.load(open(drv_path)).get("tail", "")
@@ -148,22 +166,134 @@ def test_no_unexplained_warm_regressions_vs_committed_baseline():
         open(os.path.join(repo, "bench_manifest.json"))
     )
     rebase = {
-        name: meta
+        name
         for name, meta in manifest.get("rebaselined", {}).items()
-        if int(rnd) == meta["baseline_round"]
+        if rnd == meta["baseline_round"]
     }
-    regressions = []
-    for name, new in cur["queries"].items():
-        old = base_warm.get(name)
-        if old is None:
-            continue  # new query this round — no history yet
-        if name in rebase:
-            continue  # documented feature re-cost, see manifest
-        if new > 1.5 * old and new - old > 0.4:
-            regressions.append(f"{name}: {old:.2f}s -> {new:.2f}s ({new / old:.2f}x)")
-    assert not regressions, (
-        "warm-time regressions vs committed baseline (if a rerun on an "
-        "IDLE machine reproduces these, the operator regressed; if not, "
-        "add the name to bench_manifest.json high_variance with the "
-        "evidence): " + "; ".join(sorted(regressions))
+    # names with ACTIVE noise evidence that the local run measured
+    # best-of-2 (its recorded high_variance list predates the entry):
+    # that measurement lacks the median-of-5 protection the evidence
+    # prescribes, so it cannot convict — the NEXT bench run re-arms
+    # the compare with a median
+    unprotected = bench.HIGH_VARIANCE - set(cur.get("high_variance", []))
+    amb, regressions = bench.snapshot_regressions(
+        base_warm, cur["queries"], skip=rebase | unprotected
     )
+    assert not regressions, (
+        f"ambient-normalized (x{amb:.2f}) warm-time regressions vs "
+        "committed baseline (if scripts/bench_probe.py on an IDLE "
+        "machine reproduces these, the operator regressed; if not, add "
+        "the name to bench_manifest.json high_variance with the "
+        "evidence): " + "; ".join(regressions)
+    )
+
+
+def test_snapshot_vs_previous_snapshot_ambient_normalized():
+    """The self-baseline loophole (round-8 verdict #3): the final bench
+    run of a round is committed as BOTH BENCH_LOCAL.json and
+    BENCH_LOCAL_r{N}.json in one commit, so the working-tree gate
+    above compares the snapshot against itself and passes trivially —
+    regressions baked into the final run were never evaluated (r08
+    shipped corpus_curation_pipeline 1.84x and bpe_merges 1.96x that
+    way).  This gate closes it: the newest snapshot must be within
+    1.5x/0.4s of its PREDECESSOR after ambient normalization.
+    Applies from the first snapshot that records `ambient_ratio`
+    (r09+); earlier pairs predate the controls machinery and were
+    adjudicated by committed probes."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snaps = _snapshot_rounds(repo)
+    if len(snaps) < 2:
+        import pytest
+
+        pytest.skip("fewer than two committed snapshots")
+    new_rnd, new_path = snaps[-1]
+    prev_rnd, prev_path = snaps[-2]
+    newer = json.load(open(new_path))
+    if "ambient_ratio" not in newer:
+        import pytest
+
+        pytest.skip(
+            f"snapshot r{new_rnd} predates ambient_ratio recording"
+        )
+    prev = json.load(open(prev_path))
+    manifest = json.load(open(os.path.join(repo, "bench_manifest.json")))
+    # skip documented noise: names active in high_variance at the newer
+    # round, plus rebaselined entries pinned to the previous round
+    skip = {
+        n
+        for n, meta in manifest["high_variance"].items()
+        if new_rnd - meta["evidence_round"] <= 2
+    } | {
+        n
+        for n, meta in manifest.get("rebaselined", {}).items()
+        if prev_rnd == meta["baseline_round"]
+    }
+    amb, regressions = bench.snapshot_regressions(
+        prev["queries"], newer["queries"], skip=skip
+    )
+    assert not regressions, (
+        f"snapshot r{new_rnd} vs r{prev_rnd}: ambient-normalized "
+        f"(x{amb:.2f}) regressions baked into the committed round — "
+        "probe them (scripts/bench_probe.py) and either fix the "
+        "operator or record high_variance/rebaselined evidence: "
+        + "; ".join(regressions)
+    )
+
+
+def test_snapshot_regressions_flags_synthetic_regression():
+    """The gate helper itself, on synthetic fixtures: (a) a genuinely
+    regressed name trips even when every control is stable, (b) a
+    uniform 2x-slower machine (all controls 2x) does NOT flag names
+    that merely follow ambient, (c) a real regression on TOP of a slow
+    machine still trips, and (d) a uniformly FASTER machine is clamped
+    to ambient 1.0 (a fast boot must not hide a real regression)."""
+    controls = bench.CONTROLS
+    prev = {c: 1.0 for c in controls}
+    prev.update({"victim": 1.0, "bystander": 1.0})
+
+    # (a) stable controls, victim 3x
+    cur = {c: 1.0 for c in controls}
+    cur.update({"victim": 3.0, "bystander": 1.05})
+    amb, flags = bench.snapshot_regressions(prev, cur)
+    assert amb == 1.0
+    assert len(flags) == 1 and flags[0].startswith("victim:")
+
+    # (b) uniform 2x machine — nothing flagged
+    cur = {c: 2.0 for c in controls}
+    cur.update({"victim": 2.0, "bystander": 2.1})
+    amb, flags = bench.snapshot_regressions(prev, cur)
+    assert amb == 2.0 and flags == []
+
+    # (c) 2x machine AND victim regressed 4x raw (2x normalized)
+    cur = {c: 2.0 for c in controls}
+    cur.update({"victim": 4.0, "bystander": 2.0})
+    amb, flags = bench.snapshot_regressions(prev, cur)
+    assert len(flags) == 1 and flags[0].startswith("victim:")
+
+    # (d) uniformly faster machine: ambient clamped to 1.0, a raw-2x
+    # victim still trips
+    cur = {c: 0.5 for c in controls}
+    cur.update({"victim": 2.0, "bystander": 0.5})
+    amb, flags = bench.snapshot_regressions(prev, cur)
+    assert amb == 1.0
+    assert len(flags) == 1 and flags[0].startswith("victim:")
+
+
+def test_controls_are_valid():
+    """Controls must resolve in the registry, never be high_variance
+    (a noisy control poisons the ambient median), and stay >= 5 so a
+    single real regression among them cannot move the median."""
+    qs = entry_mod.queries()
+    assert len(bench.CONTROLS) >= 5
+    assert len(bench.CONTROLS) == len(set(bench.CONTROLS))
+    missing = [c for c in bench.CONTROLS if c not in qs]
+    assert not missing, f"controls not in registry: {missing}"
+    import json as _json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    manifest = _json.load(open(os.path.join(repo, "bench_manifest.json")))
+    noisy = [c for c in bench.CONTROLS if c in manifest["high_variance"]]
+    assert not noisy, f"controls marked high_variance: {noisy}"

@@ -994,3 +994,36 @@ def test_dedup_ladder_plan_shape(spark):
     assert rows["semdedup"]["n_in"] == rows["minhash_lsh"]["n_out"]
     for r in rows.values():
         assert r["n_removed"] == r["n_in"] - r["n_out"] >= 0
+
+
+def test_telco_fanout_plan_shape(spark):
+    """Round-9 flagship (round-8 verdict #4): the reference's own DAG
+    — enrichment join fanning out to stats + geofence + cluster-
+    outlier branches (TrafficStreamProcessor.scala:52-64) — as ONE
+    plan.  The enriched frame is localCheckpoint-pinned (the
+    reference's `unifiedStream.cache`, line 59), so the final plan
+    must contain ZERO FileScans (all branches replay the pinned RDD,
+    never re-reading events/orders), no cartesian (the polygon
+    containment is unrolled column exprs), no BNLJ, and a bounded
+    exchange budget: stats pays 1 hash exchange, outliers ~4
+    (centroid agg + fence agg + 2 broadcast builds), geofence 0.
+    If an intentional change moves a bound, update it WITH a
+    docstring note (the flagship-exchange-count contract)."""
+    df = entry_mod.telco_fanout_pipeline(spark, SF_DIR_001)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan, (
+        "a branch re-read the source instead of the pinned unified "
+        "frame:\n" + plan
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    ex = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert ex <= 8, f"telco_fanout_pipeline exchanges grew: {ex}\n{plan}"
+    assert plan.count("Scan ExistingRDD") <= 6, plan
+    by_branch = {
+        r["branch"]: r["count"]
+        for r in df.groupBy("branch").count().collect()
+    }
+    # all three reference consumers produce output on the fixture
+    assert set(by_branch) == {"stats", "geofence", "outliers"}
+    assert all(v > 0 for v in by_branch.values())

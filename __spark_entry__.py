@@ -2196,14 +2196,42 @@ FROM events GROUP BY event_type
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts — the 100 TB path for
-    cardinality (exact countDistinct is daily_distinct_users).  No
-    oracle entry: HLL sketches are engine-specific by construction, so
-    the driver records the weaker rows-only check."""
+    cardinality (exact countDistinct is daily_distinct_users).
+
+    Round-9 (round-8 verdict #5): promoted from rows-only to a
+    CHECKED-INVARIANT oracle entry.  The sketch estimate itself is
+    engine-specific (DuckDB cannot reproduce Spark's HLL++ registers),
+    so the hashed columns are the exact distinct count, the row count,
+    and ``within_bound`` — whether the HLL estimate sits within 5x the
+    requested rsd (0.01) of the exact count, floored at ±5 absolute
+    for tiny groups where HLL++ is exact-by-construction (sparse
+    mode).  The oracle asserts the SAME exact counts and pins
+    within_bound TRUE, so a Spark HLL regression past the published
+    accuracy bound breaks the hash.  The approx value stays in the
+    plan (the scan aggregates BOTH ways) but out of the hash."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+    g = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n"),
     )
+    err = F.abs(F.col("_approx") - F.col("exact_users"))
+    bound = F.greatest(F.lit(5.0), 0.05 * F.col("exact_users"))
+    return g.select(
+        "event_type",
+        "exact_users",
+        "n",
+        (err <= bound).alias("within_bound"),
+    )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
 
 
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2296,10 +2324,32 @@ def simulated_traffic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     attach dimension, enrichment-join on bearer_id (SURVEY §2.4 J1),
     explode the metrics map, per (city, metric) StatCounter stats.
 
-    No oracle entry: rows come from a registered Python source, not a
-    parquet table DuckDB can see (the generator itself is
-    deterministic, so the rows-only check is stable)."""
-    from botkop_telcotraffic_spark_spark.operators.window_stats import stat_aggs
+    Round-9 (round-8 verdict #5): promoted from rows-only to a REPLAY
+    oracle.  Rows come from a registered Python source, not a parquet
+    table DuckDB can see — but every row is a pure function of
+    (seed=42, index) via splitmix64, so the oracle
+    (_simulated_traffic_sql) REPLAYS the generator single-threaded in
+    pure Python at oracle-build time, aggregates independently (naive
+    two-pass mean/stddev_pop, no Spark involved), and emits the
+    expected stats as a VALUES relation.  What the pairing checks:
+    Spark's distributed execution of the SAME logical pipeline —
+    partition fan-out, max_by latest-wins, broadcast join, map
+    explode, StatCounter aggregation — against an independent
+    sequential evaluation; a nondeterministic source, a tie-broken
+    max_by, or an agg drift all break the hash.
+
+    The hashed columns are StatCounter's SUFFICIENT STATISTICS
+    (n, Σx, Σx², min, max) rather than mean/stdev: the generator's
+    metrics live on a 3-decimal grid, so Σx is exactly an integer
+    multiple of 10⁻³ (and Σx² of 10⁻⁶) — rounding at 3 (resp. 6)
+    decimals can NEVER land on a rounding tie, making the compare
+    immune to the last-ulp sum-order difference between Spark's
+    shuffle accumulation and the sequential replay.  mean = Σx/n and
+    variance = Σx²/n − (Σx/n)² are one division away (derived-stat
+    parity is covered by metrics_map_stats, where both engines do
+    the same float division); means here tie at ANY fixed rounding
+    digit (k/160000 grids), which is exactly what the first version
+    of this oracle tripped on."""
     from botkop_telcotraffic_spark_spark.sources import simulator
 
     tune(spark)
@@ -2322,10 +2372,75 @@ def simulated_traffic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = cell.join(F.broadcast(latest), "bearer_id")
     m = enriched.select("city", F.explode("metrics").alias("metric", "value"))
+    v = F.col("value")
     return (
         m.groupBy("city", "metric")
-        .agg(*stat_aggs("value", round_digits=6))
+        .agg(
+            F.count(v).alias("n"),
+            F.round(F.sum(v), 3).alias("sum_value"),
+            F.round(F.sum(v * v), 6).alias("sum_sq"),
+            F.max(v).alias("vmax"),
+            F.min(v).alias("vmin"),
+        )
         .orderBy("city", "metric")
+    )
+
+
+def _simulated_traffic_sql(
+    cell_rows: int = 5000, attach_rows: int = 2000, bearers: int = 100
+) -> str:
+    """Replay oracle for simulated_traffic_stats: regenerate the
+    (seed, index)-pure rows sequentially, aggregate them independently
+    of Spark (latest city per bearer by max ts_ms — unique since
+    ts_ms is strictly increasing in the row index — then per
+    (city, metric) sufficient statistics n/Σx/Σx²/min/max on the
+    generator's exact decimal grid), and pin the result as a VALUES
+    relation.  Σx rounded at 3 and Σx² at 6 recover the exact decimal
+    grid point on both engines (see the entry docstring: no rounding
+    ties exist on an integer grid, so sum-order ulp noise cannot flip
+    a digit)."""
+    import decimal
+
+    from botkop_telcotraffic_spark_spark.sources import simulator as sim
+
+    def half_up(x: float, n: int = 6) -> float:
+        d = decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-n), rounding=decimal.ROUND_HALF_UP
+        )
+        return float(d) + 0.0
+
+    latest: dict[str, tuple[int, str]] = {}
+    for i in range(attach_rows):
+        row = sim._attach_row(42, i, bearers, 1_700_000_000_000, 100)
+        bearer, city, ts = row[0], row[7], row[9]
+        if bearer not in latest or ts > latest[bearer][0]:
+            latest[bearer] = (ts, city)
+
+    groups: dict[tuple[str, str], list[float]] = {}
+    for i in range(cell_rows):
+        row = sim._celltower_row(42, i, bearers, 1_700_000_000_000, 100)
+        bearer, metrics = row[0], row[7]
+        if bearer not in latest:
+            continue  # inner join drops unmatched facts
+        city = latest[bearer][1]
+        for metric, value in metrics.items():
+            groups.setdefault((city, metric), []).append(value)
+
+    rows = []
+    for (city, metric), vals in sorted(groups.items()):
+        rows.append(
+            f"('{city}', '{metric}', {len(vals)}, "
+            f"{half_up(sum(vals), 3)!r}, "
+            f"{half_up(sum(v * v for v in vals), 6)!r}, "
+            f"{max(vals)!r}, {min(vals)!r})"
+        )
+    return (
+        "SELECT city, metric, CAST(n AS BIGINT) AS n, "
+        "CAST(sum_value AS DOUBLE) AS sum_value, "
+        "CAST(sum_sq AS DOUBLE) AS sum_sq, "
+        "CAST(vmax AS DOUBLE) AS vmax, CAST(vmin AS DOUBLE) AS vmin "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") AS t(city, metric, n, sum_value, sum_sq, vmax, vmin)"
     )
 
 
@@ -13409,7 +13524,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_running_zscore": (streaming_running_zscore, _ZSCORE_SQL),
     "percentile_value_stats": (percentile_value_stats, _PERCENTILE_SQL),
     "grouping_sets_orders": (grouping_sets_orders, _GROUPING_SETS_SQL),
-    "approx_distinct_users": (approx_distinct_users, None),
+    "approx_distinct_users": (approx_distinct_users, _APPROX_DISTINCT_SQL),
     "qte_deciles_events": (qte_deciles_events, _QTE_SQL),
     "streaming_hll_users": (streaming_hll_users, _streaming_hll_sql()),
     "lang_id_eval_docs": (lang_id_eval_docs, _lang_eval_sql()),
@@ -13491,7 +13606,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "conformal_value_events": (conformal_value_events, _CONFORMAL_SQL),
     "quantile_match_docs": (quantile_match_docs, _QMATCH_SQL),
     "benford_orders": (benford_orders, _BENFORD_SQL),
-    "simulated_traffic_stats": (simulated_traffic_stats, None),
+    "simulated_traffic_stats": (
+        simulated_traffic_stats,
+        _simulated_traffic_sql(),
+    ),
     "jl_project_embeddings": (jl_project_embeddings, _jl_sql()),
     "quantize_embeddings": (quantize_embeddings, _QUANT_SQL),
     "winsorize_events": (winsorize_events, _WINSOR_SQL),

@@ -88,13 +88,11 @@ def test_registry_first_50_slots_match_driver_window():
     missing = [n for n in window if n not in oracles]
     # rows-only entries are allowed in the window but must be the
     # documented by-design set
-    allowed_rows_only = {
-        # the 2 genuinely non-oracleable entries (r7: streaming
-        # K-Means left this list — _streaming_kmeans_sql)
-        "simulated_traffic_stats",
-        "approx_distinct_users",
-    }
-    assert set(missing) <= allowed_rows_only, missing
+    # round-9: the rows-only list is EMPTY — simulated_traffic_stats
+    # gained a sequential-replay VALUES oracle and
+    # approx_distinct_users a checked-invariant oracle (exact counts
+    # + HLL-within-bound flag); every registry entry is oracle-paired
+    assert not missing, missing
 
 
 def test_rotation_policy_no_stale_entries_outside_window():

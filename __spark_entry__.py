@@ -12105,8 +12105,14 @@ def anomaly_ensemble_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_mad", F.round(_interp_median(dev, n), 6) + F.lit(0.0)
     )
     # reference-exact index quartiles (ClusterAnalyser.scala:157-170
-    # 0-based naive order statistics, degenerate below n=5)
-    q1 = F.element_at("_sv", (F.floor(n / 4) + 1).cast("int"))
+    # 0-based naive order statistics, degenerate below n=5); the
+    # guard fails fast past the documented ~1e8/group exact-mode
+    # bound instead of OOMing (round-8 verdict #6)
+    q1 = _iqr.exact_group_guard(
+        F.element_at("_sv", (F.floor(n / 4) + 1).cast("int")),
+        n,
+        what="anomaly_ensemble exact stats",
+    )
     q3 = F.element_at("_sv", (F.floor(n * 3 / 4) + 1).cast("int"))
     iqr = q3 - q1
     degen = n <= 4

@@ -29,6 +29,41 @@ from pyspark.sql import functions as F
 DOUBLE_MIN = -1.7976931348623157e308
 DOUBLE_MAX = 1.7976931348623157e308
 
+# Hard ceiling for exact-mode per-group sorted lists (round-8 verdict
+# #6): ~1e8 doubles ≈ 800 MB of raw values per group — the documented
+# executor-memory trade above.  Past this, the exact entry FAILS FAST
+# with a message naming the approx fallback instead of OOM-killing an
+# executor mid-merge.  Patchable for tests; callers can pass an
+# explicit limit.
+MAX_EXACT_GROUP = 100_000_000
+
+
+def exact_group_guard(value_expr, n_col, limit: int | None = None, what: str = "exact IQR"):
+    """Wrap an exact-mode order-statistic expression so a group larger
+    than ``limit`` raises a clear error instead of materializing an
+    unbounded sorted list's downstream math.  Evaluated from the
+    group count the aggregate already computes — a pure column
+    expression, no extra scan or exchange (census-neutral).  The
+    guard fires at final-aggregate evaluation: it cannot stop the
+    list merge itself (Spark has no per-group partial-size abort),
+    but it converts "silent OOM on the exact entry at 100 TB" into a
+    named, actionable failure the moment any group crosses the
+    documented bound."""
+    lim = MAX_EXACT_GROUP if limit is None else limit
+    return F.when(
+        n_col > lim,
+        F.raise_error(
+            F.concat(
+                F.lit(f"{what}: group size "),
+                n_col.cast("string"),
+                F.lit(
+                    f" exceeds max_exact_group={lim}; use mode='approx' "
+                    "(bounded-memory percentile sketch) or raise the limit"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(value_expr)
+
 
 def iqr_bounds(
     df: DataFrame,
@@ -36,6 +71,7 @@ def iqr_bounds(
     value_col: str,
     mode: str = "exact",
     accuracy: int = 10000,
+    max_exact_group: int | None = None,
 ) -> DataFrame:
     """Per-key (n, q1, q3, lo, hi) outlier thresholds."""
     v = F.col(value_col)
@@ -44,7 +80,11 @@ def iqr_bounds(
             F.sort_array(F.collect_list(v)).alias("_sorted"),
             F.count(v).alias("n"),
         )
-        q1 = F.element_at("_sorted", (F.floor(F.col("n") / 4) + 1).cast("int"))
+        q1 = exact_group_guard(
+            F.element_at("_sorted", (F.floor(F.col("n") / 4) + 1).cast("int")),
+            F.col("n"),
+            max_exact_group,
+        )
         q3 = F.element_at("_sorted", (F.floor(F.col("n") * 3 / 4) + 1).cast("int"))
     elif mode == "approx":
         g = df.groupBy(*key_cols).agg(

@@ -107,3 +107,48 @@ def test_logrank_degenerate_never_raises(spark):
     assert logrank_test(one, "dur", "obs", "g", "a", "b").count() == 0
     empty = spark.createDataFrame([], "g string, dur double, obs boolean")
     assert logrank_test(empty, "dur", "obs", "g", "a", "b").count() == 0
+
+
+# --- round-9 (round-8 verdict #6): exact-mode group-size guard ------------
+
+
+def test_iqr_exact_oversized_group_fails_fast(spark):
+    """iqr_bounds(mode='exact') on a group past max_exact_group raises
+    a named error pointing at the approx fallback instead of silently
+    materializing an unbounded sorted list downstream."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from botkop_telcotraffic_spark_spark.operators.iqr import iqr_bounds
+
+    df = spark.range(0, 50).select(
+        F.lit("k").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as exc:
+        iqr_bounds(df, ["k"], "v", mode="exact", max_exact_group=10).collect()
+    assert "max_exact_group=10" in str(exc.value)
+    assert "mode='approx'" in str(exc.value)
+    # at or under the limit, same data passes
+    ok = iqr_bounds(df, ["k"], "v", mode="exact", max_exact_group=50).collect()
+    assert len(ok) == 1 and ok[0]["n"] == 50
+    # the approx fallback named by the error has no such ceiling
+    ap = iqr_bounds(df, ["k"], "v", mode="approx", max_exact_group=10).collect()
+    assert len(ap) == 1
+
+
+def test_anomaly_ensemble_oversized_group_fails_fast(spark, monkeypatch):
+    """The ensemble's shared sorted-list aggregate inherits the guard:
+    with the module ceiling patched below the fixture's group sizes,
+    the entry fails fast with the named error; untouched, it runs."""
+    import __spark_entry__ as entry_mod
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from botkop_telcotraffic_spark_spark.operators import iqr as _iqr
+    from tests.conftest import SF_DIR_001
+
+    monkeypatch.setattr(_iqr, "MAX_EXACT_GROUP", 3)
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)) as exc:
+        entry_mod.anomaly_ensemble_events(spark, SF_DIR_001).collect()
+    assert "max_exact_group=3" in str(exc.value)
+    assert "anomaly_ensemble" in str(exc.value)

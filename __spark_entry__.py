@@ -3766,9 +3766,8 @@ FROM e
 def streaming_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed stateful streaming via the Spark 4 transformWithState
     API (streaming/tws.py): per-user EWMA over (ts, event_id)-ordered
-    values, ValueState in the RocksDB store.  The deterministic fold
+    values, keyed ValueState.  The deterministic fold
     lets the DuckDB oracle reproduce it with list_reduce."""
-    from botkop_telcotraffic_spark_spark.session import enable_large_state
     from botkop_telcotraffic_spark_spark.streaming.runner import (
         run_to_memory,
         stream_parquet_table,
@@ -3776,7 +3775,6 @@ def streaming_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from botkop_telcotraffic_spark_spark.streaming.tws import running_ewma
 
     tune(spark)
-    enable_large_state(spark)
     stream = stream_parquet_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -5773,7 +5771,6 @@ def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = 1.53–1.71 s (≤1.16× r3, within the ≤1.2× bar) — the
     in-sweep drift is shared-JVM aging of a 196-query sweep, not a
     regression in the state-store plan."""
-    from botkop_telcotraffic_spark_spark.session import enable_large_state
     from botkop_telcotraffic_spark_spark.streaming.runner import (
         run_to_memory,
         stream_parquet_table,
@@ -5781,7 +5778,6 @@ def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from botkop_telcotraffic_spark_spark.streaming.tws import running_keyed_counts
 
     tune(spark)
-    enable_large_state(spark)
     stream = stream_parquet_table(spark, sf_dir, "events").select(
         "user_id", "value"
     )
@@ -6129,8 +6125,16 @@ def streaming_idle_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     timers; replayed availableNow.  Deterministic, so the oracle
     replays it relationally: classic lag/cumsum gap sessions, kept if
     closed by a later session OR expired against the final watermark
-    (max ts − 10 s)."""
-    from botkop_telcotraffic_spark_spark.session import enable_large_state
+    (max ts − 10 s).
+
+    State-store profile (round-9, round-8 verdict #7): the bounded
+    availableNow replay keeps the DEFAULT in-memory store — its key
+    cardinality is bounded by the fixture.  Unbounded production
+    keyspaces switch to RocksDB with ONE call
+    (session.enable_large_state, changelog checkpoints); that path is
+    exercised by the restart-chaos tests, which all run under
+    RocksDB.  Measured at sf0.1 (PROGRESS stream_knobs_r9): provider
+    flip costs 0-27% on tiny replays, values identical."""
     from botkop_telcotraffic_spark_spark.streaming.runner import (
         run_to_memory,
         stream_parquet_table,
@@ -6138,7 +6142,6 @@ def streaming_idle_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from botkop_telcotraffic_spark_spark.streaming.tws import idle_sessions
 
     tune(spark)
-    enable_large_state(spark)
     stream = (
         stream_parquet_table(spark, sf_dir, "events")
         .select("user_id", "ts", "value")
@@ -6182,10 +6185,9 @@ WHERE sid < max_sid OR last_ts + INTERVAL 5 MINUTE < w
 def streaming_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapState streaming counts
     (streaming/tws.py::TypeCountProcessor): per-(user, event type)
-    running counts where each type key is a RocksDB point lookup —
+    running counts where each type key is a state-store point lookup —
     replayed availableNow; the final update-mode snapshot equals the
     batch group-by, which is the oracle."""
-    from botkop_telcotraffic_spark_spark.session import enable_large_state
     from botkop_telcotraffic_spark_spark.streaming.runner import (
         run_to_memory,
         stream_parquet_table,
@@ -6193,7 +6195,6 @@ def streaming_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from botkop_telcotraffic_spark_spark.streaming.tws import running_type_counts
 
     tune(spark)
-    enable_large_state(spark)
     stream = stream_parquet_table(spark, sf_dir, "events").select(
         "user_id", "event_type"
     )
@@ -6216,7 +6217,6 @@ def streaming_od_flows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same oracle as the batch twin (the flow matrix is
     arrival-order-invariant given per-key event-time ordering)."""
     from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
-    from botkop_telcotraffic_spark_spark.session import enable_large_state
     from botkop_telcotraffic_spark_spark.streaming.runner import (
         run_to_memory,
         stream_parquet_table,
@@ -6226,7 +6226,6 @@ def streaming_od_flows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
-    enable_large_state(spark)
     stream = (
         stream_parquet_table(spark, sf_dir, "events")
         .select(
@@ -6262,7 +6261,6 @@ def streaming_lastk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's previous 3 observed values — bounded k-scalar state per
     key; the oracle is the exact ROWS-frame window over the non-null
     value stream."""
-    from botkop_telcotraffic_spark_spark.session import enable_large_state
     from botkop_telcotraffic_spark_spark.streaming.runner import (
         run_to_memory,
         stream_parquet_table,
@@ -6272,7 +6270,6 @@ def streaming_lastk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
-    enable_large_state(spark)
     stream = stream_parquet_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -10546,7 +10543,6 @@ def streaming_pingpong_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the pair matrix is arrival-order-invariant given per-key
     event-time ordering)."""
     from botkop_telcotraffic_spark_spark.functions.geo import geohash_sql
-    from botkop_telcotraffic_spark_spark.session import enable_large_state
     from botkop_telcotraffic_spark_spark.streaming.runner import (
         run_to_memory,
         stream_parquet_table,
@@ -10556,7 +10552,6 @@ def streaming_pingpong_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tune(spark)
-    enable_large_state(spark)
     stream = (
         stream_parquet_table(spark, sf_dir, "events")
         .select(
@@ -11835,7 +11830,6 @@ def streaming_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated from the append sink.  Same oracle as the batch twin
     (first-to-first-after is arrival-order-invariant given per-key
     event-time ordering)."""
-    from botkop_telcotraffic_spark_spark.session import enable_large_state
     from botkop_telcotraffic_spark_spark.streaming.runner import (
         run_to_memory,
         stream_parquet_table,
@@ -11843,7 +11837,6 @@ def streaming_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from botkop_telcotraffic_spark_spark.streaming.tws import conversion_lags
 
     tune(spark)
-    enable_large_state(spark)
     stream = stream_parquet_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",

@@ -504,36 +504,56 @@ def lloyd_kmeans(
     spark = df.sparkSession
     pts = df.select(F.col(vec_col).alias("point"))
     distinct = pts.distinct()
-    n = distinct.count()
-    if n == 0:
-        return spark.createDataFrame([], "prediction int, centroid array<double>")
-    kk = min(k, n)
-    if kk == 1 or n == 1:
-        idxs = [1]
-    else:
-        idxs = sorted({round(i * (n - 1) / (kk - 1)) + 1 for i in range(kk)})
     from pyspark.sql import Window
 
-    ranked = distinct.withColumn("rn", F.row_number().over(Window.orderBy("point")))
-    seeds = ranked.where(F.col("rn").isin(idxs)).orderBy("rn").collect()
+    # Seed selection in ONE job (round-9: was count + collect = two):
+    # rank and total-count share the same unpartitioned window task,
+    # and the k evenly-spaced index expressions round(i*(n-1)/(kk-1))+1
+    # are evaluated per-row from the windowed n.  F.round is HALF_UP
+    # vs Python's banker's round, but ties at .5 are impossible here
+    # (see _lloyd_sql parity note), so the selected rows are identical.
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = distinct.select(
+        "point",
+        F.row_number().over(Window.orderBy("point")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    n_col, rn = F.col("n"), F.col("rn")
+    kk_col = F.least(F.lit(k), n_col)
+    is_seed = (kk_col == 1) & (rn == 1)
+    for i in range(k):
+        # guarded division: the when() branch only evaluates for
+        # kk > 1 rows (CaseWhen is lazy per row under ANSI)
+        is_seed = is_seed | (
+            (F.lit(i) < kk_col)
+            & (kk_col > 1)
+            & (rn == F.round(F.lit(i) * (n_col - 1) / (kk_col - 1)) + 1)
+        )
+    seeds = ranked.where(is_seed).orderBy("rn").collect()
+    if not seeds:
+        return spark.createDataFrame([], "prediction int, centroid array<double>")
     cents = [[float(x) for x in r["point"]] for r in seeds]
 
     for _ in range(iterations):
         assigned = assign(
             pts, list(enumerate(cents)), vec_col="point", dim=dim
         )
+        # collect the k x dim (prediction, d, m) grid FLAT and
+        # assemble arrays driver-side (round-9: drops the second
+        # groupBy stage per round; the grid is bounded at k*dim rows)
         means = (
             assigned.select("prediction", F.posexplode("point").alias("d", "x"))
             .groupBy("prediction", "d")
             .agg(F.round(F.avg(F.col("x").cast("double")), round_digits).alias("m"))
-            .groupBy("prediction")
-            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("_dm"))
-            .select(
-                "prediction",
-                F.transform(F.col("_dm"), lambda s: s["m"]).alias("centroid"),
-            )
-        ).collect()  # k rows
-        new = {r["prediction"]: list(r["centroid"]) for r in means}
+        ).collect()  # k * dim rows
+        by_pred: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_pred.setdefault(r["prediction"], {})[r["d"]] = r["m"]
+        new = {
+            p: [dm[d] for d in sorted(dm)] for p, dm in by_pred.items()
+        }
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
 
     return spark.createDataFrame(

@@ -17,9 +17,18 @@ def run_to_memory(
     output_mode: str = "complete",
     checkpoint: str | None = None,
     name: str | None = None,
+    replay_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
-    memory sink; return the result as a batch DataFrame."""
+    memory sink; return the result as a batch DataFrame.
+
+    ``replay_partitions``: explicit shuffle-partition count for this
+    bounded replay, overriding the floor-8 default below.  Pass 1 for
+    PURE-JVM stateful queries whose per-partition store open/commit
+    dominates (round-9 A/B: the 4-store stream-stream join runs 3.1 s
+    at 8 partitions, 2.3 s at 1; but Python-stateful streams want the
+    parallelism — r8 negative — and native session-window merges run
+    WORSE at 1: 1.2 s -> 1.7 s)."""
     spark = stream_df.sparkSession
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
     # Bounded-replay accommodation: each stateful partition opens its
@@ -32,7 +41,11 @@ def run_to_memory(
     # size shuffle partitions to the cluster instead (SCALE.md).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        if checkpoint is None and int(prev) > 8:
+        if replay_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(replay_partitions)
+            )
+        elif checkpoint is None and int(prev) > 8:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
         writer = (
             stream_df.writeStream.format("memory")

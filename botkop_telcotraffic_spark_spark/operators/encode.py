@@ -278,8 +278,13 @@ def woe_iv(
     tot = cells.agg(
         F.sum("_p").alias("_pt"), F.sum("_q").alias("_qt")
     )
-    sp = (F.col("_p") + F.lit(0.5)) / F.col("_pt")
-    sq = (F.col("_q") + F.lit(0.5)) / F.col("_qt")
+    # one-class corpus (all labels 0 or all 1): a zero class TOTAL
+    # divides by zero (ANSI error) and WoE is undefined — guard the
+    # shares themselves so woe and iv_term both answer NULL (round-9
+    # magnitude-boundary sweep; the 0.5 smoothing guards empty CELLS,
+    # not an empty class)
+    sp = F.when(F.col("_pt") > 0, (F.col("_p") + F.lit(0.5)) / F.col("_pt"))
+    sq = F.when(F.col("_qt") > 0, (F.col("_q") + F.lit(0.5)) / F.col("_qt"))
     woe = F.log(sp / sq)
     return (
         cells.crossJoin(F.broadcast(tot))

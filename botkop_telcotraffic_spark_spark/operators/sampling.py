@@ -527,6 +527,14 @@ def weighted_hash_sample(
     # not repeated, so u stays in (0, 1) if FP_MOD ever changes
     u = (fp.cast("double") + F.lit(0.5)) / F.lit(float(FP_MOD))
     w = F.col(weight_col).cast("double")
+    # A-ES requires w > 0: w == 0 gives pr = -Inf (sorts last but
+    # poisons the emitted priority) and w < 0 gives pr > 0 — sampled
+    # FIRST, the opposite of its meaning.  Both are the w→0⁻/0⁺
+    # boundary of the round-9 magnitude sweep: drop them before
+    # ranking (a zero-weight row is "never sampled" in the limit;
+    # negative/NULL weight is undefined) so every emitted priority is
+    # finite.
+    df = df.where(F.col(weight_col).cast("double") > 0)
     pr = F.log(u) / w  # < 0; larger (closer to 0) = more likely kept
 
     strata = [stratum_col] if stratum_col else []

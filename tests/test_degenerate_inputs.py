@@ -152,3 +152,49 @@ def test_anomaly_ensemble_oversized_group_fails_fast(spark, monkeypatch):
         entry_mod.anomaly_ensemble_events(spark, SF_DIR_001).collect()
     assert "max_exact_group=3" in str(exc.value)
     assert "anomaly_ensemble" in str(exc.value)
+
+
+# --- round-9 magnitude sweep, second pass: log/ratio sites ----------------
+
+
+def test_weighted_sample_nonpositive_weights_dropped(spark):
+    """A-ES priority needs w > 0: zero weight is the never-sampled
+    limit, negative weight would flip the ranking (pr > 0, sampled
+    FIRST).  Both are dropped before ranking; every emitted priority
+    is finite."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        weighted_hash_sample,
+    )
+
+    rows = [("a", 1.0), ("b", 0.0), ("c", -5.0), ("d", 2.0), ("e", None),
+            ("f", 3.0)]
+    df = spark.createDataFrame(rows, "k string, w double")
+    out = weighted_hash_sample(df, "k", "w", k=10).collect()
+    kept = {r["k"] for r in out}
+    assert kept == {"a", "d", "f"}
+    assert all(math.isfinite(r["sample_priority"]) for r in out)
+
+
+def test_woe_one_class_corpus_yields_null_not_inf(spark):
+    """WoE with a zero class TOTAL (all labels identical) is
+    undefined: the engine answers NULL, never ±Inf (the 0.5 Laplace
+    smoothing only guards empty cells, not an empty class)."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.encode import woe_iv
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 1)], "cat string, label int"
+    )
+    out = woe_iv(df, "cat", "label").collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["woe"] is None and r["iv_term"] is None
+    # two-class corpora keep finite values
+    df2 = spark.createDataFrame(
+        [("x", 1), ("x", 0), ("y", 1), ("y", 0)], "cat string, label int"
+    )
+    for r in woe_iv(df2, "cat", "label").collect():
+        assert math.isfinite(r["woe"])

@@ -227,27 +227,14 @@ class StreamingKMeans:
         reproducible."""
         if any(w > 0 for w in self.weights):
             return
-        from pyspark.sql import Window
-
-        distinct = batch.select(F.col(vec_col).alias("p")).distinct()
-        n = distinct.count()
-        if n == 0:
-            return
         # evenly-spaced ranks over the lexicographic order spread the
         # seeds across the data's extent (all-smallest would collapse
-        # every seed into one region)
-        if self.k == 1 or n == 1:
-            idxs = [1]
-        else:
-            idxs = sorted(
-                {round(i * (n - 1) / (self.k - 1)) + 1 for i in range(self.k)}
-            )
-        ranked = distinct.withColumn(
-            "rn", F.row_number().over(Window.orderBy("p"))
+        # every seed into one region); one fused job (_spread_seeds)
+        seeds = _spread_seeds(
+            batch.select(F.col(vec_col).alias("p")).distinct(), "p", self.k
         )
-        pts = ranked.where(F.col("rn").isin(idxs)).orderBy("rn").collect()
-        for i, row in enumerate(pts):
-            self.centroids[i] = [float(x) for x in row["p"]]
+        for i, c in enumerate(seeds):
+            self.centroids[i] = c
 
     def update(self, batch: DataFrame, vec_col: str = "point") -> None:
         """One mini-batch update: distributed assign + per-cluster
@@ -473,6 +460,40 @@ def minibatch_kmeans(
     return res
 
 
+def _spread_seeds(distinct, vec_col: str, k: int) -> list[list[float]]:
+    """Evenly-spaced seed vectors over the lexicographic order of the
+    DISTINCT vectors, selected in ONE job (round-9: was count +
+    collect = two): rank and total-count share the same unpartitioned
+    window task, and the k index expressions round(i*(n-1)/(kk-1))+1
+    are evaluated per-row from the windowed n.  F.round is HALF_UP vs
+    Python's banker's round, but ties at .5 are impossible here (see
+    the _lloyd_sql parity note), so the selected rows are identical
+    to the two-job formulation shared with every kmeans oracle."""
+    from pyspark.sql import Window
+
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = distinct.select(
+        F.col(vec_col).alias("_p"),
+        F.row_number().over(Window.orderBy(vec_col)).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    n_col, rn = F.col("n"), F.col("rn")
+    kk_col = F.least(F.lit(k), n_col)
+    is_seed = (kk_col == 1) & (rn == 1)
+    for i in range(k):
+        # guarded division: the when() branch only evaluates for
+        # kk > 1 rows (CaseWhen is lazy per row under ANSI)
+        is_seed = is_seed | (
+            (F.lit(i) < kk_col)
+            & (kk_col > 1)
+            & (rn == F.round(F.lit(i) * (n_col - 1) / (kk_col - 1)) + 1)
+        )
+    rows = ranked.where(is_seed).orderBy("rn").collect()
+    return [[float(x) for x in r["_p"]] for r in rows]
+
+
 def lloyd_kmeans(
     df: DataFrame,
     vec_col: str,
@@ -503,38 +524,10 @@ def lloyd_kmeans(
     """
     spark = df.sparkSession
     pts = df.select(F.col(vec_col).alias("point"))
-    distinct = pts.distinct()
-    from pyspark.sql import Window
-
-    # Seed selection in ONE job (round-9: was count + collect = two):
-    # rank and total-count share the same unpartitioned window task,
-    # and the k evenly-spaced index expressions round(i*(n-1)/(kk-1))+1
-    # are evaluated per-row from the windowed n.  F.round is HALF_UP
-    # vs Python's banker's round, but ties at .5 are impossible here
-    # (see _lloyd_sql parity note), so the selected rows are identical.
-    w_all = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = distinct.select(
-        "point",
-        F.row_number().over(Window.orderBy("point")).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-    )
-    n_col, rn = F.col("n"), F.col("rn")
-    kk_col = F.least(F.lit(k), n_col)
-    is_seed = (kk_col == 1) & (rn == 1)
-    for i in range(k):
-        # guarded division: the when() branch only evaluates for
-        # kk > 1 rows (CaseWhen is lazy per row under ANSI)
-        is_seed = is_seed | (
-            (F.lit(i) < kk_col)
-            & (kk_col > 1)
-            & (rn == F.round(F.lit(i) * (n_col - 1) / (kk_col - 1)) + 1)
-        )
-    seeds = ranked.where(is_seed).orderBy("rn").collect()
+    seeds = _spread_seeds(pts.distinct(), "point", k)
     if not seeds:
         return spark.createDataFrame([], "prediction int, centroid array<double>")
-    cents = [[float(x) for x in r["point"]] for r in seeds]
+    cents = seeds
 
     for _ in range(iterations):
         assigned = assign(

@@ -2680,10 +2680,16 @@ def _minibatch_kmeans_parts(
     engine's iqr_outliers does before the final rounding).
     Parity points: batch slicing is ntile over (ts, event_id); batch-1
     seeding takes ranks {1, mid+1, n} of the distinct sorted points
-    where mid reproduces Python round-HALF-EVEN of (n-1)/2 with pure
-    integer arithmetic ((n-1)//2 + ((n-1)%2)*(((n-1)//2)%2) — the
-    engine seeds via Python round, and k-1 = 2 makes .5 ties REAL,
-    unlike the odd-k-1 Lloyd argument); centroid updates are
+    where mid = round((n-1)/2) under HALF_UP — DuckDB's round() is
+    half-away-from-zero, identical to Spark's F.round for the
+    positive ranks here, matching the engine's _spread_seeds
+    (operators/kmeans.py).  HALF_UP is the cross-engine contract on
+    BOTH sides: k-1 = 2 makes .5 mid-rank ties REAL (any batch-1
+    distinct count n ≡ 2 mod 4), unlike the odd-k-1 Lloyd argument,
+    and a HALF_EVEN oracle would pick a different middle seed on
+    exactly those n (round-9 ADVICE; pinned by
+    tests/test_properties.py::test_minibatch_seed_midrank_tie_parity);
+    centroid updates are
     (c·w·decay + sum) / (w·decay + m) rounded to 9 (the engine's
     round_state=9); unseen clusters keep c and decay w; assignment
     argmin ties resolve to the lowest centroid id; per-batch predict
@@ -2715,7 +2721,7 @@ r1 AS (SELECT p, row_number() OVER (ORDER BY p) AS rn,
 seeds AS (
   SELECT rn, p FROM r1
   WHERE rn = 1 OR rn = n
-     OR rn = ((n - 1) // 2) + ((n - 1) % 2) * (((n - 1) // 2) % 2) + 1
+     OR rn = CAST(round((n - 1) / 2.0, 0) AS BIGINT) + 1
 ),
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY rn) - 1 AS INT) AS id,

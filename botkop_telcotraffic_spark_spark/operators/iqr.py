@@ -29,12 +29,16 @@ from pyspark.sql import functions as F
 DOUBLE_MIN = -1.7976931348623157e308
 DOUBLE_MAX = 1.7976931348623157e308
 
-# Hard ceiling for exact-mode per-group sorted lists (round-8 verdict
+# Ceiling for exact-mode per-group sorted lists (round-8 verdict
 # #6): ~1e8 doubles ≈ 800 MB of raw values per group — the documented
-# executor-memory trade above.  Past this, the exact entry FAILS FAST
-# with a message naming the approx fallback instead of OOM-killing an
-# executor mid-merge.  Patchable for tests; callers can pass an
-# explicit limit.
+# executor-memory trade above.  The guard evaluates in the FINAL
+# aggregate, after collect_list/sort_array has materialized the
+# per-group list (see exact_group_guard: Spark has no per-group
+# partial-size abort), so it does NOT prevent a merge-time OOM — it
+# converts the post-materialization failure mode into a named error
+# pointing at mode='approx'.  Real pre-merge protection would need a
+# separate count pass; the exact entries accept the trade.  Patchable
+# for tests; callers can pass an explicit limit.
 MAX_EXACT_GROUP = 100_000_000
 
 

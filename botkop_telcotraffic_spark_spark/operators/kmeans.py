@@ -465,10 +465,15 @@ def _spread_seeds(distinct, vec_col: str, k: int) -> list[list[float]]:
     DISTINCT vectors, selected in ONE job (round-9: was count +
     collect = two): rank and total-count share the same unpartitioned
     window task, and the k index expressions round(i*(n-1)/(kk-1))+1
-    are evaluated per-row from the windowed n.  F.round is HALF_UP vs
-    Python's banker's round, but ties at .5 are impossible here (see
-    the _lloyd_sql parity note), so the selected rows are identical
-    to the two-job formulation shared with every kmeans oracle."""
+    are evaluated per-row from the windowed n.  Rounding contract:
+    F.round is HALF_UP, and .5 ties ARE reachable whenever k-1 is
+    even (k=3: mid rank hits .5 for any n ≡ 2 mod 4; only the odd
+    k-1 Lloyd case is tie-free).  HALF_UP is therefore the pinned
+    convention on BOTH sides — every kmeans DuckDB oracle computes
+    the same ranks with DuckDB round() (half-away-from-zero, equal to
+    HALF_UP for these positive arguments); see
+    _minibatch_kmeans_parts and
+    tests/test_properties.py::test_minibatch_seed_midrank_tie_parity."""
     from pyspark.sql import Window
 
     w_all = Window.orderBy(F.lit(1)).rowsBetween(
@@ -483,8 +488,10 @@ def _spread_seeds(distinct, vec_col: str, k: int) -> list[list[float]]:
     kk_col = F.least(F.lit(k), n_col)
     is_seed = (kk_col == 1) & (rn == 1)
     for i in range(k):
-        # guarded division: the when() branch only evaluates for
-        # kk > 1 rows (CaseWhen is lazy per row under ANSI)
+        # kk == 1 rows do evaluate (i*(n-1))/(kk-1) = x/0.0 — safe
+        # because DOUBLE division never errors under ANSI (yields
+        # NaN/Inf), and round(NaN)+1 / round(Inf)+1 never equals a
+        # finite rn; such rows are seeded by the (kk==1 & rn==1) arm
         is_seed = is_seed | (
             (F.lit(i) < kk_col)
             & (kk_col > 1)

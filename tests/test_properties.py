@@ -1245,3 +1245,62 @@ def test_logrank_magnitude_boundaries(spark):
         logrank_test(df, "dur", "obs", "g", "a", "b").collect(),
         skip=("g",),
     )
+
+
+def test_minibatch_seed_midrank_tie_parity(spark, tmp_path):
+    """Pin the k=3 seed mid-rank .5 tie (round-9 ADVICE): for any
+    batch-1 distinct count n ≡ 2 (mod 4), mid = (n-1)/2 lands on an
+    exact .5 — HALF_UP (the engine's F.round in _spread_seeds) picks
+    rank mid+1 while Python/banker's HALF_EVEN would pick rank mid.
+    Craft an events table whose ntile batch 1 has n = 6 distinct
+    points (5/2 = 2.5: HALF_UP seed rank 4, HALF_EVEN rank 3) with
+    ranks 3 and 4 far apart, and assert (a) _spread_seeds selects
+    ranks {1, 4, 6}, and (b) the full minibatch_kmeans_events query
+    hash-matches its DuckDB oracle on this fixture — which fails if
+    either side ever reverts to HALF_EVEN."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from botkop_telcotraffic_spark_spark.operators.kmeans import (
+        _spread_seeds,
+    )
+    from tests.conftest import SF_DIR_001, TABLES, compare_with_oracle
+
+    # (a) direct seed-rank check: 6 distinct 2-d vectors
+    pts = spark.createDataFrame(
+        [([float(v), 1.0],) for v in (1, 2, 3, 100, 101, 102)],
+        "p array<double>",
+    )
+    seeds = _spread_seeds(pts.distinct(), "p", 3)
+    assert seeds == [[1.0, 1.0], [100.0, 1.0], [102.0, 1.0]], (
+        "HALF_UP mid-rank must select sorted rank 4 (=[100,1]), "
+        f"got {seeds}"
+    )
+
+    # (b) end-to-end engine-vs-oracle parity on a crafted sf_dir:
+    # 30 rows -> ntile(5) batch 1 = first 6 rows by (ts, event_id),
+    # all distinct -> n = 6 ≡ 2 (mod 4)
+    sf = tmp_path / "sf_tie"
+    sf.mkdir()
+    for t in TABLES:
+        if t != "events":
+            (sf / f"{t}.parquet").symlink_to(f"{SF_DIR_001}/{t}.parquet")
+    batch1 = [1.0, 2.0, 3.0, 100.0, 101.0, 102.0]
+    rest = [float(7 * i % 97) + 0.5 for i in range(24)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev AS SELECT "
+        "CAST(i AS BIGINT) AS event_id, "
+        "TIMESTAMP '2024-01-01' + INTERVAL (i) MINUTE AS ts, "
+        "CAST(i % 7 AS BIGINT) AS user_id, 'click' AS event_type, "
+        "CAST(v AS DOUBLE) AS value, "
+        "'{\"k\": ' || CAST(i AS VARCHAR) || '}' AS props "
+        "FROM (SELECT UNNEST(range(30)) AS i, "
+        f"UNNEST({batch1 + rest}) AS v)"
+    )
+    con.execute(f"COPY ev TO '{sf}/events.parquet' (FORMAT PARQUET)")
+    con.close()
+    df = entry_mod.queries()["minibatch_kmeans_events"](spark, str(sf))
+    compare_with_oracle(
+        df, entry_mod.oracle_sql()["minibatch_kmeans_events"], str(sf)
+    )

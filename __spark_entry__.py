@@ -2670,7 +2670,7 @@ def minibatch_kmeans_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minibatch_kmeans_parts(
-    nb: int = 5, k: int = 3, decay: float = 1.0
+    nb: int = 5, k: int = 3, decay: float = 1.0, bt_sql: str | None = None
 ) -> list[str]:
     """Shared CTE chain for the mini-batch/streaming K-Means oracles:
     the streaming update rule unrolled into ``nb`` CTE rounds (the
@@ -2694,14 +2694,22 @@ def _minibatch_kmeans_parts(
     round_state=9); unseen clusters keep c and decay w; assignment
     argmin ties resolve to the lowest centroid id; per-batch predict
     runs against the JUST-updated model (reference trainOn-then-
-    predict order)."""
+    predict order).
+
+    ``bt_sql``: optional replacement for the default pts/bt CTEs —
+    must be a CTE-list fragment whose LAST definition is
+    ``bt (event_id, p, b)`` (p = the 2-d point array, b = the 1-based
+    batch index).  Lets callers pin a different batch slicing (e.g.
+    the telco fan-out slices ALL events first and filters to valid
+    points inside each batch, matching a stream that carries every
+    row)."""
     eu = (
         "sqrt(list_reduce(list_prepend(0.0, "
         "list_transform(generate_series(1, 2), "
         "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), (s, x) -> s + x))"
     )
     dk = f"CAST({decay!r} AS DOUBLE)"
-    parts = [f"""
+    default_bt = f"""
 pts AS MATERIALIZED (
   SELECT event_id, ts,
          [CAST(value AS DOUBLE),
@@ -2713,7 +2721,9 @@ pts AS MATERIALIZED (
 bt AS MATERIALIZED (
   SELECT event_id, p, ntile({nb}) OVER (ORDER BY ts, event_id) AS b
   FROM pts
-),
+)"""
+    parts = [f"""
+{bt_sql if bt_sql is not None else default_bt},
 d1 AS (SELECT DISTINCT p FROM bt WHERE b = 1),
 r1 AS (SELECT p, row_number() OVER (ORDER BY p) AS rn,
               count(*) OVER () AS n
@@ -7874,6 +7884,358 @@ SELECT * FROM stats
 UNION ALL SELECT * FROM geo
 UNION ALL SELECT * FROM outl
 """
+
+
+def streaming_telco_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 (round-9 verdict #3): the reference's STREAMING
+    fan-out DAG itself — not a batch analog — hash-oracled via the
+    pinned-availableNow-replay technique from streaming_kmeans_outliers.
+
+    ``TrafficStreamProcessor.scala:52-64``: one parsed stream is
+    enriched against the attach table, cached, and consumed by the
+    metric-stats producer (cell + subscriber topics,
+    MetricStatsProducer.scala:17-36), the geofencer
+    (Geofencer.scala:16-23, hot-reloaded side input), and the
+    cluster analyser (ClusterAnalyser.scala:33-58) concurrently.
+    This entry drives the PRODUCTION streaming/pipeline.py::
+    TrafficPipeline.process_batch (persist-once + 4 consumers +
+    idempotent per-batch parquet sinks) inside a real foreachBatch
+    availableNow query over 5 pinned micro-batches:
+
+    - source: ALL events rows ntile(5)-sliced over (ts, event_id)
+      into mtime-ordered single files, streamed with
+      maxFilesPerTrigger=1 — the replay-harness equivalent of Kafka
+      offsets that a DuckDB oracle can reproduce exactly;
+    - enrichment (J1): per-batch broadcast join against the static
+      latest-order-per-customer attach table (the reference's
+      Cassandra keyed lookup; the streaming upsert twin is oracled
+      separately in streaming_upsert_enrich);
+    - celltower derivation: cell = event_id % 20 with deterministic
+      per-cell lat/lng, metrics map {value, k, price};
+    - consumers per batch: 30 s tumbling windowed stats keyed by
+      celltower AND by subscriber; point-in-polygon geofencing of
+      the cell locations against the JSON side input (re-read per
+      batch — the S5 hot-reload path); streaming K-Means
+      train-then-predict (round_state=9) + per-cluster exact-IQR
+      outliers on raw distances.
+
+    Output: branch-tagged scalar union (branch, b, k1, k2, n, v1,
+    v2) — cellstats (cell, metric|window-epoch, count, mean, stdev),
+    substats (same keyed by subscriber), geofence (fence,
+    subscriber|cell, 1, lat, lng), outliers (cell, subscriber,
+    prediction, distance, value).  The oracle replays the identical
+    5 update rounds as a CTE chain (_minibatch_kmeans_parts with a
+    custom slicing: ALL rows sliced first, validity-filtered inside
+    each batch, exactly like the stream)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from botkop_telcotraffic_spark_spark.streaming.pipeline import (
+        TrafficPipeline,
+        idempotent_parquet_sink,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        replay_partitions,
+    )
+
+    tune(spark)
+    nb = 5
+    e = _t(spark, sf_dir, "events")
+    sliced = e.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.col("value").cast("double").alias("value"),
+        F.get_json_object("props", "$.k").cast("double").alias("kv"),
+        F.ntile(nb).over(Window.orderBy("ts", "event_id")).alias("b"),
+    )
+    # mtime-ordered slice files = the deterministic replay source
+    # (FileStreamSource orders unseen files by modification time);
+    # ONE partitionBy write job, then driver-side renames — no
+    # driver collect of data (the streaming_kmeans_outliers recipe)
+    src_dir = _scratch_dir("fanout_src_")
+    tmp = _os.path.join(src_dir, "_slices")
+    sliced.repartition(nb, "b").write.partitionBy("b").mode(
+        "overwrite"
+    ).parquet(tmp)
+    base = _time.time()
+    for t in range(1, nb + 1):
+        part = _glob.glob(_os.path.join(tmp, f"b={t}", "part-*.parquet"))
+        assert len(part) == 1, f"slice {t}: {part}"
+        dst = _os.path.join(src_dir, f"b{t}.parquet")
+        _os.rename(part[0], dst)
+        _os.utime(dst, (base + 10 * t, base + 10 * t))
+    _shutil.rmtree(tmp)
+
+    # static attach table: latest order per customer, pinned once
+    # (localCheckpoint — 5 per-batch broadcast joins read the
+    # materialized k-row table, not 5 re-runs of the window rank)
+    o = _t(spark, sf_dir, "orders")
+    w_dim = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    dim = (
+        o.select("o_custkey", "o_totalprice", "o_orderdate", "o_orderkey")
+        .withColumn("_rn", F.row_number().over(w_dim))
+        .where(F.col("_rn") == 1)
+        .select("o_custkey", F.col("o_totalprice").cast("double").alias("price"))
+        .localCheckpoint()
+    )
+
+    # geofence side input: the S5 hot-reload JSON file, re-read per
+    # batch by TrafficPipeline.geofence_matches
+    gf_path = _os.path.join(_scratch_dir("fanout_gf_"), "fences.json")
+    with open(gf_path, "w") as fh:
+        _json.dump(
+            [
+                {
+                    "name": name,
+                    "path": "",
+                    "polygon": [
+                        {"lat": float(a), "lng": float(b)} for a, b in poly
+                    ],
+                }
+                for name, poly in _POLY_FENCES
+            ],
+            fh,
+        )
+
+    dirs = {n: _scratch_dir(f"fanout_{n}_") for n in ("cell", "sub", "geo", "out")}
+    pipe = TrafficPipeline(
+        metric_names=["value", "k", "price"],
+        kmeans_dims=["value", "k"],
+        geofence_path=gf_path,
+        k=3,
+        decay=1.0,
+        window="30 seconds",
+        slide=None,
+        stats_sink=idempotent_parquet_sink(dirs["cell"]),
+        subscriber_stats_sink=idempotent_parquet_sink(dirs["sub"]),
+        geofence_sink=idempotent_parquet_sink(dirs["geo"]),
+        outlier_sink=idempotent_parquet_sink(dirs["out"]),
+        round_state=9,
+    )
+
+    cell = (F.col("event_id") % 20).cast("bigint")
+
+    def batch_fn(batch: DataFrame, batch_id: int) -> None:
+        enriched = batch.join(
+            F.broadcast(dim), batch["user_id"] == dim["o_custkey"]
+        ).select(
+            F.col("user_id").alias("subscriber"),
+            F.struct(
+                F.concat(F.lit("c"), cell.cast("string")).alias("id"),
+                F.struct(
+                    (cell * 9 - 90 + F.lit(0.5)).cast("double").alias("lat"),
+                    (((cell * 37) % 360) - 180 + F.lit(0.5))
+                    .cast("double")
+                    .alias("lng"),
+                ).alias("location"),
+            ).alias("celltower"),
+            F.create_map(
+                F.lit("value"), F.col("value"),
+                F.lit("k"), F.col("kv"),
+                F.lit("price"), F.col("price"),
+            ).alias("metrics"),
+            F.col("ts").alias("event_time"),
+        )
+        pipe.process_batch(enriched, batch_id)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "value double, kv double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ckpt = _scratch_dir("fanout_ck_")
+    with replay_partitions(spark, 1):
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ct = "struct<id:string,location:struct<lat:double,lng:double>>"
+    stats_cols = "n bigint, mean double, stdev double, vmax double, vmin double"
+    b_out = (F.col("_batch_id") + 1).cast("int").alias("b")
+    one = F.lit(1).cast("bigint")
+
+    cellstats = spark.read.schema(
+        f"window_start timestamp, window_end timestamp, celltower {ct}, "
+        f"metric string, {stats_cols}, _batch_id int"
+    ).parquet(dirs["cell"]).select(
+        F.lit("cellstats").alias("branch"),
+        b_out,
+        F.col("celltower.id").alias("k1"),
+        F.concat(
+            "metric", F.lit("|"), F.col("window_start").cast("long").cast("string")
+        ).alias("k2"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.round("mean", 6) + F.lit(0.0)).alias("v1"),
+        (F.round("stdev", 6) + F.lit(0.0)).alias("v2"),
+    )
+    substats = spark.read.schema(
+        f"window_start timestamp, window_end timestamp, subscriber bigint, "
+        f"metric string, {stats_cols}, _batch_id int"
+    ).parquet(dirs["sub"]).select(
+        F.lit("substats").alias("branch"),
+        b_out,
+        F.col("subscriber").cast("string").alias("k1"),
+        F.concat(
+            "metric", F.lit("|"), F.col("window_start").cast("long").cast("string")
+        ).alias("k2"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.round("mean", 6) + F.lit(0.0)).alias("v1"),
+        (F.round("stdev", 6) + F.lit(0.0)).alias("v2"),
+    )
+    geo = spark.read.schema(
+        f"subscriber bigint, celltower {ct}, geofence string, _batch_id int"
+    ).parquet(dirs["geo"]).select(
+        F.lit("geofence").alias("branch"),
+        b_out,
+        F.col("geofence").alias("k1"),
+        F.concat(
+            F.col("subscriber").cast("string"), F.lit("|"), F.col("celltower.id")
+        ).alias("k2"),
+        one.alias("n"),
+        F.col("celltower.location.lat").alias("v1"),
+        F.col("celltower.location.lng").alias("v2"),
+    )
+    outl = spark.read.schema(
+        f"subscriber bigint, celltower {ct}, point array<double>, "
+        "prediction int, centroid array<double>, distance double, "
+        "lo double, hi double, _batch_id int"
+    ).parquet(dirs["out"]).select(
+        F.lit("outliers").alias("branch"),
+        b_out,
+        F.col("celltower.id").alias("k1"),
+        F.col("subscriber").cast("string").alias("k2"),
+        F.col("prediction").cast("bigint").alias("n"),
+        (F.round("distance", 6) + F.lit(0.0)).alias("v1"),
+        F.element_at("point", 1).alias("v2"),
+    )
+    return cellstats.unionByName(substats).unionByName(geo).unionByName(outl)
+
+
+def _raycast_sql(lat: str, lng: str) -> str:
+    """Ray-cast point-in-polygon predicate over a fences row ``f``
+    (the _TELCO_FANOUT_SQL pattern, parameterized on the point
+    expressions)."""
+    return f"""len(list_filter(generate_series(1, len(f.polygon)),
+        i -> ((f.polygon[i].lat > {lat}) != (f.polygon[1 + (i % len(f.polygon))].lat > {lat}))
+             AND ({lng} < (f.polygon[1 + (i % len(f.polygon))].lng - f.polygon[i].lng)
+                          * ({lat} - f.polygon[i].lat)
+                          / (f.polygon[1 + (i % len(f.polygon))].lat - f.polygon[i].lat)
+                          + f.polygon[i].lng))) % 2 = 1"""
+
+
+def _stream_fanout_sql(nb: int = 5) -> str:
+    """Oracle twin of streaming_telco_fanout: the _minibatch_kmeans_parts
+    update-rule chain over a custom slicing (ALL events ntile'd first,
+    validity-filtered inside each batch — the stream carries every
+    row), plus per-batch IQR fences, plus the three stateless branch
+    families grouped by (batch, keys)."""
+    bt_sql = f"""
+allb AS MATERIALIZED (
+  SELECT event_id, ts, user_id, value,
+         CAST(json_extract_string(props, '$.k') AS DOUBLE) AS kv,
+         ntile({nb}) OVER (ORDER BY ts, event_id) AS b
+  FROM events
+),
+dl AS (
+  SELECT o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders),
+enr AS MATERIALIZED (
+  SELECT a.event_id, a.ts, a.user_id, a.value, a.kv, a.b,
+         CAST(d.o_totalprice AS DOUBLE) AS price,
+         'c' || CAST(a.event_id % 20 AS VARCHAR) AS cid,
+         CAST((a.event_id % 20) * 9 - 90 + 0.5 AS DOUBLE) AS clat,
+         CAST((((a.event_id % 20) * 37) % 360) - 180 + 0.5 AS DOUBLE) AS clng
+  FROM allb a JOIN dl d ON a.user_id = d.o_custkey AND d.rn = 1),
+bt AS MATERIALIZED (
+  SELECT event_id, [CAST(value AS DOUBLE), kv] AS p, b
+  FROM enr WHERE value IS NOT NULL AND kv IS NOT NULL
+)"""
+    parts = _minibatch_kmeans_parts(nb, 3, 1.0, bt_sql=bt_sql)
+    for t in range(1, nb + 1):
+        parts.append(f""",
+fs{t} AS (
+  SELECT prediction, list_sort(list(rdist)) AS sv, count(*) AS n
+  FROM o{t} GROUP BY prediction
+),
+fb{t} AS (
+  SELECT prediction,
+         CASE WHEN n <= 4 THEN -1.7976931348623157e308
+              ELSE sv[CAST(n // 4 AS INT) + 1]
+                   - 1.5 * (sv[CAST((3 * n) // 4 AS INT) + 1]
+                            - sv[CAST(n // 4 AS INT) + 1]) END AS lo,
+         CASE WHEN n <= 4 THEN 1.7976931348623157e308
+              ELSE sv[CAST((3 * n) // 4 AS INT) + 1]
+                   + 1.5 * (sv[CAST((3 * n) // 4 AS INT) + 1]
+                            - sv[CAST(n // 4 AS INT) + 1]) END AS hi
+  FROM fs{t}
+),
+fo{t} AS (
+  SELECT o.event_id, o.batch, o.prediction, o.distance
+  FROM o{t} o JOIN fb{t} b USING (prediction)
+  WHERE o.rdist < b.lo OR o.rdist > b.hi
+)""")
+    wins = "\n  UNION ALL ".join(
+        f"SELECT event_id, batch, prediction, distance FROM fo{t}"
+        for t in range(1, nb + 1)
+    )
+    parts.append(f""",
+mx AS (
+  SELECT b, user_id, cid, ts, 'value' AS metric, value AS v FROM enr
+  UNION ALL SELECT b, user_id, cid, ts, 'k' AS metric, kv AS v FROM enr
+  UNION ALL SELECT b, user_id, cid, ts, 'price' AS metric, price AS v FROM enr),
+wk AS (
+  SELECT b, user_id, cid, metric,
+         metric || '|' || CAST(CAST(epoch(time_bucket(INTERVAL '30 seconds', ts))
+                                    AS BIGINT) AS VARCHAR) AS k2,
+         v
+  FROM mx),
+cs AS (
+  SELECT 'cellstats' AS branch, CAST(b AS INT) AS b, cid AS k1, k2,
+         count(v) AS n, round(avg(v), 6) + 0.0 AS v1,
+         round(stddev_pop(v), 6) + 0.0 AS v2
+  FROM wk GROUP BY 1, 2, 3, 4),
+ss AS (
+  SELECT 'substats' AS branch, CAST(b AS INT) AS b,
+         CAST(user_id AS VARCHAR) AS k1, k2,
+         count(v) AS n, round(avg(v), 6) + 0.0 AS v1,
+         round(stddev_pop(v), 6) + 0.0 AS v2
+  FROM wk GROUP BY 1, 2, 3, 4),
+fences AS ({_POLY_FENCES_SQL}),
+geo AS (
+  SELECT 'geofence' AS branch, CAST(e.b AS INT) AS b, f.name AS k1,
+         CAST(e.user_id AS VARCHAR) || '|' || e.cid AS k2,
+         CAST(1 AS BIGINT) AS n, e.clat AS v1, e.clng AS v2
+  FROM enr e CROSS JOIN fences f
+  WHERE {_raycast_sql('e.clat', 'e.clng')}),
+outw AS ({wins}),
+outl AS (
+  SELECT 'outliers' AS branch, CAST(o.batch AS INT) AS b, e.cid AS k1,
+         CAST(e.user_id AS VARCHAR) AS k2,
+         CAST(o.prediction AS BIGINT) AS n,
+         o.distance AS v1, e.value AS v2
+  FROM outw o JOIN enr e USING (event_id))
+SELECT branch, b, k1, k2, n, v1, v2 FROM cs
+UNION ALL SELECT branch, b, k1, k2, n, v1, v2 FROM ss
+UNION ALL SELECT branch, b, k1, k2, n, v1, v2 FROM geo
+UNION ALL SELECT branch, b, k1, k2, n, v1, v2 FROM outl""")
+    return "WITH " + "".join(parts)
 
 
 def streaming_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13388,16 +13750,73 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- checked slots 1-50 (driver window) -- see the
     # comment above; regenerated by scripts/reorder_registry.py
     # === NEW-ENTRY INSERTION POINT ===
-    "dedup_ladder_docs": (dedup_ladder_docs, _DEDUP_LADDER_SQL),
-    "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
-    "ucb1_bandit_events": (ucb1_bandit_events, _UCB1_SQL),
-    "msprt_value_ab": (msprt_value_ab, _MSPRT_SQL),
+    "streaming_telco_fanout": (streaming_telco_fanout, _stream_fanout_sql()),
+    "minibatch_kmeans_events": (
+        minibatch_kmeans_events,
+        _minibatch_kmeans_sql(),
+    ),
     "streaming_kmeans_outliers": (
         streaming_kmeans_outliers,
         _streaming_kmeans_sql(),
     ),
-    "lloyd_kmeans_embeddings": (lloyd_kmeans_embeddings, _lloyd_sql()),
+    "approx_distinct_users": (approx_distinct_users, _APPROX_DISTINCT_SQL),
+    "simulated_traffic_stats": (
+        simulated_traffic_stats,
+        _simulated_traffic_sql(),
+    ),
+    "streaming_topk_users": (streaming_topk_users, _STREAM_TOPK_SQL),
+    "assoc_rules_parts": (assoc_rules_parts, _ASSOC_SQL),
+    "length_buckets_docs": (length_buckets_docs, _LENBUCKET_SQL),
     # -- stale rotation (oldest driver check first) + fillers --
+    "ks_value_drift": (ks_value_drift, _KS_SQL),
+    "embedding_centroid_cos": (embedding_centroid_cos, _CENTROID_COS_SQL),
+    "funnel_bounded_conversions": (funnel_bounded_conversions, _FUNNEL_BOUNDED_SQL),
+    "lpa_copart_communities": (lpa_copart_communities, _lpa_sql()),
+    "masked_customer_segments": (masked_customer_segments, _MASK_SQL),
+    "streaming_idle_sessions": (streaming_idle_sessions, _IDLE_SESS_SQL),
+    "streaming_type_counts": (streaming_type_counts, _TYPE_COUNTS_SQL),
+    "streaming_lastk_features": (streaming_lastk_features, _LASTK_SQL),
+    "target_encode_events": (target_encode_events, _TENC_SQL),
+    "collapse_rare_users": (collapse_rare_users, _RARE_SQL),
+    "apply_changes_orders": (apply_changes_orders, _APPLY_SQL),
+    "zorder_layout_events": (zorder_layout_events, _zorder_sql()),
+    "seasonal_anomaly_events": (seasonal_anomaly_events, _SEASONAL_SQL),
+    "rebalance_docs_target": (rebalance_docs_target, _REBALANCE_SQL),
+    "impute_events_value": (impute_events_value, _IMPUTE_SQL),
+    "negative_samples_docs": (negative_samples_docs, _NEGS_SQL),
+    "snapshot_diff_orders": (snapshot_diff_orders, _DIFF_SQL),
+    "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
+    "ann_cosine_topk_blocked": (ann_cosine_topk_blocked, _ANN_BLOCKED_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, _ANN_LSH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, _ANN_IVF_SQL),
+    "k_anonymity_customers": (k_anonymity_customers, _KANON_SQL),
+    "l_diversity_orders": (l_diversity_orders, _LDIV_SQL),
+    "bootstrap_ci_events": (bootstrap_ci_events, _boot_sql()),
+    "silhouette_embeddings": (silhouette_embeddings, _SILHOUETTE_SQL),
+    "davies_bouldin_embeddings": (davies_bouldin_embeddings, _DAVIES_SQL),
+    "attribution_events": (attribution_events, _ATTRIB_SQL),
+    "gopher_rules_docs": (gopher_rules_docs, _gopher_sql()),
+    "mmr_diverse_topk": (mmr_diverse_topk, _mmr_sql()),
+    "bm25_search_docs": (bm25_search_docs, _BM25_SQL),
+    "kcore_purchase_graph": (kcore_purchase_graph, _kcore_sql()),
+    "hybrid_rrf_docs": (hybrid_rrf_docs, _RRF_SQL),
+    "zipf_slope_docs": (zipf_slope_docs, _ZIPF_SQL),
+    "retrieval_pipeline_docs": (retrieval_pipeline_docs, _retrieval_pipeline_sql()),
+    "semdedup_embeddings": (semdedup_embeddings, _SEMDEDUP_SQL),
+    "repeated_substring_docs": (repeated_substring_docs, _SUBSTR_SPAN_SQL),
+    "dsir_select_docs": (dsir_select_docs, _DSIR_SQL),
+    "source_cap_docs": (source_cap_docs, _SOURCE_CAP_SQL),
+    "normalized_dedup_docs": (normalized_dedup_docs, _NORM_DEDUP_SQL),
+    "streaming_simhash_buckets": (streaming_simhash_buckets, _STREAM_SIMHASH_SQL),
+    "pattern_funnel_events": (pattern_funnel_events, _PATTERN_FUNNEL_SQL),
+    # -- below slot 50: driver-green at latest check; pytest oracle-parity
+    # sweep still covers every entry each run --
+    "dedup_ladder_docs": (dedup_ladder_docs, _DEDUP_LADDER_SQL),
+    "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
+    "ucb1_bandit_events": (ucb1_bandit_events, _UCB1_SQL),
+    "msprt_value_ab": (msprt_value_ab, _MSPRT_SQL),
+    "lloyd_kmeans_embeddings": (lloyd_kmeans_embeddings, _lloyd_sql()),
     "telco_fanout_pipeline": (telco_fanout_pipeline, _TELCO_FANOUT_SQL),
     "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
     "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
@@ -13442,8 +13861,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "incremental_stats_events": (incremental_stats_events, _INC_STATS_SQL),
     "trend_value_by_type": (trend_value_by_type, _TREND_SQL),
     "markov_transitions_events": (markov_transitions_events, _MARKOV_SQL),
-    # -- below slot 50: driver-green at latest check; pytest oracle-parity
-    # sweep still covers every entry each run --
     "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
     "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
@@ -13534,7 +13951,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "streaming_running_zscore": (streaming_running_zscore, _ZSCORE_SQL),
     "percentile_value_stats": (percentile_value_stats, _PERCENTILE_SQL),
     "grouping_sets_orders": (grouping_sets_orders, _GROUPING_SETS_SQL),
-    "approx_distinct_users": (approx_distinct_users, _APPROX_DISTINCT_SQL),
     "qte_deciles_events": (qte_deciles_events, _QTE_SQL),
     "streaming_hll_users": (streaming_hll_users, _streaming_hll_sql()),
     "lang_id_eval_docs": (lang_id_eval_docs, _lang_eval_sql()),
@@ -13586,10 +14002,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "cramers_v_events": (cramers_v_events, _CRAMERS_SQL),
     "mw_auc_value_events": (mw_auc_value_events, _MW_AUC_SQL),
     "calibration_bins_events": (calibration_bins_events, _CALIB_SQL),
-    "minibatch_kmeans_events": (
-        minibatch_kmeans_events,
-        _minibatch_kmeans_sql(),
-    ),
     "pingpong_cells_events": (pingpong_cells_events, _pingpong_sql()),
     "streaming_pingpong_events": (
         streaming_pingpong_events,
@@ -13616,10 +14028,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "conformal_value_events": (conformal_value_events, _CONFORMAL_SQL),
     "quantile_match_docs": (quantile_match_docs, _QMATCH_SQL),
     "benford_orders": (benford_orders, _BENFORD_SQL),
-    "simulated_traffic_stats": (
-        simulated_traffic_stats,
-        _simulated_traffic_sql(),
-    ),
     "jl_project_embeddings": (jl_project_embeddings, _jl_sql()),
     "quantize_embeddings": (quantize_embeddings, _QUANT_SQL),
     "winsorize_events": (winsorize_events, _WINSOR_SQL),
@@ -13659,51 +14067,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hamming_rerank_topk": (hamming_rerank_topk, _hamming_rerank_sql()),
     "fs_linkage_parts": (fs_linkage_parts, _fs_sql()),
     "bpe_token_counts_docs": (bpe_token_counts_docs, _bpe_tokens_sql()),
-    "streaming_topk_users": (streaming_topk_users, _STREAM_TOPK_SQL),
-    "assoc_rules_parts": (assoc_rules_parts, _ASSOC_SQL),
-    "length_buckets_docs": (length_buckets_docs, _LENBUCKET_SQL),
-    "ks_value_drift": (ks_value_drift, _KS_SQL),
-    "embedding_centroid_cos": (embedding_centroid_cos, _CENTROID_COS_SQL),
-    "funnel_bounded_conversions": (funnel_bounded_conversions, _FUNNEL_BOUNDED_SQL),
-    "lpa_copart_communities": (lpa_copart_communities, _lpa_sql()),
-    "masked_customer_segments": (masked_customer_segments, _MASK_SQL),
-    "streaming_idle_sessions": (streaming_idle_sessions, _IDLE_SESS_SQL),
-    "streaming_type_counts": (streaming_type_counts, _TYPE_COUNTS_SQL),
-    "streaming_lastk_features": (streaming_lastk_features, _LASTK_SQL),
-    "target_encode_events": (target_encode_events, _TENC_SQL),
-    "collapse_rare_users": (collapse_rare_users, _RARE_SQL),
-    "apply_changes_orders": (apply_changes_orders, _APPLY_SQL),
-    "zorder_layout_events": (zorder_layout_events, _zorder_sql()),
-    "seasonal_anomaly_events": (seasonal_anomaly_events, _SEASONAL_SQL),
-    "rebalance_docs_target": (rebalance_docs_target, _REBALANCE_SQL),
-    "impute_events_value": (impute_events_value, _IMPUTE_SQL),
-    "negative_samples_docs": (negative_samples_docs, _NEGS_SQL),
-    "snapshot_diff_orders": (snapshot_diff_orders, _DIFF_SQL),
-    "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
-    "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
-    "ann_cosine_topk_blocked": (ann_cosine_topk_blocked, _ANN_BLOCKED_SQL),
-    "ann_lsh_topk": (ann_lsh_topk, _ANN_LSH_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, _ANN_IVF_SQL),
-    "k_anonymity_customers": (k_anonymity_customers, _KANON_SQL),
-    "l_diversity_orders": (l_diversity_orders, _LDIV_SQL),
-    "bootstrap_ci_events": (bootstrap_ci_events, _boot_sql()),
-    "silhouette_embeddings": (silhouette_embeddings, _SILHOUETTE_SQL),
-    "davies_bouldin_embeddings": (davies_bouldin_embeddings, _DAVIES_SQL),
-    "attribution_events": (attribution_events, _ATTRIB_SQL),
-    "gopher_rules_docs": (gopher_rules_docs, _gopher_sql()),
-    "mmr_diverse_topk": (mmr_diverse_topk, _mmr_sql()),
-    "bm25_search_docs": (bm25_search_docs, _BM25_SQL),
-    "kcore_purchase_graph": (kcore_purchase_graph, _kcore_sql()),
-    "hybrid_rrf_docs": (hybrid_rrf_docs, _RRF_SQL),
-    "zipf_slope_docs": (zipf_slope_docs, _ZIPF_SQL),
-    "retrieval_pipeline_docs": (retrieval_pipeline_docs, _retrieval_pipeline_sql()),
-    "semdedup_embeddings": (semdedup_embeddings, _SEMDEDUP_SQL),
-    "repeated_substring_docs": (repeated_substring_docs, _SUBSTR_SPAN_SQL),
-    "dsir_select_docs": (dsir_select_docs, _DSIR_SQL),
-    "source_cap_docs": (source_cap_docs, _SOURCE_CAP_SQL),
-    "normalized_dedup_docs": (normalized_dedup_docs, _NORM_DEDUP_SQL),
-    "streaming_simhash_buckets": (streaming_simhash_buckets, _STREAM_SIMHASH_SQL),
-    "pattern_funnel_events": (pattern_funnel_events, _PATTERN_FUNNEL_SQL),
     "pctile_chars_docs": (pctile_chars_docs, _PCTILE_SQL),
     "cross_corpus_overlap_docs": (cross_corpus_overlap_docs, _CROSS_CORPUS_SQL),
     "transcripts_users": (transcripts_users, _TRANSCRIPTS_SQL),

@@ -148,6 +148,70 @@ def snapshot_regressions(
     return amb, sorted(flags)
 
 
+def flag_name(flag: str) -> str:
+    """Query name out of a snapshot_regressions flag string."""
+    return flag.split(":", 1)[0]
+
+
+def confirmed_regressions(
+    prev_queries: dict,
+    cur_queries: dict,
+    confirm: dict,
+    skip: set | frozenset = frozenset(),
+    ratio: float = 1.5,
+    floor: float = 0.4,
+) -> tuple[float, list[str]]:
+    """Burst-robust regression gate (round-9 verdict #1).  This host's
+    documented noise mode is NOT uniform slowdown (the ambient
+    normalization handles that) but 2-4x bursts on a random DISJOINT
+    subset of names per run — which leaves the controls median at 1.00
+    and produced three straight rounds of phantom flags, every one
+    exonerated by idle-machine probes.  Bursts don't repeat; real
+    regressions do.  So bench.py re-runs each would-be-flagged name
+    once more at the END of the run (isolated from whatever transient
+    hit it mid-run) and records both samples; this gate keeps a flag
+    only when the confirm sample ALSO trips the same
+    ambient-normalized threshold — or when no confirm sample exists
+    (a run predating this machinery cannot exonerate itself)."""
+    amb, flags = snapshot_regressions(
+        prev_queries, cur_queries, skip, ratio, floor
+    )
+    kept = []
+    for f in flags:
+        name = flag_name(f)
+        c = confirm.get(name)
+        if c is None:
+            kept.append(f + " [no confirm re-run recorded]")
+            continue
+        prev = prev_queries[name]
+        norm = c / amb
+        if norm > ratio * prev and norm - prev > floor:
+            kept.append(f + f" [confirmed: re-run {c:.2f}s]")
+        # else: one-sample burst — the end-of-run re-run came back
+        # inside the threshold, so the mid-run spike was host noise
+    return amb, kept
+
+
+# Bound the end-of-run confirm pass (no silent caps: the names that
+# exceed it are recorded under "confirm_rerun_dropped" in
+# BENCH_LOCAL.json and keep their flags — a cap can only make the
+# gate STRICTER, never hide a regression).
+MAX_CONFIRM_RERUNS = 20
+
+# Warm-baseline threshold above which a query gets the median-of-5
+# treatment regardless of high_variance membership (round-9 verdict
+# #4: the heaviest entry's committed number flapped 8.95/6.83/7.62
+# across rounds while isolated probes improved monotonically —
+# best-of-2 is not a stable estimator for multi-second queries on a
+# bursty host).  Derived from the committed baseline so both bench.py
+# and the gates compute the same set.
+HEAVY_WARM_SEC = 3.0
+
+
+def heavy_names(base_queries: dict, threshold: float = HEAVY_WARM_SEC) -> set:
+    return {n for n, v in base_queries.items() if v > threshold}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -180,24 +244,40 @@ def main() -> None:
 
     run("q1_pricing_summary")  # session warmup (JVM + file listing)
 
+    base_round, base_queries = _newest_snapshot_queries()
+    heavy = heavy_names(base_queries)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in headline:
         cold[name] = round(run(name), 3)  # untimed warmup (codegen+JIT)
-        if name in HIGH_VARIANCE:
+        if name in HIGH_VARIANCE or name in heavy:
             # median-of-5: noise-robust steady-state estimate for the
-            # queries the round-6 evidence flagged as high-variance
+            # evidence-flagged high-variance names AND every name whose
+            # committed warm baseline exceeds HEAVY_WARM_SEC (round-9
+            # verdict #4)
             samples = sorted(run(name) for _ in range(5))
             timings[name] = round(samples[2], 3)
         else:
             timings[name] = round(min(run(name), run(name)), 3)
+
+    # Burst-confirm pass (round-9 verdict #1): names that would be
+    # flagged against the committed snapshot get ONE more isolated
+    # run here at the end, after whatever transient hit them mid-run
+    # has passed; the gates keep only flags the re-run confirms.
+    _, prelim = snapshot_regressions(
+        base_queries, timings, skip=HIGH_VARIANCE
+    )
+    prelim_names = sorted({flag_name(f) for f in prelim})
+    confirm: dict[str, float] = {}
+    for name in prelim_names[:MAX_CONFIRM_RERUNS]:
+        confirm[name] = round(run(name), 3)
 
     total = round(sum(timings.values()), 3)
     # Ambient machine-speed evidence (round-8 verdict #3): the controls
     # median vs the newest committed snapshot, recorded IN the snapshot
     # so the gates (and the judge) can normalize a uniformly slow boot
     # instead of re-litigating phantom regressions every round.
-    base_round, base_queries = _newest_snapshot_queries()
     amb = round(ambient_ratio(base_queries, timings), 3)
     # Full timings (warm + cold, every registry entry) — the durable
     # round-over-round record, independent of the driver's tail capture.
@@ -215,6 +295,9 @@ def main() -> None:
                 "runs_per_query": 3,
                 "runs_per_query_high_variance": 6,
                 "high_variance": sorted(HIGH_VARIANCE),
+                "heavy_median5": sorted(heavy & set(timings)),
+                "confirm_reruns": confirm,
+                "confirm_rerun_dropped": prelim_names[MAX_CONFIRM_RERUNS:],
                 "ambient_ratio": amb,
                 "ambient_baseline_round": base_round,
                 "controls": {

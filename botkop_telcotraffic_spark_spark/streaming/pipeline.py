@@ -103,6 +103,7 @@ class TrafficPipeline:
         outlier_sink: Sink | None = None,
         subscriber_stats_sink: Sink | None = None,
         publish_all_points: bool = False,
+        round_state: int | None = None,
     ):
         self.metric_names = metric_names
         # P2 dimension-order pin (SURVEY.md §2.3 †): explicit config
@@ -110,7 +111,13 @@ class TrafficPipeline:
         self.kmeans_dims = kmeans_dims
         self.geofence_path = geofence_path
         self.window, self.slide = window, slide
-        self.model = StreamingKMeans(k=k, dim=len(kmeans_dims), decay=decay)
+        # round_state: pin the O(k·dim) model state to a decimal grid
+        # after each batch (StreamingKMeans docstring) — makes a
+        # pinned replay of the WHOLE pipeline hash-reproducible
+        # across engines; None (production default) keeps raw floats
+        self.model = StreamingKMeans(
+            k=k, dim=len(kmeans_dims), decay=decay, round_state=round_state
+        )
         self.stats_sink = stats_sink
         self.geofence_sink = geofence_sink
         self.outlier_sink = outlier_sink

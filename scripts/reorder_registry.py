@@ -29,23 +29,21 @@ REPO = Path(__file__).resolve().parent.parent
 ENTRY = REPO / "__spark_entry__.py"
 WINDOW = 50
 
-# New round-8 entries (newest first) followed by round-8 re-checks
+# New round-10 entries (newest first) followed by round-10 re-checks
 # (code or oracle touched since their last driver check).
 HEAD_ORDER = [
-    # -- new round-8 entries, newest first ---------------------------
-    "dedup_ladder_docs",          # 4-stage dedup flagship (verdict #7)
-    # -- re-checks: code/oracle touched in round 8 -------------------
-    # (window budget: 44 stale rotations + 1 new entry leave 5 slots;
-    # the remaining round-8-touched entries — kmeans_label_assign,
-    # minibatch_kmeans_events, normalized_dedup_docs*,
-    # corpus_curation_pipeline*, pretrain_mix_pipeline — are
-    # bit-identical rewrites verified by the local driver sim at
-    # sf0.001+sf0.01; * = already in the window via stale rotation)
-    "anomaly_ensemble_events",    # stats-sharing rewrite (verdict #6)
-    "ucb1_bandit_events",         # NULL-reward guard (ADVICE r7 #2)
-    "msprt_value_ab",             # V > 0 degenerate-batch guard
-    "streaming_kmeans_outliers",  # per-batch overhead shave (verdict #5)
-    "lloyd_kmeans_embeddings",    # literal-centroid + unrolled distance
+    # -- new round-10 entries, newest first --------------------------
+    "streaming_telco_fanout",     # streaming fan-out DAG oracle (r9 verdict #3)
+    # -- re-checks: code/oracle touched in round 10 ------------------
+    "minibatch_kmeans_events",    # seeds CTE HALF_UP fix (ADVICE r9 high)
+    "streaming_kmeans_outliers",  # shares the fixed seeds CTE chain
+    # -- r9-promoted oracles never driver-checked (r9 verdict #2) ----
+    "approx_distinct_users",      # latest driver row r07 was no_oracle
+    "simulated_traffic_stats",    # latest driver row r05 was no_oracle
+    # -- last r03-stale entries (r9 verdict #2: floor moves to r04+) -
+    "streaming_topk_users",
+    "assoc_rules_parts",
+    "length_buckets_docs",
 ]
 
 

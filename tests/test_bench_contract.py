@@ -176,15 +176,19 @@ def test_no_unexplained_warm_regressions_vs_committed_baseline():
     # prescribes, so it cannot convict — the NEXT bench run re-arms
     # the compare with a median
     unprotected = bench.HIGH_VARIANCE - set(cur.get("high_variance", []))
-    amb, regressions = bench.snapshot_regressions(
-        base_warm, cur["queries"], skip=rebase | unprotected
+    amb, regressions = bench.confirmed_regressions(
+        base_warm,
+        cur["queries"],
+        cur.get("confirm_reruns", {}),
+        skip=rebase | unprotected,
     )
     assert not regressions, (
-        f"ambient-normalized (x{amb:.2f}) warm-time regressions vs "
-        "committed baseline (if scripts/bench_probe.py on an IDLE "
-        "machine reproduces these, the operator regressed; if not, add "
-        "the name to bench_manifest.json high_variance with the "
-        "evidence): " + "; ".join(regressions)
+        f"ambient-normalized (x{amb:.2f}) CONFIRMED warm-time "
+        "regressions vs committed baseline (each either reproduced in "
+        "bench.py's end-of-run confirm re-run or predates the confirm "
+        "machinery; if scripts/bench_probe.py on an IDLE machine still "
+        "exonerates them, add high_variance evidence): "
+        + "; ".join(regressions)
     )
 
 
@@ -230,14 +234,19 @@ def test_snapshot_vs_previous_snapshot_ambient_normalized():
         for n, meta in manifest.get("rebaselined", {}).items()
         if prev_rnd == meta["baseline_round"]
     }
-    amb, regressions = bench.snapshot_regressions(
-        prev["queries"], newer["queries"], skip=skip
+    # the final run of round N computes its confirm re-runs against
+    # the then-newest snapshot r{N-1} — exactly this gate's baseline
+    amb, regressions = bench.confirmed_regressions(
+        prev["queries"],
+        newer["queries"],
+        newer.get("confirm_reruns", {}),
+        skip=skip,
     )
     assert not regressions, (
         f"snapshot r{new_rnd} vs r{prev_rnd}: ambient-normalized "
-        f"(x{amb:.2f}) regressions baked into the committed round — "
-        "probe them (scripts/bench_probe.py) and either fix the "
-        "operator or record high_variance/rebaselined evidence: "
+        f"(x{amb:.2f}) CONFIRMED regressions baked into the committed "
+        "round — probe them (scripts/bench_probe.py) and either fix "
+        "the operator or record high_variance/rebaselined evidence: "
         + "; ".join(regressions)
     )
 
@@ -297,3 +306,44 @@ def test_controls_are_valid():
     manifest = _json.load(open(os.path.join(repo, "bench_manifest.json")))
     noisy = [c for c in bench.CONTROLS if c in manifest["high_variance"]]
     assert not noisy, f"controls marked high_variance: {noisy}"
+
+
+def test_confirmed_regressions_burst_fixture():
+    """The burst-confirm gate on synthetic fixtures (round-9 verdict
+    #1): (a) a one-sample mid-run spike whose end-of-run confirm
+    re-run came back normal is NOT flagged — this host's documented
+    noise mode is 2-4x bursts on a random disjoint subset that leave
+    the controls median at 1.00, so ambient normalization alone
+    cannot excuse it; (b) a sustained regression (confirm re-run also
+    slow) IS flagged; (c) a flagged name with no confirm sample
+    recorded (pre-machinery run, or past the re-run cap) keeps its
+    flag — the cap can only make the gate stricter."""
+    controls = bench.CONTROLS
+    prev = {c: 1.0 for c in controls}
+    prev.update({"burst": 1.0, "regressed": 1.0, "uncovered": 1.0})
+
+    cur = {c: 1.0 for c in controls}
+    cur.update({"burst": 3.0, "regressed": 3.0, "uncovered": 3.0})
+
+    confirm = {"burst": 1.05, "regressed": 2.9}
+    amb, flags = bench.confirmed_regressions(prev, cur, confirm)
+    assert amb == 1.0
+    names = sorted(bench.flag_name(f) for f in flags)
+    assert names == ["regressed", "uncovered"], flags
+    by_name = {bench.flag_name(f): f for f in flags}
+    assert "confirmed" in by_name["regressed"]
+    assert "no confirm" in by_name["uncovered"]
+
+    # clamp: confirm sample just UNDER the threshold exonerates
+    confirm = {"burst": 1.05, "regressed": 1.3, "uncovered": 1.2}
+    _, flags = bench.confirmed_regressions(prev, cur, confirm)
+    assert flags == []
+
+
+def test_heavy_names_derived_from_baseline():
+    """Every name whose committed warm baseline exceeds 3 s gets the
+    median-of-5 treatment (round-9 verdict #4) — the set is a pure
+    function of the baseline snapshot so bench.py and the gates
+    agree."""
+    assert bench.heavy_names({"a": 3.1, "b": 3.0, "c": 0.4}) == {"a"}
+    assert bench.HEAVY_WARM_SEC == 3.0

@@ -1027,3 +1027,102 @@ def test_telco_fanout_plan_shape(spark):
     # all three reference consumers produce output on the fixture
     assert set(by_branch) == {"stats", "geofence", "outliers"}
     assert all(v > 0 for v in by_branch.values())
+
+
+def test_streaming_fanout_per_batch_plan_shape(spark, tmp_path):
+    """Round-10 (round-9 verdict #3): the per-micro-batch plan of the
+    PRODUCTION streaming fan-out (streaming/pipeline.py::
+    TrafficPipeline.process_batch — what streaming_telco_fanout
+    replays).  With the enriched batch persisted (the reference's
+    `unifiedStream.cache`), every consumer's plan must read the
+    InMemoryTableScan — never re-scan the source — carry no
+    cartesian/BNLJ, and stay inside a per-branch exchange budget:
+    stats pays 1 hash-agg exchange, anomalies <=4 (cluster-sum agg +
+    fence agg + broadcast builds).  If an intentional change moves a
+    bound, update it WITH a docstring note (the flagship-exchange-
+    count contract).
+
+    Plan-text caveat: InMemoryRelation prints its cached-build RECIPE
+    (including the original FileScan) as an indented block — those
+    lines describe how the cache was built, not what this query
+    executes, so they are stripped before asserting."""
+    import json
+
+    from botkop_telcotraffic_spark_spark.streaming.pipeline import (
+        TrafficPipeline,
+    )
+
+    def strip_cache_recipes(plan: str) -> str:
+        out, skip_indent = [], None
+        for line in plan.splitlines():
+            indent = len(line) - len(line.lstrip(" :+-"))
+            if skip_indent is not None:
+                if indent > skip_indent:
+                    continue
+                skip_indent = None
+            if "InMemoryRelation" in line:
+                skip_indent = indent
+            out.append(line)
+        return "\n".join(out)
+
+    gf = tmp_path / "fences.json"
+    gf.write_text(json.dumps([
+        {
+            "name": name,
+            "path": "",
+            "polygon": [{"lat": float(a), "lng": float(b)} for a, b in poly],
+        }
+        for name, poly in entry_mod._POLY_FENCES
+    ]))
+    pipe = TrafficPipeline(
+        metric_names=["value", "k", "price"],
+        kmeans_dims=["value", "k"],
+        geofence_path=str(gf),
+        k=3,
+        window="30 seconds",
+        slide=None,
+        round_state=9,
+    )
+    e = entry_mod._t(spark, SF_DIR_001, "events")
+    cell = (F.col("event_id") % 20).cast("bigint")
+    enriched = e.select(
+        F.col("user_id").alias("subscriber"),
+        F.struct(
+            F.concat(F.lit("c"), cell.cast("string")).alias("id"),
+            F.struct(
+                (cell * 9 - 90 + F.lit(0.5)).cast("double").alias("lat"),
+                (((cell * 37) % 360) - 180 + F.lit(0.5)).cast("double").alias("lng"),
+            ).alias("location"),
+        ).alias("celltower"),
+        F.create_map(
+            F.lit("value"), F.col("value").cast("double"),
+            F.lit("k"), F.get_json_object("props", "$.k").cast("double"),
+        ).alias("metrics"),
+        F.col("ts").alias("event_time"),
+    ).persist()
+    try:
+        enriched.count()  # materialize the cache, as process_batch does
+        branches = {
+            "cellstats": pipe.metric_stats(enriched, "celltower"),
+            "substats": pipe.metric_stats(enriched, "subscriber"),
+            "geofence": pipe.geofence_matches(enriched),
+            "anomalies": pipe.anomalies(enriched),
+        }
+        budget = {"cellstats": 1, "substats": 1, "geofence": 0, "anomalies": 4}
+        for name, df in branches.items():
+            plan = strip_cache_recipes(physical_plan(df))
+            assert "InMemoryTableScan" in plan, f"{name} missed the cache:\n{plan}"
+            assert "Scan parquet" not in plan, (
+                f"{name} re-read the source instead of the persisted batch:\n{plan}"
+            )
+            assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+            assert "BroadcastNestedLoop" not in plan, f"{name}:\n{plan}"
+            ex = plan.count("Exchange") - plan.count("ReusedExchange")
+            assert ex <= budget[name], (
+                f"{name} exchanges grew: {ex} > {budget[name]}\n{plan}"
+            )
+        assert has_broadcast_join(branches["anomalies"]), (
+            "the IQR fence join-back must broadcast the k-row bounds"
+        )
+    finally:
+        enriched.unpersist()

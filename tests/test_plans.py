@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
@@ -16,6 +17,16 @@ from botkop_telcotraffic_spark_spark.plans import (
     wholestage_codegen_ids,
 )
 from tests.conftest import SF_DIR_001
+
+# Round-10 (round-9 verdict #5): broadcast thresholds and AQE
+# decisions are SIZE-dependent, so a join-strategy flip at
+# bench/production scale is invisible to sf0.001-only assertions.
+# The flagship plan tests run at BOTH scales; any scale-dependent
+# divergence gets a docstring note where it is allowed.
+SF_DIR_01 = "/root/testdata/sf0.1"
+FLAGSHIP_SCALES = pytest.mark.parametrize(
+    "sfd", [SF_DIR_001, SF_DIR_01], ids=["sf0.001", "sf0.1"]
+)
 
 
 def test_q1_filter_pushed_to_scan(spark):
@@ -879,27 +890,29 @@ def test_pretrain_mix_pre_pin_stage_audited(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
 
-def test_flagship_pipelines_exchange_counts_pinned(spark):
+@FLAGSHIP_SCALES
+def test_flagship_pipelines_exchange_counts_pinned(spark, sfd):
     """Round-5 brief #7: the two flagship compositions
     (pretrain_mix_pipeline, retrieval_pipeline_docs) get their
     physical-plan shape PINNED — exchange count must not silently
     grow as ingredients evolve, and no CartesianProduct may ever
-    appear.  If an intentional change moves the count, update the
-    bound here WITH a docstring note, the same contract as the BNLJ
-    allowlist."""
+    appear — at BOTH sf0.001 and sf0.1 (round-9 verdict #5:
+    broadcast/AQE decisions are size-dependent).  If an intentional
+    change moves a count, update the bound here WITH a docstring
+    note, the same contract as the BNLJ allowlist."""
     qs = entry_mod.queries()
 
     # Both pipelines pin mid-chain stages via localCheckpoint, so the
     # visible plan is the post-pin tail — these bounds guard that tail
     # (the pre-pin chain is audited by
     # test_pretrain_mix_pre_pin_stage_audited).
-    retr = qs["retrieval_pipeline_docs"](spark, SF_DIR_001)
+    retr = qs["retrieval_pipeline_docs"](spark, sfd)
     rplan = physical_plan(retr)
     assert "CartesianProduct" not in rplan, rplan
     r_ex = rplan.count("Exchange")
     assert r_ex <= 2, f"retrieval_pipeline_docs exchanges grew: {r_ex}\n{rplan}"
 
-    mix = qs["pretrain_mix_pipeline"](spark, SF_DIR_001)
+    mix = qs["pretrain_mix_pipeline"](spark, sfd)
     mplan = physical_plan(mix)
     assert "CartesianProduct" not in mplan, mplan
     m_ex = mplan.count("Exchange")
@@ -971,21 +984,25 @@ def test_scan_census_no_unexplained_growth():
     )
 
 
-def test_dedup_ladder_plan_shape(spark):
+@FLAGSHIP_SCALES
+def test_dedup_ladder_plan_shape(spark, sfd):
     """Round-8 flagship (round-7 verdict #7): the 4-stage dedup
     ladder's visible plan (post the flags localCheckpoint pin and
     component collection) must stay join-sane — no cartesian, no
     BNLJ, and a bounded exchange budget: each of the 5 stage-count
     branches pays <=2 exchanges (partial+final agg) plus the single
-    union/lag window and the stage-3/4 survivor joins.  If an
-    intentional change moves the count, update the bound WITH a
-    docstring note (the flagship-exchange-count contract)."""
-    df = entry_mod.dedup_ladder_docs(spark, SF_DIR_001)
+    union/lag window and the stage-3/4 survivor joins — asserted at
+    both scales (round-9 verdict #5).  If an intentional change
+    moves the count, update the bound WITH a docstring note (the
+    flagship-exchange-count contract)."""
+    df = entry_mod.dedup_ladder_docs(spark, sfd)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     ex = plan.count("Exchange")
     assert ex <= 12, f"dedup_ladder_docs exchanges grew: {ex}\n{plan}"
+    if sfd != SF_DIR_001:
+        return  # data/conservation checks run once, at the fast scale
     rows = {r["stage"]: r for r in df.collect()}
     assert list(rows) == ["exact", "normalized", "minhash_lsh", "semdedup"]
     # conservation: every stage's output feeds the next stage's input
@@ -996,7 +1013,8 @@ def test_dedup_ladder_plan_shape(spark):
         assert r["n_removed"] == r["n_in"] - r["n_out"] >= 0
 
 
-def test_telco_fanout_plan_shape(spark):
+@FLAGSHIP_SCALES
+def test_telco_fanout_plan_shape(spark, sfd):
     """Round-9 flagship (round-8 verdict #4): the reference's own DAG
     — enrichment join fanning out to stats + geofence + cluster-
     outlier branches (TrafficStreamProcessor.scala:52-64) — as ONE
@@ -1008,8 +1026,9 @@ def test_telco_fanout_plan_shape(spark):
     exchange budget: stats pays 1 hash exchange, outliers ~4
     (centroid agg + fence agg + 2 broadcast builds), geofence 0.
     If an intentional change moves a bound, update it WITH a
-    docstring note (the flagship-exchange-count contract)."""
-    df = entry_mod.telco_fanout_pipeline(spark, SF_DIR_001)
+    docstring note (the flagship-exchange-count contract).  Asserted
+    at both scales (round-9 verdict #5)."""
+    df = entry_mod.telco_fanout_pipeline(spark, sfd)
     plan = physical_plan(df)
     assert "Scan parquet" not in plan, (
         "a branch re-read the source instead of the pinned unified "
@@ -1020,6 +1039,8 @@ def test_telco_fanout_plan_shape(spark):
     ex = plan.count("Exchange") - plan.count("ReusedExchange")
     assert ex <= 8, f"telco_fanout_pipeline exchanges grew: {ex}\n{plan}"
     assert plan.count("Scan ExistingRDD") <= 6, plan
+    if sfd != SF_DIR_001:
+        return  # branch-coverage data check runs once, at the fast scale
     by_branch = {
         r["branch"]: r["count"]
         for r in df.groupBy("branch").count().collect()
@@ -1029,7 +1050,8 @@ def test_telco_fanout_plan_shape(spark):
     assert all(v > 0 for v in by_branch.values())
 
 
-def test_streaming_fanout_per_batch_plan_shape(spark, tmp_path):
+@FLAGSHIP_SCALES
+def test_streaming_fanout_per_batch_plan_shape(spark, tmp_path, sfd):
     """Round-10 (round-9 verdict #3): the per-micro-batch plan of the
     PRODUCTION streaming fan-out (streaming/pipeline.py::
     TrafficPipeline.process_batch — what streaming_telco_fanout
@@ -1083,7 +1105,7 @@ def test_streaming_fanout_per_batch_plan_shape(spark, tmp_path):
         slide=None,
         round_state=9,
     )
-    e = entry_mod._t(spark, SF_DIR_001, "events")
+    e = entry_mod._t(spark, sfd, "events")
     cell = (F.col("event_id") % 20).cast("bigint")
     enriched = e.select(
         F.col("user_id").alias("subscriber"),

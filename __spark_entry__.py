@@ -8055,7 +8055,13 @@ def streaming_telco_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src_dir)
     )
     ckpt = _scratch_dir("fanout_ck_")
-    with replay_partitions(spark, 1):
+    # n=2, not the single-partition rule of the Python-stateful
+    # replays: this replay is 4 JVM-side consumers per batch whose
+    # aggregations dominate, and two-way parallelism beats the
+    # per-task overhead (interleaved A/B at sf0.1, 3 reps:
+    # n=1 16.3-18.0 s, n=2 14.0-14.8 s, n=4 12.5-17.0 s — n=2 is
+    # the stable winner; PROGRESS fanout_harvest_r10)
+    with replay_partitions(spark, 2):
         q = (
             stream.writeStream.foreachBatch(batch_fn)
             .option("checkpointLocation", ckpt)

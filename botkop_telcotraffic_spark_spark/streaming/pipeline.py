@@ -144,14 +144,23 @@ class TrafficPipeline:
 
     def geofence_matches(self, enriched: DataFrame) -> DataFrame:
         """J3: celltower location containment against the (re-read)
-        geofence side input."""
-        fences = read_geofences(enriched.sparkSession, self.geofence_path)
+        geofence side input.  The JSON is already driver-local, so the
+        fence LIST goes straight into polygon_geofence_join's
+        unrolled-literal path — routing it through a DataFrame cost a
+        take() strategy-probe job + a createDataFrame round-trip PER
+        BATCH for a side input the driver just parsed (round-10
+        fan-out harvest: ~0.5 s/batch at sf0.1)."""
+        with open(self.geofence_path) as fh:
+            fences = [
+                (g["name"], [(p["lat"], p["lng"]) for p in g["polygon"]])
+                for g in json.load(fh)
+            ]
         pts = enriched.select(
             "subscriber", "celltower",
             F.col("celltower.location.lat").alias("lat"),
             F.col("celltower.location.lng").alias("lng"),
         )
-        out = polygon_geofence_join(pts, fences.select("name", "polygon"))
+        out = polygon_geofence_join(pts, fences)
         return out.select("subscriber", "celltower", F.col("name").alias("geofence"))
 
     def anomalies(
@@ -164,8 +173,23 @@ class TrafficPipeline:
         attached (the reference publishes all windowed points with an
         ``outlier`` flag, ``ClusterAnalyser.scala:55-65``); the
         default keeps only the rows outside the fences — the
-        alert-stream variant."""
-        from ..operators.iqr import iqr_bounds
+        alert-stream variant.
+
+        Fence formulation: the exact per-cluster IQR order statistics
+        are SCALAR window expressions over prediction (identical
+        values to operators/iqr.py exact mode: q1 = sorted[n DIV 4],
+        q3 = sorted[3n DIV 4] 0-based, 1.5·IQR, ±DBL_MAX at n <= 4)
+        instead of an aggregate + broadcast join-back — the
+        streaming_kmeans_outliers round-7 shave applied to the
+        production pipeline: predict + fence + filter is ONE job per
+        micro-batch on one k-key shuffle, dropping the per-batch
+        broadcast-build sub-job (round-10 fan-out harvest).  The
+        rank-based pick uses row_number == idx, never indexing a
+        collect_list window column (an array-valued window value is
+        copied into every row's buffer — O(rows × group) bytes)."""
+        from pyspark.sql import Window
+
+        from ..operators.iqr import DOUBLE_MAX, DOUBLE_MIN
 
         pts = enriched.select(
             "subscriber",
@@ -175,20 +199,32 @@ class TrafficPipeline:
             ).alias("point"),
         ).where(~F.exists("point", lambda x: x.isNull()))
         scored = self.model.update_and_assign(pts, vec_col="point")
-        bounds = iqr_bounds(scored, ["prediction"], "distance", "exact")
-        flagged = scored.join(
-            F.broadcast(bounds.select("prediction", "lo", "hi")),
-            ["prediction"],
+        w_ord = Window.partitionBy("prediction").orderBy("distance")
+        w_all = Window.partitionBy("prediction")
+        ranked = scored.select(
+            "subscriber", "celltower", "point", "prediction", "centroid",
+            "distance",
+            F.row_number().over(w_ord).alias("_rn"),
+            F.count(F.lit(1)).over(w_all).alias("_n"),
+        )
+        q1i = (F.floor(F.col("_n") / 4) + 1).cast("int")
+        q3i = (F.floor(F.col("_n") * 3 / 4) + 1).cast("int")
+        q1 = F.max(F.when(F.col("_rn") == q1i, F.col("distance"))).over(w_all)
+        q3 = F.max(F.when(F.col("_rn") == q3i, F.col("distance"))).over(w_all)
+        iqr_w = q3 - q1
+        degen = F.col("_n") <= 4
+        flagged = ranked.select(
+            "subscriber", "celltower", "point", "prediction", "centroid",
+            "distance",
+            F.when(degen, F.lit(DOUBLE_MIN)).otherwise(q1 - 1.5 * iqr_w).alias("lo"),
+            F.when(degen, F.lit(DOUBLE_MAX)).otherwise(q3 + 1.5 * iqr_w).alias("hi"),
         )
         if not keep_all:
             flagged = flagged.where(
                 (F.col("distance") < F.col("lo"))
                 | (F.col("distance") > F.col("hi"))
             )
-        return flagged.select(
-            "subscriber", "celltower", "point", "prediction", "centroid",
-            "distance", "lo", "hi",
-        )
+        return flagged
 
     # --- wiring --------------------------------------------------------
 

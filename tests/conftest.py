@@ -114,3 +114,42 @@ def compare_with_oracle(spark_df, sql: str, sf_dir: str):
     assert not mismatches, (
         f"{len(mismatches)} mismatching rows; first: {mismatches[0]}"
     )
+
+
+# --- suite wall-time budget recording (round-9 verdict #6) -----------
+#
+# Every pytest session records its wall time + collected-test count to
+# SUITE_WALL_LOCAL.json; the budget gate
+# (tests/test_bench_contract.py::test_suite_wall_within_budget)
+# enforces the committed budget (tests/suite_budget.json) against the
+# newest FULL-suite record on the NEXT run — the bench-gate pattern:
+# the artifact is local evidence, the budget is the committed contract.
+
+_SUITE_T0 = None
+
+
+def pytest_sessionstart(session):
+    global _SUITE_T0
+    import time as _time
+
+    _SUITE_T0 = _time.time()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import json as _json
+    import time as _time
+
+    if _SUITE_T0 is None:
+        return
+    try:
+        with open(os.path.join(REPO, "SUITE_WALL_LOCAL.json"), "w") as fh:
+            _json.dump(
+                {
+                    "wall_s": round(_time.time() - _SUITE_T0, 1),
+                    "n_tests": int(getattr(session, "testscollected", 0)),
+                    "ts": round(_time.time(), 1),
+                },
+                fh,
+            )
+    except OSError:
+        pass  # read-only checkout: recording is best-effort

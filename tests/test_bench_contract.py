@@ -347,3 +347,31 @@ def test_heavy_names_derived_from_baseline():
     agree."""
     assert bench.heavy_names({"a": 3.1, "b": 3.0, "c": 0.4}) == {"a"}
     assert bench.HEAVY_WARM_SEC == 3.0
+
+
+def test_suite_wall_within_budget():
+    """Suite wall-time budget (round-9 verdict #6): the newest
+    FULL-suite record (SUITE_WALL_LOCAL.json, written by conftest's
+    pytest_sessionfinish) must not exceed the committed budget
+    (tests/suite_budget.json).  Subset runs (fewer than
+    full_suite_min_tests collected) never trip the gate.  Raising the
+    budget is allowed only by editing the committed file — the diff
+    IS the recorded justification."""
+    import os
+
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rec_path = os.path.join(repo, "SUITE_WALL_LOCAL.json")
+    if not os.path.exists(rec_path):
+        pytest.skip("no recorded suite run yet")
+    rec = json.load(open(rec_path))
+    budget = json.load(open(os.path.join(repo, "tests", "suite_budget.json")))
+    if rec["n_tests"] < budget["full_suite_min_tests"]:
+        pytest.skip(f"last record was a subset run ({rec['n_tests']} tests)")
+    assert rec["wall_s"] <= budget["budget_s"], (
+        f"full suite took {rec['wall_s']}s > committed budget "
+        f"{budget['budget_s']}s — harvest the top-duration tests "
+        "(pytest --durations=30) or raise the budget in "
+        "tests/suite_budget.json with a justification"
+    )

@@ -615,16 +615,27 @@ def test_registry_wide_no_cartesian(spark):
     # cannot contain a cartesian, so auditing them buys nothing and
     # costs minutes of wall clock + leaked sink dirs.
     skip = {n for n in entry_mod.queries() if n.startswith("streaming_")}
-    offenders = {}
-    for name, fn in entry_mod.queries().items():
-        if name in skip:
-            continue
-        df = fn(spark, SF_DIR_001)
-        plan = physical_plan(df)
+    # Build plans on a thread pool (round-9 verdict #6 wall-time
+    # harvest: 85 s -> ~25 s).  Plan construction is Py4J + JVM
+    # analysis + the occasional localCheckpoint pin — all GIL-free —
+    # and query builders are pure DataFrame constructors on a
+    # thread-safe SparkSession (the only session-conf writers are the
+    # replay context managers of the skipped streaming entries;
+    # tune() is idempotent same-value sets).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def audit(item):
+        name, fn = item
+        plan = physical_plan(fn(spark, SF_DIR_001))
         if "CartesianProduct" in plan:
-            offenders[name] = "CartesianProduct"
-        elif "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
-            offenders[name] = "BroadcastNestedLoopJoin"
+            return name, "CartesianProduct"
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            return name, "BroadcastNestedLoopJoin"
+        return None
+
+    items = [kv for kv in entry_mod.queries().items() if kv[0] not in skip]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = dict(filter(None, pool.map(audit, items)))
     assert not offenders, offenders
 
 
@@ -1059,10 +1070,14 @@ def test_streaming_fanout_per_batch_plan_shape(spark, tmp_path, sfd):
     `unifiedStream.cache`), every consumer's plan must read the
     InMemoryTableScan — never re-scan the source — carry no
     cartesian/BNLJ, and stay inside a per-branch exchange budget:
-    stats pays 1 hash-agg exchange, anomalies <=4 (cluster-sum agg +
-    fence agg + broadcast builds).  If an intentional change moves a
-    bound, update it WITH a docstring note (the flagship-exchange-
-    count contract).
+    stats pays 1 hash-agg exchange; anomalies pays <=2 (round-10:
+    the exact-IQR fences became scalar window expressions on one
+    k-key shuffle — the streaming_kmeans_outliers r7 shave applied
+    to the production operator — replacing the bounds aggregate +
+    broadcast join-back, so predict + fence + filter is one job per
+    micro-batch with no broadcast build).  If an intentional change
+    moves a bound, update it WITH a docstring note (the
+    flagship-exchange-count contract).
 
     Plan-text caveat: InMemoryRelation prints its cached-build RECIPE
     (including the original FileScan) as an indented block — those
@@ -1130,7 +1145,7 @@ def test_streaming_fanout_per_batch_plan_shape(spark, tmp_path, sfd):
             "geofence": pipe.geofence_matches(enriched),
             "anomalies": pipe.anomalies(enriched),
         }
-        budget = {"cellstats": 1, "substats": 1, "geofence": 0, "anomalies": 4}
+        budget = {"cellstats": 1, "substats": 1, "geofence": 0, "anomalies": 2}
         for name, df in branches.items():
             plan = strip_cache_recipes(physical_plan(df))
             assert "InMemoryTableScan" in plan, f"{name} missed the cache:\n{plan}"
@@ -1143,8 +1158,8 @@ def test_streaming_fanout_per_batch_plan_shape(spark, tmp_path, sfd):
             assert ex <= budget[name], (
                 f"{name} exchanges grew: {ex} > {budget[name]}\n{plan}"
             )
-        assert has_broadcast_join(branches["anomalies"]), (
-            "the IQR fence join-back must broadcast the k-row bounds"
-        )
+        # round-10: the IQR fences are window expressions on the
+        # k-key shuffle — no join (and so no broadcast) in the branch
+        assert "Window" in physical_plan(branches["anomalies"])
     finally:
         enriched.unpersist()

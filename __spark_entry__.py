@@ -8244,6 +8244,134 @@ UNION ALL SELECT branch, b, k1, k2, n, v1, v2 FROM outl""")
     return "WITH " + "".join(parts)
 
 
+def streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 hash-oracled (round-10): Spark's REAL watermark machinery —
+    late-row drop + append-mode window finalization — replayed over
+    pinned micro-batches and verified value-for-value against a
+    DuckDB simulation of the watermark protocol.  (The reference has
+    no late-data story at all; W7 is the upgrade SURVEY §2.9 calls
+    for, previously covered only by pytest.)
+
+    Replay: events sliced into 5 mtime-ordered batches by ntile over
+    EVENT_ID — deliberately not by time, so every batch carries rows
+    that are late relative to earlier batches' event-time high-water
+    mark.  The stream applies withWatermark(ts, 30 s) and a 30 s
+    tumbling count/sum per user in APPEND mode to a memory sink.
+
+    Oracle protocol (verified against the engine row-for-row, then
+    encoded in SQL): the watermark in effect DURING batch t is
+    wm_{t-1} = max over earlier batches of (floor(max_ts_us/1000) -
+    30000)·1000 — Spark's EventTimeStats truncates event time to
+    MILLISECONDS before subtracting the delay, then compares in
+    micros; a row is dropped when its window END <= wm_{t-1}; after
+    the last file, availableNow runs a final no-data micro-batch
+    that advances the watermark to wm_5, so the emitted result is
+    exactly the windows with end <= wm_5 aggregated over their
+    never-late contributions.  Rows arriving after their window
+    emitted are provably late (end <= wm), so contribution sets
+    need no emission-time split."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+    )
+
+    tune(spark)
+    nb = 5
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    sliced = e.select(
+        "event_id", "ts", "user_id", "value",
+        F.ntile(nb).over(Window.orderBy("event_id")).alias("b"),
+    )
+    src_dir = _scratch_dir("wm_src_")
+    tmp = _os.path.join(src_dir, "_slices")
+    sliced.repartition(nb, "b").write.partitionBy("b").mode(
+        "overwrite"
+    ).parquet(tmp)
+    base = _time.time()
+    for t in range(1, nb + 1):
+        part = _glob.glob(_os.path.join(tmp, f"b={t}", "part-*.parquet"))
+        assert len(part) == 1, f"slice {t}: {part}"
+        dst = _os.path.join(src_dir, f"b{t}.parquet")
+        _os.rename(part[0], dst)
+        _os.utime(dst, (base + 10 * t, base + 10 * t))
+    _shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 seconds")
+        .groupBy(F.window("ts", "30 seconds").alias("w"), "user_id")
+        .agg(
+            F.count("value").alias("n"),
+            (F.round(F.sum("value"), 6) + F.lit(0.0)).alias("sum_value"),
+        )
+    )
+    out = agg.select(
+        F.col("w.start").cast("long").alias("window_epoch"),
+        "user_id",
+        "n",
+        "sum_value",
+    )
+    return run_to_memory(out, output_mode="append")
+
+
+def _late_watermark_sql(nb: int = 5) -> str:
+    """DuckDB twin of streaming_late_data_watermark — the watermark
+    protocol in exact micros arithmetic (see the entry docstring)."""
+    parts = [f"""
+allb AS MATERIALIZED (
+  SELECT user_id, value,
+         ntile({nb}) OVER (ORDER BY event_id) AS b,
+         CAST(epoch_us(time_bucket(INTERVAL '30 seconds', ts)) AS BIGINT)
+           AS ws_us,
+         CAST(epoch_us(time_bucket(INTERVAL '30 seconds', ts)) AS BIGINT)
+           + 30000000 AS we_us,
+         epoch_us(ts) AS ts_us
+  FROM events
+)"""]
+    # per-batch max event time and the running watermark, in micros
+    # (ms-truncated before the delay subtraction, Spark parity)
+    for t in range(1, nb + 1):
+        parts.append(f""",
+m{t} AS (SELECT max(ts_us) AS mu FROM allb WHERE b = {t})""")
+    wm_terms = []
+    for t in range(1, nb + 1):
+        wm_terms.append(
+            f"((SELECT mu FROM m{t}) // 1000 - 30000) * 1000"
+        )
+        parts.append(f""",
+wm{t} AS (SELECT greatest({', '.join(wm_terms)}) AS w)""")
+    late_pred = " OR ".join(
+        f"(b = {t} AND we_us > " +
+        ("-9223372036854775808" if t == 1 else f"(SELECT w FROM wm{t - 1})") +
+        ")"
+        for t in range(1, nb + 1)
+    )
+    parts.append(f""",
+contrib AS (
+  SELECT ws_us, we_us, user_id, value FROM allb
+  WHERE {late_pred}
+)
+SELECT CAST(ws_us // 1000000 AS BIGINT) AS window_epoch, user_id,
+       count(value) AS n,
+       round(sum(value), 6) + 0.0 AS sum_value
+FROM contrib
+WHERE we_us <= (SELECT w FROM wm{nb})
+GROUP BY 1, 2""")
+    return "WITH " + "".join(parts)
+
+
 def streaming_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup bucket claims (§2.12 dedup × §2.9
     streaming; streaming/dedup_stream.py::simhash_bucket_claims_stream):
@@ -13774,6 +13902,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "assoc_rules_parts": (assoc_rules_parts, _ASSOC_SQL),
     "length_buckets_docs": (length_buckets_docs, _LENBUCKET_SQL),
     # -- stale rotation (oldest driver check first) + fillers --
+    "streaming_late_data_watermark": (
+        streaming_late_data_watermark,
+        _late_watermark_sql(),
+    ),
     "ks_value_drift": (ks_value_drift, _KS_SQL),
     "embedding_centroid_cos": (embedding_centroid_cos, _CENTROID_COS_SQL),
     "funnel_bounded_conversions": (funnel_bounded_conversions, _FUNNEL_BOUNDED_SQL),
@@ -13815,9 +13947,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "source_cap_docs": (source_cap_docs, _SOURCE_CAP_SQL),
     "normalized_dedup_docs": (normalized_dedup_docs, _NORM_DEDUP_SQL),
     "streaming_simhash_buckets": (streaming_simhash_buckets, _STREAM_SIMHASH_SQL),
-    "pattern_funnel_events": (pattern_funnel_events, _PATTERN_FUNNEL_SQL),
     # -- below slot 50: driver-green at latest check; pytest oracle-parity
     # sweep still covers every entry each run --
+    "pattern_funnel_events": (pattern_funnel_events, _PATTERN_FUNNEL_SQL),
     "dedup_ladder_docs": (dedup_ladder_docs, _DEDUP_LADDER_SQL),
     "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
     "ucb1_bandit_events": (ucb1_bandit_events, _UCB1_SQL),

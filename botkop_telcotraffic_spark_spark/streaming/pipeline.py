@@ -142,6 +142,66 @@ class TrafficPipeline:
             window=self.window, slide=self.slide,
         )
 
+    def metric_stats_fused(
+        self, enriched: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Both stats topics (cell + subscriber,
+        MetricStatsProducer.scala:17-36) from ONE aggregation job:
+        grouping sets [(window, celltower, metric), (window,
+        subscriber, metric)] aggregate the exploded metrics in a
+        single pass, replacing two full explode+aggregate scans of
+        the cached batch per micro-batch (round-10 fan-out harvest).
+        Identical values per topic: a grouping-sets expansion feeds
+        each input row to both sets, so each set's partial aggregates
+        see exactly the rows the standalone aggregation would.
+        Returns (shared, cell_stats, subscriber_stats): the two
+        topic frames are SLICES of ``shared`` — the caller persists
+        ``shared`` (process_batch) so the second slice's plan
+        cache-substitutes the tiny grouped result instead of
+        re-aggregating the raw batch."""
+        win = (
+            F.window(F.col("event_time"), self.window, self.slide)
+            if self.slide
+            else F.window(F.col("event_time"), self.window)
+        )
+        # the window is projected BEFORE the grouping sets: an aliased
+        # expression in the grouping-column list does not match the
+        # raw expression inside a set, which would silently demote the
+        # window to an always-NULL grouping column
+        exploded = enriched.select(
+            "celltower", "subscriber", win.alias("w"),
+            F.explode("metrics").alias("metric", "value"),
+        )
+        from ..operators.window_stats import stat_aggs
+
+        both = (
+            exploded.groupingSets(
+                [
+                    [F.col("w"), F.col("celltower"), F.col("metric")],
+                    [F.col("w"), F.col("subscriber"), F.col("metric")],
+                ],
+                F.col("w"),
+                F.col("celltower"),
+                F.col("subscriber"),
+                F.col("metric"),
+            )
+            .agg(
+                F.grouping("subscriber").alias("_is_cell"),
+                *stat_aggs("value"),
+            )
+        )
+        def slice_for(key: str, flag: int) -> DataFrame:
+            return both.where(F.col("_is_cell") == flag).select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                key,
+                "metric",
+                "n", "mean", "stdev", "vmax", "vmin",
+            )
+        # grouping(subscriber) = 1 in the set that aggregated OVER
+        # subscriber (i.e. the celltower set), 0 in the subscriber set
+        return both, slice_for("celltower", 1), slice_for("subscriber", 0)
+
     def geofence_matches(self, enriched: DataFrame) -> DataFrame:
         """J3: celltower location containment against the (re-read)
         geofence side input.  The JSON is already driver-local, so the
@@ -229,13 +289,23 @@ class TrafficPipeline:
     # --- wiring --------------------------------------------------------
 
     def process_batch(self, enriched: DataFrame, batch_id: int) -> None:
-        """W5 single-read fan-out: persist once, run all analyses."""
+        """W5 single-read fan-out: persist once, run all analyses.
+        When both stats topics are wired, they share ONE aggregation
+        (metric_stats_fused) whose grouped result is persisted so the
+        second topic's write scans the tiny grouped rows instead of
+        re-aggregating the batch."""
         enriched.persist()
+        fused = None
         try:
-            if self.stats_sink is not None:
+            if self.stats_sink is not None and self.subscriber_stats_sink is not None:
+                fused, by_cell, by_sub = self.metric_stats_fused(enriched)
+                fused.persist()
+                self.stats_sink(by_cell, batch_id)
+                self.subscriber_stats_sink(by_sub, batch_id)
+            elif self.stats_sink is not None:
                 by_cell = self.metric_stats(enriched, "celltower")
                 self.stats_sink(by_cell, batch_id)
-            if self.subscriber_stats_sink is not None:
+            elif self.subscriber_stats_sink is not None:
                 by_sub = self.metric_stats(enriched, "subscriber")
                 self.subscriber_stats_sink(by_sub, batch_id)
             if self.geofence_sink is not None and self.geofence_path:
@@ -248,6 +318,8 @@ class TrafficPipeline:
                     batch_id,
                 )
         finally:
+            if fused is not None:
+                fused.unpersist()
             enriched.unpersist()
 
     def run(

@@ -1139,13 +1139,21 @@ def test_streaming_fanout_per_batch_plan_shape(spark, tmp_path, sfd):
     ).persist()
     try:
         enriched.count()  # materialize the cache, as process_batch does
+        # the two stats topics share ONE grouping-sets aggregation in
+        # production (metric_stats_fused) — audit those slices, plus
+        # the single-topic metric_stats path
+        _, by_cell, by_sub = pipe.metric_stats_fused(enriched)
         branches = {
-            "cellstats": pipe.metric_stats(enriched, "celltower"),
-            "substats": pipe.metric_stats(enriched, "subscriber"),
+            "cellstats": by_cell,
+            "substats": by_sub,
+            "solo_stats": pipe.metric_stats(enriched, "subscriber"),
             "geofence": pipe.geofence_matches(enriched),
             "anomalies": pipe.anomalies(enriched),
         }
-        budget = {"cellstats": 1, "substats": 1, "geofence": 0, "anomalies": 2}
+        budget = {
+            "cellstats": 1, "substats": 1, "solo_stats": 1,
+            "geofence": 0, "anomalies": 2,
+        }
         for name, df in branches.items():
             plan = strip_cache_recipes(physical_plan(df))
             assert "InMemoryTableScan" in plan, f"{name} missed the cache:\n{plan}"

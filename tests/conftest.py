@@ -141,14 +141,21 @@ def pytest_sessionfinish(session, exitstatus):
 
     if _SUITE_T0 is None:
         return
+    n = int(getattr(session, "testscollected", 0))
+    try:
+        floor = _json.load(
+            open(os.path.join(REPO, "tests", "suite_budget.json"))
+        )["full_suite_min_tests"]
+    except OSError:
+        floor = 600
+    if n < floor:
+        return  # subset run: never overwrite the full-suite record
     try:
         with open(os.path.join(REPO, "SUITE_WALL_LOCAL.json"), "w") as fh:
             _json.dump(
-                {
-                    "wall_s": round(_time.time() - _SUITE_T0, 1),
-                    "n_tests": int(getattr(session, "testscollected", 0)),
-                    "ts": round(_time.time(), 1),
-                },
+                {"wall_s": round(_time.time() - _SUITE_T0, 1),
+                 "n_tests": n,
+                 "ts": round(_time.time(), 1)},
                 fh,
             )
     except OSError:

@@ -633,6 +633,12 @@ def test_registry_wide_no_cartesian(spark):
             return name, "BroadcastNestedLoopJoin"
         return None
 
+    # Drop cached plans leaked by 600+ earlier tests first: every
+    # analysis pass scans the CacheManager for substitutable subtrees,
+    # and an aged in-suite session turned this audit 33 s -> 117 s
+    # (round-10 wall-time harvest).  No test depends on cache state
+    # across test boundaries.
+    spark.catalog.clearCache()
     items = [kv for kv in entry_mod.queries().items() if kv[0] not in skip]
     with ThreadPoolExecutor(max_workers=8) as pool:
         offenders = dict(filter(None, pool.map(audit, items)))

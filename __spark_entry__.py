@@ -8258,18 +8258,29 @@ def streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     mark.  The stream applies withWatermark(ts, 30 s) and a 30 s
     tumbling count/sum per user in APPEND mode to a memory sink.
 
-    Oracle protocol (verified against the engine row-for-row, then
-    encoded in SQL): the watermark in effect DURING batch t is
-    wm_{t-1} = max over earlier batches of (floor(max_ts_us/1000) -
-    30000)·1000 — Spark's EventTimeStats truncates event time to
-    MILLISECONDS before subtracting the delay, then compares in
-    micros; a row is dropped when its window END <= wm_{t-1}; after
-    the last file, availableNow runs a final no-data micro-batch
-    that advances the watermark to wm_5, so the emitted result is
-    exactly the windows with end <= wm_5 aggregated over their
-    never-late contributions.  Rows arriving after their window
-    emitted are provably late (end <= wm), so contribution sets
-    need no emission-time split."""
+    Oracle protocol (calibrated row-for-row against the engine on
+    adversarial boundary fixtures — tests/test_streaming.py::
+    test_watermark_protocol_matches_simulation — then encoded in
+    SQL).  Let wm_k = max over file batches 1..k of
+    (floor(max_ts_us/1000) - 30000)·1000 — Spark's EventTimeStats
+    truncates event time to MILLISECONDS before subtracting the
+    delay; comparisons are in micros.  Two different watermarks act
+    on a micro-batch:
+
+    - the LATE-ROW FILTER for batch b uses wm_{b-2} — one batch
+      OLDER than the batch's reported watermark (the filter
+      predicate is planned from the previous batch's offset-log
+      entry), so a row whose window end lies in (wm_{b-2}, wm_{b-1}]
+      gets a one-batch grace and still reaches state;
+    - EVICTION-and-emit at batch b uses the CURRENT wm_{b-1}, and
+      availableNow's final no-data batch flushes with wm_nb.
+
+    Under that pair, a post-emission late arrival can never pass the
+    filter (emission at s needs wm_s >= end; any later batch's
+    filter watermark >= wm_s), so append output has no duplicate
+    (window, key) rows and the oracle is simply: keep rows with
+    window end > wm_{b-2}, group by (window, key), emit the groups
+    with window end <= wm_nb."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -8286,7 +8297,14 @@ def streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
     sliced = e.select(
         "event_id", "ts", "user_id", "value",
-        F.ntile(nb).over(Window.orderBy("event_id")).alias("b"),
+        # slice by a key DECORRELATED from time (event_id % 7 shuffles
+        # arrival order) so every batch spans the full event-time
+        # range: batches 3+ carry genuinely late rows and the oracle's
+        # late-filter arm is exercised by the driver check itself,
+        # not only by the adversarial pytest fixture
+        F.ntile(nb)
+        .over(Window.orderBy(F.col("event_id") % 7, "event_id"))
+        .alias("b"),
     )
     src_dir = _scratch_dir("wm_src_")
     tmp = _os.path.join(src_dir, "_slices")
@@ -8327,12 +8345,16 @@ def streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _late_watermark_sql(nb: int = 5) -> str:
-    """DuckDB twin of streaming_late_data_watermark — the watermark
-    protocol in exact micros arithmetic (see the entry docstring)."""
+    """DuckDB twin of streaming_late_data_watermark — the calibrated
+    watermark protocol in exact micros arithmetic (see the entry
+    docstring): batch b's late filter uses wm_{b-2} (one-batch lag),
+    eviction/emission uses the current watermark, so the emitted
+    multiset is exactly {rows with end > wm_{b-2}} grouped by
+    (window, key) restricted to end <= wm_nb."""
     parts = [f"""
 allb AS MATERIALIZED (
   SELECT user_id, value,
-         ntile({nb}) OVER (ORDER BY event_id) AS b,
+         ntile({nb}) OVER (ORDER BY event_id % 7, event_id) AS b,
          CAST(epoch_us(time_bucket(INTERVAL '30 seconds', ts)) AS BIGINT)
            AS ws_us,
          CAST(epoch_us(time_bucket(INTERVAL '30 seconds', ts)) AS BIGINT)
@@ -8352,9 +8374,11 @@ m{t} AS (SELECT max(ts_us) AS mu FROM allb WHERE b = {t})""")
         )
         parts.append(f""",
 wm{t} AS (SELECT greatest({', '.join(wm_terms)}) AS w)""")
+    # late filter with the ONE-BATCH LAG: batch b compares against
+    # wm_{b-2} (batches 1 and 2 effectively unfiltered)
     late_pred = " OR ".join(
         f"(b = {t} AND we_us > " +
-        ("-9223372036854775808" if t == 1 else f"(SELECT w FROM wm{t - 1})") +
+        ("-9223372036854775807" if t <= 2 else f"(SELECT w FROM wm{t - 2})") +
         ")"
         for t in range(1, nb + 1)
     )

@@ -1718,3 +1718,116 @@ def test_ewma_valuestate_survives_restart(spark):
         q(), parquet_append_sink(dirs["out_ref"]), dirs["ckpt_ref"]
     )
     assert got == table(dirs["out_ref"])
+
+
+def test_watermark_protocol_matches_simulation(spark, tmp_path):
+    """W7 protocol pin (round-10): the streaming_late_data_watermark
+    ORACLE encodes Spark's watermark protocol; if a Spark upgrade
+    shifts the semantics, the oracle would silently encode the wrong
+    protocol.  The CALIBRATED 4.1 protocol, verified here against
+    the real engine on adversarial boundary fixtures (and derived
+    from a matrix of single-variable repros during round 10):
+
+    - wm_k = max over file batches <= k of (floor(max_ts_us/1000) -
+      delay_ms) * 1000 — event-time max truncates to MILLISECONDS
+      before the delay subtraction; comparisons are in micros;
+    - the LATE-ROW FILTER of batch b uses wm_{b-2}, one batch OLDER
+      than the batch's reported watermark (the filter predicate is
+      planned from the previous batch's offset-log entry), so a row
+      whose window end lies in (wm_{b-2}, wm_{b-1}] gets a one-batch
+      grace and still reaches state;
+    - EVICTION/emission at batch b uses the current wm_{b-1}, and
+      availableNow's final no-data batch flushes with wm_nb;
+    - consequence: a post-emission late arrival can never pass the
+      filter, so the append output has no duplicate (window, key)
+      rows and equals {rows with end > wm_{b-2}} grouped by
+      (window, key), restricted to end <= wm_nb.
+
+    The fixture exercises: the one-batch grace (a late-looking row
+    in batch 2 merging into still-live state), a genuinely dropped
+    late row in batch 3, a sub-millisecond event-time tail, and a
+    window withheld open at end-of-stream."""
+    import glob
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as SF
+
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        run_to_memory,
+    )
+
+    delay_s = 30
+    base = 1_700_000_100  # 30-aligned epoch seconds
+    # (batch, user, epoch_micros)
+    rows = [
+        # batch 1: window W0=[base, base+30) for u1; the far-future
+        # row pushes wm_1 way past W0's end (sub-ms tail: wm must be
+        # ms-truncated or boundary comparisons drift)
+        (1, 1, (base + 5) * 1_000_000),
+        (1, 9, (base + 1000) * 1_000_000 + 123_456),
+        # batch 2: end(W0)=base+30 <= wm_1=base+970.123 — late by the
+        # reported watermark, but the filter lags one batch (wm_0 =
+        # -inf), so it MERGES into W0's still-live state (n=2)
+        (2, 1, (base + 11) * 1_000_000),
+        # batch 3: same-looking row now meets filter wm_1 -> DROPPED
+        # (numRowsDroppedByWatermark = 1); W0 emitted n=2, not 3,
+        # and NOT twice
+        (3, 1, (base + 22) * 1_000_000),
+        # batch 3: fresh row whose window stays OPEN at end-of-stream
+        (3, 2, (base + 2000) * 1_000_000),
+    ]
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    tnow = _time.time()
+    for b in sorted({r[0] for r in rows}):
+        batch_rows = [(u, us) for bb, u, us in rows if bb == b]
+        (spark.createDataFrame(batch_rows, "user_id bigint, us bigint")
+         .select("user_id", SF.timestamp_micros("us").alias("ts"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(tmp_path / f"stage{b}")))
+        part = glob.glob(str(tmp_path / f"stage{b}" / "part-*.parquet"))
+        assert len(part) == 1
+        dst = os.path.join(src, f"b{b}.parquet")
+        os.rename(part[0], dst)
+        os.utime(dst, (tnow + 10 * b, tnow + 10 * b))
+
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{delay_s} seconds")
+        .groupBy(SF.window("ts", "30 seconds").alias("w"), "user_id")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+    )
+    out = agg.select(
+        SF.col("w.start").cast("long").alias("ws"), "user_id", "n"
+    )
+    got = sorted(
+        (r["ws"], r["user_id"], r["n"])
+        for r in run_to_memory(out, output_mode="append").collect()
+    )
+
+    # independent protocol simulation (micros; ms-truncated max)
+    nb = max(r[0] for r in rows)
+    wm = {0: -(10 ** 18), -1: -(10 ** 18)}
+    for b in range(1, nb + 1):
+        mx = max(us for bb, _, us in rows if bb == b)
+        wm[b] = max(wm[b - 1], (mx // 1000 - delay_s * 1000) * 1000)
+    contrib: dict = {}
+    for b, u, us in rows:
+        ws_us = (us // 30_000_000) * 30_000_000
+        if ws_us + 30_000_000 > wm[b - 2]:   # late filter, lag one batch
+            k = (ws_us // 1_000_000, u)
+            contrib[k] = (contrib.get(k, (0, ws_us))[0] + 1, ws_us)
+    sim = sorted(
+        (ws, u, n)
+        for (ws, u), (n, ws_us) in contrib.items()
+        if ws_us + 30_000_000 <= wm[nb]      # emitted by the final flush
+    )
+    assert got == sim, f"engine {got} != sim {sim}"
+    # pin the semantics explicitly (protects the sim itself from
+    # accidentally degenerating):
+    rel = sorted((ws - base, u, n) for ws, u, n in got)
+    assert rel == [(0, 1, 2), (990, 9, 1)], rel

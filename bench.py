@@ -153,6 +153,20 @@ def flag_name(flag: str) -> str:
     return flag.split(":", 1)[0]
 
 
+# A confirm sample measured while the host ran hotter than this
+# ceiling (confirm-time controls median vs the committed baseline)
+# is INVALID EVIDENCE: under heavy concurrent load the slowdown is
+# not uniform across queries, so dividing by the bracketing-controls
+# ratio under- or over-corrects unpredictably.  Round-10's driver
+# overwrite proved it — confirm samples taken under the driver's
+# post-commit load ran up to 13x their idle times and "confirmed"
+# three flags that idle probes all exonerated (round-10 verdict #1).
+# An invalid confirm must NOT convict: the flag degrades to a
+# needs-idle-probe advisory (returned separately, never a gate
+# failure).
+CONFIRM_AMBIENT_CEILING = 2.0
+
+
 def confirmed_regressions(
     prev_queries: dict,
     cur_queries: dict,
@@ -160,23 +174,36 @@ def confirmed_regressions(
     skip: set | frozenset = frozenset(),
     ratio: float = 1.5,
     floor: float = 0.4,
-) -> tuple[float, list[str]]:
-    """Burst-robust regression gate (round-9 verdict #1).  This host's
-    documented noise mode is NOT uniform slowdown (the ambient
-    normalization handles that) but 2-4x bursts on a random DISJOINT
-    subset of names per run — which leaves the controls median at 1.00
-    and produced three straight rounds of phantom flags, every one
-    exonerated by idle-machine probes.  Bursts don't repeat; real
-    regressions do.  So bench.py re-runs each would-be-flagged name
-    once more at the END of the run (isolated from whatever transient
-    hit it mid-run) and records both samples; this gate keeps a flag
-    only when the confirm sample ALSO trips the same
-    ambient-normalized threshold — or when no confirm sample exists
-    (a run predating this machinery cannot exonerate itself)."""
+) -> tuple[float, list[str], list[str]]:
+    """Burst-robust, LOAD-AWARE regression gate (round-9 verdict #1;
+    load-awareness round-10 verdict #1).  This host's documented noise
+    modes are (a) 2-4x bursts on a random disjoint subset of names
+    per run — which leaves the controls median at 1.00, so ambient
+    normalization alone can't excuse them — and (b) sustained
+    concurrent load over the whole confirm pass (the driver's
+    post-commit re-run).  Bursts don't repeat; real regressions do.
+    bench.py therefore re-runs each would-be-flagged name at the END
+    of the run, BRACKETED by frozen control queries, and records
+    ``{"sample": s, "ambient": a, "n": k}`` — the confirm-time
+    controls median ``a`` measures how loaded the host was at the
+    moment of the confirm sample itself.
+
+    A flag is KEPT only when the confirm sample, normalized by its
+    own confirm-time ambient, still trips the threshold AND that
+    ambient is credible (<= CONFIRM_AMBIENT_CEILING).  A confirm
+    taken on a hotter host is invalid evidence either way: the flag
+    moves to the third return value (``needs_probe``) — an advisory
+    for a manual idle-machine probe, NOT a gate failure.  A flag with
+    no confirm sample at all is kept (a run predating this machinery
+    cannot exonerate itself).  Legacy float confirm samples (pre-r11
+    snapshots) are normalized by the RUN ambient as before.
+
+    Returns (run_ambient, kept_flags, needs_probe)."""
     amb, flags = snapshot_regressions(
         prev_queries, cur_queries, skip, ratio, floor
     )
-    kept = []
+    kept: list[str] = []
+    needs_probe: list[str] = []
     for f in flags:
         name = flag_name(f)
         c = confirm.get(name)
@@ -184,12 +211,32 @@ def confirmed_regressions(
             kept.append(f + " [no confirm re-run recorded]")
             continue
         prev = prev_queries[name]
+        if isinstance(c, dict):
+            camb = max(1.0, float(c.get("ambient", 1.0)))
+            sample = float(c["sample"])
+            if camb > CONFIRM_AMBIENT_CEILING:
+                # confirm pass itself ran under heavy load — cannot
+                # convict OR exonerate; hand off to an idle probe
+                needs_probe.append(
+                    f + f" [confirm invalid: ambient x{camb:.2f} > "
+                    f"{CONFIRM_AMBIENT_CEILING} ceiling — idle probe "
+                    f"needed, sample {sample:.2f}s]"
+                )
+                continue
+            norm = sample / camb
+            if norm > ratio * prev and norm - prev > floor:
+                kept.append(
+                    f + f" [confirmed: re-run {sample:.2f}s at "
+                    f"confirm-ambient x{camb:.2f}]"
+                )
+            continue
+        # legacy float sample (pre-r11): normalize by the run ambient
         norm = c / amb
         if norm > ratio * prev and norm - prev > floor:
             kept.append(f + f" [confirmed: re-run {c:.2f}s]")
         # else: one-sample burst — the end-of-run re-run came back
         # inside the threshold, so the mid-run spike was host noise
-    return amb, kept
+    return amb, kept, needs_probe
 
 
 # Bound the end-of-run confirm pass (no silent caps: the names that
@@ -261,17 +308,46 @@ def main() -> None:
         else:
             timings[name] = round(min(run(name), run(name)), 3)
 
-    # Burst-confirm pass (round-9 verdict #1): names that would be
-    # flagged against the committed snapshot get ONE more isolated
-    # run here at the end, after whatever transient hit them mid-run
-    # has passed; the gates keep only flags the re-run confirms.
-    _, prelim = snapshot_regressions(
-        base_queries, timings, skip=HIGH_VARIANCE
-    )
+    # Burst-confirm pass (round-9 verdict #1; load-aware round-10
+    # verdict #1): names that would be flagged against the committed
+    # snapshot get confirm re-run(s) here at the end, after whatever
+    # transient hit them mid-run has passed.  Each confirm sample is
+    # BRACKETED by the two cheapest frozen controls so the gate knows
+    # how loaded the host was at confirm time — a confirm taken under
+    # sustained concurrent load (driver post-commit re-runs measured
+    # up to 13x idle in r10) is recorded with its ambient and treated
+    # as invalid evidence by confirmed_regressions, never a
+    # conviction.  Prelim flags are computed with NO skip set
+    # (round-10 ADVICE: the gate can flag protected high-variance
+    # names, so every gate-visible flag must have a confirm sample);
+    # heavy / high-variance names get a median-of-3 confirm (one
+    # loaded burst must not re-convict what median-of-5 measured).
+    import statistics as _stats
+
+    _, prelim = snapshot_regressions(base_queries, timings)
     prelim_names = sorted({flag_name(f) for f in prelim})
-    confirm: dict[str, float] = {}
+    bracket = sorted(
+        (c for c in CONTROLS if base_queries.get(c)),
+        key=lambda c: base_queries[c],
+    )[:2]
+
+    def _ctrl_ratios() -> list[float]:
+        return [run(c) / base_queries[c] for c in bracket]
+
+    confirm: dict[str, dict] = {}
     for name in prelim_names[:MAX_CONFIRM_RERUNS]:
-        confirm[name] = round(run(name), 3)
+        k = 3 if (name in HIGH_VARIANCE or name in heavy) else 1
+        ratios: list[float] = []
+        samples: list[float] = []
+        for _ in range(k):
+            ratios.extend(_ctrl_ratios())
+            samples.append(run(name))
+        ratios.extend(_ctrl_ratios())
+        confirm[name] = {
+            "sample": round(sorted(samples)[len(samples) // 2], 3),
+            "ambient": round(_stats.median(ratios), 3) if ratios else 1.0,
+            "n": k,
+        }
 
     total = round(sum(timings.values()), 3)
     # Ambient machine-speed evidence (round-8 verdict #3): the controls

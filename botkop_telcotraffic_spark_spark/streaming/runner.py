@@ -62,6 +62,71 @@ def run_to_memory(
     return spark.table(name)
 
 
+# per-process cache of materialized replay sources keyed on
+# (cache_key, nb, payload schema): a bench/driver run that executes
+# several replay entries (or re-runs one entry for its warm medians)
+# slices the input ONCE per slicing, not once per invocation
+# (round-10 verdict #5 — each materialization is ~2 write jobs).
+_REPLAY_SOURCE_CACHE: dict[tuple, str] = {}
+
+
+def pinned_replay_source(
+    sliced: DataFrame, nb: int, cache_key: tuple | None = None
+) -> str:
+    """Materialize an ntile-sliced DataFrame as ``nb`` mtime-ordered
+    single parquet files — the deterministic replay source shared by
+    the streaming hash oracles (fan-out, watermark, K-Means).
+
+    ``sliced`` must carry an integer column ``b`` in 1..nb (the ntile
+    slice) plus the payload columns; the files are written with ONE
+    ``partitionBy("b")`` job (the write consumes the ntile plan
+    directly — no localCheckpoint, no per-slice filtered writes),
+    then driver-side renamed to ``b{t}.parquet`` with strictly
+    increasing mtimes 10 s apart (FileStreamSource orders unseen
+    files by modification time, names agreeing lexicographically as
+    a tiebreak) — the replay-harness equivalent of Kafka offsets
+    that a DuckDB oracle can reproduce exactly.  The payload files do
+    NOT contain ``b`` (partition column), matching the readStream
+    schemas.  No driver collect of data at any size.
+
+    ``cache_key`` (e.g. ``(sf_dir, "fanout_v1")``) enables the
+    per-process cache above; keep the version tag in lockstep with
+    the slicing expression so a changed slicing never reuses stale
+    files.  Returns the source directory (scratch, removed at
+    interpreter exit)."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    key = None
+    if cache_key is not None:
+        key = (cache_key, nb, tuple(f.name for f in sliced.schema.fields))
+        cached = _REPLAY_SOURCE_CACHE.get(key)
+        if cached and len(glob.glob(os.path.join(cached, "b*.parquet"))) == nb:
+            return cached
+
+    src_dir = tempfile.mkdtemp(prefix="replay_src_")
+    atexit.register(shutil.rmtree, src_dir, ignore_errors=True)
+    tmp = os.path.join(src_dir, "_slices")
+    sliced.repartition(nb, "b").write.partitionBy("b").mode(
+        "overwrite"
+    ).parquet(tmp)
+    base = time.time()
+    for t in range(1, nb + 1):
+        part = glob.glob(os.path.join(tmp, f"b={t}", "part-*.parquet"))
+        assert len(part) == 1, f"slice {t}: {part}"
+        dst = os.path.join(src_dir, f"b{t}.parquet")
+        os.rename(part[0], dst)
+        os.utime(dst, (base + 10 * t, base + 10 * t))
+    shutil.rmtree(tmp)
+    if key is not None:
+        _REPLAY_SOURCE_CACHE[key] = src_dir
+    return src_dir
+
+
 def stream_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Re-read a warehouse table as a bounded stream (replay source).
 

@@ -118,45 +118,114 @@ def compare_with_oracle(spark_df, sql: str, sf_dir: str):
 
 # --- suite wall-time budget recording (round-9 verdict #6) -----------
 #
-# Every pytest session records its wall time + collected-test count to
-# SUITE_WALL_LOCAL.json; the budget gate
+# Every CLEAN, FULL pytest session records its wall time, EXECUTED
+# test count, and a CPU-calibration probe to SUITE_WALL_LOCAL.json;
+# the budget gate
 # (tests/test_bench_contract.py::test_suite_wall_within_budget)
 # enforces the committed budget (tests/suite_budget.json) against the
-# newest FULL-suite record on the NEXT run — the bench-gate pattern:
-# the artifact is local evidence, the budget is the committed contract.
+# newest record on the NEXT run — the bench-gate pattern: the
+# artifact is local evidence, the budget is the committed contract.
+#
+# Round-10 verdict #2: the guard keys on tests EXECUTED (a
+# pytest_runtest_logreport counter), not collected — an aborted `-x`
+# run collects the full 676 but executes 7, and used to overwrite the
+# record with wall_s=2.9.  Round-10 ADVICE #1: a non-zero exitstatus
+# (failed / interrupted run) never records — its wall time measures
+# the abort point, not the suite.  Round-10 verdict #6: a fixed
+# CPU-bound probe timed at session start is stored as `calib_s` so
+# the gate can normalize a loaded host's wall time instead of
+# carrying a 1.5x backstop budget.
 
 _SUITE_T0 = None
+_EXECUTED = 0
+
+
+def _cpu_probe() -> float:
+    """Time a fixed, deterministic CPU-bound workload (~0.2 s on this
+    host idle): sha256 over 64 MiB.  The ratio of a session's probe
+    to the committed `probe_baseline_s` in tests/suite_budget.json
+    estimates how much slower the host was running than the clean
+    baseline, so the budget gate compares calibrated wall times."""
+    import hashlib
+    import time as _time
+
+    buf = bytes(range(256)) * 4096  # 1 MiB
+
+    def one() -> float:
+        t0 = _time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(256):
+            h.update(buf)
+        h.hexdigest()
+        return _time.perf_counter() - t0
+
+    return round(sorted(one() for _ in range(3))[1], 4)
 
 
 def pytest_sessionstart(session):
-    global _SUITE_T0
+    global _SUITE_T0, _CALIB_S
     import time as _time
 
+    _CALIB_S = _cpu_probe()
     _SUITE_T0 = _time.time()
 
 
-def pytest_sessionfinish(session, exitstatus):
+def pytest_runtest_logreport(report):
+    # count tests actually EXECUTED: every test reaches either its
+    # call phase or a setup-phase skip — collected-but-deselected and
+    # early-exit remainders reach neither
+    global _EXECUTED
+    if report.when == "call" or (report.when == "setup" and report.skipped):
+        _EXECUTED += 1
+
+
+def _record_suite_wall(
+    record_path: str,
+    budget_path: str,
+    wall_s: float,
+    executed: int,
+    exitstatus: int,
+    calib_s: float | None = None,
+) -> bool:
+    """Write the suite-wall record iff this was a CLEAN FULL run.
+    Returns whether a record was written (unit-tested directly with
+    tmp paths — see tests/test_suite_wall_guard.py)."""
     import json as _json
     import time as _time
 
-    if _SUITE_T0 is None:
-        return
-    n = int(getattr(session, "testscollected", 0))
+    if int(exitstatus) != 0:
+        return False  # failed/interrupted run: wall_s is meaningless
     try:
-        floor = _json.load(
-            open(os.path.join(REPO, "tests", "suite_budget.json"))
-        )["full_suite_min_tests"]
-    except OSError:
+        floor = _json.load(open(budget_path))["full_suite_min_tests"]
+    except (OSError, ValueError, KeyError, TypeError):
         floor = 600
-    if n < floor:
-        return  # subset run: never overwrite the full-suite record
+    if executed < floor:
+        return False  # subset run: never overwrite the full-suite record
     try:
-        with open(os.path.join(REPO, "SUITE_WALL_LOCAL.json"), "w") as fh:
+        with open(record_path, "w") as fh:
             _json.dump(
-                {"wall_s": round(_time.time() - _SUITE_T0, 1),
-                 "n_tests": n,
+                {"wall_s": round(wall_s, 1),
+                 "n_tests": executed,
+                 "calib_s": calib_s,
+                 "exitstatus": int(exitstatus),
                  "ts": round(_time.time(), 1)},
                 fh,
             )
     except OSError:
-        pass  # read-only checkout: recording is best-effort
+        return False  # read-only checkout: recording is best-effort
+    return True
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import time as _time
+
+    if _SUITE_T0 is None:
+        return
+    _record_suite_wall(
+        os.path.join(REPO, "SUITE_WALL_LOCAL.json"),
+        os.path.join(REPO, "tests", "suite_budget.json"),
+        _time.time() - _SUITE_T0,
+        _EXECUTED,
+        exitstatus,
+        calib_s=globals().get("_CALIB_S"),
+    )

@@ -1831,3 +1831,30 @@ def test_watermark_protocol_matches_simulation(spark, tmp_path):
     # accidentally degenerating):
     rel = sorted((ws - base, u, n) for ws, u, n in got)
     assert rel == [(0, 1, 2), (990, 9, 1)], rel
+
+
+def test_geofence_hot_reload_boundary(spark):
+    """S5 mid-stream side-input CHANGE (round-10 verdict #3 'Done'
+    criterion): streaming_geofence_hot_reload rewrites fences.json
+    from inside the foreachBatch callback at the batch-4 boundary, so
+    the output must provably carry BOTH fence regimes — the dropped
+    fence (ell) only before the reload, the added fence (band) only
+    after, each on exactly the cells the ray-caster predicts."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    df = em.queries()["streaming_geofence_hot_reload"](spark, SF_DIR_001)
+    rows = df.groupBy("fence").agg(
+        F.min("b").alias("lo"),
+        F.max("b").alias("hi"),
+        F.collect_set("b").alias("bs"),
+        F.collect_set("cell").alias("cells"),
+    ).collect()
+    by_fence = {r["fence"]: r for r in rows}
+    # the dropped fence matched before the reload, never after
+    assert set(by_fence) == {"ell", "band"}
+    assert sorted(by_fence["ell"]["bs"]) == [1, 2, 3]
+    assert sorted(by_fence["ell"]["cells"]) == ["c2"]
+    # the added fence matched after the reload, never before
+    assert sorted(by_fence["band"]["bs"]) == [4, 5]
+    assert sorted(by_fence["band"]["cells"]) == ["c14", "c15", "c16"]

@@ -6953,12 +6953,11 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({d} / (sqrt({na}) * sqrt({nb})))"
 
 
-def _mmr_rounds_sql(k: int, lam: float, id_out: str) -> str:
-    """Shared oracle generator for the greedy MMR rounds: expects a
-    CTE named ``cand(id, v, rel)`` already in scope; emits
-    pick/sel CTEs plus the final select.  lam and (1 - lam) are
-    embedded as the same Python-evaluated double literals the engine
-    multiplies by."""
+def _mmr_rounds_ctes(k: int, lam: float) -> str:
+    """The greedy-MMR pick/sel CTE chain only (expects ``cand(id, v,
+    rel)`` in scope, leaves ``sel{k}`` as the selected set) — shared
+    by _mmr_rounds_sql and the rerank oracle, which keeps composing
+    after the MMR stage."""
     one_m = 1.0 - lam
     parts = [f""",
 pick1 AS (
@@ -6986,11 +6985,18 @@ pick{r} AS (
 ),
 sel{r} AS (SELECT * FROM {p} UNION ALL
            SELECT rank, id, v, rel, score FROM pick{r})""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _mmr_rounds_sql(k: int, lam: float, id_out: str) -> str:
+    """Oracle generator for the greedy MMR rounds: expects a CTE named
+    ``cand(id, v, rel)`` already in scope; emits pick/sel CTEs plus
+    the final select.  lam and (1 - lam) are embedded as the same
+    Python-evaluated double literals the engine multiplies by."""
+    return _mmr_rounds_ctes(k, lam) + f"""
 SELECT rank, id AS {id_out}, round(rel, 6) AS relevance,
        round(score, 6) AS mmr_score
-FROM sel{k}""")
-    return "".join(parts)
+FROM sel{k}"""
 
 
 def _mmr_sql(k: int = _MMR_K, lam: float = _MMR_LAM) -> str:
@@ -7321,6 +7327,114 @@ cand AS (
   FROM rrf f JOIN embeddings e ON e.vec_id = f.doc_id
   WHERE f.fused_rank <= 10
 ){_mmr_rounds_sql(5, _MMR_LAM, "doc_id")}"""
+
+
+# Fixed feature weights of the deterministic cross-encoder stand-in:
+# (coverage, proximity, cosine, log-tf) — embedded as the SAME Python
+# double literals in both engines.
+_CE_WEIGHTS = (2.0, 1.5, 1.0, 0.25)
+_CE_TERMS = ["join", "window", "stream"]
+
+
+def retrieval_rerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE retrieval chain (round-10 verdict #7a): BM25
+    lexical top-20 + embedding-ANN top-20 → reciprocal rank fusion →
+    top-10 shortlist → MMR diversification (5 picks) → cross-encoder
+    style RERANK (operators/ranking.py::cross_encoder_rerank).
+
+    The rerank scorer computes the query-document INTERACTION
+    features a learned cross-encoder consumes and a bi-encoder cannot
+    see — term coverage, positional proximity (minimum token gap
+    between occurrences of two DIFFERENT query terms, via the
+    sorted-adjacency equivalence), embedding cosine, log term
+    frequency — combined with fixed weights through a logistic link.
+    Deterministic end to end, so the oracle unrolls the whole chain:
+    RRF CTEs + 5 MMR rounds + the positional-feature SQL.
+
+    Scale shape: every retrieval stage is the already-oracled
+    bounded-output operator; the expensive per-pair scoring touches
+    only the k=5 shortlist (broadcast semi-join against documents —
+    the production rerank pattern: retrieve cheap at corpus scale,
+    score expensive on a bounded list)."""
+    from botkop_telcotraffic_spark_spark.operators.ranking import (
+        cross_encoder_rerank,
+    )
+
+    pipe = retrieval_pipeline_docs(spark, sf_dir)
+    shortlist = pipe.select("doc_id", F.col("rank").alias("mmr_rank"))
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return cross_encoder_rerank(
+        d,
+        shortlist,
+        _CE_TERMS,
+        query_vec=emb.where(F.col("vec_id") == 0),
+        doc_vecs=emb,
+        weights=_CE_WEIGHTS,
+    )
+
+
+def _retrieval_rerank_sql() -> str:
+    wc, wp, ws, wl = _CE_WEIGHTS
+    terms = ", ".join(f"'{t}'" for t in _CE_TERMS)
+    nq = float(len(_CE_TERMS))
+    return f"""
+WITH {_RRF_CTES},
+cand AS (
+  SELECT f.doc_id AS id, e.embedding AS v, f.rrf_score AS rel
+  FROM rrf f JOIN embeddings e ON e.vec_id = f.doc_id
+  WHERE f.fused_rank <= 10
+){_mmr_rounds_ctes(5, _MMR_LAM)},
+short AS MATERIALIZED (SELECT id AS doc_id, rank AS mmr_rank FROM sel5),
+tokr AS (
+  SELECT s.doc_id, string_split(d.text, ' ') AS ws
+  FROM short s JOIN documents d USING (doc_id)),
+gr0 AS (SELECT doc_id, ws, unnest(range(len(ws))) AS p FROM tokr),
+hitsr AS MATERIALIZED (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos, ws[p + 1] AS term
+  FROM gr0 WHERE ws[p + 1] IN ({terms})),
+featr AS (
+  SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM hitsr GROUP BY doc_id),
+gapr AS (
+  SELECT a.doc_id, min(abs(a.pos - b.pos)) AS min_gap
+  FROM hitsr a JOIN hitsr b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.doc_id),
+qvr AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cosr AS (
+  SELECT s.doc_id,
+         {_dot_sql('e.embedding', 'q.qv')}
+           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cosv
+  FROM short s JOIN embeddings e ON e.vec_id = s.doc_id
+       CROSS JOIN qvr q),
+fzr AS (
+  SELECT s.doc_id, s.mmr_rank,
+         coalesce(f.n_terms, 0) AS n_terms,
+         coalesce(f.n_hits, 0) AS n_hits,
+         coalesce(g.min_gap, -1) AS min_gap,
+         CAST(coalesce(f.n_terms, 0) AS DOUBLE) / {nq!r} AS cov,
+         CASE WHEN g.min_gap IS NULL THEN 0.0
+              ELSE 1.0 / (1.0 + CAST(g.min_gap AS DOUBLE)) END AS prox,
+         coalesce(c.cosv, 0.0) AS cosv,
+         ln(1.0 + CAST(coalesce(f.n_hits, 0) AS DOUBLE)) AS ltf
+  FROM short s LEFT JOIN featr f USING (doc_id)
+       LEFT JOIN gapr g USING (doc_id)
+       LEFT JOIN cosr c USING (doc_id)),
+scr AS (
+  SELECT doc_id, mmr_rank, n_terms, n_hits, min_gap,
+         round(cov, 6) + 0.0 AS coverage,
+         round(prox, 6) + 0.0 AS proximity,
+         round(cosv, 6) + 0.0 AS cosine,
+         round(1.0 / (1.0 + exp(-({wc!r} * cov + {wp!r} * prox
+               + {ws!r} * cosv + {wl!r} * ltf))), 6) + 0.0 AS ce_score
+  FROM fzr)
+SELECT doc_id, mmr_rank, n_terms, n_hits, min_gap, coverage, proximity,
+       cosine, ce_score,
+       CAST(row_number() OVER (ORDER BY ce_score DESC, doc_id) AS INT)
+         AS ce_rank
+FROM scr"""
 
 
 
@@ -14055,6 +14169,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- checked slots 1-50 (driver window) -- see the
     # comment above; regenerated by scripts/reorder_registry.py
     # === NEW-ENTRY INSERTION POINT ===
+    "retrieval_rerank_docs": (
+        retrieval_rerank_docs,
+        _retrieval_rerank_sql(),
+    ),
     "streaming_geofence_hot_reload": (
         streaming_geofence_hot_reload,
         _geofence_hot_reload_sql(),
@@ -14117,9 +14235,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bpe_merges_docs": (bpe_merges_docs, _bpe_sql()),
     "kmv_distinct_users": (kmv_distinct_users, _KMV_SQL),
     "audio_features_events": (audio_features_events, _AUDIO_SQL),
-    "hamming_rerank_topk": (hamming_rerank_topk, _hamming_rerank_sql()),
     # -- below slot 50: driver-green at latest check; pytest oracle-parity
     # sweep still covers every entry each run --
+    "hamming_rerank_topk": (hamming_rerank_topk, _hamming_rerank_sql()),
     "minibatch_kmeans_events": (
         minibatch_kmeans_events,
         _minibatch_kmeans_sql(),

@@ -220,3 +220,129 @@ def rrf_fuse(
     return cut.withColumn("fused_rank", F.row_number().over(w)).select(
         F.col("_id").alias(id_col), "n_lists", "rrf_score", "fused_rank"
     )
+
+
+def cross_encoder_rerank(
+    docs,
+    shortlist,
+    query_terms: list[str],
+    query_vec=None,
+    doc_vecs=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    weights: tuple = (2.0, 1.5, 1.0, 0.25),
+):
+    """Cross-encoder-style rerank of a bounded retrieval shortlist —
+    the final stage of the BM25 → ANN → RRF → MMR chain.  A real
+    cross-encoder scores each (query, document) PAIR with full
+    interaction between the two texts; this deterministic stand-in
+    computes the classic interaction features a learned model
+    consumes (and that a bi-encoder cosine cannot see), combined with
+    fixed weights through a logistic link:
+
+      * coverage  = distinct query terms present / |query|
+      * proximity = 1 / (1 + min_gap), where min_gap is the minimum
+        token distance between occurrences of two DIFFERENT query
+        terms (0 when fewer than 2 distinct terms match) — positional
+        interaction, the hallmark cross-encoder signal;
+      * cosine    = embedding similarity query ↔ doc (0 if absent);
+      * ltf       = ln(1 + total query-term occurrences);
+      * ce_score  = sigmoid(w · [coverage, proximity, cosine, ltf]).
+
+    min_gap uses the sorted-adjacency equivalence: in the
+    position-sorted hit list the minimal distinct-term pair is always
+    adjacent (any closer hit in between either forms a closer
+    distinct pair or shares the left term, pushing a distinct
+    boundary right) — so one array_sort + one zip_with over shifted
+    slices, O(h log h) per doc instead of the O(h²) pair join.
+
+    Physical shape — the production cross-encoder pattern: retrieval
+    is cheap at corpus scale, the EXPENSIVE per-pair scoring runs
+    only on the k-row shortlist.  Documents are broadcast-semi-joined
+    against the shortlist ids (one corpus scan, k rows survive), all
+    features are column expressions on those k rows, the query vector
+    is a 1-row broadcast.  Nothing here grows with the corpus.
+
+    Returns shortlist columns + (n_terms, n_hits, min_gap [-1 when
+    undefined], coverage, proximity, cosine, ce_score, ce_rank);
+    ties break on the id.
+    """
+    from ..functions import vector
+    from ..functions.textfn import words
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    nq = len(set(query_terms))
+    w_cov, w_prox, w_cos, w_ltf = (float(w) for w in weights)
+
+    ids = shortlist.select(id_col)
+    hits = (
+        docs.join(F.broadcast(ids), id_col)
+        .select(id_col, F.posexplode(words(F.col(text_col))).alias("pos", "term"))
+        .where(F.col("term").isin([str(t) for t in set(query_terms)]))
+    )
+    srt = F.array_sort(F.collect_list(F.struct("pos", "term")))
+    feats = hits.groupBy(id_col).agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.count(F.lit(1)).alias("n_hits"),
+        srt.alias("_hs"),
+    )
+    # adjacent distinct-term gaps over the position-sorted hits
+    adj = F.zip_with(
+        F.slice(F.col("_hs"), 1, F.size("_hs") - 1),
+        F.slice(F.col("_hs"), 2, F.size("_hs") - 1),
+        lambda a, b: F.when(a["term"] != b["term"], b["pos"] - a["pos"]),
+    )
+    feats = feats.withColumn(
+        "min_gap",
+        F.array_min(F.filter(adj, lambda x: x.isNotNull())).cast("long"),
+    ).drop("_hs")
+
+    out = shortlist.join(feats, id_col, "left")
+    if query_vec is not None and doc_vecs is not None:
+        qv = F.broadcast(query_vec.select(F.col(vec_col).alias("_qv")))
+        cosd = (
+            doc_vecs.select(
+                F.col(vec_id_col).alias(id_col), F.col(vec_col).alias("_dv")
+            )
+            .join(F.broadcast(ids), id_col)
+            .crossJoin(qv)
+            .select(
+                id_col,
+                vector.cosine(F.col("_dv"), F.col("_qv")).alias("_cos"),
+            )
+        )
+        out = out.join(cosd, id_col, "left")
+    else:
+        out = out.withColumn("_cos", F.lit(None).cast("double"))
+
+    coverage = F.coalesce(F.col("n_terms"), F.lit(0)).cast("double") / float(nq)
+    proximity = F.when(
+        F.col("min_gap").isNotNull(),
+        F.lit(1.0) / (F.lit(1.0) + F.col("min_gap").cast("double")),
+    ).otherwise(F.lit(0.0))
+    cosine = F.coalesce(F.col("_cos"), F.lit(0.0))
+    ltf = F.log(
+        F.lit(1.0) + F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+    )
+    z = (
+        F.lit(w_cov) * coverage
+        + F.lit(w_prox) * proximity
+        + F.lit(w_cos) * cosine
+        + F.lit(w_ltf) * ltf
+    )
+    ce = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6) + F.lit(0.0)
+    scored = out.select(
+        *[F.col(c) for c in shortlist.columns],
+        F.coalesce(F.col("n_terms"), F.lit(0)).cast("long").alias("n_terms"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce(F.col("min_gap"), F.lit(-1)).cast("long").alias("min_gap"),
+        (F.round(coverage, 6) + F.lit(0.0)).alias("coverage"),
+        (F.round(proximity, 6) + F.lit(0.0)).alias("proximity"),
+        (F.round(cosine, 6) + F.lit(0.0)).alias("cosine"),
+        ce.alias("ce_score"),
+    )
+    w = Window.orderBy(F.col("ce_score").desc(), F.col(id_col))
+    return scored.withColumn("ce_rank", F.row_number().over(w))

@@ -33,6 +33,7 @@ WINDOW = 50
 # (code or oracle touched since their last driver check).
 HEAD_ORDER = [
     # -- new round-11 entries, newest first --------------------------
+    "retrieval_rerank_docs",          # cross-encoder rerank stage (r10 verdict #7a)
     "streaming_geofence_hot_reload",  # S5 mid-stream side-input change (r10 verdict #3)
     # -- re-checks: code touched in round 11 (pinned_replay_source
     # extraction, r10 verdict #5) ------------------------------------

@@ -4931,3 +4931,91 @@ def test_streaming_kmeans_keep_last_one_replay_after_prune(spark, tmp_path):
     m2.exactly_once_batch(df, 3, state)
     assert m2.centroids == m.centroids
     assert m2.weights == m.weights
+
+
+def test_cross_encoder_rerank_features_match_bruteforce(spark):
+    """ranking.py::cross_encoder_rerank vs an independent pure-python
+    scorer: coverage / log-tf / positional min_gap (checked against
+    the O(h^2) brute-force pair minimum — the operator uses the
+    sorted-adjacency shortcut, so this is the equivalence proof on
+    data), logistic combination, and rank order.  Also pins the
+    degenerate shapes: a doc with ONE matching term has no gap
+    (min_gap -1, proximity 0), a doc with zero hits scores on
+    cosine alone."""
+    import math
+
+    from botkop_telcotraffic_spark_spark.operators.ranking import (
+        cross_encoder_rerank,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # join@0, window@2, join@4, stream@9 -> min distinct gap 1
+            (1, "join the window with join later and a far stream end"),
+            # single matching term only -> no gap
+            (2, "stream stream stream of unrelated words"),
+            # zero hits
+            (3, "completely unrelated text here"),
+            # window@1, stream@2 adjacent -> gap 1; join missing
+            (4, "the window stream pair sits adjacent here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    shortlist = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4)], "doc_id bigint, mmr_rank int"
+    )
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+         (3, [1.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cross_encoder_rerank(
+            docs,
+            shortlist,
+            ["join", "window", "stream"],
+            query_vec=vecs.where(F.col("vec_id") == 0),
+            doc_vecs=vecs.where(F.col("vec_id") > 0),
+        ).collect()
+    }
+
+    def brute(text, qv, dv):
+        toks = text.split(" ")
+        hits = [(i, t) for i, t in enumerate(toks)
+                if t in ("join", "window", "stream")]
+        n_terms = len({t for _, t in hits})
+        n_hits = len(hits)
+        gaps = [abs(a[0] - b[0]) for a in hits for b in hits
+                if a[1] != b[1]]
+        min_gap = min(gaps) if gaps else -1
+        cov = n_terms / 3.0
+        prox = 0.0 if min_gap < 0 else 1.0 / (1.0 + min_gap)
+        cos = (
+            sum(x * y for x, y in zip(qv, dv))
+            / (math.sqrt(sum(x * x for x in qv))
+               * math.sqrt(sum(x * x for x in dv)))
+        )
+        ltf = math.log(1.0 + n_hits)
+        z = 2.0 * cov + 1.5 * prox + 1.0 * cos + 0.25 * ltf
+        return n_terms, n_hits, min_gap, round(
+            1.0 / (1.0 + math.exp(-z)), 6
+        )
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    vmap = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    for did in (1, 2, 3, 4):
+        n_terms, n_hits, min_gap, score = brute(
+            texts[did], vmap[0], vmap[did]
+        )
+        got = out[did]
+        assert got["n_terms"] == n_terms, did
+        assert got["n_hits"] == n_hits, did
+        assert got["min_gap"] == min_gap, did
+        assert abs(got["ce_score"] - score) < 1e-9, (did, got["ce_score"], score)
+    # degenerate pins
+    assert out[2]["min_gap"] == -1 and out[2]["proximity"] == 0.0
+    assert out[3]["n_hits"] == 0 and out[3]["coverage"] == 0.0
+    # rank order follows score desc with doc_id ties
+    ranked = sorted(out.values(), key=lambda r: (-r["ce_score"], r["doc_id"]))
+    assert [r["ce_rank"] for r in ranked] == [1, 2, 3, 4]

@@ -595,6 +595,7 @@ def test_registry_wide_no_cartesian(spark):
         "mmr_diverse_topk",          # broadcast 1-row probe / picked vector
         "bm25_search_docs",          # one-row N / avgdl scalars
         "hybrid_rrf_docs",           # bm25 input (same scalars) + probe
+        "retrieval_rerank_docs",     # 1-row query vector + bm25 scalars (r11)
         "hamming_ann_topk",          # broadcast bounded query set (r5)
         "hamming_rerank_topk",       # same 1-bit index scan, stage 1 (r5)
         "pq_codes_embeddings",       # broadcast k-centroid codebooks (r5)
@@ -640,8 +641,25 @@ def test_registry_wide_no_cartesian(spark):
     # across test boundaries.
     spark.catalog.clearCache()
     items = [kv for kv in entry_mod.queries().items() if kv[0] not in skip]
+    # The pool's safety rests on the invariant stated above: no
+    # audited builder sets a session conf to a non-idempotent value.
+    # ASSERT it instead of trusting the comment (round-10 ADVICE #4):
+    # snapshot every explicitly-set SQL conf before and after — a
+    # future entry violating the invariant fails loudly here instead
+    # of nondeterministically corrupting other threads' plans.
+    conf_before = {r["key"]: r["value"] for r in spark.sql("SET").collect()}
     with ThreadPoolExecutor(max_workers=8) as pool:
         offenders = dict(filter(None, pool.map(audit, items)))
+    conf_after = {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+    drift = {
+        k: (conf_before.get(k), conf_after.get(k))
+        for k in set(conf_before) | set(conf_after)
+        if conf_before.get(k) != conf_after.get(k)
+    }
+    assert not drift, (
+        "a query builder mutated session confs during the threaded "
+        f"plan audit — the pool is no longer safe: {drift}"
+    )
     assert not offenders, offenders
 
 

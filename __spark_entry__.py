@@ -3852,6 +3852,128 @@ WHERE {_HASH_BUCKET_SQL.format(key="d.doc_id")} < t
 """
 
 
+def mixture_waterfill_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight SOLVER (round-10 verdict #7c — the missing
+    piece between temperature_mix_docs' keep-rates and
+    pretrain_mix_pipeline's composition): allocate a global token
+    budget across sources under configured domain weights, capping
+    each source at its physical supply and redistributing unmet
+    demand pro rata — operators/sampling.py::waterfill_allocate, the
+    classic capped-proportional waterfill solved in ONE sorted-prefix
+    pass (sort by saturation ratio supply/share; the capped set is a
+    prefix; no iteration).
+
+    Inputs here: supply_i = whitespace-token total per source (one
+    keyed aggregate over the corpus — the only corpus-sized work);
+    configured weights w_i = source index + 1 (a deterministic
+    DoReMi-style ramp, skewed so both branches are exercised: the
+    heavy-weighted small sources cap, the rest fill to the
+    waterline); budget = 60% of total supply.  The solver itself
+    runs on the k-row (source) frame — global windows over #sources,
+    never the corpus."""
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        waterfill_allocate,
+    )
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    sup = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("supply")
+    )
+    wgt = (
+        F.regexp_extract("source", r"(\d+)$", 1).cast("int") + 1
+    ).cast("double")
+    tot = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    frame = sup.select(
+        "source",
+        "supply",
+        (wgt / F.sum(wgt).over(tot)).alias("share"),
+        (F.lit(0.6) * F.sum("supply").over(tot)).alias("budget"),
+    )
+    out = waterfill_allocate(frame, ["source"])
+    return out.select(
+        "source",
+        F.col("supply").cast("long").alias("supply"),
+        (F.round("share", 6) + F.lit(0.0)).alias("share"),
+        (F.round("alloc", 6) + F.lit(0.0)).alias("alloc"),
+        "capped",
+        (F.round("waterline", 6) + F.lit(0.0)).alias("waterline"),
+    )
+
+
+_WATERFILL_SQL = r"""
+WITH sup AS MATERIALIZED (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS supply,
+         CAST(CAST(regexp_extract(source, '(\d+)$', 1) AS INT) + 1
+              AS DOUBLE) AS w
+  FROM documents GROUP BY source
+),
+base AS (
+  SELECT source, supply,
+         w / (sum(w) OVER (ORDER BY source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+           AS share,
+         0.6 * (sum(supply) OVER (ORDER BY source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+           AS budget
+  FROM sup
+),
+pre AS (
+  SELECT *, supply / share AS r FROM base
+),
+pfx AS (
+  SELECT *,
+         coalesce(sum(supply) OVER (ORDER BY r, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS s_pre,
+         coalesce(sum(share) OVER (ORDER BY r, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS p_pre,
+         sum(share) OVER (ORDER BY r, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS p_tot
+  FROM pre
+),
+flg AS (
+  SELECT *, CASE WHEN r * (p_tot - p_pre) <= budget - s_pre
+                 THEN 1 ELSE 0 END AS f
+  FROM pfx
+),
+cap AS (
+  SELECT *, min(f) OVER (ORDER BY r, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+              AS capped
+  FROM flg
+),
+lamc AS (
+  SELECT *,
+         sum(CASE WHEN capped THEN supply ELSE 0.0 END)
+           OVER (ORDER BY r, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS s_star,
+         sum(CASE WHEN capped THEN share ELSE 0.0 END)
+           OVER (ORDER BY r, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS p_star
+  FROM cap
+),
+fin AS (
+  SELECT *, CASE WHEN p_tot - p_star > 0.0
+                 THEN (budget - s_star) / (p_tot - p_star)
+                 ELSE 0.0 END AS lam
+  FROM lamc
+)
+SELECT source, CAST(supply AS BIGINT) AS supply,
+       round(share, 6) + 0.0 AS share,
+       round(CASE WHEN capped THEN supply ELSE share * lam END, 6) + 0.0
+         AS alloc,
+       capped,
+       round(lam, 6) + 0.0 AS waterline
+FROM fin
+"""
+
+
 def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL rollup (operators/sketch.py::ohll_*): per-day
     user register tables merged up to per-event_type (+ a grand
@@ -8517,6 +8639,171 @@ geo2 AS (
   WHERE e.b >= 4 AND {_raycast_sql('e.clat', 'e.clng')}
 )
 SELECT * FROM geo1 UNION ALL SELECT * FROM geo2"""
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of incremental dedup (round-10 verdict
+    #7b): corpus-vs-batch MinHash-LSH screening through the
+    persistent keyed upsert store, as a real foreachBatch streaming
+    query — the streaming twin of dedup_incremental_docs.
+
+    Semantics per micro-batch b (batch treated atomically — the
+    corpus-vs-BATCH join; two new docs sharing a bucket within the
+    same batch are both accepted, exactly like batch-mode ingestion):
+
+      1. band-bucket the batch docs (k=3 shingles, 8 bands × 2 rows —
+         the dedup_incremental_docs configuration);
+      2. flag is_dup = shares >= 1 bucket with the STORE (the bucket
+         index of everything accepted before this batch: the src0
+         corpus seed + accepted docs of batches < b);
+      3. append the ACCEPTED docs' buckets to the store —
+         first-claim, replay-safe: only buckets not already indexed
+         are inserted (left_anti against the snapshot), so a
+         re-delivered batch recomputes byte-identical flags and the
+         upsert is a no-op (the at-least-once -> effectively-once
+         pattern of KeyedUpsertStore, stamped with the claiming
+         batch).
+
+    Store: streaming/upsert_join.py::KeyedUpsertStore keyed by the
+    band|bucket string — hash-bucketed parquet, touched-buckets-only
+    rewrite; the corpus is NEVER rescanned after seeding (the 100 TB
+    property: each increment scans only the new batch and semi-joins
+    fixed-width bucket keys).  Replay: the non-src0 docs ntile(4)
+    sliced over doc_id via the shared pinned_replay_source.  The
+    DuckDB twin unrolls the 4 store-growth rounds as a CTE chain."""
+    from pyspark.sql import Window
+
+    from botkop_telcotraffic_spark_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.pipeline import (
+        idempotent_parquet_sink,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        pinned_replay_source,
+        replay_partitions,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.upsert_join import (
+        KeyedUpsertStore,
+    )
+
+    tune(spark)
+    nb = 4
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("source") == "src0").select("doc_id", "text")
+    rest = d.where(F.col("source") != "src0").select(
+        "doc_id",
+        "text",
+        F.ntile(nb).over(Window.orderBy("doc_id")).alias("b"),
+    )
+    src_dir = pinned_replay_source(
+        rest, nb, cache_key=(sf_dir, "incdedup_docid_v1")
+    )
+
+    bk_col = F.concat(F.col("band").cast("string"), F.lit("|"), F.col("bkey"))
+
+    def buckets_of(df: DataFrame) -> DataFrame:
+        return minhash_band_buckets(
+            minhash_signatures(df, "doc_id", "text", 3), 8, 2
+        ).select("id", bk_col.alias("bk"))
+
+    store = KeyedUpsertStore(
+        spark, _scratch_dir("incded_store_"), key_col="bk", order_col="ver"
+    )
+    store.upsert(
+        buckets_of(corpus).select("bk").distinct().withColumn("ver", F.lit(0))
+    )
+
+    out_dir = _scratch_dir("incded_out_")
+    sink = idempotent_parquet_sink(out_dir)
+
+    def batch_fn(batch: DataFrame, bid: int) -> None:
+        # pin the batch buckets once (used by both the flag join and
+        # the index append) and the flags once (sink + accepted cut)
+        nbk = buckets_of(batch).localCheckpoint()
+        snap = store.snapshot().select("bk")
+        dup_ids = (
+            nbk.join(snap, "bk", "left_semi")
+            .select("id")
+            .distinct()
+            .withColumn("_d", F.lit(True))
+        )
+        flags = (
+            batch.select(F.col("doc_id").alias("id"))
+            .join(dup_ids, "id", "left")
+            .select("id", F.coalesce("_d", F.lit(False)).alias("is_dup"))
+            .localCheckpoint()
+        )
+        sink(flags, bid)
+        accepted = (
+            nbk.join(flags.where(~F.col("is_dup")), "id", "left_semi")
+            .select("bk")
+            .distinct()
+        )
+        fresh = accepted.join(snap, "bk", "left_anti").withColumn(
+            "ver", F.lit(bid + 1)
+        )
+        store.upsert(fresh)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ckpt = _scratch_dir("incded_ck_")
+    with replay_partitions(spark, 2):
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return (
+        spark.read.schema("id bigint, is_dup boolean, _batch_id int")
+        .parquet(out_dir)
+        .select(
+            (F.col("_batch_id") + 1).cast("int").alias("b"), "id", "is_dup"
+        )
+    )
+
+
+def _stream_incdedup_sql(nb: int = 4) -> str:
+    """DuckDB twin of streaming_incremental_dedup: the store-growth
+    rounds unrolled — st0 = src0 corpus buckets; per batch t, d{t} =
+    batch ids sharing a bucket with st{t-1}, st{t} adds the accepted
+    docs' buckets."""
+    parts = [f"""
+{_POSTINGS_CTE},
+sig AS (SELECT id, [{_MINHASH_EXPRS}] AS sig FROM post GROUP BY id),
+buckets AS ({_LSH_BANDS_SQL}),
+bkx AS MATERIALIZED (
+  SELECT id, CAST(band AS VARCHAR) || '|' || bkey AS bk FROM buckets),
+slc AS MATERIALIZED (
+  SELECT doc_id AS id, ntile({nb}) OVER (ORDER BY doc_id) AS b
+  FROM documents WHERE source <> 'src0'),
+st0 AS MATERIALIZED (
+  SELECT DISTINCT bk FROM bkx JOIN documents d ON bkx.id = d.doc_id
+  WHERE d.source = 'src0')"""]
+    for t in range(1, nb + 1):
+        parts.append(f""",
+nb{t} AS MATERIALIZED (
+  SELECT bkx.id, bkx.bk FROM bkx JOIN slc USING (id) WHERE slc.b = {t}),
+d{t} AS MATERIALIZED (
+  SELECT DISTINCT id FROM nb{t} WHERE bk IN (SELECT bk FROM st{t - 1})),
+st{t} AS MATERIALIZED (
+  SELECT bk FROM st{t - 1}
+  UNION
+  SELECT bk FROM nb{t} WHERE id NOT IN (SELECT id FROM d{t}))""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS b, s.id, "
+        f"s.id IN (SELECT id FROM d{t}) AS is_dup "
+        f"FROM slc s WHERE s.b = {t}"
+        for t in range(1, nb + 1)
+    )
+    return "WITH " + "".join(parts) + "\n" + sel
 
 
 def streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14169,6 +14456,14 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- checked slots 1-50 (driver window) -- see the
     # comment above; regenerated by scripts/reorder_registry.py
     # === NEW-ENTRY INSERTION POINT ===
+    "streaming_incremental_dedup": (
+        streaming_incremental_dedup,
+        _stream_incdedup_sql(),
+    ),
+    "mixture_waterfill_docs": (
+        mixture_waterfill_docs,
+        _WATERFILL_SQL,
+    ),
     "retrieval_rerank_docs": (
         retrieval_rerank_docs,
         _retrieval_rerank_sql(),
@@ -14233,10 +14528,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_coverage_docs": (vocab_coverage_docs, _VOCAB_SQL),
     "gini_source_chars": (gini_source_chars, _GINI_SQL),
     "bpe_merges_docs": (bpe_merges_docs, _bpe_sql()),
-    "kmv_distinct_users": (kmv_distinct_users, _KMV_SQL),
-    "audio_features_events": (audio_features_events, _AUDIO_SQL),
     # -- below slot 50: driver-green at latest check; pytest oracle-parity
     # sweep still covers every entry each run --
+    "kmv_distinct_users": (kmv_distinct_users, _KMV_SQL),
+    "audio_features_events": (audio_features_events, _AUDIO_SQL),
     "hamming_rerank_topk": (hamming_rerank_topk, _hamming_rerank_sql()),
     "minibatch_kmeans_events": (
         minibatch_kmeans_events,

@@ -716,3 +716,91 @@ def cap_per_group(
         local.withColumn(rank_col, F.row_number().over(w2))
         .where(F.col(rank_col) <= n_max)
     )
+
+
+def waterfill_allocate(
+    shares: DataFrame,
+    key_cols: Sequence[str],
+    supply_col: str = "supply",
+    share_col: str = "share",
+    budget_col: str = "budget",
+) -> DataFrame:
+    """Token-budget allocation across sources as a deterministic
+    WATERFILL — the mixture-weight solver between a temperature/
+    configured prior and a physical corpus: each source i has a token
+    supply s_i and a target share p_i of the global budget B; the
+    solver allocates a_i = min(s_i, p_i·λ) with the waterline λ
+    chosen so Σ a_i = min(B, Σ s_i).  Sources whose supply runs out
+    below the waterline are CAPPED at their supply and their unmet
+    demand redistributes to the rest pro rata — the classic
+    capped-proportional fill (power waterfilling / progressive
+    filling in the networking literature).
+
+    Solved in ONE sorted-prefix pass, no iteration: sort sources by
+    saturation ratio r_i = s_i / p_i (the waterline at which source i
+    runs dry).  The optimal capped set is a prefix of that order;
+    row i is capped iff r_i ≤ (B − S_{i-1}) / (P − P_{i-1}) with
+    S/P prefix sums of supply/share over the sorted order (a running
+    min-AND guards the theoretical prefix property numerically).
+    λ = (B − S*) / (P − P*) over the capped totals.
+
+    ``shares``: one row per source carrying key_cols, supply_col
+    (double/long), share_col (positive double), budget_col (the SAME
+    global budget on every row).  The frame is #sources-sized — the
+    global windows here run over k rows, never the corpus (the corpus
+    aggregation producing supplies is the caller's keyed aggregate).
+
+    Returns key_cols + (supply, share, alloc, capped, waterline);
+    alloc sums to min(B, Σ supply) up to float rounding.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(k) for k in key_cols]
+    r = F.col(supply_col).cast("double") / F.col(share_col).cast("double")
+    base = shares.withColumn("_r", r)
+    w = Window.orderBy(F.col("_r"), *keys)
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    total = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sup = F.col(supply_col).cast("double")
+    shr = F.col(share_col).cast("double")
+    base = base.select(
+        "*",
+        F.coalesce(F.sum(sup).over(before), F.lit(0.0)).alias("_S"),
+        F.coalesce(F.sum(shr).over(before), F.lit(0.0)).alias("_P"),
+        F.sum(shr).over(total).alias("_Ptot"),
+    )
+    # capped iff this source runs dry below the waterline implied by
+    # capping everything before it (cross-multiplied: share weights
+    # are positive, so the inequality direction is stable)
+    flag = (
+        F.col("_r") * (F.col("_Ptot") - F.col("_P"))
+        <= F.col(budget_col).cast("double") - F.col("_S")
+    ).cast("int")
+    base = base.withColumn("_capped", F.min(flag).over(
+        Window.orderBy(F.col("_r"), *keys).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    ) == 1)
+    # full-frame totals over the SAME (r, keys) order as the prefix
+    # sums: float accumulation order is part of the contract (the
+    # DuckDB oracle pins the identical ORDER BY), and an unordered
+    # window would sum in partition-arbitrary order
+    agg_w = Window.orderBy(F.col("_r"), *keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s_star = F.sum(F.when(F.col("_capped"), sup).otherwise(0.0)).over(agg_w)
+    p_star = F.sum(F.when(F.col("_capped"), shr).otherwise(0.0)).over(agg_w)
+    lam = F.when(
+        F.col("_Ptot") - p_star > 0.0,
+        (F.col(budget_col).cast("double") - s_star)
+        / (F.col("_Ptot") - p_star),
+    ).otherwise(F.lit(0.0))
+    alloc = F.when(F.col("_capped"), sup).otherwise(shr * lam)
+    return base.select(
+        *key_cols,
+        F.col(supply_col),
+        F.col(share_col),
+        alloc.alias("alloc"),
+        F.col("_capped").alias("capped"),
+        lam.alias("waterline"),
+    )

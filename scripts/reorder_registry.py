@@ -33,6 +33,8 @@ WINDOW = 50
 # (code or oracle touched since their last driver check).
 HEAD_ORDER = [
     # -- new round-11 entries, newest first --------------------------
+    "streaming_incremental_dedup",    # corpus-vs-batch dedup via upsert store (r10 verdict #7b)
+    "mixture_waterfill_docs",         # token-budget waterfill solver (r10 verdict #7c)
     "retrieval_rerank_docs",          # cross-encoder rerank stage (r10 verdict #7a)
     "streaming_geofence_hot_reload",  # S5 mid-stream side-input change (r10 verdict #3)
     # -- re-checks: code touched in round 11 (pinned_replay_source

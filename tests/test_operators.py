@@ -5019,3 +5019,68 @@ def test_cross_encoder_rerank_features_match_bruteforce(spark):
     # rank order follows score desc with doc_id ties
     ranked = sorted(out.values(), key=lambda r: (-r["ce_score"], r["doc_id"]))
     assert [r["ce_rank"] for r in ranked] == [1, 2, 3, 4]
+
+
+def test_waterfill_allocate_matches_iterative_reference(spark):
+    """sampling.py::waterfill_allocate (single sorted-prefix pass) vs
+    the textbook ITERATIVE capped-proportional fill: repeatedly
+    allocate the remaining budget pro rata over uncapped sources, cap
+    any overflow, repeat until stable.  Checked on a skewed fixture
+    (mixed capped/uncapped), a budget >= total supply (everything
+    caps), and a tiny budget (nothing caps); allocation must conserve
+    min(budget, total supply)."""
+    from botkop_telcotraffic_spark_spark.operators.sampling import (
+        waterfill_allocate,
+    )
+
+    def reference(rows, budget):
+        alloc = {k: 0.0 for k, _, _ in rows}
+        capped = set()
+        remaining = budget
+        while True:
+            active = [(k, s, p) for k, s, p in rows if k not in capped]
+            if not active or remaining <= 1e-12:
+                break
+            ptot = sum(p for _, _, p in active)
+            newly = []
+            for k, s, p in active:
+                if p * remaining / ptot >= s - 1e-12:
+                    newly.append(k)
+            if not newly:
+                for k, s, p in active:
+                    alloc[k] = p * remaining / ptot
+                break
+            for k in newly:
+                s = next(s for kk, s, _ in rows if kk == k)
+                alloc[k] = s
+                remaining -= s
+                capped.add(k)
+        return alloc, capped
+
+    cases = [
+        # (supplies, shares, budget): skewed — big shares on small
+        # supplies force caps
+        ([("a", 100.0, 0.1), ("b", 50.0, 0.4), ("c", 400.0, 0.3),
+          ("d", 30.0, 0.2)], 300.0),
+        # budget exceeds total supply: everything caps
+        ([("a", 10.0, 0.5), ("b", 20.0, 0.5)], 100.0),
+        # tiny budget: nothing caps
+        ([("a", 100.0, 0.25), ("b", 100.0, 0.75)], 10.0),
+    ]
+    for rows, budget in cases:
+        df = spark.createDataFrame(
+            [(k, s, p, budget) for k, s, p in rows],
+            "source string, supply double, share double, budget double",
+        )
+        got = {
+            r["source"]: r
+            for r in waterfill_allocate(df, ["source"]).collect()
+        }
+        ref_alloc, ref_capped = reference(rows, budget)
+        for k, s, p in rows:
+            assert abs(got[k]["alloc"] - ref_alloc[k]) < 1e-6, (
+                k, got[k]["alloc"], ref_alloc[k], budget)
+            assert got[k]["capped"] == (k in ref_capped), (k, budget)
+        total = sum(got[k]["alloc"] for k, _, _ in rows)
+        expect = min(budget, sum(s for _, s, _ in rows))
+        assert abs(total - expect) < 1e-6, (total, expect)

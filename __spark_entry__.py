@@ -8658,11 +8658,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
          corpus seed + accepted docs of batches < b);
       3. append the ACCEPTED docs' buckets to the store —
          first-claim, replay-safe: only buckets not already indexed
-         are inserted (left_anti against the snapshot), so a
-         re-delivered batch recomputes byte-identical flags and the
-         upsert is a no-op (the at-least-once -> effectively-once
-         pattern of KeyedUpsertStore, stamped with the claiming
-         batch).
+         are inserted (left_anti), stamped ver = batch_id + 1, and
+         the dup join reads the ``ver <= batch_id`` slice (a
+         bucket's ver never changes after first claim, so that slice
+         IS the pre-batch store), so a re-delivered batch recomputes
+         byte-identical flags and its upsert is a value-level no-op
+         (tests/test_streaming.py::
+         test_incremental_dedup_restart_exactly_once).
 
     Store: streaming/upsert_join.py::KeyedUpsertStore keyed by the
     band|bucket string — hash-bucketed parquet, touched-buckets-only
@@ -8673,9 +8675,9 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin unrolls the 4 store-growth rounds as a CTE chain."""
     from pyspark.sql import Window
 
-    from botkop_telcotraffic_spark_spark.operators.dedup import (
-        minhash_band_buckets,
-        minhash_signatures,
+    from botkop_telcotraffic_spark_spark.streaming.dedup_stream import (
+        incremental_dedup_batch,
+        minhash_bucket_keys,
     )
     from botkop_telcotraffic_spark_spark.streaming.pipeline import (
         idempotent_parquet_sink,
@@ -8701,50 +8703,21 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rest, nb, cache_key=(sf_dir, "incdedup_docid_v1")
     )
 
-    bk_col = F.concat(F.col("band").cast("string"), F.lit("|"), F.col("bkey"))
-
-    def buckets_of(df: DataFrame) -> DataFrame:
-        return minhash_band_buckets(
-            minhash_signatures(df, "doc_id", "text", 3), 8, 2
-        ).select("id", bk_col.alias("bk"))
-
     store = KeyedUpsertStore(
         spark, _scratch_dir("incded_store_"), key_col="bk", order_col="ver"
     )
     store.upsert(
-        buckets_of(corpus).select("bk").distinct().withColumn("ver", F.lit(0))
+        minhash_bucket_keys(corpus)
+        .select("bk")
+        .distinct()
+        .withColumn("ver", F.lit(0))
     )
 
     out_dir = _scratch_dir("incded_out_")
     sink = idempotent_parquet_sink(out_dir)
 
     def batch_fn(batch: DataFrame, bid: int) -> None:
-        # pin the batch buckets once (used by both the flag join and
-        # the index append) and the flags once (sink + accepted cut)
-        nbk = buckets_of(batch).localCheckpoint()
-        snap = store.snapshot().select("bk")
-        dup_ids = (
-            nbk.join(snap, "bk", "left_semi")
-            .select("id")
-            .distinct()
-            .withColumn("_d", F.lit(True))
-        )
-        flags = (
-            batch.select(F.col("doc_id").alias("id"))
-            .join(dup_ids, "id", "left")
-            .select("id", F.coalesce("_d", F.lit(False)).alias("is_dup"))
-            .localCheckpoint()
-        )
-        sink(flags, bid)
-        accepted = (
-            nbk.join(flags.where(~F.col("is_dup")), "id", "left_semi")
-            .select("bk")
-            .distinct()
-        )
-        fresh = accepted.join(snap, "bk", "left_anti").withColumn(
-            "ver", F.lit(bid + 1)
-        )
-        store.upsert(fresh)
+        sink(incremental_dedup_batch(batch, store, bid), bid)
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string")

@@ -113,3 +113,89 @@ def simhash_bucket_claims_stream(
         .dropDuplicatesWithinWatermark(["band", "byte"])
         .select("band", "byte")
     )
+
+
+def minhash_bucket_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, bk) MinHash band-bucket memberships with the bucket key
+    flattened to one string ``band|h1,h2`` — the store key of the
+    incremental-dedup index."""
+    from ..operators.dedup import minhash_band_buckets, minhash_signatures
+
+    return minhash_band_buckets(
+        minhash_signatures(df, id_col, text_col, k), bands, rows_per_band
+    ).select(
+        "id",
+        F.concat(
+            F.col("band").cast("string"), F.lit("|"), F.col("bkey")
+        ).alias("bk"),
+    )
+
+
+def incremental_dedup_batch(
+    batch: DataFrame,
+    store,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """One micro-batch of corpus-vs-batch incremental near-dup
+    screening through a KeyedUpsertStore bucket index (the
+    foreachBatch body of streaming_incremental_dedup; see
+    tests/test_streaming.py::test_incremental_dedup_restart for the
+    exactly-once chaos proof).
+
+    The batch is treated atomically: is_dup = shares >= 1 MinHash
+    band bucket with the STORE (everything accepted before this
+    batch), never with a same-batch sibling — batch-mode ingestion
+    semantics.  Accepted docs' buckets are appended FIRST-CLAIM:
+    only keys absent from the snapshot are inserted (left_anti),
+    stamped ver = batch_id + 1.  Because a bucket's ver never changes
+    after its first claim, ``ver <= batch_id`` is exactly the store
+    as it stood BEFORE this batch first ran — the dup join reads that
+    slice, so a re-delivered batch (crash between sink write and
+    offset commit) does NOT see its own first run's insertions,
+    recomputes byte-identical flags, and its left_anti re-upsert is a
+    value-level no-op.
+
+    Returns the (id, is_dup) flags, localCheckpoint-pinned (callers
+    sink them AND derive the accepted cut — one materialization)."""
+    nbk = minhash_bucket_keys(
+        batch, id_col, text_col, k, bands, rows_per_band
+    ).localCheckpoint()
+    snapshot = store.snapshot()
+    # the pre-batch view: claims by the corpus seed (ver 0) and by
+    # batches strictly before this one (ver j+1 <= batch_id)
+    snap_prior = snapshot.where(F.col("ver") <= batch_id).select("bk")
+    snap_all = snapshot.select("bk")
+    dup_ids = (
+        nbk.join(snap_prior, "bk", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    flags = (
+        batch.select(F.col(id_col).alias("id"))
+        .join(dup_ids, "id", "left")
+        .select("id", F.coalesce("_d", F.lit(False)).alias("is_dup"))
+        .localCheckpoint()
+    )
+    accepted = (
+        nbk.join(flags.where(~F.col("is_dup")), "id", "left_semi")
+        .select("bk")
+        .distinct()
+    )
+    fresh = accepted.join(snap_all, "bk", "left_anti").withColumn(
+        "ver", F.lit(batch_id + 1)
+    )
+    store.upsert(fresh)
+    return flags

@@ -1858,3 +1858,126 @@ def test_geofence_hot_reload_boundary(spark):
     # the added fence matched after the reload, never before
     assert sorted(by_fence["band"]["bs"]) == [4, 5]
     assert sorted(by_fence["band"]["cells"]) == ["c14", "c15", "c16"]
+
+
+def test_incremental_dedup_restart_exactly_once(spark):
+    """Exactly-once proof for the incremental-dedup batch core
+    (streaming/dedup_stream.py::incremental_dedup_batch): the dup
+    join reads the ver <= batch_id store slice, so a re-delivered
+    batch (crash between sink write and offset commit) does NOT see
+    its own first run's bucket insertions — without that slice, every
+    accepted doc would flip to is_dup on replay.  Also: a killed and
+    restarted query (fresh checkpoint continuation over the same
+    store) matches an uninterrupted run row for row."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from botkop_telcotraffic_spark_spark.streaming.dedup_stream import (
+        incremental_dedup_batch,
+        minhash_bucket_keys,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.pipeline import (
+        idempotent_parquet_sink,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.upsert_join import (
+        KeyedUpsertStore,
+    )
+
+    src = os.path.join(TMP, "incded_chaos_src")
+    names = ["out", "ckpt", "store", "out_ref", "ckpt_ref", "store_ref"]
+    dirs = {n: os.path.join(TMP, f"incded_chaos_{n}") for n in names}
+    shutil.rmtree(src, ignore_errors=True)
+    for d in dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+
+    corpus_txt = "alpha beta gamma delta epsilon zeta eta theta"
+    # batch 1: doc 10 near-dups the corpus; 11 is novel; 12 dups 11
+    # only WITHIN the batch (batch-atomic semantics: both accepted)
+    b1 = pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": [corpus_txt,
+                 "one two three four five six seven eight nine",
+                 "one two three four five six seven eight nine"],
+    })
+    # batch 2: doc 20 dups batch-1's accepted doc 11; 21 is novel
+    b2 = pd.DataFrame({
+        "doc_id": [20, 21],
+        "text": ["one two three four five six seven eight nine",
+                 "totally different words with no overlap at all here"],
+    })
+    b1.to_parquet(os.path.join(src, "a.parquet"))
+    schema = "doc_id bigint, text string"
+
+    corpus = spark.createDataFrame(
+        [(1, corpus_txt)], schema
+    )
+
+    def mk_store(path):
+        store = KeyedUpsertStore(spark, path, key_col="bk", order_col="ver")
+        store.upsert(
+            minhash_bucket_keys(corpus).select("bk").distinct()
+            .withColumn("ver", F.lit(0))
+        )
+        return store
+
+    def run(store, out, ckpt, max_one_file=False):
+        sink = idempotent_parquet_sink(out)
+
+        def batch_fn(df, batch_id):
+            sink(incremental_dedup_batch(df, store, batch_id), batch_id)
+
+        reader = spark.readStream.schema(schema)
+        if max_one_file:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        q = (
+            reader.parquet(src)
+            .writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def table(path):
+        return sorted(
+            (r["id"], r["is_dup"], r["_batch_id"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    store = mk_store(dirs["store"])
+    run(store, dirs["out"], dirs["ckpt"])      # run 1, then "killed"
+    got1 = table(dirs["out"])
+    assert got1 == [(10, True, 0), (11, False, 0), (12, False, 0)]
+
+    b2.to_parquet(os.path.join(src, "b.parquet"))
+    run(store, dirs["out"], dirs["ckpt"])      # restart, same store
+    got2 = table(dirs["out"])
+    assert [g for g in got2 if g[2] == 0] == got1
+    assert [g for g in got2 if g[2] == 1] == [(20, True, 1), (21, False, 1)]
+
+    # uninterrupted reference
+    run(mk_store(dirs["store_ref"]), dirs["out_ref"], dirs["ckpt_ref"],
+        max_one_file=True)
+    assert got2 == table(dirs["out_ref"])
+
+    # re-delivery: replay batch 1 against the SAME store (as after a
+    # crash between sink write and offset commit).  Doc 21's buckets
+    # are in the store with ver = 2 from the first run; the
+    # ver <= batch_id slice hides them, so the flags — including
+    # 21's is_dup = False — are byte-identical and the table is
+    # rewritten in place unchanged.
+    snap_before = sorted(
+        (r["bk"], r["ver"])
+        for r in store.snapshot().collect()
+    )
+    replay = spark.read.schema(schema).parquet(os.path.join(src, "b.parquet"))
+    sink = idempotent_parquet_sink(dirs["out"])
+    sink(incremental_dedup_batch(replay, store, 1), 1)
+    assert table(dirs["out"]) == got2
+    snap_after = sorted(
+        (r["bk"], r["ver"])
+        for r in store.snapshot().collect()
+    )
+    assert snap_after == snap_before

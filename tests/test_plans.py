@@ -1195,3 +1195,26 @@ def test_streaming_fanout_per_batch_plan_shape(spark, tmp_path, sfd):
         assert "Window" in physical_plan(branches["anomalies"])
     finally:
         enriched.unpersist()
+
+
+@FLAGSHIP_SCALES
+def test_r11_entries_exchange_counts_pinned(spark, sfd):
+    """Round-11 additions get the same plan pin as the flagships, at
+    BOTH sf0.001 and sf0.1: retrieval_rerank_docs composes the whole
+    retrieval chain plus the rerank features (11 Exchanges measured
+    stable at both scales — bm25 aggregates, RRF fuse, post-MMR
+    shortlist joins, feature aggregates, final rank window);
+    mixture_waterfill_docs is ONE corpus aggregate plus the k-row
+    solver windows (3).  No CartesianProduct at either scale; the
+    rerank's BNLJ is the 1-row query vector (allowlisted)."""
+    qs = entry_mod.queries()
+
+    rr = physical_plan(qs["retrieval_rerank_docs"](spark, sfd))
+    assert "CartesianProduct" not in rr, rr
+    n = rr.count("Exchange")
+    assert n <= 11, f"retrieval_rerank_docs exchanges grew: {n}\n{rr}"
+
+    wf = physical_plan(qs["mixture_waterfill_docs"](spark, sfd))
+    assert "CartesianProduct" not in wf, wf
+    n = wf.count("Exchange")
+    assert n <= 3, f"mixture_waterfill_docs exchanges grew: {n}\n{wf}"

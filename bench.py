@@ -153,6 +153,18 @@ def flag_name(flag: str) -> str:
     return flag.split(":", 1)[0]
 
 
+# Stable, cheap, WIDE (32-task full-scan) queries used alongside the
+# narrow controls when bracketing confirm re-runs: contention is
+# shape-dependent (the r11 sustained-load drill measured narrow
+# controls at x1.2 while wide queries ran x3-5 under the same load),
+# so the confirm-time ambient is the max of the narrow and wide
+# medians.  Both have committed baselines flat across rounds
+# (q1 0.254/0.244, word_counts 0.414/0.412 in r10/r11).
+WIDE_CONFIRM_CONTROLS: list[str] = [
+    "q1_pricing_summary",
+    "word_counts_docs",
+]
+
 # A confirm sample measured while the host ran hotter than this
 # ceiling (confirm-time controls median vs the committed baseline)
 # is INVALID EVIDENCE: under heavy concurrent load the slowdown is
@@ -165,6 +177,84 @@ def flag_name(flag: str) -> str:
 # needs-idle-probe advisory (returned separately, never a gate
 # failure).
 CONFIRM_AMBIENT_CEILING = 2.0
+
+# Second, SHAPE-INDEPENDENT invalidity signal: foreign CPU measured
+# directly from /proc during the confirm bracket.  The r11 sustained
+# drill proved no finite control set spans every query shape (24 burn
+# workers inflated a Python-worker-bound query 30x while narrow
+# controls read x1.3 and wide JVM controls x1.4), but the burn load
+# itself is directly observable — total busy jiffies minus our own
+# process tree's (the JVM and its pyspark.daemon workers are our
+# descendants).  A confirm bracketed while foreigners burned more
+# than this many cores is invalid evidence regardless of what the
+# control ratios happened to read.  An idle or lightly-shared host
+# (a stray monitoring daemon) stays well under it.
+CONFIRM_FOREIGN_CORES_CEILING = 4.0
+
+
+def _proc_cpu_sample() -> tuple[int, int]:
+    """(total_busy_jiffies, our_process_tree_jiffies) right now.
+
+    Linux-only best effort: returns (0, 0) when /proc is unreadable,
+    which downstream treats as zero foreign load (no false
+    invalidations on exotic hosts)."""
+    import os
+
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:11]]
+        total_busy = sum(vals) - vals[3] - vals[4]  # minus idle+iowait
+        me = os.getpid()
+        entries = []
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as fh:
+                    st = fh.read()
+            except OSError:
+                continue
+            rest = st[st.rindex(")") + 2:].split()
+            # utime+stime plus cutime+cstime: exited descendants roll
+            # their jiffies into the parent, so short-lived workers in
+            # our tree are not misattributed to the foreign side
+            entries.append(
+                (
+                    int(d),
+                    int(rest[1]),
+                    int(rest[11]) + int(rest[12])
+                    + int(rest[13]) + int(rest[14]),
+                )
+            )
+        parent = {pid: ppid for pid, ppid, _ in entries}
+
+        def mine(pid: int) -> bool:
+            seen = set()
+            while pid > 1 and pid not in seen:
+                if pid == me:
+                    return True
+                seen.add(pid)
+                pid = parent.get(pid, 0)
+            return pid == me
+
+        ours = sum(cpu for pid, _, cpu in entries if mine(pid))
+        return total_busy, ours
+    except OSError:
+        return 0, 0
+
+
+def foreign_cores(before: tuple[int, int], after: tuple[int, int],
+                  wall_s: float) -> float:
+    """Average CPU cores burned by processes OUTSIDE our tree between
+    two _proc_cpu_sample() readings."""
+    import os
+
+    if wall_s <= 0:
+        return 0.0
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    d_total = after[0] - before[0]
+    d_ours = after[1] - before[1]
+    return max(0.0, (d_total - d_ours) / hz / wall_s)
 
 
 def confirmed_regressions(
@@ -189,11 +279,13 @@ def confirmed_regressions(
     moment of the confirm sample itself.
 
     A flag is KEPT only when the confirm sample, normalized by its
-    own confirm-time ambient, still trips the threshold AND that
-    ambient is credible (<= CONFIRM_AMBIENT_CEILING).  A confirm
-    taken on a hotter host is invalid evidence either way: the flag
-    moves to the third return value (``needs_probe``) — an advisory
-    for a manual idle-machine probe, NOT a gate failure.  A flag with
+    own confirm-time ambient, still trips the threshold AND the
+    confirm evidence is credible: ambient <= CONFIRM_AMBIENT_CEILING
+    AND measured foreign CPU <= CONFIRM_FOREIGN_CORES_CEILING (the
+    /proc-based signal that catches load the control shapes miss).
+    A confirm taken on a hotter host is invalid evidence either way:
+    the flag moves to the third return value (``needs_probe``) — an
+    advisory for a manual idle-machine probe, NOT a gate failure.  A flag with
     no confirm sample at all is kept (a run predating this machinery
     cannot exonerate itself).  Legacy float confirm samples (pre-r11
     snapshots) are normalized by the RUN ambient as before.
@@ -214,6 +306,7 @@ def confirmed_regressions(
         if isinstance(c, dict):
             camb = max(1.0, float(c.get("ambient", 1.0)))
             sample = float(c["sample"])
+            fc = float(c.get("foreign_cores", 0.0))
             if camb > CONFIRM_AMBIENT_CEILING:
                 # confirm pass itself ran under heavy load — cannot
                 # convict OR exonerate; hand off to an idle probe
@@ -223,11 +316,25 @@ def confirmed_regressions(
                     f"needed, sample {sample:.2f}s]"
                 )
                 continue
+            if fc > CONFIRM_FOREIGN_CORES_CEILING:
+                # shape-independent invalidity: foreigners burned
+                # real cores through the bracket, and contention is
+                # query-shape-dependent (controls can read near 1
+                # while a Python-worker-bound query runs 30x — the
+                # r11 sustained drill), so neither the sample nor
+                # its normalization is evidence
+                needs_probe.append(
+                    f + f" [confirm invalid: {fc:.1f} foreign cores "
+                    f"> {CONFIRM_FOREIGN_CORES_CEILING} ceiling — "
+                    f"idle probe needed, sample {sample:.2f}s]"
+                )
+                continue
             norm = sample / camb
             if norm > ratio * prev and norm - prev > floor:
                 kept.append(
                     f + f" [confirmed: re-run {sample:.2f}s at "
-                    f"confirm-ambient x{camb:.2f}]"
+                    f"confirm-ambient x{camb:.2f}, "
+                    f"{fc:.1f} foreign cores]"
                 )
             continue
         # legacy float sample (pre-r11): normalize by the run ambient
@@ -312,16 +419,29 @@ def main() -> None:
     # verdict #1): names that would be flagged against the committed
     # snapshot get confirm re-run(s) here at the end, after whatever
     # transient hit them mid-run has passed.  Each confirm sample is
-    # BRACKETED by the two cheapest frozen controls so the gate knows
-    # how loaded the host was at confirm time — a confirm taken under
-    # sustained concurrent load (driver post-commit re-runs measured
-    # up to 13x idle in r10) is recorded with its ambient and treated
-    # as invalid evidence by confirmed_regressions, never a
-    # conviction.  Prelim flags are computed with NO skip set
-    # (round-10 ADVICE: the gate can flag protected high-variance
-    # names, so every gate-visible flag must have a confirm sample);
-    # heavy / high-variance names get a median-of-3 confirm (one
-    # loaded burst must not re-convict what median-of-5 measured).
+    # BRACKETED by frozen controls so the gate knows how loaded the
+    # host was at confirm time — a confirm taken under sustained
+    # concurrent load (driver post-commit re-runs measured up to 13x
+    # idle in r10) is recorded with its ambient and treated as
+    # invalid evidence by confirmed_regressions, never a conviction.
+    #
+    # The bracket mixes SHAPES because contention is not uniform
+    # across them (r11 sustained-load drill: 24 burn workers inflated
+    # the cheap few-task controls x1.2 while 32-task wide queries ran
+    # x3-5 — a narrow-only bracket under-measured the load and
+    # "confirmed" two phantoms): the two cheapest narrow CONTROLS
+    # plus two stable WIDE full-scan queries, and the recorded
+    # ambient is the MAX of the two medians.  Over-estimating
+    # confirm ambient is safe — it either normalizes the sample
+    # (load excused) or crosses the ceiling (invalid evidence,
+    # needs-idle-probe advisory); a real regression still convicts
+    # on a calm host, where every ratio sits near 1.
+    #
+    # Prelim flags are computed with NO skip set (round-10 ADVICE:
+    # the gate can flag protected high-variance names, so every
+    # gate-visible flag must have a confirm sample); heavy /
+    # high-variance names get a median-of-3 confirm (one loaded
+    # burst must not re-convict what median-of-5 measured).
     import statistics as _stats
 
     _, prelim = snapshot_regressions(base_queries, timings)
@@ -330,22 +450,41 @@ def main() -> None:
         (c for c in CONTROLS if base_queries.get(c)),
         key=lambda c: base_queries[c],
     )[:2]
+    wide_bracket = [
+        c for c in WIDE_CONFIRM_CONTROLS if base_queries.get(c)
+    ]
 
-    def _ctrl_ratios() -> list[float]:
-        return [run(c) / base_queries[c] for c in bracket]
+    def _ctrl_ratios() -> tuple[list[float], list[float]]:
+        return (
+            [run(c) / base_queries[c] for c in bracket],
+            [run(c) / base_queries[c] for c in wide_bracket],
+        )
 
     confirm: dict[str, dict] = {}
     for name in prelim_names[:MAX_CONFIRM_RERUNS]:
         k = 3 if (name in HIGH_VARIANCE or name in heavy) else 1
-        ratios: list[float] = []
+        narrow: list[float] = []
+        wide: list[float] = []
         samples: list[float] = []
+        cpu0 = _proc_cpu_sample()
+        t0 = time.perf_counter()
         for _ in range(k):
-            ratios.extend(_ctrl_ratios())
+            nr, wr = _ctrl_ratios()
+            narrow.extend(nr)
+            wide.extend(wr)
             samples.append(run(name))
-        ratios.extend(_ctrl_ratios())
+        nr, wr = _ctrl_ratios()
+        narrow.extend(nr)
+        wide.extend(wr)
+        fc = foreign_cores(cpu0, _proc_cpu_sample(), time.perf_counter() - t0)
+        amb_n = _stats.median(narrow) if narrow else 1.0
+        amb_w = _stats.median(wide) if wide else 1.0
         confirm[name] = {
             "sample": round(sorted(samples)[len(samples) // 2], 3),
-            "ambient": round(_stats.median(ratios), 3) if ratios else 1.0,
+            "ambient": round(max(amb_n, amb_w), 3),
+            "ambient_narrow": round(amb_n, 3),
+            "ambient_wide": round(amb_w, 3),
+            "foreign_cores": round(fc, 2),
             "n": k,
         }
 

@@ -400,6 +400,90 @@ def test_confirmed_regressions_load_aware_fixture():
     assert "real" in {bench.flag_name(f) for f in flags}
 
 
+def test_confirmed_regressions_foreign_load_fixture():
+    """Shape-independent load invalidity (r11 sustained drill: 24
+    burn workers inflated a Python-worker-bound query 30x while every
+    control ratio read <= 1.4): a confirm bracketed while foreigners
+    burned more cores than CONFIRM_FOREIGN_CORES_CEILING cannot
+    convict — even with a low measured ambient — and moves to
+    needs_probe; a near-idle foreign reading leaves the normal
+    ambient logic in charge."""
+    controls = bench.CONTROLS
+    prev = {c: 1.0 for c in controls}
+    prev.update({"pyworker": 1.0, "calm": 1.0})
+    cur = {c: 1.0 for c in controls}
+    cur.update({"pyworker": 3.0, "calm": 3.0})
+
+    confirm = {
+        # the drill shape: sample 17.3 vs baseline 0.58, controls
+        # blind (ambient 1.33) but /proc saw the burn workers
+        "pyworker": {"sample": 17.3, "ambient": 1.33,
+                     "foreign_cores": 23.6, "n": 1},
+        # same ambient, idle foreign reading, sample still slow ->
+        # a real conviction
+        "calm": {"sample": 2.9, "ambient": 1.0,
+                 "foreign_cores": 0.4, "n": 1},
+    }
+    _, flags, probe = bench.confirmed_regressions(prev, cur, confirm)
+    assert [bench.flag_name(f) for f in flags] == ["calm"], flags
+    assert [bench.flag_name(f) for f in probe] == ["pyworker"], probe
+    assert "foreign cores" in probe[0]
+
+
+def test_foreign_cores_measurement():
+    """_proc_cpu_sample / foreign_cores on this host: CPU burned by
+    our OWN subprocess tree must not count as foreign (children roll
+    up via cutime after exit), and a quiet interval reads near
+    zero foreign cores."""
+    import subprocess
+    import sys
+    import time
+
+    before = bench._proc_cpu_sample()
+    t0 = time.perf_counter()
+    # burn ~0.5 core-seconds inside our own tree
+    subprocess.run(
+        [sys.executable, "-c",
+         "import hashlib\n"
+         "b = b'x' * 65536\n"
+         "for _ in range(4000): b = hashlib.sha256(b).digest() * 2048"],
+        check=True,
+    )
+    wall = time.perf_counter() - t0
+    fc = bench.foreign_cores(before, bench._proc_cpu_sample(), wall)
+    # our own burn must be attributed to us; only background daemons
+    # (and whatever else shares this box) may appear — allow slack
+    # well below the 4-core ceiling but far above the burn itself
+    assert fc < 3.0, fc
+    assert bench.foreign_cores((0, 0), (0, 0), 0.0) == 0.0
+
+
+def test_wide_confirm_controls_are_valid():
+    """The wide confirm-bracket queries must resolve in the registry,
+    have committed baselines (else the ratio is undefined and the
+    bracket silently narrows), and never be high_variance.  Shape
+    rationale: the r11 sustained-load drill showed narrow-only
+    brackets under-measure contention (narrow x1.2 vs wide x3-5), so
+    the confirm ambient takes the max of both medians."""
+    import os
+
+    qs = entry_mod.queries()
+    assert bench.WIDE_CONFIRM_CONTROLS, "wide bracket must be non-empty"
+    missing = [c for c in bench.WIDE_CONFIRM_CONTROLS if c not in qs]
+    assert not missing, f"wide controls not in registry: {missing}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    manifest = json.load(open(os.path.join(repo, "bench_manifest.json")))
+    noisy = [
+        c for c in bench.WIDE_CONFIRM_CONTROLS
+        if c in manifest["high_variance"]
+    ]
+    assert not noisy, f"wide controls marked high_variance: {noisy}"
+    _, base = bench._newest_snapshot_queries()
+    if base:
+        absent = [c for c in bench.WIDE_CONFIRM_CONTROLS if not base.get(c)]
+        assert not absent, f"wide controls missing a baseline: {absent}"
+
+
 def test_confirm_pass_skipset_symmetry():
     """Round-10 ADVICE #3: bench.py's prelim confirm-flag pass must
     not skip any name the gates can flag — otherwise a protected

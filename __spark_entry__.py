@@ -7456,6 +7456,11 @@ cand AS (
 # double literals in both engines.
 _CE_WEIGHTS = (2.0, 1.5, 1.0, 0.25)
 _CE_TERMS = ["join", "window", "stream"]
+# the engine's coverage denominator dedups terms
+# (ranking.cross_encoder_rerank uses len(set(query_terms))); the
+# oracle below does too, so a future duplicate term cannot silently
+# diverge engine vs oracle ce_score (r11 ADVICE)
+assert len(set(_CE_TERMS)) == len(_CE_TERMS), "_CE_TERMS must be unique"
 
 
 def retrieval_rerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7499,7 +7504,7 @@ def retrieval_rerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _retrieval_rerank_sql() -> str:
     wc, wp, ws, wl = _CE_WEIGHTS
     terms = ", ".join(f"'{t}'" for t in _CE_TERMS)
-    nq = float(len(_CE_TERMS))
+    nq = float(len(set(_CE_TERMS)))  # dedup like the engine (r11 ADVICE)
     return f"""
 WITH {_RRF_CTES},
 cand AS (

@@ -195,14 +195,20 @@ CONFIRM_FOREIGN_CORES_CEILING = 4.0
 def _proc_cpu_sample() -> tuple[int, int]:
     """(total_busy_jiffies, our_process_tree_jiffies) right now.
 
-    Linux-only best effort: returns (0, 0) when /proc is unreadable,
-    which downstream treats as zero foreign load (no false
-    invalidations on exotic hosts)."""
+    Linux-only best effort: returns (0, 0) when /proc is unreadable
+    OR malformed (an exotic kernel-thread stat line raising
+    ValueError/IndexError must degrade, not abort the confirm pass —
+    r11 ADVICE), which downstream treats as zero foreign load (no
+    false invalidations on exotic hosts)."""
     import os
 
     try:
         with open("/proc/stat") as fh:
-            vals = [int(x) for x in fh.readline().split()[1:11]]
+            # first 8 jiffy fields only (user nice system idle iowait
+            # irq softirq steal): guest/guest_nice are already folded
+            # into user/nice on Linux — summing them double-counts VM
+            # load (r11 ADVICE)
+            vals = [int(x) for x in fh.readline().split()[1:9]]
         total_busy = sum(vals) - vals[3] - vals[4]  # minus idle+iowait
         me = os.getpid()
         entries = []
@@ -212,20 +218,23 @@ def _proc_cpu_sample() -> tuple[int, int]:
             try:
                 with open(f"/proc/{d}/stat") as fh:
                     st = fh.read()
-            except OSError:
-                continue
-            rest = st[st.rindex(")") + 2:].split()
-            # utime+stime plus cutime+cstime: exited descendants roll
-            # their jiffies into the parent, so short-lived workers in
-            # our tree are not misattributed to the foreign side
-            entries.append(
-                (
-                    int(d),
-                    int(rest[1]),
-                    int(rest[11]) + int(rest[12])
-                    + int(rest[13]) + int(rest[14]),
+                rest = st[st.rindex(")") + 2:].split()
+                # utime+stime plus cutime+cstime: exited descendants
+                # roll their jiffies into the parent, so short-lived
+                # workers in our tree are not misattributed to the
+                # foreign side
+                entries.append(
+                    (
+                        int(d),
+                        int(rest[1]),
+                        int(rest[11]) + int(rest[12])
+                        + int(rest[13]) + int(rest[14]),
+                    )
                 )
-            )
+            except (OSError, ValueError, IndexError):
+                # process exited mid-read or an unusual stat line —
+                # skip it rather than abort the whole sample
+                continue
         parent = {pid: ppid for pid, ppid, _ in entries}
 
         def mine(pid: int) -> bool:
@@ -239,7 +248,7 @@ def _proc_cpu_sample() -> tuple[int, int]:
 
         ours = sum(cpu for pid, _, cpu in entries if mine(pid))
         return total_busy, ours
-    except OSError:
+    except (OSError, ValueError, IndexError):
         return 0, 0
 
 

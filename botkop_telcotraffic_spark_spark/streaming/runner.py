@@ -63,11 +63,33 @@ def run_to_memory(
 
 
 # per-process cache of materialized replay sources keyed on
-# (cache_key, nb, payload schema): a bench/driver run that executes
-# several replay entries (or re-runs one entry for its warm medians)
-# slices the input ONCE per slicing, not once per invocation
-# (round-10 verdict #5 — each materialization is ~2 write jobs).
+# (cache_key, nb, payload schema, plan fingerprint): a bench/driver
+# run that executes several replay entries (or re-runs one entry for
+# its warm medians) slices the input ONCE per slicing, not once per
+# invocation (round-10 verdict #5 — each materialization is ~2 write
+# jobs).  The plan fingerprint (r11 ADVICE) hashes the analyzed plan
+# of `sliced` with exprIds stripped, so a changed slicing/ordering
+# expression can never reuse stale files even when a caller forgets
+# to bump its version tag.  Guarded by a lock: builders run from an
+# 8-thread pool in the registry-wide audits.
 _REPLAY_SOURCE_CACHE: dict[tuple, str] = {}
+import threading as _threading  # noqa: E402
+
+_REPLAY_SOURCE_LOCK = _threading.Lock()
+
+
+def _plan_fingerprint(df: DataFrame) -> str:
+    """sha256 (16 hex chars) of the analyzed logical plan with the
+    session-monotonic exprIds (`#123`) masked out — deterministic for
+    the same logical query across invocations, different for any
+    change to the slicing/ordering expressions or input paths."""
+    import hashlib
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return hashlib.sha256(
+        re.sub(r"#\d+", "#", plan).encode()
+    ).hexdigest()[:16]
 
 
 def pinned_replay_source(
@@ -103,8 +125,14 @@ def pinned_replay_source(
 
     key = None
     if cache_key is not None:
-        key = (cache_key, nb, tuple(f.name for f in sliced.schema.fields))
-        cached = _REPLAY_SOURCE_CACHE.get(key)
+        key = (
+            cache_key,
+            nb,
+            tuple(f.name for f in sliced.schema.fields),
+            _plan_fingerprint(sliced),
+        )
+        with _REPLAY_SOURCE_LOCK:
+            cached = _REPLAY_SOURCE_CACHE.get(key)
         if cached and len(glob.glob(os.path.join(cached, "b*.parquet"))) == nb:
             return cached
 
@@ -123,7 +151,8 @@ def pinned_replay_source(
         os.utime(dst, (base + 10 * t, base + 10 * t))
     shutil.rmtree(tmp)
     if key is not None:
-        _REPLAY_SOURCE_CACHE[key] = src_dir
+        with _REPLAY_SOURCE_LOCK:
+            _REPLAY_SOURCE_CACHE[key] = src_dir
     return src_dir
 
 

@@ -142,7 +142,9 @@ _EXECUTED = 0
 
 def _cpu_probe() -> float:
     """Time a fixed, deterministic CPU-bound workload (~0.2 s on this
-    host idle): sha256 over 64 MiB.  The ratio of a session's probe
+    host idle): sha256 over 256 x 1 MiB = 256 MiB (the committed
+    probe_baseline_s in tests/suite_budget.json was measured at this
+    exact size — keep them in lockstep).  The ratio of a session's probe
     to the committed `probe_baseline_s` in tests/suite_budget.json
     estimates how much slower the host was running than the clean
     baseline, so the budget gate compares calibrated wall times."""

@@ -433,28 +433,54 @@ def test_confirmed_regressions_foreign_load_fixture():
 def test_foreign_cores_measurement():
     """_proc_cpu_sample / foreign_cores on this host: CPU burned by
     our OWN subprocess tree must not count as foreign (children roll
-    up via cutime after exit), and a quiet interval reads near
-    zero foreign cores."""
+    up via cutime after exit).
+
+    RELATIVE assertion (r11 ADVICE): the old absolute `fc < 3.0`
+    flaked whenever the shared host happened to run >3 foreign cores
+    of background load during the burn even though the attribution
+    code was correct.  Instead, bracket the owned burn with a quiet
+    interval of the same length: the burn interval's foreign reading
+    must not exceed the quiet interval's by the ~1 core the owned
+    subprocess burned (leakage would add almost exactly +1.0)."""
     import subprocess
     import sys
     import time
 
-    before = bench._proc_cpu_sample()
-    t0 = time.perf_counter()
-    # burn ~0.5 core-seconds inside our own tree
-    subprocess.run(
-        [sys.executable, "-c",
-         "import hashlib\n"
-         "b = b'x' * 65536\n"
-         "for _ in range(4000): b = hashlib.sha256(b).digest() * 2048"],
-        check=True,
-    )
-    wall = time.perf_counter() - t0
-    fc = bench.foreign_cores(before, bench._proc_cpu_sample(), wall)
-    # our own burn must be attributed to us; only background daemons
-    # (and whatever else shares this box) may appear — allow slack
-    # well below the 4-core ceiling but far above the burn itself
-    assert fc < 3.0, fc
+    def _interval(burn: bool) -> float:
+        before = bench._proc_cpu_sample()
+        t0 = time.perf_counter()
+        if burn:
+            # burn ~0.5 core-seconds inside our own tree
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import hashlib\n"
+                 "b = b'x' * 65536\n"
+                 "for _ in range(4000): "
+                 "b = hashlib.sha256(b).digest() * 2048"],
+                check=True,
+            )
+        else:
+            time.sleep(0.5)
+        wall = time.perf_counter() - t0
+        return bench.foreign_cores(before, bench._proc_cpu_sample(), wall)
+
+    fc_quiet_pre = _interval(burn=False)
+    fc_burn = _interval(burn=True)
+    fc_quiet_post = _interval(burn=False)
+    # bracket the burn with quiet samples on BOTH sides and compare
+    # against the larger: a stationary background cancels, a moving
+    # one is bounded by whichever bracket caught it
+    fc_quiet = max(fc_quiet_pre, fc_quiet_post)
+    if fc_quiet > 8.0:
+        import pytest
+
+        pytest.skip(f"host too loaded to measure attribution "
+                    f"({fc_quiet:.1f} foreign cores at quiet)")
+    # misattribution of the owned ~1-core burn would read ~+1.0;
+    # background fluctuation between the adjacent intervals stays
+    # well under the 0.7 margin on any host quiet enough to pass
+    # the skip guard
+    assert fc_burn < fc_quiet + 0.7, (fc_burn, fc_quiet)
     assert bench.foreign_cores((0, 0), (0, 0), 0.0) == 0.0
 
 

@@ -464,22 +464,29 @@ def test_foreign_cores_measurement():
         wall = time.perf_counter() - t0
         return bench.foreign_cores(before, bench._proc_cpu_sample(), wall)
 
-    fc_quiet_pre = _interval(burn=False)
-    fc_burn = _interval(burn=True)
-    fc_quiet_post = _interval(burn=False)
-    # bracket the burn with quiet samples on BOTH sides and compare
-    # against the larger: a stationary background cancels, a moving
-    # one is bounded by whichever bracket caught it
-    fc_quiet = max(fc_quiet_pre, fc_quiet_post)
+    def _bracket() -> tuple[float, float]:
+        fc_quiet_pre = _interval(burn=False)
+        fc_burn = _interval(burn=True)
+        fc_quiet_post = _interval(burn=False)
+        # bracket the burn with quiet samples on BOTH sides and
+        # compare against the larger: a stationary background
+        # cancels, a moving one is bounded by whichever bracket
+        # caught it
+        return fc_burn, max(fc_quiet_pre, fc_quiet_post)
+
+    # misattribution of the owned ~1-core burn would read ~+1.0 in
+    # EVERY bracket; a background moving faster than both quiet
+    # samples can track (e.g. a 32-thread JVM exiting mid-bracket)
+    # is transient — settle and re-measure once before failing
+    fc_burn, fc_quiet = _bracket()
+    if fc_burn >= fc_quiet + 0.7:
+        time.sleep(1.0)
+        fc_burn, fc_quiet = _bracket()
     if fc_quiet > 8.0:
         import pytest
 
         pytest.skip(f"host too loaded to measure attribution "
                     f"({fc_quiet:.1f} foreign cores at quiet)")
-    # misattribution of the owned ~1-core burn would read ~+1.0;
-    # background fluctuation between the adjacent intervals stays
-    # well under the 0.7 margin on any host quiet enough to pass
-    # the skip guard
     assert fc_burn < fc_quiet + 0.7, (fc_burn, fc_quiet)
     assert bench.foreign_cores((0, 0), (0, 0), 0.0) == 0.0
 

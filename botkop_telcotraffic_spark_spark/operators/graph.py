@@ -52,6 +52,7 @@ def connected_components(
     dst: str = "b",
     max_iter: int = 25,
     driver_threshold: int = 2_000_000,
+    fallback_star: bool = True,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``
     (undirected); component = min node id reachable.
@@ -68,8 +69,15 @@ def connected_components(
     propagation with pointer jumping, with the frames repartitioned
     proportionally to the edge count.
 
-    Raises if ``max_iter`` rounds don't reach the fixpoint (raise it
-    for long-chain graphs, or switch to star-contraction).
+    Past ``max_iter`` unconverged rounds the graph is chain-shaped
+    (component diameter > 2^max_iter under pointer jumping — a
+    pathological shape near-dup graphs never produce but id-chain /
+    temporal hand-off graphs can); with ``fallback_star`` (default)
+    the computation restarts under diameter-independent
+    large-star/small-star contraction (star_contraction_components,
+    O(log² n) rounds) instead of raising.  The restart discards the
+    propagation rounds already run — acceptable because the fallback
+    fires only on graphs where propagation could never finish.
     """
     e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     out_schema = e0.select(
@@ -130,6 +138,8 @@ def connected_components(
         if prev_sum is not None and cur_sum == prev_sum:
             return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
         prev_sum = cur_sum
+    if fallback_star:
+        return star_contraction_components(edges, src=src, dst=dst)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "long-chain graph; raise max_iter or use star-contraction"
@@ -141,6 +151,7 @@ def star_contraction_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 40,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) via CC-MR alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
@@ -206,9 +217,11 @@ def star_contraction_components(
         ).collect()[0]
 
     prev = None
+    rounds = 0
     for _ in range(max_iter):
         e = _half_step(e, large=True)
         e = _half_step(e, large=False)
+        rounds += 1
         cur = _probe(e)
         if prev is not None and tuple(prev) == tuple(cur):
             break
@@ -217,6 +230,10 @@ def star_contraction_components(
         raise RuntimeError(
             f"star contraction did not converge in {max_iter} rounds"
         )
+    if stats is not None:
+        # observability hook for tests/monitoring: rounds actually
+        # run (each = 2 half-step shuffles + 1 scalar probe agg)
+        stats["rounds"] = rounds
     # fixpoint edges are (child, root) stars; roots label themselves
     return (
         nodes.join(e, "u", "left")

@@ -428,6 +428,54 @@ def test_star_contraction_matches_union_find(spark):
     assert got == want
 
 
+def test_star_contraction_round_count_logarithmic(spark):
+    """The round-count contract the cc_star_chain_components oracle
+    entry relies on (r11 verdict #4): a path of diameter d converges
+    in O(log d) contraction rounds, NOT O(d) — the `stats` hook
+    reports the rounds actually run so a silent regression to
+    diameter-bound behavior fails here rather than as a bench
+    blow-up.  Each round = 2 half-step shuffles + 1 scalar probe."""
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        star_contraction_components,
+    )
+
+    path = [(i, i + 1) for i in range(316)]  # one 317-node segment
+    df = spark.createDataFrame(path, "a long, b long")
+    stats: dict = {}
+    out = star_contraction_components(df, stats=stats)
+    assert out.where("component != 0").count() == 0
+    # log2(317) ~ 8.3; contraction may need a couple extra rounds to
+    # notice the fixpoint but must be nowhere near diameter-bound
+    assert 1 <= stats["rounds"] <= 14, stats
+
+
+def test_connected_components_star_fallback(spark):
+    """connected_components past max_iter on a chain graph falls back
+    to star contraction instead of raising (same API, r11 verdict
+    #4) — and the fallback produces the exact min-labeling."""
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        connected_components,
+    )
+
+    path = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(path, "a long, b long")
+    # driver_threshold=0 forces the distributed branch; max_iter=1
+    # cannot converge on diameter 120 -> the star fallback must fire
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, driver_threshold=0, max_iter=1
+        ).collect()
+    }
+    assert out == {i: 0 for i in range(121)}
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            df, driver_threshold=0, max_iter=1, fallback_star=False
+        ).collect()
+
+
 def test_orc_roundtrip_lossless(spark, tmp_path):
     """ORC round-trip preserves rows and types (sources/formats.py)."""
     from botkop_telcotraffic_spark_spark.sources.formats import read_orc, write_orc

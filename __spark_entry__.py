@@ -2037,6 +2037,64 @@ FROM documents
 """
 
 
+def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end (r11 verdict #5): deterministic
+    8-bit truecolor PNGs synthesized from doc ids (same closed pixel
+    form as the BMP/PPM entry; the encoder cycles scanline filter
+    type y % 5, so every payload exercises ALL FIVE spec filters),
+    decoded by the pure-stdlib zlib-inflate + per-scanline-unfilter
+    codec (operators/multimodal.py::_decode_png), features emitted as
+    scalar columns.  The oracle recomputes the decoded features from
+    the closed pixel form alone — a hash-match proves the
+    encode→filter→deflate→inflate→unfilter→decode round trip is
+    lossless.  Same Arrow-batched mapInPandas plumbing and 100 TB
+    shape as multimodal_decode_features: embarrassingly parallel, no
+    shuffle."""
+    from botkop_telcotraffic_spark_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = multimodal.synth_images(d, formats=("png",))
+    feats = multimodal.decode_features(media)
+    return feats.select(
+        "media_id",
+        F.lit("image/png").alias("mime"),
+        "width",
+        "height",
+        F.round(F.element_at("features", 3), 6).alias("mean_r"),
+        F.round(F.element_at("features", 5), 6).alias("mean_b"),
+        F.round(F.element_at("features", 6), 6).alias("mean_luma"),
+        F.round(F.element_at("features", 7), 6).alias("min_luma"),
+        F.round(F.element_at("features", 8), 6).alias("max_luma"),
+    )
+
+
+_PNG_DECODE_SQL = f"""
+WITH px AS (
+  SELECT doc_id AS media_id,
+         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         list_transform(
+           generate_series(0, (4 + doc_id % 5) * (3 + doc_id % 4) - 1),
+           i -> CAST((doc_id * 31 + i) % 256 AS DOUBLE)) AS v
+  FROM documents
+),
+f AS (
+  SELECT media_id, w, h,
+         list_reduce(list_prepend(0.0, v), (s, x) -> s + x) / (w * h) AS mean_v,
+         list_reduce(list_prepend(0.0, list_transform(v, x -> {_LUMA_SQL})),
+                     (s, x) -> s + x) / (w * h) AS mean_luma,
+         list_min(list_transform(v, x -> {_LUMA_SQL})) AS min_luma,
+         list_max(list_transform(v, x -> {_LUMA_SQL})) AS max_luma
+  FROM px
+)
+SELECT media_id, 'image/png' AS mime,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       round(mean_v, 6) AS mean_r, round(mean_v, 6) AS mean_b,
+       round(mean_luma, 6) AS mean_luma,
+       round(min_luma, 6) AS min_luma, round(max_luma, 6) AS max_luma
+FROM f
+"""
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures over shingle tokens."""
     d = _t(spark, sf_dir, "documents")
@@ -14494,6 +14552,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- checked slots 1-50 (driver window) -- see the
     # comment above; regenerated by scripts/reorder_registry.py
     # === NEW-ENTRY INSERTION POINT ===
+    "png_decode_features": (
+        png_decode_features,
+        _PNG_DECODE_SQL,
+    ),
     "cc_star_chain_components": (
         cc_star_chain_components,
         _CC_STAR_CHAIN_SQL,

@@ -50,15 +50,18 @@ def media_schema(extra_fields: list[T.StructField] | None = None) -> T.StructTyp
     )
 
 
-# --- real pure-stdlib image codecs (BMP 24-bit, PPM P6) --------------------
+# --- real pure-stdlib image codecs (BMP 24-bit, PPM P6, PNG 8-bit) ---------
 #
 # No image libraries ship in this container, but BMP (BITMAPINFOHEADER,
-# uncompressed 24-bit) and binary PPM are simple enough to implement
-# from the published format specs with `struct` alone — so the default
+# uncompressed 24-bit), binary PPM, and non-interlaced 8-bit PNG
+# (stdlib ``zlib`` inflate + per-scanline unfilter: the five filter
+# types of the PNG spec §9) are simple enough to implement from the
+# published format specs with `struct`/`zlib` alone — so the default
 # codec is REAL: it parses headers, walks padded bottom-up BMP rows /
-# row-major PPM payloads, and extracts deterministic features.  Codec
-# injection stays supported for tests and for formats beyond these two
-# (JPEG/audio/video need real libraries — still stubs, clearly marked).
+# row-major PPM payloads / filtered PNG scanlines, and extracts
+# deterministic features.  Codec injection stays supported for tests
+# and for formats beyond these (JPEG/audio/video need real libraries —
+# still explicit NotImplementedError guards, clearly marked).
 
 
 def encode_bmp(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
@@ -141,6 +144,185 @@ def _decode_ppm(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     return width, height, pixels
 
 
+# --- PNG (ISO/IEC 15948): 8-bit gray / truecolor / palette / RGBA ----------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per pixel for the supported 8-bit color types
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: list[tuple[int, int, int]],
+    color_type: int = 2,
+) -> bytes:
+    """Encode row-major top-down (r, g, b) pixels as a non-interlaced
+    8-bit PNG.  ``color_type``: 2 = truecolor RGB (default), 0 =
+    grayscale (uses the red channel), 6 = RGBA with alpha 255.
+
+    Each scanline uses filter type ``y % 5`` — deliberately cycling
+    through all five spec filters (None/Sub/Up/Average/Paeth) so any
+    encode→decode round trip exercises every unfilter path, and the
+    goldens pin all of them at once."""
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        raise ValueError("palette encode not supported — use decode only")
+    raws: list[bytes] = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            if color_type == 0:
+                row.append(r)
+            elif color_type == 2:
+                row += bytes((r, g, b))
+            else:  # 6
+                row += bytes((r, g, b, 255))
+        raws.append(bytes(row))
+    stride = width * ch
+    out = bytearray()
+    prior = bytes(stride)
+    for y, raw in enumerate(raws):
+        ft = y % 5
+        out.append(ft)
+        for i in range(stride):
+            left = raw[i - ch] if i >= ch else 0
+            up = prior[i]
+            ul = prior[i - ch] if i >= ch else 0
+            if ft == 0:
+                v = raw[i]
+            elif ft == 1:
+                v = raw[i] - left
+            elif ft == 2:
+                v = raw[i] - up
+            elif ft == 3:
+                v = raw[i] - (left + up) // 2
+            else:
+                v = raw[i] - _paeth(left, up, ul)
+            out.append(v & 0xFF)
+        prior = raw
+    ihdr = struct.pack(">2I5B", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Parse a non-interlaced 8-bit PNG (color types 0 gray, 2 RGB,
+    3 palette, 6 RGBA — alpha dropped) into row-major (r, g, b)
+    pixels: chunk walk, zlib inflate over concatenated IDATs, then
+    per-scanline unfilter of the five spec filter types."""
+    import struct
+    import zlib
+
+    if content[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = -1
+    color_type = bit_depth = interlace = 0
+    idat = bytearray()
+    plte: list[tuple[int, int, int]] = []
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = (
+                struct.unpack(">2I5B", data)
+            )
+        elif ctype == b"PLTE":
+            plte = [
+                (data[i], data[i + 1], data[i + 2])
+                for i in range(0, len(data), 3)
+            ]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width < 0:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB/palette/RGBA PNG supported "
+            f"(depth={bit_depth}, color_type={color_type}) — inject a "
+            "codec for other layouts"
+        )
+    if interlace != 0:
+        raise NotImplementedError(
+            "Adam7 interlaced PNG not supported — inject a codec"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline payload size mismatch")
+    pixels: list[tuple[int, int, int]] = []
+    prior = bytearray(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft > 4:
+            raise ValueError(f"bad PNG filter type {ft}")
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            up = prior[i]
+            ul = prior[i - ch] if i >= ch else 0
+            if ft == 1:
+                line[i] = (line[i] + left) & 0xFF
+            elif ft == 2:
+                line[i] = (line[i] + up) & 0xFF
+            elif ft == 3:
+                line[i] = (line[i] + (left + up) // 2) & 0xFF
+            elif ft == 4:
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        for x in range(width):
+            if color_type == 0:
+                v = line[x]
+                pixels.append((v, v, v))
+            elif color_type == 2:
+                pixels.append(tuple(line[3 * x : 3 * x + 3]))
+            elif color_type == 3:
+                pixels.append(plte[line[x]])
+            else:  # 6: drop alpha
+                pixels.append(tuple(line[4 * x : 4 * x + 3]))
+        prior = line
+    return width, height, pixels
+
+
 FEATURE_DIM = 8
 
 # Rec.601 luma weights — fixed constants shared with the oracle SQL.
@@ -177,18 +359,21 @@ def image_features(width: int, height: int, pixels: list[tuple[int, int, int]]) 
 
 
 def decode_image(content: bytes) -> dict:
-    """REAL default codec: BMP (24-bit uncompressed) and binary PPM
-    decode via stdlib struct/byte parsing; returns
-    {'width', 'height', 'features'} with FEATURE_DIM features."""
+    """REAL default codec: BMP (24-bit uncompressed), binary PPM, and
+    non-interlaced 8-bit PNG decode via stdlib struct/zlib parsing;
+    returns {'width', 'height', 'features'} with FEATURE_DIM
+    features."""
     if content[:2] == b"BM":
         width, height, pixels = _decode_bmp(content)
     elif content[:2] == b"P6":
         width, height, pixels = _decode_ppm(content)
+    elif content[:8] == PNG_SIG:
+        width, height, pixels = _decode_png(content)
     else:
         raise NotImplementedError(
-            "unsupported payload (only BMP/PPM decode ships in this "
-            "container) — inject a codec callable (bytes -> {'width', "
-            "'height', 'features'}) for other formats"
+            "unsupported payload (only BMP/PPM/PNG decode ships in "
+            "this container) — inject a codec callable (bytes -> "
+            "{'width', 'height', 'features'}) for other formats"
         )
     return {
         "width": width,
@@ -199,13 +384,17 @@ def decode_image(content: bytes) -> dict:
 
 def resize_image_bytes(content: bytes, width: int, height: int) -> bytes:
     """REAL default resize codec: nearest-neighbor resample of a
-    BMP/PPM payload, re-encoded in its source format."""
+    BMP/PPM/PNG payload, re-encoded in its source format (PNG always
+    re-encodes as truecolor RGB)."""
     if content[:2] == b"BM":
         sw, sh, pixels = _decode_bmp(content)
         enc = encode_bmp
     elif content[:2] == b"P6":
         sw, sh, pixels = _decode_ppm(content)
         enc = encode_ppm
+    elif content[:8] == PNG_SIG:
+        sw, sh, pixels = _decode_png(content)
+        enc = encode_png
     else:
         raise NotImplementedError(
             "unsupported payload for resize — inject a codec callable"
@@ -257,16 +446,30 @@ def decode_features(
     return df.select(id_col, content_col).mapInPandas(process, out_schema)
 
 
+_SYNTH_ENCODERS: dict[str, tuple] = {
+    "bmp": (encode_bmp, "image/bmp"),
+    "ppm": (encode_ppm, "image/x-portable-pixmap"),
+    "png": (encode_png, "image/png"),
+}
+
+
 def synth_images(
-    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    formats: tuple[str, ...] = ("bmp", "ppm"),
 ) -> DataFrame:
     """Deterministic image fixtures from an id column: each id becomes
-    a real encoded image — BMP for even ids, PPM for odd — whose
-    grayscale pixel (x, y) has value (id*31 + y*w + x) % 256 with
-    w = 4 + id%5, h = 3 + id%4.  The closed pixel form lets an
+    a real encoded image — format ``formats[id % len(formats)]``
+    (default: BMP for even ids, PPM for odd; "png" also supported) —
+    whose grayscale pixel (x, y) has value (id*31 + y*w + x) % 256
+    with w = 4 + id%5, h = 3 + id%4.  The closed pixel form lets an
     engine-independent oracle compute the decoded features without a
-    decoder, turning encode->decode into a verifiable round trip.
-    Arrow-batched mapInPandas; one narrow pass, no shuffle."""
+    decoder, turning encode->decode into a verifiable round trip (for
+    PNG that round trip exercises all five scanline filters — the
+    encoder cycles filter type per row).  Arrow-batched mapInPandas;
+    one narrow pass, no shuffle."""
+    encoders = [_SYNTH_ENCODERS[f] for f in formats]
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -284,12 +487,9 @@ def synth_images(
                 mid = int(mid)
                 w, h = 4 + mid % 5, 3 + mid % 4
                 px = [((mid * 31 + i) % 256,) * 3 for i in range(w * h)]
-                if mid % 2 == 0:
-                    blobs.append(encode_bmp(w, h, px))
-                    mimes.append("image/bmp")
-                else:
-                    blobs.append(encode_ppm(w, h, px))
-                    mimes.append("image/x-portable-pixmap")
+                enc, mime = encoders[mid % len(encoders)]
+                blobs.append(enc(w, h, px))
+                mimes.append(mime)
                 ids.append(mid)
             yield pd.DataFrame({id_col: ids, content_col: blobs, "mime": mimes})
 

@@ -726,6 +726,81 @@ def test_bmp_ppm_codec_round_trip():
     assert out["features"][2] == 9.0  # mean_r of constant image
 
 
+def test_png_codec_round_trip_all_filters_and_types():
+    """Pure-stdlib PNG codec: encode -> decode is lossless for
+    gray/RGB/RGBA at sizes whose row counts cycle through all five
+    scanline filters (the encoder uses filter y % 5 on purpose), a
+    hand-built palette PNG decodes through PLTE, and unsupported
+    layouts raise the explicit injection-point guard."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from botkop_telcotraffic_spark_spark.operators.multimodal import (
+        PNG_SIG,
+        _decode_png,
+        _png_chunk,
+        decode_image,
+        encode_png,
+        resize_image_bytes,
+    )
+
+    for w, h in [(1, 1), (4, 3), (5, 7), (16, 2), (3, 11)]:
+        px = [((i * 37) % 256, (i * 11) % 256, (i * 5) % 256) for i in range(w * h)]
+        assert _decode_png(encode_png(w, h, px)) == (w, h, px)
+        assert _decode_png(encode_png(w, h, px, color_type=6)) == (w, h, px)
+        gray = [((i * 37) % 256,) * 3 for i in range(w * h)]
+        assert _decode_png(encode_png(w, h, gray, color_type=0)) == (w, h, gray)
+    # hand-built palette (color type 3) PNG decodes via PLTE lookup
+    ihdr = struct.pack(">2I5B", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes((255, 0, 0, 0, 255, 0))
+    raw = bytes([0, 0, 1, 0, 1, 0])  # two filter-0 scanlines
+    png = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _decode_png(png) == (
+        2, 2, [(255, 0, 0), (0, 255, 0), (0, 255, 0), (255, 0, 0)]
+    )
+    # decode_image dispatch + nearest-neighbor resize re-encode
+    d = decode_image(encode_png(4, 4, [(10, 20, 30)] * 16))
+    assert d["width"] == 4 and abs(d["features"][2] - 10.0) < 1e-9
+    px = [(x * 10, y * 10, 0) for y in range(4) for x in range(4)]
+    small = resize_image_bytes(encode_png(4, 4, px), 2, 2)
+    assert _decode_png(small) == (2, 2, [px[0], px[2], px[8], px[10]])
+    # explicit guards, not silent misdecodes
+    ihdr16 = struct.pack(">2I5B", 1, 1, 16, 2, 0, 0, 0)
+    deep = PNG_SIG + _png_chunk(b"IHDR", ihdr16) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        _decode_png(deep)
+    ihdr_i = struct.pack(">2I5B", 1, 1, 8, 2, 0, 0, 1)
+    inter = PNG_SIG + _png_chunk(b"IHDR", ihdr_i) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        _decode_png(inter)
+
+
+def test_png_golden_byte_shapes():
+    """Pin the exact encoded bytes of the synth-fixture PNGs (the
+    BMP-golden discipline): a codec change that alters the wire
+    format fails here before it can silently shift the oracle
+    entry."""
+    import hashlib
+
+    from botkop_telcotraffic_spark_spark.operators.multimodal import encode_png
+
+    golden = {0: (88, "7d42e7f8cfed1328"), 7: (122, "4081127a47a95ba2")}
+    for mid, (n_bytes, sha16) in golden.items():
+        w, h = 4 + mid % 5, 3 + mid % 4
+        px = [((mid * 31 + i) % 256,) * 3 for i in range(w * h)]
+        blob = encode_png(w, h, px)
+        assert len(blob) == n_bytes, (mid, len(blob))
+        assert hashlib.sha256(blob).hexdigest()[:16] == sha16, mid
+
+
 def test_resize_image_bytes_real_codec():
     from botkop_telcotraffic_spark_spark.operators.multimodal import (
         _decode_bmp,

@@ -8842,6 +8842,182 @@ st{t} AS MATERIALIZED (
     return "WITH " + "".join(parts) + "\n" + sel
 
 
+def streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index MAINTENANCE as a real foreachBatch
+    streaming query (r11 verdict #6): the streaming_incremental_dedup
+    store pattern applied to the ANN family's coarse-quantizer cells,
+    with the drift monitor as the re-train trigger.
+
+    Setup: the quantizer is trained once on the SEED slice
+    (vec_id % 3 == 0: per-label mean centroids, means pinned at 9
+    decimals — the deterministic centroid source every IVF oracle
+    uses) and the seed vectors are indexed at ver 0.  The remaining
+    vectors arrive as 4 replayed micro-batches (ntile over vec_id
+    via the shared pinned_replay_source).
+
+    Per micro-batch b (streaming/ivf_stream.py::ivf_assign_batch):
+    argmin-assign the new vectors to the FIXED centroids (broadcast
+    nested-loop, no shuffle), upsert (vec_id, cell, ver=b+1) into the
+    KeyedUpsertStore, and emit per-cell stats FROM THE STORE's
+    ``ver <= b+1`` slice — so the driver hash checks store replay
+    discipline, not just assignment math (a re-delivered batch
+    rewrites identical rows and recomputes identical stats;
+    tests/test_streaming.py::test_streaming_ivf_restart_exactly_once).
+
+    Output per (batch, cell): batch arrivals, index size, index
+    share, drift = |share_index - share_seed|, and the per-batch
+    retrain flag (max drift > 0.03) — embedding_drift_labels'
+    distribution-shift signal computed ON the live index.  The DuckDB
+    twin unrolls the 4 store-growth rounds (assignments are
+    centroid-fixed, so cumulative membership is closed-form).
+
+    100 TB shape: each increment scans only the new batch; the corpus
+    is never rescanned; stats/drift frames are #cells-sized."""
+    from pyspark.sql import Window
+
+    from botkop_telcotraffic_spark_spark.streaming.ivf_stream import (
+        index_drift_report,
+        ivf_assign_batch,
+        ivf_assignments,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.pipeline import (
+        idempotent_parquet_sink,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.runner import (
+        pinned_replay_source,
+        replay_partitions,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.upsert_join import (
+        KeyedUpsertStore,
+    )
+
+    tune(spark)
+    nb = 4
+    emb = _t(spark, sf_dir, "embeddings")
+    seed = emb.where(F.col("vec_id") % 3 == 0)
+    cents = kmeans.label_centroids(seed, round_digits=9).localCheckpoint()
+    rest = emb.where(F.col("vec_id") % 3 != 0).select(
+        "vec_id",
+        "embedding",
+        F.ntile(nb).over(Window.orderBy("vec_id")).alias("b"),
+    )
+    src_dir = pinned_replay_source(
+        rest, nb, cache_key=(sf_dir, "ivf_vecid_v1")
+    )
+
+    store = KeyedUpsertStore(
+        spark, _scratch_dir("ivfidx_store_"), key_col="vec_id", order_col="ver"
+    )
+    seed_asg = ivf_assignments(seed, cents).localCheckpoint()
+    store.upsert(seed_asg.withColumn("ver", F.lit(0)))
+    seed_cells = seed_asg.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_seed")
+    )
+
+    out_dir = _scratch_dir("ivfidx_out_")
+    sink = idempotent_parquet_sink(out_dir)
+
+    def batch_fn(batch: DataFrame, bid: int) -> None:
+        sink(ivf_assign_batch(batch, store, cents, bid), bid)
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ckpt = _scratch_dir("ivfidx_ck_")
+    with replay_partitions(spark, 2):
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stats = (
+        spark.read.schema("cell int, n_batch bigint, n_index bigint, _batch_id int")
+        .parquet(out_dir)
+        .select(
+            (F.col("_batch_id") + 1).cast("int").alias("b"),
+            "cell",
+            "n_batch",
+            "n_index",
+        )
+    )
+    return index_drift_report(stats, seed_cells)
+
+
+def _stream_ivf_sql(nb: int = 4) -> str:
+    """DuckDB twin of streaming_ivf_maintenance: centroid-fixed
+    assignments make cumulative index membership closed-form — member
+    (cell, added-by-batch ab) with ab=0 for the seed, then per-batch
+    counts over ``ab <= b``."""
+    e2 = _EUCLID2_SQL.format(a="e.embedding", b="c.centroid")
+    from botkop_telcotraffic_spark_spark.streaming.ivf_stream import (
+        DRIFT_RETRAIN_THRESHOLD,
+    )
+
+    thr = repr(DRIFT_RETRAIN_THRESHOLD)
+    return f"""
+WITH cent AS (
+  SELECT label AS prediction, i.i AS d,
+         round(avg(CAST(embedding[i.i] AS DOUBLE)), 9) AS m
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+  WHERE vec_id % 3 = 0
+  GROUP BY 1, 2
+),
+cvec AS (
+  SELECT prediction, list_transform(list_sort(list({{'d': d, 'm': m}})), s -> s.m) AS centroid
+  FROM cent GROUP BY prediction
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.prediction AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {e2}, c.prediction) AS rn
+    FROM embeddings e CROSS JOIN cvec c) WHERE rn = 1
+),
+slc AS MATERIALIZED (
+  SELECT vec_id, ntile({nb}) OVER (ORDER BY vec_id) AS b
+  FROM embeddings WHERE vec_id % 3 <> 0
+),
+mem AS MATERIALIZED (
+  SELECT a.cell, coalesce(s.b, 0) AS ab
+  FROM asg a LEFT JOIN slc s USING (vec_id)
+),
+bs AS (SELECT unnest(generate_series(1, {nb})) AS b),
+idx AS (
+  SELECT bs.b, mem.cell, count(*) AS n_index
+  FROM bs JOIN mem ON mem.ab <= bs.b GROUP BY 1, 2
+),
+bat AS (
+  SELECT s.b, a.cell, count(*) AS n_batch
+  FROM asg a JOIN slc s USING (vec_id) GROUP BY 1, 2
+),
+seedsh AS (
+  SELECT cell, CAST(count(*) AS DOUBLE)
+           / (SELECT count(*) FROM mem WHERE ab = 0) AS ss
+  FROM mem WHERE ab = 0 GROUP BY 1
+),
+j AS (
+  SELECT idx.b, idx.cell,
+         coalesce(bat.n_batch, 0) AS n_batch, idx.n_index,
+         CAST(idx.n_index AS DOUBLE)
+           / CAST(sum(idx.n_index) OVER (PARTITION BY idx.b) AS DOUBLE) AS sr,
+         coalesce(seedsh.ss, 0.0) AS ss
+  FROM idx
+  LEFT JOIN bat ON idx.b = bat.b AND idx.cell = bat.cell
+  LEFT JOIN seedsh ON idx.cell = seedsh.cell
+)
+SELECT CAST(b AS INT) AS b, cell, n_batch, n_index,
+       round(sr, 6) + 0.0 AS share_index,
+       round(abs(sr - ss), 6) + 0.0 AS drift,
+       max(round(abs(sr - ss), 6)) OVER (PARTITION BY b) > {thr} AS retrain
+FROM j
+"""
+
+
 def streaming_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 hash-oracled (round-10): Spark's REAL watermark machinery —
     late-row drop + append-mode window finalization — replayed over
@@ -14552,6 +14728,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # -- checked slots 1-50 (driver window) -- see the
     # comment above; regenerated by scripts/reorder_registry.py
     # === NEW-ENTRY INSERTION POINT ===
+    "streaming_ivf_maintenance": (
+        streaming_ivf_maintenance,
+        _stream_ivf_sql(),
+    ),
     "png_decode_features": (
         png_decode_features,
         _PNG_DECODE_SQL,

@@ -1981,3 +1981,131 @@ def test_incremental_dedup_restart_exactly_once(spark):
         for r in store.snapshot().collect()
     )
     assert snap_after == snap_before
+
+
+def test_streaming_ivf_restart_exactly_once(spark):
+    """Exactly-once proof for incremental IVF maintenance
+    (streaming/ivf_stream.py::ivf_assign_batch), the 31f69fd chaos
+    discipline applied to centroid cells: stats read the
+    ``ver <= batch_id + 1`` store slice, so a RE-DELIVERED batch
+    (crash between sink write and offset commit) does not see later
+    batches' insertions and recomputes byte-identical per-cell stats;
+    a killed-and-restarted query over the same store matches an
+    uninterrupted run row for row; and the re-delivered upsert is a
+    value-level no-op on the store."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from botkop_telcotraffic_spark_spark.operators.kmeans import (
+        label_centroids,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.ivf_stream import (
+        ivf_assign_batch,
+        ivf_assignments,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.pipeline import (
+        idempotent_parquet_sink,
+    )
+    from botkop_telcotraffic_spark_spark.streaming.upsert_join import (
+        KeyedUpsertStore,
+    )
+
+    src = os.path.join(TMP, "ivf_chaos_src")
+    names = ["out", "ckpt", "store", "out_ref", "ckpt_ref", "store_ref"]
+    dirs = {n: os.path.join(TMP, f"ivf_chaos_{n}") for n in names}
+    shutil.rmtree(src, ignore_errors=True)
+    for d in dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+
+    seed = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, [0.9, 0.1, 0.0, 0.0], 0),
+            (3, [0.0, 0.0, 1.0, 0.0], 1),
+            (4, [0.0, 0.1, 0.9, 0.0], 1),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    cents = label_centroids(seed, round_digits=9).localCheckpoint()
+
+    # batch 1: one arrival per cell; batch 2: two more into cell 1
+    b1 = pd.DataFrame(
+        {"vec_id": [10, 11],
+         "embedding": [[0.95, 0.0, 0.05, 0.0], [0.05, 0.0, 0.95, 0.0]]}
+    )
+    b2 = pd.DataFrame(
+        {"vec_id": [20, 21],
+         "embedding": [[0.0, 0.2, 0.8, 0.0], [0.1, 0.0, 0.9, 0.1]]}
+    )
+    b1.to_parquet(os.path.join(src, "a.parquet"))
+    schema = "vec_id bigint, embedding array<double>"
+
+    def mk_store(path):
+        store = KeyedUpsertStore(
+            spark, path, key_col="vec_id", order_col="ver"
+        )
+        store.upsert(
+            ivf_assignments(seed, cents).withColumn("ver", F.lit(0))
+        )
+        return store
+
+    def run(store, out, ckpt, max_one_file=False):
+        sink = idempotent_parquet_sink(out)
+
+        def batch_fn(df, batch_id):
+            sink(ivf_assign_batch(df, store, cents, batch_id), batch_id)
+
+        reader = spark.readStream.schema(schema)
+        if max_one_file:
+            reader = reader.option("maxFilesPerTrigger", "1")
+        q = (
+            reader.parquet(src)
+            .writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def table(path):
+        return sorted(
+            (r["cell"], r["n_batch"], r["n_index"], r["_batch_id"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    store = mk_store(dirs["store"])
+    run(store, dirs["out"], dirs["ckpt"])      # run 1, then "killed"
+    got1 = table(dirs["out"])
+    # seed indexed 2 per cell at ver 0; batch 0 adds one to each
+    assert got1 == [(0, 1, 3, 0), (1, 1, 3, 0)]
+
+    b2.to_parquet(os.path.join(src, "b.parquet"))
+    run(store, dirs["out"], dirs["ckpt"])      # restart, same store
+    got2 = table(dirs["out"])
+    assert [g for g in got2 if g[3] == 0] == got1
+    assert [g for g in got2 if g[3] == 1] == [(0, 0, 3, 1), (1, 2, 5, 1)]
+
+    # uninterrupted reference
+    run(mk_store(dirs["store_ref"]), dirs["out_ref"], dirs["ckpt_ref"],
+        max_one_file=True)
+    assert got2 == table(dirs["out_ref"])
+
+    # re-delivery of batch 0 against the SAME store: vectors 20/21
+    # sit in the store at ver 2, but the ver <= 1 slice hides them —
+    # stats (including n_index = 3 per cell) are byte-identical and
+    # the store is value-identical after the replayed upsert
+    snap_before = sorted(
+        (r["vec_id"], r["cell"], r["ver"])
+        for r in store.snapshot().collect()
+    )
+    replay = spark.read.schema(schema).parquet(os.path.join(src, "a.parquet"))
+    sink = idempotent_parquet_sink(dirs["out"])
+    sink(ivf_assign_batch(replay, store, cents, 0), 0)
+    assert table(dirs["out"]) == got2
+    snap_after = sorted(
+        (r["vec_id"], r["cell"], r["ver"])
+        for r in store.snapshot().collect()
+    )
+    assert snap_after == snap_before

@@ -85,20 +85,49 @@ HIGH_VARIANCE: set[str] = {
 CONTROLS: list[str] = _MANIFEST["controls"]
 
 
-def _newest_snapshot_queries() -> tuple[int, dict]:
-    """(round, queries dict) of the newest committed BENCH_LOCAL_r{N}
-    snapshot, or (0, {}) when none exists."""
+def _snapshot_files() -> list[tuple[int, str]]:
+    """Committed BENCH_LOCAL_r{N}.json snapshots, ascending round."""
     import glob
     import re
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    best, queries = 0, {}
+    out = []
     for p in glob.glob(os.path.join(repo, "BENCH_LOCAL_r*.json")):
         m = re.search(r"_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best:
-            best = int(m.group(1))
-            queries = json.load(open(p)).get("queries", {})
-    return best, queries
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def _newest_snapshot_queries() -> tuple[int, dict]:
+    """(round, queries dict) of the newest committed BENCH_LOCAL_r{N}
+    snapshot, or (0, {}) when none exists."""
+    snaps = _snapshot_files()
+    if not snaps:
+        return 0, {}
+    rnd, path = snaps[-1]
+    return rnd, json.load(open(path)).get("queries", {})
+
+
+def healed_newest_baseline() -> tuple[int, dict]:
+    """(round, queries) of the newest committed snapshot with lucky
+    values healed against its PREDECESSOR snapshot (round-11 verdict
+    #1): a name whose newest baseline improved >1.3x/0.2s without
+    recorded improvement evidence keeps the predecessor's value, so a
+    fast-window median can never become the reference that convicts
+    honest later runs.  Single-snapshot repos return the snapshot
+    as-is."""
+    snaps = _snapshot_files()
+    if not snaps:
+        return 0, {}
+    rnd, path = snaps[-1]
+    data = json.load(open(path))
+    queries = data.get("queries", {})
+    if len(snaps) >= 2:
+        prev = json.load(open(snaps[-2][1])).get("queries", {})
+        accepted = set(data.get("improvement_evidence", {}))
+        queries = effective_baseline(queries, prev, accepted)
+    return rnd, queries
 
 
 def ambient_ratio(prev_queries: dict, cur_queries: dict) -> float:
@@ -116,6 +145,56 @@ def ambient_ratio(prev_queries: dict, cur_queries: dict) -> float:
     if len(ratios) < 3:
         return 1.0
     return statistics.median(ratios)
+
+
+# A baseline value is LUCKY when it improved this much vs the previous
+# committed round while the operator's code never changed: a per-name
+# median taken in one fast-host window (r11: simhash_docs 1.08 -> 0.90,
+# jl_project_embeddings 1.08 -> 0.296, diff-empty on both paths) becomes
+# the reference that convicts every honest later run (round-11 verdict
+# #1).  Ratio + absolute floor mirror the regression gate's own shape.
+LUCKY_IMPROVEMENT_RATIO = 1.3
+LUCKY_IMPROVEMENT_FLOOR = 0.2
+
+
+def lucky_improvements(
+    newer: dict,
+    older: dict,
+    accepted: set | frozenset = frozenset(),
+    ratio: float = LUCKY_IMPROVEMENT_RATIO,
+    floor: float = LUCKY_IMPROVEMENT_FLOOR,
+) -> dict:
+    """{name: (older_s, newer_s)} for every name whose ``newer``
+    baseline improved more than ``ratio``x AND ``floor`` seconds vs
+    ``older`` without being in ``accepted`` (names with committed
+    improvement evidence: a code change on their path or a
+    separate-session idle probe)."""
+    out = {}
+    for name, cur in newer.items():
+        prev = older.get(name)
+        if prev is None or name in accepted or cur <= 0:
+            continue
+        if prev > cur * ratio and prev - cur > floor:
+            out[name] = (prev, cur)
+    return out
+
+
+def effective_baseline(
+    base: dict,
+    prev: dict,
+    accepted: set | frozenset = frozenset(),
+) -> dict:
+    """Heal lucky baselines before a regression compare (round-11
+    verdict #1): a name whose ``base`` value is a lucky improvement
+    over ``prev`` (see lucky_improvements) keeps the PREVIOUS round's
+    value as the effective reference, so one fast-window median can
+    never convict honest later runs.  Names in ``accepted`` (the
+    snapshot's recorded improvement_evidence) keep their improved
+    value."""
+    healed = dict(base)
+    for name, (prev_v, _) in lucky_improvements(base, prev, accepted).items():
+        healed[name] = prev_v
+    return healed
 
 
 def snapshot_regressions(
@@ -407,7 +486,11 @@ def main() -> None:
 
     run("q1_pricing_summary")  # session warmup (JVM + file listing)
 
-    base_round, base_queries = _newest_snapshot_queries()
+    # Healed baseline (round-11 verdict #1): prelim flags and confirm
+    # re-runs compare against the newest snapshot with lucky values
+    # replaced by their predecessor's, so confirm effort is never
+    # spent re-litigating a fast-window median.
+    base_round, base_queries = healed_newest_baseline()
     heavy = heavy_names(base_queries)
 
     timings: dict[str, float] = {}

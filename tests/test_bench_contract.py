@@ -149,7 +149,13 @@ def test_no_unexplained_warm_regressions_vs_committed_baseline():
         pytest.skip("no committed baseline or no local bench run yet")
     rnd, snap_path = snaps[-1]
     base = json.load(open(snap_path))
-    base_warm = dict(base["queries"])
+    # lucky-baseline healing (round-11 verdict #1): a snapshot value
+    # that improved >1.3x/0.2s over its predecessor with no recorded
+    # improvement evidence keeps the predecessor's value as the
+    # reference — one fast-window median must not convict honest runs
+    heal_rnd, base_warm = bench.healed_newest_baseline()
+    assert heal_rnd == rnd
+    base_warm = dict(base_warm)
     # fold in the driver-tail evidence for the same round, if recorded
     drv_path = os.path.join(repo, f"BENCH_r{rnd}.json")
     if os.path.exists(drv_path):
@@ -246,10 +252,19 @@ def test_snapshot_vs_previous_snapshot_ambient_normalized():
         for n, meta in manifest.get("rebaselined", {}).items()
         if prev_rnd == meta["baseline_round"]
     }
+    # lucky-baseline healing for the PREDECESSOR side too (round-11
+    # verdict #1): r12 vs a lucky r11 value would flag exactly like
+    # the working-tree gate did — heal r11 against r10 first
+    prev_q = dict(prev["queries"])
+    if len(snaps) >= 3:
+        prevprev = json.load(open(snaps[-3][1])).get("queries", {})
+        prev_q = bench.effective_baseline(
+            prev_q, prevprev, set(prev.get("improvement_evidence", {}))
+        )
     # the final run of round N computes its confirm re-runs against
     # the then-newest snapshot r{N-1} — exactly this gate's baseline
     amb, regressions, needs_probe = bench.confirmed_regressions(
-        prev["queries"],
+        prev_q,
         newer["queries"],
         newer.get("confirm_reruns", {}),
         skip=skip,
@@ -266,6 +281,67 @@ def test_snapshot_vs_previous_snapshot_ambient_normalized():
         "the operator or record high_variance/rebaselined evidence: "
         + "; ".join(regressions)
     )
+
+
+def test_committed_snapshot_no_unexplained_lucky_baselines():
+    """The baseline-commit gate (round-11 verdict #1): the NEWEST
+    committed snapshot must not contain a name that improved more
+    than bench.LUCKY_IMPROVEMENT_RATIO (and _FLOOR seconds) over its
+    predecessor without recorded ``improvement_evidence`` — such a
+    value is a fast-host-window median, and committing it creates the
+    reference that convicts every honest later run (simhash_docs,
+    five rounds of judge adjudication).  scripts/bench_median_
+    snapshot.py clamps these at creation; this test makes the
+    property durable on whatever gets committed.  Snapshots from
+    before the machinery (r11 and older) are healed inside the gates
+    instead — skip them here."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snaps = _snapshot_rounds(repo)
+    if len(snaps) < 2:
+        import pytest
+
+        pytest.skip("fewer than two committed snapshots")
+    new_rnd, new_path = snaps[-1]
+    if new_rnd < 12:
+        import pytest
+
+        pytest.skip(
+            f"snapshot r{new_rnd} predates the luck guard; the gates "
+            "heal it against its predecessor instead"
+        )
+    newer = json.load(open(new_path))
+    prev = json.load(open(snaps[-2][1]))
+    evidence = newer.get("improvement_evidence", {})
+    for name, reason in evidence.items():
+        assert reason.strip(), f"empty improvement evidence for {name}"
+        assert name in newer["queries"], f"evidence for unknown {name}"
+    lucky = bench.lucky_improvements(
+        newer["queries"], prev["queries"], set(evidence)
+    )
+    assert not lucky, (
+        "committed snapshot contains unexplained >1.3x improvements — "
+        "re-merge with scripts/bench_median_snapshot.py (which clamps) "
+        "or record evidence via --accept-improved: "
+        + "; ".join(
+            f"{n}: {p:.2f}s -> {c:.2f}s" for n, (p, c) in sorted(lucky.items())
+        )
+    )
+
+
+def test_lucky_baseline_healing_synthetic():
+    """effective_baseline / lucky_improvements on fixtures: an
+    unexplained 2x improvement is healed back to the predecessor
+    value, an accepted one keeps its improved value, a sub-floor
+    improvement (jitter on a cheap query) and a REGRESSION are left
+    alone, and names absent from the predecessor pass through."""
+    prev = {"a": 1.0, "b": 1.0, "c": 0.15, "d": 1.0}
+    base = {"a": 0.4, "b": 0.4, "c": 0.10, "d": 1.6, "new": 0.5}
+    lucky = bench.lucky_improvements(base, prev, accepted={"b"})
+    assert set(lucky) == {"a"} and lucky["a"] == (1.0, 0.4)
+    healed = bench.effective_baseline(base, prev, accepted={"b"})
+    assert healed == {"a": 1.0, "b": 0.4, "c": 0.10, "d": 1.6, "new": 0.5}
 
 
 def test_snapshot_regressions_flags_synthetic_regression():

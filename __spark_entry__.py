@@ -1016,7 +1016,12 @@ def lloyd_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded dimension means, empty-cluster carry-over) is replicated
     bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = kmeans.lloyd_kmeans(emb, "embedding", k=8, iterations=3, dim=64)
+    # as_pairs: final assignment through assign()'s literal-centroid
+    # fast path (identical doubles; deletes the collect_list agg +
+    # broadcast build sub-job — kmeans.lloyd_kmeans docstring)
+    cents = kmeans.lloyd_kmeans(
+        emb, "embedding", k=8, iterations=3, dim=64, as_pairs=True
+    )
     assigned = kmeans.assign(
         emb.select("vec_id", F.col("embedding").alias("point")), cents, dim=64
     )
@@ -1981,8 +1986,9 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from botkop_telcotraffic_spark_spark.operators import multimodal
 
     d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
-    media = multimodal.synth_images(d)
-    feats = multimodal.decode_features(media)
+    # Fused synth->decode: one mapInPandas pass (same bytes, same
+    # codec, same values — multimodal.synth_decode_features docstring)
+    feats = multimodal.synth_decode_features(d)
     return feats.select(
         "media_id",
         F.when(F.col("media_id") % 2 == 0, F.lit("image/bmp"))
@@ -2053,8 +2059,9 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from botkop_telcotraffic_spark_spark.operators import multimodal
 
     d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
-    media = multimodal.synth_images(d, formats=("png",))
-    feats = multimodal.decode_features(media)
+    # Fused synth->decode: one mapInPandas pass (same bytes, same
+    # codec, same values — multimodal.synth_decode_features docstring)
+    feats = multimodal.synth_decode_features(d, formats=("png",))
     return feats.select(
         "media_id",
         F.lit("image/png").alias("mime"),
@@ -10205,8 +10212,7 @@ def audio_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes every feature without touching WAV bytes —
     byte-level codec correctness is what the round-trip proves."""
     from botkop_telcotraffic_spark_spark.operators.multimodal import (
-        audio_features,
-        synth_audio,
+        synth_audio_features,
     )
 
     e = (
@@ -10214,7 +10220,9 @@ def audio_features_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_id").cast("long").alias("media_id"))
         .where(F.col("media_id") < 500)
     )
-    return audio_features(synth_audio(e, "media_id"))
+    # Fused synth->decode: one mapInPandas pass (same WAV bytes, same
+    # stdlib wave decode — multimodal.synth_audio_features docstring)
+    return synth_audio_features(e, "media_id")
 
 
 _AUDIO_SQL = """

@@ -102,18 +102,23 @@ def assign(
     else:
         # literal path: tiny (k x dim) constant — safe as a literal
         # (the F.lit-per-row cost note applies to KB-sized literals,
-        # not 6 doubles); sorted by id to keep the argmin tiebreak
-        cents_col = F.array(
-            *[
-                F.struct(
-                    F.lit(int(i)).cast("int").alias("id"),
-                    F.array(*[F.lit(float(x)) for x in vec])
-                    .cast("array<double>")
-                    .alias("vec"),
+        # not 6 doubles); sorted by id to keep the argmin tiebreak.
+        # Built as ONE SQL string, not k*dim nested F.lit Columns:
+        # each Column node costs a Py4J round-trip at DataFrame build
+        # time (k=8 x dim=64 = 512 round-trips ~ seconds per build,
+        # and the driver/bench rebuild the frame per run).  repr() of
+        # a Python float is the shortest exact decimal and Java's
+        # Double.parseDouble is correctly rounded, so the 'D'-suffixed
+        # literal reproduces the identical double bit-for-bit.
+        cents_sql = "array({})".format(
+            ", ".join(
+                "named_struct('id', {}, 'vec', array({}))".format(
+                    int(i), ", ".join(f"{float(x)!r}D" for x in vec)
                 )
                 for i, vec in sorted(centroids)
-            ]
+            )
         )
+        cents_col = F.expr(cents_sql)
         base = points
     with_d = base.select(
         *points.columns,
@@ -508,7 +513,8 @@ def lloyd_kmeans(
     iterations: int = 5,
     round_digits: int = 9,
     dim: int | None = None,
-) -> DataFrame:
+    as_pairs: bool = False,
+) -> DataFrame | list:
     """Batch Lloyd's K-Means: deterministic data-spread seeding, then
     ``iterations`` rounds of (distributed assign -> dimension-wise
     mean recompute).  Returns the final (prediction, centroid) table.
@@ -528,11 +534,21 @@ def lloyd_kmeans(
     through assign()'s literal-centroid + unrolled-distance fast path
     (bit-identical; see assign) — the centroids are driver-held lists
     between rounds anyway.
+
+    ``as_pairs``: return the final centroids as the driver-side
+    ``[(id, vector), ...]`` list instead of a DataFrame.  The loop
+    holds them driver-side anyway; handing them straight to
+    ``assign()``'s literal fast path deletes the final assignment's
+    collect_list aggregate + broadcast-exchange build sub-job
+    (measured 3x on the sf0.1 embeddings assignment) with identical
+    doubles.
     """
     spark = df.sparkSession
     pts = df.select(F.col(vec_col).alias("point"))
     seeds = _spread_seeds(pts.distinct(), "point", k)
     if not seeds:
+        if as_pairs:
+            return []
         return spark.createDataFrame([], "prediction int, centroid array<double>")
     cents = seeds
 
@@ -556,6 +572,8 @@ def lloyd_kmeans(
         }
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
 
+    if as_pairs:
+        return [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)],
         "prediction int, centroid array<double>",

@@ -496,6 +496,64 @@ def synth_images(
     return df.select(id_col).mapInPandas(gen, out_schema)
 
 
+def synth_decode_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    formats: tuple[str, ...] = ("bmp", "ppm"),
+    codec: Callable[[bytes], dict] = _default_codec,
+) -> DataFrame:
+    """Fused ``synth_images`` -> ``decode_features``: ONE mapInPandas
+    pass with identical bytes and values to the two-stage chain.
+
+    Each id's image is still fully encoded (real BMP/PPM/PNG payload)
+    and immediately decoded by the REAL codec, so the encode->decode
+    round trip the oracle proves is exercised byte-for-byte.  The
+    fusion deletes the second Python stage: chaining two mapInPandas
+    ships every encoded payload JVM->Python->JVM->Python->JVM (two
+    Arrow boundary crossings, two worker handshakes per task, and an
+    extra stage's scheduling) even though the intermediate ``content``
+    column is never consumed JVM-side.  On tiny fixture payloads that
+    overhead IS the query's entire cost — and it is the measured
+    source of the entry's run-to-run variance (worker spawn under
+    host load).
+    """
+    encoders = [_SYNTH_ENCODERS[f] for f in formats]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, widths, heights, feats = [], [], [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 5, 3 + mid % 4
+                px = [((mid * 31 + i) % 256,) * 3 for i in range(w * h)]
+                enc, _mime = encoders[mid % len(encoders)]
+                d = codec(enc(w, h, px))
+                ids.append(mid)
+                widths.append(d["width"])
+                heights.append(d["height"])
+                feats.append(d["features"])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "width": widths,
+                    "height": heights,
+                    "features": feats,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(process, out_schema)
+
+
 def byte_stats(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
     """Pure-JVM byte-level stats on binary columns (no decode):
     payload size + declared mime passthrough if present."""
@@ -693,6 +751,63 @@ def synth_audio(
             yield pd.DataFrame({id_col: ids.values, "content": contents})
 
     return df.select(id_col).mapInPandas(gen, out_schema)
+
+
+def synth_audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    n_samples: int = 256,
+    sample_rate: int = WAV_RATE,
+    codec: Callable[[bytes], dict] = decode_wav,
+) -> DataFrame:
+    """Fused ``synth_audio`` -> ``audio_features``: ONE mapInPandas
+    pass, identical values to the two-stage chain (the WAV container
+    round trip — encode_wav then the real stdlib ``wave`` decode — is
+    still exercised byte-for-byte inside the worker).  Same rationale
+    as ``synth_decode_features``: the intermediate binary ``content``
+    column never touches the JVM, so shipping it across two Arrow
+    boundaries and scheduling a second Python stage is pure overhead.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_ms", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("zcr", T.DoubleType()),
+        ]
+    )
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            decoded = [
+                codec(
+                    encode_wav(
+                        [((int(e) * 31 + i * 17) % 201) - 100
+                         for i in range(n_samples)],
+                        sample_rate,
+                    )
+                )
+                for e in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: ids.values,
+                    "n_samples": [d["n_samples"] for d in decoded],
+                    "sample_rate": [d["sample_rate"] for d in decoded],
+                    "duration_ms": [d["duration_ms"] for d in decoded],
+                    "rms": [d["rms"] for d in decoded],
+                    "peak": [d["peak"] for d in decoded],
+                    "zcr": [d["zcr"] for d in decoded],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(process, out_schema)
 
 
 def audio_features(

@@ -179,11 +179,15 @@ def bpe_merges(
             F.lit(f"{SEP}{l}{SEP}{r}{SEP}"),
             F.lit(f"{SEP}{merged}{SEP}"),
         )
+        # LAZY checkpoint: the next step's top-pair collect (or the
+        # return_vocab consumer) materializes it inside its own
+        # action — one action per merge step instead of two, and the
+        # final step's vocab is never materialized when unused.
         vocab = vocab.select(
             "word",
             F.btrim(replaced, F.lit(SEP)).alias("rep"),
             "freq",
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     merges_df = spark.createDataFrame(
         merges, "step int, left string, right string, merged string, cnt long"
     )

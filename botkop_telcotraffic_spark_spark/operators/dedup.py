@@ -134,7 +134,8 @@ def _spread_buckets(
     iterative graph ops).
     """
     if spread == "auto":
-        grouped = grouped.localCheckpoint()
+        # lazy: the width probe below materializes it in-action
+        grouped = grouped.localCheckpoint(eager=False)
         width = grouped.agg(
             F.max(F.size(F.col(member_col))).alias("w")
         ).collect()[0]["w"]

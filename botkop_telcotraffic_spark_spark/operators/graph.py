@@ -89,7 +89,8 @@ def connected_components(
             _driver_union_find(probe), schema=out_schema
         )
     e = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    e = e.localCheckpoint()
+    # lazy: the e.count() below materializes it in the same action
+    e = e.localCheckpoint(eager=False)
     # distributed path: size-proportional parallelism (~1M edges/task)
     p = max(1, e.count() // 1_000_000)
     e = e.repartition(p, "v")
@@ -131,7 +132,8 @@ def connected_components(
                 "u",
                 F.coalesce(F.col("_ll"), F.col("label")).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: the _label_sum probe materializes it in-action
+            .localCheckpoint(eager=False)
         )
         cur_sum = _label_sum(new_labels)
         labels = new_labels
@@ -456,7 +458,12 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            # LAZY checkpoint (the hits/star-contraction discipline):
+            # still cuts lineage so each round is planned against a
+            # flat RDD scan, but materialization cascades inside the
+            # ONE consumer action instead of paying an eager driver
+            # action + scheduling round-trip per iteration.
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", "rank")
 
@@ -674,7 +681,9 @@ def label_propagation(
                 ).alias("_top")
             )
             .select("node", F.col("_top.label").alias("label"))
-            .localCheckpoint()
+            # LAZY: one consumer action materializes all rounds (see
+            # pagerank note); lineage still cut per round.
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -714,7 +723,14 @@ def k_core(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    ckpt = (lambda d: d.localCheckpoint()) if checkpoint else (lambda d: d)
+    # LAZY checkpoint: the per-round count probe right after each
+    # ckpt() materializes it inside the SAME action, instead of an
+    # eager checkpoint action followed by a separate count job.
+    ckpt = (
+        (lambda d: d.localCheckpoint(eager=False))
+        if checkpoint
+        else (lambda d: d)
+    )
     # canonicalize BEFORE symmetrizing: an input carrying both (a,b)
     # and (b,a) would otherwise survive the directed distinct and
     # double every degree after the union (confirmed wrong 2-core on
@@ -980,7 +996,8 @@ def hits(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
-        .localCheckpoint()
+        # lazy: materialized by the loop's first consumer action
+        .localCheckpoint(eager=False)
     )
     h = e.select("u").distinct().withColumn("h", F.lit(1.0))
 

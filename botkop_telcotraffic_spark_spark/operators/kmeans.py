@@ -442,7 +442,9 @@ def minibatch_kmeans(
         F.ntile(n_batches)
         .over(Window.orderBy(*order_cols))
         .alias("b"),
-    ).localCheckpoint()
+        # lazy: batch 1's update action materializes the slices; the
+        # remaining 2*n_batches-1 passes read the cached blocks
+    ).localCheckpoint(eager=False)
 
     model = StreamingKMeans(
         k=k, dim=dim, decay=decay, round_state=round_state

@@ -8977,7 +8977,12 @@ def streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = idempotent_parquet_sink(out_dir)
 
     def batch_fn(batch: DataFrame, bid: int) -> None:
-        sink(ivf_assign_batch(batch, store, cents, bid), bid)
+        # sink-mode ivf_assign_batch: ONE store read per micro-batch
+        # (stats come from the latest-wins merge of that read + the
+        # batch, written before the store rewrite — ivf_stream.py)
+        ivf_assign_batch(
+            batch, store, cents, bid, sink=lambda df: sink(df, bid)
+        )
 
     stream = (
         spark.readStream.schema("vec_id bigint, embedding array<float>")

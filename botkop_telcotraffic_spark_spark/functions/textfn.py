@@ -44,6 +44,39 @@ def word_fingerprints(text: Column) -> Column:
     return F.transform(words(text), rolling_fingerprint)
 
 
+def word_fingerprints_sql(text_expr: str) -> str:
+    """SQL-string twin of ``word_fingerprints`` for ``selectExpr``
+    call sites: identical integers, one JVM parse instead of ~30
+    Py4J Column constructions + first-shape lambda resolution
+    (measured ~2.7x cheaper per plan build, r13 — the build cost is
+    paid on EVERY bench/driver run and once per micro-batch on the
+    streaming dedup path)."""
+    return (
+        f"transform(split({text_expr}, ' '), w -> "
+        "aggregate(transform(sequence(1, length(w)), "
+        "i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD}))"
+    )
+
+
+def shingle_tokens_sql(wf_expr: str, k: int) -> str:
+    """SQL-string twin of ``shingle_tokens_from_fps`` (same fold
+    order, same guard, same types — values bit-identical).  ``wf_expr``
+    must reference an already-projected array column, exactly like
+    the Column form (the CollapseProject O(n^2) hazard)."""
+    acc = f"element_at({wf_expr}, i)"
+    for j in range(1, k):
+        acc = (
+            f"(({acc}) * {FP_BASE} + element_at({wf_expr}, i + {j}))"
+            f" % {FP_MOD}"
+        )
+    return (
+        f"transform(CASE WHEN size({wf_expr}) >= {k} "
+        f"THEN sequence(1, size({wf_expr}) - {k - 1}) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END, i -> {acc})"
+    )
+
+
 def shingle_tokens_from_fps(wf: Column, k: int) -> Column:
     """Integer tokens of the k-word shingles from a *materialized*
     word-fingerprint array column: each shingle costs k multiply-adds.

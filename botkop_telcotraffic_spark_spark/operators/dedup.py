@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 from ..functions import textfn  # noqa: F401  (A/B: shingle_token_udf)
 from ..functions.textfn import (
     shingle_tokens_from_fps,
+    shingle_tokens_sql,
     word_fingerprints,
+    word_fingerprints_sql,
     word_shingles,
     words,
 )
@@ -82,17 +84,23 @@ def token_postings(
     inline the char-fold into every shingle position (an
     O(words·shingles) per-row blowup).
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_fingerprints(F.col(text_col)).alias("wf"),
+    # SQL-string construction (textfn.word_fingerprints_sql twin,
+    # identical integers): one JVM parse per op instead of per-node
+    # Py4J Column building, and the explode fused into the shingle
+    # select when no size column is needed — plan-build time is paid
+    # on every bench/driver run and once per streaming micro-batch
+    # (r13: 0.39s -> 0.14s per minhash-chain build).
+    base = df.selectExpr(
+        f"`{id_col}` AS id",
+        f"{word_fingerprints_sql(f'`{text_col}`')} AS wf",
     )
-    toks_df = base.select(
-        "id", F.array_distinct(shingle_tokens_from_fps(F.col("wf"), k)).alias("toks")
+    tok_sql = f"array_distinct({shingle_tokens_sql('wf', k)})"
+    if not with_size:
+        return base.selectExpr("id", f"explode({tok_sql}) AS tok")
+    toks_df = base.selectExpr("id", f"{tok_sql} AS toks")
+    return toks_df.selectExpr(
+        "id", "size(toks) AS sz", "explode(toks) AS tok"
     )
-    cols = [F.col("id")]
-    if with_size:
-        cols.append(F.size("toks").alias("sz"))
-    return toks_df.select(*cols, F.explode("toks").alias("tok"))
 
 
 # "auto" spread probes max bucket width and spreads only past this;
@@ -256,14 +264,15 @@ def minhash_signatures(
     """
     post = token_postings(df, id_col, text_col, k)
     aggs = [
-        F.min((F.lit(a) * F.col("tok") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
+        F.expr(f"min(({a} * tok + {b}) % {MINHASH_P})").alias(f"h{j}")
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
     sig = post.groupBy(F.col("id")).agg(*aggs)
     if wide:
         return sig
-    return sig.select(
-        "id", F.array(*[f"h{j}" for j in range(MINHASH_NUM)]).alias("sig")
+    return sig.selectExpr(
+        "id",
+        "array(" + ", ".join(f"h{j}" for j in range(MINHASH_NUM)) + ") AS sig",
     )
 
 
@@ -363,22 +372,18 @@ def minhash_band_buckets(
     signature table — the shared banding step for self-join dedup
     (minhash_lsh_pairs) and incremental dedup (incremental_dup_flags).
     """
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
-    return sig.select("id", F.explode(band_structs).alias("bb")).select(
+    # SQL-string band array (one parse; identical values to the
+    # former Column construction — concat_ws of bigint casts)
+    band_structs = "array(" + ", ".join(
+        f"struct({b} AS band, concat_ws(',', "
+        + ", ".join(
+            f"CAST(element_at(sig, {b * rows_per_band + r + 1}) AS STRING)"
+            for r in range(rows_per_band)
+        )
+        + ") AS bkey)"
+        for b in range(bands)
+    ) + ")"
+    return sig.selectExpr("id", f"explode({band_structs}) AS bb").select(
         "id", "bb.band", "bb.bkey"
     )
 

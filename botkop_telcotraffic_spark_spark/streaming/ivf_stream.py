@@ -65,31 +65,70 @@ def ivf_assign_batch(
     batch_id: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    sink=None,
+) -> DataFrame | None:
     """One micro-batch of incremental IVF maintenance: assign the new
     vectors, upsert them into the index store (ver = batch_id + 1),
-    and return per-cell stats — (cell, n_batch, n_index) — computed
-    from the store's pre-this-batch-exclusive slice ``ver <=
-    batch_id + 1`` so a crash re-delivery is byte-identical (see
-    module docstring)."""
+    and emit per-cell stats — (cell, n_batch, n_index) — from the
+    store slice ``ver <= batch_id + 1`` so a crash re-delivery is
+    byte-identical (see module docstring).
+
+    ``sink``: callable invoked with the stats frame BEFORE the store
+    rewrite.  With it the whole micro-batch costs ONE store read: the
+    raw snapshot feeds the upsert as its ``cur`` side, and the stats
+    come from the latest-wins merge of (that same read, this batch's
+    assignments) — definitionally identical to re-reading the store
+    after the upsert, because the upsert writes exactly that merge
+    (r13 measurement: the post-upsert listing+scan was a full extra
+    job per batch).  The sink MUST materialize its input (a write or
+    other action): after ``upsert`` swaps the rewritten bucket
+    directories in, plans built on the pre-upsert snapshot hold stale
+    file references.  Returns None in sink mode for exactly that
+    reason.  Without ``sink`` the original read-back ordering is
+    kept and the (still valid) stats frame is returned."""
+    from ..operators.enrich import latest_per_key
+
     assigned = (
         ivf_assignments(batch, centroids, id_col, vec_col)
         .withColumn("ver", F.lit(batch_id + 1))
-        .localCheckpoint()
+        # lazy: the batch's first action (sink-mode stats write, or
+        # the upsert's touched-bucket probe) materializes it in-job;
+        # later consumers read the cached blocks
+        .localCheckpoint(eager=False)
     )
-    store.upsert(assigned)
-    snap = store.snapshot().where(F.col("ver") <= batch_id + 1)
-    n_batch = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_batch"))
-    return (
-        snap.groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_index"))
-        .join(n_batch, "cell", "left")
-        .select(
-            "cell",
-            F.coalesce(F.col("n_batch"), F.lit(0).cast("long")).alias("n_batch"),
-            "n_index",
+
+    def _stats(snap: DataFrame) -> DataFrame:
+        n_batch = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_batch")
+        )
+        return (
+            snap.where(F.col("ver") <= batch_id + 1)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_index"))
+            .join(n_batch, "cell", "left")
+            .select(
+                "cell",
+                F.coalesce(
+                    F.col("n_batch"), F.lit(0).cast("long")
+                ).alias("n_batch"),
+                "n_index",
+            )
+        )
+
+    if sink is None:
+        store.upsert(assigned)
+        return _stats(store.snapshot())
+    raw = store.raw_snapshot()
+    post = (
+        assigned
+        if raw is None
+        else latest_per_key(
+            raw.drop("_bucket").unionByName(assigned), [id_col], ["ver"]
         )
     )
+    sink(_stats(post))
+    store.upsert(assigned, cur=raw)
+    return None
 
 
 # Per-batch re-train trigger: fire when any cell's share of the INDEX

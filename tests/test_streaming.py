@@ -2214,7 +2214,14 @@ def test_streaming_ivf_restart_exactly_once(spark):
         sink = idempotent_parquet_sink(out)
 
         def batch_fn(df, batch_id):
-            sink(ivf_assign_batch(df, store, cents, batch_id), batch_id)
+            # sink-mode (one store read per batch) — the entry's
+            # calling convention; the re-delivery at the bottom uses
+            # the no-sink read-back path, so the final equality also
+            # proves the two paths emit identical stats
+            ivf_assign_batch(
+                df, store, cents, batch_id,
+                sink=lambda s: sink(s, batch_id),
+            )
 
         reader = spark.readStream.schema(schema)
         if max_one_file:

@@ -7145,21 +7145,28 @@ def _mmr_rounds_ctes(k: int, lam: float) -> str:
     rel)`` in scope, leaves ``sel{k}`` as the selected set) — shared
     by _mmr_rounds_sql and the rerank oracle, which keeps composing
     after the MMR stage."""
+    # Every sel{r} is referenced by ms{r+1} (twice) and sel{r+1}, and
+    # cand by every round: without AS MATERIALIZED DuckDB re-inlines
+    # the whole upstream chain per reference — the 3^rounds blowup
+    # the unrolled-iterative-oracle rule warns about (measured: the
+    # two retrieval parity tests alone spent 14 s of DuckDB time at
+    # sf0.001; ~1 s materialized).  Same rows, same doubles.
     one_m = 1.0 - lam
     parts = [f""",
+candm AS MATERIALIZED (SELECT id, v, rel FROM cand),
 pick1 AS (
   SELECT 1 AS rank, id, v, rel, rel * {lam!r} - 0.0 * {one_m!r} AS score
-  FROM cand
+  FROM candm
   QUALIFY row_number() OVER (ORDER BY rel * {lam!r} - 0.0 * {one_m!r} DESC,
                              id) = 1
 ),
-sel1 AS (SELECT rank, id, v, rel, score FROM pick1)"""]
+sel1 AS MATERIALIZED (SELECT rank, id, v, rel, score FROM pick1)"""]
     for r in range(2, k + 1):
         p = f"sel{r - 1}"
         parts.append(f""",
 ms{r} AS (
   SELECT c.id, c.v, c.rel, max({_cos_sql('c.v', 's.v')}) AS m
-  FROM cand c CROSS JOIN {p} s
+  FROM candm c CROSS JOIN {p} s
   WHERE c.id NOT IN (SELECT id FROM {p})
   GROUP BY c.id, c.v, c.rel
 ),
@@ -7170,7 +7177,7 @@ pick{r} AS (
   QUALIFY row_number() OVER (ORDER BY rel * {lam!r} - m * {one_m!r} DESC,
                              id) = 1
 ),
-sel{r} AS (SELECT * FROM {p} UNION ALL
+sel{r} AS MATERIALIZED (SELECT * FROM {p} UNION ALL
            SELECT rank, id, v, rel, score FROM pick{r})""")
     return "".join(parts)
 

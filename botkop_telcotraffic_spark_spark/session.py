@@ -68,14 +68,30 @@ def enable_large_state(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def tune(spark: SparkSession) -> SparkSession:
+# Sessions already tuned by this process: tune() is called by the
+# `_t` table helper on EVERY query build (the driver contract — a
+# hostile session must be fixed up before its first query), which at
+# bench scale means thousands of calls per run; the 7 conf.set Py4J
+# round-trips only need to happen once per session object (r13 —
+# nothing in the engine or tests mutates RUNTIME_CONFS keys between
+# queries; a host that does can call tune(spark, force=True)).
+import weakref as _weakref
+
+_TUNED_SESSIONS: "_weakref.WeakSet[SparkSession]" = _weakref.WeakSet()
+
+
+def tune(spark: SparkSession, force: bool = False) -> SparkSession:
     """Apply runtime-settable confs to an existing session (e.g. the
-    correctness driver's).  Safe to call repeatedly."""
+    correctness driver's).  Safe to call repeatedly; after the first
+    call per session it is a no-op unless ``force``."""
+    if not force and spark in _TUNED_SESSIONS:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf locked by the host; results may still match
+    _TUNED_SESSIONS.add(spark)
     return spark
 
 
@@ -98,6 +114,11 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Pin the default explicitly: Python workers are reused across
+        # tasks, so per-task interpreter spawn cost (the measured
+        # variance source of the mapInPandas decode family) is paid
+        # once per executor core, not per task (r12 verdict #2).
+        .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Whole-stage codegen across many distinct queries in one JVM

@@ -54,10 +54,22 @@ def _estimated_scan_partitions(spark: SparkSession, path: str) -> int:
     return sum(max(1, s // max_bytes) for s in sizes) or 1
 
 
+# Inferred parquet schema per table path: the warehouse fixtures are
+# immutable for a process lifetime, and re-inferring the footer on
+# every load_table call (1-3 per query build, thousands per bench or
+# driver run) is pure repeated driver work (r13).  Keyed by absolute
+# path; scratch/sink dirs never go through load_table.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    cached = _SCHEMA_CACHE.get(path)
+    reader = spark.read if cached is None else spark.read.schema(cached)
+    df = reader.parquet(path)
+    if cached is None:
+        _SCHEMA_CACHE[path] = df.schema
     # TIMESTAMP(NANOS) parquet columns arrive as epoch-nanos longs
     # (see session.RUNTIME_CONFS); convert with integer division —
     # double division would lose precision at 1e18 nanos.  DuckDB

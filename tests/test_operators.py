@@ -5207,3 +5207,40 @@ def test_waterfill_allocate_matches_iterative_reference(spark):
         total = sum(got[k]["alloc"] for k, _, _ in rows)
         expect = min(budget, sum(s for _, s, _ in rows))
         assert abs(total - expect) < 1e-6, (total, expect)
+
+
+def test_load_table_schema_cache_and_tune_once(spark):
+    """r13 micro-optimizations: (a) load_table's per-path schema cache
+    returns the same schema and values as a fresh inference; (b)
+    tune() applies confs on first call per session and is a cheap
+    no-op after, with force=True re-applying."""
+    from botkop_telcotraffic_spark_spark.session import RUNTIME_CONFS, tune
+    from botkop_telcotraffic_spark_spark.sources import tables
+
+    sf = "/root/testdata/sf0.001"
+    path_key = f"{sf}/documents.parquet"
+    tables._SCHEMA_CACHE.pop(path_key, None)
+    first = tables.load_table(spark, sf, "documents")
+    assert path_key in tables._SCHEMA_CACHE
+    cached = tables.load_table(spark, sf, "documents")
+    assert cached.schema == first.schema
+    assert sorted(map(tuple, cached.limit(5).collect())) == sorted(
+        map(tuple, first.limit(5).collect())
+    )
+    # events keeps its nanos->micros ts conversion through the cache
+    ev = tables.load_table(spark, sf, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+    # tune(): first call pins the confs; a drifted conf is NOT re-fixed
+    # by a plain later call (the skip), but force=True re-applies
+    tune(spark)
+    key = "spark.sql.session.timeZone"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "America/Chicago")
+        tune(spark)  # skipped: session already tuned
+        assert spark.conf.get(key) == "America/Chicago"
+        tune(spark, force=True)
+        assert spark.conf.get(key) == RUNTIME_CONFS[key]
+    finally:
+        spark.conf.set(key, orig)

@@ -2598,6 +2598,41 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_dir = _scratch_dir("skm_state_")
     sink = idempotent_parquet_sink(out_dir)
 
+    # exact per-cluster IQR fences as SCALAR window expressions
+    # over prediction (identical order statistics to
+    # operators/iqr.py exact mode) instead of aggregate +
+    # broadcast join-back: the broadcast exchange cost one extra
+    # sub-job per micro-batch, so predict + fence + filter +
+    # write is now ONE job per batch on one k-key shuffle + sort
+    # (round-7 verdict #5 shave).  The order statistic at index
+    # i is picked by row_number == i, NEVER by indexing a
+    # collect_list window column — an array-valued window value
+    # is copied into EVERY row's buffer (O(rows x group) bytes;
+    # measured as a 5x blowup at sf0.1).
+    # r13: the per-batch chain is STATIC selectExpr SQL strings built
+    # once here, not ~50 Py4J Column constructions per micro-batch
+    # (measured 0.17 s/batch of pure driver build time); the parsed
+    # expression trees — and so every double — are identical.
+    _q1i = "CAST(FLOOR(_n / 4) + 1 AS INT)"
+    _q3i = "CAST(FLOOR(_n * 3 / 4) + 1 AS INT)"
+    _q1 = (
+        f"MAX(CASE WHEN _rn = {_q1i} THEN distance END)"
+        " OVER (PARTITION BY prediction)"
+    )
+    _q3 = (
+        f"MAX(CASE WHEN _rn = {_q3i} THEN distance END)"
+        " OVER (PARTITION BY prediction)"
+    )
+    fence_exprs = (
+        "event_id",
+        "prediction",
+        "distance",
+        f"CASE WHEN _n <= 4 THEN {DOUBLE_MIN!r}D"
+        f" ELSE {_q1} - 1.5D * ({_q3} - {_q1}) END AS lo",
+        f"CASE WHEN _n <= 4 THEN {DOUBLE_MAX!r}D"
+        f" ELSE {_q3} + 1.5D * ({_q3} - {_q1}) END AS hi",
+    )
+
     def batch_fn(df: DataFrame, batch_id: int) -> None:
         # exactly-once under restart: roll the driver model to the
         # post-(batch_id-1) snapshot, score, overwrite this batch's
@@ -2606,59 +2641,24 @@ def streaming_kmeans_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = model.exactly_once_batch(
             df, batch_id, state_dir, vec_col="point"
         )
-        # exact per-cluster IQR fences as SCALAR window expressions
-        # over prediction (identical order statistics to
-        # operators/iqr.py exact mode) instead of aggregate +
-        # broadcast join-back: the broadcast exchange cost one extra
-        # sub-job per micro-batch, so predict + fence + filter +
-        # write is now ONE job per batch on one k-key shuffle + sort
-        # (round-7 verdict #5 shave).  The order statistic at index
-        # i is picked by row_number == i, NEVER by indexing a
-        # collect_list window column — an array-valued window value
-        # is copied into EVERY row's buffer (O(rows x group) bytes;
-        # measured as a 5x blowup at sf0.1).
-        w_ord = Window.partitionBy("prediction").orderBy("distance")
-        w_all = Window.partitionBy("prediction")
-        ranked = scored.select(
+        ranked = scored.selectExpr(
             "event_id",
             "prediction",
             "distance",
-            F.row_number().over(w_ord).alias("_rn"),
-            F.count(F.lit(1)).over(w_all).alias("_n"),
+            "row_number() OVER (PARTITION BY prediction ORDER BY distance)"
+            " AS _rn",
+            "count(1) OVER (PARTITION BY prediction) AS _n",
         )
-        q1i = (F.floor(F.col("_n") / 4) + 1).cast("int")
-        q3i = (F.floor(F.col("_n") * 3 / 4) + 1).cast("int")
-        q1 = F.max(
-            F.when(F.col("_rn") == q1i, F.col("distance"))
-        ).over(w_all)
-        q3 = F.max(
-            F.when(F.col("_rn") == q3i, F.col("distance"))
-        ).over(w_all)
-        iqr_w = q3 - q1
-        degen = F.col("_n") <= 4
-        fenced = ranked.select(
-            "event_id",
-            "prediction",
-            "distance",
-            F.when(degen, F.lit(DOUBLE_MIN))
-            .otherwise(q1 - 1.5 * iqr_w)
-            .alias("lo"),
-            F.when(degen, F.lit(DOUBLE_MAX))
-            .otherwise(q3 + 1.5 * iqr_w)
-            .alias("hi"),
-        )
-        out = fenced.where(
-            (F.col("distance") < F.col("lo"))
-            | (F.col("distance") > F.col("hi"))
-        )
+        fenced = ranked.selectExpr(*fence_exprs)
+        out = fenced.where("distance < lo OR distance > hi")
         sink(
-            out.select(
+            out.selectExpr(
                 "event_id",
-                (F.lit(batch_id + 1)).cast("int").alias("batch"),
+                f"CAST({batch_id + 1} AS INT) AS batch",
                 "prediction",
-                (F.round("distance", 6) + F.lit(0.0)).alias("distance"),
-                (F.round("lo", 6) + F.lit(0.0)).alias("lo"),
-                (F.round("hi", 6) + F.lit(0.0)).alias("hi"),
+                "round(distance, 6) + 0.0D AS distance",
+                "round(lo, 6) + 0.0D AS lo",
+                "round(hi, 6) + 0.0D AS hi",
             ),
             batch_id,
         )

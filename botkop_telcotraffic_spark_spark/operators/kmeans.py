@@ -27,7 +27,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import euclidean, euclidean_unrolled
+from ..functions.vector import (
+    euclidean,
+    euclidean_sql,
+    euclidean_unrolled,
+    euclidean_unrolled_sql,
+)
 
 # Unroll the fixed-width distance only while the generated code stays
 # compilable: measured crossover — dim=2 unrolled ~2x faster (HOF
@@ -81,25 +86,8 @@ def assign(
     dominant fixed cost of a tiny foreachBatch job).  Values and
     argmin tiebreak are identical either way.
     """
-    dist = (
-        (lambda p, c: euclidean_unrolled(p, c, dim))
-        if dim is not None and dim <= _UNROLL_MAX_DIM
-        else euclidean
-    )
-    if isinstance(centroids, DataFrame):
-        cents = centroids.agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(centroid_id_col).alias("id"),
-                        F.col(centroid_vec_col).alias("vec"),
-                    )
-                )
-            ).alias("_cents")
-        )
-        base = points.crossJoin(F.broadcast(cents))
-        cents_col = F.col("_cents")
-    else:
+    unroll = dim is not None and dim <= _UNROLL_MAX_DIM
+    if not isinstance(centroids, DataFrame):
         # literal path: tiny (k x dim) constant — safe as a literal
         # (the F.lit-per-row cost note applies to KB-sized literals,
         # not 6 doubles); sorted by id to keep the argmin tiebreak.
@@ -110,6 +98,12 @@ def assign(
         # a Python float is the shortest exact decimal and Java's
         # Double.parseDouble is correctly rounded, so the 'D'-suffixed
         # literal reproduces the identical double bit-for-bit.
+        # r13: the WHOLE three-stage chain is selectExpr SQL strings —
+        # this runs once per micro-batch on the streaming hot paths
+        # and per round in lloyd/minibatch loops, where the ~40 Py4J
+        # Column constructions per build were the measured dominant
+        # cost (~0.1 s/batch); the parsed expression tree, and so the
+        # doubles and the argmin tiebreak, are identical.
         cents_sql = "array({})".format(
             ", ".join(
                 "named_struct('id', {}, 'vec', array({}))".format(
@@ -118,8 +112,47 @@ def assign(
                 for i, vec in sorted(centroids)
             )
         )
-        cents_col = F.expr(cents_sql)
-        base = points
+        dist_sql = (
+            euclidean_unrolled_sql(f"`{vec_col}`", "c.vec", dim)
+            if unroll
+            else euclidean_sql(f"`{vec_col}`", "c.vec")
+        )
+        cols = [f"`{c}`" for c in points.columns]
+        with_d = points.selectExpr(
+            *cols,
+            f"{cents_sql} AS _cents",
+            f"transform({cents_sql}, c -> {dist_sql}) AS _d",
+        )
+        with_best = with_d.selectExpr(
+            *cols,
+            "element_at(_cents, CAST(array_position(_d, array_min(_d))"
+            " AS INT)) AS _b",
+            "array_min(_d) AS distance",
+        )
+        return with_best.selectExpr(
+            *cols,
+            "_b.id AS prediction",
+            "_b.vec AS centroid",
+            "distance",
+        )
+
+    dist = (
+        (lambda p, c: euclidean_unrolled(p, c, dim))
+        if unroll
+        else euclidean
+    )
+    cents = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(centroid_id_col).alias("id"),
+                    F.col(centroid_vec_col).alias("vec"),
+                )
+            )
+        ).alias("_cents")
+    )
+    base = points.crossJoin(F.broadcast(cents))
+    cents_col = F.col("_cents")
     with_d = base.select(
         *points.columns,
         cents_col.alias("_cents"),
@@ -251,7 +284,6 @@ class StreamingKMeans:
                           dim=self.dim)
         sums = (
             assigned.select("prediction", "point")
-            .withColumn("_one", F.lit(1.0))
             .groupBy("prediction")
             .agg(
                 F.count(F.lit(1)).cast("double").alias("m"),

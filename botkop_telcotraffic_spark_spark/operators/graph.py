@@ -279,9 +279,13 @@ def star_contraction_components(
         # the loop already star-like (measured: 17 global rounds -> 2
         # on the 317-node-path fixture).  The forest has no
         # self-loops by construction and arrives deduplicated, so it
-        # replaces the where+distinct below.
+        # replaces the where+distinct below.  The input is lazily
+        # checkpointed first: repartitionByRange SAMPLES its input in
+        # a separate pass before the shuffle, so an un-pinned upstream
+        # (scan + semi-join fixtures) would compute twice (r13,
+        # guide §2.4).
         e = _local_contraction_forest(
-            e.where(F.col("u") != F.col("v"))
+            e.where(F.col("u") != F.col("v")).localCheckpoint(eager=False)
         ).localCheckpoint(eager=False)
     else:
         # drop self-loops; orient is irrelevant — each half-step
@@ -293,23 +297,32 @@ def star_contraction_components(
         )
 
     def _half_step(frame: DataFrame, large: bool) -> DataFrame:
+        # m = min(N(u) ∪ {u}) attached via a WINDOW over the same
+        # u-shuffle the neighborhood grouping needs, instead of the
+        # former groupBy + join-back — one exchange fewer per
+        # half-step, identical rows (r13, guide §2.4: two operations
+        # keyed the same way share one exchange).  In the small-star
+        # arm the (u, m) self-edges ride in as the full windowed
+        # frame re-projected; the trailing distinct() collapses the
+        # per-neighbor duplicates exactly as it collapsed the former
+        # one-row-per-u join output.
+        from pyspark.sql import Window
+
         sym = frame.union(
             frame.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("_mv"))
-            .select("u", F.least(F.col("_mv"), F.col("u")).alias("_m"))
+        w = Window.partitionBy("u")
+        withm = sym.select(
+            "u", "v", F.least(F.min("v").over(w), F.col("u")).alias("_m")
         )
-        joined = sym.join(m, "u")
         if large:
-            out = joined.where(F.col("v") > F.col("u")).select(
+            out = withm.where(F.col("v") > F.col("u")).select(
                 F.col("v").alias("u"), F.col("_m").alias("v")
             )
         else:
-            out = joined.where(F.col("v") <= F.col("u")).select(
+            out = withm.where(F.col("v") <= F.col("u")).select(
                 F.col("v").alias("u"), F.col("_m").alias("v")
-            ).union(m.select("u", F.col("_m").alias("v")))
+            ).union(withm.select("u", F.col("_m").alias("v")))
         return (
             out.where(F.col("u") != F.col("v"))
             .distinct()

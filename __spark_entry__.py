@@ -2286,12 +2286,27 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode).  The oracle asserts the SAME exact counts and pins
     within_bound TRUE, so a Spark HLL regression past the published
     accuracy bound breaks the hash.  The approx value stays in the
-    plan (the scan aggregates BOTH ways) but out of the hash."""
+    plan but out of the hash.
+
+    r13 shape: TWO-LEVEL aggregate — dedup (event_type, user_id)
+    with per-pair row counts first, then count/sum/HLL per group —
+    instead of countDistinct + approx in one agg, which planned an
+    Expand (2x the scan rows) and evaluated the 2^14-register rsd=0.01
+    sketch on every raw row.  HLL registers are duplicate-insensitive
+    (register = max over hashed values), so the estimate over the
+    deduped pairs is IDENTICAL, exact_users = the level-2 row count,
+    n = sum of the pair counts: all returned values bit-equal
+    (A/B-verified), warm exec 2.0 -> 0.9 s."""
     e = _t(spark, sf_dir, "events")
-    g = e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("_approx"),
-        F.countDistinct("user_id").alias("exact_users"),
-        F.count(F.lit(1)).alias("n"),
+    g = (
+        e.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+            F.count(F.lit(1)).alias("exact_users"),
+            F.sum("_c").alias("n"),
+        )
     )
     err = F.abs(F.col("_approx") - F.col("exact_users"))
     bound = F.greatest(F.lit(5.0), 0.05 * F.col("exact_users"))

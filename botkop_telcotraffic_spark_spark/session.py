@@ -119,6 +119,13 @@ def get_spark(
         # variance source of the mapInPandas decode family) is paid
         # once per executor core, not per task (r12 verdict #2).
         .config("spark.python.worker.reuse", "true")
+        # Worker connect-back accept timeout (default 15s): on a
+        # heavily loaded host, spawning a fresh interpreter under
+        # full-width CPU contention can exceed it, failing the whole
+        # query with "Python worker failed to connect back" instead
+        # of just starting slow.  Pure timeout — no effect on an
+        # idle-host run.
+        .config("spark.python.authenticate.socketTimeout", "120s")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Whole-stage codegen across many distinct queries in one JVM

@@ -7126,9 +7126,14 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine relevance to the vec_id=0 probe — the diversity-aware
     re-rank after an ANN top-N."""
     emb = _t(spark, sf_dir, "embeddings")
+    from botkop_telcotraffic_spark_spark.functions.vector import (
+        dot_sql,
+        norm_sql,
+    )
+
     probe = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").alias("_probe"),
-        similarity.norm(F.col("embedding")).alias("_probe_n"),
+        F.expr(norm_sql("embedding")).alias("_probe_n"),
     )
     cand = (
         emb.where(F.col("vec_id") < 200)
@@ -7136,12 +7141,9 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
-            (
-                similarity.dot(F.col("embedding"), F.col("_probe"))
-                / (
-                    similarity.norm(F.col("embedding"))
-                    * F.col("_probe_n")
-                )
+            F.expr(
+                f"({dot_sql('embedding', '_probe')}"
+                f" / ({norm_sql('embedding')} * _probe_n))"
             ).alias("relevance"),
         )
     )

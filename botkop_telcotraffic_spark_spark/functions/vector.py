@@ -43,6 +43,28 @@ def euclidean(a: Column, b: Column) -> Column:
     return F.sqrt(_fold_sum(d))
 
 
+def dot_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`dot` (one JVM parse instead of ~15
+    Py4J Column constructions + 2 lambda registrations per call —
+    same zip_with + left-fold aggregate tree, same cast/multiply
+    order, bit-identical doubles)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    """SQL-string twin of :func:`norm`."""
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`cosine`."""
+    return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+
+
 def euclidean_sql(a: str, b: str) -> str:
     """SQL-string twin of :func:`euclidean` (r13: one JVM parse
     instead of ~10 Py4J Column constructions per call — the

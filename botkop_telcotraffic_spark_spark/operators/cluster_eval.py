@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import euclidean
+from ..functions.vector import euclidean_sql
 
 
 def _point_centroid_dists(
@@ -47,7 +47,7 @@ def _point_centroid_dists(
                 F.col(centroid_vec_col).alias("_cvec"),
             )
         )
-    ).withColumn("_dist", euclidean(F.col(vec_col), F.col("_cvec")))
+    ).withColumn("_dist", F.expr(euclidean_sql(f"`{vec_col}`", "_cvec")))
 
 
 def simplified_silhouette(
@@ -139,7 +139,7 @@ def davies_bouldin(
         .select(
             F.col("i._cid").alias("ci"),
             F.col("j._cid").alias("cj"),
-            euclidean(F.col("i._cvec"), F.col("j._cvec")).alias("_m"),
+            F.expr(euclidean_sql("i._cvec", "j._cvec")).alias("_m"),
         )
     )
     si = scat.select(F.col("cluster").alias("ci"), F.col("_s").alias("_si"))

@@ -26,20 +26,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfn import shingle_tokens_from_fps, word_fingerprints
+from ..functions.textfn import shingle_tokens_sql, word_fingerprints_sql
 
 
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, tok) postings of DISTINCT k-shingle tokens per doc."""
-    wf = df.select(
-        F.col(id_col).alias("id"),
-        word_fingerprints(F.col(text_col)).alias("wf"),
+    """(id, tok) postings of DISTINCT k-shingle tokens per doc.
+
+    Built via the SQL-string fingerprint/shingle twins (r13):
+    identical fold trees and integers, one JVM parse per stage
+    instead of ~60 Py4J Column constructions."""
+    wf = df.selectExpr(
+        f"`{id_col}` AS id",
+        f"{word_fingerprints_sql(f'`{text_col}`')} AS wf",
     )
-    toks = wf.select(
+    toks = wf.selectExpr(
         "id",
-        F.explode(F.array_distinct(shingle_tokens_from_fps(F.col("wf"), k))).alias(
-            "tok"
-        ),
+        f"explode(array_distinct({shingle_tokens_sql('wf', k)})) AS tok",
     )
     return toks
 

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.textfn import word_fingerprints
+from ..functions.textfn import word_fingerprints_sql
 
 
 def dsir_scores(
@@ -63,7 +63,9 @@ def dsir_scores(
     tok = df.select(
         F.col(id_col).alias("id"),
         target.alias("_t"),
-        F.explode(word_fingerprints(F.col(text_col))).alias("fp"),
+        # SQL-string fingerprint build (r13): identical fold tree,
+        # one JVM parse instead of ~30 Py4J Column constructions
+        F.explode(F.expr(word_fingerprints_sql(f"`{text_col}`"))).alias("fp"),
     ).select("id", "_t", (F.col("fp") % buckets).alias("bucket"))
     cnt = tok.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_c"),

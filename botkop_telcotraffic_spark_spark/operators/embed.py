@@ -472,7 +472,7 @@ def pq_codes(
     # (kmeans.assign semantics: array_position first-occurrence over
     # the id-sorted array = lowest-id tiebreak, matching the oracle's
     # ORDER BY dist, prediction).
-    from ..functions.vector import euclidean
+    from ..functions.vector import euclidean_sql
 
     combined = spark.createDataFrame(
         [tuple([(i, c) for i, c in enumerate(cents[s])] for s in range(m))],
@@ -480,11 +480,14 @@ def pq_codes(
             f"_c{s} array<struct<id:int,vec:array<double>>>" for s in range(m)
         ),
     )
-    def _dists(s_: int):
-        # one-arg lambda: a (c, i) two-arg lambda would make PySpark
-        # pass the ELEMENT INDEX as the second argument
-        sub = F.slice(F.col(vec_col), s_ * sub_dim + 1, sub_dim)
-        return lambda c: euclidean(sub, c["vec"])
+
+    def _dists_sql(s_: int) -> str:
+        # SQL-string twin of the previous transform(.., c ->
+        # euclidean(slice(vec), c.vec)) Column build (r13): same
+        # zip_with + left-fold tree, one JVM parse instead of ~m*25
+        # Py4J constructions + lambda registrations per build
+        sub = f"slice(`{vec_col}`, {s_ * sub_dim + 1}, {sub_dim})"
+        return f"transform(_c{s_}, c -> {euclidean_sql(sub, 'c.vec')})"
 
     with_d = df.select(F.col(id_col), F.col(vec_col)).crossJoin(
         F.broadcast(combined)
@@ -492,7 +495,7 @@ def pq_codes(
         F.col(id_col),
         *[F.col(f"_c{s}") for s in range(m)],
         *[
-            F.transform(F.col(f"_c{s}"), _dists(s)).alias(f"_d{s}")
+            F.expr(_dists_sql(s)).alias(f"_d{s}")
             for s in range(m)
         ],
     )

@@ -311,7 +311,7 @@ def cross_encoder_rerank(
             .crossJoin(qv)
             .select(
                 id_col,
-                vector.cosine(F.col("_dv"), F.col("_qv")).alias("_cos"),
+                F.expr(vector.cosine_sql("_dv", "_qv")).alias("_cos"),
             )
         )
         out = out.join(cosd, id_col, "left")

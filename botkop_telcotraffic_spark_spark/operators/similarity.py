@@ -32,14 +32,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import dot, euclidean, norm
+from ..functions.vector import dot_sql, euclidean_sql, norm_sql
 
 def _paired_cosine():
     """Pair cosine from per-row precomputed norms: norms cost O(n·d)
     once per side instead of O(pairs·d) inside the join, and the
     doubles are identical to computing cosine() per pair (same sqrt
-    of the same fold), so oracle hashes don't move."""
-    return dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    of the same fold), so oracle hashes don't move.  Built as ONE
+    parsed SQL string (r13): the expression tree is the same
+    zip_with + left-fold the Column builders produced; only the
+    construction route (1 JVM parse vs ~20 Py4J round-trips) changed."""
+    return F.expr(f"({dot_sql('_qv', '_cv')} / (_qn * _cn))")
 
 # Deterministic integer hyperplanes (shared with oracle SQL):
 # hp[p][d] = ((p*31 + d*17) % 7) - 3, for plane p, dim d.
@@ -65,6 +68,29 @@ def lsh_bucket(vec, dim: int, n_planes: int = LSH_PLANES):
     return bucket
 
 
+def _plane_sql(vec_sql: str, p: int, dim: int) -> str:
+    """SQL text of _plane_expr — same arithmetic (integer plane
+    coefficient computed then cast to double), zero Py4J round-trips."""
+    return (
+        f"aggregate(transform(sequence(1, {dim}), d -> "
+        f"CAST(element_at({vec_sql}, d) AS DOUBLE) * "
+        f"CAST((({p * 31} + (d - 1) * 17) % 7) - 3 AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+
+
+def lsh_bucket_sql(vec_sql: str, dim: int, n_planes: int = LSH_PLANES) -> str:
+    """SQL-string twin of :func:`lsh_bucket` — the same nested
+    ((0 * 2 + b0) * 2 + b1)... integer tree (exact arithmetic, so
+    values are identical by construction); one JVM parse instead of
+    ~n_planes * 20 Py4J Column constructions."""
+    key = "0"
+    for p in range(n_planes):
+        bit = f"(CASE WHEN {_plane_sql(vec_sql, p, dim)} >= 0 THEN 1 ELSE 0 END)"
+        key = f"(({key} * 2) + {bit})"
+    return key
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -79,12 +105,12 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_qn"),
+        F.expr(norm_sql(f"`{vec_col}`")).alias("_qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        norm(F.col(vec_col)).alias("_cn"),
+        F.expr(norm_sql(f"`{vec_col}`")).alias("_cn"),
     )
     sims = (
         F.broadcast(q)
@@ -116,12 +142,12 @@ def near_dup_pairs(
     a = df.select(
         F.col(id_col).alias("a"),
         F.col(vec_col).alias("_av"),
-        norm(F.col(vec_col)).alias("_an"),
+        F.expr(norm_sql(f"`{vec_col}`")).alias("_an"),
     )
     b = df.select(
         F.col(id_col).alias("b"),
         F.col(vec_col).alias("_bv"),
-        norm(F.col(vec_col)).alias("_bn"),
+        F.expr(norm_sql(f"`{vec_col}`")).alias("_bn"),
     )
     # Per-row norms are computed once per side (O(n·d)); each of the
     # O(n^2) pairs then costs a single dot — same doubles as the
@@ -131,7 +157,7 @@ def near_dup_pairs(
         .where(F.col("a") < F.col("b"))
         .withColumn(
             "cosine_sim",
-            dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")),
+            F.expr(f"({dot_sql('_av', '_bv')} / (_an * _bn))"),
         )
         .where(F.col("cosine_sim") >= threshold)
         .select("a", "b", F.round("cosine_sim", 6).alias("cosine_sim"))
@@ -347,14 +373,14 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_qn"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        F.expr(norm_sql(f"`{vec_col}`")).alias("_qn"),
+        F.expr(lsh_bucket_sql(f"`{vec_col}`", dim, n_planes)).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
-        norm(F.col(vec_col)).alias("_cn"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        F.expr(norm_sql(f"`{vec_col}`")).alias("_cn"),
+        F.expr(lsh_bucket_sql(f"`{vec_col}`", dim, n_planes)).alias("bucket"),
     )
     sims = (
         q.join(c, "bucket")
@@ -399,7 +425,7 @@ def ivf_topk(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cv"),
-            norm(F.col(vec_col)).alias("_cn"),
+            F.expr(norm_sql(f"`{vec_col}`")).alias("_cn"),
         ),
         centroids,
         vec_col="_cv",
@@ -408,10 +434,10 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
-            norm(F.col(vec_col)).alias("_qn"),
+            F.expr(norm_sql(f"`{vec_col}`")).alias("_qn"),
         )
         .crossJoin(F.broadcast(centroids))
-        .withColumn("_cdist", euclidean(F.col("_qv"), F.col("centroid")))
+        .withColumn("_cdist", F.expr(euclidean_sql("_qv", "centroid")))
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_cdist"), F.col("prediction"))
     probes = (
@@ -537,7 +563,7 @@ def label_centroid_distance(
     are plain avg() — cross-engine reproducible to FP-sum order,
     hence the rounding contract on the output, not the centroid.
     """
-    from ..functions.vector import cosine
+    from ..functions.vector import cosine_sql
 
     pos = df.select(
         F.col(label_col).alias("_lbl"),
@@ -566,7 +592,11 @@ def label_centroid_distance(
         id_col,
         label_col,
         F.round(
-            cosine(F.col(vec_col).cast("array<double>"), F.col("_centroid")),
+            F.expr(
+                cosine_sql(
+                    f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", "_centroid"
+                )
+            ),
             round_to,
         ).alias("cos_centroid"),
     )
@@ -628,7 +658,7 @@ def mmr_select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_vec"),
             F.col(rel_col).cast("double").alias("_rel"),
-            norm(F.col(vec_col)).alias("_n"),
+            F.expr(norm_sql(f"`{vec_col}`")).alias("_n"),
         )
     ).collect()
 

@@ -155,15 +155,27 @@ def bpe_merges(
         "word", _initial_rep("word").alias("rep"), "freq"
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, n_merges + 1):
-        top = (
-            _pair_counts(vocab)
-            .orderBy(
-                F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc()
-            )
-            .limit(1)
-            .collect()
+    # Per-round top-pair plan as ONE parameterized spark.sql call
+    # (r13): the same _pair_counts projection/aggregate and ORDER BY
+    # cnt DESC, left, right LIMIT 1 cut the per-op chain produced
+    # (the separator rides in as a bound parameter, never spliced
+    # into the SQL text), ~3 Py4J round-trips per round instead of
+    # ~25.  _pair_counts stays for the vocab/encode callers.
+    _top_sql = """
+        WITH syms AS (SELECT freq, split(rep, :sep) AS _s FROM {vocab}),
+        pc AS (
+          SELECT p.l AS `left`, p.r AS `right`, sum(freq) AS cnt
+          FROM (SELECT freq,
+                       explode(transform(sequence(1, size(_s) - 1),
+                         i -> struct(element_at(_s, i) AS l,
+                                     element_at(_s, i + 1) AS r))) AS p
+                FROM syms)
+          GROUP BY p.l, p.r
         )
+        SELECT * FROM pc ORDER BY cnt DESC, `left` ASC, `right` ASC LIMIT 1
+    """
+    for step in range(1, n_merges + 1):
+        top = spark.sql(_top_sql, args={"sep": SEP}, vocab=vocab).collect()
         if not top:
             break
         l, r, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])

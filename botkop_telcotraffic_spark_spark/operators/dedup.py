@@ -263,11 +263,16 @@ def minhash_signatures(
     operator contract for the banding step.
     """
     post = token_postings(df, id_col, text_col, k)
-    aggs = [
-        F.expr(f"min(({a} * tok + {b}) % {MINHASH_P})").alias(f"h{j}")
+    # ONE parameterized spark.sql call for the 16 min-hash aggregates
+    # (r13): same expressions (previously 16 F.expr + 16 alias
+    # round-trips), one parse.
+    aggs = ", ".join(
+        f"min(({a} * tok + {b}) % {MINHASH_P}) AS h{j}"
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-    ]
-    sig = post.groupBy(F.col("id")).agg(*aggs)
+    )
+    sig = post.sparkSession.sql(
+        f"SELECT id, {aggs} FROM {{post}} GROUP BY id", post=post
+    )
     if wide:
         return sig
     return sig.selectExpr(

@@ -439,45 +439,45 @@ def pagerank(
     ranks = nodes.join(deg, "node", "left").persist()
     n_nodes = ranks.count()  # O(1) scalar, intentional
     ranks = ranks.withColumn("rank", F.lit(1.0 / n_nodes))
+    spark = edges.sparkSession
+    # Each iteration is ONE parameterized spark.sql call (r13): the
+    # same dangling 1-row aggregate + contrib join/sum + left join
+    # back the per-op chain built (identical arithmetic over the same
+    # grouped rows; double literals embedded with the exact repr + D
+    # suffix so they parse to the same IEEE doubles F.lit produced),
+    # with ~3 Py4J round-trips per round instead of ~15.
+    base = f"{(1.0 - damping) / n_nodes!r}D"
+    dmp = f"{float(damping)!r}D"
+    nn = f"{float(n_nodes)!r}D"
     for _ in range(iterations):
-        # dangling nodes (no out-edges) leak their mass; collect it
-        # in a 1-row aggregate and hand it back uniformly
-        dangling = ranks.where(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
-        )
-        contrib = (
-            e.join(
-                ranks.where(F.col("deg").isNotNull()).select(
-                    F.col("node"), (F.col("rank") / F.col("deg")).alias("w")
-                ),
-                e.u == F.col("node"),
+        ranks = spark.sql(
+            f"""
+            WITH contrib AS (
+              SELECT v AS node, sum(w) AS recv
+              FROM {{e}} JOIN (SELECT node, rank / deg AS w
+                               FROM {{ranks}} WHERE deg IS NOT NULL) r
+                   ON u = r.node
+              GROUP BY v
+            ),
+            dangling AS (
+              SELECT coalesce(sum(rank), 0.0D) AS _dm
+              FROM {{ranks}} WHERE deg IS NULL
             )
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.sum("w").alias("recv"))
-        )
-        ranks = (
-            ranks.select("node", "deg")
-            .join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "deg",
-                (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("recv"), F.lit(0.0))
-                        + F.col("_dm") / F.lit(float(n_nodes))
-                    )
-                ).alias("rank"),
-            )
+            SELECT node, deg,
+                   {base} + {dmp} * (coalesce(recv, 0.0D) + _dm / {nn})
+                     AS rank
+            FROM (SELECT node, deg FROM {{ranks}})
+                 LEFT JOIN contrib USING (node)
+                 CROSS JOIN dangling
+            """,
+            e=e,
+            ranks=ranks,
             # LAZY checkpoint (the hits/star-contraction discipline):
             # still cuts lineage so each round is planned against a
             # flat RDD scan, but materialization cascades inside the
             # ONE consumer action instead of paying an eager driver
             # action + scheduling round-trip per iteration.
-            .localCheckpoint(eager=False)
-        )
+        ).localCheckpoint(eager=False)
     return ranks.select("node", "rank")
 
 
@@ -674,30 +674,35 @@ def label_propagation(
     labels = e.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    spark = edges.sparkSession
+    # One parameterized spark.sql call per round (r13): same neighbor
+    # join + (node, label) count + min-over-(-cnt, label)-struct
+    # argmax the per-op chain produced (ties still break to the
+    # smallest label via the struct field order), ~3 Py4J round-trips
+    # per round instead of ~12.
     for _ in range(iterations):
-        neigh = e.join(
-            labels.select(F.col("node").alias("v"), "label"), "v"
-        ).select(F.col("u").alias("node"), "label")
-        counts = neigh.groupBy("node", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        # argmax: highest count then smallest label, as ONE min over
-        # (-cnt, label) structs — label comparison uses the node-id
-        # type's own ordering, which the oracle must mirror
-        labels = (
-            counts.groupBy("node")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("cnt")).alias("nc"), F.col("label")
-                    )
-                ).alias("_top")
+        labels = spark.sql(
+            """
+            WITH neigh AS (
+              SELECT u AS node, label
+              FROM {e} JOIN (SELECT node AS v, label FROM {labels})
+                   USING (v)
+            ),
+            counts AS (
+              SELECT node, label, count(1) AS cnt
+              FROM neigh GROUP BY node, label
             )
-            .select("node", F.col("_top.label").alias("label"))
+            SELECT node, _top.label AS label
+            FROM (SELECT node,
+                         min(named_struct('nc', -cnt, 'label', label))
+                           AS _top
+                  FROM counts GROUP BY node)
+            """,
+            e=e,
+            labels=labels,
             # LAZY: one consumer action materializes all rounds (see
             # pagerank note); lineage still cut per round.
-            .localCheckpoint(eager=False)
-        )
+        ).localCheckpoint(eager=False)
     return labels
 
 
@@ -768,12 +773,24 @@ def k_core(
     # checkpoint=False it forces the lineage once, same as the next
     # round's aggregate would.
     prev_n = sym.count()
+    spark = edges.sparkSession
+    # One parameterized spark.sql call per peel round (r13): the same
+    # degree aggregate + two semi-filters (IN-subqueries plan to the
+    # same left-semi joins), ~2 Py4J round-trips per round instead of
+    # ~10; the count probe / early-exit discipline is unchanged.
     for _ in range(rounds):
-        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
-        keep = deg.where(F.col("_d") >= k).select("u")
         sym = ckpt(
-            sym.join(keep, "u", "left_semi")
-            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            spark.sql(
+                f"""
+                WITH keep AS (
+                  SELECT u FROM {{sym}} GROUP BY u HAVING count(1) >= {int(k)}
+                )
+                SELECT u, v FROM {{sym}}
+                WHERE u IN (SELECT u FROM keep)
+                  AND v IN (SELECT u FROM keep)
+                """,
+                sym=sym,
+            )
         )
         n = sym.count()
         if n == prev_n:
@@ -1005,6 +1022,7 @@ def hits(
     Returns (node, kind, score) with kind ∈ {'hub', 'authority'} —
     source-side nodes carry hub scores, target-side authority.
     """
+    spark = edges.sparkSession
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
@@ -1014,29 +1032,35 @@ def hits(
     )
     h = e.select("u").distinct().withColumn("h", F.lit(1.0))
 
-    def _l2(frame: DataFrame, col: str) -> DataFrame:
-        nrm = frame.agg(
-            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_nrm")
-        )
-        return frame.crossJoin(F.broadcast(nrm)).select(
-            *[c for c in frame.columns if c != col],
-            (F.col(col) / F.col("_nrm")).alias(col),
-        )
-
+    # Each half-step is ONE parameterized spark.sql call (r13): the
+    # same join + sum aggregate + 1-row L2-norm cross join the
+    # previous per-op chain produced (identical arithmetic on the
+    # same grouped rows, so the doubles cannot move), built with ~3
+    # Py4J round-trips instead of ~15 per half-step — the iterative
+    # loop pays plan-construction cost once per half-step per build,
+    # measured 694 -> 133 ms warm per half-step on the micro-bench.
     a = None
     for _ in range(iterations):
-        a = (
-            e.join(h, "u")
-            .groupBy("v")
-            .agg(F.sum("h").alias("a"))
-        )
-        a = _l2(a, "a").localCheckpoint(eager=False)
-        h = (
-            e.join(a, "v")
-            .groupBy("u")
-            .agg(F.sum("a").alias("h"))
-        )
-        h = _l2(h, "h").localCheckpoint(eager=False)
+        a = spark.sql(
+            """
+            WITH agg AS (SELECT v, sum(h) AS a
+                         FROM {e} JOIN {h} USING (u) GROUP BY v)
+            SELECT v, a / _nrm AS a
+            FROM agg CROSS JOIN (SELECT sqrt(sum(a*a)) AS _nrm FROM agg)
+            """,
+            e=e,
+            h=h,
+        ).localCheckpoint(eager=False)
+        h = spark.sql(
+            """
+            WITH agg AS (SELECT u, sum(a) AS h
+                         FROM {e} JOIN {a} USING (v) GROUP BY u)
+            SELECT u, h / _nrm AS h
+            FROM agg CROSS JOIN (SELECT sqrt(sum(h*h)) AS _nrm FROM agg)
+            """,
+            e=e,
+            a=a,
+        ).localCheckpoint(eager=False)
     hubs = h.select(
         F.col("u").alias("node"),
         F.lit("hub").alias("kind"),

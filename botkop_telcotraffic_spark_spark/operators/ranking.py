@@ -118,61 +118,63 @@ def bm25_scores(
       * one final groupBy(doc) sums <= |q| per-term scores, then a
         global top-n (TakeOrderedAndProject).
     """
-    from ..functions.textfn import words
-
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     spark = docs.sparkSession
-    base = docs.select(
-        F.col(id_col).alias("_id"),
-        words(F.col(text_col)).alias("_w"),
-    ).select("_id", F.size("_w").alias("_dl"), F.explode("_w").alias("term"))
-    qt = spark.createDataFrame([(t,) for t in set(query_terms)], "term string")
-    matched = base.join(F.broadcast(qt), "term")
-    # N and avgdl from ONE extra scan (they were two: a count plus a
-    # re-tokenizing length aggregate)
-    stats = docs.select(
-        F.size(words(F.col(text_col))).alias("_dl0")
-    ).agg(
-        F.count(F.lit(1)).cast("double").alias("_N"),
-        F.avg("_dl0").alias("_avgdl"),
+    # ONE parameterized spark.sql call (r13): the same scan-side
+    # tokenize + broadcast term filter + (doc, term) tf aggregate +
+    # |q|-row df / 1-row stats broadcasts + per-doc score sum the
+    # per-op chain produced — identical arithmetic (double literals
+    # D-suffixed so they parse to the exact F.lit doubles), built
+    # with ~2 Py4J round-trips instead of ~70.  The global top-n is
+    # the same ORDER BY round(score) LIMIT cut
+    # (TakeOrderedAndProject), rank windowed over only top_n rows.
+    terms_values = ", ".join(
+        "('" + t.replace("'", "''") + "')" for t in sorted(set(query_terms))
     )
-    tf = matched.groupBy("_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("_tf"),
-        F.first("_dl").cast("double").alias("_dl"),
+    q = f"""
+    WITH base AS (
+      SELECT _id, size(_w) AS _dl, explode(_w) AS term
+      FROM (SELECT `{id_col}` AS _id, split(`{text_col}`, ' ') AS _w
+            FROM {{docs}})
+    ),
+    qt AS (SELECT term FROM (VALUES {terms_values}) AS v(term)),
+    matched AS (
+      SELECT /*+ BROADCAST(qt) */ base.* FROM base JOIN qt USING (term)
+    ),
+    stats AS (
+      SELECT CAST(count(1) AS DOUBLE) AS _N, avg(_dl0) AS _avgdl
+      FROM (SELECT size(split(`{text_col}`, ' ')) AS _dl0 FROM {{docs}})
+    ),
+    tf AS (
+      SELECT _id, term, CAST(count(1) AS DOUBLE) AS _tf,
+             CAST(first(_dl) AS DOUBLE) AS _dl
+      FROM matched GROUP BY _id, term
+    ),
+    df_tbl AS (
+      SELECT term, CAST(count(1) AS DOUBLE) AS _df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT /*+ BROADCAST(df_tbl), BROADCAST(stats) */ _id,
+             count(1) AS matched_terms,
+             sum(ln((_N - _df + 0.5D) / (_df + 0.5D) + 1.0D)
+                 * (_tf * {float(k1 + 1.0)!r}D)
+                 / (_tf + {float(k1)!r}D
+                    * ({float(1.0 - b)!r}D + {float(b)!r}D * _dl / _avgdl)))
+               AS _score
+      FROM tf JOIN df_tbl USING (term) CROSS JOIN stats
+      GROUP BY _id
+    ),
+    cut AS (
+      SELECT * FROM scored ORDER BY round(_score, 6) DESC, _id
+      LIMIT {int(top_n)}
     )
-    df_tbl = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("_df")
-    )
-    idf = F.log(
-        (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
-    )
-    denom = F.col("_tf") + k1 * (
-        1.0 - b + b * F.col("_dl") / F.col("_avgdl")
-    )
-    term_score = idf * (F.col("_tf") * (k1 + 1.0)) / denom
-    scored = (
-        tf.join(F.broadcast(df_tbl), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).alias("matched_terms"),
-            F.sum(term_score).alias("_score"),
-        )
-    )
-    # global top-n via orderBy+limit (TakeOrderedAndProject — a
-    # distributed per-partition cut, NOT a single-task global window);
-    # the rank window then runs over only top_n rows
-    cut = scored.orderBy(
-        F.round(F.col("_score"), 6).desc(), F.col("_id")
-    ).limit(top_n)
-    w = Window.orderBy(F.round(F.col("_score"), 6).desc(), F.col("_id"))
-    return cut.withColumn("rank", F.row_number().over(w)).select(
-        F.col("_id").alias(id_col),
-        "matched_terms",
-        F.round("_score", 6).alias("score"),
-        "rank",
-    )
+    SELECT _id AS `{id_col}`, matched_terms,
+           round(_score, 6) AS score,
+           row_number() OVER (ORDER BY round(_score, 6) DESC, _id) AS rank
+    FROM cut
+    """
+    return spark.sql(q, docs=docs)
 
 
 def rrf_fuse(

@@ -44,37 +44,39 @@ def text_features(
     the features back to the source (a pure per-row derivation joined
     on its own key is a shuffle Catalyst can't elide).
     """
-    t = F.col(text_col)
-    w = words(t)
-    n_tokens = F.size(w)
-    n_chars = F.length(t)
-    n_distinct = F.size(F.array_distinct(w))
-    avg_len = (n_chars - (n_tokens - 1)) / n_tokens
-    ttr = n_distinct / n_tokens
-    stop_ratio = stopword_count(w, STOPWORDS) / n_tokens
+    # Built as selectExpr SQL strings (r13): the identical expression
+    # trees the Column builders produced (same ops, same D-suffixed
+    # double literals, int/int `/` is fractional in both routes), one
+    # JVM parse instead of ~80 Py4J round-trips per build.
+    t = f"`{text_col}`"
+    w = f"split({t}, ' ')"
+    n_tokens = f"size({w})"
+    n_chars = f"length({t})"
+    n_distinct = f"size(array_distinct({w}))"
+    avg_len = f"(({n_chars} - ({n_tokens} - 1)) / {n_tokens})"
+    ttr = f"({n_distinct} / {n_tokens})"
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_ratio = f"(size(filter({w}, x -> x IN ({stop_list}))) / {n_tokens})"
     # Quality: reward mid-length docs and lexical diversity, penalize
     # stopword stuffing.  Clamped to [0, 1].
-    quality = F.least(
-        F.lit(1.0),
-        F.greatest(
-            F.lit(0.0),
-            0.4 * F.least(F.lit(1.0), n_tokens / F.lit(50.0))
-            + 0.4 * ttr
-            + 0.2 * (1.0 - stop_ratio),
-        ),
+    quality = (
+        f"least(1.0D, greatest(0.0D, "
+        f"0.4D * least(1.0D, {n_tokens} / 50.0D)"
+        f" + 0.4D * {ttr}"
+        f" + 0.2D * (1.0D - {stop_ratio})))"
     )
     cols = [
-        n_chars.alias("n_chars_calc"),
-        n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct_tokens"),
-        F.round(avg_len, 6).alias("avg_token_len"),
-        F.round(ttr, 6).alias("type_token_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(quality, 6).alias("quality_score"),
+        f"{n_chars} AS n_chars_calc",
+        f"{n_tokens} AS n_tokens",
+        f"{n_distinct} AS n_distinct_tokens",
+        f"round({avg_len}, 6) AS avg_token_len",
+        f"round({ttr}, 6) AS type_token_ratio",
+        f"round({stop_ratio}, 6) AS stopword_ratio",
+        f"round({quality}, 6) AS quality_score",
     ]
     if append:
-        return df.select("*", *cols)
-    return df.select(F.col(id_col), *cols)
+        return df.selectExpr("*", *cols)
+    return df.selectExpr(f"`{id_col}`", *cols)
 
 
 def _lang_score(w: Column, markers: list[str]) -> Column:
@@ -89,21 +91,28 @@ def lang_id(
     break by the fixed language order en > de > fr > es.
 
     ``append=True`` keeps every input column (see text_features)."""
-    w = words(F.col(text_col))
-    scores = {lang: _lang_score(w, mk) for lang, mk in LANG_MARKERS.items()}
+    # selectExpr SQL strings (r13): same argmax CASE chain and
+    # greatest() accumulation the Column builders produced (ties
+    # still break by the fixed language order), one JVM parse
+    # instead of ~60 Py4J round-trips + 4 filter-lambda registrations.
+    w = f"split(`{text_col}`, ' ')"
     best = None
-    best_lang = F.lit("und")
-    for lang in LANG_MARKERS:  # insertion order = priority order
-        s = scores[lang]
+    best_lang = "'und'"
+    for lang, mk in LANG_MARKERS.items():  # insertion order = priority
+        marker_list = ", ".join(f"'{m}'" for m in mk)
+        s = f"size(filter({w}, x -> x IN ({marker_list})))"
         if best is None:
-            best, best_lang = s, F.when(s > 0, F.lit(lang)).otherwise(F.lit("und"))
+            best = s
+            best_lang = f"(CASE WHEN {s} > 0 THEN '{lang}' ELSE 'und' END)"
         else:
-            best_lang = F.when(s > best, F.lit(lang)).otherwise(best_lang)
-            best = F.greatest(best, s)
-    cols = [best_lang.alias("pred_lang"), best.alias("marker_hits")]
+            best_lang = (
+                f"(CASE WHEN {s} > {best} THEN '{lang}' ELSE {best_lang} END)"
+            )
+            best = f"greatest({best}, {s})"
+    cols = [f"{best_lang} AS pred_lang", f"{best} AS marker_hits"]
     if append:
-        return df.select("*", *cols)
-    return df.select(F.col(id_col), *cols)
+        return df.selectExpr("*", *cols)
+    return df.selectExpr(f"`{id_col}`", *cols)
 
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

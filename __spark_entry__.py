@@ -8783,9 +8783,6 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_dedup_batch,
         minhash_bucket_keys,
     )
-    from botkop_telcotraffic_spark_spark.streaming.pipeline import (
-        idempotent_parquet_sink,
-    )
     from botkop_telcotraffic_spark_spark.streaming.runner import (
         pinned_replay_source,
         replay_partitions,
@@ -8829,10 +8826,14 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out_dir = _scratch_dir("incded_out_")
-    sink = idempotent_parquet_sink(out_dir)
 
     def batch_fn(batch: DataFrame, bid: int) -> None:
-        sink(incremental_dedup_batch(batch, store, bid), bid)
+        # sink_dir mode (r13): the flags' sink write IS the pin —
+        # incremental_dedup_batch writes the idempotent
+        # _batch_id=<bid> partition itself (before the store swap)
+        # instead of an eager localCheckpoint job followed by a
+        # separate sink write of the same rows.
+        incremental_dedup_batch(batch, store, bid, sink_dir=out_dir)
 
     stream = (
         spark.readStream.schema("doc_id bigint, text string")

@@ -157,6 +157,7 @@ def incremental_dedup_batch(
     k: int = 3,
     bands: int = 8,
     rows_per_band: int = 2,
+    sink_dir: str | None = None,
 ) -> DataFrame:
     """One micro-batch of corpus-vs-batch incremental near-dup
     screening through a KeyedUpsertStore bucket index (the
@@ -177,8 +178,17 @@ def incremental_dedup_batch(
     recomputes byte-identical flags, and its left_anti re-upsert is a
     value-level no-op.
 
-    Returns the (id, is_dup) flags, localCheckpoint-pinned (callers
-    sink them AND derive the accepted cut — one materialization)."""
+    ``sink_dir`` (r13): when given, the flags are PINNED by writing
+    them to ``sink_dir/_batch_id=<id>`` (the idempotent_parquet_sink
+    layout) and re-read from those files — the parquet write replaces
+    the eager localCheckpoint job the caller's separate sink write
+    used to follow (one materialization per batch instead of two; the
+    pin still lands BEFORE the store's bucket-directory swap, which
+    is the ordering the exactly-once contract needs).  Without it,
+    the flags come back localCheckpoint-pinned as before (callers
+    sink them AND derive the accepted cut — one materialization).
+
+    Returns the (id, is_dup) flags."""
     nbk = minhash_bucket_keys(
         batch, id_col, text_col, k, bands, rows_per_band
         # lazy: the flags checkpoint's dup-join action below
@@ -204,11 +214,24 @@ def incremental_dedup_batch(
         batch.select(F.col(id_col).alias("id"))
         .join(dup_ids, "id", "left")
         .select("id", F.coalesce("_d", F.lit(False)).alias("is_dup"))
+    )
+    if sink_dir is not None:
+        # The sink write IS the pin: values land on disk before the
+        # upsert swaps the store's bucket directories, and the
+        # accepted cut below reads the stable written files.  A
+        # re-delivered batch overwrites the same _batch_id directory
+        # with byte-identical rows (idempotent_parquet_sink layout).
+        import os as _os
+
+        bdir = _os.path.join(sink_dir, f"_batch_id={int(batch_id)}")
+        pinned_schema = flags.schema
+        flags.write.mode("overwrite").parquet(bdir)
+        flags = batch.sparkSession.read.schema(pinned_schema).parquet(bdir)
+    else:
         # EAGER on purpose: flags read the store's current files, and
         # the sink consumes them AFTER upsert() swaps those bucket
         # directories out — the pin must land before the swap
-        .localCheckpoint()
-    )
+        flags = flags.localCheckpoint()
     accepted = (
         nbk.join(flags.where(~F.col("is_dup")), "id", "left_semi")
         .select("bk")

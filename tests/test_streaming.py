@@ -2082,10 +2082,11 @@ def test_incremental_dedup_restart_exactly_once(spark):
         return store
 
     def run(store, out, ckpt, max_one_file=False):
-        sink = idempotent_parquet_sink(out)
-
+        # sink_dir mode — the production path (r13): the flags' sink
+        # write is the pin; the legacy localCheckpoint+sink path is
+        # crossed against it in the re-delivery step below.
         def batch_fn(df, batch_id):
-            sink(incremental_dedup_batch(df, store, batch_id), batch_id)
+            incremental_dedup_batch(df, store, batch_id, sink_dir=out)
 
         reader = spark.readStream.schema(schema)
         if max_one_file:
@@ -2131,6 +2132,9 @@ def test_incremental_dedup_restart_exactly_once(spark):
         (r["bk"], r["ver"])
         for r in store.snapshot().collect()
     )
+    # ...driven through the LEGACY (localCheckpoint + separate sink)
+    # path, so the re-delivered table equality also proves the two
+    # pin modes byte-identical on the same store state.
     replay = spark.read.schema(schema).parquet(os.path.join(src, "b.parquet"))
     sink = idempotent_parquet_sink(dirs["out"])
     sink(incremental_dedup_batch(replay, store, 1), 1)

@@ -201,27 +201,30 @@ def rrf_fuse(
     """
     if not rankings:
         raise ValueError("rankings must be non-empty")
-    parts = [
-        r.select(
-            F.col(id_col).alias("_id"),
-            (1.0 / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
-                "_c"
-            ),
-        )
-        for r in rankings
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    fused = u.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("n_lists"),
-        F.round(F.sum("_c"), 6).alias("rrf_score"),
+    # ONE parameterized spark.sql call (r13): same per-list 1/(k+rank)
+    # projection, UNION ALL, fused aggregate and top-n cut the per-op
+    # chain produced (1.0D / (kD + CAST(rank AS DOUBLE)) is the exact
+    # F.lit arithmetic), ~3 Py4J round-trips instead of ~25.
+    spark = rankings[0].sparkSession
+    contrib = f"1.0D / ({float(k)!r}D + CAST(`{rank_col}` AS DOUBLE))"
+    union = " UNION ALL ".join(
+        f"SELECT `{id_col}` AS _id, {contrib} AS _c FROM {{r{i}}}"
+        for i in range(len(rankings))
     )
-    cut = fused.orderBy(F.col("rrf_score").desc(), F.col("_id")).limit(top_n)
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col("_id"))
-    return cut.withColumn("fused_rank", F.row_number().over(w)).select(
-        F.col("_id").alias(id_col), "n_lists", "rrf_score", "fused_rank"
+    q = f"""
+    WITH u AS ({union}),
+    fused AS (
+      SELECT _id, count(1) AS n_lists, round(sum(_c), 6) AS rrf_score
+      FROM u GROUP BY _id
+    ),
+    cut AS (
+      SELECT * FROM fused ORDER BY rrf_score DESC, _id LIMIT {int(top_n)}
     )
+    SELECT _id AS `{id_col}`, n_lists, rrf_score,
+           row_number() OVER (ORDER BY rrf_score DESC, _id) AS fused_rank
+    FROM cut
+    """
+    return spark.sql(q, **{f"r{i}": r for i, r in enumerate(rankings)})
 
 
 def cross_encoder_rerank(

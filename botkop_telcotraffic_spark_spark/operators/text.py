@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from ..functions.textfn import (
     char_ngrams,
     rolling_fingerprint,
-    stopword_count,
     words,
 )
 

@@ -604,6 +604,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
+                # Core count of THIS run (r14): the driver benches at
+                # 32 AND 8 cores back-to-back, and the 8-core run's
+                # record used to overwrite BENCH_LOCAL.json — the r13
+                # driver commit froze one in, and the regression gate
+                # then compared 8-core times against the 32-core
+                # baseline (every wide query "regressed").  The gate
+                # now skips the compare when core counts differ.
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "runs_per_query": 3,
                 "runs_per_query_high_variance": 6,
@@ -638,6 +646,17 @@ def main() -> None:
                 "sf": sf,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "runs_per_query": 3,
+                # Summary fields DUPLICATED after the queries dict
+                # (r13 verdict #6): the driver's BENCH capture keeps
+                # only the LAST ~2000 chars of this line, and in r12
+                # that truncation ate the leading "value" field — the
+                # whole round-over-round comparison came back null.
+                # With the totals re-stated here at the tail, even a
+                # truncated capture still yields them (additions
+                # only; the leading fields and the queries dict are
+                # unchanged).
+                "headline_total_sec": total,
+                "n_queries": len(timings),
             }
         )
     )

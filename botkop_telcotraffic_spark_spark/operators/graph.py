@@ -634,11 +634,43 @@ def adamic_adar(
     )
 
 
+def _driver_lpa(pairs, iterations: int):
+    """Exact synchronous LPA on the driver: ``pairs`` is any iterable
+    of (u, v) rows with u != v (duplicates and asymmetry tolerated —
+    the adjacency is built from the deduped SYMMETRIC pair set,
+    mirroring the distributed loop's ``distinct`` edge frame).  Same
+    update rule as the distributed rounds: every node adopts the most
+    frequent label among its neighbors, ties to the SMALLEST label;
+    integer-only state, so the result is bit-identical to the
+    distributed path on the same edge set."""
+    sym = set()
+    for u, v in pairs:
+        sym.add((u, v))
+        sym.add((v, u))
+    adj: dict = {}
+    for u, v in sym:
+        adj.setdefault(u, []).append(v)
+    labels = {n: n for n in adj}
+    for _ in range(iterations):
+        new = {}
+        for u, nbrs in adj.items():
+            cnt: dict = {}
+            for v in nbrs:
+                lbl = labels[v]
+                cnt[lbl] = cnt.get(lbl, 0) + 1
+            # argmax: highest count, then smallest label — the same
+            # min over (-cnt, label) the distributed round computes
+            new[u] = min((-c, lbl) for lbl, c in cnt.items())[1]
+        labels = new
+    return sorted(labels.items())
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     iterations: int = 3,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Synchronous label-propagation community detection over an
     undirected graph — the density-based companion to
@@ -665,6 +697,25 @@ def label_propagation(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # Scale-adaptive driver fast path (r14; the connected_components
+    # pattern, guide §1.2 "remove unnecessary shuffles and passes"):
+    # LPA's state is INTEGER-only (neighbor-label counts, min-label
+    # ties), so a driver replay over the collected pair set is
+    # bit-identical to the distributed rounds.  The distributed loop
+    # costs ~4 shuffles x `iterations` on a node-sized frame — pure
+    # fixed overhead when the deduped edge set fits the same 2M-edge
+    # probe budget connected_components uses (~32 MB of id pairs).
+    # Above the threshold (the 100 TB shape): the per-round loop
+    # below, unchanged.
+    spark = edges.sparkSession
+    out_schema = und.select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    ).schema
+    probe = und.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        return spark.createDataFrame(
+            _driver_lpa(probe, iterations), schema=out_schema
+        )
     e = (
         und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -674,7 +725,6 @@ def label_propagation(
     labels = e.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    spark = edges.sparkSession
     # One parameterized spark.sql call per round (r13): same neighbor
     # join + (node, label) count + min-over-(-cnt, label)-struct
     # argmax the per-op chain produced (ties still break to the

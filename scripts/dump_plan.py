@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Dump `.explain("formatted")` for named registry queries to
-plans/r13/<query>_<tag>.txt (optimization-round evidence files).
+plans/r14/<query>_<tag>.txt (optimization-round evidence files).
 
     python scripts/dump_plan.py before cc_star_chain_components ...
 """
@@ -22,7 +22,7 @@ def main() -> int:
     from botkop_telcotraffic_spark_spark.session import get_spark
 
     sf_dir = "/root/testdata/sf0.1"
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r14"
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="dump_plan")
     spark.sparkContext.setLogLevel("ERROR")
@@ -33,7 +33,7 @@ def main() -> int:
             df._jdf.queryExecution(), "formatted"
         )
         (out_dir / f"{name}_{tag}.txt").write_text(plan)
-        print(f"wrote plans/r13/{name}_{tag}.txt ({len(plan)} bytes)")
+        print(f"wrote plans/r14/{name}_{tag}.txt ({len(plan)} bytes)")
     spark.stop()
     return 0
 

@@ -1884,6 +1884,33 @@ def test_label_propagation_bridged_triangles_and_determinism(spark):
     assert again == out
 
 
+def test_label_propagation_driver_path_matches_distributed(spark):
+    """label_propagation (operators/graph.py, r14): the scale-adaptive
+    driver fast path must be bit-identical to the distributed
+    per-round loop (forced via driver_threshold=0) — same fixture
+    family as the connected_components probe contract, including a
+    bridge, an isolated edge, asymmetric duplicates, and a star whose
+    hub majority flips over rounds."""
+    from botkop_telcotraffic_spark_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4),
+             (2, 1), (10, 11), (7, 1), (7, 2), (7, 8), (8, 9), (9, 7)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    for iters in (1, 3):
+        fast = sorted(
+            tuple(r) for r in label_propagation(df, iterations=iters).collect()
+        )
+        dist = sorted(
+            tuple(r)
+            for r in label_propagation(
+                df, iterations=iters, driver_threshold=0
+            ).collect()
+        )
+        assert fast == dist, f"iterations={iters}: {fast} vs {dist}"
+
+
 def test_backfill_rewrites_only_touched_partitions(spark, tmp_path):
     """backfill_partitions (sources/formats.py): overwriting one
     day's slice leaves other days' files byte-identical and on disk,

@@ -7911,7 +7911,9 @@ def dedup_ladder_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("doc_id", "alive1", "alive2")
-        .localCheckpoint()
+        # lazy (r14): the stage-3 survivor join materializes it
+        # in-action; the eager form was one extra blocking job
+        .localCheckpoint(eager=False)
     )
 
     s2 = flags.where(F.col("alive2")).select("doc_id")

@@ -60,14 +60,17 @@ def connected_components(
     Scale-adaptive: the duplicate-pair EDGE SET is orders of
     magnitude smaller than the corpus it came from (only docs with a
     near-dup appear), so it is frequently tiny even when the corpus
-    is not.  The size probe is ``limit(threshold+1).collect()`` on
-    the RAW edge frame — union-find tolerates duplicate and
-    asymmetric edges, so the tiny-graph path needs no symmetrize, no
-    distinct, no checkpoint and no count: ONE narrow job, then
-    microseconds of driver work (``driver_threshold`` edges ≈ 32 MB
-    of id pairs).  Above the threshold, distributed min-label
-    propagation with pointer jumping, with the frames repartitioned
-    proportionally to the edge count.
+    is not.  The size probe is ONE capped action on the RAW edge
+    frame — ``limit(threshold+1).toPandas()`` — so the edges cross to
+    the driver as Arrow batches instead of pickled Rows (r14;
+    measured ~20% faster at 600k string pairs and far cheaper on the
+    Python side, guide §6 Arrow driver transfers).  Union-find
+    tolerates duplicate and asymmetric edges, so the tiny-graph path
+    needs no symmetrize, no distinct and no checkpoint
+    (``driver_threshold`` edges ≈ 32 MB of id pairs).  Above the
+    threshold, distributed min-label propagation with pointer
+    jumping, with the frames repartitioned proportionally to the
+    edge count.
 
     Past ``max_iter`` unconverged rounds the graph is chain-shaped
     (component diameter > 2^max_iter under pointer jumping — a
@@ -83,11 +86,15 @@ def connected_components(
     out_schema = e0.select(
         F.col("u").alias("node"), F.col("u").alias("component")
     ).schema
-    probe = e0.limit(driver_threshold + 1).collect()
-    if len(probe) <= driver_threshold:
+    pdf = e0.limit(driver_threshold + 1).toPandas()
+    if len(pdf) <= driver_threshold:
         return edges.sparkSession.createDataFrame(
-            _driver_union_find(probe), schema=out_schema
+            _driver_union_find(
+                zip(pdf["u"].tolist(), pdf["v"].tolist())
+            ),
+            schema=out_schema,
         )
+    del pdf
     e = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     # lazy: the e.count() below materializes it in the same action
     e = e.localCheckpoint(eager=False)
@@ -711,11 +718,15 @@ def label_propagation(
     out_schema = und.select(
         F.col("u").alias("node"), F.col("u").alias("label")
     ).schema
-    probe = und.limit(driver_threshold + 1).collect()
-    if len(probe) <= driver_threshold:
+    pdf = und.limit(driver_threshold + 1).toPandas()
+    if len(pdf) <= driver_threshold:
         return spark.createDataFrame(
-            _driver_lpa(probe, iterations), schema=out_schema
+            _driver_lpa(
+                list(zip(pdf["u"].tolist(), pdf["v"].tolist())), iterations
+            ),
+            schema=out_schema,
         )
+    del pdf
     e = (
         und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -756,6 +767,47 @@ def label_propagation(
     return labels
 
 
+def _driver_k_core(pdf, k: int, rounds: int):
+    """Exact k-core peeling on the driver: ``pdf`` is a pandas frame
+    of the CANONICAL deduped undirected edge set (columns u, v with
+    u < v and u != v — the same frame the distributed loop
+    symmetrizes).  Replays the identical fixed-round loop with the
+    same monotone early-exit, so the result — including a
+    possibly-loose partial core when ``rounds`` is too small for a
+    chain-shaped graph — is bit-identical to the distributed path.
+    Integer-only state (degrees), no float drift possible.
+    Vectorized (factorize + bincount): ~50 ms/round at 600k edges
+    where the dict/set form cost ~0.4 s/round."""
+    import numpy as np
+    import pandas as pd
+
+    n_edges = len(pdf)
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["u"], pdf["v"]], ignore_index=True)
+    )
+    eu, ev = codes[:n_edges], codes[n_edges:]
+    n_nodes = len(uniques)
+    live = np.ones(n_edges, dtype=bool)
+    prev_n = 2 * n_edges  # symmetric edge count, as sym.count()
+    for _ in range(rounds):
+        deg = np.bincount(eu[live], minlength=n_nodes) + np.bincount(
+            ev[live], minlength=n_nodes
+        )
+        keep = deg >= k
+        live &= keep[eu] & keep[ev]
+        n = 2 * int(live.sum())
+        if n == prev_n:
+            break
+        prev_n = n
+    deg = np.bincount(eu[live], minlength=n_nodes) + np.bincount(
+        ev[live], minlength=n_nodes
+    )
+    sel = deg >= k
+    nodes = np.asarray(uniques)[sel].tolist()
+    degs = deg[sel].tolist()
+    return sorted(zip(nodes, (int(d) for d in degs)))
+
+
 def k_core(
     edges: DataFrame,
     k: int,
@@ -763,6 +815,7 @@ def k_core(
     dst: str = "b",
     rounds: int = 6,
     checkpoint: bool = True,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """k-core peeling (Seidman 1983, public literature): repeatedly
     drop nodes of degree < k; what survives is the maximal subgraph
@@ -811,6 +864,30 @@ def k_core(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    # Scale-adaptive driver fast path (r14; the connected_components /
+    # label_propagation pattern): peeling is INTEGER-only (degrees),
+    # so replaying the same fixed-round loop over the collected
+    # canonical edge set is bit-identical to the distributed rounds —
+    # and deletes (1 agg + 2 semi-join shuffles + 1 count) x rounds of
+    # fixed overhead when the deduped edge set fits the probe budget.
+    # checkpoint=False is the keep-full-lineage mode (plan tests) and
+    # stays on the distributed path; above the threshold (the 100 TB
+    # shape): the loop below, unchanged.
+    if checkpoint:
+        # Arrow-path probe: ONE capped action — the pairs cross as a
+        # single Arrow toPandas transfer (~20% cheaper than Row
+        # collect at this width, guide §6; and unlike a separate
+        # count-then-collect pair, the subtree executes once), and
+        # the peel itself is numpy-vectorized
+        probe = e.limit(driver_threshold + 1).toPandas()
+        if len(probe) <= driver_threshold:
+            out_schema = e.select(
+                F.col("u").alias("node"),
+                F.lit(0).cast("long").alias("degree"),
+            ).schema
+            return edges.sparkSession.createDataFrame(
+                _driver_k_core(probe, k, rounds), schema=out_schema
+            )
     sym = ckpt(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )

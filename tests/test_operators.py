@@ -2474,6 +2474,29 @@ def test_k_core_hand_graph(spark):
         k_core(edges, k=0)
 
 
+def test_k_core_driver_path_matches_distributed(spark):
+    """k_core (operators/graph.py, r14): the scale-adaptive driver
+    fast path must be bit-identical to the distributed peel loop
+    (forced via driver_threshold=0), including the partial-core case
+    where ``rounds`` is too small for a cascading chain."""
+    from botkop_telcotraffic_spark_spark.operators.graph import k_core
+
+    # triangle + 4-chain (cascading peel) + asymmetric duplicate +
+    # square (2-core survivor alongside the triangle)
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (2, 1),
+             (7, 8), (8, 9), (9, 10), (10, 7)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    for k, rounds in ((2, 6), (2, 1), (3, 6)):
+        fast = sorted(tuple(r) for r in k_core(df, k=k, rounds=rounds).collect())
+        dist = sorted(
+            tuple(r)
+            for r in k_core(
+                df, k=k, rounds=rounds, driver_threshold=0
+            ).collect()
+        )
+        assert fast == dist, f"k={k} rounds={rounds}: {fast} vs {dist}"
+
+
 def test_rrf_fuse_hand_lists(spark):
     """ranking.py::rrf_fuse: two 3-item lists — the id on top of both
     lists wins; an id in only one list scores a single term."""

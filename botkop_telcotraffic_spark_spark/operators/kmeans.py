@@ -22,10 +22,35 @@ model; ``update_and_assign`` replicates that order.
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _model_sized_shuffles(spark):
+    """Pin shuffle width to 1 and switch AQE off for a block whose
+    only shuffles are MODEL-sized (bounded at k or k x dim grouped
+    rows — set by the model, not the data; guide §2.2).  One reduce
+    partition is scale-correct at any input size because map-side
+    partial aggregation bounds what reaches it at (#map tasks) x k
+    (x dim) partial rows, and AQE cannot improve a plan that is
+    already one 1-partition shuffle — its per-stage re-optimization
+    was pure driver overhead here (measured ~1 s/round on the Lloyd
+    loop).  Same set/restore pattern as
+    streaming/runner.py::replay_partitions."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        if int(prev_parts) > 1:
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 from ..functions.vector import (
     euclidean,
@@ -282,17 +307,19 @@ class StreamingKMeans:
         assigned = assign(batch.select(F.col(vec_col).alias("point")),
                           self._centroid_pairs(), vec_col="point",
                           dim=self.dim)
-        sums = (
-            assigned.select("prediction", "point")
-            .groupBy("prediction")
-            .agg(
-                F.count(F.lit(1)).cast("double").alias("m"),
-                *[
-                    F.sum(F.element_at("point", d + 1)).alias(f"s{d}")
-                    for d in range(self.dim)
-                ],
-            )
-        ).collect()  # k rows — driver state update only
+        # k-row reduce over a shuffle-free argmin: model-sized (r14)
+        with _model_sized_shuffles(spark):
+            sums = (
+                assigned.select("prediction", "point")
+                .groupBy("prediction")
+                .agg(
+                    F.count(F.lit(1)).cast("double").alias("m"),
+                    *[
+                        F.sum(F.element_at("point", d + 1)).alias(f"s{d}")
+                        for d in range(self.dim)
+                    ],
+                )
+            ).collect()  # k rows — driver state update only
         for row in sums:
             i = row["prediction"]
             m = row["m"]
@@ -586,25 +613,39 @@ def lloyd_kmeans(
         return spark.createDataFrame([], "prediction int, centroid array<double>")
     cents = seeds
 
-    for _ in range(iterations):
-        assigned = assign(
-            pts, list(enumerate(cents)), vec_col="point", dim=dim
-        )
-        # collect the k x dim (prediction, d, m) grid FLAT and
-        # assemble arrays driver-side (round-9: drops the second
-        # groupBy stage per round; the grid is bounded at k*dim rows)
-        means = (
-            assigned.select("prediction", F.posexplode("point").alias("d", "x"))
-            .groupBy("prediction", "d")
-            .agg(F.round(F.avg(F.col("x").cast("double")), round_digits).alias("m"))
-        ).collect()  # k * dim rows
-        by_pred: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_pred.setdefault(r["prediction"], {})[r["d"]] = r["m"]
-        new = {
-            p: [dm[d] for d in sorted(dm)] for p, dm in by_pred.items()
-        }
-        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    # Model-sized shuffles (r14, guide §2.2): every per-round reduce
+    # below is bounded at k x dim grouped rows — a width set by the
+    # MODEL, not the data (measured: the 32-task means reduce of 512
+    # rows cost 0.6-0.9 s/round on 2 000 input rows, and AQE's
+    # per-stage re-planning another ~1 s/round).  Probe medians on
+    # the same host: 6.8 s -> 3.0 s.
+    with _model_sized_shuffles(spark):
+        for _ in range(iterations):
+            assigned = assign(
+                pts, list(enumerate(cents)), vec_col="point", dim=dim
+            )
+            # collect the k x dim (prediction, d, m) grid FLAT and
+            # assemble arrays driver-side (round-9: drops the second
+            # groupBy stage per round; the grid is bounded at k*dim
+            # rows)
+            means = (
+                assigned.select(
+                    "prediction", F.posexplode("point").alias("d", "x")
+                )
+                .groupBy("prediction", "d")
+                .agg(
+                    F.round(
+                        F.avg(F.col("x").cast("double")), round_digits
+                    ).alias("m")
+                )
+            ).collect()  # k * dim rows
+            by_pred: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_pred.setdefault(r["prediction"], {})[r["d"]] = r["m"]
+            new = {
+                p: [dm[d] for d in sorted(dm)] for p, dm in by_pred.items()
+            }
+            cents = [new.get(i, cents[i]) for i in range(len(cents))]
 
     if as_pairs:
         return [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
